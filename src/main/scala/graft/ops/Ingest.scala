@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.RetentionPolicy
+
+/** The batch write path: whisper `update_many` semantics
+  * (/root/reference/whisper.py:740-875) re-expressed as declarative
+  * DataFrame transforms.
+  *
+  * Semantics reproduced:
+  *   - each point lands in the HIGHEST-precision level whose retention
+  *     covers its age (whisper.py:767-784);
+  *   - points older than total retention are silently dropped
+  *     (whisper.py:781-782); future points (age<0) land in level 0 —
+  *     update_many does NOT reject them (contrast file_update:693-696);
+  *   - within a level, same-interval duplicates collapse to the LAST
+  *     written point (whisper.py:806-808) — "last" = arrival order, which
+  *     callers encode in the `seq` column.
+  */
+object Ingest {
+
+  /** Level-routing expression: index of the finest level whose retention
+    * covers `age`, else null (dropped). A static when-chain — fully
+    * codegen'd, no shuffle.
+    */
+  def levelFor(age: Column, policy: RetentionPolicy): Column =
+    policy.levels.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case ((lvl, i), elseExpr) => when(age <= lit(lvl.retention), lit(i)).otherwise(elseExpr)
+    }
+
+  /** Route a raw batch to levels and collapse to last-write-wins points.
+    *
+    * @param batch columns (metric: string, ts: long epoch-sec,
+    *              value: double, seq: long arrival order)
+    * @param now   reference "now" in epoch seconds
+    * @return columns (metric, level: int, interval: long, value: double)
+    *         — one row per (metric, level, interval), LWW-resolved
+    */
+  def routeAndDedup(batch: DataFrame, policy: RetentionPolicy, now: Long): DataFrame = {
+    val stepForLevel: Column =
+      policy.levels.zipWithIndex.foldRight(lit(null).cast("long")) {
+        case ((lvl, i), elseExpr) =>
+          when(col("level") === i, lit(lvl.secondsPerPoint.toLong)).otherwise(elseExpr)
+      }
+    batch
+      .withColumn("level", levelFor(lit(now) - col("ts"), policy))
+      .where(col("level").isNotNull)
+      .withColumn("interval", Grid.align(col("ts"), stepForLevel))
+      // Last write wins per slot: max_by over arrival order. One shuffle,
+      // with map-side partial aggregation.
+      .groupBy(col("metric"), col("level"), col("interval"))
+      .agg(max_by(col("value"), col("seq")).as("value"))
+  }
+}

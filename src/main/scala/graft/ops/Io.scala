@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Table access for the driver's parquet fixtures.
+  *
+  * The fixtures carry TIMESTAMP(NANOS) columns, which Spark 4 rejects
+  * unless `spark.sql.legacy.parquet.nanosAsLong` is set — we set it
+  * defensively per read (it is a runtime SQL conf) so queries work under
+  * any session the driver builds, and normalize either representation to
+  * epoch seconds via `tsec`.
+  */
+object Io {
+
+  def readTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Epoch-seconds (floor) from a `ts` column that is either LongType
+    * nanoseconds (nanosAsLong read) or a TimestampType. Integer `div`
+    * keeps full precision — a double division would lose bits above 2^53.
+    */
+  def tsec(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case LongType => expr(s"$colName div 1000000000")
+      case TimestampType => col(colName).cast("long")
+      case other =>
+        throw new IllegalArgumentException(s"unexpected type for $colName: $other")
+    }
+}

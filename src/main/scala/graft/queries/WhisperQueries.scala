@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.ops._
+
+/** Driver-verifiable queries for every core whisper operator (SURVEY.md
+  * §2.1), run over the `events` table reshaped to metric points
+  * (metric = event_type, tsec = epoch-second, value).
+  *
+  * Fixed clock: events span 2024-01-01..2024-01-30, so "now" is pinned to
+  * 2024-01-31T00:00:00Z for deterministic age routing.
+  *
+  * Aggregated doubles are rounded to 4 decimals on output in BOTH engines:
+  * source values carry 2 decimals and windows span ≤10 slots, so true
+  * values stay ≥1e-5 away from rounding boundaries — FP summation-order
+  * differences between Spark and DuckDB cannot flip the hash.
+  */
+object WhisperQueries {
+
+  val Now = 1706659200L // 2024-01-31T00:00:00Z
+
+  val Step0 = 60
+  val RollStep = 300 // level-1 step for the kernel queries; slots = 5
+  val Xff = 0.5f
+
+  /** Single-level policy covering the whole event history (50000·60s ≈ 34.7d). */
+  val wideOpen = RetentionPolicy(Seq(ArchiveInfo(60, 50000)))
+
+  /** Three-level policy for age routing: 1m:2d, 5m:7d, 30m:14d — events
+    * older than 14d are silently dropped (whisper.py:781-782).
+    */
+  val routing = RetentionPolicy(
+    Seq(ArchiveInfo(60, 2880), ArchiveInfo(300, 2016), ArchiveInfo(1800, 672)))
+
+  val retentionSpecs: Seq[String] = Seq(
+    "60:1440", "1h:7d", "10s:10h", "1m:30d", "15m:8", "1h:1y", "1s:1d",
+    "7d:1y", "10:2y")
+
+  val infoPolicies: Seq[RetentionPolicy] = Seq(
+    RetentionPolicy(Seq(ArchiveInfo(1, 60), ArchiveInfo(60, 60))),
+    RetentionPolicy(
+      Seq(ArchiveInfo(1, 60), ArchiveInfo(60, 60), ArchiveInfo(3600, 24),
+        ArchiveInfo(86400, 365))),
+    RetentionPolicy(Seq(ArchiveInfo(60, 1440))))
+
+  // ---- shared Spark-side building blocks ------------------------------
+
+  /** events → (metric, tsec, value, seq); seq (= event_id) is the arrival
+    * order whisper's last-write-wins dedup keys on (whisper.py:806-808).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = Io.readTable(s, dir, "events")
+    raw.select(
+      col("event_type").as("metric"),
+      Io.tsec(raw, "ts").as("tsec"),
+      col("value"),
+      col("event_id").as("seq"))
+  }
+
+  /** Level-0: align to the 60s grid, LWW-dedup — the update_many write path
+    * through the real ingest operator.
+    */
+  def level0(s: SparkSession, dir: String): DataFrame =
+    Ingest
+      .routeAndDedup(events(s, dir).withColumn("ts", col("tsec")), wideOpen, Now)
+      .select(col("metric"), col("interval"), col("value"))
+
+  /** Even/odd event split → two independent level-0 series (src, dst) for
+    * merge/fill/diff.
+    */
+  def splitSeries(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = events(s, dir)
+    def lww(df: DataFrame): DataFrame =
+      df.groupBy(col("metric"), Grid.align(col("tsec"), Step0).as("interval"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+    (lww(base.where(col("seq") % 2 === 0)), lww(base.where(col("seq") % 2 === 1)))
+  }
+
+  private def rollup(s: SparkSession, dir: String, m: AggregationMethod,
+                     step: Int = RollStep, xff: Float = Xff,
+                     round4: Boolean = true): DataFrame = {
+    val df = Rollup.propagate(level0(s, dir), Step0, step, m, xff)
+    val v = if (round4) round(col("value"), 4).as("value") else col("value")
+    df.select(col("metric"), col("interval"), v).orderBy("metric", "interval")
+  }
+
+  // ---- shared SQL building blocks -------------------------------------
+
+  val baseSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS metric,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+      |         value,
+      |         event_id AS seq
+      |  FROM events
+      |), l0 AS (
+      |  SELECT metric, tsec - tsec % 60 AS interval, max_by(value, seq) AS value
+      |  FROM base GROUP BY 1, 2
+      |)""".stripMargin
+
+  val splitSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS metric,
+      |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+      |         value,
+      |         event_id AS seq
+      |  FROM events
+      |), le AS (
+      |  SELECT metric, tsec - tsec % 60 AS interval, max_by(value, seq) AS value
+      |  FROM base WHERE seq % 2 = 0 GROUP BY 1, 2
+      |), lo AS (
+      |  SELECT metric, tsec - tsec % 60 AS interval, max_by(value, seq) AS value
+      |  FROM base WHERE seq % 2 = 1 GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Rollup oracle for plain-aggregate kernels. The xff literal is the
+    * f32-widened value — whisper stores xFilesFactor as an IEEE float32
+    * (whisper.py:115 `!2LfL`), so e.g. 0.3 gates at 0.30000001192092896.
+    */
+  private def rollupSql(aggExpr: String, step: Int, slots: Int, xff: Float): String =
+    s"""$baseSql
+       |SELECT metric, interval - interval % $step AS interval,
+       |       $aggExpr AS value
+       |FROM l0 GROUP BY 1, 2
+       |HAVING count(value) * 1.0 / $slots >= ${xff.toDouble}
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Rollup oracle for the order-sensitive kernels (last/absmax/absmin):
+    * row_number over the reference's tie-break order.
+    */
+  private def rollupPickSql(orderExpr: String, step: Int, slots: Int, xff: Float): String =
+    s"""$baseSql, r AS (
+       |  SELECT metric, interval - interval % $step AS w, interval, value FROM l0
+       |)
+       |SELECT metric, w AS interval, value FROM (
+       |  SELECT metric, w, value,
+       |         row_number() OVER (PARTITION BY metric, w ORDER BY $orderExpr) AS rn,
+       |         count(value) OVER (PARTITION BY metric, w) AS known
+       |  FROM r
+       |) WHERE rn = 1 AND known * 1.0 / $slots >= ${xff.toDouble}
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- the queries ----------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "w01_update_many_lww",
+      (s, dir) => level0(s, dir).orderBy("metric", "interval"),
+      s"""$baseSql
+         |SELECT metric, interval, value FROM l0 ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "w02_rollup_average",
+      (s, dir) => rollup(s, dir, AggregationMethod.Average),
+      rollupSql("round(avg(value), 4)", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w03_rollup_sum",
+      (s, dir) => rollup(s, dir, AggregationMethod.Sum),
+      rollupSql("round(sum(value), 4)", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w04_rollup_last",
+      (s, dir) => rollup(s, dir, AggregationMethod.Last, round4 = false),
+      rollupPickSql("interval DESC", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w05_rollup_max",
+      (s, dir) => rollup(s, dir, AggregationMethod.Max, round4 = false),
+      rollupSql("max(value)", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w06_rollup_min",
+      (s, dir) => rollup(s, dir, AggregationMethod.Min, round4 = false),
+      rollupSql("min(value)", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w07_rollup_avg_zero",
+      (s, dir) => rollup(s, dir, AggregationMethod.AvgZero),
+      rollupSql("round(sum(value) / 5, 4)", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w08_rollup_absmax",
+      (s, dir) => rollup(s, dir, AggregationMethod.AbsMax, round4 = false),
+      rollupPickSql("abs(value) DESC, interval ASC", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w09_rollup_absmin",
+      (s, dir) => rollup(s, dir, AggregationMethod.AbsMin, round4 = false),
+      rollupPickSql("abs(value) ASC, interval ASC", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w10_fetch_grid",
+      (s, dir) => {
+        // fetch('click', 2024-01-05 00:00 .. 2024-01-06 00:00) at 60s:
+        // dense 1440-slot vector, null where no point (whisper.py:962-1034)
+        val Some((_, from, until)) =
+          Fetch.planFetch(wideOpen, 1704412800L, 1704499200L, Now)
+        Fetch
+          .fetchGrid(s, level0(s, dir), Seq("click"), from, until, Step0)
+          .orderBy("interval")
+      },
+      s"""$baseSql
+         |SELECT 'click' AS metric, g.interval, c.value
+         |FROM (SELECT range AS interval FROM range(1704412860, 1704499260, 60)) g
+         |LEFT JOIN (SELECT * FROM l0 WHERE metric = 'click') c USING (interval)
+         |ORDER BY 2""".stripMargin
+    ),
+    QueryDef(
+      "w11_archive_route",
+      (s, dir) => {
+        events(s, dir)
+          .withColumn("level", Ingest.levelFor(lit(Now) - col("tsec"), routing))
+          .where(col("level").isNotNull)
+          .groupBy("metric", "level")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("metric", "level")
+      },
+      s"""$baseSql
+         |SELECT metric, level, count(*) AS n FROM (
+         |  SELECT metric,
+         |         CASE WHEN 1706659200 - tsec <= 172800 THEN 0
+         |              WHEN 1706659200 - tsec <= 604800 THEN 1
+         |              WHEN 1706659200 - tsec <= 1209600 THEN 2
+         |         END AS level
+         |  FROM base
+         |) WHERE level IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "w12_merge",
+      (s, dir) => {
+        val (src, dst) = splitSeries(s, dir)
+        Combine.merge(src, dst).orderBy("metric", "interval")
+      },
+      s"""$splitSql
+         |SELECT metric, interval, coalesce(le.value, lo.value) AS value
+         |FROM le FULL JOIN lo USING (metric, interval)
+         |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "w13_fill",
+      (s, dir) => {
+        val (src, dst) = splitSeries(s, dir)
+        Combine.fill(dst, src).orderBy("metric", "interval")
+      },
+      s"""$splitSql
+         |SELECT metric, interval, coalesce(lo.value, le.value) AS value
+         |FROM lo FULL JOIN le USING (metric, interval)
+         |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "w14_diff",
+      (s, dir) => {
+        val (src, dst) = splitSeries(s, dir)
+        Combine
+          .diff(src, dst)
+          .select(col("metric"), col("interval"), col("value_a"), col("value_b"))
+          .orderBy("metric", "interval")
+      },
+      s"""$splitSql
+         |SELECT metric, interval, le.value AS value_a, lo.value AS value_b
+         |FROM le FULL JOIN lo USING (metric, interval)
+         |WHERE le.value IS DISTINCT FROM lo.value
+         |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "w15_resize_rebin",
+      (s, dir) => rollup(s, dir, AggregationMethod.Average, step = 600, xff = 0.3f),
+      rollupSql("round(avg(value), 4)", 600, 10, 0.3f)),
+    QueryDef(
+      "w16_retention_parse",
+      (s, dir) => {
+        import s.implicits._
+        retentionSpecs
+          .map { spec =>
+            val a = Retention.parseRetentionDef(spec)
+            (spec, a.secondsPerPoint.toLong, a.points.toLong, a.retention)
+          }
+          .toDF("spec", "seconds_per_point", "points", "retention")
+          .orderBy("spec")
+      },
+      s"""SELECT * FROM (VALUES
+         |  ('60:1440', CAST(60 AS BIGINT), CAST(1440 AS BIGINT), CAST(86400 AS BIGINT)),
+         |  ('1h:7d', 3600, 168, 604800),
+         |  ('10s:10h', 10, 3600, 36000),
+         |  ('1m:30d', 60, 43200, 2592000),
+         |  ('15m:8', 900, 8, 7200),
+         |  ('1h:1y', 3600, 8760, 31536000),
+         |  ('1s:1d', 1, 86400, 86400),
+         |  ('7d:1y', 604800, 52, 31449600),
+         |  ('10:2y', 10, 6307200, 63072000)
+         |) AS t(spec, seconds_per_point, points, retention)
+         |ORDER BY spec""".stripMargin
+    ),
+    QueryDef(
+      "w17_policy_info",
+      (s, dir) => {
+        import s.implicits._
+        infoPolicies.zipWithIndex
+          .flatMap {
+            case (p, pid) =>
+              Header.infoRows(p).map { li =>
+                (pid.toLong, li.level.toLong, li.secondsPerPoint, li.points,
+                  li.retention, li.offset)
+              }
+          }
+          .toDF("pid", "lvl", "spp", "pts", "retention", "offset")
+          .orderBy("pid", "lvl")
+      },
+      s"""WITH a AS (SELECT * FROM (VALUES
+         |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(60 AS BIGINT)),
+         |  (0, 1, 60, 60),
+         |  (1, 0, 1, 60), (1, 1, 60, 60), (1, 2, 3600, 24), (1, 3, 86400, 365),
+         |  (2, 0, 60, 1440)
+         |) AS t(pid, lvl, spp, pts))
+         |SELECT pid, lvl, spp, pts, spp * pts AS retention,
+         |  CAST(16 + 12 * count(*) OVER (PARTITION BY pid)
+         |     + 12 * coalesce(sum(pts) OVER (PARTITION BY pid ORDER BY lvl
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+         |FROM a ORDER BY pid, lvl""".stripMargin
+    ),
+    QueryDef(
+      "w18_size_estimate",
+      (s, dir) => {
+        import s.implicits._
+        infoPolicies.zipWithIndex
+          .map {
+            case (p, pid) =>
+              (pid.toLong, Retention.estimateFileSize(p.levels),
+                Retention.estimateDiskSize(p.levels))
+          }
+          .toDF("pid", "file_size", "disk_size")
+          .orderBy("pid")
+      },
+      s"""WITH a AS (SELECT * FROM (VALUES
+         |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(60 AS BIGINT)),
+         |  (0, 1, 60, 60),
+         |  (1, 0, 1, 60), (1, 1, 60, 60), (1, 2, 3600, 24), (1, 3, 86400, 365),
+         |  (2, 0, 60, 1440)
+         |) AS t(pid, lvl, spp, pts))
+         |SELECT pid, CAST(16 + 12 * count(*) + 12 * sum(pts) AS BIGINT) AS file_size,
+         |       CAST(ceil((16 + 12 * count(*) + 12 * sum(pts)) / 4096.0) * 4096 AS BIGINT) AS disk_size
+         |FROM a GROUP BY pid ORDER BY pid""".stripMargin
+    ),
+    QueryDef(
+      "w19_aggregate_kernels",
+      (s, dir) => {
+        import s.implicits._
+        import AggregationMethod._
+        val v = Seq(1.0, 2.0, 3.0, 4.0)
+        val rows = Seq(
+          (0L, "average", aggregate(Average, v)),
+          (1L, "sum", aggregate(Sum, v)),
+          (2L, "last", aggregate(Last, v)),
+          (3L, "max", aggregate(Max, v)),
+          (4L, "min", aggregate(Min, v)),
+          (5L, "avg_zero",
+            aggregate(AvgZero, v, Some(v.map(Some(_)) ++ Seq.fill(4)(None)))),
+          (6L, "absmax", aggregate(AbsMax, Seq(-3.0, -2.0, 1.0, 2.0))),
+          (7L, "absmax", aggregate(AbsMax, Seq(-2.0, -1.0, 2.0, 3.0))),
+          (8L, "absmin", aggregate(AbsMin, Seq(-3.0, -2.0, 1.0, 2.0))),
+          (9L, "absmin", aggregate(AbsMin, Seq(-2.0, -1.0, 2.0, 3.0)))
+        )
+        rows.toDF("case_id", "method", "result").orderBy("case_id")
+      },
+      s"""SELECT * FROM (VALUES
+         |  (CAST(0 AS BIGINT), 'average', CAST(2.5 AS DOUBLE)),
+         |  (1, 'sum', 10.0),
+         |  (2, 'last', 4.0),
+         |  (3, 'max', 4.0),
+         |  (4, 'min', 1.0),
+         |  (5, 'avg_zero', 1.25),
+         |  (6, 'absmax', -3.0),
+         |  (7, 'absmax', 3.0),
+         |  (8, 'absmin', 1.0),
+         |  (9, 'absmin', -1.0)
+         |) AS t(case_id, method, result)
+         |ORDER BY case_id""".stripMargin
+    )
+  )
+}
