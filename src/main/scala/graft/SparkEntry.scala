@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All registered operator queries (whisper core + extensions). */
   def allDefs: Seq[QueryDef] =
-    WhisperQueries.defs
+    WhisperQueries.defs ++ ExtQueries.defs ++ RelationalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * w01 (the update_many LWW ingest) is the only whisper-core query

@@ -1,0 +1,207 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine. All scale-first designs:
+  *
+  *   - exact dedup is one hash-groupBy (single shuffle, map-side combine);
+  *   - candidate generation is always BLOCKED (shingle / band / bucket
+  *     equi-joins) — never an O(n²) cross join;
+  *   - verification (exact Jaccard / cosine) runs only on candidates.
+  */
+object Dedup {
+
+  // ---- exact ----------------------------------------------------------
+
+  /** Exact duplicate groups by canonical-content fingerprint: one row per
+    * distinct content, keeper = min id. At 100 TB: single shuffle on the
+    * 128-bit fingerprint; partial aggregation collapses uniques map-side.
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("n"))
+
+  // ---- word n-gram shingles ------------------------------------------
+
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Built with split + transform/sequence — whole-stage codegen, no UDF.
+    */
+  def shingles(docs: DataFrame, n: Int = 3,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("ws"))
+      .select(
+        col("id"),
+        expr(
+          // size-n+1 n-grams at 1-based starts 1..size-n+1; empty when too short
+          s"""CASE WHEN size(ws) >= $n THEN array_distinct(transform(
+             |  sequence(0, size(ws) - $n),
+             |  i -> concat_ws(' ', slice(ws, i + 1, $n))
+             |)) ELSE array() END""".stripMargin).as("shs"))
+      .select(col("id"), explode(col("shs")).as("shingle"))
+
+  /** Exact n-gram Jaccard duplicate pairs (a < b, jaccard >= tau).
+    * Blocking: pairs must share ≥1 shingle, so the candidate join is an
+    * equi-join on shingle — skew-safe for normal text; a stopword-like
+    * shingle exploding the join is capped by `maxShingleFreq` (drop
+    * shingles appearing in more than that many docs: they generate
+    * candidates that exact verification would reject anyway — standard
+    * frequency-cap blocking).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                   maxShingleFreq: Long = 1000,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= maxShingleFreq)
+      .drop("df")
+    val pairs = capped.as("x")
+      .join(capped.as("y"), col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  /** MinHash signatures: k independent permutations approximated by
+    * xxhash64 with k fixed salts; signature[i] = min hash over the doc's
+    * shingles. One groupBy, k aggregates — map-side combinable.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-row signature into `bands` bands of
+    * `k/bands` rows; docs sharing any band hash become candidates.
+    * Probability a pair with Jaccard j collides: 1-(1-j^rows)^bands.
+    */
+  def lshCandidates(sigs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    val banded = sigs.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+      }: _*)).as(Seq("band", "bh")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ tau.
+    * The scale path: signatures are one aggregation over shingles; LSH
+    * narrows O(n²) to colliding bands; exact verification touches only
+    * candidates.
+    */
+  def minhashDuplicates(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                        k: Int = 64, bands: Int = 16,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol).cache()
+    val cands = lshCandidates(minhashSignatures(sh, k), k, bands)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col("id").as("a"), col("shingle"))
+    val shB = sh.select(col("id").as("b"), col("shingle"))
+    val interCnt = cands
+      .join(shA, "a")
+      .join(shB, Seq("b", "shingle"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    interCnt
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash per document: sign of the per-bit sum of token
+    * hashes. Near-dups have small Hamming distance. Computed as 64
+    * codegen'd conditional-sum aggregates — no UDAF.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(expr(s"regexp_extract_all($textCol, '${TextAnalysis.TokenRe}', 0)")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val perBit = toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    perBit.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs within Hamming distance maxDist.
+    * Blocking: split the 64-bit signature into `maxDist+1` chunks — by
+    * pigeonhole, any pair within maxDist agrees exactly on ≥1 chunk, so
+    * an equi-join per chunk finds all of them (no cross join).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sigs = simhash(docs, idCol, textCol)
+    val keyed = sigs.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("simhash"), c * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk", "key")))
+    keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  // ---- embedding cosine ----------------------------------------------
+
+  /** Exact cosine over double-cast embedding arrays (deterministic:
+    * float→double widening is exact; see Similarity for the top-k path).
+    */
+  def cosine(a: Column, b: Column): Column = Similarity.cosine(a, b)
+
+  /** Embedding near-duplicate pairs among a candidate-blocked set:
+    * brute pairs within LSH hyperplane buckets, verified by exact cosine.
+    */
+  def embeddingNearDups(emb: DataFrame, tau: Double, planes: Int = 8,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = Similarity.hyperplaneBucket(emb, planes, idCol, vecCol)
+    bucketed.as("x")
+      .join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosine(col("x.vec"), col("y.vec")).as("cos"))
+      .where(col("cos") >= tau)
+      .distinct()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — at 100 TB this is the exact-answer path and shuffles
+  * nothing but the per-query top-k heap via window ranking).
+  *
+  * Scale path: IVF — partition the corpus by nearest coarse centroid;
+  * queries probe only `nprobe` cells, cutting the scan by ~nlist/nprobe.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns, as a single
+    * codegen'd higher-order expression (zip_with product + aggregate sum).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Corpus as (id, vec: array<double>) — float→double widened (exact). */
+  def corpus(emb: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+
+  /** Exact brute-force top-k: every query against every corpus vector,
+    * ranked per query. Query side is broadcast; corpus side streams.
+    */
+  def topkBruteForce(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus(emb, idCol, vecCol)
+    val q = c.where(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"), cosine(col("qvec"), col("vec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes (seeded, fixed across runs/engines). */
+  private[ext] def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucketing: bucket = bit pattern of sign(vec · plane_i).
+    * Vectors in the same bucket are likely neighbors (cos LSH).
+    */
+  def hyperplaneBucket(emb: DataFrame, planes: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       dim: Int = 64): DataFrame = {
+    val c = corpus(emb, idCol, vecCol)
+    val hp = hyperplanes(planes, dim)
+    val bucket = hp.zipWithIndex
+      .map { case (p, i) =>
+        val planeCol = array(p.map(lit): _*)
+        when(aggregate(zip_with(col("vec"), planeCol, (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    c.withColumn("bucket", bucket)
+  }
+
+  /** IVF index: coarse centroids = deterministic corpus sample refined by
+    * one Lloyd step (computed distributed, collected — nlist rows only);
+    * every vector is assigned to its nearest centroid cell.
+    */
+  def ivfAssign(emb: DataFrame, nlist: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus(emb, idCol, vecCol)
+    // deterministic seed sample: nlist lowest ids (stable across runs)
+    val seeds = c.orderBy("id").limit(nlist).select(col("id").as("cid"), col("vec").as("cvec"))
+    assignToNearest(c, seeds)
+  }
+
+  private def assignToNearest(c: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)
+    c.join(broadcast(cents), col("id") =!= lit(-1L))
+      .select(col("id"), col("vec"), col("cid"), cosine(col("vec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("vec"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: probe the `nprobe` cells nearest to each query, exact
+    * cosine within probed cells only. Approximate — recall measured in
+    * tests against topkBruteForce.
+    */
+  def topkIvf(emb: DataFrame, queryIds: Seq[Long], k: Int, nlist: Int = 16,
+              nprobe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(emb, nlist, idCol, vecCol).cache()
+    val cents = corpus(emb, idCol, vecCol)
+      .orderBy("id").limit(nlist)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val q = corpus(emb, idCol, vecCol)
+      .where(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    // nearest nprobe cells per query (tiny: |q| × nlist)
+    val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"), cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, content fingerprinting.
+  *
+  * All pure Column expressions over `org.apache.spark.sql.functions` —
+  * codegen'd, no UDFs, embarrassingly parallel (no shuffle): at 100 TB
+  * these run at scan speed with full column pruning.
+  */
+object TextAnalysis {
+
+  /** Word-ish tokens: alphanumeric runs (a BPE-ish regex tokenizer's
+    * pre-split). regexp_extract_all is RE2/Java-compatible so oracle
+    * engines agree.
+    */
+  val TokenRe = "[A-Za-z0-9]+"
+
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenRe), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Whitespace-token count (the classic `text.split()` number). */
+  def wsTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+
+  // Public common stopword lists (top function words per language).
+  val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no")
+  val StopDe = Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den")
+  val StopFr = Seq("le", "la", "de", "et", "les", "des", "une", "est", "dans", "il")
+
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** CJK codepoint count — the zh signal. */
+  def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+
+  /** Quality ratios (length / punctuation / stopword density). Ratios are
+    * exact int/int double divisions — bit-identical across engines.
+    */
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(charCount(text).cast("double"), lit(1.0))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text, StopEn).cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** Composite quality score in [0,1]: penalize too-short docs, reward
+    * stopword density (fluent text), penalize punctuation soup.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(charCount(text).cast("double") / lit(200.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+    (lenScore + swScore + (lit(1.0) - punctPenalty)) / lit(3.0)
+  }
+
+  /** N-gram-heuristic language ID: stopword hits per language + CJK
+    * density; first maximum wins in fixed order (en, es, de, fr, zh),
+    * 'und' when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val sEn = stopwordCount(text, StopEn)
+    val sEs = stopwordCount(text, StopEs)
+    val sDe = stopwordCount(text, StopDe)
+    val sFr = stopwordCount(text, StopFr)
+    val sZh = cjkCount(text) * lit(3)
+    val m = greatest(sEn, sEs, sDe, sFr, sZh)
+    when(m === 0, lit("und"))
+      .when(sEn === m, lit("en"))
+      .when(sEs === m, lit("es"))
+      .when(sDe === m, lit("de"))
+      .when(sFr === m, lit("fr"))
+      .otherwise(lit("zh"))
+  }
+
+  /** Canonical-content fingerprint: lowercase, collapse non-alphanumerics
+    * to single spaces, trim, md5. Robust to case/punctuation/whitespace
+    * variants — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")).cast("binary"))
+}

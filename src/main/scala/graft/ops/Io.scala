@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table access for the driver's parquet fixtures.
   *
@@ -28,6 +28,8 @@ object Io {
     df.schema(colName).dataType match {
       case LongType => expr(s"$colName div 1000000000")
       case TimestampType => col(colName).cast("long")
+      // micros-precision NTZ (session TZ is UTC, so NTZ == instant here)
+      case TimestampNTZType => col(colName).cast("timestamp").cast("long")
       case other =>
         throw new IllegalArgumentException(s"unexpected type for $colName: $other")
     }

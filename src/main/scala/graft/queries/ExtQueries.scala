@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import graft.ext._
+import graft.ops.Io
+
+/** Driver-verifiable queries for the training-data-pipeline extensions
+  * (SURVEY.md §7.1 ext/): dedup, similarity search, text analysis,
+  * multimodal plumbing — over the `documents` and `embeddings` tables.
+  *
+  * Engine-hash-dependent operators (MinHash/SimHash/LSH) either carry an
+  * oracle on their exact-verified OUTPUT (candidate recall is made
+  * effectively 1 by parameter choice, then exact verification fixes
+  * precision) or are registered oracle-less (driver rows-only check) and
+  * validated against brute force in ScalaTest.
+  */
+object ExtQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Io.readTable(s, dir, "documents")
+
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Io.readTable(s, dir, "embeddings")
+
+  private val fpSql =
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+  /** Word-trigram exact-Jaccard pair SQL (the dedup oracle), at `tau`. */
+  private def jaccardSql(tau: Double): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+       |), tri AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM tok
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+       |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= $tau
+       |ORDER BY 1, 2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis ------------------------------------------------
+    QueryDef(
+      "t01_text_tokens",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            TextAnalysis.charCount(col("text")).as("n_chars"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws_tokens
+        |FROM documents ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "t02_text_quality",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+            TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id"),
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |        '\\b(${TextAnalysis.StopEn.mkString("|")})\\b')) AS DOUBLE)
+         |      / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0)
+         |      AS stopword_ratio,
+         |    CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, punct_ratio, stopword_ratio,
+         |  (least(n_chars / 200.0, 1.0) + least(stopword_ratio * 4.0, 1.0)
+         |    + (1.0 - least(punct_ratio * 5.0, 1.0))) / 3.0 AS quality
+         |FROM q ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "t03_text_langid",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(${TextAnalysis.StopEn.mkString("|")})\\b')) AS INTEGER) AS s_en,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(${TextAnalysis.StopEs.mkString("|")})\\b')) AS INTEGER) AS s_es,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(${TextAnalysis.StopDe.mkString("|")})\\b')) AS INTEGER) AS s_de,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(${TextAnalysis.StopFr.mkString("|")})\\b')) AS INTEGER) AS s_fr,
+         |    CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INTEGER) * 3 AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+         |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM sc ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "t04_text_fingerprint",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      s"""SELECT doc_id, $fpSql AS fp FROM documents ORDER BY 1""".stripMargin
+    ),
+
+    // ---- dedup --------------------------------------------------------
+    QueryDef(
+      "d01_dedup_exact",
+      (s, dir) => Dedup.exactGroups(docs(s, dir)).orderBy("fp"),
+      s"""SELECT $fpSql AS fp, min(doc_id) AS keeper, count(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d02_dedup_jaccard",
+      (s, dir) =>
+        Dedup.jaccardPairs(docs(s, dir), n = 3, tau = 0.3).orderBy("a", "b"),
+      jaccardSql(0.3)),
+    QueryDef(
+      "d03_dedup_minhash",
+      // k=128, bands=64 (rows=2): candidate miss prob at j=0.5 is
+      // (1-0.25)^64 ≈ 1e-8 — LSH recall is effectively exact, and exact
+      // Jaccard verification makes precision exact, so the brute-force
+      // oracle applies.
+      (s, dir) =>
+        Dedup
+          .minhashDuplicates(docs(s, dir), n = 3, tau = 0.5, k = 128, bands = 64)
+          .orderBy("a", "b"),
+      jaccardSql(0.5)),
+    QueryDef(
+      "d04_dedup_simhash",
+      // xxhash-dependent → not SQL-expressible; rows-only for the driver,
+      // brute-force-validated in ScalaTest.
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 3).orderBy("a", "b"),
+      None),
+    QueryDef(
+      "d05_dedup_embedding",
+      (s, dir) => {
+        val c = Similarity.corpus(emb(s, dir)).where(col("id") % 5 === 0)
+        c.as("x")
+          .join(c.as("y"), col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b"),
+            Similarity.cosine(col("x.vec"), col("y.vec")).as("cos"))
+          .where(col("cos") >= 0.35)
+          .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+          .orderBy("a", "b")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |), dots AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+        |  FROM e GROUP BY 1)
+        |SELECT a, b, round(dot / na.n / nb.n, 4) AS cos
+        |FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+        |WHERE dot / na.n / nb.n >= 0.35 ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "d06_dedup_embedding_lsh",
+      // hyperplane-bucketed variant (the 100 TB path) — approximate
+      // blocking, so rows-only for the driver; recall vs d05 measured in
+      // ScalaTest.
+      (s, dir) =>
+        Dedup
+          .embeddingNearDups(emb(s, dir), tau = 0.35, planes = 4)
+          .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+          .orderBy("a", "b"),
+      None),
+
+    // ---- similarity search -------------------------------------------
+    QueryDef(
+      "s01_sim_topk",
+      (s, dir) =>
+        Similarity
+          .topkBruteForce(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+        |  FROM e GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT qid, nid, dot / nq.n / nn.n AS cos,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY dot / nq.n / nn.n DESC, nid ASC) AS rank
+        |  FROM dots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "s02_sim_topk_ivf",
+      // approximate (IVF nprobe search) → rows-only for the driver;
+      // recall vs brute force asserted in ScalaTest.
+      (s, dir) =>
+        Similarity
+          .topkIvf(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            nlist = 16, nprobe = 4)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      None),
+
+    // ---- multimodal ---------------------------------------------------
+    QueryDef(
+      "m01_multimodal_decode",
+      (s, dir) => Multimodal.decodeDocs(s, docs(s, dir)).orderBy("id"),
+      """SELECT doc_id AS id, 'image' AS kind,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY 1""".stripMargin
+    )
+  )
+}
