@@ -1,0 +1,150 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model._
+import graft.store.MetricStore
+
+/** Thin CLI mirroring the reference bin tool contracts
+  * (SURVEY.md §2.2) over a MetricStore directory:
+  *
+  *   create <store> <metric> <ret[,ret...]> [xff] [aggregationMethod]
+  *   update <store> <metric> <ts:value> [ts:value ...]     (ts "N:" → now)
+  *   fetch  <store> <metric> <from> <until> [--json] [--drop nulls]
+  *   info   <store> <metric> [--json]
+  *   dump   <store> <metric>
+  *   set-aggregation-method <store> <metric> <method>
+  *   set-xfilesfactor <store> <metric> <xff>
+  *   estimate <ret[,ret...]>
+  *
+  * The fetch --json shape {"start","end","step","values"} matches
+  * bin/whisper-fetch.py:72-82.
+  */
+object WhisperCli {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("whisperspark-cli")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(1) }
+    val now = sys.env.get("WHISPER_NOW").map(_.toLong)
+      .getOrElse(System.currentTimeMillis() / 1000)
+    args(0) match {
+      case "estimate" =>
+        val archives = Retention.parseSchema(args(1))
+        Retention.validateArchiveList(archives)
+        println(s"estimated size: ${Retention.estimateFileSize(archives)} bytes, " +
+          s"${Retention.estimateDiskSize(archives)} bytes on disk (4 KiB blocks)")
+
+      case "create" =>
+        val Array(_, store, metric, rets, rest @ _*) = args: @unchecked
+        val xff = rest.headOption.map(_.toFloat).getOrElse(0.5f)
+        val agg = rest.lift(1).map(AggregationMethod.fromName)
+          .getOrElse(AggregationMethod.default)
+        new MetricStore(session(), store)
+          .create(metric, RetentionPolicy(Retention.parseSchema(rets), xff, agg))
+        println(s"created $metric")
+
+      case "update" =>
+        val Array(_, store, metric, points @ _*) = args: @unchecked
+        val spark = session()
+        import spark.implicits._
+        val rows = points.zipWithIndex.map {
+          case (p, i) =>
+            val Array(ts, v) = p.split(":", 2)
+            val t = if (ts == "N" || ts.isEmpty) now else ts.toLong
+            (metric, t, v.toDouble, i.toLong)
+        }
+        new MetricStore(spark, store)
+          .updateMany(rows.toDF("metric", "ts", "value", "seq"), now)
+        println(s"updated ${rows.size} points")
+
+      case "fetch" =>
+        val Array(_, store, metric, from, until, opts @ _*) = args: @unchecked
+        val res = new MetricStore(session(), store)
+          .fetch(metric, from.toLong, until.toLong, now)
+          .getOrElse { println("no data in requested range"); sys.exit(0); ??? }
+        val dropNulls = opts.contains("--drop") && opts.contains("nulls")
+        if (opts.contains("--json")) {
+          val vals = res.values
+            .map(_.map(_.toString).getOrElse("null")).mkString("[", ", ", "]")
+          println(s"""{"start": ${res.fromInterval}, "end": ${res.untilInterval}, """ +
+            s""""step": ${res.step}, "values": $vals}""")
+        } else {
+          res.values.zipWithIndex.foreach {
+            case (v, i) =>
+              val t = res.fromInterval + i * res.step
+              val s = v.map(_.toString).getOrElse("None")
+              if (!(dropNulls && v.isEmpty)) println(s"$t\t$s")
+          }
+        }
+
+      case "info" =>
+        val Array(_, store, metric, opts @ _*) = args: @unchecked
+        val (p, levels) = new MetricStore(session(), store).info(metric)
+          .getOrElse { println(s"unknown metric $metric"); sys.exit(1); ??? }
+        if (opts.contains("--json")) {
+          val archs = levels.map(l =>
+            s"""{"offset": ${l.offset}, "secondsPerPoint": ${l.secondsPerPoint}, """ +
+              s""""points": ${l.points}, "retention": ${l.retention}, "size": ${l.points * 12}}""")
+            .mkString("[", ", ", "]")
+          println(s"""{"aggregationMethod": "${p.aggregation}", "maxRetention": ${p.maxRetention}, """ +
+            s""""xFilesFactor": ${p.xff}, "archives": $archs}""")
+        } else {
+          println(s"aggregationMethod: ${p.aggregation}")
+          println(s"maxRetention: ${p.maxRetention}")
+          println(s"xFilesFactor: ${p.xff}")
+          levels.foreach { l =>
+            println(s"Archive ${l.level}: secondsPerPoint=${l.secondsPerPoint} " +
+              s"points=${l.points} retention=${l.retention} offset=${l.offset}")
+          }
+        }
+
+      case "dump" =>
+        val Array(_, store, metric) = args: @unchecked
+        val ms = new MetricStore(session(), store)
+        val (p, _) = ms.info(metric).getOrElse {
+          println(s"unknown metric $metric"); sys.exit(1); ???
+        }
+        p.levels.indices.foreach { i =>
+          println(s"Archive $i (step ${p.levels(i).secondsPerPoint}s):")
+          ms.levelData(i)
+            .where(org.apache.spark.sql.functions.col("metric") === metric)
+            .orderBy("interval")
+            .collect()
+            .zipWithIndex
+            .foreach {
+              case (r, idx) =>
+                println(s"$idx: ${r.getAs[Long]("interval")}, ${r.getAs[Double]("value")}")
+            }
+        }
+
+      case "set-aggregation-method" =>
+        val Array(_, store, metric, m) = args: @unchecked
+        val old = new MetricStore(session(), store)
+          .setAggregationMethod(metric, AggregationMethod.fromName(m))
+        println(s"Updated aggregation method: $metric ($old -> $m)")
+
+      case "set-xfilesfactor" =>
+        val Array(_, store, metric, x) = args: @unchecked
+        val old = new MetricStore(session(), store).setXFilesFactor(metric, x.toFloat)
+        println(s"Updated xFilesFactor: $metric ($old -> $x)")
+
+      case other =>
+        println(s"unknown command: $other"); usage(); sys.exit(1)
+    }
+  }
+
+  private def usage(): Unit =
+    println("usage: WhisperCli <create|update|fetch|info|dump|" +
+      "set-aggregation-method|set-xfilesfactor|estimate> ...")
+}

@@ -195,7 +195,7 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, tau: Double, planes: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = Similarity.hyperplaneBucket(emb, planes, idCol, vecCol)
+    val bucketed = Similarity.hyperplaneBucket(emb, planes, idCol = idCol, vecCol = vecCol)
     bucketed.as("x")
       .join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))

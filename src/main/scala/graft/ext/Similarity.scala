@@ -53,21 +53,27 @@ object Similarity {
   }
 
   /** Sign-LSH bucketing: bucket = bit pattern of sign(vec · plane_i).
-    * Vectors in the same bucket are likely neighbors (cos LSH).
+    * Multi-table (`tables` independent plane sets, exploded as one
+    * column) — single-table sign-LSH recall at moderate cosine is low
+    * (≈(1-θ/π)^planes), so candidates are unioned across tables:
+    * recall = 1-(1-p)^tables. Each row fans out `tables`× — still linear
+    * in corpus size, never quadratic.
     */
-  def hyperplaneBucket(emb: DataFrame, planes: Int,
+  def hyperplaneBucket(emb: DataFrame, planes: Int, tables: Int = 8,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        dim: Int = 64): DataFrame = {
     val c = corpus(emb, idCol, vecCol)
-    val hp = hyperplanes(planes, dim)
-    val bucket = hp.zipWithIndex
-      .map { case (p, i) =>
-        val planeCol = array(p.map(lit): _*)
-        when(aggregate(zip_with(col("vec"), planeCol, (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
-    c.withColumn("bucket", bucket)
+    val hp = hyperplanes(planes * tables, dim)
+    val buckets = (0 until tables).map { t =>
+      (0 until planes)
+        .map { i =>
+          val planeCol = array(hp(t * planes + i).map(lit): _*)
+          when(aggregate(zip_with(col("vec"), planeCol, (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
+        }
+        .reduce(_ + _) + lit(t.toLong << planes) // disjoint bucket spaces per table
+    }
+    c.withColumn("bucket", explode(array(buckets: _*)))
   }
 
   /** IVF index: coarse centroids = deterministic corpus sample refined by

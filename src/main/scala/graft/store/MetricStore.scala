@@ -1,0 +1,359 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.ops._
+
+/** Fetch result — whisper's `(timeInfo, valueList)` contract
+  * (/root/reference/whisper.py:959,1032-1034): a dense per-slot vector,
+  * None where no point is stored.
+  */
+final case class FetchResult(
+    fromInterval: Long,
+    untilInterval: Long,
+    step: Long,
+    values: Seq[Option[Double]])
+
+/** The Spark-native analog of a whisper database directory: a policy
+  * catalog plus one parquet table per resolution level, rows
+  * (metric, interval, value).
+  *
+  * Scale design (the part that must survive 1000 executors / 100 TB):
+  *   - level tables are partitioned by (pb, tb): pb = hash-bucket of the
+  *     metric name (spreads high-cardinality metric sets; no
+  *     one-directory-per-metric small-file explosion), tb = coarse time
+  *     bucket (gives fetches partition pruning on the time range — the
+  *     Spark replacement for whisper's O(1) ring offset arithmetic);
+  *   - upserts use dynamic partition overwrite: only (pb, tb) partitions
+  *     touched by a batch are read, merged last-write-wins, and
+  *     rewritten — ingest cost is proportional to the batch's spread,
+  *     not table size (whisper's in-place slot write, re-expressed);
+  *   - the rollup cascade recomputes only windows touched by the batch
+  *     (whisper's uniqueLowerIntervals, whisper.py:866-869) and stops at
+  *     the first level where nothing propagates (whisper.py:868-875).
+  *
+  * All merging is metric-agnostic: one store holds MANY metrics (the
+  * BASELINE.json mandate — whisper's one-file-per-metric is not
+  * replicated) and every operation below is a distributed dataframe job.
+  */
+final class MetricStore(val spark: SparkSession, val root: String,
+                        val numBuckets: Int = 32) {
+  import MetricStore._
+
+  private val fs = new java.io.File(root)
+  fs.mkdirs()
+
+  private def policiesPath = s"$root/policies"
+  private def levelPath(i: Int) = s"$root/level_$i"
+
+  // ---- policy catalog -------------------------------------------------
+
+  /** Seconds of data per time-bucket partition at a given step: targets
+    * ~8k points per (metric, partition) — large enough for parquet
+    * efficiency, small enough that touched-partition rewrites stay cheap.
+    */
+  private[store] def bucketSeconds(step: Int): Long = step.toLong * 8192
+
+  def policies(): Map[String, RetentionPolicy] =
+    if (!new java.io.File(policiesPath).exists()) Map.empty
+    else
+      spark.read
+        .parquet(policiesPath)
+        .collect()
+        .map { r =>
+          r.getAs[String]("metric") -> RetentionPolicy(
+            Retention.parseSchema(r.getAs[String]("spec")),
+            r.getAs[Float]("xff"),
+            AggregationMethod.fromName(r.getAs[String]("aggregation")))
+        }
+        .toMap
+
+  private def writePolicies(ps: Map[String, RetentionPolicy]): Unit = {
+    import spark.implicits._
+    val rows = ps.toSeq.map {
+      case (m, p) =>
+        val spec = p.levels.map(a => s"${a.secondsPerPoint}:${a.points}").mkString(",")
+        (m, spec, p.xff, p.aggregation.name)
+    }
+    // tiny table: single-file rewrite (atomic enough for a batch engine;
+    // a production deployment would put this in a transactional catalog)
+    rows.toDF("metric", "spec", "xff", "aggregation")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(policiesPath)
+  }
+
+  /** whisper create(): register a metric. Fails if it already exists
+    * (whisper.py:501-502).
+    */
+  def create(metric: String, policy: RetentionPolicy): Unit = {
+    val ps = policies()
+    if (ps.contains(metric))
+      throw new InvalidConfiguration(s"File $metric already exists!")
+    writePolicies(ps + (metric -> policy))
+  }
+
+  /** whisper info() (whisper.py:878-889). */
+  def info(metric: String): Option[(RetentionPolicy, Seq[Header.LevelInfo])] =
+    policies().get(metric).map(p => (p, Header.infoRows(p)))
+
+  /** setAggregationMethod/setXFilesFactor (whisper.py:331-388): policy
+    * update returning the old value.
+    */
+  def setAggregationMethod(metric: String, m: AggregationMethod): AggregationMethod = {
+    val ps = policies()
+    val old = ps.getOrElse(metric, throw new CorruptWhisperFile("Unknown metric", metric))
+    writePolicies(ps + (metric -> old.copy(aggregation = m)))
+    old.aggregation
+  }
+
+  def setXFilesFactor(metric: String, xff: Float): Float = {
+    if (xff.isNaN || xff < 0 || xff > 1)
+      throw new InvalidXFilesFactor(s"Invalid xFilesFactor $xff, not between 0 and 1")
+    val ps = policies()
+    val old = ps.getOrElse(metric, throw new CorruptWhisperFile("Unknown metric", metric))
+    writePolicies(ps + (metric -> old.copy(xff = xff)))
+    old.xff
+  }
+
+  // ---- level IO -------------------------------------------------------
+
+  def levelData(i: Int): DataFrame = {
+    val dir = new java.io.File(levelPath(i))
+    // a vacuumed-empty table has a directory but no partition dirs —
+    // schema inference fails there too, so fall back to the empty frame
+    if (!dir.exists()) emptyLevel
+    else
+      try spark.read.parquet(levelPath(i))
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyLevel }
+  }
+
+  private def emptyLevel: DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("metric", StringType),
+        StructField("interval", LongType),
+        StructField("value", DoubleType),
+        StructField("pb", IntegerType),
+        StructField("tb", LongType))))
+  }
+
+  private def withPartitionCols(df: DataFrame, step: Int): DataFrame =
+    df.withColumn("pb", pmod(hash(col("metric")), lit(numBuckets)))
+      .withColumn("tb", expr(s"interval div ${bucketSeconds(step)}"))
+
+  /** Merge `incoming` (metric, interval, value, prio) into level i:
+    * read ONLY the touched (pb, tb) partitions, last-write-wins by prio
+    * (existing rows get prio -1), dynamically overwrite those partitions.
+    */
+  private def upsertLevel(i: Int, step: Int, incoming: DataFrame): Unit = {
+    val newPts = withPartitionCols(incoming, step)
+    val touched = newPts.select("pb", "tb").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    if (touched.isEmpty) return
+
+    val touchedFilter = touched
+      .map { case (p, t) => col("pb") === p && col("tb") === t }
+      .reduce(_ || _)
+    val existing = levelData(i)
+      .where(touchedFilter)
+      .withColumn("prio", lit(-1L))
+    val merged = existing
+      .unionByName(newPts)
+      .groupBy("metric", "interval", "pb", "tb")
+      .agg(max_by(col("value"), col("prio")).as("value"))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("pb", "tb")
+      .parquet(levelPath(i))
+  }
+
+  // ---- write path -----------------------------------------------------
+
+  /** whisper update_many (whisper.py:740-875): route points to their
+    * finest covering level, LWW-dedup, upsert, then cascade rollups
+    * through coarser levels recomputing only touched windows.
+    *
+    * @param batch (metric, ts: epoch-sec long, value, seq: arrival order)
+    */
+  def updateMany(batch: DataFrame, now: Long): Unit = {
+    val ps = policies()
+    require(ps.nonEmpty, "no metrics created")
+    // one policy shape per store keeps the cascade a single job chain;
+    // heterogeneous policies would group metrics by policy here
+    val policy = ps.values.head
+    val routed = Ingest.routeAndDedup(batch, policy, now).cache()
+    try {
+      val steps = policy.levels.map(_.secondsPerPoint)
+
+      // direct writes per level (points too old for finer levels land
+      // directly in coarser ones, whisper.py:767-784)
+      steps.indices.foreach { i =>
+        val direct = routed.where(col("level") === i)
+          .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio"))
+        if (i == 0 || !direct.isEmpty) upsertLevel(i, steps(i), direct)
+      }
+
+      // rollup cascade: recompute only touched lower windows from the
+      // (post-upsert) higher level; stop when nothing propagates
+      var changed = routed.where(col("level") === 0).select("metric", "interval")
+      var i = 1
+      var continue = changed.limit(1).count() > 0
+      while (continue && i < steps.length) {
+        val propagated = Rollup
+          .propagateTouched(
+            levelData(i - 1).select("metric", "interval", "value"),
+            changed, steps(i - 1), steps(i), policy.aggregation, policy.xff)
+          .cache()
+        if (propagated.limit(1).count() == 0) {
+          continue = false // whisper.py:868-875 early exit
+        } else {
+          upsertLevel(i, steps(i),
+            propagated.withColumn("prio", lit(1L))) // propagate beats direct
+          changed = propagated.select("metric", "interval")
+          i += 1
+        }
+      }
+    } finally routed.unpersist()
+  }
+
+  /** whisper update() single-point semantics: rejects future timestamps
+    * and ages ≥ maxRetention (whisper.py:693-696) — unlike updateMany's
+    * silent drop.
+    */
+  def update(metric: String, value: Double, timestamp: Long, now: Long): Unit = {
+    import spark.implicits._
+    val policy = policies().getOrElse(
+      metric, throw new CorruptWhisperFile("Unknown metric", metric))
+    val diff = now - timestamp
+    if (!(diff < policy.maxRetention && diff >= 0))
+      throw new TimestampNotCovered(
+        "Timestamp not covered by any archives in this database.")
+    updateMany(Seq((metric, timestamp, value, 0L)).toDF("metric", "ts", "value", "seq"), now)
+  }
+
+  // ---- read path ------------------------------------------------------
+
+  /** whisper fetch (whisper.py:892-959): range-normalize, pick the level,
+    * dense-grid materialize, collect the slot vector.
+    */
+  def fetch(metric: String, fromTime: Long, untilTime: Long, now: Long,
+            archiveToSelect: Option[Int] = None): Option[FetchResult] = {
+    val policy = policies().getOrElse(
+      metric, throw new CorruptWhisperFile("Unknown metric", metric))
+    Fetch.planFetch(policy, fromTime, untilTime, now, archiveToSelect).map {
+      case (level, from, until) =>
+        val step = policy.levels(level).secondsPerPoint
+        val (fromInterval, untilInterval) = Fetch.gridBounds(from, until, step)
+        // explicit partition pruning: pb from the metric hash (constant-
+        // folded), tb from the interval range — the Spark replacement for
+        // whisper's ring-offset arithmetic (only touched buckets are read)
+        val bs = bucketSeconds(step)
+        val pruned = levelData(level)
+          .where(col("pb") === pmod(hash(lit(metric)), lit(numBuckets)) &&
+            col("tb") >= fromInterval / bs - 1 && col("tb") <= untilInterval / bs)
+          .select("metric", "interval", "value")
+        val rows = Fetch
+          .fetchGrid(spark, pruned, Seq(metric), from, until, step)
+          .orderBy("interval")
+          .collect()
+        val values = rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+        FetchResult(fromInterval, untilInterval, step, values)
+    }
+  }
+
+  // ---- maintenance ----------------------------------------------------
+
+  /** Ring eviction, done lazily: drop whole expired time buckets.
+    * Deleting directories (not rewriting data) keeps this O(#partitions).
+    */
+  def vacuum(now: Long): Unit = {
+    val ps = policies()
+    if (ps.isEmpty) return
+    val policy = ps.values.head
+    policy.levels.zipWithIndex.foreach {
+      case (lvl, i) =>
+        val dir = new java.io.File(levelPath(i))
+        if (dir.exists()) {
+          val cutoffTb = (now - lvl.retention) / bucketSeconds(lvl.secondsPerPoint) - 1
+          dir.listFiles().filter(_.getName.startsWith("pb=")).foreach { pbDir =>
+            pbDir.listFiles().filter(_.getName.startsWith("tb=")).foreach { tbDir =>
+              val tb = tbDir.getName.stripPrefix("tb=").toLong
+              if (tb < cutoffTb) deleteRecursively(tbDir)
+            }
+          }
+        }
+    }
+  }
+
+  /** whisper-resize --aggregate (bin/whisper-resize.py:147-243) as a
+    * store-level policy migration (the contrib/update-storage-times.py
+    * fleet job): re-bin the finest-available points into the new finest
+    * grid — xff denominator = number of OLD grid slots per new window
+    * (whisper-resize.py:185-196: `len(non_none)/len(newvalues) >= xff`) —
+    * cascade the coarser new levels, write a fresh store directory, then
+    * atomically swap (whisper's .tmp/.bak rename, whisper-resize.py:211-225).
+    */
+  def resize(newPolicy: RetentionPolicy, now: Long): MetricStore = {
+    val old = policies()
+    require(old.nonEmpty, "no metrics created")
+    val oldPolicy = old.values.head
+
+    // finest-available point per timestamp, tagged with its source step
+    // (whisper-resize.py:147-163: higher-precision archives win)
+    val unioned = oldPolicy.levels.zipWithIndex
+      .map {
+        case (lvl, i) =>
+          levelData(i).select("metric", "interval", "value")
+            .withColumn("step", lit(lvl.secondsPerPoint.toLong))
+            .withColumn("lvlprio", lit(-i.toLong))
+      }
+      .reduce(_.unionByName(_))
+      .groupBy("metric", "interval")
+      .agg(max_by(struct(col("value"), col("step")), col("lvlprio")).as("vs"))
+      .select(col("metric"), col("interval"), col("vs.value").as("value"),
+        col("vs.step").as("step"))
+
+    // re-bin into the new finest grid; slots = old slots per new window
+    // (upsampling → 1 slot, a lone point passes any xff)
+    val s0 = newPolicy.levels.head.secondsPerPoint
+    val slots = greatest(lit(s0.toLong) / min(col("step")), lit(1L))
+    val level0 = unioned
+      .groupBy(col("metric"), Grid.align(col("interval"), s0).as("interval"))
+      .agg(
+        Kernels.kernel(newPolicy.aggregation, col("value"), col("interval"), slots)
+          .as("value"),
+        count(col("value")).as("known"),
+        slots.as("slots"))
+      .where(Kernels.xffGate(col("known"), col("slots"), newPolicy.xff))
+      .select("metric", "interval", "value")
+
+    val tmpRoot = s"$root.tmp"
+    MetricStore.deleteRecursively(new java.io.File(tmpRoot))
+    val tmp = new MetricStore(spark, tmpRoot, numBuckets)
+    old.keys.foreach(m => tmp.create(m, newPolicy))
+    Rollup.cascade(level0, newPolicy).zip(newPolicy.levels).zipWithIndex.foreach {
+      case ((df, lvl), i) =>
+        tmp.upsertLevel(i, lvl.secondsPerPoint,
+          df.withColumn("prio", lit(0L)))
+    }
+
+    val bak = new java.io.File(s"$root.bak")
+    MetricStore.deleteRecursively(bak)
+    new java.io.File(root).renameTo(bak)
+    new java.io.File(tmpRoot).renameTo(new java.io.File(root))
+    new MetricStore(spark, root, numBuckets)
+  }
+}
+
+object MetricStore {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+}

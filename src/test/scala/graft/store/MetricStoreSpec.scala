@@ -1,0 +1,128 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model._
+
+/** End-to-end store semantics: the ScalaTest port of the reference
+  * round-trip/exception tests (/root/reference/test_whisper.py:286-376,
+  * 555-707,733-793,815-866).
+  */
+class MetricStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val Now = 1706659200L
+
+  private def freshStore(): MetricStore =
+    new MetricStore(spark, Files.createTempDirectory("ms").toString, numBuckets = 4)
+
+  test("create/info/duplicate-create (test_whisper.py:286-322)") {
+    val store = freshStore()
+    val p = RetentionPolicy(Seq(ArchiveInfo(1, 60), ArchiveInfo(60, 60)))
+    store.create("a.b.c", p)
+    val Some((got, levels)) = store.info("a.b.c")
+    assert(got.xff == 0.5f && got.aggregation == AggregationMethod.Average)
+    assert(got.maxRetention == 3600L)
+    assert(levels.map(_.offset) == Seq(40L, 760L))
+    intercept[InvalidConfiguration](store.create("a.b.c", p))
+  }
+
+  test("update/fetch round-trip with dense contract (test_whisper.py:555-576)") {
+    val store = freshStore()
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 120))))
+    val pts = (0 until 10).map(i => ("m", Now - 600 + i * 60L, i * 1.5, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    val Some(res) = store.fetch("m", Now - 600, Now, Now)
+    assert(res.step == 60)
+    assert(res.values.length == (res.untilInterval - res.fromInterval) / 60)
+    // grid starts one step ABOVE fromTime (whisper.py:970-972), so the
+    // point exactly at Now-600 (value 0.0) is excluded by contract
+    assert(res.values.flatten == (1 to 9).map(_ * 1.5))
+  }
+
+  test("update: TimestampNotCovered both directions (test_whisper.py:662-672)") {
+    val store = freshStore()
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 60)))) // 1h retention
+    val e1 = intercept[TimestampNotCovered](store.update("m", 1.0, Now + 60, Now))
+    assert(e1.getMessage == "Timestamp not covered by any archives in this database.")
+    intercept[TimestampNotCovered](store.update("m", 1.0, Now - 3600, Now))
+    // in-range single update works and overwrites (last write wins)
+    store.update("m", 1.0, Now - 60, Now)
+    store.update("m", 2.0, Now - 60, Now)
+    val Some(res) = store.fetch("m", Now - 120, Now, Now)
+    assert(res.values.flatten == Seq(2.0))
+  }
+
+  test("rollup cascade writes coarser levels with xff gating") {
+    val store = freshStore()
+    // 60s → 300s (5 slots), xff 0.5 → ≥3 points per window propagate
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0.5f))
+    val base = Now - 3000
+    val w0 = base - base % 300 // full window: 5 points
+    val w1 = w0 + 300 // sparse window: 2 points → gated
+    val pts = (0 until 5).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong)) ++
+      Seq(("m", w1, 1.0, 10L), ("m", w1 + 60, 2.0, 11L))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    val l1 = store.levelData(1).collect()
+      .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+    assert(l1.get(w0) == Some(12.0)) // avg(10..14)
+    assert(!l1.contains(w1)) // 2/5 < 0.5 gated
+    // fetch at coarse granularity sees the rollup
+    val Some(res) = store.fetch("m", w0 - 1, w0 + 300, Now, archiveToSelect = Some(300))
+    assert(res.values.flatten == Seq(12.0))
+  }
+
+  test("too-old points silently dropped in bulk; future points land level-0 (whisper.py:767-784)") {
+    val store = freshStore()
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 60)))) // 1h
+    val pts = Seq(
+      ("m", Now - 7200, 1.0, 0L), // too old → dropped, no error
+      ("m", Now + 120, 2.0, 1L), // future → level 0 (update_many doesn't reject)
+      ("m", Now - 60, 3.0, 2L))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    val l0 = store.levelData(0).collect().map(_.getAs[Double]("value")).toSet
+    assert(l0 == Set(2.0, 3.0))
+  }
+
+  test("setAggregationMethod/setXFilesFactor return old values (test_whisper.py:608-645)") {
+    val store = freshStore()
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 60))))
+    val old = store.setAggregationMethod("m", AggregationMethod.Sum)
+    assert(old == AggregationMethod.Average)
+    assert(store.info("m").get._1.aggregation == AggregationMethod.Sum)
+    val oldX = store.setXFilesFactor("m", 0.2f)
+    assert(oldX == 0.5f)
+    assert(store.info("m").get._1.xff.toDouble == 0.20000000298023224)
+    intercept[InvalidXFilesFactor](store.setXFilesFactor("m", 2.0f))
+  }
+
+  test("resize re-bins through the new policy and swaps (test_whisper.py:815-866)") {
+    val store = freshStore()
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 100)), xff = 0f))
+    val pts = (0 until 10).map(i => ("m", Now - 1200 + i * 60L, i.toDouble, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    val resized = store.resize(
+      RetentionPolicy(Seq(ArchiveInfo(300, 100)), xff = 0f), Now)
+    assert(resized.info("m").get._1.levels.head.secondsPerPoint == 300)
+    val Some(res) = resized.fetch("m", Now - 1500, Now, Now)
+    assert(res.step == 300)
+    // 10 one-minute points (values 0..9) re-bin into two 300s averages:
+    // avg(0..4)=2 and avg(5..9)=7
+    assert(res.values.flatten == Seq(2.0, 7.0))
+  }
+
+  test("vacuum drops expired time buckets") {
+    val store = freshStore()
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(1, 1000)))) // ~17 min retention
+    val pts = Seq(("m", Now - 10, 1.0, 0L)).toDF("metric", "ts", "value", "seq")
+    store.updateMany(pts, Now)
+    assert(store.levelData(0).count() == 1)
+    store.vacuum(Now + 100000) // far future: everything expired
+    assert(store.levelData(0).count() == 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model._
+import graft.store.MetricStore
+
+/** Streaming ingest: whisper's write semantics under Structured
+  * Streaming (SURVEY.md §2.3 streaming row).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val Now = 1706659200L
+
+  test("foreachBatch micro-batch ingest lands in the store with rollups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-stream").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value", "seq")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value", "seq")
+
+    val base = Now - 3000
+    val w0 = base - base % 300
+    mem.addData((0 until 5).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong)): _*)
+
+    val q = StreamingIngest.start(
+      stream, store, Files.createTempDirectory("ckpt").toString, () => Now)
+    q.awaitTermination(60000)
+
+    val Some(res) = store.fetch("m", w0 - 1, w0 + 300, Now, archiveToSelect = Some(300))
+    assert(res.values.flatten == Seq(12.0)) // avg(10..14) propagated
+  }
+
+  test("rollupStream: watermarked tumbling windows with xff gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value")
+
+    val rolled = StreamingIngest.rollupStream(
+      stream, sourceStep = 60, step = 300,
+      method = AggregationMethod.Sum, xff = 0.5f, maxLatenessSec = 3600)
+
+    val qname = "rollup_test"
+    val q = rolled.writeStream
+      .format("memory").queryName(qname).outputMode("update").start()
+    // window [600, 900): 3 of 5 slots → passes 0.5; window [900, 1200): 1 slot → gated
+    mem.addData(("m", 600L, 1.0), ("m", 660L, 2.0), ("m", 720L, 3.0), ("m", 900L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table(qname).collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval"), r.getAs[Double]("value")))
+    assert(rows.contains(("m", 600L, 6.0)))
+    assert(!rows.exists(_._2 == 900L))
+  }
+}
