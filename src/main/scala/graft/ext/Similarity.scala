@@ -29,6 +29,26 @@ object Similarity {
              vecCol: String = "embedding"): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
 
+  /** Corpus with unit-normalized vectors: pairwise cosine degrades to a
+    * single dot product. Normalizing is O(n·d) once; doing it per PAIR
+    * (as naive cosine does) is O(pairs·d) extra — the dominant cost in
+    * any blocked-pairs pipeline. Not for oracle-checked queries: the
+    * divide-then-multiply order differs from plain cosine in the last
+    * ulp; use where approximate blocking already owns the semantics.
+    */
+  def corpusNormalized(emb: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val dot = aggregate(zip_with(col("vec"), col("vec"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    corpus(emb, idCol, vecCol)
+      .withColumn("nrm", sqrt(dot))
+      .select(col("id"), transform(col("vec"), x => x / col("nrm")).as("vec"))
+  }
+
+  /** Plain dot product of two array<double> columns. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
   /** Exact brute-force top-k: every query against every corpus vector,
     * ranked per query. Query side is broadcast; corpus side streams.
     */
@@ -61,15 +81,20 @@ object Similarity {
     */
   def hyperplaneBucket(emb: DataFrame, planes: Int, tables: Int = 8,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       dim: Int = 64): DataFrame = {
-    val c = corpus(emb, idCol, vecCol)
+                       dim: Int = 64): DataFrame =
+    bucketCorpus(corpus(emb, idCol, vecCol), planes, tables, dim)
+
+  /** Same, over a prepared (id, vec) corpus frame (e.g. normalized —
+    * signs are scale-invariant so buckets are identical).
+    */
+  def bucketCorpus(c: DataFrame, planes: Int, tables: Int = 8,
+                   dim: Int = 64): DataFrame = {
     val hp = hyperplanes(planes * tables, dim)
     val buckets = (0 until tables).map { t =>
       (0 until planes)
         .map { i =>
           val planeCol = array(hp(t * planes + i).map(lit): _*)
-          when(aggregate(zip_with(col("vec"), planeCol, (x, y) => x * y),
-            lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
+          when(dotCol(col("vec"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
         }
         .reduce(_ + _) + lit(t.toLong << planes) // disjoint bucket spaces per table
     }

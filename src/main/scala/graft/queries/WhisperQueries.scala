@@ -61,12 +61,22 @@ object WhisperQueries {
   }
 
   /** Level-0: align to the 60s grid, LWW-dedup — the update_many write path
-    * through the real ingest operator.
+    * through the real ingest operator. Memoized + cached per (session,
+    * dir): level-0 is the materialized base table every rollup/fetch
+    * query reads (the store architecture), so queries share one
+    * computation instead of re-ingesting per query.
     */
+  private val l0memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def level0(s: SparkSession, dir: String): DataFrame =
-    Ingest
-      .routeAndDedup(events(s, dir).withColumn("ts", col("tsec")), wideOpen, Now)
-      .select(col("metric"), col("interval"), col("value"))
+    l0memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ =>
+        Ingest
+          .routeAndDedup(events(s, dir).withColumn("ts", col("tsec")), wideOpen, Now)
+          .select(col("metric"), col("interval"), col("value"))
+          .cache())
 
   /** Even/odd event split → two independent level-0 series (src, dst) for
     * merge/fill/diff.
