@@ -15,14 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns, as a single
-    * codegen'd higher-order expression (zip_with product + aggregate sum).
+  /** Cosine similarity between two array<double> columns. Built on the
+    * engine's native DotProduct expression (graft.functions) — same
+    * left-to-right summation as the zip_with/aggregate form (bit-exact
+    * swap) but a primitive codegen loop with no per-row allocation.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dotCol(a, b) / sqrt(dotCol(a, a)) / sqrt(dotCol(b, b))
 
   /** Corpus as (id, vec: array<double>) — float→double widened (exact). */
   def corpus(emb: DataFrame, idCol: String = "vec_id",
@@ -37,17 +36,16 @@ object Similarity {
     * ulp; use where approximate blocking already owns the semantics.
     */
   def corpusNormalized(emb: DataFrame, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
-    val dot = aggregate(zip_with(col("vec"), col("vec"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+                       vecCol: String = "embedding"): DataFrame =
     corpus(emb, idCol, vecCol)
-      .withColumn("nrm", sqrt(dot))
+      .withColumn("nrm", sqrt(dotCol(col("vec"), col("vec"))))
       .select(col("id"), transform(col("vec"), x => x / col("nrm")).as("vec"))
-  }
 
-  /** Plain dot product of two array<double> columns. */
+  /** Plain dot product of two array<double> columns — the native
+    * codegen'd expression.
+    */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    graft.functions.dot_product(a, b)
 
   /** Exact brute-force top-k: every query against every corpus vector,
     * ranked per query. Query side is broadcast; corpus side streams.

@@ -20,6 +20,22 @@ object Io {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Pushdown-friendly range predicate: compares the NATIVE column
+    * against a literal of its own type, so the filter reaches the
+    * parquet scan (a `cast(ts).cast(long) < x` chain only pushes
+    * IsNotNull — Catalyst can't invert casts through the source).
+    */
+  def tsBefore(df: DataFrame, colName: String, epochSec: Long): Column =
+    df.schema(colName).dataType match {
+      case LongType => col(colName) < lit(epochSec * 1000000000L)
+      case TimestampType =>
+        col(colName) < lit(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(epochSec)))
+      case TimestampNTZType =>
+        col(colName) < lit(java.time.LocalDateTime.ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC))
+      case other =>
+        throw new IllegalArgumentException(s"unexpected type for $colName: $other")
+    }
+
   /** Epoch-seconds (floor) from a `ts` column that is either LongType
     * nanoseconds (nanosAsLong read) or a TimestampType. Integer `div`
     * keeps full precision — a double division would lose bits above 2^53.

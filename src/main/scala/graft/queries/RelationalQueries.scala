@@ -31,7 +31,7 @@ object RelationalQueries {
       "q01_pricing_summary",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        li.where(Io.tsec(li, "l_shipdate") < Cutoff)
+        li.where(Io.tsBefore(li, "l_shipdate", Cutoff))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
