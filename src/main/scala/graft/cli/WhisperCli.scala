@@ -128,6 +128,47 @@ object WhisperCli {
             }
         }
 
+      case "merge" =>
+        val Array(_, store, src, dst) = args: @unchecked
+        new MetricStore(session(), store).mergeMetric(src, dst)
+        println(s"merged $src into $dst")
+
+      case "fill" =>
+        val Array(_, store, dst, src) = args: @unchecked
+        new MetricStore(session(), store).fillMetric(dst, src)
+        println(s"filled $dst gaps from $src")
+
+      case "diff" =>
+        val Array(_, store, a, b) = args: @unchecked
+        val rows = new MetricStore(session(), store).diffMetrics(a, b)
+          .orderBy("level", "interval").collect()
+        rows.foreach { r =>
+          val va = if (r.isNullAt(2)) "None" else r.getDouble(2).toString
+          val vb = if (r.isNullAt(3)) "None" else r.getDouble(3).toString
+          println(s"${r.getAs[Int]("level")} ${r.getAs[Long]("interval")} $va $vb")
+        }
+        println(s"${rows.length} differing slots")
+
+      case "resize" =>
+        val Array(_, store, rets, rest @ _*) = args: @unchecked
+        val xff = rest.headOption.map(_.toFloat).getOrElse(0.5f)
+        val agg = rest.lift(1).map(AggregationMethod.fromName)
+          .getOrElse(AggregationMethod.default)
+        new MetricStore(session(), store)
+          .resize(RetentionPolicy(Retention.parseSchema(rets), xff, agg), now)
+        println(s"resized store to $rets (backup at $store.bak)")
+
+      case "validate" =>
+        val bad = new MetricStore(session(), args(1)).validateAll()
+        if (bad.isEmpty) println("all policies valid")
+        else bad.foreach { case (m, e) => println(s"CORRUPT $m: $e") }
+
+      case "scale" =>
+        val Array(_, store, metric, factor) = args: @unchecked
+        new MetricStore(session(), store)
+          .transformValues(metric, _ * factor.toDouble)
+        println(s"scaled $metric by $factor")
+
       case "set-aggregation-method" =>
         val Array(_, store, metric, m) = args: @unchecked
         val old = new MetricStore(session(), store)
@@ -145,6 +186,7 @@ object WhisperCli {
   }
 
   private def usage(): Unit =
-    println("usage: WhisperCli <create|update|fetch|info|dump|" +
-      "set-aggregation-method|set-xfilesfactor|estimate> ...")
+    println("usage: WhisperCli <create|update|fetch|info|dump|merge|fill|" +
+      "diff|resize|validate|scale|set-aggregation-method|set-xfilesfactor|" +
+      "estimate> ...")
 }

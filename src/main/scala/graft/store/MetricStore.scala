@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model._
@@ -264,6 +264,99 @@ final class MetricStore(val spark: SparkSession, val root: String,
           .collect()
         val values = rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
         FetchResult(fromInterval, untilInterval, step, values)
+    }
+  }
+
+  // ---- two-metric combinators (whisper merge/fill/diff, §2.1 #12-13) --
+
+  private def requireSameConfig(a: String, b: String): RetentionPolicy = {
+    val ps = policies()
+    val (pa, pb) = (
+      ps.getOrElse(a, throw new CorruptWhisperFile("Unknown metric", a)),
+      ps.getOrElse(b, throw new CorruptWhisperFile("Unknown metric", b)))
+    if (pa.levels != pb.levels)
+      throw new UnsupportedOperationException(
+        "db files must have the same archive configuration") // whisper.py:1054-1057
+    pa
+  }
+
+  /** whisper merge: src overwrites dst at src's non-null slots, per level
+    * (whisper.py:1076-1093). Implemented as a prio-1 upsert of src's rows
+    * relabeled to dst.
+    */
+  def mergeMetric(src: String, dst: String): Unit = {
+    val p = requireSameConfig(src, dst)
+    p.levels.zipWithIndex.foreach {
+      case (lvl, i) =>
+        val srcRows = levelData(i)
+          .where(col("metric") === src)
+          .select(lit(dst).as("metric"), col("interval"), col("value"), lit(1L).as("prio"))
+        if (!srcRows.isEmpty) upsertLevel(i, lvl.secondsPerPoint, srcRows)
+    }
+  }
+
+  /** whisper-fill: src fills ONLY dst's empty slots, never overwrites
+    * (bin/whisper-fill.py:52-92). Same upsert with prio BELOW existing
+    * rows (-2 < -1): last-write-wins keeps dst wherever it has data.
+    */
+  def fillMetric(dst: String, src: String): Unit = {
+    val p = requireSameConfig(src, dst)
+    p.levels.zipWithIndex.foreach {
+      case (lvl, i) =>
+        val srcRows = levelData(i)
+          .where(col("metric") === src)
+          .select(lit(dst).as("metric"), col("interval"), col("value"), lit(-2L).as("prio"))
+        if (!srcRows.isEmpty) upsertLevel(i, lvl.secondsPerPoint, srcRows)
+    }
+  }
+
+  /** whisper-diff: per-level slots where two metrics disagree
+    * (whisper.py:1098-1149). Returns (level, interval, value_a, value_b).
+    */
+  def diffMetrics(a: String, b: String): DataFrame = {
+    val p = requireSameConfig(a, b)
+    p.levels.indices
+      .map { i =>
+        val va = levelData(i).where(col("metric") === a)
+          .select(lit(a).as("metric"), col("interval"), col("value"))
+        val vb = levelData(i).where(col("metric") === b)
+          .select(lit(a).as("metric"), col("interval"), col("value"))
+        Combine.diff(va, vb).select(lit(i).as("level"), col("interval"),
+          col("value_a"), col("value_b"))
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** find-corrupt-whisper-files analog: validate every policy row,
+    * returning (metric, error) for unparseable/invalid ones.
+    */
+  def validateAll(): Seq[(String, String)] = {
+    if (!new java.io.File(policiesPath).exists()) return Nil
+    spark.read.parquet(policiesPath).collect().toSeq.flatMap { r =>
+      val m = r.getAs[String]("metric")
+      try {
+        RetentionPolicy(
+          Retention.parseSchema(r.getAs[String]("spec")),
+          r.getAs[Float]("xff"),
+          AggregationMethod.fromName(r.getAs[String]("aggregation")))
+        None
+      } catch { case e: Throwable => Some(m -> e.getMessage) }
+    }
+  }
+
+  /** contrib/whisper-auto-update analog: read-transform-write every slot
+    * of a metric through a value expression (e.g. `_ * 2`).
+    */
+  def transformValues(metric: String, f: Column => Column): Unit = {
+    val p = policies().getOrElse(
+      metric, throw new CorruptWhisperFile("Unknown metric", metric))
+    p.levels.zipWithIndex.foreach {
+      case (lvl, i) =>
+        val rows = levelData(i)
+          .where(col("metric") === metric)
+          .select(col("metric"), col("interval"), f(col("value")).cast("double").as("value"),
+            lit(1L).as("prio"))
+        if (!rows.isEmpty) upsertLevel(i, lvl.secondsPerPoint, rows)
     }
   }
 

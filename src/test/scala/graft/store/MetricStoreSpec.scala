@@ -116,6 +116,48 @@ class MetricStoreSpec extends AnyFunSuite {
     assert(res.values.flatten == Seq(2.0, 7.0))
   }
 
+  test("mergeMetric/fillMetric precedence; diffMetrics reports disagreements") {
+    val store = freshStore()
+    val p = RetentionPolicy(Seq(ArchiveInfo(60, 120)))
+    Seq("src", "dst", "dst2").foreach(store.create(_, p))
+    val pts = Seq(
+      ("src", Now - 300, 1.0, 0L), ("src", Now - 240, 2.0, 1L),
+      ("dst", Now - 240, 9.0, 2L), ("dst", Now - 180, 3.0, 3L),
+      ("dst2", Now - 240, 9.0, 4L), ("dst2", Now - 180, 3.0, 5L))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    store.mergeMetric("src", "dst") // src wins at Now-240
+    val merged = store.levelData(0).where($"metric" === "dst").collect()
+      .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+    assert(merged == Map(
+      Now - 300 -> 1.0, Now - 240 -> 2.0, Now - 180 -> 3.0))
+
+    store.fillMetric("dst2", "src") // dst2 keeps 9.0 at Now-240, gains Now-300
+    val filled = store.levelData(0).where($"metric" === "dst2").collect()
+      .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+    assert(filled == Map(
+      Now - 300 -> 1.0, Now - 240 -> 9.0, Now - 180 -> 3.0))
+
+    val d = store.diffMetrics("src", "dst2").collect()
+    // src: (-300,1),( -240,2); dst2: (-300,1),(-240,9),(-180,3)
+    // differ at -240 (2 vs 9) and -180 (null vs 3); agree at -300
+    assert(d.length == 2)
+
+    // mismatched configs refuse (whisper.py:1054-1057)
+    store.create("other", RetentionPolicy(Seq(ArchiveInfo(30, 120))))
+    intercept[UnsupportedOperationException](store.mergeMetric("src", "other"))
+  }
+
+  test("transformValues rewrites every slot (auto-update analog)") {
+    val store = freshStore()
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 120))))
+    store.updateMany(Seq(("m", Now - 120, 2.0, 0L), ("m", Now - 60, 3.0, 1L))
+      .toDF("metric", "ts", "value", "seq"), Now)
+    store.transformValues("m", _ * 10)
+    val vals = store.levelData(0).collect().map(_.getAs[Double]("value")).toSet
+    assert(vals == Set(20.0, 30.0))
+  }
+
   test("vacuum drops expired time buckets") {
     val store = freshStore()
     store.create("m", RetentionPolicy(Seq(ArchiveInfo(1, 1000)))) // ~17 min retention
