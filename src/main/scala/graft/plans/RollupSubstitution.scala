@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.SparkSession
+
+import graft.model.AggregationMethod
+import graft.store.MetricStore
+
+/** Whisper's archive selection (/root/reference/whisper.py:947-954) as a
+  * Catalyst optimizer rule: an aggregation that re-derives a coarser
+  * rollup from level-0 points is rewritten to SCAN the store's
+  * precomputed rollup level instead — materialized-view substitution for
+  * the rollup hierarchy.
+  *
+  * Matches plans of the shape
+  *   Aggregate(
+  *     groupBy = [metric, interval - (interval % S)],
+  *     agg     = [kernel(value)],
+  *     child   = <level-0 scan of a registered store>)
+  * where the store's policy has a level with secondsPerPoint == S and the
+  * kernel matches the policy's aggregation method. The rewrite preserves
+  * output attribute ids by aliasing the substituted scan's columns, so
+  * parent operators are untouched.
+  *
+  * Correctness note: substitution is semantics-preserving only because
+  * the store maintains level-S with EXACTLY this aggregation (same xff
+  * gate, same kernel) — which also means a query whose window matches a
+  * level but whose kernel differs is deliberately NOT rewritten. xff>0
+  * policies additionally gate rollup rows, so substitution is restricted
+  * to xff == 0 policies (where rollup rows = plain window aggregates).
+  *
+  * Enable per session via `RollupSubstitution.register(spark, store)`
+  * (uses `spark.experimental.extraOptimizations`, no session rebuild).
+  */
+final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupingExprs, aggExprs, child, _)
+        if groupingExprs.size == 2 =>
+      rewrite(agg, groupingExprs, aggExprs, child).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate, grouping0: Seq[Expression],
+                      aggExprs: Seq[NamedExpression],
+                      child: LogicalPlan): Option[LogicalPlan] = {
+    // Catalyst's PullOutGroupingExpressions moves grouping arithmetic into
+    // a child Project as `_groupingexpression` aliases — resolve grouping
+    // attributes through those aliases before shape-matching.
+    val aliasMap: Map[ExprId, Expression] = child
+      .collect { case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList }
+      .flatten
+      .collect { case a: Alias => a.exprId -> a.child }
+      .toMap
+    val grouping = grouping0.map {
+      case attr: Attribute => aliasMap.getOrElse(attr.exprId, attr)
+      case other => other
+    }
+    for {
+      policy <- store.policies().values.headOption
+      if policy.xff == 0f // rollup rows == plain window aggregates
+      if agg.output.size == 3 &&
+        agg.output.map(_.name) == Seq("metric", "interval", "value")
+      level0 <- matchLevel0Scan(child)
+      (metricExpr, step) <- matchGrouping(grouping)
+      kernel <- matchKernel(aggExprs)
+      if kernel == policy.aggregation
+      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
+      if levelIdx > 0
+    } yield {
+      val rollup = store.levelData(levelIdx)
+        .select("metric", "interval", "value")
+      val rel = rollup.queryExecution.analyzed
+      val out = rel.output
+      // alias rollup columns to the aggregate's output attribute ids
+      val aliases: Seq[NamedExpression] = agg.output.zipWithIndex.map {
+        case (attr, i) => Alias(out(i), attr.name)(exprId = attr.exprId)
+      }
+      org.apache.spark.sql.catalyst.plans.logical.Project(aliases, rel)
+    }
+  }
+
+  /** child must be (a projection/filter over) a parquet scan of the
+    * store's level_0 directory with (metric, interval, value) visible.
+    */
+  private def matchLevel0Scan(plan: LogicalPlan): Option[LogicalPlan] = {
+    val isLevel0 = plan.collectLeaves().forall {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            hfs.location.rootPaths.forall(_.toString.contains("level_0"))
+          case _ => false
+        }
+      case _ => false
+    }
+    if (isLevel0 && plan.collectLeaves().nonEmpty) Some(plan) else None
+  }
+
+  /** grouping = [metric, interval - (interval % S)] → (metricExpr, S). */
+  private def matchGrouping(grouping: Seq[Expression]): Option[(Expression, Int)] = {
+    val aligned = grouping.collectFirst {
+      case Subtract(iv: Attribute, Pmod(iv2: Attribute, Literal(step: Long, _), _), _)
+          if iv.name == "interval" && iv2.semanticEquals(iv) => step.toInt
+      case Subtract(iv: Attribute, Remainder(iv2: Attribute, Literal(step: Long, _), _), _)
+          if iv.name == "interval" && iv2.semanticEquals(iv) => step.toInt
+    }
+    val metric = grouping.collectFirst {
+      case a: Attribute if a.name == "metric" => a: Expression
+    }
+    for (s <- aligned; m <- metric) yield (m, s)
+  }
+
+  /** single value aggregate matching a policy kernel. */
+  private def matchKernel(aggExprs: Seq[NamedExpression]): Option[AggregationMethod] = {
+    val kernels = aggExprs.flatMap(_.collect {
+      case AggregateExpression(Average(v: Attribute, _), _, false, None, _)
+          if v.name == "value" => AggregationMethod.Average
+      case AggregateExpression(Sum(v: Attribute, _), _, false, None, _)
+          if v.name == "value" => AggregationMethod.Sum
+      case AggregateExpression(Max(v: Attribute), _, false, None, _)
+          if v.name == "value" => AggregationMethod.Max
+      case AggregateExpression(Min(v: Attribute), _, false, None, _)
+          if v.name == "value" => AggregationMethod.Min
+    })
+    if (kernels.size == 1) kernels.headOption else None
+  }
+}
+
+object RollupSubstitution {
+  /** Inject into an existing session's optimizer. */
+  def register(spark: SparkSession, store: MetricStore): Unit = {
+    val rule = RollupSubstitution(spark, store)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+  }
+}

@@ -274,6 +274,29 @@ object WhisperQueries {
       (s, dir) => rollup(s, dir, AggregationMethod.Average, step = 600, xff = 0.3f),
       rollupSql("round(avg(value), 4)", 600, 10, 0.3f)),
     QueryDef(
+      "w20_store_ingest",
+      // end-to-end write path: create a store, ingest every event through
+      // updateMany (age routing, LWW dedup, touched-window cascade with
+      // xff gate), then read back the MATERIALIZED level-1 table — the
+      // same oracle as the stateless w02 rollup, now validating the
+      // persistent store's cascade.
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-w20").toString
+        val store = new graft.store.MetricStore(s, root, numBuckets = 8)
+        val policy = RetentionPolicy(
+          Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000)), xff = 0.5f)
+        Seq("click", "view", "signup", "error", "purchase")
+          .foreach(m => store.create(m, policy))
+        store.updateMany(
+          events(s, dir).select(col("metric"), col("tsec").as("ts"),
+            col("value"), col("seq")),
+          Now)
+        store.levelData(1)
+          .select(col("metric"), col("interval"), round(col("value"), 4).as("value"))
+          .orderBy("metric", "interval")
+      },
+      rollupSql("round(avg(value), 4)", RollStep, 5, 0.5f)),
+    QueryDef(
       "w16_retention_parse",
       (s, dir) => {
         import s.implicits._

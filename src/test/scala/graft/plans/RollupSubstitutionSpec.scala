@@ -1,0 +1,79 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model._
+import graft.store.MetricStore
+
+/** The archive-selection optimizer rule: window aggregations over level-0
+  * are answered from the precomputed rollup level.
+  */
+class RollupSubstitutionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val Now = 1706659200L
+
+  test("matching window aggregate is rewritten to scan the rollup level") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-opt").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"))
+
+      val optimized = q.queryExecution.optimizedPlan
+      val hasAggregate = optimized.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+      assert(!hasAggregate, s"rollup substitution did not fire:\n$optimized")
+
+      // and the substituted result equals the recomputed aggregate
+      val got = q.orderBy("interval").collect()
+        .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+      assert(got == Map(w0 -> 12.0, (w0 + 300) -> 17.0))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("non-matching kernel or step is NOT rewritten") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-opt2").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    store.updateMany(Seq(("m", Now - 600, 1.0, 0L)).toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      // sum != policy's average → must keep the aggregate
+      val qSum = store.levelData(0).select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(sum(col("value")).as("value"))
+      assert(qSum.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty)
+
+      // 90s grid matches no level → keep the aggregate
+      val q90 = store.levelData(0).select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(90L)).as("interval"))
+        .agg(avg(col("value")).as("value"))
+      assert(q90.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
