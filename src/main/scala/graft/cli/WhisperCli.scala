@@ -128,6 +128,23 @@ object WhisperCli {
             }
         }
 
+      case "import" =>
+        // rrd2whisper analog (bin/rrd2whisper.py): bulk-load an exported
+        // series (CSV "timestamp,value") into a fresh metric
+        val Array(_, store, metric, rets, csvPath) = args: @unchecked
+        val spark = session()
+        import spark.implicits._
+        val ms = new MetricStore(spark, store)
+        ms.create(metric, RetentionPolicy(Retention.parseSchema(rets)))
+        val pts = spark.read
+          .option("header", "false")
+          .schema("ts LONG, value DOUBLE")
+          .csv(csvPath)
+          .select(org.apache.spark.sql.functions.lit(metric).as("metric"),
+            $"ts", $"value", $"ts".as("seq")) // RRD exports have unique timestamps
+        ms.updateMany(pts, now)
+        println(s"imported ${pts.count()} points into $metric")
+
       case "merge" =>
         val Array(_, store, src, dst) = args: @unchecked
         new MetricStore(session(), store).mergeMetric(src, dst)

@@ -124,6 +124,19 @@ class OpsSpec extends AnyFunSuite {
     assert(diffs.length == 3) // 0 (only src), 60 (differ), 120 (only dst)
   }
 
+  test("debug instrumentation counts IO records (whisper.py:225-273 analog)") {
+    Debug.enableDebug(spark)
+    Debug.reset()
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet").count()
+    // listener events arrive asynchronously
+    val deadline = System.currentTimeMillis + 5000
+    while (Debug.stats().readRecords == 0 && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    assert(Debug.stats().readRecords > 0)
+    Debug.disableDebug(spark)
+    assert(Debug.stats().readRecords == 0)
+  }
+
   test("cascade materializes every level (resize path)") {
     val p = RetentionPolicy(Seq(ArchiveInfo(10, 100), ArchiveInfo(60, 100),
       ArchiveInfo(300, 100)), xff = 0f)
