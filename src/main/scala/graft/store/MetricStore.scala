@@ -184,9 +184,21 @@ final class MetricStore(val spark: SparkSession, val root: String,
   def updateMany(batch: DataFrame, now: Long): Unit = {
     val ps = policies()
     require(ps.nonEmpty, "no metrics created")
-    // one policy shape per store keeps the cascade a single job chain;
-    // heterogeneous policies would group metrics by policy here
-    val policy = ps.values.head
+    // heterogeneous policies: one routed ingest per distinct policy shape
+    // (policy count is small; each group's cascade is its own job chain)
+    ps.values.toSeq.distinct match {
+      case Seq(single) => updateManyForPolicy(batch, single, now)
+      case multiple =>
+        multiple.foreach { policy =>
+          val metrics = ps.collect { case (m, p) if p == policy => m }.toSeq
+          updateManyForPolicy(
+            batch.where(col("metric").isin(metrics: _*)), policy, now)
+        }
+    }
+  }
+
+  private def updateManyForPolicy(batch: DataFrame, policy: RetentionPolicy,
+                                  now: Long): Unit = {
     val routed = Ingest.routeAndDedup(batch, policy, now).cache()
     try {
       val steps = policy.levels.map(_.secondsPerPoint)
@@ -200,24 +212,31 @@ final class MetricStore(val spark: SparkSession, val root: String,
       }
 
       // rollup cascade: recompute only touched lower windows from the
-      // (post-upsert) higher level; stop when nothing propagates
+      // (post-upsert) higher level. The change set feeding level i+1 is
+      // propagated windows at i PLUS the batch's DIRECT writes at i —
+      // whisper cascades from every archive that received points, not
+      // just archive 0 (each __archive_update_many call propagates its
+      // own points downward, whisper.py:858-875). Stops when a level
+      // neither propagates nor received direct writes (the bulk early
+      // exit, whisper.py:868-875).
       var changed = routed.where(col("level") === 0).select("metric", "interval")
       var i = 1
-      var continue = changed.limit(1).count() > 0
+      var continue = !changed.isEmpty
       while (continue && i < steps.length) {
         val propagated = Rollup
           .propagateTouched(
             levelData(i - 1).select("metric", "interval", "value"),
             changed, steps(i - 1), steps(i), policy.aggregation, policy.xff)
           .cache()
-        if (propagated.limit(1).count() == 0) {
-          continue = false // whisper.py:868-875 early exit
-        } else {
+        if (!propagated.isEmpty)
           upsertLevel(i, steps(i),
             propagated.withColumn("prio", lit(1L))) // propagate beats direct
-          changed = propagated.select("metric", "interval")
-          i += 1
-        }
+        changed = propagated
+          .select("metric", "interval")
+          .unionByName(routed.where(col("level") === i).select("metric", "interval"))
+          .distinct()
+        continue = !changed.isEmpty
+        i += 1
       }
     } finally routed.unpersist()
   }
@@ -368,6 +387,10 @@ final class MetricStore(val spark: SparkSession, val root: String,
   def vacuum(now: Long): Unit = {
     val ps = policies()
     if (ps.isEmpty) return
+    // time buckets are shared across metrics; dropping whole directories
+    // is only safe when every metric ages out on the same schedule
+    require(ps.values.toSeq.distinct.size == 1,
+      "vacuum requires a uniform policy; heterogeneous stores need row-level eviction")
     val policy = ps.values.head
     policy.levels.zipWithIndex.foreach {
       case (lvl, i) =>
@@ -395,6 +418,8 @@ final class MetricStore(val spark: SparkSession, val root: String,
   def resize(newPolicy: RetentionPolicy, now: Long): MetricStore = {
     val old = policies()
     require(old.nonEmpty, "no metrics created")
+    require(old.values.toSeq.distinct.size == 1,
+      "resize migrates the whole store to one policy; source must be uniform")
     val oldPolicy = old.values.head
 
     // finest-available point per timestamp, tagged with its source step
