@@ -379,6 +379,42 @@ final class MetricStore(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Distributed fetch: the dense-grid contract as a DataFrame (metric,
+    * interval, value) without collecting — for ranges too large for a
+    * driver-side vector, and for multi-metric reads.
+    */
+  def fetchFrame(metrics: Seq[String], fromTime: Long, untilTime: Long,
+                 now: Long, archiveToSelect: Option[Int] = None): Option[DataFrame] = {
+    val ps = policies()
+    val policy = metrics.headOption.flatMap(ps.get).getOrElse(
+      throw new CorruptWhisperFile("Unknown metric", metrics.mkString(",")))
+    Fetch.planFetch(policy, fromTime, untilTime, now, archiveToSelect).map {
+      case (level, from, until) =>
+        val step = policy.levels(level).secondsPerPoint
+        val bs = bucketSeconds(step)
+        val (fromInterval, untilInterval) = Fetch.gridBounds(from, until, step)
+        val pruned = levelData(level)
+          .where(col("tb") >= fromInterval / bs - 1 && col("tb") <= untilInterval / bs)
+          .select("metric", "interval", "value")
+        Fetch.fetchGrid(spark, pruned, metrics, from, until, step)
+    }
+  }
+
+  /** SQL surface: expose each level as a temp view `<prefix>_level_i`
+    * plus a `<prefix>_policies` view, so the whole store is queryable
+    * with spark.sql.
+    */
+  def registerViews(prefix: String): Unit = {
+    val ps = policies()
+    if (ps.isEmpty) return
+    ps.values.head.levels.indices.foreach { i =>
+      levelData(i).select("metric", "interval", "value")
+        .createOrReplaceTempView(s"${prefix}_level_$i")
+    }
+    if (new java.io.File(policiesPath).exists())
+      spark.read.parquet(policiesPath).createOrReplaceTempView(s"${prefix}_policies")
+  }
+
   // ---- maintenance ----------------------------------------------------
 
   /** Ring eviction, done lazily: drop whole expired time buckets.

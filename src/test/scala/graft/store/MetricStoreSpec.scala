@@ -158,6 +158,28 @@ class MetricStoreSpec extends AnyFunSuite {
     assert(vals == Set(20.0, 30.0))
   }
 
+  test("fetchFrame (distributed fetch) and SQL views") {
+    val store = freshStore()
+    store.create("x", RetentionPolicy(Seq(ArchiveInfo(60, 120))))
+    store.create("y", RetentionPolicy(Seq(ArchiveInfo(60, 120))))
+    store.updateMany(Seq(
+      ("x", Now - 120, 1.0, 0L), ("y", Now - 60, 2.0, 1L))
+      .toDF("metric", "ts", "value", "seq"), Now)
+
+    // multi-metric dense frame, no collect in the plan until here
+    val Some(df) = store.fetchFrame(Seq("x", "y"), Now - 180, Now, Now)
+    val rows = df.orderBy("metric", "interval").collect()
+    assert(rows.length == 6) // 3 slots × 2 metrics, dense
+    assert(rows.count(!_.isNullAt(2)) == 2)
+
+    store.registerViews("g")
+    val viaSql = spark.sql(
+      "SELECT metric, count(*) AS n FROM g_level_0 GROUP BY 1 ORDER BY 1").collect()
+    assert(viaSql.map(r => r.getString(0) -> r.getLong(1)).toSeq ==
+      Seq("x" -> 1L, "y" -> 1L))
+    assert(spark.sql("SELECT count(*) FROM g_policies").head().getLong(0) == 2L)
+  }
+
   test("vacuum drops expired time buckets") {
     val store = freshStore()
     store.create("m", RetentionPolicy(Seq(ArchiveInfo(1, 1000)))) // ~17 min retention

@@ -41,6 +41,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.values.flatten == Seq(12.0)) // avg(10..14) propagated
   }
 
+  test("late data within retention is accepted and overwrites (LWW), batch after batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-late").toString, numBuckets = 4)
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 300))))
+
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value", "seq")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value", "seq")
+
+    // batch 1: two fresh points
+    mem.addData(("m", Now - 120, 1.0, 0L), ("m", Now - 60, 2.0, 1L))
+    val q1 = StreamingIngest.start(
+      stream, store, Files.createTempDirectory("ckpt-late").toString, () => Now)
+    q1.awaitTermination(60000)
+    // batch 2: a LATE point for the already-written Now-120 slot, plus
+    // one too-old point (beyond retention → silently dropped)
+    mem.addData(("m", Now - 120, 9.0, 2L), ("m", Now - 100000, 5.0, 3L))
+    val q2 = StreamingIngest.start(
+      stream, store, Files.createTempDirectory("ckpt-late2").toString, () => Now)
+    q2.awaitTermination(60000)
+
+    val Some(res) = store.fetch("m", Now - 180, Now, Now)
+    assert(res.values.flatten == Seq(9.0, 2.0)) // late write won; too-old dropped
+  }
+
   test("rollupStream: watermarked tumbling windows with xff gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
