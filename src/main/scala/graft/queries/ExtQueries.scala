@@ -231,6 +231,45 @@ object ExtQueries {
           .orderBy("qid", "rank"),
       None),
 
+    QueryDef(
+      "d07_corpus_pipeline",
+      // the composite training-data pipeline: quality-filter → exact
+      // dedup (keep the keeper) → per-source corpus stats — the shape a
+      // 100 TB curation job takes, end to end in one plan
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = d.select(col("doc_id"), col("source"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+          .where(col("q") >= 0.5)
+        val keepers = scored
+          .groupBy("fp")
+          .agg(min(col("doc_id")).as("doc_id"))
+        scored.join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("n_tokens"))
+          .orderBy("source")
+      },
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, $fpSql AS fp,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens,
+         |    (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |      + least((CAST(len(regexp_extract_all(lower(text),
+         |            '\\b(${TextAnalysis.StopEn.mkString("|")})\\b')) AS DOUBLE)
+         |          / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0)) * 4.0, 1.0)
+         |      + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |          / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0, 1.0))) / 3.0 AS q
+         |  FROM documents
+         |), filtered AS (SELECT * FROM scored WHERE q >= 0.5),
+         |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens
+         |FROM filtered JOIN keepers USING (fp, doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     // ---- multimodal ---------------------------------------------------
     QueryDef(
       "m01_multimodal_decode",

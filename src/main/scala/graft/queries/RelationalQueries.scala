@@ -133,6 +133,74 @@ object RelationalQueries {
     ),
 
     QueryDef(
+      "q07_cube_counts",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+    ),
+
+    QueryDef(
+      "q08_region_revenue",
+      (s, dir) => {
+        val r = t(s, dir, "region").select("r_regionkey", "r_name")
+        val n = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy("r_name")
+      },
+      """SELECT r_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    QueryDef(
+      "q09_running_sum",
+      // window FRAME (rows unbounded preceding): per-customer running
+      // order spend. Decimal-exact cumulative terms keep the running
+      // totals bit-identical regardless of each engine's frame algorithm.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .withColumn("running_spend", sum(col("p")).over(w).cast("double"))
+          .where(col("o_custkey") < 50)
+          .select("o_custkey", "o_orderkey", "running_spend")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ),
+
+    QueryDef(
       "q06_brand_stats",
       (s, dir) => {
         val p = t(s, dir, "part").select("p_partkey", "p_brand")
