@@ -285,8 +285,8 @@ object WhisperQueries {
         val store = new graft.store.MetricStore(s, root, numBuckets = 8)
         val policy = RetentionPolicy(
           Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000)), xff = 0.5f)
-        Seq("click", "view", "signup", "error", "purchase")
-          .foreach(m => store.create(m, policy))
+        store.createAll(
+          Seq("click", "view", "signup", "error", "purchase"), policy)
         store.updateMany(
           events(s, dir).select(col("metric"), col("tsec").as("ts"),
             col("value"), col("seq")),

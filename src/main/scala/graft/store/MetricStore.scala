@@ -45,7 +45,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
   private val fs = new java.io.File(root)
   fs.mkdirs()
 
-  private def policiesPath = s"$root/policies"
+  private def policiesPath = s"$root/policies.tsv"
   private def levelPath(i: Int) = s"$root/level_$i"
 
   // ---- policy catalog -------------------------------------------------
@@ -57,41 +57,42 @@ final class MetricStore(val spark: SparkSession, val root: String,
   private[store] def bucketSeconds(step: Int): Long = step.toLong * 8192
 
   def policies(): Map[String, RetentionPolicy] =
-    if (!new java.io.File(policiesPath).exists()) Map.empty
-    else
-      spark.read
-        .parquet(policiesPath)
-        .collect()
-        .map { r =>
-          r.getAs[String]("metric") -> RetentionPolicy(
-            Retention.parseSchema(r.getAs[String]("spec")),
-            r.getAs[Float]("xff"),
-            AggregationMethod.fromName(r.getAs[String]("aggregation")))
-        }
-        .toMap
+    MetricStore.readCatalog(policiesPath).map {
+      case (m, spec, xff, agg) =>
+        m -> RetentionPolicy(
+          Retention.parseSchema(spec), xff, AggregationMethod.fromName(agg))
+    }.toMap
 
+  /** The catalog is small metadata, so it is plain-file IO (whisper reads
+    * headers directly too) — no Spark job per create/info/set. Writes are
+    * atomic via tmp+rename, the whisper-resize swap trick.
+    */
   private def writePolicies(ps: Map[String, RetentionPolicy]): Unit = {
-    import spark.implicits._
-    val rows = ps.toSeq.map {
+    val rows = ps.toSeq.sortBy(_._1).map {
       case (m, p) =>
         val spec = p.levels.map(a => s"${a.secondsPerPoint}:${a.points}").mkString(",")
-        (m, spec, p.xff, p.aggregation.name)
+        s"$m\t$spec\t${p.xff}\t${p.aggregation.name}"
     }
-    // tiny table: single-file rewrite (atomic enough for a batch engine;
-    // a production deployment would put this in a transactional catalog)
-    rows.toDF("metric", "spec", "xff", "aggregation")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(policiesPath)
+    val tmp = java.nio.file.Paths.get(policiesPath + ".tmp")
+    java.nio.file.Files.writeString(tmp, rows.mkString("\n"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(policiesPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** whisper create(): register a metric. Fails if it already exists
     * (whisper.py:501-502).
     */
-  def create(metric: String, policy: RetentionPolicy): Unit = {
+  def create(metric: String, policy: RetentionPolicy): Unit =
+    createAll(Seq(metric), policy)
+
+  /** Batch registration: one catalog write for many metrics. */
+  def createAll(metrics: Seq[String], policy: RetentionPolicy): Unit = {
     val ps = policies()
-    if (ps.contains(metric))
-      throw new InvalidConfiguration(s"File $metric already exists!")
-    writePolicies(ps + (metric -> policy))
+    metrics.find(ps.contains).foreach { m =>
+      throw new InvalidConfiguration(s"File $m already exists!")
+    }
+    writePolicies(ps ++ metrics.map(_ -> policy))
   }
 
   /** whisper info() (whisper.py:878-889). */
@@ -203,12 +204,19 @@ final class MetricStore(val spark: SparkSession, val root: String,
     try {
       val steps = policy.levels.map(_.secondsPerPoint)
 
+      // one pass over the routed cache tells us which levels have direct
+      // writes — replaces a per-level isEmpty job each
+      val directCounts: Map[Int, Long] = routed
+        .groupBy("level").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
       // direct writes per level (points too old for finer levels land
       // directly in coarser ones, whisper.py:767-784)
       steps.indices.foreach { i =>
-        val direct = routed.where(col("level") === i)
-          .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio"))
-        if (i == 0 || !direct.isEmpty) upsertLevel(i, steps(i), direct)
+        if (directCounts.getOrElse(i, 0L) > 0)
+          upsertLevel(i, steps(i),
+            routed.where(col("level") === i)
+              .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio")))
       }
 
       // rollup cascade: recompute only touched lower windows from the
@@ -220,22 +228,24 @@ final class MetricStore(val spark: SparkSession, val root: String,
       // neither propagates nor received direct writes (the bulk early
       // exit, whisper.py:868-875).
       var changed = routed.where(col("level") === 0).select("metric", "interval")
+      var changedNonEmpty = directCounts.getOrElse(0, 0L) > 0
       var i = 1
-      var continue = !changed.isEmpty
-      while (continue && i < steps.length) {
+      while (changedNonEmpty && i < steps.length) {
         val propagated = Rollup
           .propagateTouched(
             levelData(i - 1).select("metric", "interval", "value"),
             changed, steps(i - 1), steps(i), policy.aggregation, policy.xff)
           .cache()
-        if (!propagated.isEmpty)
+        val propagatedAny = !propagated.isEmpty
+        if (propagatedAny)
           upsertLevel(i, steps(i),
             propagated.withColumn("prio", lit(1L))) // propagate beats direct
         changed = propagated
           .select("metric", "interval")
           .unionByName(routed.where(col("level") === i).select("metric", "interval"))
-          .distinct()
-        continue = !changed.isEmpty
+        // no extra job: nonempty iff something propagated or level i took
+        // direct writes (known from the counts pass)
+        changedNonEmpty = propagatedAny || directCounts.getOrElse(i, 0L) > 0
         i += 1
       }
     } finally routed.unpersist()
@@ -350,16 +360,13 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * returning (metric, error) for unparseable/invalid ones.
     */
   def validateAll(): Seq[(String, String)] = {
-    if (!new java.io.File(policiesPath).exists()) return Nil
-    spark.read.parquet(policiesPath).collect().toSeq.flatMap { r =>
-      val m = r.getAs[String]("metric")
-      try {
-        RetentionPolicy(
-          Retention.parseSchema(r.getAs[String]("spec")),
-          r.getAs[Float]("xff"),
-          AggregationMethod.fromName(r.getAs[String]("aggregation")))
-        None
-      } catch { case e: Throwable => Some(m -> e.getMessage) }
+    MetricStore.readCatalog(policiesPath).flatMap {
+      case (m, spec, xff, agg) =>
+        try {
+          RetentionPolicy(Retention.parseSchema(spec), xff,
+            AggregationMethod.fromName(agg))
+          None
+        } catch { case e: Throwable => Some(m -> e.getMessage) }
     }
   }
 
@@ -411,8 +418,14 @@ final class MetricStore(val spark: SparkSession, val root: String,
       levelData(i).select("metric", "interval", "value")
         .createOrReplaceTempView(s"${prefix}_level_$i")
     }
-    if (new java.io.File(policiesPath).exists())
-      spark.read.parquet(policiesPath).createOrReplaceTempView(s"${prefix}_policies")
+    import spark.implicits._
+    ps.toSeq.sortBy(_._1)
+      .map { case (m, p) =>
+        (m, p.levels.map(a => s"${a.secondsPerPoint}:${a.points}").mkString(","),
+          p.xff, p.aggregation.name)
+      }
+      .toDF("metric", "spec", "xff", "aggregation")
+      .createOrReplaceTempView(s"${prefix}_policies")
   }
 
   // ---- maintenance ----------------------------------------------------
@@ -506,6 +519,17 @@ final class MetricStore(val spark: SparkSession, val root: String,
 }
 
 object MetricStore {
+  /** Raw catalog rows (metric, spec, xff, aggregation). */
+  private[store] def readCatalog(path: String): Seq[(String, String, Float, String)] = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(f)) Nil
+    else
+      java.nio.file.Files.readString(f).split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(m, spec, xff, agg) = line.split("\t", 4)
+        (m, spec, xff.toFloat, agg)
+      }
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete()
