@@ -152,6 +152,23 @@ final class MetricStore(val spark: SparkSession, val root: String,
     */
   private def upsertLevel(i: Int, step: Int, incoming: DataFrame): Unit = {
     val newPts = withPartitionCols(incoming, step)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    // first write to a fresh level: incoming frames are already
+    // slot-unique (routed/propagated), so skip the merge aggregation.
+    // Cluster by the partition keys before writing — without it every
+    // task writes a file into every (pb, tb) directory and the file
+    // count explodes by the task count.
+    if (!new java.io.File(levelPath(i)).exists()) {
+      newPts.drop("prio")
+        .repartition(col("pb"), col("tb"))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("pb", "tb")
+        .parquet(levelPath(i))
+      return
+    }
+
     val touched = newPts.select("pb", "tb").distinct().collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSet
     if (touched.isEmpty) return
@@ -167,8 +184,9 @@ final class MetricStore(val spark: SparkSession, val root: String,
       .groupBy("metric", "interval", "pb", "tb")
       .agg(max_by(col("value"), col("prio")).as("value"))
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write
+    merged
+      .repartition(col("pb"), col("tb")) // one writer set per touched partition
+      .write
       .mode(SaveMode.Overwrite)
       .partitionBy("pb", "tb")
       .parquet(levelPath(i))

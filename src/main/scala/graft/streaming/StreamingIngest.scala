@@ -67,6 +67,20 @@ object StreamingIngest {
         col("value"))
   }
 
+  /** Streaming exact dedup for the training-data pipeline: drop documents
+    * whose canonical fingerprint was already seen, with state bounded by
+    * a watermark (a duplicate arriving later than `maxLatenessSec` after
+    * its original passes through — the batch dedup sweep catches those).
+    *
+    * @param docs streaming frame with (ts: timestamp, text: string, ...)
+    */
+  def dedupStream(docs: DataFrame, maxLatenessSec: Long): DataFrame =
+    docs
+      .withColumn("fp", graft.ext.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", s"$maxLatenessSec seconds")
+      .dropDuplicates("fp")
+      .drop("fp")
+
   /** Convenience: stream rollups for every level of a policy (each level
     * its own query; level i aggregates the raw stream at level-i
     * granularity — streaming recompute, not cascade, so each window is

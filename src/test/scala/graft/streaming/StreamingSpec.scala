@@ -68,6 +68,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.values.flatten == Seq(9.0, 2.0)) // late write won; too-old dropped
   }
 
+  test("dedupStream: streaming exact dedup with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "tsec", "text")
+      .selectExpr("doc_id", "timestamp_seconds(tsec) AS ts", "text")
+    val deduped = StreamingIngest.dedupStream(stream, maxLatenessSec = 3600)
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    mem.addData(
+      (1L, 1000L, "Hello, World!"),
+      (2L, 1010L, "hello world"), // canonical duplicate of doc 1
+      (3L, 1020L, "something else"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size == 2 && ids.contains(3L) &&
+      (ids.contains(1L) ^ ids.contains(2L))) // one survivor per content
+  }
+
   test("rollupStream: watermarked tumbling windows with xff gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
