@@ -99,16 +99,38 @@ object Similarity {
     c.withColumn("bucket", explode(array(buckets: _*)))
   }
 
-  /** IVF index: coarse centroids = deterministic corpus sample refined by
-    * one Lloyd step (computed distributed, collected — nlist rows only);
-    * every vector is assigned to its nearest centroid cell.
+  /** IVF coarse centroids: deterministic seed sample (nlist lowest ids)
+    * refined by one distributed Lloyd step — assign all vectors to their
+    * nearest seed, then each cell's centroid becomes the mean of its
+    * members (computed as a (cell, dim)-grouped aggregation; only
+    * nlist×dim rows ever reach the driver).
     */
+  def ivfCentroids(c: DataFrame, nlist: Int): DataFrame = {
+    val spark = c.sparkSession
+    val seeds = c.orderBy("id").limit(nlist)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val assigned = assignToNearest(c, seeds)
+    val meanByDim = assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("x")).as("x"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map {
+        case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+      .toSeq
+      .sortBy(_._1)
+    import spark.implicits._
+    meanByDim.toDF("cid", "cvec")
+  }
+
+  /** IVF index: every vector assigned to its nearest refined centroid. */
   def ivfAssign(emb: DataFrame, nlist: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus(emb, idCol, vecCol)
-    // deterministic seed sample: nlist lowest ids (stable across runs)
-    val seeds = c.orderBy("id").limit(nlist).select(col("id").as("cid"), col("vec").as("cvec"))
-    assignToNearest(c, seeds)
+    assignToNearest(c, ivfCentroids(c, nlist))
   }
 
   private def assignToNearest(c: DataFrame, cents: DataFrame): DataFrame = {
@@ -127,10 +149,9 @@ object Similarity {
   def topkIvf(emb: DataFrame, queryIds: Seq[Long], k: Int, nlist: Int = 16,
               nprobe: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(emb, nlist, idCol, vecCol).cache()
-    val cents = corpus(emb, idCol, vecCol)
-      .orderBy("id").limit(nlist)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val c = corpus(emb, idCol, vecCol)
+    val cents = ivfCentroids(c, nlist).cache()
+    val assigned = assignToNearest(c, cents).cache()
     val q = corpus(emb, idCol, vecCol)
       .where(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("vec").as("qvec"))
