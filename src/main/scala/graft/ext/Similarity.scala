@@ -91,7 +91,7 @@ object Similarity {
     val buckets = (0 until tables).map { t =>
       (0 until planes)
         .map { i =>
-          val planeCol = array(hp(t * planes + i).map(lit): _*)
+          val planeCol = array(hp(t * planes + i).toIndexedSeq.map(lit): _*)
           when(dotCol(col("vec"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
         }
         .reduce(_ + _) + lit(t.toLong << planes) // disjoint bucket spaces per table
