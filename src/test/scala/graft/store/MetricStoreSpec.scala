@@ -172,12 +172,17 @@ class MetricStoreSpec extends AnyFunSuite {
     assert(rows.length == 6) // 3 slots × 2 metrics, dense
     assert(rows.count(!_.isNullAt(2)) == 2)
 
-    store.registerViews("g")
+    graft.Engine.install(spark, store, "g")
     val viaSql = spark.sql(
       "SELECT metric, count(*) AS n FROM g_level_0 GROUP BY 1 ORDER BY 1").collect()
     assert(viaSql.map(r => r.getString(0) -> r.getLong(1)).toSeq ==
       Seq("x" -> 1L, "y" -> 1L))
     assert(spark.sql("SELECT count(*) FROM g_policies").head().getLong(0) == 2L)
+    // the custom expression is callable from SQL after install
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
+    assert(dp == 11.0)
+    spark.experimental.extraOptimizations = Nil // don't leak into other suites
   }
 
   test("vacuum drops expired time buckets") {
