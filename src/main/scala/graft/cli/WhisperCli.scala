@@ -69,22 +69,39 @@ object WhisperCli {
         println(s"updated ${rows.size} points")
 
       case "fetch" =>
+        // mirrors bin/whisper-fetch.py: --json, --pretty, --drop
+        // nulls|zeroes|empty, plus explicit archive selection by
+        // precision (fetch archiveToSelect, whisper.py:943-957)
         val Array(_, store, metric, from, until, opts @ _*) = args: @unchecked
+        val archive = opts.sliding(2).collectFirst {
+          case Seq("--archive", p) => Retention.parseRetentionDef(s"$p:1").secondsPerPoint
+        }
         val res = new MetricStore(session(), store)
-          .fetch(metric, from.toLong, until.toLong, now)
+          .fetch(metric, from.toLong, until.toLong, now, archive)
           .getOrElse { println("no data in requested range"); sys.exit(0); ??? }
-        val dropNulls = opts.contains("--drop") && opts.contains("nulls")
+        val dropMode = opts.sliding(2).collectFirst { case Seq("--drop", m) => m }
+        def dropped(v: Option[Double]): Boolean = dropMode match {
+          case Some("nulls")  => v.isEmpty
+          case Some("zeroes") => v.contains(0.0)
+          case Some("empty")  => v.isEmpty || v.contains(0.0)
+          case _ => false
+        }
         if (opts.contains("--json")) {
-          val vals = res.values
+          val vals = res.values.filterNot(dropped)
             .map(_.map(_.toString).getOrElse("null")).mkString("[", ", ", "]")
           println(s"""{"start": ${res.fromInterval}, "end": ${res.untilInterval}, """ +
             s""""step": ${res.step}, "values": $vals}""")
         } else {
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
           res.values.zipWithIndex.foreach {
             case (v, i) =>
               val t = res.fromInterval + i * res.step
+              val ts =
+                if (opts.contains("--pretty")) fmt.format(java.time.Instant.ofEpochSecond(t))
+                else t.toString
               val s = v.map(_.toString).getOrElse("None")
-              if (!(dropNulls && v.isEmpty)) println(s"$t\t$s")
+              if (!dropped(v)) println(s"$ts\t$s")
           }
         }
 
