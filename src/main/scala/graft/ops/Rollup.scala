@@ -38,6 +38,76 @@ object Rollup {
       .select(col("metric"), col("interval"), col("value"))
   }
 
+  /** Skew-safe variant of propagate: two-stage aggregation with a salt on
+    * the higher-resolution interval. A hot metric whose window has
+    * pathologically many points first combines within
+    * (metric, window, salt) partitions — spreading one hot key over
+    * `salts` reducers — then the small per-salt partials combine exactly.
+    * Every kernel decomposes: sums/counts directly; last/absmax/absmin by
+    * carrying the winning (value, interval) pair and re-comparing with
+    * the same ordering in the final stage. Bit-equal to `propagate` for
+    * sum/min/max/last/absmax/absmin; avg re-associates the sum (same
+    * value up to FP reassociation).
+    */
+  def propagateSalted(higher: DataFrame,
+                      higherStep: Int,
+                      lowerStep: Int,
+                      method: AggregationMethod,
+                      xff: Float,
+                      salts: Int = 16): DataFrame = {
+    require(lowerStep % higherStep == 0, s"$higherStep does not divide $lowerStep")
+    val slots = lowerStep / higherStep
+    import AggregationMethod._
+    val keyed = higher.groupBy(
+      col("metric"),
+      Grid.align(col("interval"), lowerStep).as("interval"),
+      pmod(hash(col("interval")), lit(salts)).as("salt"))
+
+    val finished = method match {
+      case Average | Sum | AvgZero =>
+        val partial = keyed.agg(sum(col("value")).as("s"), count(col("value")).as("c"))
+        val fin = partial.groupBy("metric", "interval")
+          .agg(sum(col("s")).as("s"), sum(col("c")).as("known"))
+        val v = method match {
+          case Average => col("s") / col("known")
+          case Sum     => col("s")
+          case _       => col("s") / lit(slots)
+        }
+        fin.select(col("metric"), col("interval"), v.as("value"), col("known"))
+      case Max | Min =>
+        val agg0 = if (method == Max) max(col("value")) else min(col("value"))
+        val partial = keyed.agg(agg0.as("v"), count(col("value")).as("c"))
+        val agg1 = if (method == Max) max(col("v")) else min(col("v"))
+        partial.groupBy("metric", "interval")
+          .agg(agg1.as("value"), sum(col("c")).as("known"))
+      case Last =>
+        val partial = keyed.agg(
+          max_by(col("value"), col("interval")).as("v"),
+          max(col("interval")).as("mi"), count(col("value")).as("c"))
+        partial.groupBy("metric", "interval")
+          .agg(max_by(col("v"), col("mi")).as("value"), sum(col("c")).as("known"))
+      case AbsMax | AbsMin =>
+        // carry the winner's (value, interval) so the final stage applies
+        // the SAME tie-break ordering as the single-stage kernel
+        val ord = (v: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+          if (method == AbsMax) struct(abs(v), -i) else struct(abs(v), i)
+        val pick = (vi: org.apache.spark.sql.Column, o: org.apache.spark.sql.Column) =>
+          if (method == AbsMax) max_by(vi, o) else min_by(vi, o)
+        val partial = keyed.agg(
+          pick(struct(col("value").as("v"), col("interval").as("i")),
+            ord(col("value"), col("interval"))).as("vi"),
+          count(col("value")).as("c"))
+        partial.groupBy("metric", "interval")
+          .agg(
+            pick(col("vi"), ord(col("vi.v"), col("vi.i"))).as("vi"),
+            sum(col("c")).as("known"))
+          .select(col("metric"), col("interval"), col("vi.v").as("value"), col("known"))
+    }
+    finished
+      .where(Kernels.xffGate(col("known"), lit(slots), xff))
+      .select(col("metric"), col("interval"), col("value"))
+  }
+
   /** Incremental variant: recompute ONLY the lower windows touched by a
     * change set — whisper's `uniqueLowerIntervals` incremental maintenance
     * (whisper.py:866-869). `changedIntervals` is a small (metric,

@@ -83,6 +83,27 @@ class OpsSpec extends AnyFunSuite {
     assert(gated.isEmpty) // 1/6 < 0.5
   }
 
+  test("propagateSalted equals propagate for every kernel on random data") {
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 500).map { i =>
+      (s"m${rnd.nextInt(3)}", rnd.nextInt(120) * 10L,
+        math.floor(rnd.nextGaussian() * 20) / 2) // 0.5-grid values incl. negatives
+    }.toDF("metric", "interval", "value")
+      .groupBy("metric", "interval").agg(max_by($"value", $"value").as("value")) // unique slots
+      .cache()
+    AggregationMethod.all.foreach { m =>
+      val plain = Rollup.propagate(pts, 10, 60, m, 0.3f)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val salted = Rollup.propagateSalted(pts, 10, 60, m, 0.3f, salts = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(salted.keySet == plain.keySet, s"method $m keys")
+      salted.foreach {
+        case (k, v) =>
+          assert(math.abs(v - plain(k)) < 1e-12, s"method $m at $k: $v vs ${plain(k)}")
+      }
+    }
+  }
+
   test("planFetch: range normalization (whisper.py:913-937)") {
     val p = RetentionPolicy(Seq(ArchiveInfo(60, 60))) // 1 hour retention
     intercept[InvalidTimeInterval](Fetch.planFetch(p, 100, 50, Now))
