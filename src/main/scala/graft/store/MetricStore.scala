@@ -331,12 +331,19 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * (whisper.py:1076-1093). Implemented as a prio-1 upsert of src's rows
     * relabeled to dst.
     */
-  def mergeMetric(src: String, dst: String): Unit = {
+  def mergeMetric(src: String, dst: String,
+                  timeFrom: Option[Long] = None,
+                  timeTo: Option[Long] = None): Unit = {
     val p = requireSameConfig(src, dst)
     p.levels.zipWithIndex.foreach {
       case (lvl, i) =>
+        // optional [time_from, time_to] clamp (whisper.py:1062-1074)
+        val clamped = Seq(
+          timeFrom.map(col("interval") >= _),
+          timeTo.map(col("interval") <= _)
+        ).flatten.foldLeft(col("metric") === src)(_ && _)
         val srcRows = levelData(i)
-          .where(col("metric") === src)
+          .where(clamped)
           .select(lit(dst).as("metric"), col("interval"), col("value"), lit(1L).as("prio"))
         if (!srcRows.isEmpty) upsertLevel(i, lvl.secondsPerPoint, srcRows)
     }

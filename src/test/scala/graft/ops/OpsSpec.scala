@@ -158,6 +158,14 @@ class OpsSpec extends AnyFunSuite {
     assert(Debug.stats().readRecords == 0)
   }
 
+  test("diff ignore_empty keeps only both-present disagreements (whisper.py:1140-1143)") {
+    val a = Seq(("m", 0L, 1.0), ("m", 60L, 2.0)).toDF("metric", "interval", "value")
+    val b = Seq(("m", 60L, 9.0), ("m", 120L, 3.0)).toDF("metric", "interval", "value")
+    assert(Combine.diff(a, b).count() == 3) // one-sided rows included
+    val strict = Combine.diff(a, b, ignoreEmpty = true).collect()
+    assert(strict.length == 1 && strict.head.getLong(1) == 60L)
+  }
+
   test("cascade materializes every level (resize path)") {
     val p = RetentionPolicy(Seq(ArchiveInfo(10, 100), ArchiveInfo(60, 100),
       ArchiveInfo(300, 100)), xff = 0f)

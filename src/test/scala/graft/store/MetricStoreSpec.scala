@@ -138,6 +138,16 @@ class MetricStoreSpec extends AnyFunSuite {
     assert(filled == Map(
       Now - 300 -> 1.0, Now - 240 -> 9.0, Now - 180 -> 3.0))
 
+    // time-clamped merge copies only the in-range slot
+    store.create("dst3", p)
+    store.updateMany(Seq(("dst3", Now - 180, 7.0, 9L))
+      .toDF("metric", "ts", "value", "seq"), Now)
+    store.mergeMetric("src", "dst3",
+      timeFrom = Some(Now - 250), timeTo = Some(Now - 200))
+    val clamped = store.levelData(0).where($"metric" === "dst3").collect()
+      .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+    assert(clamped == Map(Now - 240 -> 2.0, Now - 180 -> 7.0)) // Now-300 excluded
+
     val d = store.diffMetrics("src", "dst2").collect()
     // src: (-300,1),( -240,2); dst2: (-300,1),(-240,9),(-180,3)
     // differ at -240 (2 vs 9) and -180 (null vs 3); agree at -300
