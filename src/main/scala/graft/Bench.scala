@@ -35,7 +35,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Incremental-ingest evidence (ROADMAP #1): x00 = cold full-history
+    // ingest into a fresh store; x01 = a second one-day batch into the
+    // SAME store. At scale the second number must track the batch size
+    // (touched-partition upsert + touched-window cascade), not the table
+    // size — the whisper write-cost model (BASELINE.md: ingest linear in
+    // batch + touched rollup windows).
+    val incremental: Map[String, Double] = try {
+      import org.apache.spark.sql.functions.col
+      import graft.model.{ArchiveInfo, RetentionPolicy}
+      val root = java.nio.file.Files.createTempDirectory("graft-x01").toString
+      val store = new graft.store.MetricStore(spark, root, numBuckets = 8)
+      store.createAll(Seq("click", "view", "signup", "error", "purchase"),
+        RetentionPolicy(Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000)), xff = 0.5f))
+      val ev = graft.queries.WhisperQueries.events(spark, sfDir)
+        .select(col("metric"), col("tsec").as("ts"), col("value"), col("seq"))
+      val lastDay = 1706486400L // 2024-01-29T00:00:00Z
+      val now = graft.queries.WhisperQueries.Now
+      val t0 = System.nanoTime()
+      store.updateMany(ev.where(col("ts") < lastDay), now)
+      val t1 = System.nanoTime()
+      store.updateMany(ev.where(col("ts") >= lastDay), now)
+      val t2 = System.nanoTime()
+      Map("x00_ingest_full" -> (t1 - t0) / 1e9,
+        "x01_ingest_second_batch" -> (t2 - t1) / 1e9)
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val qs = (results ++ incremental).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

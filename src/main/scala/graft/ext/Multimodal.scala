@@ -70,4 +70,71 @@ object Multimodal {
   /** End-to-end: docs → blobs → decoded metadata frame. */
   def decodeDocs(spark: SparkSession, docs: DataFrame): DataFrame =
     decode(asBlobs(docs)).toDF()
+
+  /** Resize planning: target dimensions for a max-edge constraint,
+    * aspect-ratio preserved, never upscaled. Pure column arithmetic over
+    * the decoded metadata — fully codegen'd, no UDF, no shuffle; the
+    * actual pixel resample happens inside the (stubbed) per-partition
+    * codec, but WHAT to resize to is a plan the engine computes
+    * declaratively for the whole corpus.
+    */
+  def resizePlan(meta: DataFrame, maxEdge: Int = 224): DataFrame = {
+    val scale = least(lit(1.0), lit(maxEdge.toDouble) / greatest(col("width"), col("height")))
+    meta.select(
+      col("id"), col("width"), col("height"),
+      greatest(lit(1L), floor(col("width") * scale)).cast("int").as("out_width"),
+      greatest(lit(1L), floor(col("height") * scale)).cast("int").as("out_height"))
+  }
+
+  /** Uniform frame sampling for video-ish blobs: up to `maxFrames` frames
+    * per blob at a fixed stride (`ceil(n_frames / maxFrames)`). The frame
+    * table is the explode of a generated sequence — rows stay on the
+    * executor that holds the blob (no shuffle), and the downstream
+    * per-frame decode is again partition-parallel.
+    */
+  def sampleFrames(meta: DataFrame, maxFrames: Int = 4): DataFrame = {
+    val stride = ceil(col("n_frames").cast("double") / maxFrames).cast("int")
+    meta.select(
+      col("id"), col("n_frames"),
+      explode(sequence(lit(0), col("n_frames") - 1, stride)).as("frame_idx"))
+  }
+
+  /** Byte-level feature summary (what a real extractor's pooling layer
+    * reduces to): count/sum/min/max/distinct over the blob's raw bytes.
+    */
+  final case class MediaFeatures(
+      id: Long,
+      n_bytes: Int,
+      byte_sum: Long,
+      byte_min: Int,
+      byte_max: Int,
+      n_distinct: Int)
+
+  /** Feature extraction over raw payload bytes. This is genuinely
+    * per-byte imperative work — exactly the case for typed mapPartitions
+    * (SURVEY.md: RDD-style logic only where declarative ops can't reach):
+    * one pass per blob, no boxing, blobs never leave their partition.
+    */
+  def byteFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { b =>
+      var sum = 0L
+      var min = 255
+      var max = 0
+      val seen = new Array[Boolean](256)
+      var distinct = 0
+      var i = 0
+      while (i < b.data.length) {
+        val v = b.data(i) & 0xff
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        if (!seen(v)) { seen(v) = true; distinct += 1 }
+        i += 1
+      }
+      MediaFeatures(b.id, b.data.length, sum,
+        if (b.data.isEmpty) 0 else min, max, distinct)
+    })
+  }
 }

@@ -99,18 +99,56 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     if (isLevel0 && plan.collectLeaves().nonEmpty) Some(plan) else None
   }
 
-  /** grouping = [metric, interval - (interval % S)] → (metricExpr, S). */
+  /** Strip no-op casts so `floor(interval / 300L)` and spelling variants
+    * reduce to one recognizable core.
+    */
+  private def uncast(e: Expression): Expression = e match {
+    case Cast(child, _, _, _) => uncast(child)
+    case other => other
+  }
+
+  private def longLit(e: Expression): Option[Long] = uncast(e) match {
+    case Literal(v: Long, _) => Some(v)
+    case Literal(v: Int, _)  => Some(v.toLong)
+    // constant folding rewrites `interval / 300L` to `interval / 300.0`
+    case Literal(v: Double, _) if v.isWhole => Some(v.toLong)
+    case Literal(v: java.math.BigDecimal, _)
+        if v.stripTrailingZeros.scale <= 0 => Some(v.longValueExact)
+    case _ => None
+  }
+
+  private def intervalAttr(e: Expression): Option[Attribute] = uncast(e) match {
+    case a: Attribute if a.name == "interval" => Some(a)
+    case _ => None
+  }
+
+  /** grouping must contain `metric` and a step-S alignment of `interval`,
+    * in any of its common spellings:
+    *   interval - interval % S
+    *   (interval div S) * S
+    *   floor(interval / S) * S
+    */
   private def matchGrouping(grouping: Seq[Expression]): Option[(Expression, Int)] = {
-    val aligned = grouping.collectFirst {
-      case Subtract(iv: Attribute, Pmod(iv2: Attribute, Literal(step: Long, _), _), _)
-          if iv.name == "interval" && iv2.semanticEquals(iv) => step.toInt
-      case Subtract(iv: Attribute, Remainder(iv2: Attribute, Literal(step: Long, _), _), _)
-          if iv.name == "interval" && iv2.semanticEquals(iv) => step.toInt
+    def alignStep(e: Expression): Option[Long] = uncast(e) match {
+      case Subtract(l, Pmod(l2, s, _), _) =>
+        for (_ <- intervalAttr(l); a <- intervalAttr(l2); st <- longLit(s)) yield st
+      case Subtract(l, Remainder(l2, s, _), _) =>
+        for (_ <- intervalAttr(l); a <- intervalAttr(l2); st <- longLit(s)) yield st
+      case Multiply(q, s, _) =>
+        (uncast(q) match {
+          case IntegralDivide(l, s2, _) =>
+            for (_ <- intervalAttr(l); st2 <- longLit(s2)) yield st2
+          case Floor(Divide(l, s2, _)) =>
+            for (_ <- intervalAttr(l); st2 <- longLit(s2)) yield st2
+          case _ => None
+        }).filter(st2 => longLit(s).contains(st2))
+      case _ => None
     }
+    val aligned = grouping.flatMap(alignStep).headOption
     val metric = grouping.collectFirst {
       case a: Attribute if a.name == "metric" => a: Expression
     }
-    for (s <- aligned; m <- metric) yield (m, s)
+    for (s <- aligned; m <- metric) yield (m, s.toInt)
   }
 
   /** single value aggregate matching a policy kernel. */
@@ -124,6 +162,11 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
           if v.name == "value" => AggregationMethod.Max
       case AggregateExpression(Min(v: Attribute), _, false, None, _)
           if v.name == "value" => AggregationMethod.Min
+      // whisper's `last` = chronologically last known → max_by(value, interval)
+      case AggregateExpression(
+            org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(
+              v: Attribute, ord: Attribute), _, false, None, _)
+          if v.name == "value" && ord.name == "interval" => AggregationMethod.Last
     })
     if (kernels.size == 1) kernels.headOption else None
   }

@@ -280,6 +280,60 @@ object ExtQueries {
         |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
         |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
         |FROM documents ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "m02_multimodal_resize",
+      // resize planning: max-edge 224, aspect preserved, no upscale —
+      // pure column arithmetic over the decoded metadata
+      (s, dir) =>
+        Multimodal.resizePlan(Multimodal.decodeDocs(s, docs(s, dir))).orderBy("id"),
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |    CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height
+        |  FROM documents),
+        |s AS (SELECT *, least(1.0, 224.0 / greatest(width, height)) AS scale FROM m)
+        |SELECT id, width, height,
+        |  CAST(greatest(1, floor(width * scale)) AS INTEGER) AS out_width,
+        |  CAST(greatest(1, floor(height * scale)) AS INTEGER) AS out_height
+        |FROM s ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "m03_multimodal_framesample",
+      // uniform frame sampling: stride = ceil(n_frames/4), frame rows
+      // generated in place (no shuffle)
+      (s, dir) =>
+        Multimodal
+          .sampleFrames(Multimodal.decodeDocs(s, docs(s, dir)))
+          .orderBy("id", "frame_idx"),
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT id, n_frames, CAST(f AS INTEGER) AS frame_idx
+        |FROM m, unnest(range(0, n_frames, CAST(ceil(n_frames / 4.0) AS INTEGER))) AS t(f)
+        |ORDER BY 1, 3""".stripMargin
+    ),
+    QueryDef(
+      "m04_multimodal_features",
+      // per-byte feature extraction in typed mapPartitions; the oracle
+      // re-derives byte values by expanding the blob's hex encoding
+      // (strpos over '123456789ABCDEF' maps each hex digit to its value,
+      // with 0 for both '0' and not-found — identical by construction)
+      (s, dir) =>
+        Multimodal.byteFeatures(Multimodal.asBlobs(docs(s, dir))).toDF().orderBy("id"),
+      """WITH b AS (SELECT doc_id AS id, hex(encode(text)) AS h FROM documents),
+        |u AS (
+        |  SELECT id,
+        |    strpos('123456789ABCDEF', substr(h, i*2-1, 1)) * 16 +
+        |    strpos('123456789ABCDEF', substr(h, i*2, 1)) AS byte
+        |  FROM b, unnest(range(1, length(h)//2 + 1)) AS t(i))
+        |SELECT id, CAST(count(*) AS INTEGER) AS n_bytes,
+        |  CAST(sum(byte) AS BIGINT) AS byte_sum,
+        |  CAST(min(byte) AS INTEGER) AS byte_min,
+        |  CAST(max(byte) AS INTEGER) AS byte_max,
+        |  CAST(count(DISTINCT byte) AS INTEGER) AS n_distinct
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
     )
   )
 }

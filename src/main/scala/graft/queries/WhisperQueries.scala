@@ -297,6 +297,32 @@ object WhisperQueries {
       },
       rollupSql("round(avg(value), 4)", RollStep, 5, 0.5f)),
     QueryDef(
+      "w21_ingest_incremental",
+      // incremental-maintenance gate: the SAME oracle as a cold full
+      // rollup, but reached through TWO updateMany batches split at a
+      // 60s boundary that is NOT 300-aligned (1705276860 % 300 = 60) —
+      // the level-1 window spanning the split is written from batch 1's
+      // partial data, then MUST be recomputed (touched-window cascade,
+      // whisper.py:866-869) when batch 2 completes it. Any stale or
+      // double-counted window hash-mismatches the oracle.
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-w21").toString
+        val store = new graft.store.MetricStore(s, root, numBuckets = 8)
+        val policy = RetentionPolicy(
+          Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000)), xff = 0.5f)
+        store.createAll(
+          Seq("click", "view", "signup", "error", "purchase"), policy)
+        val ev = events(s, dir).select(col("metric"), col("tsec").as("ts"),
+          col("value"), col("seq"))
+        val splitT = 1705276860L // 2024-01-15T00:01:00Z
+        store.updateMany(ev.where(col("ts") < splitT), Now)
+        store.updateMany(ev.where(col("ts") >= splitT), Now)
+        store.levelData(1)
+          .select(col("metric"), col("interval"), round(col("value"), 4).as("value"))
+          .orderBy("metric", "interval")
+      },
+      rollupSql("round(avg(value), 4)", RollStep, 5, 0.5f)),
+    QueryDef(
       "w16_retention_parse",
       (s, dir) => {
         import s.implicits._

@@ -89,6 +89,45 @@ class ExtSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("multimodal resize plan: aspect preserved, max edge bound, no upscale") {
+    val meta = Seq(
+      (1L, "image", 640, 480, 1),
+      (2L, "image", 100, 100, 1),
+      (3L, "image", 100, 448, 1),
+      (4L, "image", 1, 1000, 1)
+    ).toDF("id", "kind", "width", "height", "n_frames")
+      .withColumn("n_bytes", lit(0))
+    val out = Multimodal.resizePlan(meta, maxEdge = 224).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((224, 168))) // downscale, long edge pinned
+    assert(out(2L) == ((100, 100))) // never upscaled
+    assert(out(3L) == ((50, 224)))
+    assert(out(4L) == ((1, 224)))   // floor never reaches 0
+  }
+
+  test("multimodal frame sampling: stride ceil(n/max), ≤ max frames, covers idx 0") {
+    val meta = (1 to 8).map(n => (n.toLong, n)).toDF("id", "n_frames")
+    val out = Multimodal.sampleFrames(meta, maxFrames = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(2)).sorted.toSeq).toMap
+    assert(out(3L) == Seq(0, 1, 2))
+    assert(out(8L) == Seq(0, 2, 4, 6)) // stride 2
+    assert(out.forall { case (_, idxs) => idxs.size <= 4 && idxs.head == 0 })
+  }
+
+  test("multimodal byte features match a naive reference on the fixture") {
+    val got = Multimodal.byteFeatures(Multimodal.asBlobs(docs)).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { f =>
+      val bs = texts(f.id).getBytes("UTF-8").map(_ & 0xff)
+      assert(f.n_bytes == bs.length)
+      assert(f.byte_sum == bs.map(_.toLong).sum)
+      assert(f.byte_min == bs.min && f.byte_max == bs.max)
+      assert(f.n_distinct == bs.distinct.length)
+    }
+  }
+
   test("language ID is deterministic and covers the fixture") {
     val out = docs.select(TextAnalysis.langId(col("text")).as("l")).collect()
     assert(out.forall(r => Set("en", "es", "de", "fr", "zh", "und").contains(r.getString(0))))

@@ -49,6 +49,40 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("floor/div alignment spellings and the last kernel are recognized") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-opt3").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)),
+        xff = 0f, AggregationMethod.Last))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    RollupSubstitution.register(spark, store)
+    try {
+      def assertSubstituted(q: org.apache.spark.sql.DataFrame): Unit = {
+        val optimized = q.queryExecution.optimizedPlan
+        assert(optimized.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isEmpty, s"substitution did not fire:\n$optimized")
+        val got = q.orderBy("interval").collect()
+          .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+        assert(got == Map(w0 -> 14.0, (w0 + 300) -> 19.0)) // last per window
+      }
+      val l0 = store.levelData(0).select("metric", "interval", "value")
+      assertSubstituted(
+        l0.groupBy(col("metric"),
+            expr("(interval div 300) * 300").as("interval"))
+          .agg(max_by(col("value"), col("interval")).as("value")))
+      assertSubstituted(
+        l0.groupBy(col("metric"),
+            (floor(col("interval") / lit(300L)) * lit(300L)).as("interval"))
+          .agg(max_by(col("value"), col("interval")).as("value")))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("non-matching kernel or step is NOT rewritten") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-opt2").toString, numBuckets = 4)
