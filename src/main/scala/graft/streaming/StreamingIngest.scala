@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.model.{AggregationMethod, RetentionPolicy}
 import graft.ops.Kernels
@@ -80,6 +80,83 @@ object StreamingIngest {
       .withWatermark("ts", s"$maxLatenessSec seconds")
       .dropDuplicates("fp")
       .drop("fp")
+
+  // ---- stateful incremental rollup -----------------------------------
+
+  /** `ts` stays a timestamp so the watermark annotation survives into the
+    * typed Dataset (event-time timeouts require it).
+    */
+  final case class SlotPoint(metric: String, ts: java.sql.Timestamp, value: Double) {
+    def tsec: Long = ts.getTime / 1000L
+  }
+  final case class WindowKey(metric: String, interval: Long)
+  /** Per-window state: higher-resolution slot → last-written value. Size
+    * is bounded by the window's slot capacity (step/sourceStep), and the
+    * number of live windows is bounded by the watermark — so total state
+    * is O(open windows × slots), independent of stream length.
+    */
+  final case class WindowState(slots: Map[Long, Double])
+  final case class RollupUpdate(
+      metric: String, interval: Long, value: Double, known: Int, finalized: Boolean)
+
+  /** Incremental xff-gated rollup via flatMapGroupsWithState (update
+    * mode): each micro-batch REFINES the affected windows immediately —
+    * a window that passes the xff gate re-emits its consolidated value as
+    * slots arrive (whisper's per-update `__propagate`, whisper.py:729-733,
+    * where every write recomputes the covering lower window at once) —
+    * and the event-time timeout emits the FINAL value once the watermark
+    * passes the window, then drops the state.
+    *
+    * This is the streaming analog of `Rollup.propagateTouched`: per-batch
+    * work ∝ touched windows, not history. Contrast `rollupStream`
+    * (append-on-watermark): results arrive only after lateness expires;
+    * here downstream sinks see provisional rollups with bounded state.
+    */
+  def rollupStateful(points: DataFrame, sourceStep: Int, step: Int,
+                     method: AggregationMethod, xff: Float,
+                     maxLatenessSec: Long): Dataset[RollupUpdate] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(step % sourceStep == 0, s"$sourceStep does not divide $step")
+    val slotsCap = step / sourceStep
+
+    def consolidated(key: WindowKey, slots: Map[Long, Double],
+                     finalized: Boolean): Iterator[RollupUpdate] = {
+      val known = slots.toSeq.sortBy(_._1).map(_._2)
+      if (known.nonEmpty && known.size.toDouble / slotsCap >= xff) {
+        val neighbor = (0 until slotsCap)
+          .map(i => slots.get(key.interval + i.toLong * sourceStep))
+        Iterator.single(RollupUpdate(key.metric, key.interval,
+          AggregationMethod.aggregate(method, known, Some(neighbor)),
+          known.size, finalized))
+      } else Iterator.empty
+    }
+
+    points
+      .withWatermark("ts", s"$maxLatenessSec seconds")
+      .select(col("metric"), col("ts"), col("value"))
+      .as[SlotPoint]
+      .groupByKey(p => WindowKey(p.metric, p.tsec - p.tsec % step))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: WindowKey, rows: Iterator[SlotPoint], state: GroupState[WindowState]) =>
+          if (state.hasTimedOut) {
+            val slots = state.get.slots
+            state.remove()
+            consolidated(key, slots, finalized = true)
+          } else {
+            val slots0 = if (state.exists) state.get.slots else Map.empty[Long, Double]
+            // LWW per slot: later rows in the batch overwrite (arrival order)
+            val slots = rows.foldLeft(slots0) {
+              (m, p) => m + ((p.tsec - p.tsec % sourceStep) -> p.value)
+            }
+            state.update(WindowState(slots))
+            val windowCloseMs = (key.interval + step + maxLatenessSec) * 1000L
+            state.setTimeoutTimestamp(
+              math.max(windowCloseMs, state.getCurrentWatermarkMs() + 1))
+            consolidated(key, slots, finalized = false)
+          }
+      }
+  }
 
   /** Convenience: stream rollups for every level of a policy (each level
     * its own query; level i aggregates the raw stream at level-i

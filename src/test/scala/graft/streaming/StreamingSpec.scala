@@ -112,4 +112,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("m", 600L, 6.0)))
     assert(!rows.exists(_._2 == 900L))
   }
+
+  test("rollupStateful: per-batch refinement, then watermark-finalized emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value")
+
+    val rolled = StreamingIngest.rollupStateful(
+      stream, sourceStep = 60, step = 300,
+      method = AggregationMethod.Average, xff = 0.5f, maxLatenessSec = 60)
+
+    val qname = "rollup_stateful"
+    val q = rolled.toDF().writeStream
+      .format("memory").queryName(qname).outputMode("update").start()
+    def rows() = spark.table(qname).collect()
+      .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"),
+        r.getAs[Int]("known"), r.getAs[Boolean]("finalized")))
+
+    // batch 1: 3 of 5 slots for window [600,900) → provisional avg(1,2,3)=2
+    mem.addData(("m", 600L, 1.0), ("m", 660L, 2.0), ("m", 720L, 3.0))
+    q.processAllAvailable()
+    assert(rows().contains((600L, 2.0, 3, false)))
+
+    // batch 2: 4th slot arrives → REFINED provisional avg(1,2,3,4)=2.5
+    mem.addData(("m", 780L, 4.0))
+    q.processAllAvailable()
+    assert(rows().contains((600L, 2.5, 4, false)))
+
+    // batch 3: event time advances past window end + lateness → watermark
+    // moves, timeout fires, final value emitted and state dropped
+    mem.addData(("m", 1500L, 9.0))
+    q.processAllAvailable()
+    // one more batch so the new watermark is applied to the state store
+    mem.addData(("m", 1560L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows().contains((600L, 2.5, 4, true)))
+    // window [1500,1800) holds 2 of 5 slots → 0.4 < xff, never emitted
+    assert(!rows().exists(_._1 == 1500L))
+  }
 }
