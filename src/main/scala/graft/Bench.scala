@@ -26,15 +26,24 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)", "avg(id)").collect()
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-      SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        // w21 shares w20's generated code; warming it would double the
+        // (untimed but slow) ingest warmup for no extra JIT coverage
+        if (name != "w21_ingest_incremental")
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // w21 is a correctness-only gate (the SAME ingest as w20 run twice to
+    // prove incremental convergence) — benching it would double-count the
+    // ingest cost already covered by w20 and the x00/x01 pair below.
+    val benchSkip = Set("w21_ingest_incremental")
+    val results = SparkEntry.queries
+      .filterNot { case (name, _) => benchSkip.contains(name) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // Incremental-ingest evidence (ROADMAP #1): x00 = cold full-history
     // ingest into a fresh store; x01 = a second one-day batch into the
     // SAME store. At scale the second number must track the batch size

@@ -99,6 +99,62 @@ object Similarity {
     c.withColumn("bucket", explode(array(buckets: _*)))
   }
 
+  /** Int8 max-abs quantization — the memory-bound scale path for ANN: a
+    * float32 corpus shrinks 4× (100 TB → 25 TB resident), at the cost of
+    * bounded per-component error ≤ scale/2. Pure column arithmetic
+    * (transform/aggregate — codegen'd, no UDF): per-vector
+    * scale = max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127].
+    * Output: (id, scale, qvec: array<int>).
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val c = corpus(emb, idCol, vecCol)
+    val maxabs = aggregate(col("vec"), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    c.withColumn("scale",
+        when(maxabs === 0.0, lit(1.0)).otherwise(maxabs / lit(127.0)))
+      .select(col("id"), col("scale"),
+        transform(col("vec"), x => round(x / col("scale")).cast("int")).as("qvec"))
+  }
+
+  /** Quantized-prefilter top-k: rank every candidate by the INT dot
+    * product of int8 codes (4× less memory traffic than the float scan),
+    * keep a per-query shortlist, then rerank only the shortlist with
+    * exact double cosine. Approximate overall (the shortlist can miss),
+    * recall measured in tests; shortlist ≥ 4k makes misses rare because
+    * quantization preserves ranking to within the code error.
+    */
+  def topkQuantized(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                    shortlistFactor: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus(emb, idCol, vecCol)
+    val quant = quantizeInt8(emb, idCol, vecCol)
+    val qq = quant.where(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("scale").as("qscale"), col("qvec").as("qqvec"))
+    // integer dot of the codes; × both scales ≈ the float dot
+    val qdot = aggregate(
+      zip_with(col("qqvec"), col("qvec"), (x, y) => x * y), lit(0L),
+      (acc, v) => acc + v)
+    val approx = quant.join(broadcast(qq), col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"),
+        (qdot.cast("double") * col("scale") * col("qscale")).as("adot"))
+    val wa = Window.partitionBy("qid").orderBy(col("adot").desc, col("nid").asc)
+    val shortlist = approx
+      .withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= k * shortlistFactor)
+      .select("qid", "nid")
+    // exact rerank on the shortlist only
+    val qv = c.where(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    shortlist
+      .join(broadcast(qv), "qid")
+      .join(c.select(col("id").as("nid"), col("vec")), "nid")
+      .select(col("qid"), col("nid"), cosine(col("qvec"), col("vec")).as("cos"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   /** IVF coarse centroids: deterministic seed sample (nlist lowest ids)
     * refined by one distributed Lloyd step — assign all vectors to their
     * nearest seed, then each cell's centroid becomes the mean of its

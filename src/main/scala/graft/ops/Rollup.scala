@@ -22,6 +22,15 @@ object Rollup {
     * @return         (metric, interval, value) at `lowerStep` resolution;
     *                 windows failing the xff gate produce no row
     */
+  /** A rollup group's row count is bounded by its slot capacity
+    * (lowerStep/higherStep) — so aggregation skew is structural, not
+    * data-dependent, and the two-stage salted path pays off exactly when
+    * capacity is large (e.g. a 1s→1d consolidation: 86400 rows per
+    * (metric, window) key on ONE reducer). Above this threshold
+    * `propagate` delegates to `propagateSalted` automatically.
+    */
+  val SaltSlotsThreshold = 4096
+
   def propagate(higher: DataFrame,
                 higherStep: Int,
                 lowerStep: Int,
@@ -29,6 +38,8 @@ object Rollup {
                 xff: Float): DataFrame = {
     require(lowerStep % higherStep == 0, s"$higherStep does not divide $lowerStep")
     val slots = lowerStep / higherStep
+    if (slots >= SaltSlotsThreshold)
+      return propagateSalted(higher, higherStep, lowerStep, method, xff)
     higher
       .groupBy(col("metric"), Grid.align(col("interval"), lowerStep).as("interval"))
       .agg(

@@ -232,6 +232,45 @@ object ExtQueries {
       None),
 
     QueryDef(
+      "s03_embedding_quantize",
+      // int8 max-abs quantization (the 4×-memory ANN path), exploded to
+      // one row per component so the driver hash covers every code.
+      // Explode-first: quantizing scalars AFTER posexplode keeps the
+      // lambda work out of Generate's child projection, which re-evaluates
+      // per OUTPUT row (measured 15× difference at sf0.1)
+      (s, dir) => {
+        val c = Similarity.corpus(emb(s, dir))
+        val maxabs = aggregate(col("vec"), lit(0.0), (a, x) => greatest(a, abs(x)))
+        c.withColumn("scale",
+            when(maxabs === 0.0, lit(1.0)).otherwise(maxabs / lit(127.0)))
+          .select(col("id"), col("scale"), posexplode(col("vec")).as(Seq("i", "x")))
+          .select(col("id"), col("scale"), col("i"),
+            round(col("x") / col("scale")).cast("int").as("q"))
+          .orderBy("id", "i")
+      },
+      """WITH m AS (
+        |  SELECT vec_id AS id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+        |    embedding
+        |  FROM embeddings),
+        |s AS (SELECT id, CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127.0 END AS scale,
+        |             embedding FROM m)
+        |SELECT id, scale, CAST(i - 1 AS INTEGER) AS i,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS INTEGER) AS q
+        |FROM s, unnest(generate_series(1, len(embedding))) AS t(i)
+        |ORDER BY 1, 3""".stripMargin
+    ),
+    QueryDef(
+      "s04_sim_topk_quantized",
+      // int8-prefilter + exact-rerank top-k — approximate (shortlist can
+      // miss) → rows-only for the driver; recall vs brute force in tests
+      (s, dir) =>
+        Similarity
+          .topkQuantized(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      None),
+    QueryDef(
       "d07_corpus_pipeline",
       // the composite training-data pipeline: quality-filter → exact
       // dedup (keep the keeper) → per-source corpus stats — the shape a

@@ -149,9 +149,15 @@ final class MetricStore(val spark: SparkSession, val root: String,
   /** Merge `incoming` (metric, interval, value, prio) into level i:
     * read ONLY the touched (pb, tb) partitions, last-write-wins by prio
     * (existing rows get prio -1), dynamically overwrite those partitions.
+    *
+    * @param touchedPre the incoming frame's distinct (pb, tb) set when
+    *        the caller already knows it (saves the discovery job)
     */
-  private def upsertLevel(i: Int, step: Int, incoming: DataFrame): Unit = {
-    val newPts = withPartitionCols(incoming, step)
+  private def upsertLevel(i: Int, step: Int, incoming: DataFrame,
+                          touchedPre: Option[Set[(Int, Long)]] = None): Unit = {
+    val newPts =
+      if (incoming.columns.contains("pb")) incoming
+      else withPartitionCols(incoming, step)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     // first write to a fresh level: incoming frames are already
@@ -169,16 +175,25 @@ final class MetricStore(val spark: SparkSession, val root: String,
       return
     }
 
-    val touched = newPts.select("pb", "tb").distinct().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val touched = touchedPre.getOrElse(
+      newPts.select("pb", "tb").distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet)
     if (touched.isEmpty) return
 
-    val touchedFilter = touched
-      .map { case (p, t) => col("pb") === p && col("tb") === t }
-      .reduce(_ || _)
-    val existing = levelData(i)
-      .where(touchedFilter)
-      .withColumn("prio", lit(-1L))
+    // Read ONLY the touched partition directories. Going through the
+    // root path would list the entire level (every pb/tb directory) just
+    // to prune it again — at scale that listing alone dwarfs the actual
+    // work of a small batch. basePath keeps pb/tb as partition columns.
+    val touchedDirs = touched.toSeq
+      .map { case (p, t) => s"${levelPath(i)}/pb=$p/tb=$t" }
+      .filter(d => new java.io.File(d).exists())
+    val existing =
+      (if (touchedDirs.isEmpty) emptyLevel
+       else
+         spark.read.option("basePath", levelPath(i)).parquet(touchedDirs: _*)
+           .withColumn("pb", col("pb").cast("int"))
+           .withColumn("tb", col("tb").cast("long")))
+        .withColumn("prio", lit(-1L))
     val merged = existing
       .unionByName(newPts)
       .groupBy("metric", "interval", "pb", "tb")
@@ -222,11 +237,35 @@ final class MetricStore(val spark: SparkSession, val root: String,
     try {
       val steps = policy.levels.map(_.secondsPerPoint)
 
-      // one pass over the routed cache tells us which levels have direct
-      // writes — replaces a per-level isEmpty job each
-      val directCounts: Map[Int, Long] = routed
-        .groupBy("level").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // ONE pass over the routed cache, at (level, pb, tb) granularity,
+      // yields everything the whole ingest needs to plan: which levels
+      // have direct writes, their touched partitions (for the upsert
+      // reads), and their interval bounds (for the cascade's pruning) —
+      // one driver job where a naive version runs count/touched/isEmpty
+      // jobs per level.
+      val tbForLevel: Column =
+        steps.zipWithIndex.foldRight(lit(null).cast("long")) {
+          case ((st, i), e) =>
+            when(col("level") === i,
+              expr(s"interval div ${bucketSeconds(st)}")).otherwise(e)
+        }
+      val partStats: Seq[(Int, Int, Long, Long, Long, Long)] = routed
+        .withColumn("pb", pmod(hash(col("metric")), lit(numBuckets)))
+        .withColumn("tb", tbForLevel)
+        .groupBy("level", "pb", "tb")
+        .agg(count(lit(1)).as("n"), min("interval").as("lo"), max("interval").as("hi"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      val directStats: Map[Int, (Long, Long, Long)] = partStats
+        .groupBy(_._1)
+        .map { case (lvl, rows) =>
+          lvl -> ((rows.map(_._4).sum, rows.map(_._5).min, rows.map(_._6).max))
+        }
+      val directTouched: Map[Int, Set[(Int, Long)]] = partStats
+        .groupBy(_._1)
+        .map { case (lvl, rows) => lvl -> rows.map(r => (r._2, r._3)).toSet }
+      val directCounts: Map[Int, Long] = directStats.map { case (k, v) => k -> v._1 }
 
       // direct writes per level (points too old for finer levels land
       // directly in coarser ones, whisper.py:767-784)
@@ -234,7 +273,8 @@ final class MetricStore(val spark: SparkSession, val root: String,
         if (directCounts.getOrElse(i, 0L) > 0)
           upsertLevel(i, steps(i),
             routed.where(col("level") === i)
-              .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio")))
+              .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio")),
+            directTouched.get(i))
       }
 
       // rollup cascade: recompute only touched lower windows from the
@@ -247,23 +287,54 @@ final class MetricStore(val spark: SparkSession, val root: String,
       // exit, whisper.py:868-875).
       var changed = routed.where(col("level") === 0).select("metric", "interval")
       var changedNonEmpty = directCounts.getOrElse(0, 0L) > 0
+      // conservative hull of the change set's intervals, maintained
+      // WITHOUT extra jobs: propagated intervals are alignments of the
+      // previous hull, direct-write bounds come from the stats pass
+      var bLo = directStats.get(0).map(_._2).getOrElse(Long.MaxValue)
+      var bHi = directStats.get(0).map(_._3).getOrElse(Long.MinValue)
       var i = 1
-      while (changedNonEmpty && i < steps.length) {
-        val propagated = Rollup
-          .propagateTouched(
-            levelData(i - 1).select("metric", "interval", "value"),
-            changed, steps(i - 1), steps(i), policy.aggregation, policy.xff)
-          .cache()
-        val propagatedAny = !propagated.isEmpty
+      // keep cascading while the previous level changed OR any deeper
+      // level still holds unpropagated direct writes — whisper cascades
+      // from EVERY archive that received points (whisper.py:858-875), so
+      // a batch landing only in coarse archives must still roll up
+      while (i < steps.length &&
+        (changedNonEmpty || directStats.exists { case (l, (n, _, _)) => l >= i && n > 0 })) {
+        // Partition-prune the higher-level read down to the change hull
+        // BEFORE the semi join: an incremental batch reads only the time
+        // buckets it touches — at 100 TB the difference between scanning
+        // gigabytes and the whole table. The interval predicate
+        // additionally reaches parquet row-group min/max pruning inside
+        // each bucket.
+        val lowerMin = bLo - bLo % steps(i)
+        val upper = bHi - bHi % steps(i) + steps(i)
+        val bsHi = bucketSeconds(steps(i - 1))
+        val propagated = withPartitionCols(
+          Rollup
+            .propagateTouched(
+              levelData(i - 1)
+                .where(col("tb") >= lowerMin / bsHi && col("tb") <= (upper - 1) / bsHi &&
+                  col("interval") >= lowerMin && col("interval") < upper)
+                .select("metric", "interval", "value"),
+              changed, steps(i - 1), steps(i), policy.aggregation, policy.xff),
+          steps(i)).cache()
+        // one collect gives BOTH the empty check and the touched set the
+        // upsert would otherwise rediscover with its own job
+        val touchedP = propagated.select("pb", "tb").distinct().collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+        val propagatedAny = touchedP.nonEmpty
         if (propagatedAny)
           upsertLevel(i, steps(i),
-            propagated.withColumn("prio", lit(1L))) // propagate beats direct
+            propagated.withColumn("prio", lit(1L)), // propagate beats direct
+            Some(touchedP))
         changed = propagated
           .select("metric", "interval")
           .unionByName(routed.where(col("level") === i).select("metric", "interval"))
         // no extra job: nonempty iff something propagated or level i took
-        // direct writes (known from the counts pass)
+        // direct writes (known from the counts pass); the hull advances
+        // to its alignment merged with level-i direct-write bounds
         changedNonEmpty = propagatedAny || directCounts.getOrElse(i, 0L) > 0
+        bLo = math.min(lowerMin, directStats.get(i).map(_._2).getOrElse(Long.MaxValue))
+        bHi = math.max(upper - steps(i), directStats.get(i).map(_._3).getOrElse(Long.MinValue))
         i += 1
       }
     } finally routed.unpersist()
@@ -455,29 +526,84 @@ final class MetricStore(val spark: SparkSession, val root: String,
 
   // ---- maintenance ----------------------------------------------------
 
-  /** Ring eviction, done lazily: drop whole expired time buckets.
-    * Deleting directories (not rewriting data) keeps this O(#partitions).
+  /** Ring eviction, done lazily. Uniform stores drop whole expired time
+    * buckets — deleting directories (not rewriting data) keeps this
+    * O(#partitions). Heterogeneous stores fall back to row-level
+    * eviction: rewrite ONLY partitions that contain expired rows, with
+    * per-metric cutoffs broadcast into the filter.
     */
   def vacuum(now: Long): Unit = {
     val ps = policies()
     if (ps.isEmpty) return
-    // time buckets are shared across metrics; dropping whole directories
-    // is only safe when every metric ages out on the same schedule
-    require(ps.values.toSeq.distinct.size == 1,
-      "vacuum requires a uniform policy; heterogeneous stores need row-level eviction")
-    val policy = ps.values.head
-    policy.levels.zipWithIndex.foreach {
-      case (lvl, i) =>
-        val dir = new java.io.File(levelPath(i))
-        if (dir.exists()) {
-          val cutoffTb = (now - lvl.retention) / bucketSeconds(lvl.secondsPerPoint) - 1
-          dir.listFiles().filter(_.getName.startsWith("pb=")).foreach { pbDir =>
-            pbDir.listFiles().filter(_.getName.startsWith("tb=")).foreach { tbDir =>
-              val tb = tbDir.getName.stripPrefix("tb=").toLong
-              if (tb < cutoffTb) deleteRecursively(tbDir)
+    if (ps.values.toSeq.distinct.size == 1) {
+      val policy = ps.values.head
+      policy.levels.zipWithIndex.foreach {
+        case (lvl, i) =>
+          val dir = new java.io.File(levelPath(i))
+          if (dir.exists()) {
+            val cutoffTb = (now - lvl.retention) / bucketSeconds(lvl.secondsPerPoint) - 1
+            dir.listFiles().filter(_.getName.startsWith("pb=")).foreach { pbDir =>
+              pbDir.listFiles().filter(_.getName.startsWith("tb=")).foreach { tbDir =>
+                val tb = tbDir.getName.stripPrefix("tb=").toLong
+                if (tb < cutoffTb) deleteRecursively(tbDir)
+              }
             }
           }
+      }
+    } else rowLevelVacuum(ps, now)
+  }
+
+  /** Heterogeneous-policy eviction (ROADMAP #4): per-metric retention
+    * cutoffs joined (broadcast — the catalog is tiny) against each level;
+    * only partitions holding at least one expired row are rewritten, and
+    * partitions left with no rows are deleted outright. Cost is
+    * proportional to the expiring frontier, not the table.
+    */
+  private def rowLevelVacuum(ps: Map[String, RetentionPolicy], now: Long): Unit = {
+    import spark.implicits._
+    val maxLevels = ps.values.map(_.levels.size).max
+    (0 until maxLevels).foreach { i =>
+      val dir = new java.io.File(levelPath(i))
+      if (dir.exists()) {
+        // a metric without this level has no rows here; MinValue keeps any
+        // stragglers instead of silently dropping them through the join
+        val cutoffDf = broadcast(ps.toSeq.map {
+          case (m, p) if i < p.levels.size => (m, now - p.levels(i).retention)
+          case (m, _) => (m, Long.MinValue)
+        }.toDF("metric", "cutoff"))
+        val data = levelData(i)
+        val touched = data.join(cutoffDf, Seq("metric"))
+          .where(col("interval") <= col("cutoff"))
+          .select("pb", "tb").distinct().collect()
+          // tb reads back as int or long depending on partition inference
+          .map(r => (r.getInt(0), r.getAs[Number](1).longValue))
+        if (touched.nonEmpty) {
+          val touchedFilter = touched
+            .map { case (p, t) => col("pb") === p && col("tb") === t }
+            .reduce(_ || _)
+          val kept = data.where(touchedFilter)
+            .join(cutoffDf, Seq("metric"))
+            .where(col("interval") > col("cutoff"))
+            .select("metric", "interval", "value", "pb", "tb")
+            .cache()
+          try {
+            val keptParts = kept.select("pb", "tb").distinct().collect()
+              .map(r => (r.getInt(0), r.getAs[Number](1).longValue)).toSet
+            if (keptParts.nonEmpty) {
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+              kept.repartition(col("pb"), col("tb"))
+                .write.mode(SaveMode.Overwrite)
+                .partitionBy("pb", "tb")
+                .parquet(levelPath(i))
+            }
+            // dynamic overwrite never touches now-empty partitions — drop them
+            touched.filterNot(keptParts).foreach {
+              case (p, t) =>
+                deleteRecursively(new java.io.File(s"${levelPath(i)}/pb=$p/tb=$t"))
+            }
+          } finally kept.unpersist()
         }
+      }
     }
   }
 

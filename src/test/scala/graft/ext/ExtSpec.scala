@@ -89,6 +89,22 @@ class ExtSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("quantized top-k: int8 codes bounded, high recall vs brute force") {
+    val quant = Similarity.quantizeInt8(emb).collect()
+    quant.foreach { r =>
+      val codes = r.getSeq[Int](2)
+      assert(codes.forall(q => q >= -127 && q <= 127))
+      assert(codes.exists(_ != 0) || r.getDouble(1) == 1.0)
+    }
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = pairs(Similarity.topkBruteForce(emb, qids, k = 5))
+    val quantized = pairs(Similarity.topkQuantized(emb, qids, k = 5))
+    val recall = (brute & quantized).size.toDouble / brute.size
+    assert(recall >= 0.9, s"quantized recall $recall < 0.9")
+  }
+
   test("multimodal resize plan: aspect preserved, max edge bound, no upscale") {
     val meta = Seq(
       (1L, "image", 640, 480, 1),

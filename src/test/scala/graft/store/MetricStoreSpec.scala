@@ -241,4 +241,48 @@ class MetricStoreSpec extends AnyFunSuite {
     store.vacuum(Now + 100000) // far future: everything expired
     assert(store.levelData(0).count() == 0)
   }
+
+  test("batch landing ONLY in a coarse archive still cascades deeper (whisper.py:858-875)") {
+    val store = freshStore()
+    // 1m:2d, 5m:7d, 30m:14d — points aged ~3d skip level 0 entirely
+    store.create("m", RetentionPolicy(
+      Seq(ArchiveInfo(60, 2880), ArchiveInfo(300, 2016), ArchiveInfo(1800, 672))))
+    val base = Now - 3 * 86400
+    val w0 = base - base % 1800
+    // one full 30-min window of 5-min points, all older than 2d
+    val pts = (0 until 6).map(i => ("m", w0 + i * 300L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    assert(store.levelData(0).count() == 0) // too old for level 0
+    assert(store.levelData(1).count() == 6) // direct write at level 1
+    // the level-1 direct writes must have propagated to level 2
+    val l2 = store.levelData(2).select("interval", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(l2 == Map(w0 -> 12.5)) // avg(10..15)
+  }
+
+  test("vacuum on a heterogeneous store evicts per-metric (row-level)") {
+    val store = freshStore()
+    store.create("short", RetentionPolicy(Seq(ArchiveInfo(60, 10))))  // 10 min
+    store.create("long", RetentionPolicy(Seq(ArchiveInfo(60, 1440)))) // 1 day
+    val pts = Seq(
+      ("short", Now - 120, 1.0, 0L), // fresh
+      ("short", Now - 540, 2.0, 1L), // fresh (within 10 min)
+      ("long", Now - 120, 3.0, 2L),
+      ("long", Now - 7200, 4.0, 3L)  // 2h old: fine for long, dead for short
+    ).toDF("metric", "ts", "value", "seq")
+    store.updateMany(pts, Now)
+    assert(store.levelData(0).count() == 4)
+
+    // 30 min later: both short points aged past its 10-min retention;
+    // everything of long's survives (age < 1d)
+    val later = Now + 1800
+    store.vacuum(later)
+    val left = store.levelData(0).select("metric", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(left == Set(("long", 3.0), ("long", 4.0)))
+
+    // far future: everything gone, including partitions left empty
+    store.vacuum(Now + 200000)
+    assert(store.levelData(0).count() == 0)
+  }
 }
