@@ -38,27 +38,126 @@ import graft.store.MetricStore
 final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     extends Rule[LogicalPlan] {
 
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // xff-gated shape: the query reproduces the store's gate explicitly
+    //   Project(metric, interval, value,
+    //     Filter(known > 0 && known/slots >= xff,
+    //       Aggregate([metric, align], [metric, interval, kernel, count])))
+    // — sound for ANY policy xff, because level-i rows are exactly the
+    // gated window aggregates.
+    case p @ Project(_, Filter(cond, agg @ Aggregate(groupingExprs, aggExprs, child, _)))
+        if groupingExprs.size == 2 && p.output.size == 3 =>
+      rewriteGated(p, cond, agg, groupingExprs, aggExprs, child).getOrElse(p)
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.size == 2 =>
       rewrite(agg, groupingExprs, aggExprs, child).getOrElse(agg)
   }
 
-  private def rewrite(agg: Aggregate, grouping0: Seq[Expression],
-                      aggExprs: Seq[NamedExpression],
-                      child: LogicalPlan): Option[LogicalPlan] = {
-    // Catalyst's PullOutGroupingExpressions moves grouping arithmetic into
-    // a child Project as `_groupingexpression` aliases — resolve grouping
-    // attributes through those aliases before shape-matching.
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def doubleLit(e: Expression): Option[Double] = uncast(e) match {
+    case Literal(v: Double, _) => Some(v)
+    case Literal(v: Int, _)    => Some(v.toDouble)
+    case Literal(v: Long, _)   => Some(v.toDouble)
+    case _ => None
+  }
+
+  /** Substitute a query that restates the store's xff gate over a window
+    * aggregate of level-0. Valid for xff > 0 policies — unlike the bare
+    * Aggregate rule — because the gate in the plan must match the gate
+    * that maintains the level (same slots denominator, same f32-widened
+    * xff threshold, same known>0 clause).
+    */
+  private def rewriteGated(p: Project, cond: Expression, agg: Aggregate,
+                           grouping0: Seq[Expression],
+                           aggExprs: Seq[NamedExpression],
+                           child: LogicalPlan): Option[LogicalPlan] = {
+    // the count(value) output the gate must reference
+    val knownIds = aggExprs.collect {
+      case a @ Alias(AggregateExpression(
+            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
+            _, false, None, _), _) if v.name == "value" => a.exprId
+    }
+    // Project must pass (metric, interval, value) through, dropping known
+    val projPassthrough = p.projectList.forall {
+      case a: Attribute => !knownIds.contains(a.exprId)
+      case Alias(a: Attribute, _) => !knownIds.contains(a.exprId)
+      case _ => false
+    }
+    for {
+      policy <- store.policies().values.headOption
+      if knownIds.size == 1 && projPassthrough
+      if p.output.map(_.name) == Seq("metric", "interval", "value")
+      level0 <- matchLevel0Scan(child)
+      grouping = resolveGrouping(grouping0, child)
+      (metricExpr, step) <- matchGrouping(grouping)
+      kernel <- matchKernel(aggExprs)
+      if kernel == policy.aggregation
+      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
+      if levelIdx > 0
+      slots = step / policy.levels.head.secondsPerPoint
+      if gateMatches(cond, knownIds.head, slots, policy.xff)
+    } yield {
+      val rollup = store.levelData(levelIdx).select("metric", "interval", "value")
+      val rel = rollup.queryExecution.analyzed
+      val aliases: Seq[NamedExpression] = p.output.zipWithIndex.map {
+        case (attr, i) => Alias(rel.output(i), attr.name)(exprId = attr.exprId)
+      }
+      Project(aliases, rel)
+    }
+  }
+
+  /** cond must be exactly {known > 0, known/slots >= xff} (any order). */
+  private def gateMatches(cond: Expression, knownId: ExprId,
+                          slots: Int, xff: Float): Boolean = {
+    def isKnown(e: Expression): Boolean = uncast(e) match {
+      case a: Attribute => a.exprId == knownId
+      case _ => false
+    }
+    val cs = conjuncts(cond)
+    val hasPositive = cs.exists {
+      case GreaterThan(k, z) => isKnown(k) && longLit(z).contains(0L)
+      case _ => false
+    }
+    val hasXff = cs.exists {
+      case GreaterThanOrEqual(Divide(k, s, _), x) =>
+        isKnown(k) && doubleLit(s).contains(slots.toDouble) &&
+          doubleLit(x).contains(xff.toDouble)
+      case _ => false
+    }
+    hasPositive && hasXff && cs.forall {
+      case GreaterThan(k, _) => isKnown(k)
+      case GreaterThanOrEqual(Divide(k, _, _), _) => isKnown(k)
+      case _ => false
+    }
+  }
+
+  /** Catalyst's PullOutGroupingExpressions moves grouping arithmetic into
+    * a child Project as `_groupingexpression` aliases — resolve grouping
+    * attributes through those aliases before shape-matching.
+    */
+  private def resolveGrouping(grouping0: Seq[Expression],
+                              child: LogicalPlan): Seq[Expression] = {
     val aliasMap: Map[ExprId, Expression] = child
-      .collect { case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList }
+      .collect { case p: Project => p.projectList }
       .flatten
       .collect { case a: Alias => a.exprId -> a.child }
       .toMap
-    val grouping = grouping0.map {
+    grouping0.map {
       case attr: Attribute => aliasMap.getOrElse(attr.exprId, attr)
       case other => other
     }
+  }
+
+  private def rewrite(agg: Aggregate, grouping0: Seq[Expression],
+                      aggExprs: Seq[NamedExpression],
+                      child: LogicalPlan): Option[LogicalPlan] = {
+    val grouping = resolveGrouping(grouping0, child)
     for {
       policy <- store.policies().values.headOption
       if policy.xff == 0f // rollup rows == plain window aggregates

@@ -496,8 +496,15 @@ final class MetricStore(val spark: SparkSession, val root: String,
         val step = policy.levels(level).secondsPerPoint
         val bs = bucketSeconds(step)
         val (fromInterval, untilInterval) = Fetch.gridBounds(from, until, step)
+        // prune hash buckets from the requested metric set (constant-
+        // folded per metric) as well as the time range — a k-metric fetch
+        // reads at most k buckets per time bucket
+        val pbFilter = metrics
+          .map(m => col("pb") === pmod(hash(lit(m)), lit(numBuckets)))
+          .reduce(_ || _)
         val pruned = levelData(level)
-          .where(col("tb") >= fromInterval / bs - 1 && col("tb") <= untilInterval / bs)
+          .where(pbFilter &&
+            col("tb") >= fromInterval / bs - 1 && col("tb") <= untilInterval / bs)
           .select("metric", "interval", "value")
         Fetch.fetchGrid(spark, pruned, metrics, from, until, step)
     }

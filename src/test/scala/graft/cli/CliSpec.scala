@@ -1,0 +1,70 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** CLI contract smoke tests — the reference smoke-tests every bin/ tool
+  * (tox.ini:16-25); here each subcommand's happy path runs end to end
+  * with output-shape assertions (fetch --json matches
+  * bin/whisper-fetch.py:72-82's shape).
+  */
+class CliSpec extends AnyFunSuite {
+  // CLI sessions go through getOrCreate — reuse the test session
+  private lazy val spark = SparkTestBase.spark
+
+  private def run(args: String*): String = {
+    spark // force session init before the CLI's builder runs
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      WhisperCli.main(args.toArray)
+    }
+    out.toString("UTF-8")
+  }
+
+  test("estimate prints the reference size model (whisper-create.py:71-72)") {
+    val out = run("estimate", "60:1440")
+    assert(out.contains("17308 bytes"))
+    assert(out.contains("20480 bytes on disk"))
+  }
+
+  test("create → update → fetch --json → info round trip") {
+    val store = Files.createTempDirectory("cli-store").toString
+    val now = System.currentTimeMillis() / 1000
+    val t1 = now - now % 60 - 120
+    val t2 = t1 + 60
+
+    assert(run("create", store, "cpu.load", "1m:1d,5m:7d").contains("created cpu.load"))
+    assert(run("update", store, "cpu.load", s"$t1:1.5", s"$t2:2.5")
+      .contains("updated 2 points"))
+
+    val json = run("fetch", store, "cpu.load", (t1 - 60).toString, (t2 + 60).toString, "--json")
+    assert(json.contains("\"start\":") && json.contains("\"step\": 60") &&
+      json.contains("1.5") && json.contains("2.5"), json)
+
+    val text = run("fetch", store, "cpu.load", (t1 - 60).toString, (t2 + 60).toString)
+    assert(text.contains("None")) // dense grid pads missing slots
+    val dropped = run("fetch", store, "cpu.load",
+      (t1 - 60).toString, (t2 + 60).toString, "--drop", "nulls")
+    assert(!dropped.contains("None"))
+
+    val info = run("info", store, "cpu.load")
+    assert(info.contains("average") && info.contains("0.5"), info)
+  }
+
+  test("set-aggregation-method / set-xfilesfactor report old values") {
+    val store = Files.createTempDirectory("cli-store2").toString
+    run("create", store, "m", "1m:1h")
+    assert(run("set-aggregation-method", store, "m", "max").contains("average"))
+    assert(run("set-xfilesfactor", store, "m", "0.25").contains("0.5"))
+  }
+
+  test("validate reports invalid catalog rows") {
+    val store = Files.createTempDirectory("cli-store3").toString
+    run("create", store, "good", "1m:1h")
+    val out = run("validate", store)
+    assert(out.contains("all policies valid"), out)
+  }
+}

@@ -83,6 +83,49 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("xff-gated query shape substitutes on an xff>0 store") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-opt4").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0.5f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    // window w0: 5/5 slots (passes 0.5); window w0+300: 2/5 (gated out)
+    val pts = (0 until 7).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(5.0) >= lit(0.5))
+        .select("metric", "interval", "value")
+      val optimized = q.queryExecution.optimizedPlan
+      assert(optimized.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, s"gated substitution did not fire:\n$optimized")
+      val got = q.collect().map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+      assert(got == Map(w0 -> 12.0)) // gated window absent, value from level-1
+
+      // a WRONG xff literal must NOT substitute (it would change results)
+      val qWrong = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(5.0) >= lit(0.2))
+        .select("metric", "interval", "value")
+      assert(qWrong.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("non-matching kernel or step is NOT rewritten") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-opt2").toString, numBuckets = 4)

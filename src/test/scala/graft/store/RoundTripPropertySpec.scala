@@ -98,6 +98,28 @@ class RoundTripPropertySpec extends AnyFunSuite {
             .toMap
           assert(got == want(i), s"policy $pi level $i")
         }
+
+        // incremental property: the SAME point set ingested as two
+        // interleaved batches (overlapping windows, cross-batch slot
+        // overwrites) must converge to the same state — seq is monotone
+        // across batches, so global LWW == batch-ordered LWW, and the
+        // touched-window cascade must repair every window batch 2 dirties
+        val store2 = new MetricStore(
+          spark, Files.createTempDirectory(s"ms-prop$pi-inc").toString, numBuckets = 4)
+        metrics.foreach(store2.create(_, policy))
+        // split on ARRIVAL order (seq), keeping it monotone across the
+        // batches; timestamps stay randomly interleaved so batch 2 still
+        // dirties windows batch 1 already rolled up
+        val (b1, b2) = points.partition(_._4 < 150)
+        store2.updateMany(b1.toDF("metric", "ts", "value", "seq"), Now)
+        store2.updateMany(b2.toDF("metric", "ts", "value", "seq"), Now)
+        policy.levels.indices.foreach { i =>
+          val got = store2.levelData(i).collect()
+            .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval")) ->
+              r.getAs[Double]("value"))
+            .toMap
+          assert(got == want(i), s"policy $pi level $i (incremental)")
+        }
     }
   }
 }
