@@ -482,6 +482,19 @@ final class MetricStore(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Streaming-sink surface: upsert externally-computed rollup rows
+    * (metric, interval, value) into level `i` — the foreachBatch target
+    * for `StreamingIngest.startStateful`, where provisional window values
+    * refine in place as slots arrive (repeated upserts, LWW).
+    */
+  def upsertRollups(level: Int, rows: DataFrame): Unit = {
+    val ps = policies()
+    require(ps.nonEmpty, "no metrics created")
+    val step = ps.values.head.levels(level).secondsPerPoint
+    upsertLevel(level, step,
+      rows.select(col("metric"), col("interval"), col("value"), lit(1L).as("prio")))
+  }
+
   /** Distributed fetch: the dense-grid contract as a DataFrame (metric,
     * interval, value) without collecting — for ranges too large for a
     * driver-side vector, and for multi-metric reads.
@@ -489,7 +502,12 @@ final class MetricStore(val spark: SparkSession, val root: String,
   def fetchFrame(metrics: Seq[String], fromTime: Long, untilTime: Long,
                  now: Long, archiveToSelect: Option[Int] = None): Option[DataFrame] = {
     val ps = policies()
-    val policy = metrics.headOption.flatMap(ps.get).getOrElse(
+    val pols = metrics.map(m =>
+      ps.getOrElse(m, throw new CorruptWhisperFile("Unknown metric", m)))
+    if (pols.distinct.size > 1)
+      throw new UnsupportedOperationException(
+        "db files must have the same archive configuration") // whisper.py:1054-1057
+    val policy = pols.headOption.getOrElse(
       throw new CorruptWhisperFile("Unknown metric", metrics.mkString(",")))
     Fetch.planFetch(policy, fromTime, untilTime, now, archiveToSelect).map {
       case (level, from, until) =>

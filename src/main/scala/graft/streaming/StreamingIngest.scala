@@ -158,6 +158,32 @@ object StreamingIngest {
       }
   }
 
+  /** Wire the stateful rollup into a store: provisional window values
+    * land in level `levelIdx` as soon as the xff gate passes and refine
+    * in place batch by batch (upsert LWW); the watermark-finalized value
+    * is the last write. Downstream readers see rollups at micro-batch
+    * latency instead of watermark latency.
+    */
+  def startStateful(points: DataFrame, store: MetricStore, levelIdx: Int,
+                    checkpoint: String, maxLatenessSec: Long): StreamingQuery = {
+    val policy = store.policies().values.headOption.getOrElse(
+      throw new IllegalArgumentException("no metrics created"))
+    val sourceStep = policy.levels.head.secondsPerPoint
+    val step = policy.levels(levelIdx).secondsPerPoint
+    rollupStateful(points, sourceStep, step, policy.aggregation, policy.xff,
+      maxLatenessSec)
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          store.upsertRollups(levelIdx, batch.select("metric", "interval", "value"))
+      }
+      .start()
+  }
+
   /** Convenience: stream rollups for every level of a policy (each level
     * its own query; level i aggregates the raw stream at level-i
     * granularity — streaming recompute, not cascade, so each window is

@@ -89,6 +89,20 @@ class ExtSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("IVF recall improves monotonically with nprobe; full probe is exact") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = pairs(Similarity.topkBruteForce(emb, qids, k = 5))
+    def recallAt(nprobe: Int) = {
+      val got = pairs(Similarity.topkIvf(emb, qids, k = 5, nlist = 8, nprobe = nprobe))
+      (brute & got).size.toDouble / brute.size
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4); val r8 = recallAt(8)
+    assert(r1 <= r4 + 1e-9 && r4 <= r8 + 1e-9, s"recall not monotone: $r1 $r4 $r8")
+    assert(r8 == 1.0, s"probing every cell must be exact, got $r8")
+  }
+
   test("quantized top-k: int8 codes bounded, high recall vs brute force") {
     val quant = Similarity.quantizeInt8(emb).collect()
     quant.foreach { r =>

@@ -153,4 +153,32 @@ class StreamingSpec extends AnyFunSuite {
     // window [1500,1800) holds 2 of 5 slots → 0.4 < xff, never emitted
     assert(!rows().exists(_._1 == 1500L))
   }
+
+  test("startStateful sinks provisional rollups into the store and refines them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-stateful").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0.5f))
+    val ckpt = Files.createTempDirectory("ckpt-stateful").toString
+
+    val mem = MemoryStream[(String, Long, Double)]
+    def stream = mem.toDF().toDF("metric", "tsec", "value")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value")
+
+    // batch 1: 3 of 5 slots → provisional avg 2.0 lands in level 1
+    mem.addData(("m", 600L, 1.0), ("m", 660L, 2.0), ("m", 720L, 3.0))
+    val q1 = StreamingIngest.startStateful(stream, store, levelIdx = 1, ckpt, 60)
+    q1.awaitTermination(60000)
+    def l1() = store.levelData(1).collect()
+      .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+    assert(l1() == Map(600L -> 2.0))
+
+    // batch 2: 4th slot → the SAME row refines to 2.5 (upsert, not append)
+    mem.addData(("m", 780L, 4.0))
+    val q2 = StreamingIngest.startStateful(stream, store, levelIdx = 1, ckpt, 60)
+    q2.awaitTermination(60000)
+    assert(l1() == Map(600L -> 2.5))
+  }
 }
