@@ -27,6 +27,18 @@ object TextAnalysis {
   def wsTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
+  /** GPT-2-style pre-tokenizer segments: contractions, space-prefixed
+    * letter/digit runs, punctuation runs, residual whitespace. Counting
+    * these approximates BPE token counts far better than word counts
+    * (every BPE merge happens WITHIN one pre-token). Alternation-only
+    * regex — identical semantics in Java (Spark) and RE2-ish (DuckDB)
+    * engines, no lookaround.
+    */
+  val BpeRe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+|[ ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeRe), lit(0)))
+
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
 

@@ -67,6 +67,27 @@ object ExtQueries {
         |FROM documents ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "t05_text_bpe_tokens",
+      // BPE-ish pre-tokenizer counting (contractions / space-prefixed
+      // letter and digit runs / punctuation runs) — the token-budget
+      // estimate a training pipeline actually bills by
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+            round(col("n_chars").cast("double") /
+              greatest(TextAnalysis.bpeTokenCount(col("text")), lit(1)), 4)
+              .as("chars_per_tok"))
+          .orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeRe.replace("'", "''")}')) AS INTEGER) AS n_bpe,
+         |  round(CAST(n_chars AS DOUBLE) /
+         |    greatest(len(regexp_extract_all(text, '${TextAnalysis.BpeRe.replace("'", "''")}')), 1), 4)
+         |    AS chars_per_tok
+         |FROM documents ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t02_text_quality",
       (s, dir) =>
         docs(s, dir)
