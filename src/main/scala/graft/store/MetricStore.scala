@@ -267,6 +267,13 @@ final class MetricStore(val spark: SparkSession, val root: String,
         .map { case (lvl, rows) => lvl -> rows.map(r => (r._2, r._3)).toSet }
       val directCounts: Map[Int, Long] = directStats.map { case (k, v) => k -> v._1 }
 
+      // levels that did not exist before this batch: after their writes,
+      // the on-disk content IS the in-memory frame we are holding, so the
+      // cascade can skip the parquet round trip (the initial-bulk-load
+      // case — w20/x00 — where every level is fresh)
+      val freshLevels: Set[Int] =
+        steps.indices.filterNot(i => new java.io.File(levelPath(i)).exists()).toSet
+
       // direct writes per level (points too old for finer levels land
       // directly in coarser ones, whisper.py:767-784)
       steps.indices.foreach { i =>
@@ -292,6 +299,11 @@ final class MetricStore(val spark: SparkSession, val root: String,
       // previous hull, direct-write bounds come from the stats pass
       var bLo = directStats.get(0).map(_._2).getOrElse(Long.MaxValue)
       var bHi = directStats.get(0).map(_._3).getOrElse(Long.MinValue)
+      // in-memory content of level i-1, kept only while levels are fresh
+      var prevContent: Option[DataFrame] =
+        if (freshLevels.contains(0))
+          Some(routed.where(col("level") === 0).select("metric", "interval", "value"))
+        else None
       var i = 1
       // keep cascading while the previous level changed OR any deeper
       // level still holds unpropagated direct writes — whisper cascades
@@ -308,13 +320,14 @@ final class MetricStore(val spark: SparkSession, val root: String,
         val lowerMin = bLo - bLo % steps(i)
         val upper = bHi - bHi % steps(i) + steps(i)
         val bsHi = bucketSeconds(steps(i - 1))
+        val higher = prevContent.getOrElse(
+          levelData(i - 1)
+            .where(col("tb") >= lowerMin / bsHi && col("tb") <= (upper - 1) / bsHi &&
+              col("interval") >= lowerMin && col("interval") < upper)
+            .select("metric", "interval", "value"))
         val propagated = withPartitionCols(
           Rollup
-            .propagateTouched(
-              levelData(i - 1)
-                .where(col("tb") >= lowerMin / bsHi && col("tb") <= (upper - 1) / bsHi &&
-                  col("interval") >= lowerMin && col("interval") < upper)
-                .select("metric", "interval", "value"),
+            .propagateTouched(higher,
               changed, steps(i - 1), steps(i), policy.aggregation, policy.xff),
           steps(i)).cache()
         // one collect gives BOTH the empty check and the touched set the
@@ -329,6 +342,24 @@ final class MetricStore(val spark: SparkSession, val root: String,
         changed = propagated
           .select("metric", "interval")
           .unionByName(routed.where(col("level") === i).select("metric", "interval"))
+        // maintain the in-memory mirror of level i for the next step:
+        // direct writes merged with propagated windows, propagate wins —
+        // exactly what the two upserts just materialized on disk
+        prevContent =
+          if (!freshLevels.contains(i)) None
+          else if (directCounts.getOrElse(i, 0L) == 0L)
+            Some(propagated.select("metric", "interval", "value"))
+          else if (!propagatedAny)
+            Some(routed.where(col("level") === i)
+              .select("metric", "interval", "value"))
+          else
+            Some(
+              routed.where(col("level") === i)
+                .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio"))
+                .unionByName(propagated
+                  .select(col("metric"), col("interval"), col("value"), lit(1L).as("prio")))
+                .groupBy("metric", "interval")
+                .agg(max_by(col("value"), col("prio")).as("value")))
         // no extra job: nonempty iff something propagated or level i took
         // direct writes (known from the counts pass); the hull advances
         // to its alignment merged with level-i direct-write bounds
@@ -490,6 +521,8 @@ final class MetricStore(val spark: SparkSession, val root: String,
   def upsertRollups(level: Int, rows: DataFrame): Unit = {
     val ps = policies()
     require(ps.nonEmpty, "no metrics created")
+    require(ps.values.toSeq.distinct.size == 1,
+      "external rollup upserts require a uniform policy (level step must be unambiguous)")
     val step = ps.values.head.levels(level).secondsPerPoint
     upsertLevel(level, step,
       rows.select(col("metric"), col("interval"), col("value"), lit(1L).as("prio")))
