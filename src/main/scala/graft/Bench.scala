@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE re-coalesce exchanges ABOVE cached plans: cached inputs
+      // default to frozen output partitioning, which pins every
+      // downstream job to shuffle-partition-count tasks regardless of
+      // data size (measured 2× on the rollup family at sf0.1)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
