@@ -109,7 +109,17 @@ object WhisperCli {
         val Array(_, store, metric, opts @ _*) = args: @unchecked
         val (p, levels) = new MetricStore(session(), store).info(metric)
           .getOrElse { println(s"unknown metric $metric"); sys.exit(1); ??? }
-        if (opts.contains("--json")) {
+        // single-field lookup (bin/whisper-info.py:43-49)
+        val fieldArg = opts.find(!_.startsWith("--"))
+        if (fieldArg.isDefined) {
+          fieldArg.get match {
+            case "aggregationMethod" => println(p.aggregation)
+            case "maxRetention"      => println(p.maxRetention)
+            case "xFilesFactor"      => println(p.xff)
+            case f =>
+              println(s"Unknown field: $f"); sys.exit(1)
+          }
+        } else if (opts.contains("--json")) {
           val archs = levels.map(l =>
             s"""{"offset": ${l.offset}, "secondsPerPoint": ${l.secondsPerPoint}, """ +
               s""""points": ${l.points}, "retention": ${l.retention}, "size": ${l.points * 12}}""")
@@ -127,13 +137,14 @@ object WhisperCli {
         }
 
       case "dump" =>
-        val Array(_, store, metric) = args: @unchecked
+        val Array(_, store, metric, opts @ _*) = args: @unchecked
+        val raw = opts.contains("--raw")
         val ms = new MetricStore(session(), store)
         val (p, _) = ms.info(metric).getOrElse {
           println(s"unknown metric $metric"); sys.exit(1); ???
         }
         p.levels.indices.foreach { i =>
-          println(s"Archive $i (step ${p.levels(i).secondsPerPoint}s):")
+          if (!raw) println(s"Archive $i (step ${p.levels(i).secondsPerPoint}s):")
           ms.levelData(i)
             .where(org.apache.spark.sql.functions.col("metric") === metric)
             .orderBy("interval")
@@ -141,7 +152,10 @@ object WhisperCli {
             .zipWithIndex
             .foreach {
               case (r, idx) =>
-                println(s"$idx: ${r.getAs[Long]("interval")}, ${r.getAs[Double]("value")}")
+                // --raw emits ts:value lines re-ingestable by `update`
+                // (bin/whisper-dump.py:123-124)
+                if (raw) println(s"${r.getAs[Long]("interval")}:${r.getAs[Double]("value")}")
+                else println(s"$idx: ${r.getAs[Long]("interval")}, ${r.getAs[Double]("value")}")
             }
         }
 

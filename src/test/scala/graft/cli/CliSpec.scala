@@ -54,6 +54,18 @@ class CliSpec extends AnyFunSuite {
     assert(info.contains("average") && info.contains("0.5"), info)
   }
 
+  test("info single-field lookup and dump --raw re-ingestable output") {
+    val store = Files.createTempDirectory("cli-store4").toString
+    val now = System.currentTimeMillis() / 1000
+    val t1 = now - now % 60 - 120
+    run("create", store, "m", "1m:1d")
+    run("update", store, "m", s"$t1:7.5")
+    assert(run("info", store, "m", "aggregationMethod").trim == "average")
+    assert(run("info", store, "m", "maxRetention").trim == "86400")
+    val raw = run("dump", store, "m", "--raw")
+    assert(raw.trim == s"$t1:7.5") // ts:value, whisper-dump.py:123-124
+  }
+
   test("set-aggregation-method / set-xfilesfactor report old values") {
     val store = Files.createTempDirectory("cli-store2").toString
     run("create", store, "m", "1m:1h")
