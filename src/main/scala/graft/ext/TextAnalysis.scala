@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -100,4 +100,48 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")).cast("binary"))
+
+  /** One document's rolling-hash fingerprint summary. */
+  final case class RollingFp(
+      doc_id: Long, n_grams: Int, n_fp: Int, fp_min: Long, fp_max: Long)
+
+  /** Rabin–Karp rolling-hash fingerprinting: polynomial hashes of every
+    * k-byte gram (one O(n) pass via the rolling recurrence), mod-sampled
+    * (`h % sample == 0`) to a content-defined fingerprint set — the
+    * near-dup/shift-robust sibling of the canonical md5 `fingerprint`
+    * (a one-byte edit disturbs only the k grams covering it). Per-byte
+    * imperative work → typed mapPartitions, one pass, no shuffle.
+    */
+  def rollingFingerprints(docs: DataFrame, k: Int = 8, base: Long = 31L,
+                          mod: Long = 1000000007L, sample: Int = 8,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): Dataset[RollingFp] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val topPow = Array.iterate(1L, k)(h => h * base % mod).last // base^(k-1)
+    docs.select(col(idCol), col(textCol)).as[(Long, String)].mapPartitions(_.map {
+      case (id, text) =>
+        val bs = text.getBytes("UTF-8")
+        val nGrams = math.max(bs.length - k + 1, 0)
+        var fpMin = Long.MaxValue
+        var fpMax = Long.MinValue
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        var h = 0L
+        var p = 0
+        while (p < bs.length) {
+          val b = bs(p) & 0xffL
+          h =
+            if (p < k) (h * base + b) % mod
+            else (((h - (bs(p - k) & 0xffL) * topPow) % mod + mod) % mod * base + b) % mod
+          if (p >= k - 1 && h % sample == 0) {
+            seen += h
+            if (h < fpMin) fpMin = h
+            if (h > fpMax) fpMax = h
+          }
+          p += 1
+        }
+        RollingFp(id, nGrams, seen.size,
+          if (seen.isEmpty) -1L else fpMin, if (seen.isEmpty) -1L else fpMax)
+    })
+  }
 }

@@ -88,6 +88,38 @@ object ExtQueries {
          |FROM documents ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "t06_text_rolling_fingerprint",
+      // Rabin–Karp rolling-hash fingerprints (k=8 byte grams, base 31,
+      // mod 1e9+7, mod-8 sampling); oracle re-derives every gram hash
+      // from the blob's hex expansion with the same arithmetic
+      (s, dir) =>
+        TextAnalysis.rollingFingerprints(docs(s, dir)).toDF().orderBy("doc_id"),
+      {
+        val (k, b, m, smp) = (8, 31L, 1000000007L, 8)
+        val pw = (0 until k).map(j =>
+          (0 until (k - 1 - j)).foldLeft(1L)((h, _) => h * b % m))
+        s"""WITH bx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+           |u AS (
+           |  SELECT doc_id, i,
+           |    strpos('123456789ABCDEF', substr(h, i*2-1, 1)) * 16 +
+           |    strpos('123456789ABCDEF', substr(h, i*2, 1)) AS byte
+           |  FROM bx, unnest(range(1, length(h)//2 + 1)) AS t(i)),
+           |l AS (SELECT doc_id, list(byte ORDER BY i) AS bs FROM u GROUP BY 1),
+           |g AS (
+           |  SELECT doc_id, CAST(greatest(len(bs) - $k + 1, 0) AS INTEGER) AS n_grams,
+           |    list_transform(generate_series(1, greatest(len(bs) - $k + 1, 0)), p ->
+           |      list_sum(list_transform(generate_series(0, ${k - 1}), j ->
+           |        bs[p + j] * CAST([${pw.mkString(",")}][j + 1] AS BIGINT))) % $m) AS hs
+           |  FROM l),
+           |sel AS (SELECT doc_id, n_grams, list_filter(hs, x -> x % $smp = 0) AS fp FROM g)
+           |SELECT doc_id, n_grams,
+           |  CAST(len(list_distinct(fp)) AS INTEGER) AS n_fp,
+           |  CAST(coalesce(list_min(fp), -1) AS BIGINT) AS fp_min,
+           |  CAST(coalesce(list_max(fp), -1) AS BIGINT) AS fp_max
+           |FROM sel ORDER BY 1""".stripMargin
+      }
+    ),
+    QueryDef(
       "t02_text_quality",
       (s, dir) =>
         docs(s, dir)

@@ -158,6 +158,22 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling fingerprints: gram counts, sentinels for short docs, determinism") {
+    val synth = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "tiny"), // < k bytes → no grams
+      (3L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rollingFingerprints(synth).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).n_grams == "the quick brown fox jumps over the lazy dog"
+      .getBytes("UTF-8").length - 7)
+    assert(out(2L).n_grams == 0 && out(2L).n_fp == 0 &&
+      out(2L).fp_min == -1L && out(2L).fp_max == -1L)
+    // identical content → identical fingerprint summary
+    assert(out(1L).copy(doc_id = 3L) == out(3L))
+  }
+
   test("language ID is deterministic and covers the fixture") {
     val out = docs.select(TextAnalysis.langId(col("text")).as("l")).collect()
     assert(out.forall(r => Set("en", "es", "de", "fr", "zh", "und").contains(r.getString(0))))
