@@ -81,6 +81,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no codegen span around the aggregation:\n$plan")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (the data-skew complement to salting)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      // thresholds low enough that the hot key trips skew handling at
+      // test scale; broadcast disabled so the join actually shuffles
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // 90% of rows share one key — the metric-skew shape
+      val facts = spark.range(200000)
+        .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+          "CAST(id AS DOUBLE) AS v")
+      val dim = spark.range(20000).selectExpr("id AS k", "id * 2 AS w")
+      val joined = facts.join(dim, "k")
+      joined.collect() // executeCollect on THIS QueryExecution finalizes its adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not flag the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("high-slot-count rollup auto-selects the two-stage salted plan") {
     val higher = (0 until 1000).map(i => ("m", i.toLong, i.toDouble))
       .toDF("metric", "interval", "value")
