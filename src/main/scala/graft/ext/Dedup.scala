@@ -146,10 +146,14 @@ object Dedup {
     val sigs = minhashSignatures(sh, k).cache()
     val cands = lshCandidates(sigs, k, bands)
 
-    // stage 2: signature-estimate prefilter
+    // stage 2: signature-estimate prefilter. No broadcast HINT on the
+    // signature table: it is O(corpus), so forcing broadcast would ship
+    // the whole corpus to every executor at scale — AQE auto-broadcasts
+    // below the threshold (so small corpora keep the fast plan) and
+    // shuffle-joins above it.
     val est = cands
-      .join(broadcast(sigs.select(col("id").as("a"), col("sig").as("siga"))), "a")
-      .join(broadcast(sigs.select(col("id").as("b"), col("sig").as("sigb"))), "b")
+      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
       .withColumn("estj",
         aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
@@ -249,9 +253,10 @@ object Dedup {
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+    // no broadcast hint on the corpus side — see minhashDuplicates stage 2
     cands
-      .join(broadcast(c.select(col("id").as("a"), col("vec").as("va"))), "a")
-      .join(broadcast(c.select(col("id").as("b"), col("vec").as("vb"))), "b")
+      .join(c.select(col("id").as("a"), col("vec").as("va")), "a")
+      .join(c.select(col("id").as("b"), col("vec").as("vb")), "b")
       .select(col("a"), col("b"), Similarity.dotCol(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= tau)
   }
