@@ -52,9 +52,12 @@ object Fetch {
   }
 
   /** Dense-grid materialization over a points frame already filtered to one
-    * resolution level. The grid side is tiny (one row per slot) so it is
-    * broadcast; the points side keeps its scan-time partitioning — filter
-    * pushdown does the ring-offset math's job.
+    * resolution level. No broadcast hint: the grid is the LEFT (row-
+    * preserving) side of the outer join, and Spark can only build the
+    * right side of a left_outer — a left-side hint is silently ignored
+    * (HintErrorLogger). Both sides are bounded by the requested range, so
+    * AQE broadcasts the points side when it is small and shuffles
+    * otherwise; filter pushdown does the ring-offset math's job.
     *
     * @param points (metric, interval, value) at `step` resolution
     * @return (metric, interval, value-or-null), dense per metric over the grid
@@ -75,7 +78,7 @@ object Fetch {
     val data = points
       .where(col("metric").isin(metrics: _*) &&
         col("interval") >= fromInterval && col("interval") < untilInterval)
-    broadcast(grid).join(data, Seq("metric", "interval"), "left_outer")
+    grid.join(data, Seq("metric", "interval"), "left_outer")
       .select(col("metric"), col("interval"), col("value"))
   }
 }
