@@ -155,6 +155,121 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  // ---- product quantization ------------------------------------------
+
+  /** Per-segment PQ codebooks trained with deterministic seeding (the k
+    * lowest-id sub-vectors) plus `iters` distributed Lloyd steps: assign
+    * every (id, segment) sub-vector to its nearest code by L2, recompute
+    * code centroids as per-dimension means. Only m×k×subDim doubles ever
+    * reach the driver.
+    *
+    * @return (seg, cid, cvec) — m×k rows
+    */
+  def pqCodebooks(c: DataFrame, m: Int, k: Int, iters: Int = 2): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val dim = c.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"$m segments do not divide dim $dim")
+    val subd = dim / m
+    val subs = c.select(col("id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("vec"), s * subd + 1, subd)): _*)).as(Seq("seg", "sub"))).cache()
+    try {
+      var books: Seq[(Int, Int, Seq[Double])] = subs
+        .where(col("id") < k).orderBy("id", "seg")
+        .collect()
+        .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Double](2)))
+        .map { case (seg, cid, v) => (seg, cid, v) }
+      (0 until iters).foreach { _ =>
+        val bdf = books.toDF("seg", "cid", "cvec")
+        val d2 = // rank by ||sub-c||^2 ≡ -2·sub·c + ||c||^2
+          (lit(-2.0) * dotCol(col("sub"), col("cvec"))) + dotCol(col("cvec"), col("cvec"))
+        val assigned = subs.join(broadcast(bdf), Seq("seg"))
+          .groupBy("id", "seg")
+          .agg(min_by(col("cid"), struct(d2, col("cid"))).as("cid"))
+        books = subs.join(assigned, Seq("id", "seg"))
+          .select(col("seg"), col("cid"), posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy("seg", "cid", "pos")
+          .agg(avg(col("x")).as("x"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case ((seg, cid), rows) =>
+            (seg, cid, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }
+          .toSeq.sortBy(b => (b._1, b._2))
+      }
+      books.toDF("seg", "cid", "cvec")
+    } finally subs.unpersist()
+  }
+
+  /** PQ-encode the corpus: (id, seg, code) — the m-byte sketch, 32×
+    * smaller than float32 at m=8. Kept exploded (one row per segment) so
+    * the search join below stays a plain equi-join.
+    */
+  def pqEncode(c: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val dim = c.select(size(col("vec"))).head().getInt(0)
+    val subd = dim / m
+    val subs = c.select(col("id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("vec"), s * subd + 1, subd)): _*)).as(Seq("seg", "sub")))
+    val d2 =
+      (lit(-2.0) * dotCol(col("sub"), col("cvec"))) + dotCol(col("cvec"), col("cvec"))
+    subs.join(broadcast(codebooks), Seq("seg"))
+      .groupBy("id", "seg")
+      .agg(min_by(col("cid"), struct(d2, col("cid"))).as("code"))
+  }
+
+  /** PQ top-k (asymmetric distance): approx dot(q, x) = Σ_seg
+    * table(q, seg, code(x, seg)) where the per-query lookup tables are
+    * q_seg·c dot products — |queries|×m×k tiny rows broadcast into one
+    * equi-join against the encoded corpus; exact rerank on the shortlist.
+    * The corpus-sized scan touches only the m-byte codes (the
+    * memory-bound path at 100 TB); floats are read for the shortlist only.
+    */
+  def topkPq(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = 8,
+             codes: Int = 16, shortlistFactor: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val c = corpus(emb, idCol, vecCol).cache()
+    try {
+      val books = pqCodebooks(c, m, codes)
+      val encoded = pqEncode(c, books, m)
+      val dim = c.select(size(col("vec"))).head().getInt(0)
+      val subd = dim / m
+      // per-query lookup tables, computed on the driver from tiny inputs
+      val qvecs = c.where(col("id").isin(queryIds: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val bookArr = books.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      val tables = for {
+        (qid, qv) <- qvecs.toSeq
+        ((seg, cid), cv) <- bookArr.toSeq
+      } yield (qid, seg, cid,
+        (0 until subd).map(j => qv(seg * subd + j) * cv(j)).sum)
+      val tdf = tables.toDF("qid", "seg", "code", "t")
+      val approx = encoded.join(broadcast(tdf), Seq("seg", "code"))
+        .where(col("id") =!= col("qid"))
+        .groupBy("qid", "id")
+        .agg(sum(col("t")).as("adot"))
+      val wa = Window.partitionBy("qid").orderBy(col("adot").desc, col("id").asc)
+      val shortlist = approx
+        .withColumn("arank", row_number().over(wa))
+        .where(col("arank") <= k * shortlistFactor)
+        .select(col("qid"), col("id").as("nid"))
+      val qv = c.where(col("id").isin(queryIds: _*))
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      shortlist
+        .join(broadcast(qv), "qid")
+        .join(c.select(col("id").as("nid"), col("vec")), "nid")
+        .select(col("qid"), col("nid"), cosine(col("qvec"), col("vec")).as("cos"))
+        .withColumn("rank", row_number().over(wr))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("nid"), col("cos"))
+    } finally c.unpersist()
+  }
+
   /** IVF coarse centroids: deterministic seed sample (nlist lowest ids)
     * refined by one distributed Lloyd step — assign all vectors to their
     * nearest seed, then each cell's centroid becomes the mean of its

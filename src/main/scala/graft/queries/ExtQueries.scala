@@ -324,6 +324,17 @@ object ExtQueries {
           .orderBy("qid", "rank"),
       None),
     QueryDef(
+      "s05_sim_topk_pq",
+      // product quantization: m-byte codes + per-query lookup tables
+      // (asymmetric distance), exact rerank — approximate → rows-only;
+      // recall vs brute force asserted in ScalaTest
+      (s, dir) =>
+        Similarity
+          .topkPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      None),
+    QueryDef(
       "d07_corpus_pipeline",
       // the composite training-data pipeline: quality-filter → exact
       // dedup (keep the keeper) → per-source corpus stats — the shape a

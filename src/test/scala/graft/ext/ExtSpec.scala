@@ -103,6 +103,33 @@ class ExtSpec extends AnyFunSuite {
     assert(r8 == 1.0, s"probing every cell must be exact, got $r8")
   }
 
+  test("PQ top-k: valid codes, decent recall, exact rerank scores") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val c = Similarity.corpus(emb)
+    val books = Similarity.pqCodebooks(c, m = 8, k = 16)
+    assert(books.select("seg").distinct().count() == 8)
+    val encoded = Similarity.pqEncode(c, books, m = 8)
+    // every vector gets one code per segment, codes within [0, 16)
+    assert(encoded.count() == c.count() * 8)
+    assert(encoded.where(col("code") < 0 || col("code") >= 16).isEmpty)
+
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = pairs(Similarity.topkBruteForce(emb, qids, k = 5))
+    val pqPairs = Similarity.topkPq(emb, qids, k = 5).collect()
+    val recall = (brute & pqPairs.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall < 0.6")
+    // reranked scores are EXACT cosines regardless of code error
+    val bruteScores = Similarity.topkBruteForce(emb, qids, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cos")).toMap
+    pqPairs.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      bruteScores.get(key).foreach(exact =>
+        assert(math.abs(exact - r.getAs[Double]("cos")) < 1e-12))
+    }
+  }
+
   test("quantized top-k: int8 codes bounded, high recall vs brute force") {
     val quant = Similarity.quantizeInt8(emb).collect()
     quant.foreach { r =>
