@@ -72,12 +72,17 @@ object WhisperCli {
         // mirrors bin/whisper-fetch.py: --json, --pretty, --drop
         // nulls|zeroes|empty, plus explicit archive selection by
         // precision (fetch archiveToSelect, whisper.py:943-957)
-        val Array(_, store, metric, from, until, opts @ _*) = args: @unchecked
+        val Array(_, store, metric, rest @ _*) = args: @unchecked
+        // from/until are optional positionals: default window is the last
+        // 24 h (bin/whisper-fetch.py:22-23)
+        val (pos, opts) = rest.span(a => !a.startsWith("--"))
+        val from = pos.headOption.map(_.toLong).getOrElse(now - 86400)
+        val until = pos.lift(1).map(_.toLong).getOrElse(now)
         val archive = opts.sliding(2).collectFirst {
           case Seq("--archive", p) => Retention.parseRetentionDef(s"$p:1").secondsPerPoint
         }
         val res = new MetricStore(session(), store)
-          .fetch(metric, from.toLong, until.toLong, now, archive)
+          .fetch(metric, from, until, now, archive)
           .getOrElse { println("no data in requested range"); sys.exit(0); ??? }
         val dropMode = opts.sliding(2).collectFirst { case Seq("--drop", m) => m }
         def dropped(v: Option[Double]): Boolean = dropMode match {

@@ -52,6 +52,10 @@ class CliSpec extends AnyFunSuite {
 
     val info = run("info", store, "cpu.load")
     assert(info.contains("average") && info.contains("0.5"), info)
+
+    // no from/until → default last-24h window (bin/whisper-fetch.py:22-23)
+    val defaulted = run("fetch", store, "cpu.load", "--drop", "nulls")
+    assert(defaulted.contains("1.5") && defaulted.contains("2.5"), defaulted)
   }
 
   test("info single-field lookup and dump --raw re-ingestable output") {
