@@ -219,22 +219,43 @@ object Similarity {
       .agg(min_by(col("cid"), struct(d2, col("cid"))).as("code"))
   }
 
+  /** Build the PQ index once: codebooks + encoded corpus (cached). The
+    * index is the precomputed artifact every query reuses — training
+    * per query would be like rebuilding a B-tree per lookup.
+    */
+  def pqIndex(emb: DataFrame, m: Int = 8, codes: Int = 16,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val c = corpus(emb, idCol, vecCol).cache()
+    try {
+      val books = pqCodebooks(c, m, codes)
+      val encoded = pqEncode(c, books, m).cache()
+      encoded.count() // materialize while the corpus cache is alive
+      (books, encoded)
+    } finally c.unpersist()
+  }
+
   /** PQ top-k (asymmetric distance): approx dot(q, x) = Σ_seg
     * table(q, seg, code(x, seg)) where the per-query lookup tables are
     * q_seg·c dot products — |queries|×m×k tiny rows broadcast into one
     * equi-join against the encoded corpus; exact rerank on the shortlist.
     * The corpus-sized scan touches only the m-byte codes (the
     * memory-bound path at 100 TB); floats are read for the shortlist only.
+    *
+    * @param index a prebuilt `pqIndex` to reuse; trained ad hoc if absent
     */
   def topkPq(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = 8,
              codes: Int = 16, shortlistFactor: Int = 4,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val c = corpus(emb, idCol, vecCol).cache()
     try {
-      val books = pqCodebooks(c, m, codes)
-      val encoded = pqEncode(c, books, m)
+      val (books, encoded) = index.getOrElse {
+        val b = pqCodebooks(c, m, codes)
+        (b, pqEncode(c, b, m))
+      }
       val dim = c.select(size(col("vec"))).head().getInt(0)
       val subd = dim / m
       // per-query lookup tables, computed on the driver from tiny inputs

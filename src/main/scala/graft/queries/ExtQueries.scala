@@ -24,6 +24,18 @@ object ExtQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Io.readTable(s, dir, "embeddings")
 
+  /** PQ index memo per (session, dir): index build is a one-time cost
+    * (like the materialized level-0 in WhisperQueries) — queries reuse it.
+    */
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+
+  private def pqIndexFor(s: org.apache.spark.sql.SparkSession,
+                         dir: String): (DataFrame, DataFrame) =
+    pqMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => Similarity.pqIndex(emb(s, dir)))
+
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
 
@@ -330,7 +342,8 @@ object ExtQueries {
       // recall vs brute force asserted in ScalaTest
       (s, dir) =>
         Similarity
-          .topkPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+          .topkPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            index = Some(pqIndexFor(s, dir)))
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       None),
