@@ -126,6 +126,31 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("substitution fires on the pure SQL path through Engine.install views") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-opt5").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    graft.Engine.install(spark, store, "sub")
+    try {
+      val q = spark.sql(
+        """SELECT metric, interval - interval % 300 AS interval, avg(value) AS value
+          |FROM sub_level_0 GROUP BY 1, 2""".stripMargin)
+      val optimized = q.queryExecution.optimizedPlan
+      assert(optimized.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, s"SQL-path substitution did not fire:\n$optimized")
+      val got = q.orderBy("interval").collect()
+        .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+      assert(got == Map(w0 -> 12.0, (w0 + 300) -> 17.0))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("non-matching kernel or step is NOT rewritten") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-opt2").toString, numBuckets = 4)
