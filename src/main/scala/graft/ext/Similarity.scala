@@ -291,6 +291,77 @@ object Similarity {
     } finally c.unpersist()
   }
 
+  /** IVF×PQ: the standard billion-scale composition — IVF probing cuts
+    * the candidate set to `nprobe`/`nlist` of the corpus, PQ lookup
+    * tables rank those candidates touching only their m-byte codes, and
+    * the float vectors are read for the exact-rerank shortlist alone.
+    * At 100 TB: per query ≈ (corpus/nlist)·nprobe code rows scanned,
+    * k·shortlistFactor full vectors read.
+    */
+  def topkIvfPq(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
+                shortlistFactor: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val c = corpus(emb, idCol, vecCol).cache()
+    try {
+      val cents = ivfCentroids(c, nlist).cache()
+      val membership = assignToNearest(c, cents).select("id", "cell")
+      val (books, encoded) = index.getOrElse {
+        val b = pqCodebooks(c, m, codes)
+        (b, pqEncode(c, b, m))
+      }
+      val dim = c.select(size(col("vec"))).head().getInt(0)
+      val subd = dim / m
+
+      // nearest nprobe cells per query (tiny: |q| × nlist)
+      val q = c.where(col("id").isin(queryIds: _*))
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+      val probes = q.crossJoin(broadcast(cents))
+        .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cos"))
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= nprobe)
+        .select(col("qid"), col("cid").as("cell"))
+
+      // per-query PQ lookup tables (driver-computed from tiny inputs)
+      val qvecs = q.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val bookArr = books.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      val tables = for {
+        (qid, qv) <- qvecs.toSeq
+        ((seg, cid), cv) <- bookArr.toSeq
+      } yield (qid, seg, cid,
+        (0 until subd).map(j => qv(seg * subd + j) * cv(j)).sum)
+      val tdf = tables.toDF("qid", "seg", "code", "t")
+
+      // candidates = members of probed cells; ranked from codes alone
+      val approx = encoded
+        .join(membership, "id")
+        .join(broadcast(probes), Seq("cell"))
+        .where(col("id") =!= col("qid"))
+        .join(broadcast(tdf), Seq("qid", "seg", "code"))
+        .groupBy("qid", "id")
+        .agg(sum(col("t")).as("adot"))
+      val wa = Window.partitionBy("qid").orderBy(col("adot").desc, col("id").asc)
+      val shortlist = approx
+        .withColumn("arank", row_number().over(wa))
+        .where(col("arank") <= k * shortlistFactor)
+        .select(col("qid"), col("id").as("nid"))
+
+      val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+      shortlist
+        .join(broadcast(q), "qid")
+        .join(c.select(col("id").as("nid"), col("vec")), "nid")
+        .select(col("qid"), col("nid"), cosine(col("qvec"), col("vec")).as("cos"))
+        .withColumn("rank", row_number().over(wr))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("nid"), col("cos"))
+    } finally c.unpersist()
+  }
+
   /** IVF coarse centroids: deterministic seed sample (nlist lowest ids)
     * refined by one distributed Lloyd step — assign all vectors to their
     * nearest seed, then each cell's centroid becomes the mean of its

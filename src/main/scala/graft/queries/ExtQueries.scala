@@ -348,6 +348,18 @@ object ExtQueries {
           .orderBy("qid", "rank"),
       None),
     QueryDef(
+      "s06_sim_topk_ivfpq",
+      // IVF×PQ: probe nprobe cells, rank members from m-byte codes,
+      // exact rerank — the billion-scale composition; approximate →
+      // rows-only, recall vs brute force in ScalaTest
+      (s, dir) =>
+        Similarity
+          .topkIvfPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            index = Some(pqIndexFor(s, dir)))
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      None),
+    QueryDef(
       "d07_corpus_pipeline",
       // the composite training-data pipeline: quality-filter → exact
       // dedup (keep the keeper) → per-source corpus stats — the shape a

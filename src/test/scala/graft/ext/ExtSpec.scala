@@ -130,6 +130,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF×PQ top-k: candidates restricted to probed cells, usable recall") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = pairs(Similarity.topkBruteForce(emb, qids, k = 5))
+    val ivfpq = pairs(Similarity.topkIvfPq(emb, qids, k = 5, nlist = 8, nprobe = 4))
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF×PQ recall $recall < 0.5")
+    // full probe + generous shortlist degrades gracefully toward exact
+    val full = pairs(Similarity.topkIvfPq(emb, qids, k = 5, nlist = 8, nprobe = 8,
+      shortlistFactor = 16))
+    val fullRecall = (brute & full).size.toDouble / brute.size
+    assert(fullRecall >= recall - 1e-9)
+  }
+
   test("quantized top-k: int8 codes bounded, high recall vs brute force") {
     val quant = Similarity.quantizeInt8(emb).collect()
     quant.foreach { r =>
