@@ -32,16 +32,18 @@ object Bench {
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       SparkEntry.queries.foreach { case (name, fn) =>
-        // w21 shares w20's generated code; warming it would double the
-        // (untimed but slow) ingest warmup for no extra JIT coverage
-        if (name != "w21_ingest_incremental")
+        // the convergence gates share w20's generated code; warming them
+        // would multiply the (untimed but slow) ingest warmup for no
+        // extra JIT coverage
+        if (name != "w21_ingest_incremental" && name != "w22_streaming_ingest")
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-    // w21 is a correctness-only gate (the SAME ingest as w20 run twice to
-    // prove incremental convergence) — benching it would double-count the
-    // ingest cost already covered by w20 and the x00/x01 pair below.
-    val benchSkip = Set("w21_ingest_incremental")
+    // Correctness-only gates (the SAME ingest as w20 run as two batches /
+    // four streaming micro-batches to prove incremental convergence) —
+    // benching them would multiply-count the ingest cost already covered
+    // by w20 and the x00/x01 pair below.
+    val benchSkip = Set("w21_ingest_incremental", "w22_streaming_ingest")
     val results = SparkEntry.queries
       .filterNot { case (name, _) => benchSkip.contains(name) }
       .map { case (name, fn) =>

@@ -323,6 +323,41 @@ object WhisperQueries {
       },
       rollupSql("round(avg(value), 4)", RollStep, 5, 0.5f)),
     QueryDef(
+      "w22_streaming_ingest",
+      // the STREAMING write path against the same oracle: events staged
+      // as 4 arrival-ordered files (repartitionByRange on seq → file
+      // order == seq order, so cross-batch LWW == global LWW), streamed
+      // through StreamingIngest.start one file per micro-batch — four
+      // incremental updateMany rounds with touched-window cascades —
+      // then the materialized level-1 must equal the cold-rollup oracle.
+      (s, dir) => {
+        val stage = java.nio.file.Files.createTempDirectory("graft-w22-src").toString
+        events(s, dir)
+          .select(col("metric"), col("tsec").as("ts"), col("value"), col("seq"))
+          .repartitionByRange(4, col("seq"))
+          .write.mode("overwrite").parquet(stage)
+        val root = java.nio.file.Files.createTempDirectory("graft-w22").toString
+        val store = new graft.store.MetricStore(s, root, numBuckets = 8)
+        store.createAll(
+          Seq("click", "view", "signup", "error", "purchase"),
+          RetentionPolicy(
+            Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000)), xff = 0.5f))
+        val stream = s.readStream
+          .schema("metric STRING, ts BIGINT, value DOUBLE, seq BIGINT")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+          .selectExpr("metric", "timestamp_seconds(ts) AS ts", "value", "seq")
+        val q = graft.streaming.StreamingIngest.start(
+          stream, store,
+          java.nio.file.Files.createTempDirectory("graft-w22-ckpt").toString,
+          () => Now)
+        q.awaitTermination(600000)
+        store.levelData(1)
+          .select(col("metric"), col("interval"), round(col("value"), 4).as("value"))
+          .orderBy("metric", "interval")
+      },
+      rollupSql("round(avg(value), 4)", RollStep, 5, 0.5f)),
+    QueryDef(
       "w16_retention_parse",
       (s, dir) => {
         import s.implicits._
