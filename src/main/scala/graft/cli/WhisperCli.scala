@@ -203,13 +203,23 @@ object WhisperCli {
         println(s"${rows.length} differing slots")
 
       case "resize" =>
+        // --nobackup drops the .bak after the swap (whisper-resize.py:58,
+        // 227-229); positional [xff] [aggregationMethod] as before
         val Array(_, store, rets, rest @ _*) = args: @unchecked
-        val xff = rest.headOption.map(_.toFloat).getOrElse(0.5f)
-        val agg = rest.lift(1).map(AggregationMethod.fromName)
+        val (pos, flags) = rest.partition(a => !a.startsWith("--"))
+        val xff = pos.headOption.map(_.toFloat).getOrElse(0.5f)
+        val agg = pos.lift(1).map(AggregationMethod.fromName)
           .getOrElse(AggregationMethod.default)
         new MetricStore(session(), store)
           .resize(RetentionPolicy(Retention.parseSchema(rets), xff, agg), now)
-        println(s"resized store to $rets (backup at $store.bak)")
+        if (flags.contains("--nobackup")) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(s"$store.bak"))
+          println(s"resized store to $rets (no backup kept)")
+        } else println(s"resized store to $rets (backup at $store.bak)")
 
       case "validate" =>
         val bad = new MetricStore(session(), args(1)).validateAll()

@@ -77,6 +77,21 @@ class CliSpec extends AnyFunSuite {
     assert(run("set-xfilesfactor", store, "m", "0.25").contains("0.5"))
   }
 
+  test("resize --nobackup re-bins and drops the backup") {
+    val store = Files.createTempDirectory("cli-store5").toString
+    val now = System.currentTimeMillis() / 1000
+    val t1 = now - now % 600 - 600
+    run("create", store, "m", "1m:1d")
+    run("update", store, "m", s"$t1:4.0", s"${t1 + 60}:6.0")
+    val out = run("resize", store, "10m:2d", "0.0", "average", "--nobackup")
+    assert(out.contains("no backup kept"), out)
+    assert(!new java.io.File(s"$store.bak").exists())
+    // re-binned: the two 1m points average into one 10m slot
+    val fetched = run("fetch", store, "m", (t1 - 600).toString, (t1 + 600).toString,
+      "--drop", "nulls")
+    assert(fetched.contains("5.0"), fetched)
+  }
+
   test("validate reports invalid catalog rows") {
     val store = Files.createTempDirectory("cli-store3").toString
     run("create", store, "good", "1m:1h")
