@@ -181,20 +181,30 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash per document: sign of the per-bit sum of token
-    * hashes. Near-dups have small Hamming distance. Computed as 64
-    * codegen'd conditional-sum aggregates — no UDAF.
+  /** 60-bit cross-engine token hash: the first 15 hex digits of md5,
+    * parsed base-16 — slower than xxhash64 but reproducible in any SQL
+    * engine (the d08 oracle re-derives it digit by digit).
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def md5Hash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** SimHash per document: sign of the per-bit sum of token hashes.
+    * Near-dups have small Hamming distance. Computed as `bits` codegen'd
+    * conditional-sum aggregates — no UDAF. `hasher`/`bits` default to the
+    * fast engine hash; pass [[md5Hash60]]/60 for the oracle-portable
+    * variant.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              hasher: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
     val toks = docs.select(
       col(idCol).as("id"),
       explode(expr(s"regexp_extract_all($textCol, '${TextAnalysis.TokenRe}', 0)")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitAggs = (0 until 64).map { b =>
+      .withColumn("h", hasher(col("tok")))
+    val bitAggs = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val perBit = toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 64)
+    val sig = (0 until bits)
       .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     perBit.select(col("id"), sig.as("simhash"))
@@ -209,10 +219,11 @@ object Dedup {
     * an equi-join per chunk finds all of them (no cross join).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   hasher: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
     val chunks = maxDist + 1
-    val width = 64 / chunks
-    val sigs = simhash(docs, idCol, textCol)
+    val width = bits / chunks
+    val sigs = simhash(docs, idCol, textCol, hasher, bits)
     val keyed = sigs.select(
       col("id"), col("simhash"),
       posexplode(array((0 until chunks).map { c =>

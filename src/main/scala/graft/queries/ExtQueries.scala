@@ -219,6 +219,56 @@ object ExtQueries {
       (s, dir) => Dedup.simhashPairs(docs(s, dir), maxDist = 3).orderBy("a", "b"),
       None),
     QueryDef(
+      "d08_dedup_simhash_portable",
+      // SimHash with the cross-engine md5-60bit token hash → the full
+      // pipeline (per-bit majority vote, pigeonhole chunk blocking,
+      // hamming verify) is DuckDB-reproducible, upgrading SimHash from a
+      // rows-only check to an exact oracle gate. d04 keeps the fast
+      // xxhash64 variant.
+      (s, dir) =>
+        Dedup
+          .simhashPairs(docs(s, dir), maxDist = 3,
+            hasher = Dedup.md5Hash60, bits = 60)
+          .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+          .orderBy("a", "b"),
+      {
+        val bits = 60
+        val chunks = 4
+        val width = bits / chunks
+        val hexVal = (1 to 15)
+          .map(i =>
+            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
+              s"${BigInt(16).pow(15 - i)}")
+          .mkString(" + ")
+        val bitSums = (0 until bits)
+          .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(", ")
+        val sig = (0 until bits)
+          .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        val mask = (1L << width) - 1
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+           |  FROM documents
+           |), hashed AS (
+           |  SELECT doc_id, CAST($hexVal AS BIGINT) AS h FROM toks
+           |), bitsums AS (
+           |  SELECT doc_id, $bitSums FROM hashed GROUP BY 1
+           |), sigs AS (
+           |  SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM bitsums
+           |), keyed AS (
+           |  SELECT doc_id, sig, c, (sig >> (c * $width)) & $mask AS key
+           |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS c) t
+           |)
+           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS dist
+           |FROM keyed x JOIN keyed y
+           |  ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+           |ORDER BY 1, 2""".stripMargin
+      }
+    ),
+    QueryDef(
       "d05_dedup_embedding",
       (s, dir) => {
         val c = Similarity.corpus(emb(s, dir)).where(col("id") % 5 === 0)
