@@ -300,31 +300,48 @@ object Similarity {
     */
   def topkIvfPq(emb: DataFrame, queryIds: Seq[Long], k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
-                shortlistFactor: Int = 8,
+                shortlistFactor: Int = 8, residual: Boolean = true,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val c = corpus(emb, idCol, vecCol).cache()
+    val cents = ivfCentroids(c, nlist).cache()
+    val assigned = assignToNearest(c, cents).cache()
     try {
-      val cents = ivfCentroids(c, nlist).cache()
-      val membership = assignToNearest(c, cents).select("id", "cell")
-      val (books, encoded) = index.getOrElse {
-        val b = pqCodebooks(c, m, codes)
-        (b, pqEncode(c, b, m))
+      val membership = assigned.select("id", "cell")
+      // Residual PQ (the FAISS-style default): codebooks quantize
+      // vec − centroid(cell), so codes spend their bits on the
+      // cell-LOCAL variance the coarse quantizer already removed.
+      // Exact decomposition dot(q,x) = q·c_cell + q·residual — the
+      // first term is per-(query, probed cell) and free; only the
+      // second goes through the lookup tables.
+      val pqInput =
+        if (!residual) c
+        else assigned
+          .join(broadcast(cents), col("cell") === col("cid"))
+          .select(col("id"),
+            zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
+      val (books, encoded) = index.filter(_ => !residual).getOrElse {
+        val b = pqCodebooks(pqInput, m, codes)
+        (b, pqEncode(pqInput, b, m))
       }
       val dim = c.select(size(col("vec"))).head().getInt(0)
       val subd = dim / m
 
-      // nearest nprobe cells per query (tiny: |q| × nlist)
+      // nearest nprobe cells per query, carrying q·c_cell for the
+      // residual correction (tiny: |q| × nlist)
       val q = c.where(col("id").isin(queryIds: _*))
         .select(col("id").as("qid"), col("vec").as("qvec"))
       val wq = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
       val probes = q.crossJoin(broadcast(cents))
-        .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("cos"))
+        .select(col("qid"), col("cid"),
+          cosine(col("qvec"), col("cvec")).as("cos"),
+          dotCol(col("qvec"), col("cvec")).as("qdotc"))
         .withColumn("rn", row_number().over(wq))
         .where(col("rn") <= nprobe)
-        .select(col("qid"), col("cid").as("cell"))
+        .select(col("qid"), col("cid").as("cell"),
+          (if (residual) col("qdotc") else lit(0.0)).as("qdotc"))
 
       // per-query PQ lookup tables (driver-computed from tiny inputs)
       val qvecs = q.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
@@ -344,7 +361,7 @@ object Similarity {
         .where(col("id") =!= col("qid"))
         .join(broadcast(tdf), Seq("qid", "seg", "code"))
         .groupBy("qid", "id")
-        .agg(sum(col("t")).as("adot"))
+        .agg((sum(col("t")) + first(col("qdotc"))).as("adot"))
       val wa = Window.partitionBy("qid").orderBy(col("adot").desc, col("id").asc)
       val shortlist = approx
         .withColumn("arank", row_number().over(wa))
@@ -359,7 +376,11 @@ object Similarity {
         .withColumn("rank", row_number().over(wr))
         .where(col("rank") <= k)
         .select(col("qid"), col("rank"), col("nid"), col("cos"))
-    } finally c.unpersist()
+    } finally {
+      assigned.unpersist()
+      cents.unpersist()
+      c.unpersist()
+    }
   }
 
   /** IVF coarse centroids: deterministic seed sample (nlist lowest ids)

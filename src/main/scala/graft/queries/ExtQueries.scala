@@ -402,10 +402,13 @@ object ExtQueries {
       // IVF×PQ: probe nprobe cells, rank members from m-byte codes,
       // exact rerank — the billion-scale composition; approximate →
       // rows-only, recall vs brute force in ScalaTest
+      // residual=false so the memoized global-codebook index is reusable
+      // (residual codebooks depend on the per-run centroids; the residual
+      // path is exercised in ScalaTest)
       (s, dir) =>
         Similarity
           .topkIvfPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
-            index = Some(pqIndexFor(s, dir)))
+            residual = false, index = Some(pqIndexFor(s, dir)))
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       None),

@@ -138,6 +138,10 @@ class ExtSpec extends AnyFunSuite {
     val ivfpq = pairs(Similarity.topkIvfPq(emb, qids, k = 5, nlist = 8, nprobe = 4))
     val recall = (brute & ivfpq).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF×PQ recall $recall < 0.5")
+    // global-codebook variant also holds up (the memoizable index path)
+    val plain = pairs(Similarity.topkIvfPq(emb, qids, k = 5, nlist = 8, nprobe = 4,
+      residual = false))
+    assert((brute & plain).size.toDouble / brute.size >= 0.5)
     // full probe + generous shortlist degrades gracefully toward exact
     val full = pairs(Similarity.topkIvfPq(emb, qids, k = 5, nlist = 8, nprobe = 8,
       shortlistFactor = 16))
