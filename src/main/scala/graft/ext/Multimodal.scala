@@ -93,8 +93,11 @@ object Multimodal {
     * per-frame decode is again partition-parallel.
     */
   def sampleFrames(meta: DataFrame, maxFrames: Int = 4): DataFrame = {
-    val stride = ceil(col("n_frames").cast("double") / maxFrames).cast("int")
-    meta.select(
+    // clamp: n_frames == 0 (still image / corrupt blob from a real codec)
+    // would make the stride 0 and sequence() throw; such rows emit no frames
+    val stride = greatest(lit(1),
+      ceil(col("n_frames").cast("double") / maxFrames).cast("int"))
+    meta.where(col("n_frames") > 0).select(
       col("id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1, stride)).as("frame_idx"))
   }

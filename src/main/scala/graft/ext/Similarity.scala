@@ -175,11 +175,15 @@ object Similarity {
       posexplode(array((0 until m).map(s =>
         slice(col("vec"), s * subd + 1, subd)): _*)).as(Seq("seg", "sub"))).cache()
     try {
+      // seed from the k lowest ids (NOT `id < k`: ids may be offset or
+      // sparse), re-labelled densely 0..k-1 as code ids
+      val seedIds = c.select(col("id")).orderBy("id").limit(k)
+        .as[Long].collect()
+      val idToCid = seedIds.zipWithIndex.toMap
       var books: Seq[(Int, Int, Seq[Double])] = subs
-        .where(col("id") < k).orderBy("id", "seg")
+        .where(col("id").isin(seedIds: _*)).orderBy("id", "seg")
         .collect()
-        .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Double](2)))
-        .map { case (seg, cid, v) => (seg, cid, v) }
+        .map(r => (r.getInt(1), idToCid(r.getLong(0)), r.getSeq[Double](2)))
       (0 until iters).foreach { _ =>
         val bdf = books.toDF("seg", "cid", "cvec")
         val d2 = // rank by ||sub-c||^2 ≡ -2·sub·c + ||c||^2

@@ -112,29 +112,31 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     }
   }
 
-  /** cond must be exactly {known > 0, known/slots >= xff} (any order). */
+  /** cond must be exactly {known > 0, known/slots >= xff} (any order).
+    * EVERY conjunct must be one of those two recognized predicates — a
+    * merely known-referencing extra conjunct (`known > 3`, a second
+    * ratio with different slots/xff) would be silently dropped by the
+    * substitution, returning rows the original query excludes.
+    */
   private def gateMatches(cond: Expression, knownId: ExprId,
                           slots: Int, xff: Float): Boolean = {
     def isKnown(e: Expression): Boolean = uncast(e) match {
       case a: Attribute => a.exprId == knownId
       case _ => false
     }
-    val cs = conjuncts(cond)
-    val hasPositive = cs.exists {
+    def isPositiveGate(e: Expression): Boolean = e match {
       case GreaterThan(k, z) => isKnown(k) && longLit(z).contains(0L)
       case _ => false
     }
-    val hasXff = cs.exists {
+    def isXffGate(e: Expression): Boolean = e match {
       case GreaterThanOrEqual(Divide(k, s, _), x) =>
         isKnown(k) && doubleLit(s).contains(slots.toDouble) &&
           doubleLit(x).contains(xff.toDouble)
       case _ => false
     }
-    hasPositive && hasXff && cs.forall {
-      case GreaterThan(k, _) => isKnown(k)
-      case GreaterThanOrEqual(Divide(k, _, _), _) => isKnown(k)
-      case _ => false
-    }
+    val cs = conjuncts(cond)
+    cs.exists(isPositiveGate) && cs.exists(isXffGate) &&
+      cs.forall(c => isPositiveGate(c) || isXffGate(c))
   }
 
   /** Catalyst's PullOutGroupingExpressions moves grouping arithmetic into
@@ -182,20 +184,40 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     }
   }
 
-  /** child must be (a projection/filter over) a parquet scan of the
-    * store's level_0 directory with (metric, interval, value) visible.
+  /** child must be a parquet scan of the store's level_0 directory with
+    * (metric, interval, value) visible, reached ONLY through pass-through
+    * Projects (plain attributes, name-preserving aliases, or Catalyst's
+    * pulled-out `_groupingexpression` aliases). Anything else between the
+    * Aggregate and the scan — a pushed-down Filter (`WHERE metric='x'`,
+    * `WHERE value>0`), a value-rewriting Project, a join — changes the
+    * aggregate's input set, and substituting the precomputed level would
+    * silently discard it.
     */
   private def matchLevel0Scan(plan: LogicalPlan): Option[LogicalPlan] = {
-    val isLevel0 = plan.collectLeaves().forall {
+    def isLevel0Leaf(p: LogicalPlan): Boolean = p match {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            hfs.location.rootPaths.forall(_.toString.contains("level_0"))
+            hfs.location.rootPaths.nonEmpty &&
+              hfs.location.rootPaths.forall(_.toString.contains("level_0"))
           case _ => false
         }
       case _ => false
     }
-    if (isLevel0 && plan.collectLeaves().nonEmpty) Some(plan) else None
+    def walk(p: LogicalPlan): Boolean = p match {
+      case Project(plist, child) =>
+        plist.forall {
+          case _: Attribute => true
+          case a: Alias =>
+            (a.child match {
+              case attr: Attribute => attr.name == a.name
+              case _ => false
+            }) || a.name.startsWith("_groupingexpression")
+          case _ => false
+        } && walk(child)
+      case leaf => isLevel0Leaf(leaf)
+    }
+    if (walk(plan)) Some(plan) else None
   }
 
   /** Strip no-op casts so `floor(interval / 300L)` and spelling variants

@@ -190,6 +190,25 @@ class ExtSpec extends AnyFunSuite {
     assert(out.forall { case (_, idxs) => idxs.size <= 4 && idxs.head == 0 })
   }
 
+  test("frame sampling tolerates zero-frame blobs (real codecs emit them)") {
+    val meta = Seq((1L, 0), (2L, 5)).toDF("id", "n_frames")
+    val out = Multimodal.sampleFrames(meta, maxFrames = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(2)).sorted.toSeq).toMap
+    assert(!out.contains(1L), "zero-frame blob must emit no frame rows")
+    assert(out(2L) == Seq(0, 2, 4))
+  }
+
+  test("PQ codebooks seed from the k lowest ids even when ids are offset") {
+    val c = Similarity.corpus(emb)
+    val shifted = c.withColumn("id", col("id") + 100000L)
+    val books = Similarity.pqCodebooks(shifted, m = 8, k = 16)
+    // full codebook despite no id < 16 existing: 8 segments × 16 codes
+    assert(books.count() == 8 * 16, "offset ids must still yield k seeds")
+    assert(books.select("cid").distinct().count() == 16)
+    val encoded = Similarity.pqEncode(shifted, books, m = 8)
+    assert(encoded.where(col("code") < 0 || col("code") >= 16).isEmpty)
+  }
+
   test("multimodal byte features match a naive reference on the fixture") {
     val got = Multimodal.byteFeatures(Multimodal.asBlobs(docs)).collect()
     val texts = docs.select("doc_id", "text").collect()

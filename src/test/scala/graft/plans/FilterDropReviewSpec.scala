@@ -2,6 +2,7 @@ package graft.plans
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -9,14 +10,21 @@ import graft.SparkTestBase
 import graft.model._
 import graft.store.MetricStore
 
-/** Review scratch: does substitution preserve a WHERE below the aggregate? */
+/** Regression: substitution must NOT fire when a Filter (or any other
+  * non-pass-through node) sits between the Aggregate and the level-0
+  * scan — replacing the plan with the precomputed level would silently
+  * drop the filter (reviewer finding, round 2).
+  */
 class FilterDropReviewSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
   private val Now = 1706659200L
 
-  test("filtered window aggregate keeps its filter after substitution") {
+  private def hasAggregate(q: org.apache.spark.sql.DataFrame): Boolean =
+    q.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty
+
+  test("metric-filtered window aggregate is NOT substituted") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-filterdrop").toString, numBuckets = 4)
     store.create("m1",
@@ -38,9 +46,62 @@ class FilterDropReviewSpec extends AnyFunSuite {
         .groupBy(col("metric"),
           (col("interval") - col("interval") % lit(300L)).as("interval"))
         .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(q),
+        s"filtered aggregate was substituted:\n${q.queryExecution.optimizedPlan}")
       val metrics = q.select("metric").distinct().as[String].collect().toSet
-      info(s"metrics in result: $metrics")
       assert(metrics == Set("m1"), s"WHERE metric='m1' was dropped: got $metrics")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("value-filtered window aggregate is NOT substituted") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-filterdrop2").toString, numBuckets = 4)
+    store.create("m1",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m1", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .where(col("value") > 14.5)
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(q),
+        s"filtered aggregate was substituted:\n${q.queryExecution.optimizedPlan}")
+      // values 10..19; only 15..19 pass the filter → single window, avg 17
+      val got = q.collect()
+        .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+      assert(got == Map((w0 + 300) -> 17.0), s"filter dropped: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("value-rewriting projection below the aggregate is NOT substituted") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-filterdrop3").toString, numBuckets = 4)
+    store.create("m1",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m1", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), col("interval"), (col("value") * 2).as("value"))
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(q),
+        s"rewritten-value aggregate was substituted:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+      assert(got == Map(w0 -> 24.0, (w0 + 300) -> 34.0), s"projection dropped: $got")
     } finally spark.experimental.extraOptimizations = Nil
   }
 }

@@ -123,6 +123,36 @@ class RollupSubstitutionSpec extends AnyFunSuite {
       assert(qWrong.queryExecution.optimizedPlan.collect {
         case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
       }.nonEmpty)
+
+      // an EXTRA conjunct beyond the two gate predicates must NOT
+      // substitute even though it references `known` (reviewer finding:
+      // the old shape check only required known-referencing conjuncts)
+      val qExtra = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(5.0) >= lit(0.5) &&
+          col("known") > 3)
+        .select("metric", "interval", "value")
+      assert(qExtra.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "extra known-conjunct was dropped by substitution")
+
+      // a second ratio predicate with a different denominator likewise
+      val qTwoRatios = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(5.0) >= lit(0.5) &&
+          col("known").cast("double") / lit(2.0) >= lit(0.9))
+        .select("metric", "interval", "value")
+      assert(qTwoRatios.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "second ratio conjunct was dropped by substitution")
     } finally spark.experimental.extraOptimizations = Nil
   }
 
