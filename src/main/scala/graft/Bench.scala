@@ -27,23 +27,28 @@ object Bench {
     // stats-dependent, so warming on a smaller fixture misses the plans
     // actually taken at this scale. Wall clock doubles; measurements
     // reflect steady-state execution.
+    // Correctness-only gates: w21/w22 re-run the SAME ingest as w20 (two
+    // batches / four streaming micro-batches to prove incremental
+    // convergence), and the s07–s10 exact-mode ANN gates run the
+    // approximate pipelines with exhaustive parameters (probe every cell,
+    // full-corpus shortlist) purely so DuckDB can value-check them —
+    // benching them would double-count w20's ingest and the s02/s04/s05/
+    // s06 perf-shaped ANN variants.
+    val benchSkip = Set(
+      "w21_ingest_incremental", "w22_streaming_ingest",
+      "s07_sim_topk_ivf_exact", "s08_sim_topk_pq_exact",
+      "s09_sim_topk_ivfpq_exact", "s10_sim_topk_quantized_exact")
     try {
       spark.range(1000000).selectExpr("sum(id)", "avg(id)").collect()
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
       SparkEntry.queries.foreach { case (name, fn) =>
-        // the convergence gates share w20's generated code; warming them
-        // would multiply the (untimed but slow) ingest warmup for no
-        // extra JIT coverage
-        if (name != "w21_ingest_incremental" && name != "w22_streaming_ingest")
+        // skipped queries share their generated code with the benched
+        // variants; warming them would only repeat (untimed but slow) work
+        if (!benchSkip.contains(name))
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-    // Correctness-only gates (the SAME ingest as w20 run as two batches /
-    // four streaming micro-batches to prove incremental convergence) —
-    // benching them would multiply-count the ingest cost already covered
-    // by w20 and the x00/x01 pair below.
-    val benchSkip = Set("w21_ingest_incremental", "w22_streaming_ingest")
     val results = SparkEntry.queries
       .filterNot { case (name, _) => benchSkip.contains(name) }
       .map { case (name, fn) =>

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -430,16 +430,61 @@ object Similarity {
       .select(col("id"), col("vec"), col("cid").as("cell"))
   }
 
+  // ---- index persistence ---------------------------------------------
+
+  /** Persist a PQ index (codebooks + encoded corpus) as parquet tables —
+    * the build-once/search-many artifact. Codebooks are tiny (m×k rows,
+    * single file); codes are corpus×m rows of (id, seg, code) — at 100 TB
+    * co-bucket them with the corpus on `id` so the shortlist-rerank join
+    * stays co-located.
+    */
+  def savePqIndex(path: String, books: DataFrame, codes: DataFrame): Unit = {
+    books.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_books")
+    codes.write.mode("overwrite").parquet(s"$path/pq_codes")
+  }
+
+  /** @return (books, codes) frames reading the persisted index. */
+  def loadPqIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/pq_books"),
+      spark.read.parquet(s"$path/pq_codes"))
+
+  /** Persist an IVF index: coarse centroids (nlist rows, single file) and
+    * the corpus cell membership (id, cell). Vectors are NOT duplicated —
+    * search re-joins membership against the corpus table.
+    */
+  def saveIvfIndex(path: String, cents: DataFrame, membership: DataFrame): Unit = {
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/ivf_cents")
+    membership.select(col("id"), col("cell"))
+      .write.mode("overwrite").parquet(s"$path/ivf_membership")
+  }
+
+  /** @return (centroids, membership) frames reading the persisted index. */
+  def loadIvfIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/ivf_cents"),
+      spark.read.parquet(s"$path/ivf_membership"))
+
   /** IVF top-k: probe the `nprobe` cells nearest to each query, exact
     * cosine within probed cells only. Approximate — recall measured in
-    * tests against topkBruteForce.
+    * tests against topkBruteForce. `nprobe == nlist` probes every cell
+    * and is structurally exact (== brute force) — the oracle-gated mode.
+    *
+    * @param index a prebuilt (centroids, membership) pair — e.g. from
+    *              `loadIvfIndex` — to search without re-clustering
     */
   def topkIvf(emb: DataFrame, queryIds: Seq[Long], k: Int, nlist: Int = 16,
               nprobe: Int = 4, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val c = corpus(emb, idCol, vecCol)
-    val cents = ivfCentroids(c, nlist).cache()
-    val assigned = assignToNearest(c, cents).cache()
+    val (cents, assigned) = index match {
+      case Some((ce, membership)) =>
+        (ce.cache(),
+          c.join(membership.select("id", "cell"), "id")
+            .select(col("id"), col("vec"), col("cell")).cache())
+      case None =>
+        val ce = ivfCentroids(c, nlist).cache()
+        (ce, assignToNearest(c, ce).cache())
+    }
     val q = corpus(emb, idCol, vecCol)
       .where(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("vec").as("qvec"))

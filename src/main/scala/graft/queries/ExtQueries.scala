@@ -36,6 +36,50 @@ object ExtQueries {
       s"${System.identityHashCode(s)}:$dir",
       _ => Similarity.pqIndex(emb(s, dir)))
 
+  /** PQ index round-tripped through parquet persistence (save → load):
+    * s08 searches the RELOADED index, so the persistence path itself is
+    * under the brute-force oracle.
+    */
+  private val pqPersistMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+
+  private def persistedPqIndexFor(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): (DataFrame, DataFrame) =
+    pqPersistMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val (books, codes) = pqIndexFor(s, dir)
+        val path = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+        Similarity.savePqIndex(path, books, codes)
+        Similarity.loadPqIndex(s, path)
+      })
+
+  /** Brute-force cosine top-5 for query ids 0..4 — the s01 oracle, and
+    * the shared gate for every exact-mode ANN variant (exhaustive
+    * parameters make the approximate pipelines structurally equal to
+    * brute force, so their plumbing is DuckDB-verifiable).
+    */
+  private val bruteTopkSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      |  FROM embeddings
+      |), nrm AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+      |  FROM e GROUP BY 1
+      |), dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT qid, nid, dot / nq.n / nn.n AS cos,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY dot / nq.n / nn.n DESC, nid ASC) AS rank
+      |  FROM dots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 4) AS cos
+      |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
 
@@ -314,25 +358,7 @@ object ExtQueries {
           .topkBruteForce(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
-      """WITH e AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
-        |  FROM embeddings
-        |), nrm AS (
-        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
-        |  FROM e GROUP BY 1
-        |), dots AS (
-        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
-        |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
-        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
-        |  WHERE a.vec_id IN (0, 1, 2, 3, 4)
-        |  GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT qid, nid, dot / nq.n / nn.n AS cos,
-        |         row_number() OVER (PARTITION BY qid
-        |           ORDER BY dot / nq.n / nn.n DESC, nid ASC) AS rank
-        |  FROM dots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid)
-        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 4) AS cos
-        |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+      bruteTopkSql
     ),
     QueryDef(
       "s02_sim_topk_ivf",
@@ -412,6 +438,59 @@ object ExtQueries {
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       None),
+
+    // ---- exact-mode ANN gates ----------------------------------------
+    // Exhaustive parameters (probe every cell / shortlist ⊇ corpus) make
+    // each approximate pipeline structurally equal to brute force, so the
+    // SAME code paths that run s02/s04/s05/s06 get a full DuckDB oracle.
+    // Correctness-only: excluded from Bench (the perf-shaped variants
+    // above are the benched ones).
+    QueryDef(
+      "s07_sim_topk_ivf_exact",
+      // nprobe == nlist: every cell probed → IVF routing, probing and
+      // per-cell ranking verified value-exact against the oracle
+      (s, dir) =>
+        Similarity
+          .topkIvf(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            nlist = 16, nprobe = 16)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      bruteTopkSql),
+    QueryDef(
+      "s08_sim_topk_pq_exact",
+      // PQ search over the SAVED-then-RELOADED index with a shortlist
+      // covering the whole corpus: codes/tables/rerank plumbing AND the
+      // parquet persistence round-trip under the exact oracle
+      (s, dir) =>
+        Similarity
+          .topkPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            shortlistFactor = 200000, index = Some(persistedPqIndexFor(s, dir)))
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      bruteTopkSql),
+    QueryDef(
+      "s09_sim_topk_ivfpq_exact",
+      // IVF×PQ with residual codebooks (the production default), every
+      // cell probed, full-corpus shortlist → the residual decomposition
+      // q·c + q·r and the cell-membership joins verified value-exact
+      (s, dir) =>
+        Similarity
+          .topkIvfPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            nlist = 16, nprobe = 16, shortlistFactor = 200000, residual = true)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      bruteTopkSql),
+    QueryDef(
+      "s10_sim_topk_quantized_exact",
+      // int8-prefilter with a full-corpus shortlist: quantize + integer
+      // ranking + exact rerank verified value-exact
+      (s, dir) =>
+        Similarity
+          .topkQuantized(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            shortlistFactor = 200000)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      bruteTopkSql),
     QueryDef(
       "d07_corpus_pipeline",
       // the composite training-data pipeline: quality-filter → exact

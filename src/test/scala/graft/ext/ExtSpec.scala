@@ -198,6 +198,47 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L) == Seq(0, 2, 4))
   }
 
+  test("persisted PQ/IVF indexes round-trip and search identically") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val c = Similarity.corpus(emb)
+
+    val (books, codes) = Similarity.pqIndex(emb)
+    Similarity.savePqIndex(dir, books, codes)
+    val (books2, codes2) = Similarity.loadPqIndex(spark, dir)
+    assert(books2.collect().toSet == books.collect().toSet)
+    assert(codes2.count() == codes.count())
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("nid"))).toSeq
+    assert(
+      pairs(Similarity.topkPq(emb, qids, k = 3, index = Some((books2, codes2)))) ==
+        pairs(Similarity.topkPq(emb, qids, k = 3, index = Some((books, codes)))))
+
+    val cents = Similarity.ivfCentroids(c, nlist = 8)
+    val membership = Similarity.ivfAssign(emb, nlist = 8).select("id", "cell")
+    Similarity.saveIvfIndex(dir, cents, membership)
+    val (cents2, membership2) = Similarity.loadIvfIndex(spark, dir)
+    assert(cents2.count() == 8 && membership2.count() == c.count())
+    assert(
+      pairs(Similarity.topkIvf(emb, qids, k = 3, nprobe = 4,
+        index = Some((cents2, membership2)))) ==
+        pairs(Similarity.topkIvf(emb, qids, k = 3, nlist = 8, nprobe = 4)))
+  }
+
+  test("exact-mode ANN variants equal brute force (the s07–s10 gates)") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("nid"))).toSeq
+      .sorted
+    val brute = rows(Similarity.topkBruteForce(emb, qids, k = 5))
+    assert(rows(Similarity.topkIvf(emb, qids, k = 5, nlist = 8, nprobe = 8)) == brute)
+    assert(rows(Similarity.topkPq(emb, qids, k = 5, shortlistFactor = 200000)) == brute)
+    assert(rows(Similarity.topkIvfPq(emb, qids, k = 5, nlist = 8, nprobe = 8,
+      shortlistFactor = 200000, residual = true)) == brute)
+    assert(rows(Similarity.topkQuantized(emb, qids, k = 5,
+      shortlistFactor = 200000)) == brute)
+  }
+
   test("PQ codebooks seed from the k lowest ids even when ids are offset") {
     val c = Similarity.corpus(emb)
     val shifted = c.withColumn("id", col("id") + 100000L)
