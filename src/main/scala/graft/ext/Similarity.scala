@@ -306,12 +306,21 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
                 shortlistFactor: Int = 8, residual: Boolean = true,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+                index: Option[(DataFrame, DataFrame)] = None,
+                ivfIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val c = corpus(emb, idCol, vecCol).cache()
-    val cents = ivfCentroids(c, nlist).cache()
-    val assigned = assignToNearest(c, cents).cache()
+    val (cents, assigned) = ivfIndex match {
+      case Some((ce, membership)) =>
+        // no cache: the prebuilt index frames are the caller's to manage
+        (ce,
+          c.join(membership.select("id", "cell"), "id")
+            .select(col("id"), col("vec"), col("cell")))
+      case None =>
+        val ce = ivfCentroids(c, nlist).cache()
+        (ce, assignToNearest(c, ce).cache())
+    }
     try {
       val membership = assigned.select("id", "cell")
       // Residual PQ (the FAISS-style default): codebooks quantize
@@ -381,8 +390,10 @@ object Similarity {
         .where(col("rank") <= k)
         .select(col("qid"), col("rank"), col("nid"), col("cos"))
     } finally {
-      assigned.unpersist()
-      cents.unpersist()
+      if (ivfIndex.isEmpty) { // a prebuilt index's caches are the caller's
+        assigned.unpersist()
+        cents.unpersist()
+      }
       c.unpersist()
     }
   }
@@ -420,6 +431,13 @@ object Similarity {
     val c = corpus(emb, idCol, vecCol)
     assignToNearest(c, ivfCentroids(c, nlist))
   }
+
+  /** Cell membership (id, cell) for PREBUILT centroids — index builders
+    * that already trained `cents` use this instead of ivfAssign (which
+    * would re-train).
+    */
+  def ivfMembership(c: DataFrame, cents: DataFrame): DataFrame =
+    assignToNearest(c, cents).select("id", "cell")
 
   private def assignToNearest(c: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)
@@ -478,9 +496,10 @@ object Similarity {
     val c = corpus(emb, idCol, vecCol)
     val (cents, assigned) = index match {
       case Some((ce, membership)) =>
-        (ce.cache(),
+        // no cache: the prebuilt index frames are the caller's to manage
+        (ce,
           c.join(membership.select("id", "cell"), "id")
-            .select(col("id"), col("vec"), col("cell")).cache())
+            .select(col("id"), col("vec"), col("cell")))
       case None =>
         val ce = ivfCentroids(c, nlist).cache()
         (ce, assignToNearest(c, ce).cache())

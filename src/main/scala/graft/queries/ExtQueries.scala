@@ -36,6 +36,25 @@ object ExtQueries {
       s"${System.identityHashCode(s)}:$dir",
       _ => Similarity.pqIndex(emb(s, dir)))
 
+  /** IVF index memo per (session, dir): centroid training + cell
+    * assignment is the build-once artifact (same reasoning as pqMemo) —
+    * searches at every nprobe reuse it.
+    */
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+
+  private def ivfIndexFor(s: org.apache.spark.sql.SparkSession,
+                          dir: String, nlist: Int): (DataFrame, DataFrame) =
+    ivfMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir:$nlist",
+      _ => {
+        val c = Similarity.corpus(emb(s, dir))
+        val cents = Similarity.ivfCentroids(c, nlist).cache()
+        val membership = Similarity.ivfMembership(c, cents).cache()
+        membership.count() // materialize once
+        (cents, membership)
+      })
+
   /** PQ index round-tripped through parquet persistence (save → load):
     * s08 searches the RELOADED index, so the persistence path itself is
     * under the brute-force oracle.
@@ -367,7 +386,7 @@ object ExtQueries {
       (s, dir) =>
         Similarity
           .topkIvf(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
-            nlist = 16, nprobe = 4)
+            nlist = 16, nprobe = 4, index = Some(ivfIndexFor(s, dir, 16)))
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       None),
@@ -434,7 +453,8 @@ object ExtQueries {
       (s, dir) =>
         Similarity
           .topkIvfPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
-            residual = false, index = Some(pqIndexFor(s, dir)))
+            residual = false, index = Some(pqIndexFor(s, dir)),
+            ivfIndex = Some(ivfIndexFor(s, dir, 16)))
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       None),
@@ -452,7 +472,7 @@ object ExtQueries {
       (s, dir) =>
         Similarity
           .topkIvf(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
-            nlist = 16, nprobe = 16)
+            nlist = 16, nprobe = 16, index = Some(ivfIndexFor(s, dir, 16)))
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       bruteTopkSql),
@@ -476,7 +496,8 @@ object ExtQueries {
       (s, dir) =>
         Similarity
           .topkIvfPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
-            nlist = 16, nprobe = 16, shortlistFactor = 200000, residual = true)
+            nlist = 16, nprobe = 16, shortlistFactor = 200000, residual = true,
+            ivfIndex = Some(ivfIndexFor(s, dir, 16)))
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       bruteTopkSql),
