@@ -52,7 +52,9 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       rewriteGated(p, cond, agg, groupingExprs, aggExprs, child).getOrElse(p)
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.size == 2 =>
-      rewrite(agg, groupingExprs, aggExprs, child).getOrElse(agg)
+      rewrite(agg, groupingExprs, aggExprs, child)
+        .orElse(rewriteWindow(agg, groupingExprs, aggExprs, child))
+        .getOrElse(agg)
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -193,17 +195,18 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * aggregate's input set, and substituting the precomputed level would
     * silently discard it.
     */
+  private def isLevel0Leaf(p: LogicalPlan): Boolean = p match {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          hfs.location.rootPaths.nonEmpty &&
+            hfs.location.rootPaths.forall(_.toString.contains("level_0"))
+        case _ => false
+      }
+    case _ => false
+  }
+
   private def matchLevel0Scan(plan: LogicalPlan): Option[LogicalPlan] = {
-    def isLevel0Leaf(p: LogicalPlan): Boolean = p match {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            hfs.location.rootPaths.nonEmpty &&
-              hfs.location.rootPaths.forall(_.toString.contains("level_0"))
-          case _ => false
-        }
-      case _ => false
-    }
     def walk(p: LogicalPlan): Boolean = p match {
       case Project(plist, child) =>
         plist.forall {
@@ -218,6 +221,117 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case leaf => isLevel0Leaf(leaf)
     }
     if (walk(plan)) Some(plan) else None
+  }
+
+  /** The idiomatic Spark spelling — `groupBy(metric, window(ts, "S
+    * seconds"))` over `ts = timestamp_seconds(interval)` — lands here
+    * after the analyzer's TimeWindowing rewrite as
+    *   Aggregate([metric, window],
+    *     Project(named_struct(start, …ptc(ts)%S·1e6…, end, …) AS window,
+    *       Project(timestamp_seconds(interval) AS ts,
+    *         Filter(isnotnull…, <level-0 scan>))))
+    * Matched when: the chain holds only Projects and IsNotNull-only
+    * Filters; the struct's arithmetic uses one modulus W (micros) with no
+    * other literal than 0 (tumbling, zero offset — sliding windows plan
+    * through Expand and never reach this shape); every timestamp base is
+    * timestamp_seconds over the scan's interval column; and the kernel
+    * consumes the scan's value column untransformed. The substituted
+    * level scan re-derives the struct as
+    * (timestamp_seconds(interval), timestamp_seconds(interval+S)).
+    */
+  private def rewriteWindow(agg: Aggregate, grouping0: Seq[Expression],
+                            aggExprs: Seq[NamedExpression],
+                            child: LogicalPlan): Option[LogicalPlan] = {
+    val aliasBuf = scala.collection.mutable.Map[ExprId, Expression]()
+    def walk(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case Project(plist, c2)
+          if plist.forall(e => e.isInstanceOf[Attribute] || e.isInstanceOf[Alias]) =>
+        aliasBuf ++= plist.collect { case a: Alias => a.exprId -> a.child }
+        walk(c2)
+      case Filter(cond, c2) if conjuncts(cond).forall(_.isInstanceOf[IsNotNull]) =>
+        walk(c2)
+      case leaf if isLevel0Leaf(leaf) => Some(leaf)
+      case _ => None
+    }
+    @annotation.tailrec
+    def resolve(e: Expression): Expression = {
+      val r = e.transformUp {
+        case a: Attribute if aliasBuf.contains(a.exprId) => aliasBuf(a.exprId)
+      }
+      if (r.fastEquals(e)) r else resolve(r)
+    }
+    for {
+      policy <- store.policies().values.headOption
+      if policy.xff == 0f // rollup rows == plain window aggregates
+      leaf <- walk(child)
+      relOut = leaf.output
+      intervalAttrId <- relOut.find(_.name == "interval").map(_.exprId)
+      metricOk = grouping0.exists {
+        case a: Attribute => relOut.exists(o => o.exprId == a.exprId && o.name == "metric")
+        case _ => false
+      }
+      if metricOk
+      step <- grouping0.collectFirst {
+        case a: Attribute if aliasBuf.contains(a.exprId) =>
+          windowStructStep(resolve(a), intervalAttrId)
+      }.flatten
+      kernel <- matchKernel(aggExprs)
+      if kernel == policy.aggregation
+      // the kernel's value input must be the scan's column, untransformed
+      if aggExprs.flatMap(_.collect {
+        case AggregateExpression(f, _, _, _, _) =>
+          f.children.collect { case a: Attribute => a }
+      }).flatten.forall(a => relOut.exists(_.exprId == a.exprId))
+      if agg.output.map(_.name).toSet == Set("metric", "window", "value")
+      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
+      if levelIdx > 0
+    } yield {
+      val rollup = store.levelData(levelIdx).select("metric", "interval", "value")
+      val rel = rollup.queryExecution.analyzed
+      val Seq(mOut, iOut, vOut) = rel.output
+      val winStruct = CreateNamedStruct(Seq(
+        Literal("start"), SecondsToTimestamp(iOut),
+        Literal("end"), SecondsToTimestamp(Add(iOut, Literal(step.toLong)))))
+      val aliases: Seq[NamedExpression] = agg.output.map { attr =>
+        val e: Expression = attr.name match {
+          case "metric" => mOut
+          case "window" => winStruct
+          case _ => vOut
+        }
+        Alias(e, attr.name)(exprId = attr.exprId)
+      }
+      Project(aliases, rel)
+    }
+  }
+
+  /** Extract the tumbling-window step (seconds) from the TimeWindowing
+    * struct, or None if any part deviates from the zero-offset tumbling
+    * form over `timestamp_seconds(interval)`.
+    */
+  private def windowStructStep(structExpr: Expression,
+                               intervalAttrId: ExprId): Option[Int] = structExpr match {
+    case cns: CreateNamedStruct
+        if cns.nameExprs.map { case Literal(s, _) => s.toString } == Seq("start", "end") =>
+      val exprs = cns.valExprs
+      val mods = exprs.flatMap(_.collect {
+        case Remainder(_, Literal(w: Long, _), _) => w
+        case Pmod(_, Literal(w: Long, _), _) => w
+      }).distinct
+      val lits = exprs.flatMap(_.collect { case Literal(v: Long, _) => v })
+      val bases = exprs.flatMap(_.collect {
+        case PreciseTimestampConversion(t, _: org.apache.spark.sql.types.TimestampType, _) => t
+      })
+      mods match {
+        case Seq(w) if w > 0 && w % 1000000L == 0 &&
+            lits.forall(v => v == 0L || v == w) &&
+            bases.nonEmpty && bases.forall {
+              case SecondsToTimestamp(a: Attribute) => a.exprId == intervalAttrId
+              case _ => false
+            } =>
+          Some((w / 1000000L).toInt)
+        case _ => None
+      }
+    case _ => None
   }
 
   /** Strip no-op casts so `floor(interval / 300L)` and spelling variants

@@ -1,0 +1,112 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model._
+import graft.store.MetricStore
+
+/** The idiomatic `window(ts, "S seconds")` grouping shape substitutes to
+  * the precomputed rollup level.
+  */
+class WindowShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val Now = 1706659200L
+
+  private def mkStore(): (MetricStore, Long) = {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-winshape").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    (store, w0)
+  }
+
+  private def hasAggregate(q: org.apache.spark.sql.DataFrame): Boolean =
+    q.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty
+
+  test("window() tumbling grouping is rewritten to scan the rollup level") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"))
+      assert(!hasAggregate(q),
+        s"window() substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getStruct(1).getTimestamp(0).toInstant.getEpochSecond,
+          r.getStruct(1).getTimestamp(1).toInstant.getEpochSecond,
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set((w0, w0 + 300, 12.0), (w0 + 300L, w0 + 600, 17.0)),
+        s"wrong windows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("window() with a 90s step (no matching level) is NOT rewritten") {
+    val (store, _) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "90 seconds"))
+        .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(q))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("window() with a startTime offset is NOT rewritten") {
+    val (store, _) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"),
+          window(col("ts"), "300 seconds", "300 seconds", "60 seconds"))
+        .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(q),
+        s"offset window wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("window() over transformed values is NOT rewritten") {
+    val (store, _) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"),
+          (col("value") * 2).as("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(q),
+        s"transformed-value window wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+      val vals = q.collect().map(_.getAs[Double]("value")).toSet
+      assert(vals == Set(24.0, 34.0), s"projection dropped: $vals")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("window() with a value filter is NOT rewritten") {
+    val (store, _) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .where(col("value") > 14.5)
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(q))
+      val vals = q.collect().map(_.getAs[Double]("value")).toSet
+      assert(vals == Set(17.0), s"filter dropped: $vals")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
