@@ -274,15 +274,15 @@ final class MetricStore(val spark: SparkSession, val root: String,
       val freshLevels: Set[Int] =
         steps.indices.filterNot(i => new java.io.File(levelPath(i)).exists()).toSet
 
-      // direct writes per level (points too old for finer levels land
-      // directly in coarser ones, whisper.py:767-784)
-      steps.indices.foreach { i =>
-        if (directCounts.getOrElse(i, 0L) > 0)
-          upsertLevel(i, steps(i),
-            routed.where(col("level") === i)
-              .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio")),
-            directTouched.get(i))
-      }
+      // level-0 direct writes (no propagated input at the finest level);
+      // direct writes to coarser levels (points too old for finer levels,
+      // whisper.py:767-784) are FUSED into that level's cascade upsert
+      // below — one dynamic-overwrite commit per level, not two
+      if (directCounts.getOrElse(0, 0L) > 0)
+        upsertLevel(0, steps(0),
+          routed.where(col("level") === 0)
+            .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio")),
+          directTouched.get(0))
 
       // rollup cascade: recompute only touched lower windows from the
       // (post-upsert) higher level. The change set feeding level i+1 is
@@ -335,10 +335,30 @@ final class MetricStore(val spark: SparkSession, val root: String,
         val touchedP = propagated.select("pb", "tb").distinct().collect()
           .map(r => (r.getInt(0), r.getLong(1))).toSet
         val propagatedAny = touchedP.nonEmpty
-        if (propagatedAny)
-          upsertLevel(i, steps(i),
-            propagated.withColumn("prio", lit(1L)), // propagate beats direct
-            Some(touchedP))
+        val directN = directCounts.getOrElse(i, 0L)
+        // ONE upsert per level: direct writes (prio 0) fused with
+        // propagated windows (prio 1, propagate beats direct —
+        // whisper.py:858-875 writes points then overwrites propagated
+        // slots). Pre-merged when both exist so the fresh-level fast
+        // path (which skips merging) never sees duplicate slots.
+        if (propagatedAny || directN > 0) {
+          val incoming =
+            if (directN == 0L) propagated.withColumn("prio", lit(1L))
+            else if (!propagatedAny)
+              routed.where(col("level") === i)
+                .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio"))
+            else
+              withPartitionCols(
+                routed.where(col("level") === i)
+                  .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio")),
+                steps(i))
+                .unionByName(propagated.withColumn("prio", lit(1L)))
+                .groupBy("metric", "interval", "pb", "tb")
+                .agg(max_by(col("value"), col("prio")).as("value"))
+                .withColumn("prio", lit(1L))
+          upsertLevel(i, steps(i), incoming,
+            Some(touchedP ++ directTouched.getOrElse(i, Set.empty)))
+        }
         changed = propagated
           .select("metric", "interval")
           .unionByName(routed.where(col("level") === i).select("metric", "interval"))
