@@ -154,6 +154,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows().exists(_._1 == 1500L))
   }
 
+  test("stateful rollup soak: state rows bounded by open windows, not stream length") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value")
+
+    val rolled = StreamingIngest.rollupStateful(
+      stream, sourceStep = 60, step = 300,
+      method = AggregationMethod.Average, xff = 0f, maxLatenessSec = 600)
+    // default micro-batch trigger (not AvailableNow): a sustained-rate
+    // soak across many triggers, the ROADMAP state-growth question
+    val q = rolled.toDF().writeStream
+      .format("memory").queryName("rollup_soak").outputMode("update").start()
+
+    val windowsPerBatch = 10
+    val batches = 10
+    var maxState = 0L
+    (0 until batches).foreach { b =>
+      val t0 = (b * windowsPerBatch) * 300L
+      val rows = for {
+        w <- 0 until windowsPerBatch
+        s <- 0 until 5
+        m <- Seq("m0", "m1")
+      } yield (m, t0 + w * 300L + s * 60L, s.toDouble)
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val prog = q.lastProgress
+      if (prog != null && prog.stateOperators.nonEmpty)
+        maxState = math.max(maxState, prog.stateOperators.map(_.numRowsTotal).sum)
+    }
+    q.stop()
+
+    val totalWindows = windowsPerBatch * batches * 2 // 200 across the run
+    assert(maxState > 0, "no state metrics reported")
+    // live state ≤ one batch's windows + the ≤600s-late tail awaiting
+    // timeout — NOT the 200 windows the stream has seen
+    assert(maxState <= 3L * windowsPerBatch * 2,
+      s"state grew with stream length: $maxState rows vs $totalWindows windows seen")
+    // every window eventually emitted (xff=0 → all pass the gate)
+    val emitted = spark.table("rollup_soak")
+      .select("metric", "interval").distinct().count()
+    assert(emitted == totalWindows)
+  }
+
   test("startStateful sinks provisional rollups into the store and refines them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
