@@ -142,12 +142,12 @@ object Similarity {
       .withColumn("arank", row_number().over(wa))
       .where(col("arank") <= k * shortlistFactor)
       .select("qid", "nid")
-    // exact rerank on the shortlist only
+    // exact rerank on the shortlist only — shortlist side broadcast so
+    // the float corpus streams (never the build side at 100 TB)
     val qv = c.where(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("vec").as("qvec"))
     val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    shortlist
-      .join(broadcast(qv), "qid")
+    broadcast(shortlist.join(broadcast(qv), "qid"))
       .join(c.select(col("id").as("nid"), col("vec")), "nid")
       .select(col("qid"), col("nid"), cosine(col("qvec"), col("vec")).as("cos"))
       .withColumn("rank", row_number().over(wr))
@@ -208,18 +208,22 @@ object Similarity {
 
   /** PQ-encode the corpus: (id, seg, code) — the m-byte sketch, 32×
     * smaller than float32 at m=8. Kept exploded (one row per segment) so
-    * the search join below stays a plain equi-join.
+    * the search join below stays a plain equi-join. An input `cell`
+    * column (IVF membership) is carried through, so an IVF×PQ index is
+    * ONE table — searches probe it directly with no corpus-sized
+    * membership join.
     */
   def pqEncode(c: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
     val dim = c.select(size(col("vec"))).head().getInt(0)
     val subd = dim / m
-    val subs = c.select(col("id"),
+    val carry = c.columns.filter(_ == "cell").toSeq.map(col)
+    val subs = c.select(col("id") +: carry :+
       posexplode(array((0 until m).map(s =>
-        slice(col("vec"), s * subd + 1, subd)): _*)).as(Seq("seg", "sub")))
+        slice(col("vec"), s * subd + 1, subd)): _*)).as(Seq("seg", "sub")): _*)
     val d2 =
       (lit(-2.0) * dotCol(col("sub"), col("cvec"))) + dotCol(col("cvec"), col("cvec"))
     subs.join(broadcast(codebooks), Seq("seg"))
-      .groupBy("id", "seg")
+      .groupBy(col("id") +: carry :+ col("seg"): _*)
       .agg(min_by(col("cid"), struct(d2, col("cid"))).as("code"))
   }
 
@@ -285,8 +289,11 @@ object Similarity {
       val qv = c.where(col("id").isin(queryIds: _*))
         .select(col("id").as("qid"), col("vec").as("qvec"))
       val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-      shortlist
-        .join(broadcast(qv), "qid")
+      // broadcast the SHORTLIST side of the rerank join: the corpus
+      // streams (at 100 TB it can never be the build side; without the
+      // hint Spark's size estimates pick it at test scale and would flip
+      // to a full corpus shuffle at real scale)
+      broadcast(shortlist.join(broadcast(qv), "qid"))
         .join(c.select(col("id").as("nid"), col("vec")), "nid")
         .select(col("qid"), col("nid"), cosine(col("qvec"), col("vec")).as("cos"))
         .withColumn("rank", row_number().over(wr))
@@ -329,11 +336,14 @@ object Similarity {
       // Exact decomposition dot(q,x) = q·c_cell + q·residual — the
       // first term is per-(query, probed cell) and free; only the
       // second goes through the lookup tables.
+      // Both paths keep `cell` on the PQ input, so the trained index is
+      // ONE (id, cell, seg, code) table and the search below probes it
+      // without a corpus-sized membership join.
       val pqInput =
-        if (!residual) c
+        if (!residual) assigned.select("id", "cell", "vec")
         else assigned
           .join(broadcast(cents), col("cell") === col("cid"))
-          .select(col("id"),
+          .select(col("id"), col("cell"),
             zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("vec"))
       val (books, encoded) = index.filter(_ => !residual).getOrElse {
         val b = pqCodebooks(pqInput, m, codes)
@@ -367,9 +377,15 @@ object Similarity {
         (0 until subd).map(j => qv(seg * subd + j) * cv(j)).sum)
       val tdf = tables.toDF("qid", "seg", "code", "t")
 
-      // candidates = members of probed cells; ranked from codes alone
-      val approx = encoded
-        .join(membership, "id")
+      // candidates = members of probed cells, ranked from codes alone:
+      // cell-carrying indexes are probed directly (broadcast join on the
+      // tiny probe set — a single scan of the code table, no shuffle); a
+      // prebuilt global-PQ index without cell falls back to the
+      // membership join
+      val candidates =
+        if (encoded.columns.contains("cell")) encoded
+        else encoded.join(membership, "id")
+      val approx = candidates
         .join(broadcast(probes), Seq("cell"))
         .where(col("id") =!= col("qid"))
         .join(broadcast(tdf), Seq("qid", "seg", "code"))
@@ -381,9 +397,9 @@ object Similarity {
         .where(col("arank") <= k * shortlistFactor)
         .select(col("qid"), col("id").as("nid"))
 
+      // shortlist side broadcast: the float corpus streams in the rerank
       val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-      shortlist
-        .join(broadcast(q), "qid")
+      broadcast(shortlist.join(broadcast(q), "qid"))
         .join(c.select(col("id").as("nid"), col("vec")), "nid")
         .select(col("qid"), col("nid"), cosine(col("qvec"), col("vec")).as("cos"))
         .withColumn("rank", row_number().over(wr))

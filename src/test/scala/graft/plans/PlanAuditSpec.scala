@@ -112,6 +112,41 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN rerank joins broadcast the shortlist; the corpus is never the build side") {
+    val emb = (0L until 500L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    val qids = Seq(0L, 1L)
+
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+
+    // PQ: the nid rerank join must build from the (broadcast) shortlist
+    // side — BuildRight here would mean broadcasting the float corpus,
+    // which flips to a full corpus shuffle at real scale
+    val pq = finalPlan(graft.ext.Similarity.topkPq(emb, qids, 3))
+    assert(pq.contains("BuildLeft"), s"rerank does not build from shortlist:\n$pq")
+    assert(!pq.contains("SortMergeJoin"), s"corpus-shuffling join in PQ search:\n$pq")
+
+    val quant = finalPlan(graft.ext.Similarity.topkQuantized(emb, qids, 3))
+    assert(quant.contains("BuildLeft") && !quant.contains("SortMergeJoin"),
+      s"corpus-shuffling join in quantized search:\n$quant")
+
+    // IVF×PQ with a cell-carrying index: probing is a broadcast join
+    // against the single code table — no membership join, no shuffle join
+    val ivfpq = finalPlan(
+      graft.ext.Similarity.topkIvfPq(emb, qids, 3, nlist = 4, nprobe = 2))
+    assert(!ivfpq.contains("SortMergeJoin"),
+      s"corpus-shuffling join in IVF×PQ search:\n$ivfpq")
+
+    val ivf = finalPlan(
+      graft.ext.Similarity.topkIvf(emb, qids, 3, nlist = 4, nprobe = 2))
+    assert(!ivf.contains("SortMergeJoin"),
+      s"corpus-shuffling join in IVF search:\n$ivf")
+  }
+
   test("high-slot-count rollup auto-selects the two-stage salted plan") {
     val higher = (0 until 1000).map(i => ("m", i.toLong, i.toDouble))
       .toDF("metric", "interval", "value")
