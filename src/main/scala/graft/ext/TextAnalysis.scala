@@ -55,6 +55,22 @@ object TextAnalysis {
   def cjkCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
 
+  /** CJK script ranges (unified ideographs, kana, hangul) — `\x{…}`
+    * spelling parses identically in Java (Spark) and RE2 (DuckDB).
+    */
+  val CjkRe = "[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]"
+
+  /** CJK-aware token estimate: under `BpeRe` an unsegmented zh/ja/ko run
+    * collapses to ONE pre-token, wildly under-billing the token budget —
+    * real BPE vocabularies spend roughly one token per CJK character. So
+    * each CJK codepoint counts as its own token, and the remaining text
+    * (CJK blanked to spaces) goes through the GPT-2-style segment count.
+    * Pure non-CJK text degrades exactly to `bpeTokenCount`.
+    */
+  def cjkAwareTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(CjkRe), lit(0))) +
+      bpeTokenCount(trim(regexp_replace(text, CjkRe, " ")))
+
   /** Quality ratios (length / punctuation / stopword density). Ratios are
     * exact int/int double divisions — bit-identical across engines.
     */

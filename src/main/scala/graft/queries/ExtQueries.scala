@@ -195,6 +195,27 @@ object ExtQueries {
       }
     ),
     QueryDef(
+      "t07_text_cjk_tokens",
+      // CJK-aware token budget (ROADMAP: zh runs collapse to one BpeRe
+      // pre-token): one token per CJK codepoint + BPE-ish segments over
+      // the rest. The fixture is CJK-free (both terms still verified
+      // cross-engine — the CJK discrimination is covered by ScalaTest
+      // fixtures with real zh/ja/ko strings).
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            TextAnalysis.cjkAwareTokenCount(col("text")).as("n_tok"),
+            TextAnalysis.cjkCount(col("text")).as("n_cjk"))
+          .orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.CjkRe}')) +
+         |    len(regexp_extract_all(trim(regexp_replace(text, '${TextAnalysis.CjkRe}', ' ', 'g')),
+         |        '${TextAnalysis.BpeRe.replace("'", "''")}')) AS INTEGER) AS n_tok,
+         |  CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INTEGER) AS n_cjk
+         |FROM documents ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t02_text_quality",
       (s, dir) =>
         docs(s, dir)

@@ -280,6 +280,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1L).copy(doc_id = 3L) == out(3L))
   }
 
+  test("CJK-aware token counting: one token per CJK char, BPE segments for the rest") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "hello world"),   // pure ASCII → identical to bpeTokenCount
+      (2L, "你好世界"),        // 4 ideographs → 4 (BpeRe alone says 1)
+      (3L, "日本語のテスト"),   // kanji + kana, 7 chars → 7
+      (4L, "GPT模型很强"),     // mixed: 'GPT' segment + 4 ideographs → 5
+      (5L, "")               // empty → 0
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.cjkAwareTokenCount(col("text")).as("n"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L)._1 == got(1L)._2, "CJK-free text must match the BPE count")
+    assert(got(2L) == ((4, 1)), s"zh run under-billed: ${got(2L)}")
+    assert(got(3L) == ((7, 1)))
+    assert(got(4L)._1 == 5)
+    assert(got(5L)._1 == 0)
+  }
+
   test("language ID is deterministic and covers the fixture") {
     val out = docs.select(TextAnalysis.langId(col("text")).as("l")).collect()
     assert(out.forall(r => Set("en", "es", "de", "fr", "zh", "und").contains(r.getString(0))))
