@@ -275,13 +275,8 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         case a: Attribute if aliasBuf.contains(a.exprId) =>
           windowStructStep(resolve(a), intervalAttrId)
       }.flatten
-      kernel <- matchKernel(aggExprs)
+      kernel <- matchKernelWindow(aggExprs, relOut, intervalAttrId, resolve)
       if kernel == policy.aggregation
-      // the kernel's value input must be the scan's column, untransformed
-      if aggExprs.flatMap(_.collect {
-        case AggregateExpression(f, _, _, _, _) =>
-          f.children.collect { case a: Attribute => a }
-      }).flatten.forall(a => relOut.exists(_.exprId == a.exprId))
       if agg.output.map(_.name).toSet == Set("metric", "window", "value")
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0
@@ -302,6 +297,39 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       }
       Project(aliases, rel)
     }
+  }
+
+  /** Kernel matcher for the window() shape: the aggregated value must be
+    * the SCAN's value column untransformed (attributes here may pass
+    * through ts-computing Projects, so name-matching alone is not
+    * enough), and `last` accepts max_by(value, ts) for ts =
+    * timestamp_seconds(interval) — monotone in interval, so
+    * chronologically-last is preserved.
+    */
+  private def matchKernelWindow(aggExprs: Seq[NamedExpression],
+                                relOut: Seq[Attribute], intervalAttrId: ExprId,
+                                resolve: Expression => Expression): Option[AggregationMethod] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
+    def isScanValue(v: Attribute): Boolean =
+      relOut.exists(o => o.exprId == v.exprId && o.name == "value")
+    def isIntervalTime(ord: Expression): Boolean = resolve(ord) match {
+      case SecondsToTimestamp(a: Attribute) => a.exprId == intervalAttrId
+      case a: Attribute => a.exprId == intervalAttrId
+      case _ => false
+    }
+    val kernels = aggExprs.flatMap(_.collect {
+      case AggregateExpression(Average(v: Attribute, _), _, false, None, _)
+          if isScanValue(v) => AggregationMethod.Average
+      case AggregateExpression(Sum(v: Attribute, _), _, false, None, _)
+          if isScanValue(v) => AggregationMethod.Sum
+      case AggregateExpression(Max(v: Attribute), _, false, None, _)
+          if isScanValue(v) => AggregationMethod.Max
+      case AggregateExpression(Min(v: Attribute), _, false, None, _)
+          if isScanValue(v) => AggregationMethod.Min
+      case AggregateExpression(MaxBy(v: Attribute, ord), _, false, None, _)
+          if isScanValue(v) && isIntervalTime(ord) => AggregationMethod.Last
+    })
+    if (kernels.size == 1) kernels.headOption else None
   }
 
   /** Extract the tumbling-window step (seconds) from the TimeWindowing

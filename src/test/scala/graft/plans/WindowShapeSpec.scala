@@ -53,6 +53,30 @@ class WindowShapeSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("window() last kernel — max_by(value, ts) — substitutes on a last-policy store") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-winlast").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)),
+        xff = 0f, AggregationMethod.Last))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(max_by(col("value"), col("ts")).as("value"))
+      assert(!hasAggregate(q),
+        s"window() last substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(_.getAs[Double]("value")).toSet
+      assert(got == Set(14.0, 19.0), s"wrong last values: $got") // last per window
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("window() with a 90s step (no matching level) is NOT rewritten") {
     val (store, _) = mkStore()
     RollupSubstitution.register(spark, store)
