@@ -240,6 +240,85 @@ object Dedup {
       .distinct()
   }
 
+  // ---- duplicate clusters (connected components) ---------------------
+
+  /** Connected components of the undirected pair graph via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the shuffle-bounded
+    * CC algorithm: O(log² n) rounds worst case (typically a handful),
+    * each round two edge-list shuffles, no driver-side graph state.
+    * Lineage is cut per round with localCheckpoint so plans stay flat.
+    *
+    * Input: pairs with columns (a, b). Output: (id, root) for EVERY
+    * vertex appearing in pairs, root = min id of its component; roots
+    * map to themselves. Transitive closure is what a keep-one-per-cluster
+    * curation job needs — raw pair output over-deletes (a~b, b~c without
+    * a~c keeps only min(a,b) and min(b,c), losing a whole chain's keeper
+    * structure).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // canonical directed pointers: (child u, parent v), u > v, distinct
+    var e = pairs
+      .select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = e.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // star steps only lower parents, so set equality ⇔ same count + no
+      // new edges; both jobs run on the checkpointed round result
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    val children = e.select(col("u").as("id"), col("v").as("root"))
+    val roots = e.select(col("v")).distinct()
+      .select(col("v").as("id"), col("v").as("root"))
+    children.union(roots)
+  }
+
+  /** Large-star: every node links its LARGER neighbors to the minimum of
+    * its closed neighborhood. Treats the edge list as undirected.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+    nbrs.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("u"), col("mv")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node links its SMALLER neighbors (and itself) to
+    * the minimum of its closed neighborhood. Input must be (child,
+    * parent) directed with parent < child — guaranteed by [[largeStar]].
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("mv"))
+    val relinked = e.join(mins, "u").select(col("v").as("u"), col("mv").as("v"))
+    val self = mins.select(col("u"), col("mv").as("v"))
+    relinked.union(self).where(col("u") =!= col("v")).distinct()
+  }
+
+  /** Near-duplicate clusters over a documents table: exact-Jaccard pairs
+    * → connected components → (id, root, cluster_size). The pair stage is
+    * blocked (shingle equi-join), the closure is large/small-star — both
+    * ends shuffle-bounded, so the whole pipeline holds at corpus scale.
+    */
+  def duplicateClusters(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                        maxShingleFreq: Long = 1000,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = jaccardPairs(docs, n, tau, maxShingleFreq, idCol, textCol)
+    connectedComponents(pairs.select("a", "b"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("root")))
+  }
+
   // ---- embedding cosine ----------------------------------------------
 
   /** Exact cosine over double-cast embedding arrays (deterministic:

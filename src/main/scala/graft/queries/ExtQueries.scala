@@ -297,6 +297,41 @@ object ExtQueries {
           .orderBy("a", "b"),
       jaccardSql(0.5)),
     QueryDef(
+      "d09_dedup_clusters",
+      // transitive duplicate-cluster resolution: exact-Jaccard pairs →
+      // large/small-star connected components → (id, root=min id,
+      // cluster size). Oracle recomputes the closure with a recursive
+      // CTE (label l reaches id; min label per id = component root).
+      (s, dir) =>
+        Dedup.duplicateClusters(docs(s, dir), n = 3, tau = 0.3).orderBy("id"),
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+         |), tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM tok
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT a, b
+         |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.3
+         |), nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1)
+         |SELECT CAST(id AS BIGINT) AS id, CAST(root AS BIGINT) AS root,
+         |  CAST(count(*) OVER (PARTITION BY root) AS BIGINT) AS cluster_size
+         |FROM comp ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "d04_dedup_simhash",
       // xxhash-dependent → not SQL-expressible; rows-only for the driver,
       // brute-force-validated in ScalaTest.

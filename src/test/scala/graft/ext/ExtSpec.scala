@@ -38,6 +38,73 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("connected components: chains, disjoint comps, dup/reversed edges") {
+    // 1-2-3-4 path (transitive chain), {10,11} pair, reversed + duplicate
+    // edges, self loop — root is always the component minimum
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (3L, 2L), // path with dup/reversed
+      (10L, 11L), (11L, 10L),
+      (7L, 7L) // self loop: dropped, 7 never appears
+    ).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components match union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = verts.map { v =>
+        // canonical root = min id in component
+        val r = find(v.toInt)
+        val minId = verts.filter(u => find(u.toInt) == r).min
+        v -> minId
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("connected components: empty and single-edge inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    val one = Seq((5L, 2L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(2L -> 2L, 5L -> 2L))
+  }
+
+  test("duplicateClusters closes transitive near-dup chains") {
+    // a~b and b~c at tau but a!~c: pair output alone can't pick one
+    // keeper for the chain; the cluster output puts all three together
+    val synth = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // ~1
+      (3L, "beta gamma delta epsilon zeta eta iota kappa"), // ~2, farther from 1
+      (4L, "totally unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+    // tau=0.6: J(1,2)=J(2,3)=5/7, J(1,3)=4/8 — a true chain, no direct 1~3
+    val clusters = Dedup.duplicateClusters(synth, n = 3, tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = clusters.map(c => c._1 -> c._2).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L)) // 4 is a singleton: no row
+    assert(byId.values.toSet == Set(1L), s"one cluster rooted at 1: $clusters")
+    assert(clusters.forall(_._3 == 3L))
+  }
+
   test("exact dedup groups catch case/punctuation variants") {
     val synth = Seq(
       (1L, "Hello, World!"),
