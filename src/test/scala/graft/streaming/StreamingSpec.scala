@@ -154,6 +154,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows().exists(_._1 == 1500L))
   }
 
+  test("ingest restart from checkpoint: committed batches not reprocessed, store converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-ckpt").toString, numBuckets = 4)
+    val policy = RetentionPolicy(
+      Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f)
+    store.create("m", policy)
+    val ckpt = Files.createTempDirectory("ckpt-resume").toString // SHARED
+
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    def stream = mem.toDF().toDF("metric", "tsec", "value", "seq")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value", "seq")
+
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val now = () => { commits.incrementAndGet(); Now }
+
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val run1 = (0 until 3).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    val run2 = (3 until 5).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+
+    // run 1, then "crash" (AvailableNow drains and stops — the checkpoint
+    // holds the committed offset)
+    mem.addData(run1: _*)
+    StreamingIngest.start(stream, store, ckpt, now).awaitTermination(60000)
+    assert(commits.get == 1)
+
+    // restart against the SAME checkpoint with new data: exactly one new
+    // micro-batch runs — run 1's committed batch is not replayed
+    mem.addData(run2: _*)
+    StreamingIngest.start(stream, store, ckpt, now).awaitTermination(60000)
+    assert(commits.get == 2, s"restart replayed committed batches: ${commits.get}")
+
+    // the two-run store equals a one-shot ingest of all points
+    val oracle = new MetricStore(
+      spark, Files.createTempDirectory("ms-ckpt-oracle").toString, numBuckets = 4)
+    oracle.create("m", policy)
+    oracle.updateMany((run1 ++ run2).toDF("metric", "ts", "value", "seq"), Now)
+    for (lvl <- 0 to 1) {
+      def dump(s: MetricStore) = s.levelData(lvl).collect()
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval"),
+          r.getAs[Double]("value"))).toSet
+      assert(dump(store) == dump(oracle), s"level $lvl diverged after restart")
+    }
+  }
+
   test("stateful rollup soak: state rows bounded by open windows, not stream length") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
