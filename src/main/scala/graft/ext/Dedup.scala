@@ -334,12 +334,25 @@ object Dedup {
     * carries only (id, bucket), never vectors).
     */
   def embeddingNearDups(emb: DataFrame, tau: Double, planes: Int = 4,
-                        tables: Int = 8,
+                        tables: Int = 8, multiProbe: Boolean = false,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = Similarity.corpusNormalized(emb, idCol, vecCol).cache()
     val bucketed = Similarity.bucketCorpus(c, planes, tables).select("id", "bucket")
+    // Multi-probe: also match codes at Hamming distance 1 within a table
+    // (flip each code bit; table tag bits above `planes` are untouched).
+    // One-sided expansion suffices — if codes differ in bit i, y's flip
+    // at i equals x's original. Catches near-misses the sign boundary
+    // splits, so the same recall needs FEWER tables: the index stays
+    // `tables`×corpus rows while probing is a query-time explode of bare
+    // (id, bucket) rows — at 100 TB the index size is the binding cost,
+    // not the probe fan-out.
+    val probed =
+      if (!multiProbe) bucketed
+      else bucketed.select(col("id"), explode(array(
+        col("bucket") +: (0 until planes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
     val cands = bucketed.as("x")
-      .join(bucketed.as("y"),
+      .join(probed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()

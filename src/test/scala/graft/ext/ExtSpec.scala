@@ -142,6 +142,32 @@ class ExtSpec extends AnyFunSuite {
       assert(lsh.size.toDouble / brute.size >= 0.4)
   }
 
+  test("multi-probe LSH: superset of same-table candidates, recall at half the tables") {
+    val c = Similarity.corpus(emb)
+    val brute = c.as("x").join(c.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosine(col("x.vec"), col("y.vec")).as("cos"))
+      .where(col("cos") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(tables: Int, mp: Boolean) =
+      Dedup.embeddingNearDups(emb, tau = 0.35, planes = 4,
+          tables = tables, multiProbe = mp)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain4 = pairs(4, mp = false)
+    val probed4 = pairs(4, mp = true)
+    // structural: distance-1 probing only ADDS candidates at fixed params
+    assert(plain4.subsetOf(probed4))
+    assert(probed4.subsetOf(brute)) // precision still exact
+    if (brute.nonEmpty) {
+      val plain8 = pairs(8, mp = false)
+      val r = (s: Set[(Long, Long)]) => s.size.toDouble / brute.size
+      // probing 4 tables should at least match plain 8 tables' recall —
+      // the half-index-size argument for multi-probe at scale
+      assert(r(probed4) >= r(plain8),
+        s"multiprobe4=${r(probed4)} plain8=${r(plain8)} plain4=${r(plain4)}")
+    }
+  }
+
   test("multimodal decode stub: deterministic metadata from binary payload") {
     val out = Multimodal.decodeDocs(spark, docs).collect()
     assert(out.length == docs.count())
