@@ -181,6 +181,29 @@ object WhisperCli {
         ms.updateMany(pts, now)
         println(s"imported ${pts.count()} points into $metric")
 
+      case "import-wsp" =>
+        // migrate an actual whisper file (or a whole carbon tree with
+        // --tree) into the store, level for level
+        val Array(_, store, rest @ _*) = args: @unchecked
+        val ms = new MetricStore(session(), store)
+        rest match {
+          case Seq("--tree", dir) =>
+            val metrics = graft.sources.WspSource.importTree(ms, dir)
+            println(s"imported ${metrics.size} metrics: ${metrics.mkString(", ")}")
+          case Seq(metric, path) =>
+            val p = graft.sources.WspSource.importFile(ms, metric, path)
+            println(s"imported $metric (${p.levels.size} archives)")
+          case _ =>
+            println("usage: import-wsp <store> (<metric> <file.wsp> | --tree <dir>)")
+            sys.exit(1)
+        }
+
+      case "export-wsp" =>
+        val Array(_, store, metric, path) = args: @unchecked
+        val p = graft.sources.WspSource.exportFile(
+          new MetricStore(session(), store), metric, path, now)
+        println(s"exported $metric (${p.levels.size} archives) to $path")
+
       case "merge" =>
         val Array(_, store, src, dst) = args: @unchecked
         new MetricStore(session(), store).mergeMetric(src, dst)
@@ -251,5 +274,5 @@ object WhisperCli {
   private def usage(): Unit =
     println("usage: WhisperCli <create|update|fetch|info|dump|merge|fill|" +
       "diff|resize|validate|scale|set-aggregation-method|set-xfilesfactor|" +
-      "estimate> ...")
+      "estimate|import|import-wsp|export-wsp> ...")
 }

@@ -24,6 +24,22 @@ class CliSpec extends AnyFunSuite {
     out.toString("UTF-8")
   }
 
+  test("export-wsp → import-wsp migrates a metric through the binary format") {
+    val store = Files.createTempDirectory("cli-wsp-a").toString
+    val now = System.currentTimeMillis() / 1000
+    val t1 = now - now % 60 - 120
+    run("create", store, "cpu.load", "1m:1d")
+    run("update", store, "cpu.load", s"$t1:1.5", s"${t1 + 60}:2.5")
+    val wsp = Files.createTempDirectory("cli-wsp").resolve("cpu.load.wsp").toString
+    assert(run("export-wsp", store, "cpu.load", wsp).contains("exported cpu.load"))
+
+    val store2 = Files.createTempDirectory("cli-wsp-b").toString
+    assert(run("import-wsp", store2, "cpu.load", wsp).contains("imported cpu.load"))
+    val json = run("fetch", store2, "cpu.load",
+      (t1 - 60).toString, (t1 + 120).toString, "--json")
+    assert(json.contains("1.5") && json.contains("2.5"), json)
+  }
+
   test("estimate prints the reference size model (whisper-create.py:71-72)") {
     val out = run("estimate", "60:1440")
     assert(out.contains("17308 bytes"))
