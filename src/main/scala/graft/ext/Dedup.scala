@@ -319,6 +319,26 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("root")))
   }
 
+  /** The full near-dup curation pipeline: cluster transitively-connected
+    * Jaccard duplicates, keep one document per cluster (the min-id root),
+    * report per-source corpus stats over the survivors. This is d07's
+    * exact-dedup pipeline upgraded to near-dup semantics — the difference
+    * at corpus scale is material (near-dup families in web crawls are
+    * chains, not cliques).
+    */
+  def curateNearDups(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     clusters: Option[DataFrame] = None): DataFrame = {
+    val cl = clusters.getOrElse(
+      duplicateClusters(docs, n, tau, idCol = idCol, textCol = textCol))
+    val dropped = cl.where(col("id") =!= col("root")).select(col("id"))
+    docs
+      .join(dropped, docs(idCol) === dropped("id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+  }
+
   // ---- embedding cosine ----------------------------------------------
 
   /** Exact cosine over double-cast embedding arrays (deterministic:

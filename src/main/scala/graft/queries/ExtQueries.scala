@@ -99,6 +99,23 @@ object ExtQueries {
       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 4) AS cos
       |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
 
+  /** Jaccard duplicate-cluster memo per (session, dir): d09 and d10 share
+    * the transitive closure (pair generation + star contraction is the
+    * build-once artifact, same reasoning as pqMemo).
+    */
+  private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]()
+
+  private def clustersFor(s: org.apache.spark.sql.SparkSession,
+                          dir: String, tau: Double): DataFrame =
+    clusterMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir:$tau",
+      _ => {
+        val df = Dedup.duplicateClusters(docs(s, dir), n = 3, tau = tau).cache()
+        df.count()
+        df
+      })
+
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
 
@@ -302,8 +319,7 @@ object ExtQueries {
       // large/small-star connected components → (id, root=min id,
       // cluster size). Oracle recomputes the closure with a recursive
       // CTE (label l reaches id; min label per id = component root).
-      (s, dir) =>
-        Dedup.duplicateClusters(docs(s, dir), n = 3, tau = 0.3).orderBy("id"),
+      (s, dir) => clustersFor(s, dir, 0.3).orderBy("id"),
       s"""WITH RECURSIVE tok AS (
          |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
          |), tri AS (
@@ -330,6 +346,44 @@ object ExtQueries {
          |SELECT CAST(id AS BIGINT) AS id, CAST(root AS BIGINT) AS root,
          |  CAST(count(*) OVER (PARTITION BY root) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d10_curation_neardup",
+      // keep-one-per-near-dup-cluster curation: transitive Jaccard
+      // clusters (d09's closure), drop non-roots, per-source stats —
+      // the end-to-end shape a near-dup sweep takes at corpus scale
+      (s, dir) =>
+        Dedup.curateNearDups(docs(s, dir), tau = 0.3,
+          clusters = Some(clustersFor(s, dir, 0.3))).orderBy("source"),
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+         |), tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM tok
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT a, b
+         |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.3
+         |), nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1),
+         |dropped AS (SELECT id FROM comp WHERE id <> root)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)) AS BIGINT)
+         |    AS n_tokens
+         |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     ),
     QueryDef(
       "d04_dedup_simhash",
