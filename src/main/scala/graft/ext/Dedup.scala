@@ -256,7 +256,8 @@ object Dedup {
     * a~c keeps only min(a,b) and min(b,c), losing a whole chain's keeper
     * structure).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
+                          driverThreshold: Long = 1000000L): DataFrame = {
     // canonical directed pointers: (child u, parent v), u > v, distinct
     var e = pairs
       .select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
@@ -264,7 +265,15 @@ object Dedup {
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .distinct()
       .localCheckpoint()
-    var converged = e.isEmpty
+    val edgeCount = e.count()
+    // Scale-adaptive: a deduped edge set within the driver threshold is
+    // solved with union-find in one collect — the star loop's per-round
+    // job overhead (2 shuffles + convergence check × O(log² n) rounds)
+    // only pays for itself when edges exceed driver memory. The loop
+    // below is the at-scale path (forced in tests via driverThreshold=0).
+    if (edgeCount > 0 && edgeCount <= driverThreshold)
+      return driverUnionFind(e)
+    var converged = edgeCount == 0L
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
@@ -279,6 +288,32 @@ object Dedup {
     val roots = e.select(col("v")).distinct()
       .select(col("v").as("id"), col("v").as("root"))
     children.union(roots)
+  }
+
+  /** Path-compressing union-find over a collected edge list; roots are
+    * canonicalized to the component minimum afterwards.
+    */
+  private def driverUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id canonical roots: union always points larger root at smaller,
+    // so find() already yields the component minimum
+    spark.createDataset(parent.keys.toSeq.sorted.map(v => (v, find(v))))
+      .toDF("id", "root")
   }
 
   /** Large-star: every node links its LARGER neighbors to the minimum of

@@ -46,10 +46,13 @@ class ExtSpec extends AnyFunSuite {
       (10L, 11L), (11L, 10L),
       (7L, 7L) // self loop: dropped, 7 never appears
     ).toDF("a", "b")
-    val cc = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    // both execution paths: driver union-find AND the distributed star loop
+    for (threshold <- Seq(1000000L, 0L)) {
+      val cc = Dedup.connectedComponents(pairs, driverThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L), s"threshold $threshold")
+    }
   }
 
   test("connected components match union-find on random graphs") {
@@ -72,7 +75,10 @@ class ExtSpec extends AnyFunSuite {
         val minId = verts.filter(u => find(u.toInt) == r).min
         v -> minId
       }.toMap
-      val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+      // the STAR-LOOP path (threshold 0): the driver fast path shares the
+      // union-find reference below, so it proves nothing here
+      val got = Dedup.connectedComponents(
+          edges.toDF("a", "b"), driverThreshold = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial $trial")
     }
