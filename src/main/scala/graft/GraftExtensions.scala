@@ -44,8 +44,18 @@ private[graft] final class ConfiguredRollupSubstitution(spark: SparkSession)
     spark.conf.getOption(GraftExtensions.RootKey) match {
       case None => plan
       case Some(root) =>
-        val buckets = spark.conf.getOption(GraftExtensions.BucketsKey)
-          .map(_.toInt).getOrElse(8)
+        // A malformed conf value must degrade to the default (with a
+        // warning), not throw NumberFormatException out of the
+        // optimizer and fail every query on the session.
+        val buckets = spark.conf.getOption(GraftExtensions.BucketsKey) match {
+          case None => 8
+          case Some(b) =>
+            scala.util.Try(b.trim.toInt).toOption.filter(_ > 0).getOrElse {
+              logWarning(
+                s"ignoring malformed ${GraftExtensions.BucketsKey}='$b'; using 8")
+              8
+            }
+        }
         val rule = cached match {
           case Some((r, b, ru)) if r == root && b == buckets => ru
           case _ =>

@@ -62,6 +62,32 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     case x => Seq(x)
   }
 
+  /** Substitution validates ONE policy's xff/steps/kernel, but the
+    * level_i directories are shared by every metric in the store
+    * (MetricStore.updateMany supports heterogeneous per-metric
+    * policies). Substituting a level scan after checking only one
+    * metric's policy would return wrong grids for metrics with a
+    * different one — so require the store to be policy-uniform,
+    * mirroring upsertRollups' guard.
+    */
+  private def uniformPolicy: Option[graft.model.RetentionPolicy] = {
+    val ps = store.policies().values.toSeq.distinct
+    if (ps.size == 1) ps.headOption else None
+  }
+
+  /** The store cascade computes level i from level i-1 (matching
+    * whisper.py:858-875), so a level>=2 Average row is an avg-of-avgs —
+    * it differs from the query's true average over level-0 points
+    * whenever subwindow point counts vary. Sum/Max/Min/Last cascade
+    * exactly (missing subwindows contribute nothing; extrema and
+    * chronological-last compose), but ONLY under the xff==0 gate the
+    * non-gated paths already require: an xff>0 gate at depth>=2 counts
+    * known level-(i-1) rows, not known level-0 points, so the surviving
+    * row sets can differ for any kernel.
+    */
+  private def depthOk(levelIdx: Int, kernel: AggregationMethod, xff: Float): Boolean =
+    levelIdx == 1 || (xff == 0f && kernel != AggregationMethod.Average)
+
   private def doubleLit(e: Expression): Option[Double] = uncast(e) match {
     case Literal(v: Double, _) => Some(v)
     case Literal(v: Int, _)    => Some(v.toDouble)
@@ -92,7 +118,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case _ => false
     }
     for {
-      policy <- store.policies().values.headOption
+      policy <- uniformPolicy
       if knownIds.size == 1 && projPassthrough
       if p.output.map(_.name) == Seq("metric", "interval", "value")
       level0 <- matchLevel0Scan(child)
@@ -101,7 +127,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       kernel <- matchKernel(aggExprs)
       if kernel == policy.aggregation
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0
+      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
       slots = step / policy.levels.head.secondsPerPoint
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
@@ -163,7 +189,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                       child: LogicalPlan): Option[LogicalPlan] = {
     val grouping = resolveGrouping(grouping0, child)
     for {
-      policy <- store.policies().values.headOption
+      policy <- uniformPolicy
       if policy.xff == 0f // rollup rows == plain window aggregates
       if agg.output.size == 3 &&
         agg.output.map(_.name) == Seq("metric", "interval", "value")
@@ -172,7 +198,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       kernel <- matchKernel(aggExprs)
       if kernel == policy.aggregation
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0
+      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
     } yield {
       val rollup = store.levelData(levelIdx)
         .select("metric", "interval", "value")
@@ -261,7 +287,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if (r.fastEquals(e)) r else resolve(r)
     }
     for {
-      policy <- store.policies().values.headOption
+      policy <- uniformPolicy
       if policy.xff == 0f // rollup rows == plain window aggregates
       leaf <- walk(child)
       relOut = leaf.output
@@ -279,7 +305,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if kernel == policy.aggregation
       if agg.output.map(_.name).toSet == Set("metric", "window", "value")
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0
+      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
     } yield {
       val rollup = store.levelData(levelIdx).select("metric", "interval", "value")
       val rel = rollup.queryExecution.analyzed
@@ -299,6 +325,24 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     }
   }
 
+  /** An output like `round(avg(value), 2).as("value")` CONTAINS a kernel
+    * but is not one — substituting the raw rollup value would silently
+    * drop the wrapping arithmetic. So every output that contains an
+    * aggregate anywhere must BE a bare top-level
+    * Alias(AggregateExpression); kernel matchers then look only at those
+    * top-level aggregates.
+    */
+  private def allAggsTopLevel(aggExprs: Seq[NamedExpression]): Boolean =
+    aggExprs.forall { ne =>
+      !ne.exists(_.isInstanceOf[AggregateExpression]) || (ne match {
+        case Alias(_: AggregateExpression, _) => true
+        case _ => false
+      })
+    }
+
+  private def topLevelAggs(aggExprs: Seq[NamedExpression]): Seq[AggregateExpression] =
+    aggExprs.collect { case Alias(ae: AggregateExpression, _) => ae }
+
   /** Kernel matcher for the window() shape: the aggregated value must be
     * the SCAN's value column untransformed (attributes here may pass
     * through ts-computing Projects, so name-matching alone is not
@@ -317,7 +361,8 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case a: Attribute => a.exprId == intervalAttrId
       case _ => false
     }
-    val kernels = aggExprs.flatMap(_.collect {
+    if (!allAggsTopLevel(aggExprs)) return None
+    val kernels = topLevelAggs(aggExprs).collect {
       case AggregateExpression(Average(v: Attribute, _), _, false, None, _)
           if isScanValue(v) => AggregationMethod.Average
       case AggregateExpression(Sum(v: Attribute, _), _, false, None, _)
@@ -328,7 +373,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
           if isScanValue(v) => AggregationMethod.Min
       case AggregateExpression(MaxBy(v: Attribute, ord), _, false, None, _)
           if isScanValue(v) && isIntervalTime(ord) => AggregationMethod.Last
-    })
+    }
     if (kernels.size == 1) kernels.headOption else None
   }
 
@@ -414,9 +459,13 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     for (s <- aligned; m <- metric) yield (m, s.toInt)
   }
 
-  /** single value aggregate matching a policy kernel. */
+  /** single value aggregate matching a policy kernel — top-level
+    * aliases only (see [[allAggsTopLevel]]); a Count(value) top (the
+    * gated shape's `known`) is permitted and simply matches no kernel.
+    */
   private def matchKernel(aggExprs: Seq[NamedExpression]): Option[AggregationMethod] = {
-    val kernels = aggExprs.flatMap(_.collect {
+    if (!allAggsTopLevel(aggExprs)) return None
+    val kernels = topLevelAggs(aggExprs).collect {
       case AggregateExpression(Average(v: Attribute, _), _, false, None, _)
           if v.name == "value" => AggregationMethod.Average
       case AggregateExpression(Sum(v: Attribute, _), _, false, None, _)
@@ -430,7 +479,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
             org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(
               v: Attribute, ord: Attribute), _, false, None, _)
           if v.name == "value" && ord.name == "interval" => AggregationMethod.Last
-    })
+    }
     if (kernels.size == 1) kernels.headOption else None
   }
 }

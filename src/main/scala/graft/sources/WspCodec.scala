@@ -56,10 +56,28 @@ object WspCodec {
         buf.getInt(base + 4), // secondsPerPoint
         buf.getInt(base + 8)) // points
     }
-    val policy = RetentionPolicy(
-      infos.map { case (_, spp, pts) => ArchiveInfo(spp, pts) }, xff, aggregation)
-    require(policy.maxRetention == maxRetention,
-      s"header maxRetention $maxRetention != derived ${policy.maxRetention}")
+    // Structural violations in a truncated/corrupt file must surface as
+    // CorruptWhisperFile (the reference wraps all header/point unpack
+    // failures, whisper.py:289-298), not raw ByteBuffer index errors.
+    val headerEnd = MetadataSize + count.toLong * ArchiveInfoSize
+    infos.zipWithIndex.foreach { case ((offset, spp, pts), i) =>
+      if (spp <= 0 || pts <= 0 || offset < headerEnd ||
+          offset + pts.toLong * PointSize > bytes.length)
+        throw new CorruptWhisperFile(
+          s"Unable to read archive $i (offset=$offset, points=$pts, file=${bytes.length} B)",
+          path)
+    }
+    val policy =
+      try RetentionPolicy(
+        infos.map { case (_, spp, pts) => ArchiveInfo(spp, pts) }, xff, aggregation)
+      catch {
+        case e: WhisperException =>
+          throw new CorruptWhisperFile(s"Unable to read header: ${e.getMessage}", path)
+      }
+    if (policy.maxRetention != maxRetention)
+      throw new CorruptWhisperFile(
+        s"Unable to read header: maxRetention $maxRetention != derived ${policy.maxRetention}",
+        path)
     val levels = infos.map { case (offset, spp, pts) =>
       (0 until pts).flatMap { slot =>
         val p = offset.toInt + slot * PointSize

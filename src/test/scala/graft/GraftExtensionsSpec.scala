@@ -70,6 +70,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val got2 = q2.orderBy("interval").collect()
         .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
       assert(got2 == got) // and results agree either way
+
+      // malformed buckets conf must degrade (default 8 ≠ store's 4 →
+      // bucket mismatch disables nothing here since the rule reads its
+      // own store; the key point is NO NumberFormatException out of the
+      // optimizer — every query on the session would fail)
+      s2.conf.set(GraftExtensions.RootKey, root)
+      s2.conf.set(GraftExtensions.BucketsKey, "64k")
+      val q3 = query(s2)
+      val got3 = q3.orderBy("interval").collect()
+        .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+      assert(got3 == got) // still answers, correctly
+      s2.conf.set(GraftExtensions.BucketsKey, "4")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

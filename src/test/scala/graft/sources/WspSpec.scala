@@ -65,6 +65,29 @@ class WspSpec extends AnyFunSuite {
     intercept[CorruptWhisperFile](WspCodec.readBytes(badXff))
   }
 
+  test("truncated body and structural lies raise CorruptWhisperFile, not raw index errors") {
+    val good = WspCodec.writeBytes(
+      RetentionPolicy(Seq(ArchiveInfo(60, 5))), Seq(Seq((600L, 1.0))))
+    // truncated mid-archive: header intact, point data cut short
+    intercept[CorruptWhisperFile](WspCodec.readBytes(good.take(good.length - 7)))
+    // archive claims more points than the file holds
+    val lyingPoints = good.clone()
+    java.nio.ByteBuffer.wrap(lyingPoints).putInt(24, 50000)
+    intercept[CorruptWhisperFile](WspCodec.readBytes(lyingPoints))
+    // offset pointing into the header
+    val lyingOffset = good.clone()
+    java.nio.ByteBuffer.wrap(lyingOffset).putInt(16, 4)
+    intercept[CorruptWhisperFile](WspCodec.readBytes(lyingOffset))
+    // header maxRetention inconsistent with the archive list
+    val lyingRetention = good.clone()
+    java.nio.ByteBuffer.wrap(lyingRetention).putInt(4, 12345)
+    intercept[CorruptWhisperFile](WspCodec.readBytes(lyingRetention))
+    // zero secondsPerPoint
+    val zeroStep = good.clone()
+    java.nio.ByteBuffer.wrap(zeroStep).putInt(20, 0)
+    intercept[CorruptWhisperFile](WspCodec.readBytes(zeroStep))
+  }
+
   test("importFile preserves coarse-archive history beyond fine retention") {
     val policy = RetentionPolicy(
       Seq(ArchiveInfo(60, 10), ArchiveInfo(300, 20)), xff = 0f)
