@@ -234,6 +234,13 @@ final class MetricStore(val spark: SparkSession, val root: String,
   private def updateManyForPolicy(batch: DataFrame, policy: RetentionPolicy,
                                   now: Long): Unit = {
     val routed = Ingest.routeAndDedup(batch, policy, now).cache()
+    // Fresh-level writes don't feed the cascade (it reads the in-memory
+    // prevContent mirror, never the just-written files), so they run as
+    // background Spark jobs overlapping the next level's compute — the
+    // bulk-load path turns its serial write-per-level chain into
+    // overlapped writes. Non-fresh upserts stay synchronous: the next
+    // cascade step reads their level from disk.
+    val pendingWrites = scala.collection.mutable.Buffer.empty[scala.concurrent.Future[Unit]]
     try {
       val steps = policy.levels.map(_.secondsPerPoint)
 
@@ -274,12 +281,22 @@ final class MetricStore(val spark: SparkSession, val root: String,
       val freshLevels: Set[Int] =
         steps.indices.filterNot(i => new java.io.File(levelPath(i)).exists()).toSet
 
+      // deferred-write dispatcher: fresh levels (whose content the
+      // cascade mirrors in memory) write in the background pool; levels
+      // the next step must read back from disk write synchronously
+      def runUpsert(i: Int, step: Int, incoming: DataFrame,
+                    touchedPre: Option[Set[(Int, Long)]]): Unit =
+        if (freshLevels.contains(i))
+          pendingWrites += scala.concurrent.Future(
+            upsertLevel(i, step, incoming, touchedPre))(MetricStore.writeEc)
+        else upsertLevel(i, step, incoming, touchedPre)
+
       // level-0 direct writes (no propagated input at the finest level);
       // direct writes to coarser levels (points too old for finer levels,
       // whisper.py:767-784) are FUSED into that level's cascade upsert
       // below — one dynamic-overwrite commit per level, not two
       if (directCounts.getOrElse(0, 0L) > 0)
-        upsertLevel(0, steps(0),
+        runUpsert(0, steps(0),
           routed.where(col("level") === 0)
             .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio")),
           directTouched.get(0))
@@ -356,7 +373,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
                 .groupBy("metric", "interval", "pb", "tb")
                 .agg(max_by(col("value"), col("prio")).as("value"))
                 .withColumn("prio", lit(1L))
-          upsertLevel(i, steps(i), incoming,
+          runUpsert(i, steps(i), incoming,
             Some(touchedP ++ directTouched.getOrElse(i, Set.empty)))
         }
         changed = propagated
@@ -388,7 +405,14 @@ final class MetricStore(val spark: SparkSession, val root: String,
         bHi = math.max(upper - steps(i), directStats.get(i).map(_._3).getOrElse(Long.MinValue))
         i += 1
       }
-    } finally routed.unpersist()
+    } finally {
+      // deferred writes must land before callers (or the next policy
+      // group in a heterogeneous batch) can read the store — and before
+      // the cache backing them is released
+      pendingWrites.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      routed.unpersist()
+    }
   }
 
   /** whisper update() single-point semantics: rejects future timestamps
@@ -748,6 +772,23 @@ final class MetricStore(val spark: SparkSession, val root: String,
 }
 
 object MetricStore {
+  /** Shared pool for deferred fresh-level writes (daemon threads so a
+    * forgotten store never blocks JVM exit). Sized small: each task is a
+    * whole Spark write job — the parallelism that matters is between the
+    * job and the caller's next cascade step, not among many writers.
+    */
+  private[store] lazy val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"metricstore-write-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
   /** Raw catalog rows (metric, spec, xff, aggregation). */
   private[store] def readCatalog(path: String): Seq[(String, String, Float, String)] = {
     val f = java.nio.file.Paths.get(path)
