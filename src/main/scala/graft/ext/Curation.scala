@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and packing: benchmark decontamination and
+  * deterministic per-source capping. Scale-first designs:
+  *
+  *   - decontamination joins the CORPUS against the (small) benchmark
+  *     n-gram index, broadcast — the 100 TB side streams through one
+  *     stage, never shuffles on text;
+  *   - capping is one shuffle by source; order keys are content hashes,
+  *     so reruns and engine ports pick identical samples (no RNG state).
+  */
+object Curation {
+
+  /** Benchmark-contamination report: training documents sharing ≥1 word
+    * n-gram with any benchmark/eval document (the GPT-3-style n-gram
+    * decontamination test). Returns one row per contaminated training
+    * doc: (doc_id, hits = distinct contaminated n-grams,
+    * contaminated_by = smallest benchmark doc id sharing one).
+    *
+    * The benchmark index (distinct shingle → min bench id) is tiny
+    * relative to any training corpus — broadcast it so the corpus-side
+    * shingle stream never shuffles; contamination then costs one scan +
+    * one aggregation by doc.
+    */
+  def contamination(train: DataFrame, bench: DataFrame, n: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchIdx = Dedup.shingles(bench, n, idCol, textCol)
+      .groupBy("shingle")
+      .agg(min("id").as("bmin"))
+    Dedup.shingles(train, n, idCol, textCol)
+      .join(broadcast(benchIdx), "shingle")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("hits"), min("bmin").as("contaminated_by"))
+      .select(col(idCol), col("hits"), col("contaminated_by"))
+  }
+
+  /** Deterministic per-source cap: keep at most `k` documents per source,
+    * chosen by a stable content-hash order (md5 of the id — portable
+    * across engines and reruns, unlike RNG sampling). Returns the kept
+    * rows with their sample rank.
+    *
+    * One shuffle (by source). A pathologically hot source makes one
+    * reducer read that source's full partition — for web-scale source
+    * skew, pre-filter with an approximate per-source quantile of the
+    * hash (keep hash < k/n̂ quantile) before the exact window; the window
+    * over survivors is then tiny.
+    */
+  def capPerSource(docs: DataFrame, k: Int,
+                   idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
+    val ord = md5(col(idCol).cast("string"))
+    docs
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col(srcCol)).orderBy(ord, col(idCol))))
+      .where(col("rk") <= k)
+      .select(col(idCol), col(srcCol), col("rk").cast("int").as("rk"))
+  }
+}

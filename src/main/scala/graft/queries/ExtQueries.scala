@@ -442,6 +442,46 @@ object ExtQueries {
       }
     ),
     QueryDef(
+      "d11_contamination",
+      // benchmark decontamination: training docs (doc_id % 20 != 0)
+      // sharing any word 5-gram with the held-out "benchmark" slice
+      // (doc_id % 20 == 0). The bench n-gram index is broadcast — the
+      // corpus side never shuffles on text.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Curation.contamination(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0), n = 5).orderBy("doc_id")
+      },
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |             || ' ' || ws[i+4])) AS shingle
+         |  FROM tok
+         |), bench AS (
+         |  SELECT shingle, min(doc_id) AS bmin FROM sh WHERE doc_id % 20 = 0 GROUP BY 1
+         |)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS hits,
+         |  CAST(min(bmin) AS BIGINT) AS contaminated_by
+         |FROM sh s JOIN bench b USING (shingle)
+         |WHERE s.doc_id % 20 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d12_sample_cap",
+      // deterministic per-source cap: keep ≤10 docs per source by stable
+      // md5(doc_id) order — reruns and engine ports pick the same sample
+      (s, dir) => Curation.capPerSource(docs(s, dir), k = 10).orderBy("doc_id"),
+      """SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
       "d05_dedup_embedding",
       (s, dir) => {
         val c = Similarity.corpus(emb(s, dir)).where(col("id") % 5 === 0)

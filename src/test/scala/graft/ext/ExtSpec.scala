@@ -16,6 +16,43 @@ class ExtSpec extends AnyFunSuite {
   private lazy val docs = graft.ops.Io.readTable(spark, dir, "documents").cache()
   private lazy val emb = graft.ops.Io.readTable(spark, dir, "embeddings").cache()
 
+  test("contamination: synthetic overlap found, clean docs absent, counts exact") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares the 5-grams starting at alpha and beta with bench 100
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      // clean
+      (2L, "completely unrelated text with no overlap at all whatsoever"),
+      // shares exactly one 5-gram with bench 101
+      (3L, "zzz one two three four five yyy")).toDF("doc_id", "text")
+    val got = Curation.contamination(train, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 100L)), // "alpha..epsilon" and "beta..zeta"
+      3L -> ((1L, 101L))))
+  }
+
+  test("capPerSource: at most k per source, deterministic across runs, ranks dense") {
+    val capped = Curation.capPerSource(docs, k = 10)
+    val bySrc = capped.groupBy("source").agg(
+      count(lit(1)).as("n"), max("rk").as("mx")).collect()
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { r =>
+      assert(r.getLong(1) <= 10)
+      assert(r.getInt(2).toLong == r.getLong(1)) // ranks 1..n, dense
+    }
+    // deterministic: a rerun picks the identical sample
+    val a = capped.collect().map(_.getLong(0)).toSet
+    val b = Curation.capPerSource(docs, k = 10).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // a source with more than k docs is actually capped
+    val srcCounts = docs.groupBy("source").count().collect()
+    if (srcCounts.exists(_.getLong(1) > 10))
+      assert(capped.count() < docs.count())
+  }
+
   test("minhash-LSH near-dups == brute-force jaccard pairs at tau=0.5") {
     val brute = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
