@@ -81,10 +81,16 @@ object Bench {
       Map("x00_ingest_full" -> (t1 - t0) / 1e9,
         "x01_ingest_second_batch" -> (t2 - t1) / 1e9)
     } catch { case _: Throwable => Map.empty[String, Double] }
-    val qs = (results ++ incremental).map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness capturing this output keeps only the last ~2000 chars
+    // of stdout (with sbt's trailing "[success] ..." line inside that
+    // budget), so the line must stay well under that or the front gets
+    // truncated and the JSON never parses. 3-decimal times (1 ms grain,
+    // far below run-to-run noise) keep ~60 queries at ~1600 chars.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = (results ++ incremental).map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -180,31 +180,58 @@ final class MetricStore(val spark: SparkSession, val root: String,
         .map(r => (r.getInt(0), r.getLong(1))).toSet)
     if (touched.isEmpty) return
 
-    // Read ONLY the touched partition directories. Going through the
-    // root path would list the entire level (every pb/tb directory) just
-    // to prune it again — at scale that listing alone dwarfs the actual
-    // work of a small batch. basePath keeps pb/tb as partition columns.
-    val touchedDirs = touched.toSeq
-      .map { case (p, t) => s"${levelPath(i)}/pb=$p/tb=$t" }
-      .filter(d => new java.io.File(d).exists())
-    val existing =
-      (if (touchedDirs.isEmpty) emptyLevel
-       else
-         spark.read.option("basePath", levelPath(i)).parquet(touchedDirs: _*)
-           .withColumn("pb", col("pb").cast("int"))
-           .withColumn("tb", col("tb").cast("long")))
-        .withColumn("prio", lit(-1L))
-    val merged = existing
-      .unionByName(newPts)
-      .groupBy("metric", "interval", "pb", "tb")
-      .agg(max_by(col("value"), col("prio")).as("value"))
-
-    merged
+    mergedTouched(i, newPts, touched)
       .repartition(col("pb"), col("tb")) // one writer set per touched partition
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("pb", "tb")
       .parquet(levelPath(i))
+  }
+
+  /** Current on-disk rows of level i's touched (pb, tb) partitions.
+    * Reads ONLY those partition directories: going through the root path
+    * would list the entire level (every pb/tb directory) just to prune
+    * it again — at scale that listing alone dwarfs the actual work of a
+    * small batch. basePath keeps pb/tb as partition columns.
+    */
+  private def existingTouched(i: Int, touched: Set[(Int, Long)]): DataFrame = {
+    val dirs = touched.toSeq
+      .map { case (p, t) => s"${levelPath(i)}/pb=$p/tb=$t" }
+      .filter(d => new java.io.File(d).exists())
+    if (dirs.isEmpty) emptyLevel
+    else
+      spark.read.option("basePath", levelPath(i)).parquet(dirs: _*)
+        .withColumn("pb", col("pb").cast("int"))
+        .withColumn("tb", col("tb").cast("long"))
+  }
+
+  /** Post-upsert content of level i's touched partitions — existing rows
+    * last-write-wins-merged with the incoming frame (prio -1 loses to
+    * any incoming prio). This is both what upsertLevel writes and, for
+    * the deferred-write cascade, a mirror of the level's future state
+    * computable BEFORE the write lands.
+    */
+  private def mergedTouched(i: Int, newPts: DataFrame,
+                            touched: Set[(Int, Long)]): DataFrame =
+    existingTouched(i, touched)
+      .withColumn("prio", lit(-1L))
+      .unionByName(newPts)
+      .groupBy("metric", "interval", "pb", "tb")
+      .agg(max_by(col("value"), col("prio")).as("value"))
+
+  /** Explicit (pb, tb) directory candidates covering intervals [lo, hi)
+    * at level i, or None when the hull spans too many directories for
+    * explicit enumeration to beat a pruned root listing.
+    */
+  private def hullDirCandidates(i: Int, bucketSecs: Long,
+                                lo: Long, hi: Long): Option[Seq[String]] = {
+    val tbLo = lo / bucketSecs
+    val tbHi = (hi - 1) / bucketSecs
+    if (tbHi < tbLo || (tbHi - tbLo + 1) * numBuckets > 4096) None
+    else Some(for {
+      pb <- 0 until numBuckets
+      tb <- (tbLo to tbHi).toSeq
+    } yield s"${levelPath(i)}/pb=$pb/tb=$tb")
   }
 
   // ---- write path -----------------------------------------------------
@@ -234,13 +261,25 @@ final class MetricStore(val spark: SparkSession, val root: String,
   private def updateManyForPolicy(batch: DataFrame, policy: RetentionPolicy,
                                   now: Long): Unit = {
     val routed = Ingest.routeAndDedup(batch, policy, now).cache()
-    // Fresh-level writes don't feed the cascade (it reads the in-memory
-    // prevContent mirror, never the just-written files), so they run as
-    // background Spark jobs overlapping the next level's compute — the
-    // bulk-load path turns its serial write-per-level chain into
-    // overlapped writes. Non-fresh upserts stay synchronous: the next
-    // cascade step reads their level from disk.
+    // Writes are taken off the cascade's critical path:
+    //  - FRESH levels (bulk load): the cascade reads the in-memory
+    //    prevContent mirror, never the just-written files, so their
+    //    writes go straight to the background pool;
+    //  - NON-FRESH levels (incremental): the next step reads this
+    //    level's post-upsert state through a merged MIRROR (pre-write
+    //    disk rows LWW incoming) plus the untouched hull partitions, so
+    //    the write is deferred one cascade step and launched in the
+    //    background once that reader has materialized (it must see the
+    //    PRE-write files).
+    // Everything is awaited before updateMany returns.
     val pendingWrites = scala.collection.mutable.Buffer.empty[scala.concurrent.Future[Unit]]
+    // deferred-write slot (at most one held back at a time — the previous
+    // level's); declared here so the finally block can land it even when
+    // the cascade throws mid-loop (otherwise that level's upsert would be
+    // silently dropped while earlier levels committed)
+    var deferred: Option[() => Unit] = None
+    // (level, post-upsert mirror of touched partitions, touched set)
+    var deferredMirror: Option[(Int, DataFrame, Set[(Int, Long)])] = None
     try {
       val steps = policy.levels.map(_.secondsPerPoint)
 
@@ -281,15 +320,30 @@ final class MetricStore(val spark: SparkSession, val root: String,
       val freshLevels: Set[Int] =
         steps.indices.filterNot(i => new java.io.File(levelPath(i)).exists()).toSet
 
-      // deferred-write dispatcher: fresh levels (whose content the
-      // cascade mirrors in memory) write in the background pool; levels
-      // the next step must read back from disk write synchronously
+      // deferred-write dispatcher. `launchDeferred` releases the held
+      // write to the background pool once its pre-write state has been
+      // read, `flushDeferred` runs it inline when a reader needs the
+      // POST-write files on disk (mirror unavailable).
+      def launchDeferred(): Unit = {
+        deferred.foreach(t =>
+          pendingWrites += scala.concurrent.Future(t())(MetricStore.writeEc))
+        deferred = None
+      }
+      def flushDeferred(): Unit = { deferred.foreach(_()); deferred = None }
       def runUpsert(i: Int, step: Int, incoming: DataFrame,
                     touchedPre: Option[Set[(Int, Long)]]): Unit =
         if (freshLevels.contains(i))
           pendingWrites += scala.concurrent.Future(
             upsertLevel(i, step, incoming, touchedPre))(MetricStore.writeEc)
-        else upsertLevel(i, step, incoming, touchedPre)
+        else {
+          deferred = Some(() => upsertLevel(i, step, incoming, touchedPre))
+          deferredMirror = touchedPre.map { t =>
+            val newPts =
+              if (incoming.columns.contains("pb")) incoming
+              else withPartitionCols(incoming, step)
+            (i, mergedTouched(i, newPts, t), t)
+          }
+        }
 
       // level-0 direct writes (no propagated input at the finest level);
       // direct writes to coarser levels (points too old for finer levels,
@@ -337,11 +391,40 @@ final class MetricStore(val spark: SparkSession, val root: String,
         val lowerMin = bLo - bLo % steps(i)
         val upper = bHi - bHi % steps(i) + steps(i)
         val bsHi = bucketSeconds(steps(i - 1))
-        val higher = prevContent.getOrElse(
+        val higher = prevContent.orElse {
+          // level i-1's write is still deferred: read its post-upsert
+          // state as merged-mirror(touched) ∪ disk(untouched ∩ hull) —
+          // the pre-write files stay valid because the write launches
+          // only after this plan materializes
+          deferredMirror.collect { case (lvl, mirror, touched) if lvl == i - 1 =>
+            hullDirCandidates(i - 1, bsHi, lowerMin, upper).map { dirs =>
+              val touchedDirs = touched.map {
+                case (p, t) => s"${levelPath(i - 1)}/pb=$p/tb=$t"
+              }
+              val untouchedDirs = dirs.filterNot(touchedDirs)
+                .filter(d => new java.io.File(d).exists())
+              val untouched =
+                if (untouchedDirs.isEmpty)
+                  emptyLevel.select("metric", "interval", "value")
+                else
+                  spark.read.option("basePath", levelPath(i - 1))
+                    .parquet(untouchedDirs: _*)
+                    .select("metric", "interval", "value")
+              mirror.select("metric", "interval", "value")
+                .unionByName(untouched)
+                .where(col("interval") >= lowerMin && col("interval") < upper)
+            }
+          }.flatten
+        }.getOrElse {
+          // no usable mirror (nothing upserted at i-1, or the hull spans
+          // too many directories): land any deferred write inline, then
+          // read the level from disk with partition pruning
+          flushDeferred()
           levelData(i - 1)
             .where(col("tb") >= lowerMin / bsHi && col("tb") <= (upper - 1) / bsHi &&
               col("interval") >= lowerMin && col("interval") < upper)
-            .select("metric", "interval", "value"))
+            .select("metric", "interval", "value")
+        }
         val propagated = withPartitionCols(
           Rollup
             .propagateTouched(higher,
@@ -351,6 +434,11 @@ final class MetricStore(val spark: SparkSession, val root: String,
         // upsert would otherwise rediscover with its own job
         val touchedP = propagated.select("pb", "tb").distinct().collect()
           .map(r => (r.getInt(0), r.getLong(1))).toSet
+        // the propagate (and its read of level i-1's pre-write files) has
+        // materialized into the cache — the deferred write can now land
+        // in the background
+        launchDeferred()
+        deferredMirror = None
         val propagatedAny = touchedP.nonEmpty
         val directN = directCounts.getOrElse(i, 0L)
         // ONE upsert per level: direct writes (prio 0) fused with
@@ -405,7 +493,15 @@ final class MetricStore(val spark: SparkSession, val root: String,
         bHi = math.max(upper - steps(i), directStats.get(i).map(_._3).getOrElse(Long.MinValue))
         i += 1
       }
+      // the deepest level's write has no further cascade reader — release
+      // it to the pool (awaited just below)
+      launchDeferred()
     } finally {
+      // a write still held back when the cascade threw must land (its
+      // level's data is otherwise lost); a failure here must not mask
+      // the original exception
+      deferred.foreach(t => try t() catch { case _: Throwable => () })
+      deferred = None
       // deferred writes must land before callers (or the next policy
       // group in a heterogeneous batch) can read the store — and before
       // the cache backing them is released
