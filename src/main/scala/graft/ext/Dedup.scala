@@ -29,21 +29,25 @@ object Dedup {
   // ---- word n-gram shingles ------------------------------------------
 
   /** Distinct word n-gram shingles per document: (id, shingle).
-    * Built with split + transform/sequence — whole-stage codegen, no UDF.
+    * Built with split + sequence/slice — whole-stage codegen, no UDF.
+    *
+    * Shape matters: Generate re-evaluates its (collapsed) child
+    * projection per OUTPUT row, so exploding an array built by a
+    * per-document transform lambda costs O(words²) per doc. Instead the
+    * CHEAP start-position sequence is exploded and each shingle is
+    * assembled per exploded row — O(words·n) total — with a distinct()
+    * replacing the old pre-explode array_distinct.
     */
   def shingles(docs: DataFrame, n: Int = 3,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("ws"))
-      .select(
-        col("id"),
-        expr(
-          // size-n+1 n-grams at 1-based starts 1..size-n+1; empty when too short
-          s"""CASE WHEN size(ws) >= $n THEN array_distinct(transform(
-             |  sequence(0, size(ws) - $n),
-             |  i -> concat_ws(' ', slice(ws, i + 1, $n))
-             |)) ELSE array() END""".stripMargin).as("shs"))
-      .select(col("id"), explode(col("shs")).as("shingle"))
+      // size-n+1 n-grams at 1-based starts 1..size-n+1; none when too short
+      .select(col("id"), col("ws"),
+        explode(expr(s"CASE WHEN size(ws) >= $n THEN sequence(1, size(ws) - ${n - 1}) " +
+          "ELSE array() END")).as("i"))
+      .select(col("id"), expr(s"concat_ws(' ', slice(ws, i, $n))").as("shingle"))
+      .distinct()
 
   /** Exact n-gram Jaccard duplicate pairs (a < b, jaccard >= tau).
     * Blocking: pairs must share ≥1 shingle, so the candidate join is an
