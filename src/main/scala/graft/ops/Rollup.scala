@@ -35,18 +35,51 @@ object Rollup {
                 higherStep: Int,
                 lowerStep: Int,
                 method: AggregationMethod,
-                xff: Float): DataFrame = {
+                xff: Float): DataFrame =
+    propagateCounted(higher, higherStep, lowerStep, method, xff)
+      .select(col("metric"), col("interval"), col("value"))
+
+  /** Contribution-count inputs: `known` = number of level-0 points a row
+    * consolidates, `vsum` = their sum. Raw/level-0 inputs carry neither
+    * column and count as (1, value); absent-but-expected counts (rows
+    * from sources that cannot supply them) are null and stay null through
+    * any window they touch — "unknown", never silently fabricated.
+    */
+  private def countCols(df: DataFrame): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
+    if (df.columns.contains("known")) col("known") else lit(1L),
+    if (df.columns.contains("vsum")) col("vsum") else col("value"))
+
+  /** propagate, additionally maintaining per-window contribution counts:
+    * output (metric, interval, value, known, vsum) where `value` is the
+    * whisper kernel over the CHILD rows (avg-of-avgs at depth ≥ 2,
+    * whisper.py:858-875 semantics) while known/vsum accumulate the
+    * level-0 population — sum of child knowns/vsums. The xff gate still
+    * counts child ROWS (whisper's knownPercent is the fraction of known
+    * next-higher-archive slots, whisper.py:634-641), NOT `known`.
+    *
+    * known/vsum make the true level-0 average (vsum/known) recoverable at
+    * ANY depth — what RollupSubstitution needs to substitute deep levels
+    * for Average queries exactly.
+    */
+  def propagateCounted(higher: DataFrame,
+                       higherStep: Int,
+                       lowerStep: Int,
+                       method: AggregationMethod,
+                       xff: Float): DataFrame = {
     require(lowerStep % higherStep == 0, s"$higherStep does not divide $lowerStep")
     val slots = lowerStep / higherStep
     if (slots >= SaltSlotsThreshold)
       return propagateSalted(higher, higherStep, lowerStep, method, xff)
+    val (kn, vs) = countCols(higher)
     higher
       .groupBy(col("metric"), Grid.align(col("interval"), lowerStep).as("interval"))
       .agg(
         Kernels.kernel(method, col("value"), col("interval"), lit(slots)).as("value"),
-        count(col("value")).as("known"))
-      .where(Kernels.xffGate(col("known"), lit(slots), xff))
-      .select(col("metric"), col("interval"), col("value"))
+        count(col("value")).as("rows"),
+        sum(kn).as("known"),
+        sum(vs).as("vsum"))
+      .where(Kernels.xffGate(col("rows"), lit(slots), xff))
+      .select(col("metric"), col("interval"), col("value"), col("known"), col("vsum"))
   }
 
   /** Skew-safe variant of propagate: two-stage aggregation with a salt on
@@ -69,34 +102,42 @@ object Rollup {
     require(lowerStep % higherStep == 0, s"$higherStep does not divide $lowerStep")
     val slots = lowerStep / higherStep
     import AggregationMethod._
+    val (kn, vs) = countCols(higher)
     val keyed = higher.groupBy(
       col("metric"),
       Grid.align(col("interval"), lowerStep).as("interval"),
       pmod(hash(col("interval")), lit(salts)).as("salt"))
+    // contribution counts decompose as plain sums in both stages
+    val countAggs = Seq(sum(kn).as("k"), sum(vs).as("vssum"))
+    val countFin = Seq(sum(col("k")).as("known"), sum(col("vssum")).as("vsum"))
 
     val finished = method match {
       case Average | Sum | AvgZero =>
-        val partial = keyed.agg(sum(col("value")).as("s"), count(col("value")).as("c"))
+        val partial = keyed.agg(sum(col("value")).as("s"),
+          (count(col("value")).as("c") +: countAggs): _*)
         val fin = partial.groupBy("metric", "interval")
-          .agg(sum(col("s")).as("s"), sum(col("c")).as("known"))
+          .agg(sum(col("s")).as("s"), (sum(col("c")).as("rows") +: countFin): _*)
         val v = method match {
-          case Average => col("s") / col("known")
+          case Average => col("s") / col("rows")
           case Sum     => col("s")
           case _       => col("s") / lit(slots)
         }
-        fin.select(col("metric"), col("interval"), v.as("value"), col("known"))
+        fin.select(col("metric"), col("interval"), v.as("value"),
+          col("rows"), col("known"), col("vsum"))
       case Max | Min =>
         val agg0 = if (method == Max) max(col("value")) else min(col("value"))
-        val partial = keyed.agg(agg0.as("v"), count(col("value")).as("c"))
+        val partial = keyed.agg(agg0.as("v"),
+          (count(col("value")).as("c") +: countAggs): _*)
         val agg1 = if (method == Max) max(col("v")) else min(col("v"))
         partial.groupBy("metric", "interval")
-          .agg(agg1.as("value"), sum(col("c")).as("known"))
+          .agg(agg1.as("value"), (sum(col("c")).as("rows") +: countFin): _*)
       case Last =>
         val partial = keyed.agg(
           max_by(col("value"), col("interval")).as("v"),
-          max(col("interval")).as("mi"), count(col("value")).as("c"))
+          (Seq(max(col("interval")).as("mi"), count(col("value")).as("c")) ++ countAggs): _*)
         partial.groupBy("metric", "interval")
-          .agg(max_by(col("v"), col("mi")).as("value"), sum(col("c")).as("known"))
+          .agg(max_by(col("v"), col("mi")).as("value"),
+            (sum(col("c")).as("rows") +: countFin): _*)
       case AbsMax | AbsMin =>
         // carry the winner's (value, interval) so the final stage applies
         // the SAME tie-break ordering as the single-stage kernel
@@ -107,16 +148,17 @@ object Rollup {
         val partial = keyed.agg(
           pick(struct(col("value").as("v"), col("interval").as("i")),
             ord(col("value"), col("interval"))).as("vi"),
-          count(col("value")).as("c"))
+          (count(col("value")).as("c") +: countAggs): _*)
         partial.groupBy("metric", "interval")
           .agg(
             pick(col("vi"), ord(col("vi.v"), col("vi.i"))).as("vi"),
-            sum(col("c")).as("known"))
-          .select(col("metric"), col("interval"), col("vi.v").as("value"), col("known"))
+            (sum(col("c")).as("rows") +: countFin): _*)
+          .select(col("metric"), col("interval"), col("vi.v").as("value"),
+            col("rows"), col("known"), col("vsum"))
     }
     finished
-      .where(Kernels.xffGate(col("known"), lit(slots), xff))
-      .select(col("metric"), col("interval"), col("value"))
+      .where(Kernels.xffGate(col("rows"), lit(slots), xff))
+      .select(col("metric"), col("interval"), col("value"), col("known"), col("vsum"))
   }
 
   /** Incremental variant: recompute ONLY the lower windows touched by a
@@ -130,7 +172,19 @@ object Rollup {
                        higherStep: Int,
                        lowerStep: Int,
                        method: AggregationMethod,
-                       xff: Float): DataFrame = {
+                       xff: Float): DataFrame =
+    propagateTouchedCounted(higher, changed, higherStep, lowerStep, method, xff)
+      .select(col("metric"), col("interval"), col("value"))
+
+  /** [[propagateTouched]] with contribution counts ([[propagateCounted]]'s
+    * output shape).
+    */
+  def propagateTouchedCounted(higher: DataFrame,
+                              changed: DataFrame,
+                              higherStep: Int,
+                              lowerStep: Int,
+                              method: AggregationMethod,
+                              xff: Float): DataFrame = {
     val touched = changed
       .select(col("metric"), Grid.align(col("interval"), lowerStep).as("interval"))
       .distinct()
@@ -141,18 +195,18 @@ object Rollup {
         Seq("metric", "lower_interval"),
         "left_semi")
       .drop("lower_interval")
-    propagate(scoped, higherStep, lowerStep, method, xff)
+    propagateCounted(scoped, higherStep, lowerStep, method, xff)
   }
 
   /** Materialize every level from level-0 points: the resize/backfill
     * path. Each level is computed from the previous (not from raw), exactly
-    * like the archive cascade.
+    * like the archive cascade — counted, so levels ≥ 1 carry known/vsum.
     */
   def cascade(level0: DataFrame, policy: RetentionPolicy): Seq[DataFrame] = {
     val steps = policy.levels.map(_.secondsPerPoint)
     steps.zipWithIndex.drop(1).scanLeft(level0) {
       case (prev, (step, i)) =>
-        propagate(prev, steps(i - 1), step, policy.aggregation, policy.xff)
+        propagateCounted(prev, steps(i - 1), step, policy.aggregation, policy.xff)
     }
   }
 }

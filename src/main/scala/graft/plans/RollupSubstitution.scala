@@ -50,6 +50,11 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     case p @ Project(_, Filter(cond, agg @ Aggregate(groupingExprs, aggExprs, child, _)))
         if groupingExprs.size == 2 && p.output.size == 3 =>
       rewriteGated(p, cond, agg, groupingExprs, aggExprs, child).getOrElse(p)
+    // gated shape KEEPING the count output: the passthrough Project is
+    // optimized away, leaving the bare Filter over the 4-output Aggregate
+    case f @ Filter(cond, agg @ Aggregate(groupingExprs, aggExprs, child, _))
+        if groupingExprs.size == 2 && agg.output.size == 4 =>
+      rewriteGatedKnown(f, cond, agg, groupingExprs, aggExprs, child).getOrElse(f)
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.size == 2 =>
       rewrite(agg, groupingExprs, aggExprs, child)
@@ -70,13 +75,21 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * different one — so require the store to be policy-uniform,
     * mirroring upsertRollups' guard.
     */
+  /** Also requires the store's levels to still BE the cascade of the
+    * current level-0 table: points that routed directly into coarser
+    * archives (too old for level 0), external rollup upserts, value
+    * transforms, per-level merges/fills, and policy edits all make a
+    * level scan disagree with a level-0 aggregation — for EVERY kernel —
+    * and the store marks that divergence.
+    */
   private def uniformPolicy: Option[graft.model.RetentionPolicy] = {
+    if (!store.rollupsDerivedFromLevel0) return None
     val ps = store.policies().values.toSeq.distinct
     if (ps.size == 1) ps.headOption else None
   }
 
   /** The store cascade computes level i from level i-1 (matching
-    * whisper.py:858-875), so a level>=2 Average row is an avg-of-avgs —
+    * whisper.py:858-875), so a level>=2 Average VALUE is an avg-of-avgs —
     * it differs from the query's true average over level-0 points
     * whenever subwindow point counts vary. Sum/Max/Min/Last cascade
     * exactly (missing subwindows contribute nothing; extrema and
@@ -84,9 +97,45 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * non-gated paths already require: an xff>0 gate at depth>=2 counts
     * known level-(i-1) rows, not known level-0 points, so the surviving
     * row sets can differ for any kernel.
+    *
+    * Deep Average IS substitutable when the level carries exact
+    * contribution counts (schema with known/vsum, no degraded writers):
+    * vsum/known reconstructs the true level-0 average per window — the
+    * substituted scan then projects that instead of `value` (see
+    * [[substitutedScan]]).
     */
   private def depthOk(levelIdx: Int, kernel: AggregationMethod, xff: Float): Boolean =
-    levelIdx == 1 || (xff == 0f && kernel != AggregationMethod.Average)
+    levelIdx == 1 ||
+      (xff == 0f && (kernel != AggregationMethod.Average || exactCounts(levelIdx)))
+
+  /** Level tables ≥ 1 carry (known, vsum) contribution counts unless the
+    * store predates them or a writer couldn't supply them (wsp import,
+    * external rollups without counts, value transforms) — MetricStore
+    * tracks that with a marker consulted here.
+    */
+  private def exactCounts(levelIdx: Int): Boolean =
+    store.countsExact && store.levelData(levelIdx).columns.contains("vsum")
+
+  /** The substituted level scan: (metric, interval, value[, known]).
+    * For deep Average the true level-0 average is reconstructed as
+    * vsum/known; every other case reads the stored kernel value.
+    */
+  private def substitutedScan(levelIdx: Int, kernel: AggregationMethod,
+                              withKnown: Boolean): LogicalPlan = {
+    val base = store.levelData(levelIdx)
+    val valueCol =
+      if (levelIdx >= 2 && kernel == AggregationMethod.Average)
+        (org.apache.spark.sql.functions.col("vsum") /
+          org.apache.spark.sql.functions.col("known"))
+          .as("value")
+      else org.apache.spark.sql.functions.col("value")
+    val cols = Seq(
+      org.apache.spark.sql.functions.col("metric"),
+      org.apache.spark.sql.functions.col("interval"),
+      valueCol) ++
+      (if (withKnown) Seq(org.apache.spark.sql.functions.col("known")) else Nil)
+    base.select(cols: _*).queryExecution.analyzed
+  }
 
   private def doubleLit(e: Expression): Option[Double] = uncast(e) match {
     case Literal(v: Double, _) => Some(v)
@@ -111,16 +160,32 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
             org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
             _, false, None, _), _) if v.name == "value" => a.exprId
     }
-    // Project must pass (metric, interval, value) through, dropping known
+    // Project must be attribute passthrough; the count output may either
+    // be dropped (3-col shape) or passed through as `known` (4-col shape
+    // — substitutable from the stored counts when they are exact)
     val projPassthrough = p.projectList.forall {
-      case a: Attribute => !knownIds.contains(a.exprId)
-      case Alias(a: Attribute, _) => !knownIds.contains(a.exprId)
+      case _: Attribute => true
+      case Alias(_: Attribute, _) => true
       case _ => false
     }
+    def refsKnown(ne: NamedExpression): Boolean = ne match {
+      case a: Attribute => knownIds.contains(a.exprId)
+      case Alias(a: Attribute, _) => knownIds.contains(a.exprId)
+      case _ => false
+    }
+    val outputsKnown = p.projectList.exists(refsKnown)
+    val expectedNames =
+      if (outputsKnown) Seq("metric", "interval", "value", "known")
+      else Seq("metric", "interval", "value")
     for {
       policy <- uniformPolicy
       if knownIds.size == 1 && projPassthrough
-      if p.output.map(_.name) == Seq("metric", "interval", "value")
+      if p.output.map(_.name) == expectedNames
+      // the known output must BE the gate's count (not value renamed)
+      if !outputsKnown || p.projectList.zip(expectedNames).forall {
+        case (ne, "known") => refsKnown(ne)
+        case (ne, _) => !refsKnown(ne)
+      }
       level0 <- matchLevel0Scan(child)
       grouping = resolveGrouping(grouping0, child)
       (metricExpr, step) <- matchGrouping(grouping)
@@ -128,12 +193,51 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if kernel == policy.aggregation
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      if !outputsKnown || exactCounts(levelIdx)
       slots = step / policy.levels.head.secondsPerPoint
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
-      val rollup = store.levelData(levelIdx).select("metric", "interval", "value")
-      val rel = rollup.queryExecution.analyzed
+      val rel = substitutedScan(levelIdx, kernel, withKnown = outputsKnown)
       val aliases: Seq[NamedExpression] = p.output.zipWithIndex.map {
+        case (attr, i) => Alias(rel.output(i), attr.name)(exprId = attr.exprId)
+      }
+      Project(aliases, rel)
+    }
+  }
+
+  /** Gated shape that also RETURNS the window count — output (metric,
+    * interval, value, known). Substitutable from the stored counts when
+    * they are exact: level-i known is by construction the number of
+    * level-0 points in the window, which is what count(value) over the
+    * level-0 scan computes.
+    */
+  private def rewriteGatedKnown(f: Filter, cond: Expression, agg: Aggregate,
+                                grouping0: Seq[Expression],
+                                aggExprs: Seq[NamedExpression],
+                                child: LogicalPlan): Option[LogicalPlan] = {
+    val knownIds = aggExprs.collect {
+      case a @ Alias(AggregateExpression(
+            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
+            _, false, None, _), _) if v.name == "value" => a.exprId
+    }
+    for {
+      policy <- uniformPolicy
+      if knownIds.size == 1
+      if agg.output.map(_.name) == Seq("metric", "interval", "value", "known")
+      if agg.output(3).exprId == knownIds.head // the kept output IS the count
+      level0 <- matchLevel0Scan(child)
+      grouping = resolveGrouping(grouping0, child)
+      (metricExpr, step) <- matchGrouping(grouping)
+      kernel <- matchKernel(aggExprs)
+      if kernel == policy.aggregation
+      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
+      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      if exactCounts(levelIdx)
+      slots = step / policy.levels.head.secondsPerPoint
+      if gateMatches(cond, knownIds.head, slots, policy.xff)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = true)
+      val aliases: Seq[NamedExpression] = agg.output.zipWithIndex.map {
         case (attr, i) => Alias(rel.output(i), attr.name)(exprId = attr.exprId)
       }
       Project(aliases, rel)
@@ -200,9 +304,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
     } yield {
-      val rollup = store.levelData(levelIdx)
-        .select("metric", "interval", "value")
-      val rel = rollup.queryExecution.analyzed
+      val rel = substitutedScan(levelIdx, kernel, withKnown = false)
       val out = rel.output
       // alias rollup columns to the aggregate's output attribute ids
       val aliases: Seq[NamedExpression] = agg.output.zipWithIndex.map {
@@ -307,8 +409,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
     } yield {
-      val rollup = store.levelData(levelIdx).select("metric", "interval", "value")
-      val rel = rollup.queryExecution.analyzed
+      val rel = substitutedScan(levelIdx, kernel, withKnown = false)
       val Seq(mOut, iOut, vOut) = rel.output
       val winStruct = CreateNamedStruct(Seq(
         Literal("start"), SecondsToTimestamp(iOut),

@@ -105,6 +105,9 @@ final class MetricStore(val spark: SparkSession, val root: String,
   def setAggregationMethod(metric: String, m: AggregationMethod): AggregationMethod = {
     val ps = policies()
     val old = ps.getOrElse(metric, throw new CorruptWhisperFile("Unknown metric", metric))
+    // whisper rewrites only the header: existing rollup rows keep the OLD
+    // kernel, so levels stop matching a cascade under the new policy
+    if (old.aggregation != m) markRollupsDiverged()
     writePolicies(ps + (metric -> old.copy(aggregation = m)))
     old.aggregation
   }
@@ -114,6 +117,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
       throw new InvalidXFilesFactor(s"Invalid xFilesFactor $xff, not between 0 and 1")
     val ps = policies()
     val old = ps.getOrElse(metric, throw new CorruptWhisperFile("Unknown metric", metric))
+    if (old.xff != xff) markRollupsDiverged() // row set was gated with the old xff
     writePolicies(ps + (metric -> old.copy(xff = xff)))
     old.xff
   }
@@ -124,23 +128,79 @@ final class MetricStore(val spark: SparkSession, val root: String,
     val dir = new java.io.File(levelPath(i))
     // a vacuumed-empty table has a directory but no partition dirs —
     // schema inference fails there too, so fall back to the empty frame
-    if (!dir.exists()) emptyLevel
+    if (!dir.exists()) emptyLevel(i)
     else
       try spark.read.parquet(levelPath(i))
-      catch { case _: org.apache.spark.sql.AnalysisException => emptyLevel }
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyLevel(i) }
   }
 
-  private def emptyLevel: DataFrame = {
+  /** Levels ≥ 1 additionally store contribution counts: `known` = number
+    * of level-0 points the row consolidates, `vsum` = their sum —
+    * maintained by the cascade (Rollup.propagateCounted), null when a
+    * writer cannot supply them (see [[countsExact]]). `value` is still
+    * whisper's kernel output; counts are extra derived columns, not a
+    * semantic change.
+    */
+  private def emptyLevel(i: Int): DataFrame = {
     import org.apache.spark.sql.types._
+    val counts =
+      if (i == 0) Nil
+      else Seq(StructField("known", LongType), StructField("vsum", DoubleType))
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(
         StructField("metric", StringType),
         StructField("interval", LongType),
-        StructField("value", DoubleType),
+        StructField("value", DoubleType)) ++ counts ++ Seq(
         StructField("pb", IntegerType),
         StructField("tb", LongType))))
   }
+
+  /** (metric, interval, value [, known, vsum]) — the level's data columns
+    * normalized for the cascade: level 0 never has counts; deeper levels
+    * get null counts when the on-disk table predates them (nulls
+    * propagate through count sums as "unknown" rather than fabricating
+    * exactness).
+    */
+  private def withCountCols(df: DataFrame, i: Int): DataFrame =
+    if (i == 0) df.select("metric", "interval", "value")
+    else if (df.columns.contains("known") && df.columns.contains("vsum"))
+      df.select("metric", "interval", "value", "known", "vsum")
+    else {
+      // a deep level without count columns (store written before they
+      // existed): its contributions are unknown — record that before
+      // fabricated nulls flow into downstream windows
+      markCountsApprox()
+      df.select("metric", "interval", "value")
+        .withColumn("known", lit(null).cast("long"))
+        .withColumn("vsum", lit(null).cast("double"))
+    }
+
+  // ---- contribution-count exactness ----------------------------------
+
+  /** Cleared (marker file) when any level ≥ 1 receives rows whose counts
+    * are unknown — external rollup upserts without counts, .wsp imports,
+    * value transforms — so consumers that require exact counts (deep
+    * Average substitution in RollupSubstitution) can tell. The store
+    * stays fully functional either way.
+    */
+  private def approxMarker = new java.io.File(s"$root/_counts_approx")
+  def countsExact: Boolean = !approxMarker.exists()
+  private[graft] def markCountsApprox(): Unit = { approxMarker.createNewFile(); () }
+
+  /** Set once any level's content can no longer be assumed to be the
+    * pure cascade of the CURRENT level-0 table: points routed directly
+    * into coarser archives (too old for the finer retentions,
+    * whisper.py:767-784), external rollup upserts (which bypass the
+    * cascade at ANY level), and value transforms (per-level rewrites
+    * don't commute with the kernels). RollupSubstitution requires this
+    * unset — replacing a level-0 aggregation with a level scan is only
+    * sound while the level IS that aggregation. Store reads/writes are
+    * unaffected either way.
+    */
+  private def divergedMarker = new java.io.File(s"$root/_rollup_diverged")
+  def rollupsDerivedFromLevel0: Boolean = !divergedMarker.exists()
+  private[graft] def markRollupsDiverged(): Unit = { divergedMarker.createNewFile(); () }
 
   private def withPartitionCols(df: DataFrame, step: Int): DataFrame =
     df.withColumn("pb", pmod(hash(col("metric")), lit(numBuckets)))
@@ -198,7 +258,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
     val dirs = touched.toSeq
       .map { case (p, t) => s"${levelPath(i)}/pb=$p/tb=$t" }
       .filter(d => new java.io.File(d).exists())
-    if (dirs.isEmpty) emptyLevel
+    if (dirs.isEmpty) emptyLevel(i)
     else
       spark.read.option("basePath", levelPath(i)).parquet(dirs: _*)
         .withColumn("pb", col("pb").cast("int"))
@@ -210,14 +270,28 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * any incoming prio). This is both what upsertLevel writes and, for
     * the deferred-write cascade, a mirror of the level's future state
     * computable BEFORE the write lands.
+    *
+    * The merge is column-generic: the winner's WHOLE data row (value plus
+    * any count columns) moves together via one max_by(struct, prio), so a
+    * level with known/vsum never mixes one row's value with another's
+    * counts. A side missing the count columns contributes nulls — and
+    * flips the store to counts-approx, since those rows' counts are
+    * genuinely unknown from here on.
     */
   private def mergedTouched(i: Int, newPts: DataFrame,
-                            touched: Set[(Int, Long)]): DataFrame =
-    existingTouched(i, touched)
-      .withColumn("prio", lit(-1L))
-      .unionByName(newPts)
+                            touched: Set[(Int, Long)]): DataFrame = {
+    val existing = existingTouched(i, touched).withColumn("prio", lit(-1L))
+    if (i > 0 && existing.columns.contains("vsum") != newPts.columns.contains("vsum"))
+      markCountsApprox()
+    val unioned = existing.unionByName(newPts, allowMissingColumns = true)
+    val keys = Set("metric", "interval", "pb", "tb", "prio")
+    val dataCols = unioned.columns.filterNot(keys)
+    unioned
       .groupBy("metric", "interval", "pb", "tb")
-      .agg(max_by(col("value"), col("prio")).as("value"))
+      .agg(max_by(struct(dataCols.map(col): _*), col("prio")).as("w"))
+      .select(Seq("metric", "interval", "pb", "tb").map(col) ++
+        dataCols.map(c => col(s"w.$c").as(c)): _*)
+  }
 
   /** Explicit (pb, tb) directory candidates covering intervals [lo, hi)
     * at level i, or None when the hull spans too many directories for
@@ -308,6 +382,10 @@ final class MetricStore(val spark: SparkSession, val root: String,
         .map { case (lvl, rows) =>
           lvl -> ((rows.map(_._4).sum, rows.map(_._5).min, rows.map(_._6).max))
         }
+      // points landing directly in a coarser archive are invisible to
+      // level-0 aggregations — rollup substitution is no longer sound
+      if (directStats.exists { case (l, (n, _, _)) => l >= 1 && n > 0 })
+        markRollupsDiverged()
       val directTouched: Map[Int, Set[(Int, Long)]] = partStats
         .groupBy(_._1)
         .map { case (lvl, rows) => lvl -> rows.map(r => (r._2, r._3)).toSet }
@@ -404,13 +482,12 @@ final class MetricStore(val spark: SparkSession, val root: String,
               val untouchedDirs = dirs.filterNot(touchedDirs)
                 .filter(d => new java.io.File(d).exists())
               val untouched =
-                if (untouchedDirs.isEmpty)
-                  emptyLevel.select("metric", "interval", "value")
+                if (untouchedDirs.isEmpty) withCountCols(emptyLevel(i - 1), i - 1)
                 else
-                  spark.read.option("basePath", levelPath(i - 1))
-                    .parquet(untouchedDirs: _*)
-                    .select("metric", "interval", "value")
-              mirror.select("metric", "interval", "value")
+                  withCountCols(
+                    spark.read.option("basePath", levelPath(i - 1))
+                      .parquet(untouchedDirs: _*), i - 1)
+              withCountCols(mirror, i - 1)
                 .unionByName(untouched)
                 .where(col("interval") >= lowerMin && col("interval") < upper)
             }
@@ -420,14 +497,14 @@ final class MetricStore(val spark: SparkSession, val root: String,
           // too many directories): land any deferred write inline, then
           // read the level from disk with partition pruning
           flushDeferred()
-          levelData(i - 1)
-            .where(col("tb") >= lowerMin / bsHi && col("tb") <= (upper - 1) / bsHi &&
-              col("interval") >= lowerMin && col("interval") < upper)
-            .select("metric", "interval", "value")
+          withCountCols(
+            levelData(i - 1)
+              .where(col("tb") >= lowerMin / bsHi && col("tb") <= (upper - 1) / bsHi &&
+                col("interval") >= lowerMin && col("interval") < upper), i - 1)
         }
         val propagated = withPartitionCols(
           Rollup
-            .propagateTouched(higher,
+            .propagateTouchedCounted(higher,
               changed, steps(i - 1), steps(i), policy.aggregation, policy.xff),
           steps(i)).cache()
         // one collect gives BOTH the empty check and the touched set the
@@ -447,19 +524,23 @@ final class MetricStore(val spark: SparkSession, val root: String,
         // slots). Pre-merged when both exist so the fresh-level fast
         // path (which skips merging) never sees duplicate slots.
         if (propagatedAny || directN > 0) {
+          // a direct-written point at level i IS a single raw observation:
+          // known=1, vsum=value
+          def directRows = routed.where(col("level") === i)
+            .select(col("metric"), col("interval"), col("value"),
+              lit(1L).as("known"), col("value").as("vsum"), lit(0L).as("prio"))
           val incoming =
             if (directN == 0L) propagated.withColumn("prio", lit(1L))
-            else if (!propagatedAny)
-              routed.where(col("level") === i)
-                .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio"))
+            else if (!propagatedAny) directRows
             else
-              withPartitionCols(
-                routed.where(col("level") === i)
-                  .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio")),
-                steps(i))
+              withPartitionCols(directRows, steps(i))
                 .unionByName(propagated.withColumn("prio", lit(1L)))
                 .groupBy("metric", "interval", "pb", "tb")
-                .agg(max_by(col("value"), col("prio")).as("value"))
+                .agg(max_by(struct(col("value"), col("known"), col("vsum")),
+                  col("prio")).as("w"))
+                .select(col("metric"), col("interval"), col("pb"), col("tb"),
+                  col("w.value").as("value"), col("w.known").as("known"),
+                  col("w.vsum").as("vsum"))
                 .withColumn("prio", lit(1L))
           runUpsert(i, steps(i), incoming,
             Some(touchedP ++ directTouched.getOrElse(i, Set.empty)))
@@ -470,21 +551,27 @@ final class MetricStore(val spark: SparkSession, val root: String,
         // maintain the in-memory mirror of level i for the next step:
         // direct writes merged with propagated windows, propagate wins —
         // exactly what the two upserts just materialized on disk
-        prevContent =
+        prevContent = {
+          def directMirror = routed.where(col("level") === i)
+            .select(col("metric"), col("interval"), col("value"),
+              lit(1L).as("known"), col("value").as("vsum"))
           if (!freshLevels.contains(i)) None
           else if (directCounts.getOrElse(i, 0L) == 0L)
-            Some(propagated.select("metric", "interval", "value"))
-          else if (!propagatedAny)
-            Some(routed.where(col("level") === i)
-              .select("metric", "interval", "value"))
+            Some(propagated.select("metric", "interval", "value", "known", "vsum"))
+          else if (!propagatedAny) Some(directMirror)
           else
             Some(
-              routed.where(col("level") === i)
-                .select(col("metric"), col("interval"), col("value"), lit(0L).as("prio"))
+              directMirror.withColumn("prio", lit(0L))
                 .unionByName(propagated
-                  .select(col("metric"), col("interval"), col("value"), lit(1L).as("prio")))
+                  .select(col("metric"), col("interval"), col("value"),
+                    col("known"), col("vsum"))
+                  .withColumn("prio", lit(1L)))
                 .groupBy("metric", "interval")
-                .agg(max_by(col("value"), col("prio")).as("value")))
+                .agg(max_by(struct(col("value"), col("known"), col("vsum")),
+                  col("prio")).as("w"))
+                .select(col("metric"), col("interval"), col("w.value").as("value"),
+                  col("w.known").as("known"), col("w.vsum").as("vsum")))
+        }
         // no extra job: nonempty iff something propagated or level i took
         // direct writes (known from the counts pass); the hull advances
         // to its alignment merged with level-i direct-write bounds
@@ -577,6 +664,10 @@ final class MetricStore(val spark: SparkSession, val root: String,
                   timeFrom: Option[Long] = None,
                   timeTo: Option[Long] = None): Unit = {
     val p = requireSameConfig(src, dst)
+    // whisper merge copies each archive independently: a window where
+    // both metrics hold level-0 points gets src's rollup row but the
+    // UNION of points — dst's levels stop being its level-0 cascade
+    markRollupsDiverged()
     p.levels.zipWithIndex.foreach {
       case (lvl, i) =>
         // optional [time_from, time_to] clamp (whisper.py:1062-1074)
@@ -584,9 +675,11 @@ final class MetricStore(val spark: SparkSession, val root: String,
           timeFrom.map(col("interval") >= _),
           timeTo.map(col("interval") <= _)
         ).flatten.foldLeft(col("metric") === src)(_ && _)
-        val srcRows = levelData(i)
-          .where(clamped)
-          .select(lit(dst).as("metric"), col("interval"), col("value"), lit(1L).as("prio"))
+        // counts travel with the copied rows (withCountCols keeps deep
+        // levels' known/vsum; level 0 has none)
+        val srcRows = withCountCols(levelData(i).where(clamped), i)
+          .withColumn("metric", lit(dst))
+          .withColumn("prio", lit(1L))
         if (!srcRows.isEmpty) upsertLevel(i, lvl.secondsPerPoint, srcRows)
     }
   }
@@ -597,11 +690,12 @@ final class MetricStore(val spark: SparkSession, val root: String,
     */
   def fillMetric(dst: String, src: String): Unit = {
     val p = requireSameConfig(src, dst)
+    markRollupsDiverged() // per-level copy, same reason as mergeMetric
     p.levels.zipWithIndex.foreach {
       case (lvl, i) =>
-        val srcRows = levelData(i)
-          .where(col("metric") === src)
-          .select(lit(dst).as("metric"), col("interval"), col("value"), lit(-2L).as("prio"))
+        val srcRows = withCountCols(levelData(i).where(col("metric") === src), i)
+          .withColumn("metric", lit(dst))
+          .withColumn("prio", lit(-2L))
         if (!srcRows.isEmpty) upsertLevel(i, lvl.secondsPerPoint, srcRows)
     }
   }
@@ -643,12 +737,26 @@ final class MetricStore(val spark: SparkSession, val root: String,
   def transformValues(metric: String, f: Column => Column): Unit = {
     val p = policies().getOrElse(
       metric, throw new CorruptWhisperFile("Unknown metric", metric))
+    // per-level rewrites don't commute with the kernels (f(kernel(xs)) !=
+    // kernel(f(xs)) in general), so levels stop being the level-0 cascade
+    markRollupsDiverged()
     p.levels.zipWithIndex.foreach {
       case (lvl, i) =>
-        val rows = levelData(i)
-          .where(col("metric") === metric)
-          .select(col("metric"), col("interval"), f(col("value")).cast("double").as("value"),
-            lit(1L).as("prio"))
+        val base = levelData(i).where(col("metric") === metric)
+        // known survives (the transform moves values, not points) but
+        // vsum is no longer the sum of the transformed level-0 points
+        // unless f is linear — null it and drop exactness
+        val rows =
+          if (i == 0)
+            base.select(col("metric"), col("interval"),
+              f(col("value")).cast("double").as("value"), lit(1L).as("prio"))
+          else {
+            markCountsApprox()
+            withCountCols(base, i)
+              .select(col("metric"), col("interval"),
+                f(col("value")).cast("double").as("value"),
+                col("known"), lit(null).cast("double").as("vsum"), lit(1L).as("prio"))
+          }
         if (!rows.isEmpty) upsertLevel(i, lvl.secondsPerPoint, rows)
     }
   }
@@ -664,8 +772,22 @@ final class MetricStore(val spark: SparkSession, val root: String,
     require(ps.values.toSeq.distinct.size == 1,
       "external rollup upserts require a uniform policy (level step must be unambiguous)")
     val step = ps.values.head.levels(level).secondsPerPoint
-    upsertLevel(level, step,
-      rows.select(col("metric"), col("interval"), col("value"), lit(1L).as("prio")))
+    // external rows bypass the cascade: levels and level-0 can disagree
+    markRollupsDiverged()
+    // externally-computed rollups may carry their contribution counts
+    // (StreamingIngest does); without them a deep level's counts become
+    // unknown for good — record that
+    val withC =
+      if (level == 0) rows.select(col("metric"), col("interval"), col("value"))
+      else if (rows.columns.contains("known") && rows.columns.contains("vsum"))
+        rows.select(col("metric"), col("interval"), col("value"),
+          col("known").cast("long").as("known"), col("vsum").cast("double").as("vsum"))
+      else {
+        markCountsApprox()
+        rows.select(col("metric"), col("interval"), col("value"),
+          lit(null).cast("long").as("known"), lit(null).cast("double").as("vsum"))
+      }
+    upsertLevel(level, step, withC.withColumn("prio", lit(1L)))
   }
 
   /** Distributed fetch: the dense-grid contract as a DataFrame (metric,
@@ -782,7 +904,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
           val kept = data.where(touchedFilter)
             .join(cutoffDf, Seq("metric"))
             .where(col("interval") > col("cutoff"))
-            .select("metric", "interval", "value", "pb", "tb")
+            .select(data.columns.map(col): _*) // all data cols incl. counts
             .cache()
           try {
             val keptParts = kept.select("pb", "tb").distinct().collect()

@@ -97,7 +97,8 @@ object StreamingIngest {
     */
   final case class WindowState(slots: Map[Long, Double])
   final case class RollupUpdate(
-      metric: String, interval: Long, value: Double, known: Int, finalized: Boolean)
+      metric: String, interval: Long, value: Double, known: Int, vsum: Double,
+      finalized: Boolean)
 
   /** Incremental xff-gated rollup via flatMapGroupsWithState (update
     * mode): each micro-batch REFINES the affected windows immediately —
@@ -128,7 +129,7 @@ object StreamingIngest {
           .map(i => slots.get(key.interval + i.toLong * sourceStep))
         Iterator.single(RollupUpdate(key.metric, key.interval,
           AggregationMethod.aggregate(method, known, Some(neighbor)),
-          known.size, finalized))
+          known.size, known.sum, finalized))
       } else Iterator.empty
     }
 
@@ -178,8 +179,11 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // counts travel with the rollup rows: known/vsum here are over the
+        // RAW stream slots, so the store's level keeps exact counts
         if (!batch.isEmpty)
-          store.upsertRollups(levelIdx, batch.select("metric", "interval", "value"))
+          store.upsertRollups(levelIdx,
+            batch.select("metric", "interval", "value", "known", "vsum"))
       }
       .start()
   }

@@ -73,7 +73,7 @@ class AdviceR3Spec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
-  test("Average at level >= 2 is not substituted (avg-of-avgs != true avg); Sum is") {
+  test("deep Average substitutes via vsum/known (true avg, not avg-of-avgs); Sum too") {
     val levels3 = Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 120), ArchiveInfo(1800, 48))
     // sparse: 5 points in one 300s subwindow, 1 in another → the cascaded
     // level-2 average is (12+100)/2 = 56, the true level-0 average is
@@ -97,8 +97,11 @@ class AdviceR3Spec extends AnyFunSuite {
       val deep = l0.groupBy(col("metric"),
           (col("interval") - col("interval") % lit(1800L)).as("interval"))
         .agg(avg(col("value")).as("value"))
-      assert(hasAggregate(deep),
-        s"deep Average was substituted with an avg-of-avgs:\n${deep.queryExecution.optimizedPlan}")
+      // the level-2 table carries exact contribution counts, so the scan
+      // substitutes — and must return vsum/known (the TRUE level-0
+      // average), never the stored avg-of-avgs value
+      assert(!hasAggregate(deep),
+        s"deep Average with exact counts should substitute:\n${deep.queryExecution.optimizedPlan}")
       val Array(row) = deep.collect()
       assert(math.abs(row.getAs[Double]("value") - 160.0 / 6) < 1e-9)
       // the cascaded level-2 row really is different — the divergence is real
