@@ -33,11 +33,15 @@ object Bench {
     // approximate pipelines with exhaustive parameters (probe every cell,
     // full-corpus shortlist) purely so DuckDB can value-check them —
     // benching them would double-count w20's ingest and the s02/s04/s05/
-    // s06 perf-shaped ANN variants.
+    // s06 perf-shaped ANN variants. d08 likewise: it recomputes d04's
+    // SimHash pipeline with an md5-derived 60-bit hash whose only purpose
+    // is being re-derivable in DuckDB for the value gate — the engine
+    // path (xxhash64) is what d04 times.
     val benchSkip = Set(
       "w21_ingest_incremental", "w22_streaming_ingest",
       "s07_sim_topk_ivf_exact", "s08_sim_topk_pq_exact",
-      "s09_sim_topk_ivfpq_exact", "s10_sim_topk_quantized_exact")
+      "s09_sim_topk_ivfpq_exact", "s10_sim_topk_quantized_exact",
+      "d08_dedup_simhash_portable")
     try {
       spark.range(1000000).selectExpr("sum(id)", "avg(id)").collect()
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")

@@ -59,4 +59,38 @@ object Curation {
       .where(col("rk") <= k)
       .select(col(idCol), col(srcCol), col("rk").cast("int").as("rk"))
   }
+
+  /** GPT-style sequence packing: concatenate each source's documents in
+    * stable (doc_id) order and cut the token stream into fixed-`budget`
+    * chunks — the packing step that turns a curated corpus into
+    * training sequences. Documents may straddle chunks; output is one
+    * row per (document, chunk it lands in):
+    * (source, chunk_id, doc_id, tok_from, tok_to) with doc-relative
+    * token offsets [tok_from, tok_to). Zero-token documents are skipped.
+    *
+    * Scale shape: sources pack independently — one shuffle by source,
+    * each stream's running sum a partition-local window. A single global
+    * stream (no source column) would serialize on one reducer; the
+    * 100 TB spelling of that is the classic two-phase scan (per-partition
+    * token totals collected once, broadcast back as prefix offsets),
+    * which this per-source form avoids needing.
+    */
+  def packChunks(docs: DataFrame, budget: Long,
+                 idCol: String = "doc_id", srcCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+    docs
+      .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("start", col("cum") - col("toks"))
+      .where(col("toks") > 0)
+      // a doc covers token span [start, cum) → chunks floor(start/B)..floor((cum-1)/B)
+      .withColumn("chunk",
+        explode(expr(s"sequence(start div $budget, (cum - 1) div $budget)")))
+      .select(
+        col("source"), col("chunk").as("chunk_id"), col("doc_id"),
+        greatest(col("chunk") * budget - col("start"), lit(0L)).as("tok_from"),
+        least((col("chunk") + 1) * budget - col("start"), col("toks")).as("tok_to"))
+  }
 }

@@ -482,6 +482,30 @@ object ExtQueries {
         |  FROM documents) WHERE rk <= 10 ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
+      "d13_pack_chunks",
+      // sequence packing: concat each source's docs (stable doc_id order)
+      // and cut into 512-token training chunks; docs may straddle chunks
+      (s, dir) => Curation.packChunks(docs(s, dir), budget = 512)
+        .orderBy("source", "chunk_id", "doc_id"),
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, toks,
+        |    CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM t
+        |), e AS (
+        |  SELECT source, doc_id, toks, cum, cum - toks AS strt,
+        |    unnest(generate_series((cum - toks) // 512, (cum - 1) // 512)) AS chunk
+        |  FROM c WHERE toks > 0
+        |)
+        |SELECT source, CAST(chunk AS BIGINT) AS chunk_id, doc_id,
+        |  CAST(greatest(chunk * 512 - strt, 0) AS BIGINT) AS tok_from,
+        |  CAST(least((chunk + 1) * 512 - strt, toks) AS BIGINT) AS tok_to
+        |FROM e ORDER BY source, chunk_id, doc_id""".stripMargin
+    ),
+    QueryDef(
       "d05_dedup_embedding",
       (s, dir) => {
         val c = Similarity.corpus(emb(s, dir)).where(col("id") % 5 === 0)

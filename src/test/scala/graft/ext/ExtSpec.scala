@@ -53,6 +53,35 @@ class ExtSpec extends AnyFunSuite {
       assert(capped.count() < docs.count())
   }
 
+  test("packChunks: spans cover every token once, chunks respect the budget") {
+    val b = 512L
+    val packed = Curation.packChunks(docs, budget = b).cache()
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    // every non-empty doc's token range is covered exactly, in order
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum(col("tok_to") - col("tok_from")).as("covered"),
+        min("tok_from").as("first"), count(lit(1)).as("pieces"))
+      .join(toks, "doc_id").collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("covered") == r.getAs[Long]("toks"))
+      assert(r.getAs[Long]("first") == 0L)
+    }
+    // every chunk holds exactly `budget` tokens except each source's last
+    val perChunk = packed.groupBy("source", "chunk_id")
+      .agg(sum(col("tok_to") - col("tok_from")).as("filled")).cache()
+    val lastChunk = perChunk.groupBy("source").agg(max("chunk_id").as("last"))
+    val nonLast = perChunk.join(lastChunk, "source")
+      .where(col("chunk_id") =!= col("last"))
+    assert(nonLast.where(col("filled") =!= b).isEmpty)
+    assert(perChunk.where(col("filled") > b).isEmpty)
+    // deterministic: rerun is identical
+    val a = packed.collect().map(_.toSeq).toSet
+    val c = Curation.packChunks(docs, budget = b).collect().map(_.toSeq).toSet
+    assert(a == c)
+  }
+
   test("minhash-LSH near-dups == brute-force jaccard pairs at tau=0.5") {
     val brute = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
