@@ -76,10 +76,15 @@ object Rollup {
       .agg(
         Kernels.kernel(method, col("value"), col("interval"), lit(slots)).as("value"),
         count(col("value")).as("rows"),
-        sum(kn).as("known"),
-        sum(vs).as("vsum"))
+        // sum() skips nulls — an unknown child must make the WINDOW
+        // unknown, not silently shrink it, so null out any window where
+        // some child's counts are missing
+        count(kn).as("kcnt"), sum(kn).as("ksum"),
+        count(vs).as("vcnt"), sum(vs).as("vssum"))
       .where(Kernels.xffGate(col("rows"), lit(slots), xff))
-      .select(col("metric"), col("interval"), col("value"), col("known"), col("vsum"))
+      .select(col("metric"), col("interval"), col("value"),
+        when(col("kcnt") === col("rows"), col("ksum")).as("known"),
+        when(col("vcnt") === col("rows"), col("vssum")).as("vsum"))
   }
 
   /** Skew-safe variant of propagate: two-stage aggregation with a salt on
@@ -107,9 +112,15 @@ object Rollup {
       col("metric"),
       Grid.align(col("interval"), lowerStep).as("interval"),
       pmod(hash(col("interval")), lit(salts)).as("salt"))
-    // contribution counts decompose as plain sums in both stages
-    val countAggs = Seq(sum(kn).as("k"), sum(vs).as("vssum"))
-    val countFin = Seq(sum(col("k")).as("known"), sum(col("vssum")).as("vsum"))
+    // contribution counts decompose as plain sums in both stages; the
+    // non-null tallies ride along so the final stage can null out any
+    // window with an unknown child (sum() alone would skip the nulls)
+    val countAggs = Seq(
+      count(kn).as("kc"), sum(kn).as("k"),
+      count(vs).as("vc"), sum(vs).as("vssum"))
+    val countFin = Seq(
+      sum(col("kc")).as("kcnt"), sum(col("k")).as("ksum"),
+      sum(col("vc")).as("vcnt"), sum(col("vssum")).as("vssum2"))
 
     val finished = method match {
       case Average | Sum | AvgZero =>
@@ -123,7 +134,7 @@ object Rollup {
           case _       => col("s") / lit(slots)
         }
         fin.select(col("metric"), col("interval"), v.as("value"),
-          col("rows"), col("known"), col("vsum"))
+          col("rows"), col("kcnt"), col("ksum"), col("vcnt"), col("vssum2"))
       case Max | Min =>
         val agg0 = if (method == Max) max(col("value")) else min(col("value"))
         val partial = keyed.agg(agg0.as("v"),
@@ -154,11 +165,13 @@ object Rollup {
             pick(col("vi"), ord(col("vi.v"), col("vi.i"))).as("vi"),
             (sum(col("c")).as("rows") +: countFin): _*)
           .select(col("metric"), col("interval"), col("vi.v").as("value"),
-            col("rows"), col("known"), col("vsum"))
+            col("rows"), col("kcnt"), col("ksum"), col("vcnt"), col("vssum2"))
     }
     finished
       .where(Kernels.xffGate(col("rows"), lit(slots), xff))
-      .select(col("metric"), col("interval"), col("value"), col("known"), col("vsum"))
+      .select(col("metric"), col("interval"), col("value"),
+        when(col("kcnt") === col("rows"), col("ksum")).as("known"),
+        when(col("vcnt") === col("rows"), col("vssum2")).as("vsum"))
   }
 
   /** Incremental variant: recompute ONLY the lower windows touched by a

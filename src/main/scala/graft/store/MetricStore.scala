@@ -513,7 +513,13 @@ final class MetricStore(val spark: SparkSession, val root: String,
           .map(r => (r.getInt(0), r.getLong(1))).toSet
         // the propagate (and its read of level i-1's pre-write files) has
         // materialized into the cache — the deferred write can now land
-        // in the background
+        // in the background. Caveat shared with any cache-over-mutated-
+        // table pattern: if a cached partition is lost AFTER the write
+        // lands (executor death; memory+disk eviction never drops blocks
+        // by itself), recompute re-reads overwritten files and fails
+        // FAIL-STOP (dynamic overwrite removed them; ignoreMissingFiles
+        // stays false) — the batch errors and can be retried, it never
+        // silently mixes pre/post-write states.
         launchDeferred()
         deferredMirror = None
         val propagatedAny = touchedP.nonEmpty

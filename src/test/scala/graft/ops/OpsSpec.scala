@@ -92,14 +92,18 @@ class OpsSpec extends AnyFunSuite {
       .groupBy("metric", "interval").agg(max_by($"value", $"value").as("value")) // unique slots
       .cache()
     AggregationMethod.all.foreach { m =>
-      val plain = Rollup.propagate(pts, 10, 60, m, 0.3f)
-        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      val salted = Rollup.propagateSalted(pts, 10, 60, m, 0.3f, salts = 4)
-        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      def collectCounted(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+      val plain = collectCounted(Rollup.propagateCounted(pts, 10, 60, m, 0.3f))
+      val salted = collectCounted(Rollup.propagateSalted(pts, 10, 60, m, 0.3f, salts = 4))
       assert(salted.keySet == plain.keySet, s"method $m keys")
       salted.foreach {
-        case (k, v) =>
-          assert(math.abs(v - plain(k)) < 1e-12, s"method $m at $k: $v vs ${plain(k)}")
+        case (k, (v, kn, vs)) =>
+          val (pv, pkn, pvs) = plain(k)
+          assert(math.abs(v - pv) < 1e-12, s"method $m at $k: $v vs $pv")
+          assert(kn == pkn, s"method $m known at $k")
+          assert(math.abs(vs - pvs) < 1e-12, s"method $m vsum at $k")
       }
     }
   }
