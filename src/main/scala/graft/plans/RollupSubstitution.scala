@@ -323,12 +323,18 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * aggregate's input set, and substituting the precomputed level would
     * silently discard it.
     */
+  // THIS store's level-0 directory, scheme-normalized. Substituting must
+  // never trigger on some OTHER store's level_0 scan — the rewrite would
+  // splice this store's rollups into a different table's query.
+  private lazy val level0Uri =
+    new org.apache.hadoop.fs.Path(s"${store.root}/level_0").toUri.getPath
+
   private def isLevel0Leaf(p: LogicalPlan): Boolean = p match {
     case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
       lr.relation match {
         case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
           hfs.location.rootPaths.nonEmpty &&
-            hfs.location.rootPaths.forall(_.toString.contains("level_0"))
+            hfs.location.rootPaths.forall(_.toUri.getPath == level0Uri)
         case _ => false
       }
     case _ => false

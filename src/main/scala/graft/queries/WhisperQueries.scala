@@ -78,6 +78,31 @@ object WhisperQueries {
           .select(col("metric"), col("interval"), col("value"))
           .cache())
 
+  /** Store for the substituted-read query (w23): full event history
+    * ingested ONCE per (session, dir) under a `last` policy — the read
+    * query is what w23 times/validates, not the (w20-covered) ingest.
+    */
+  private val w23memo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+
+  private def w23Store(s: SparkSession, dir: String): graft.store.MetricStore =
+    w23memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val root = java.nio.file.Files.createTempDirectory("graft-w23").toString
+        val store = new graft.store.MetricStore(s, root, numBuckets = 8)
+        store.createAll(
+          Seq("click", "view", "signup", "error", "purchase"),
+          RetentionPolicy(
+            Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000)), xff = Xff,
+            AggregationMethod.Last))
+        store.updateMany(
+          events(s, dir).select(col("metric"), col("tsec").as("ts"),
+            col("value"), col("seq")),
+          Now)
+        store
+      })
+
   /** Even/odd event split → two independent level-0 series (src, dst) for
     * merge/fill/diff.
     */
@@ -322,6 +347,43 @@ object WhisperQueries {
           .orderBy("metric", "interval")
       },
       rollupSql("round(avg(value), 4)", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w23_rollup_substituted",
+      // the MATERIALIZED-VIEW read path, driver-gated: a level-0 window
+      // aggregate (gated `last` shape) on a session with the
+      // RollupSubstitution rule registered. The optimizer must rewrite it
+      // to scan the store's level-1 table — the query REFUSES to run
+      // unsubstituted, so both the rewrite firing and its values are
+      // pinned by the same oracle as the recomputing w04. Bench-wise this
+      // is the read side of the w20 ingest: rollup consumers pay a
+      // pruned scan, not a re-aggregation of level 0.
+      (s, dir) => {
+        val store = w23Store(s, dir)
+        val before = s.experimental.extraOptimizations
+        graft.plans.RollupSubstitution.register(s, store)
+        try {
+          val l0 = store.levelData(0).select("metric", "interval", "value")
+          val q = l0
+            .groupBy(col("metric"),
+              (col("interval") - col("interval") % lit(RollStep.toLong)).as("interval"))
+            .agg(max_by(col("value"), col("interval")).as("value"),
+              count(col("value")).as("known"))
+            .where(col("known") > 0 &&
+              col("known").cast("double") / lit(5.0) >= lit(Xff.toDouble))
+            .select("metric", "interval", "value")
+            .orderBy("metric", "interval")
+          // force optimization inside the registered window and pin it:
+          // a regressed (recomputing) plan is a hard failure, not a
+          // silently-identical result
+          require(
+            q.queryExecution.optimizedPlan.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty,
+            "w23: rollup substitution regressed — plan still aggregates level-0")
+          q
+        } finally s.experimental.extraOptimizations = before
+      },
+      rollupPickSql("interval DESC", RollStep, 5, 0.5f)),
     QueryDef(
       "w22_streaming_ingest",
       // the STREAMING write path against the same oracle: events staged
