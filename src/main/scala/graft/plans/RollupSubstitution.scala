@@ -49,7 +49,9 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     // gated window aggregates.
     case p @ Project(_, Filter(cond, agg @ Aggregate(groupingExprs, aggExprs, child, _)))
         if groupingExprs.size == 2 && p.output.size == 3 =>
-      rewriteGated(p, cond, agg, groupingExprs, aggExprs, child).getOrElse(p)
+      rewriteGated(p, cond, agg, groupingExprs, aggExprs, child)
+        .orElse(rewriteGatedWindow(p, cond, agg, groupingExprs, aggExprs, child))
+        .getOrElse(p)
     // gated shape KEEPING the count output: the passthrough Project is
     // optimized away, leaving the bare Filter over the 4-output Aggregate
     case f @ Filter(cond, agg @ Aggregate(groupingExprs, aggExprs, child, _))
@@ -373,9 +375,18 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * level scan re-derives the struct as
     * (timestamp_seconds(interval), timestamp_seconds(interval+S)).
     */
-  private def rewriteWindow(agg: Aggregate, grouping0: Seq[Expression],
-                            aggExprs: Seq[NamedExpression],
-                            child: LogicalPlan): Option[LogicalPlan] = {
+  /** The Project/IsNotNull-Filter chain between a window()-shape
+    * Aggregate and the level-0 scan, plus an alias resolver through the
+    * chain's Projects (TimeWindowing + ts computation land there).
+    */
+  private final case class WindowChain(leaf: LogicalPlan,
+                                       resolve: Expression => Expression) {
+    val relOut: Seq[Attribute] = leaf.output
+    val intervalAttrId: Option[ExprId] =
+      relOut.find(_.name == "interval").map(_.exprId)
+  }
+
+  private def walkWindowChain(child: LogicalPlan): Option[WindowChain] = {
     val aliasBuf = scala.collection.mutable.Map[ExprId, Expression]()
     def walk(p: LogicalPlan): Option[LogicalPlan] = p match {
       case Project(plist, c2)
@@ -387,49 +398,133 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case leaf if isLevel0Leaf(leaf) => Some(leaf)
       case _ => None
     }
-    @annotation.tailrec
     def resolve(e: Expression): Expression = {
-      val r = e.transformUp {
-        case a: Attribute if aliasBuf.contains(a.exprId) => aliasBuf(a.exprId)
+      var cur = e
+      var prev: Expression = null
+      while (prev == null || !cur.fastEquals(prev)) {
+        prev = cur
+        cur = cur.transformUp {
+          case a: Attribute if aliasBuf.contains(a.exprId) => aliasBuf(a.exprId)
+        }
       }
-      if (r.fastEquals(e)) r else resolve(r)
+      cur
     }
+    walk(child).map(WindowChain(_, resolve))
+  }
+
+  /** Tumbling step from the window()-grouping, or None if the shape
+    * deviates (offset windows, non-interval bases, sliding).
+    */
+  private def windowGroupStep(grouping0: Seq[Expression],
+                              chain: WindowChain): Option[Int] =
     for {
-      policy <- uniformPolicy
-      if policy.xff == 0f // rollup rows == plain window aggregates
-      leaf <- walk(child)
-      relOut = leaf.output
-      intervalAttrId <- relOut.find(_.name == "interval").map(_.exprId)
+      intervalId <- chain.intervalAttrId
       metricOk = grouping0.exists {
-        case a: Attribute => relOut.exists(o => o.exprId == a.exprId && o.name == "metric")
+        case a: Attribute =>
+          chain.relOut.exists(o => o.exprId == a.exprId && o.name == "metric")
         case _ => false
       }
       if metricOk
       step <- grouping0.collectFirst {
-        case a: Attribute if aliasBuf.contains(a.exprId) =>
-          windowStructStep(resolve(a), intervalAttrId)
+        case a: Attribute if !chain.relOut.exists(_.exprId == a.exprId) =>
+          windowStructStep(chain.resolve(a), intervalId)
       }.flatten
-      kernel <- matchKernelWindow(aggExprs, relOut, intervalAttrId, resolve)
+    } yield step
+
+  /** Output aliases for a substituted window()-shape plan: re-derives the
+    * window struct from the level's interval column.
+    */
+  private def windowOutputAliases(outAttrs: Seq[Attribute], rel: LogicalPlan,
+                                  step: Int): Seq[NamedExpression] = {
+    val mOut = rel.output(0); val iOut = rel.output(1); val vOut = rel.output(2)
+    val winStruct = CreateNamedStruct(Seq(
+      Literal("start"), SecondsToTimestamp(iOut),
+      Literal("end"), SecondsToTimestamp(Add(iOut, Literal(step.toLong)))))
+    outAttrs.map { attr =>
+      val e: Expression = attr.name match {
+        case "metric" => mOut
+        case "window" => winStruct
+        case "known"  => rel.output(3)
+        case _        => vOut
+      }
+      Alias(e, attr.name)(exprId = attr.exprId)
+    }
+  }
+
+  private def rewriteWindow(agg: Aggregate, grouping0: Seq[Expression],
+                            aggExprs: Seq[NamedExpression],
+                            child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      policy <- uniformPolicy
+      if policy.xff == 0f // rollup rows == plain window aggregates
+      chain <- walkWindowChain(child)
+      intervalId <- chain.intervalAttrId
+      step <- windowGroupStep(grouping0, chain)
+      kernel <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
       if kernel == policy.aggregation
       if agg.output.map(_.name).toSet == Set("metric", "window", "value")
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
-      val Seq(mOut, iOut, vOut) = rel.output
-      val winStruct = CreateNamedStruct(Seq(
-        Literal("start"), SecondsToTimestamp(iOut),
-        Literal("end"), SecondsToTimestamp(Add(iOut, Literal(step.toLong)))))
-      val aliases: Seq[NamedExpression] = agg.output.map { attr =>
-        val e: Expression = attr.name match {
-          case "metric" => mOut
-          case "window" => winStruct
-          case _ => vOut
-        }
-        Alias(e, attr.name)(exprId = attr.exprId)
-      }
-      Project(aliases, rel)
+      Project(windowOutputAliases(agg.output, rel, step), rel)
     }
+
+  /** Gated window() shape: the idiomatic streaming-style spelling
+    *   groupBy(metric, window(ts, "S seconds"))
+    *     .agg(kernel(value).as("value"), count(value).as("known"))
+    *     .where(known > 0 && known / slots >= xff)
+    * with the count output dropped by the outer Project. Sound for any
+    * policy xff, like the align-spelling gated shape.
+    */
+  private def rewriteGatedWindow(p: Project, cond: Expression, agg: Aggregate,
+                                 grouping0: Seq[Expression],
+                                 aggExprs: Seq[NamedExpression],
+                                 child: LogicalPlan): Option[LogicalPlan] = {
+    val projPassthrough = p.projectList.forall {
+      case _: Attribute => true
+      case Alias(_: Attribute, _) => true
+      case _ => false
+    }
+    for {
+      policy <- uniformPolicy
+      if projPassthrough
+      if p.output.map(_.name) == Seq("metric", "window", "value")
+      chain <- walkWindowChain(child)
+      intervalId <- chain.intervalAttrId
+      step <- windowGroupStep(grouping0, chain)
+      knownId <- countAggId(aggExprs, chain, intervalId)
+      // the gate's count must be dropped by the Project (3-col output)
+      if p.projectList.forall {
+        case a: Attribute => a.exprId != knownId
+        case Alias(a: Attribute, _) => a.exprId != knownId
+        case _ => true
+      }
+      kernel <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
+      if kernel == policy.aggregation
+      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
+      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      slots = step / policy.levels.head.secondsPerPoint
+      if gateMatches(cond, knownId, slots, policy.xff)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = false)
+      Project(windowOutputAliases(p.output, rel, step), rel)
+    }
+  }
+
+  /** The count(value) aggregate's output id in a window()-shape agg list
+    * (value resolved through the chain to the scan's value column).
+    */
+  private def countAggId(aggExprs: Seq[NamedExpression], chain: WindowChain,
+                         intervalId: ExprId): Option[ExprId] = {
+    val ids = aggExprs.collect {
+      case a @ Alias(AggregateExpression(
+            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
+            _, false, None, _), _)
+          if chain.relOut.exists(o => o.exprId == v.exprId && o.name == "value") =>
+        a.exprId
+    }
+    if (ids.size == 1) ids.headOption else None
   }
 
   /** An output like `round(avg(value), 2).as("value")` CONTAINS a kernel

@@ -53,6 +53,48 @@ class WindowShapeSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("gated window() shape substitutes on an xff>0 store; values match the gate") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-wingate").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0.5f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    // 5 points in window w0 (passes 0.5), 1 point in w0+300 (1/5 fails)
+    val pts = ((0 until 5).map(i => ("m", w0 + i * 60L, 10.0 + i)) :+
+      ("m", w0 + 300L, 99.0)).zipWithIndex
+      .map { case ((m, t, v), i) => (m, t, v, i.toLong) }
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(5.0) >= lit(0.5f.toDouble))
+        .select("metric", "window", "value")
+      assert(!hasAggregate(q),
+        s"gated window() substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getStruct(1).getTimestamp(0).toInstant.getEpochSecond,
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set((w0, 12.0)), s"wrong gated windows: $got")
+
+      // a DIFFERENT xff literal in the gate must NOT substitute
+      val wrong = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(5.0) >= lit(0.2))
+        .select("metric", "window", "value")
+      assert(hasAggregate(wrong),
+        s"mismatched gate was substituted:\n${wrong.queryExecution.optimizedPlan}")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("window() last kernel — max_by(value, ts) — substitutes on a last-policy store") {
     import spark.implicits._
     val store = new MetricStore(
