@@ -18,10 +18,14 @@ class RoundTripPropertySpec extends AnyFunSuite {
 
   private val Now = 1706659200L
 
-  /** Pure-Scala reference: returns per-level maps (metric, interval) -> value. */
+  /** Pure-Scala reference: per-level maps (metric, interval) ->
+    * (value, known, vsum) — value per the §2.1 semantics, known/vsum the
+    * level-0 contribution counts the counted cascade must maintain
+    * (direct rows count as one raw point; cascaded rows sum children).
+    */
   private def simulate(points: Seq[(String, Long, Double, Long)],
                        policy: RetentionPolicy,
-                       now: Long): Seq[Map[(String, Long), Double]] = {
+                       now: Long): Seq[Map[(String, Long), (Double, Long, Double)]] = {
     val levels = policy.levels
     // route: finest level covering age; older than total retention dropped
     val routed = points.flatMap {
@@ -29,14 +33,15 @@ class RoundTripPropertySpec extends AnyFunSuite {
         policy.levelForAge(now - ts).map(l => (l, m, ts, v, seq))
     }
     // LWW per aligned slot at the routed level
-    val direct: Seq[scala.collection.mutable.Map[(String, Long), Double]] =
-      levels.map(_ => scala.collection.mutable.Map[(String, Long), Double]())
+    val direct: Seq[scala.collection.mutable.Map[(String, Long), (Double, Long, Double)]] =
+      levels.map(_ => scala.collection.mutable.Map[(String, Long), (Double, Long, Double)]())
     routed.groupBy {
       case (l, m, ts, _, _) =>
         (l, m, ts - ts % levels(l).secondsPerPoint)
     }.foreach {
       case ((l, m, slot), grp) =>
-        direct(l)((m, slot)) = grp.maxBy(_._5)._4
+        val v = grp.maxBy(_._5)._4
+        direct(l)((m, slot)) = (v, 1L, v)
     }
     // cascade level by level from the merged state of the previous level
     val state = direct.map(_.clone())
@@ -55,10 +60,11 @@ class RoundTripPropertySpec extends AnyFunSuite {
           }.sortBy(_._1)
           if (known.nonEmpty &&
             known.size.toDouble / slots >= policy.xff.toDouble) {
-            val vals = known.map(_._2)
-            state(i)((m, w)) = AggregationMethod.aggregate(
+            val vals = known.map(_._2._1)
+            val v = AggregationMethod.aggregate(
               policy.aggregation, vals,
-              Some((0 until slots).map(j => state(i - 1).get((m, w + j * hi)))))
+              Some((0 until slots).map(j => state(i - 1).get((m, w + j * hi)).map(_._1))))
+            state(i)((m, w)) = (v, known.map(_._2._2).sum, known.map(_._2._3).sum)
           }
       }
     }
@@ -91,12 +97,16 @@ class RoundTripPropertySpec extends AnyFunSuite {
         store.updateMany(points.toDF("metric", "ts", "value", "seq"), Now)
 
         val want = simulate(points, policy, Now)
+        def levelState(st: MetricStore, i: Int) = st.levelData(i).collect()
+          .map { r =>
+            val counts =
+              if (i == 0) (1L, r.getAs[Double]("value"))
+              else (r.getAs[Long]("known"), r.getAs[Double]("vsum"))
+            (r.getAs[String]("metric"), r.getAs[Long]("interval")) ->
+              ((r.getAs[Double]("value"), counts._1, counts._2))
+          }.toMap
         policy.levels.indices.foreach { i =>
-          val got = store.levelData(i).collect()
-            .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval")) ->
-              r.getAs[Double]("value"))
-            .toMap
-          assert(got == want(i), s"policy $pi level $i")
+          assert(levelState(store, i) == want(i), s"policy $pi level $i")
         }
 
         // incremental property: the SAME point set ingested as two
@@ -114,11 +124,7 @@ class RoundTripPropertySpec extends AnyFunSuite {
         store2.updateMany(b1.toDF("metric", "ts", "value", "seq"), Now)
         store2.updateMany(b2.toDF("metric", "ts", "value", "seq"), Now)
         policy.levels.indices.foreach { i =>
-          val got = store2.levelData(i).collect()
-            .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval")) ->
-              r.getAs[Double]("value"))
-            .toMap
-          assert(got == want(i), s"policy $pi level $i (incremental)")
+          assert(levelState(store2, i) == want(i), s"policy $pi level $i (incremental)")
         }
     }
   }
