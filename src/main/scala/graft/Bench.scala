@@ -17,6 +17,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job counter for the ingest-evidence section below: JobStart events
+    // land on the async listener bus, so reads are taken after a short
+    // drain sleep OUTSIDE the timed windows
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
     // Untimed warmup. Generated whole-stage-codegen classes + their JIT
     // compilation dominate cold runs at this scale (measured: 13.9s cold
     // vs 2.1s warm for the same pipeline) and are a one-time cost
@@ -36,36 +46,59 @@ object Bench {
     // s06 perf-shaped ANN variants. d08 likewise: it recomputes d04's
     // SimHash pipeline with an md5-derived 60-bit hash whose only purpose
     // is being re-derivable in DuckDB for the value gate — the engine
-    // path (xxhash64) is what d04 times.
+    // path (xxhash64) is what d04 times. d14 is d06's exact-mode gate
+    // (planes=0 degeneracy), same reasoning as s07–s10.
     val benchSkip = Set(
       "w21_ingest_incremental", "w22_streaming_ingest",
       "s07_sim_topk_ivf_exact", "s08_sim_topk_pq_exact",
       "s09_sim_topk_ivfpq_exact", "s10_sim_topk_quantized_exact",
-      "d08_dedup_simhash_portable")
+      "d08_dedup_simhash_portable", "d14_dedup_embedding_exact")
+    // deterministic timing order: `queries` is an unordered Map, so
+    // iterating it directly reshuffles who pays residual warmup /
+    // cache-eviction costs whenever a query is added — round-over-round
+    // comparisons need a stable order
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => benchSkip.contains(name) }
     try {
       spark.range(1000000).selectExpr("sum(id)", "avg(id)").collect()
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-      SparkEntry.queries.foreach { case (name, fn) =>
-        // skipped queries share their generated code with the benched
-        // variants; warming them would only repeat (untimed but slow) work
-        if (!benchSkip.contains(name))
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // skipped queries share their generated code with the benched
+      // variants; warming them would only repeat (untimed but slow) work
+      benched.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries
-      .filterNot { case (name, _) => benchSkip.contains(name) }
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    // intended steady-state cache set = whatever warmup materialized
+    // (memoized indexes, level-0, cluster closures). Anything cached on
+    // top of that during a timed query is a stray this harness unpersists
+    // between timings so it cannot evict the shared set or bill later
+    // queries for its memory pressure.
+    val cacheBaseline = spark.sparkContext.getPersistentRDDs.keySet
+    def dropStrayCaches(): Unit =
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => cacheBaseline.contains(id) }
+        .values
+        .foreach(r => try { r.unpersist(false); () } catch { case _: Throwable => () })
+    val errors = scala.collection.mutable.Buffer.empty[String]
+    val results = benched.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropStrayCaches()
+      // a throwing query must surface as an error, not bench as "fast"
+      if (!ok) errors += name
+      name -> (if (ok) dt else -1.0)
+    }
     // Incremental-ingest evidence (ROADMAP #1): x00 = cold full-history
     // ingest into a fresh store; x01 = a second one-day batch into the
     // SAME store. At scale the second number must track the batch size
     // (touched-partition upsert + touched-window cascade), not the table
     // size — the whisper write-cost model (BASELINE.md: ingest linear in
-    // batch + touched rollup windows).
+    // batch + touched rollup windows). Job counts per phase are recorded
+    // so a fixed-cost-dominated measurement is attributable.
     val incremental: Map[String, Double] = try {
       import org.apache.spark.sql.functions.col
       import graft.model.{ArchiveInfo, RetentionPolicy}
@@ -77,14 +110,20 @@ object Bench {
         .select(col("metric"), col("tsec").as("ts"), col("value"), col("seq"))
       val lastDay = 1706486400L // 2024-01-29T00:00:00Z
       val now = graft.queries.WhisperQueries.Now
+      def drainedJobCount(): Int = { Thread.sleep(300); jobCount.get }
+      val j0 = drainedJobCount()
       val t0 = System.nanoTime()
       store.updateMany(ev.where(col("ts") < lastDay), now)
       val t1 = System.nanoTime()
+      val j1 = drainedJobCount()
       store.updateMany(ev.where(col("ts") >= lastDay), now)
       val t2 = System.nanoTime()
+      val j2 = drainedJobCount()
       Map("x00_ingest_full" -> (t1 - t0) / 1e9,
-        "x01_ingest_second_batch" -> (t2 - t1) / 1e9)
-    } catch { case _: Throwable => Map.empty[String, Double] }
+        "x01_ingest_second_batch" -> (t2 - t1) / 1e9,
+        "x00_jobs" -> (j1 - j0).toDouble,
+        "x01_jobs" -> (j2 - j1).toDouble)
+    } catch { case _: Throwable => errors += "x_ingest"; Map.empty[String, Double] }
     // The harness capturing this output keeps only the last ~2000 chars
     // of stdout (with sbt's trailing "[success] ..." line inside that
     // budget), so the line must stay well under that or the front gets
@@ -93,8 +132,11 @@ object Bench {
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = (results ++ incremental).map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errField =
+      if (errors.isEmpty) ""
+      else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -116,13 +116,19 @@ object RelationalQueries {
 
     QueryDef(
       "q05_semi_anti",
+      // semi + anti in ONE lazy pass: left join against the distinct
+      // order keys, then group by the exists flag — one shuffle of orders
+      // (the distinct) + one broadcastable join, where the two-sided
+      // semi/anti spelling runs two full joins as two eager driver jobs
       (s, dir) => {
-        import s.implicits._
         val c = t(s, dir, "customer").select("c_custkey")
-        val o = t(s, dir, "orders").select("o_custkey")
-        val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
-        val noOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti").count()
-        Seq(("no_orders", noOrders), ("with_orders", withOrders)).toDF("grp", "n").orderBy("grp")
+        val o = t(s, dir, "orders").select("o_custkey").distinct()
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .select(when(col("o_custkey").isNull, "no_orders")
+            .otherwise("with_orders").as("grp"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("grp")
       },
       """SELECT 'no_orders' AS grp, count(*) AS n FROM customer c
         |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

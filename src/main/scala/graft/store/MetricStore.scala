@@ -354,6 +354,12 @@ final class MetricStore(val spark: SparkSession, val root: String,
     var deferred: Option[() => Unit] = None
     // (level, post-upsert mirror of touched partitions, touched set)
     var deferredMirror: Option[(Int, DataFrame, Set[(Int, Long)])] = None
+    // every per-level cache (the propagated frames) — released in the
+    // finally AFTER the background writes that read them have landed;
+    // leaving them cached would accumulate a stray cache per level per
+    // batch across a session (measured as eviction pressure in Bench)
+    val levelCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+    var bodyFailure: Throwable = null
     try {
       val steps = policy.levels.map(_.secondsPerPoint)
 
@@ -507,6 +513,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
             .propagateTouchedCounted(higher,
               changed, steps(i - 1), steps(i), policy.aggregation, policy.xff),
           steps(i)).cache()
+        levelCaches += propagated
         // one collect gives BOTH the empty check and the touched set the
         // upsert would otherwise rediscover with its own job
         val touchedP = propagated.select("pb", "tb").distinct().collect()
@@ -589,18 +596,34 @@ final class MetricStore(val spark: SparkSession, val root: String,
       // the deepest level's write has no further cascade reader — release
       // it to the pool (awaited just below)
       launchDeferred()
+    } catch {
+      case t: Throwable => bodyFailure = t; throw t
     } finally {
       // a write still held back when the cascade threw must land (its
-      // level's data is otherwise lost); a failure here must not mask
-      // the original exception
-      deferred.foreach(t => try t() catch { case _: Throwable => () })
+      // level's data is otherwise lost). All failures below are COLLECTED,
+      // never thrown mid-finally: an Await that throws would mask the
+      // body's exception, skip the remaining awaits, and leak the caches.
+      val flushFailure =
+        deferred.flatMap(t => scala.util.Try(t()).failed.toOption)
       deferred = None
       // deferred writes must land before callers (or the next policy
       // group in a heterogeneous batch) can read the store — and before
-      // the cache backing them is released
-      pendingWrites.foreach(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-      routed.unpersist()
+      // the caches backing them are released
+      val writeFailures = pendingWrites.flatMap(f =>
+        scala.util.Try(scala.concurrent.Await
+          .result(f, scala.concurrent.duration.Duration.Inf)).failed.toOption)
+      try {
+        val failures = flushFailure.toSeq ++ writeFailures
+        if (bodyFailure != null) failures.foreach(bodyFailure.addSuppressed)
+        else failures.headOption.foreach { primary =>
+          failures.drop(1).foreach(primary.addSuppressed)
+          throw primary
+        }
+      } finally {
+        levelCaches.foreach(df =>
+          try { df.unpersist(); () } catch { case _: Throwable => () })
+        routed.unpersist()
+      }
     }
   }
 
