@@ -28,11 +28,18 @@ object Curation {
     * one aggregation by doc.
     */
   def contamination(train: DataFrame, bench: DataFrame, n: Int = 5,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val benchIdx = Dedup.shingles(bench, n, idCol, textCol)
+                    idCol: String = "doc_id", textCol: String = "text",
+                    trainShingles: Option[DataFrame] = None,
+                    benchShingles: Option[DataFrame] = None): DataFrame = {
+    // pre-shingled (id, shingle) inputs let a session running several
+    // n-gram operators share one memoized shingle table (shingling is
+    // per-document, so filtered-docs shingles == filtered shingles)
+    val benchIdx = benchShingles
+      .getOrElse(Dedup.shingles(bench, n, idCol, textCol))
       .groupBy("shingle")
       .agg(min("id").as("bmin"))
-    Dedup.shingles(train, n, idCol, textCol)
+    trainShingles
+      .getOrElse(Dedup.shingles(train, n, idCol, textCol))
       .join(broadcast(benchIdx), "shingle")
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("hits"), min("bmin").as("contaminated_by"))
@@ -78,7 +85,11 @@ object Curation {
   def packChunks(docs: DataFrame, budget: Long,
                  idCol: String = "doc_id", srcCol: String = "source",
                  textCol: String = "text"): DataFrame = {
+    // ROWS frame, not the default RANGE: duplicate (source, doc_id) rows are
+    // RANGE-frame peers sharing one cumulative sum, which would overlap their
+    // token spans and double-pack chunks. ROWS gives each row its own prefix.
     val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
         TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"))

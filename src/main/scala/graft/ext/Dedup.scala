@@ -59,8 +59,12 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                    maxShingleFreq: Long = 1000,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, n, idCol, textCol).cache()
+                   idCol: String = "doc_id", textCol: String = "text",
+                   shingled: Option[DataFrame] = None): DataFrame = {
+    // `shingled` = a precomputed (id, shingle) table (session-memoized by
+    // callers running several dedup strategies over one corpus — shingling
+    // is the family's shared dominant cost; lifecycle owned by the caller)
+    val sh = shingled.getOrElse(shingles(docs, n, idCol, textCol).cache())
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // Frequency cap as a window over shingle, deliberately: the window's
     // shingle-hash exchange is REUSED by the candidate self-join below
@@ -145,9 +149,12 @@ object Dedup {
     */
   def minhashDuplicates(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                         k: Int = 64, bands: Int = 16,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, n, idCol, textCol).cache()
-    val sigs = minhashSignatures(sh, k).cache()
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingled: Option[DataFrame] = None,
+                        signatures: Option[DataFrame] = None): DataFrame = {
+    // precomputed shingle/signature tables: see [[jaccardPairs]]
+    val sh = shingled.getOrElse(shingles(docs, n, idCol, textCol).cache())
+    val sigs = signatures.getOrElse(minhashSignatures(sh, k).cache())
     val cands = lshCandidates(sigs, k, bands)
 
     // stage 2: signature-estimate prefilter. No broadcast HINT on the
@@ -351,8 +358,9 @@ object Dedup {
     */
   def duplicateClusters(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                         maxShingleFreq: Long = 1000,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pairs = jaccardPairs(docs, n, tau, maxShingleFreq, idCol, textCol)
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingled: Option[DataFrame] = None): DataFrame = {
+    val pairs = jaccardPairs(docs, n, tau, maxShingleFreq, idCol, textCol, shingled)
     connectedComponents(pairs.select("a", "b"))
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("root")))
@@ -394,9 +402,16 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, tau: Double, planes: Int = 4,
                         tables: Int = 8, multiProbe: Boolean = false,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = Similarity.corpusNormalized(emb, idCol, vecCol).cache()
-    val bucketed = Similarity.bucketCorpus(c, planes, tables).select("id", "bucket")
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // `index` = the (normalized corpus, bucket table) build-once artifact,
+    // session-memoized by callers (IVF/PQ-index precedent): normalization
+    // is one pass but bucketing is planes×tables dot products per row —
+    // rebuilding it per run dominates the query at any scale
+    val c = index.map(_._1).getOrElse(
+      Similarity.corpusNormalized(emb, idCol, vecCol).cache())
+    val bucketed = index.map(_._2).getOrElse(
+      Similarity.bucketCorpus(c, planes, tables).select("id", "bucket"))
     // Multi-probe: also match codes at Hamming distance 1 within a table
     // (flip each code bit; table tag bits above `planes` are untouched).
     // One-sided expansion suffices — if codes differ in bit i, y's flip

@@ -57,6 +57,29 @@ object Multimodal {
       col(payloadCol).cast("binary").as("data")).as[MediaBlob]
   }
 
+  private def isPng(d: Array[Byte]): Boolean =
+    d.length >= 8 && d(0) == 0x89.toByte && d(1) == 'P' && d(2) == 'N' &&
+      d(3) == 'G' && d(4) == 0x0d && d(5) == 0x0a && d(6) == 0x1a && d(7) == 0x0a
+
+  private def isJpeg(d: Array[Byte]): Boolean =
+    d.length >= 3 && d(0) == 0xff.toByte && d(1) == 0xd8.toByte && d(2) == 0xff.toByte
+
+  /** REAL decode for the formats the bare JVM handles — PNG/JPEG via
+    * `javax.imageio`, no native codec deps — with the deterministic stub
+    * as the fallback for everything else. Dispatch is by content magic,
+    * not the `kind` tag: the parquet fixtures carry text payloads, which
+    * keep stub semantics (and the m01 oracle), while genuine image bytes
+    * decode to their true dimensions.
+    */
+  def decodeBlob(b: MediaBlob): MediaMeta =
+    if (isPng(b.data) || isJpeg(b.data)) {
+      val img = try {
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.data))
+      } catch { case _: java.io.IOException => null }
+      if (img == null) decodeStub(b) // magic matched but payload corrupt
+      else MediaMeta(b.id, b.kind, b.data.length, img.getWidth, img.getHeight, 1)
+    } else decodeStub(b)
+
   /** Partition-parallel decode: the mapPartitions batch shape (iterator in,
     * iterator out — a real decoder amortizes codec init per partition
     * exactly here).
@@ -64,7 +87,7 @@ object Multimodal {
   def decode(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
-    blobs.mapPartitions(_.map(decodeStub))
+    blobs.mapPartitions(_.map(decodeBlob))
   }
 
   /** End-to-end: docs → blobs → decoded metadata frame. */

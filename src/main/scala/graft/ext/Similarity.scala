@@ -89,12 +89,14 @@ object Similarity {
                    dim: Int = 64): DataFrame = {
     val hp = hyperplanes(planes * tables, dim)
     val buckets = (0 until tables).map { t =>
+      // planes=0 is the exact-mode degeneracy (one bucket per table →
+      // blocking is structurally complete); fold keeps it well-defined
       (0 until planes)
         .map { i =>
           val planeCol = array(hp(t * planes + i).toIndexedSeq.map(lit): _*)
           when(dotCol(col("vec"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
         }
-        .reduce(_ + _) + lit(t.toLong << planes) // disjoint bucket spaces per table
+        .foldLeft(lit(0L))(_ + _) + lit(t.toLong << planes) // disjoint bucket spaces per table
     }
     c.withColumn("bucket", explode(array(buckets: _*)))
   }

@@ -54,13 +54,17 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         .getOrElse(p)
     // gated shape KEEPING the count output: the passthrough Project is
     // optimized away, leaving the bare Filter over the 4-output Aggregate
+    // (align-arithmetic and window() spellings)
     case f @ Filter(cond, agg @ Aggregate(groupingExprs, aggExprs, child, _))
         if groupingExprs.size == 2 && agg.output.size == 4 =>
-      rewriteGatedKnown(f, cond, agg, groupingExprs, aggExprs, child).getOrElse(f)
+      rewriteGatedKnown(f, cond, agg, groupingExprs, aggExprs, child)
+        .orElse(rewriteGatedKnownWindow(f, cond, agg, groupingExprs, aggExprs, child))
+        .getOrElse(f)
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.size == 2 =>
       rewrite(agg, groupingExprs, aggExprs, child)
         .orElse(rewriteWindow(agg, groupingExprs, aggExprs, child))
+        .orElse(rewriteTrunc(agg, groupingExprs, aggExprs, child))
         .getOrElse(agg)
   }
 
@@ -183,15 +187,21 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       policy <- uniformPolicy
       if knownIds.size == 1 && projPassthrough
       if p.output.map(_.name) == expectedNames
-      // the known output must BE the gate's count (not value renamed)
-      if !outputsKnown || p.projectList.zip(expectedNames).forall {
-        case (ne, "known") => refsKnown(ne)
-        case (ne, _) => !refsKnown(ne)
-      }
       level0 <- matchLevel0Scan(child)
       grouping = resolveGrouping(grouping0, child)
       (metricExpr, step) <- matchGrouping(grouping)
-      kernel <- matchKernel(aggExprs)
+      (kernel, kernelId) <- matchKernel(aggExprs)
+      // output binding: each Project output must reference the aggregate
+      // output of the SAME role — names alone pass under cross-renames
+      (metricIds, alignIds) = groupingOutputIds(aggExprs, child)
+      if p.projectList.zip(expectedNames).forall { case (ne, role) =>
+        underlyingId(ne).exists(id => role match {
+          case "metric"   => metricIds.contains(id)
+          case "interval" => alignIds.contains(id)
+          case "value"    => id == kernelId
+          case "known"    => knownIds.contains(id)
+        })
+      }
       if kernel == policy.aggregation
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
@@ -230,7 +240,12 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       level0 <- matchLevel0Scan(child)
       grouping = resolveGrouping(grouping0, child)
       (metricExpr, step) <- matchGrouping(grouping)
-      kernel <- matchKernel(aggExprs)
+      (kernel, kernelId) <- matchKernel(aggExprs)
+      // output binding by role, not just name (cross-named agg outputs)
+      (metricIds, alignIds) = groupingOutputIds(aggExprs, child)
+      if metricIds.contains(agg.output(0).exprId) &&
+        alignIds.contains(agg.output(1).exprId) &&
+        agg.output(2).exprId == kernelId
       if kernel == policy.aggregation
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
@@ -301,7 +316,12 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         agg.output.map(_.name) == Seq("metric", "interval", "value")
       level0 <- matchLevel0Scan(child)
       (metricExpr, step) <- matchGrouping(grouping)
-      kernel <- matchKernel(aggExprs)
+      (kernel, kernelId) <- matchKernel(aggExprs)
+      // output binding by role, not just name (cross-named agg outputs)
+      (metricIds, alignIds) = groupingOutputIds(aggExprs, child)
+      if metricIds.contains(agg.output(0).exprId) &&
+        alignIds.contains(agg.output(1).exprId) &&
+        agg.output(2).exprId == kernelId
       if kernel == policy.aggregation
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
@@ -313,6 +333,89 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         case (attr, i) => Alias(out(i), attr.name)(exprId = attr.exprId)
       }
       org.apache.spark.sql.catalyst.plans.logical.Project(aliases, rel)
+    }
+  }
+
+  /** Epoch-aligned `date_trunc` units: truncation equals
+    * `interval - interval % unitSeconds` ONLY for fixed-length units in a
+    * UTC-resolved zone (offset zones shift hour/day boundaries off the
+    * epoch grid; week truncates to Monday but the epoch is a Thursday;
+    * month/year are variable-length) — everything else must not match.
+    */
+  private def truncUnitSeconds(unit: String): Option[Int] = unit match {
+    case "second" => Some(1)
+    case "minute" => Some(60)
+    case "hour"   => Some(3600)
+    case "day" | "dd" => Some(86400)
+    case _ => None
+  }
+
+  private def zoneIsUtc(tz: Option[String]): Boolean = {
+    val zid = tz.getOrElse(spark.sessionState.conf.sessionLocalTimeZone)
+    try java.time.ZoneId.of(zid).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+  }
+
+  /** A `date_trunc(unit, timestamp_seconds(interval))` grouping (the most
+    * common hand-written dashboard spelling), or None if the unit is not
+    * epoch-aligned, the zone is not UTC, or the base is not the scan's
+    * interval column read as epoch seconds.
+    */
+  private def truncStep(e: Expression): Option[Int] = e match {
+    case TruncTimestamp(Literal(fmt, _), base, tzId) if fmt != null =>
+      for {
+        secs <- truncUnitSeconds(
+          fmt.toString.toLowerCase(java.util.Locale.ROOT))
+        if zoneIsUtc(tzId)
+        _ <- uncast(base) match {
+          case SecondsToTimestamp(a) => intervalAttr(a)
+          // Cast(long → timestamp) is the seconds interpretation too
+          case other => intervalAttr(other)
+        }
+      } yield secs
+    case _ => None
+  }
+
+  /** `groupBy(metric, date_trunc(unit, timestamp_seconds(interval)))` —
+    * whisper's archive selection for the spelling real dashboards write.
+    * The truncated output is TimestampType, so the substituted scan
+    * re-derives it as timestamp_seconds(level.interval) (level intervals
+    * are step-aligned, so truncation is the identity on them). The middle
+    * output may carry any name ("hour", "bucket"); binding is by exprId.
+    */
+  private def rewriteTrunc(agg: Aggregate, grouping0: Seq[Expression],
+                           aggExprs: Seq[NamedExpression],
+                           child: LogicalPlan): Option[LogicalPlan] = {
+    val grouping = resolveGrouping(grouping0, child)
+    for {
+      policy <- uniformPolicy
+      if policy.xff == 0f // rollup rows == plain window aggregates
+      if agg.output.size == 3
+      if agg.output(0).name == "metric" && agg.output(2).name == "value"
+      level0 <- matchLevel0Scan(child)
+      if grouping.exists {
+        case a: Attribute => a.name == "metric"
+        case _ => false
+      }
+      step <- grouping.flatMap(truncStep).headOption
+      (kernel, kernelId) <- matchKernel(aggExprs)
+      // output binding by role (cross-named agg outputs)
+      (metricIds, _) = groupingOutputIds(aggExprs, child)
+      truncIds = outputIdsWhere(aggExprs, child)(e => truncStep(e).nonEmpty)
+      if metricIds.contains(agg.output(0).exprId) &&
+        truncIds.contains(agg.output(1).exprId) &&
+        agg.output(2).exprId == kernelId
+      if kernel == policy.aggregation
+      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
+      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = false)
+      val aliases: Seq[NamedExpression] = Seq(
+        Alias(rel.output(0), agg.output(0).name)(exprId = agg.output(0).exprId),
+        Alias(SecondsToTimestamp(rel.output(1)), agg.output(1).name)(
+          exprId = agg.output(1).exprId),
+        Alias(rel.output(2), agg.output(2).name)(exprId = agg.output(2).exprId))
+      Project(aliases, rel)
     }
   }
 
@@ -412,24 +515,25 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     walk(child).map(WindowChain(_, resolve))
   }
 
-  /** Tumbling step from the window()-grouping, or None if the shape
-    * deviates (offset windows, non-interval bases, sliding).
+  /** Tumbling step from the window()-grouping — plus the exprIds of the
+    * metric grouping attribute and the window-struct grouping attribute,
+    * for output binding — or None if the shape deviates (offset windows,
+    * non-interval bases, sliding).
     */
   private def windowGroupStep(grouping0: Seq[Expression],
-                              chain: WindowChain): Option[Int] =
+                              chain: WindowChain): Option[(Int, ExprId, ExprId)] =
     for {
       intervalId <- chain.intervalAttrId
-      metricOk = grouping0.exists {
-        case a: Attribute =>
-          chain.relOut.exists(o => o.exprId == a.exprId && o.name == "metric")
-        case _ => false
+      metricId <- grouping0.collectFirst {
+        case a: Attribute
+            if chain.relOut.exists(o => o.exprId == a.exprId && o.name == "metric") =>
+          a.exprId
       }
-      if metricOk
-      step <- grouping0.collectFirst {
+      stepAndWin <- grouping0.collectFirst {
         case a: Attribute if !chain.relOut.exists(_.exprId == a.exprId) =>
-          windowStructStep(chain.resolve(a), intervalId)
+          windowStructStep(chain.resolve(a), intervalId).map(s => (s, a.exprId))
       }.flatten
-    } yield step
+    } yield (stepAndWin._1, metricId, stepAndWin._2)
 
   /** Output aliases for a substituted window()-shape plan: re-derives the
     * window struct from the level's interval column.
@@ -459,10 +563,19 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if policy.xff == 0f // rollup rows == plain window aggregates
       chain <- walkWindowChain(child)
       intervalId <- chain.intervalAttrId
-      step <- windowGroupStep(grouping0, chain)
-      kernel <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
+      (step, metricId, windowId) <- windowGroupStep(grouping0, chain)
+      (kernel, kernelId) <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
       if kernel == policy.aggregation
       if agg.output.map(_.name).toSet == Set("metric", "window", "value")
+      // windowOutputAliases wires by name — each output must BE the
+      // grouping/kernel of that name (cross-named agg outputs)
+      if agg.output.forall { attr =>
+        attr.name match {
+          case "metric" => attr.exprId == metricId
+          case "window" => attr.exprId == windowId
+          case _        => attr.exprId == kernelId
+        }
+      }
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
     } yield {
@@ -492,15 +605,19 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if p.output.map(_.name) == Seq("metric", "window", "value")
       chain <- walkWindowChain(child)
       intervalId <- chain.intervalAttrId
-      step <- windowGroupStep(grouping0, chain)
+      (step, metricId, windowId) <- windowGroupStep(grouping0, chain)
       knownId <- countAggId(aggExprs, chain, intervalId)
-      // the gate's count must be dropped by the Project (3-col output)
-      if p.projectList.forall {
-        case a: Attribute => a.exprId != knownId
-        case Alias(a: Attribute, _) => a.exprId != knownId
-        case _ => true
+      (kernel, kernelId) <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
+      // output binding by role: also excludes the gate count from the
+      // output (the 3 slots must be exactly metric/window/kernel)
+      if p.projectList.zip(Seq("metric", "window", "value")).forall {
+        case (ne, role) =>
+          underlyingId(ne).exists(id => role match {
+            case "metric" => id == metricId
+            case "window" => id == windowId
+            case _        => id == kernelId
+          })
       }
-      kernel <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
       if kernel == policy.aggregation
       levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
@@ -511,6 +628,38 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       Project(windowOutputAliases(p.output, rel, step), rel)
     }
   }
+
+  /** Gated window() shape that also RETURNS the window count — output
+    * (metric, window, value, known), the streaming-style spelling of
+    * [[rewriteGatedKnown]]. The passthrough Project is optimized away,
+    * leaving the bare Filter over the 4-output Aggregate. Substitutable
+    * from the stored counts when they are exact.
+    */
+  private def rewriteGatedKnownWindow(f: Filter, cond: Expression, agg: Aggregate,
+                                      grouping0: Seq[Expression],
+                                      aggExprs: Seq[NamedExpression],
+                                      child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      policy <- uniformPolicy
+      if agg.output.map(_.name) == Seq("metric", "window", "value", "known")
+      chain <- walkWindowChain(child)
+      intervalId <- chain.intervalAttrId
+      (step, metricId, windowId) <- windowGroupStep(grouping0, chain)
+      knownId <- countAggId(aggExprs, chain, intervalId)
+      (kernel, kernelId) <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
+      // output binding by role, not just name (cross-named agg outputs)
+      if agg.output(0).exprId == metricId && agg.output(1).exprId == windowId &&
+        agg.output(2).exprId == kernelId && agg.output(3).exprId == knownId
+      if kernel == policy.aggregation
+      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
+      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      if exactCounts(levelIdx)
+      slots = step / policy.levels.head.secondsPerPoint
+      if gateMatches(cond, knownId, slots, policy.xff)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = true)
+      Project(windowOutputAliases(agg.output, rel, step), rel)
+    }
 
   /** The count(value) aggregate's output id in a window()-shape agg list
     * (value resolved through the chain to the scan's value column).
@@ -542,9 +691,6 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       })
     }
 
-  private def topLevelAggs(aggExprs: Seq[NamedExpression]): Seq[AggregateExpression] =
-    aggExprs.collect { case Alias(ae: AggregateExpression, _) => ae }
-
   /** Kernel matcher for the window() shape: the aggregated value must be
     * the SCAN's value column untransformed (attributes here may pass
     * through ts-computing Projects, so name-matching alone is not
@@ -554,7 +700,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     */
   private def matchKernelWindow(aggExprs: Seq[NamedExpression],
                                 relOut: Seq[Attribute], intervalAttrId: ExprId,
-                                resolve: Expression => Expression): Option[AggregationMethod] = {
+                                resolve: Expression => Expression): Option[(AggregationMethod, ExprId)] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
     def isScanValue(v: Attribute): Boolean =
       relOut.exists(o => o.exprId == v.exprId && o.name == "value")
@@ -564,17 +710,17 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case _ => false
     }
     if (!allAggsTopLevel(aggExprs)) return None
-    val kernels = topLevelAggs(aggExprs).collect {
-      case AggregateExpression(Average(v: Attribute, _), _, false, None, _)
-          if isScanValue(v) => AggregationMethod.Average
-      case AggregateExpression(Sum(v: Attribute, _), _, false, None, _)
-          if isScanValue(v) => AggregationMethod.Sum
-      case AggregateExpression(Max(v: Attribute), _, false, None, _)
-          if isScanValue(v) => AggregationMethod.Max
-      case AggregateExpression(Min(v: Attribute), _, false, None, _)
-          if isScanValue(v) => AggregationMethod.Min
-      case AggregateExpression(MaxBy(v: Attribute, ord), _, false, None, _)
-          if isScanValue(v) && isIntervalTime(ord) => AggregationMethod.Last
+    val kernels = aggExprs.collect {
+      case al @ Alias(AggregateExpression(Average(v: Attribute, _), _, false, None, _), _)
+          if isScanValue(v) => (AggregationMethod.Average, al.exprId)
+      case al @ Alias(AggregateExpression(Sum(v: Attribute, _), _, false, None, _), _)
+          if isScanValue(v) => (AggregationMethod.Sum, al.exprId)
+      case al @ Alias(AggregateExpression(Max(v: Attribute), _, false, None, _), _)
+          if isScanValue(v) => (AggregationMethod.Max, al.exprId)
+      case al @ Alias(AggregateExpression(Min(v: Attribute), _, false, None, _), _)
+          if isScanValue(v) => (AggregationMethod.Min, al.exprId)
+      case al @ Alias(AggregateExpression(MaxBy(v: Attribute, ord), _, false, None, _), _)
+          if isScanValue(v) && isIntervalTime(ord) => (AggregationMethod.Last, al.exprId)
     }
     if (kernels.size == 1) kernels.headOption else None
   }
@@ -632,28 +778,29 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     case _ => None
   }
 
-  /** grouping must contain `metric` and a step-S alignment of `interval`,
-    * in any of its common spellings:
+  /** A step-S alignment of `interval`, in any of its common spellings:
     *   interval - interval % S
     *   (interval div S) * S
     *   floor(interval / S) * S
     */
+  private def alignStep(e: Expression): Option[Long] = uncast(e) match {
+    case Subtract(l, Pmod(l2, s, _), _) =>
+      for (_ <- intervalAttr(l); a <- intervalAttr(l2); st <- longLit(s)) yield st
+    case Subtract(l, Remainder(l2, s, _), _) =>
+      for (_ <- intervalAttr(l); a <- intervalAttr(l2); st <- longLit(s)) yield st
+    case Multiply(q, s, _) =>
+      (uncast(q) match {
+        case IntegralDivide(l, s2, _) =>
+          for (_ <- intervalAttr(l); st2 <- longLit(s2)) yield st2
+        case Floor(Divide(l, s2, _)) =>
+          for (_ <- intervalAttr(l); st2 <- longLit(s2)) yield st2
+        case _ => None
+      }).filter(st2 => longLit(s).contains(st2))
+    case _ => None
+  }
+
+  /** grouping must contain `metric` and a step-S alignment of `interval`. */
   private def matchGrouping(grouping: Seq[Expression]): Option[(Expression, Int)] = {
-    def alignStep(e: Expression): Option[Long] = uncast(e) match {
-      case Subtract(l, Pmod(l2, s, _), _) =>
-        for (_ <- intervalAttr(l); a <- intervalAttr(l2); st <- longLit(s)) yield st
-      case Subtract(l, Remainder(l2, s, _), _) =>
-        for (_ <- intervalAttr(l); a <- intervalAttr(l2); st <- longLit(s)) yield st
-      case Multiply(q, s, _) =>
-        (uncast(q) match {
-          case IntegralDivide(l, s2, _) =>
-            for (_ <- intervalAttr(l); st2 <- longLit(s2)) yield st2
-          case Floor(Divide(l, s2, _)) =>
-            for (_ <- intervalAttr(l); st2 <- longLit(s2)) yield st2
-          case _ => None
-        }).filter(st2 => longLit(s).contains(st2))
-      case _ => None
-    }
     val aligned = grouping.flatMap(alignStep).headOption
     val metric = grouping.collectFirst {
       case a: Attribute if a.name == "metric" => a: Expression
@@ -661,26 +808,76 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     for (s <- aligned; m <- metric) yield (m, s.toInt)
   }
 
+  /** The exprId a pass-through output ultimately references (bare
+    * attribute or single-attribute alias).
+    */
+  private def underlyingId(ne: NamedExpression): Option[ExprId] = ne match {
+    case a: Attribute => Some(a.exprId)
+    case Alias(a: Attribute, _) => Some(a.exprId)
+    case _ => None
+  }
+
+  /** Classify the Aggregate's result expressions by ROLE, returning the
+    * output exprIds carrying the metric grouping and the aligned-interval
+    * grouping. Output wiring is positional-by-name, so every rewrite must
+    * bind names to these ids before substituting — a cross-renaming
+    * Project (`select(col("interval").as("metric"),
+    * col("metric").as("interval"), col("value"))`) passes the bare name
+    * check but references the WRONG aggregate outputs (ADVICE r4).
+    */
+  private def groupingOutputIds(aggExprs: Seq[NamedExpression],
+                                child: LogicalPlan): (Seq[ExprId], Seq[ExprId]) = {
+    val metricIds = outputIdsWhere(aggExprs, child) {
+      case a: Attribute => a.name == "metric"
+      case _ => false
+    }
+    val alignIds = outputIdsWhere(aggExprs, child)(e => alignStep(e).nonEmpty)
+    (metricIds, alignIds)
+  }
+
+  /** Output exprIds of the agg result expressions whose core — resolved
+    * one step through child-Project aliases (Catalyst's pulled-out
+    * `_groupingexpression`s live there) — satisfies `pred`.
+    */
+  private def outputIdsWhere(aggExprs: Seq[NamedExpression], child: LogicalPlan)(
+      pred: Expression => Boolean): Seq[ExprId] = {
+    val aliasMap: Map[ExprId, Expression] = child
+      .collect { case p: Project => p.projectList }
+      .flatten
+      .collect { case a: Alias => a.exprId -> a.child }
+      .toMap
+    def core(ne: NamedExpression): Expression = ne match {
+      case Alias(c, _) => c
+      case o => o
+    }
+    def resolved(e: Expression): Expression = e match {
+      case attr: Attribute => aliasMap.getOrElse(attr.exprId, attr)
+      case other => other
+    }
+    aggExprs.collect { case ne if pred(resolved(core(ne))) => ne.exprId }
+  }
+
   /** single value aggregate matching a policy kernel — top-level
     * aliases only (see [[allAggsTopLevel]]); a Count(value) top (the
     * gated shape's `known`) is permitted and simply matches no kernel.
+    * Returns the kernel AND its output exprId, for output binding.
     */
-  private def matchKernel(aggExprs: Seq[NamedExpression]): Option[AggregationMethod] = {
+  private def matchKernel(aggExprs: Seq[NamedExpression]): Option[(AggregationMethod, ExprId)] = {
     if (!allAggsTopLevel(aggExprs)) return None
-    val kernels = topLevelAggs(aggExprs).collect {
-      case AggregateExpression(Average(v: Attribute, _), _, false, None, _)
-          if v.name == "value" => AggregationMethod.Average
-      case AggregateExpression(Sum(v: Attribute, _), _, false, None, _)
-          if v.name == "value" => AggregationMethod.Sum
-      case AggregateExpression(Max(v: Attribute), _, false, None, _)
-          if v.name == "value" => AggregationMethod.Max
-      case AggregateExpression(Min(v: Attribute), _, false, None, _)
-          if v.name == "value" => AggregationMethod.Min
+    val kernels = aggExprs.collect {
+      case al @ Alias(AggregateExpression(Average(v: Attribute, _), _, false, None, _), _)
+          if v.name == "value" => (AggregationMethod.Average, al.exprId)
+      case al @ Alias(AggregateExpression(Sum(v: Attribute, _), _, false, None, _), _)
+          if v.name == "value" => (AggregationMethod.Sum, al.exprId)
+      case al @ Alias(AggregateExpression(Max(v: Attribute), _, false, None, _), _)
+          if v.name == "value" => (AggregationMethod.Max, al.exprId)
+      case al @ Alias(AggregateExpression(Min(v: Attribute), _, false, None, _), _)
+          if v.name == "value" => (AggregationMethod.Min, al.exprId)
       // whisper's `last` = chronologically last known → max_by(value, interval)
-      case AggregateExpression(
+      case al @ Alias(AggregateExpression(
             org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(
-              v: Attribute, ord: Attribute), _, false, None, _)
-          if v.name == "value" && ord.name == "interval" => AggregationMethod.Last
+              v: Attribute, ord: Attribute), _, false, None, _), _)
+          if v.name == "value" && ord.name == "interval" => (AggregationMethod.Last, al.exprId)
     }
     if (kernels.size == 1) kernels.headOption else None
   }

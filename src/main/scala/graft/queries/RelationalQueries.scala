@@ -121,13 +121,20 @@ object RelationalQueries {
       // (the distinct) + one broadcastable join, where the two-sided
       // semi/anti spelling runs two full joins as two eager driver jobs
       (s, dir) => {
+        import s.implicits._
         val c = t(s, dir, "customer").select("c_custkey")
         val o = t(s, dir, "orders").select("o_custkey").distinct()
-        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        val grouped = c
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
           .select(when(col("o_custkey").isNull, "no_orders")
             .otherwise("with_orders").as("grp"))
           .groupBy("grp")
           .agg(count(lit(1)).as("n"))
+        // a group the data doesn't produce must still report n=0 (the
+        // oracle's UNION ALL shape): join the static group list back
+        Seq("no_orders", "with_orders").toDF("grp")
+          .join(grouped, Seq("grp"), "left")
+          .select(col("grp"), coalesce(col("n"), lit(0L)).as("n"))
           .orderBy("grp")
       },
       """SELECT 'no_orders' AS grp, count(*) AS n FROM customer c

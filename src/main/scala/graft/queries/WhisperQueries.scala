@@ -103,6 +103,35 @@ object WhisperQueries {
         store
       })
 
+  /** Store for the date_trunc substituted-read query (w24): an HOURLY
+    * rollup level (date_trunc only speaks fixed calendar units), xff=0,
+    * `last` kernel (stored picks are raw event doubles, so the oracle
+    * compare is exact without rounding — and rounding can't live in an
+    * outer Project anyway: CollapseProject would fold it into the
+    * Aggregate and change the matched shape). Ingested once per
+    * (session, dir) like w23.
+    */
+  private val w24memo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+
+  private def w24Store(s: SparkSession, dir: String): graft.store.MetricStore =
+    w24memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val root = java.nio.file.Files.createTempDirectory("graft-w24").toString
+        val store = new graft.store.MetricStore(s, root, numBuckets = 8)
+        store.createAll(
+          Seq("click", "view", "signup", "error", "purchase"),
+          RetentionPolicy(
+            Seq(ArchiveInfo(60, 50000), ArchiveInfo(3600, 2000)), xff = 0f,
+            AggregationMethod.Last))
+        store.updateMany(
+          events(s, dir).select(col("metric"), col("tsec").as("ts"),
+            col("value"), col("seq")),
+          Now)
+        store
+      })
+
   /** Even/odd event split → two independent level-0 series (src, dst) for
     * merge/fill/diff.
     */
@@ -384,6 +413,40 @@ object WhisperQueries {
         } finally s.experimental.extraOptimizations = before
       },
       rollupPickSql("interval DESC", RollStep, 5, 0.5f)),
+    QueryDef(
+      "w24_rollup_trunc_substituted",
+      // the date_trunc spelling of the materialized-view read path,
+      // driver-gated like w23: `groupBy(metric, date_trunc('hour', ts))`
+      // — the most common hand-written dashboard grouping — must rewrite
+      // to scan the store's hourly level; the query refuses to run
+      // unsubstituted and its values share the cold-rollup oracle.
+      (s, dir) => {
+        val store = w24Store(s, dir)
+        val before = s.experimental.extraOptimizations
+        graft.plans.RollupSubstitution.register(s, store)
+        try {
+          val l0 = store.levelData(0).select("metric", "interval", "value")
+          val q = l0
+            .groupBy(col("metric"),
+              date_trunc("hour", timestamp_seconds(col("interval"))).as("hour"))
+            .agg(max_by(col("value"), col("interval")).as("value"))
+            .orderBy("metric", "hour")
+          require(
+            q.queryExecution.optimizedPlan.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty,
+            "w24: date_trunc substitution regressed — plan still aggregates level-0")
+          q
+        } finally s.experimental.extraOptimizations = before
+      },
+      s"""$baseSql, r AS (
+         |  SELECT metric, interval - interval % 3600 AS w, interval, value FROM l0
+         |)
+         |SELECT metric, make_timestamp(w * 1000000) AS hour, value FROM (
+         |  SELECT metric, w, value,
+         |         row_number() OVER (PARTITION BY metric, w ORDER BY interval DESC) AS rn
+         |  FROM r
+         |) WHERE rn = 1 ORDER BY 1, 2""".stripMargin),
     QueryDef(
       "w22_streaming_ingest",
       // the STREAMING write path against the same oracle: events staged

@@ -248,6 +248,21 @@ final class MetricStore(val spark: SparkSession, val root: String,
       .parquet(levelPath(i))
   }
 
+  /** Land a precomputed post-upsert mirror of level i's touched
+    * partitions: one dynamic-overwrite write, no re-read/re-merge — the
+    * rows are [[mergedTouched]]'s output, usually already materialized
+    * into its cache by the cascade's deferred-write reader.
+    */
+  private def overwriteTouched(i: Int, merged: DataFrame): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged
+      .repartition(col("pb"), col("tb")) // one writer set per touched partition
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("pb", "tb")
+      .parquet(levelPath(i))
+  }
+
   /** Current on-disk rows of level i's touched (pb, tb) partitions.
     * Reads ONLY those partition directories: going through the root path
     * would list the entire level (every pb/tb directory) just to prune
@@ -419,14 +434,23 @@ final class MetricStore(val spark: SparkSession, val root: String,
         if (freshLevels.contains(i))
           pendingWrites += scala.concurrent.Future(
             upsertLevel(i, step, incoming, touchedPre))(MetricStore.writeEc)
-        else {
-          deferred = Some(() => upsertLevel(i, step, incoming, touchedPre))
-          deferredMirror = touchedPre.map { t =>
+        else touchedPre match {
+          case Some(t) if t.nonEmpty =>
+            // build the post-upsert mirror ONCE, cached, and share it
+            // between the cascade's deferred-write reader and the write
+            // itself: upsertLevel would re-read and re-merge the same
+            // touched partitions the mirror already merged — the
+            // incremental path paid that twice per level
             val newPts =
               if (incoming.columns.contains("pb")) incoming
               else withPartitionCols(incoming, step)
-            (i, mergedTouched(i, newPts, t), t)
-          }
+            val mirror = mergedTouched(i, newPts, t).cache()
+            levelCaches += mirror
+            deferred = Some(() => overwriteTouched(i, mirror))
+            deferredMirror = Some((i, mirror, t))
+          case _ =>
+            deferred = Some(() => upsertLevel(i, step, incoming, touchedPre))
+            deferredMirror = None
         }
 
       // level-0 direct writes (no propagated input at the finest level);

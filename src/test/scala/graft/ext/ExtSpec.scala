@@ -330,6 +330,62 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"quantized recall $recall < 0.9")
   }
 
+  test("multimodal decode: real PNG/JPEG bytes decode to true dimensions via javax.imageio") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image", imageBytes(37, 21, "png")),
+      Multimodal.MediaBlob(2L, "image", imageBytes(5, 9, "jpg")),
+      // non-image payload: must keep the deterministic stub semantics
+      Multimodal.MediaBlob(3L, "image", "just text".getBytes("UTF-8")))
+    val out = Multimodal.decode(spark.createDataset(blobs)).collect()
+      .map(m => m.id -> m).toMap
+    assert(out(1L).width == 37 && out(1L).height == 21 && out(1L).n_frames == 1)
+    assert(out(2L).width == 5 && out(2L).height == 9)
+    val stub = Multimodal.decodeStub(blobs(2))
+    assert(out(3L) == stub, "text payload must fall back to the stub")
+    // corrupt payload with a PNG magic: fail-safe to the stub, no throw
+    val corrupt = Multimodal.MediaBlob(4L, "image",
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1, 2, 3))
+    assert(Multimodal.decodeBlob(corrupt) == Multimodal.decodeStub(corrupt))
+  }
+
+  test("embedding LSH at planes=0 (exact mode, the d14 gate) equals brute-force pairs") {
+    val sub = emb.where(col("vec_id") % 5 === 0)
+    val got = Dedup.embeddingNearDups(sub, tau = 0.35, planes = 0, tables = 1)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = Similarity.corpus(sub)
+    val brute = c.as("x").join(c.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosine(col("x.vec"), col("y.vec")).as("cos"))
+      .where(col("cos") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"planes=0 LSH must equal brute force: $got vs $brute")
+  }
+
+  test("packChunks: duplicate (source, doc_id) rows get disjoint spans (ROWS frame)") {
+    val dup = Seq(
+      ("s", 1L, "a b c d"), // 4 tokens, twice
+      ("s", 1L, "a b c d"),
+      ("s", 2L, "e f")).toDF("source", "doc_id", "text")
+    val out = Curation.packChunks(dup, budget = 5L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 10 tokens total → chunks 0 (5 toks) and 1 (5 toks); the duplicate
+    // doc rows must occupy CONSECUTIVE spans, not share one (the RANGE
+    // default made them frame peers → overlapping spans, 14 tokens)
+    assert(out.map(t => t._4 - t._3).sum == 10L, s"span total wrong: ${out.toSeq}")
+    val chunk0 = out.filter(_._1 == 0L).map(t => (t._3, t._4)).toSet
+    assert(chunk0 == Set((0L, 4L), (0L, 1L)), s"chunk-0 spans: $chunk0")
+  }
+
   test("multimodal resize plan: aspect preserved, max edge bound, no upscale") {
     val meta = Seq(
       (1L, "image", 640, 480, 1),

@@ -156,6 +156,63 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("cross-renaming projections are NOT substituted (r4 advice)") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-optx").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0.5f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 7).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    RollupSubstitution.register(spark, store)
+    try {
+      def gated = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(5.0) >= lit(0.5))
+
+      // names pass the check but metric/interval columns are SWAPPED.
+      // With exact counts the INNER 4-col Filter+Aggregate substitutes
+      // first (exprIds preserved → the outer rename stays semantically
+      // correct); the values must come back swapped either way.
+      def swapped = gated.select(
+        col("interval").as("metric"), col("metric").as("interval"), col("value"))
+      val got = swapped.collect()
+        .map(r => r.getAs[Long]("metric") -> r.getAs[Double]("value")).toMap
+      assert(got == Map(w0 -> 12.0), s"swapped values wrong: $got")
+
+      // degrade count exactness: the inner 4-col rewrite can no longer
+      // fire, so the OUTER 3-col positional wiring is the only match —
+      // its exprId binding must refuse the cross-rename (the r4 hole:
+      // name checks alone passed and returned un-swapped columns)
+      store.markCountsApprox()
+      assert(swapped.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "cross-renamed projection was substituted")
+      val got2 = swapped.collect()
+        .map(r => r.getAs[Long]("metric") -> r.getAs[Double]("value")).toMap
+      assert(got2 == Map(w0 -> 12.0), s"swapped values wrong post-degrade: $got2")
+
+      // the gate count renamed to `value` must not be taken for the kernel
+      val countAsValue = gated.select(
+        col("metric"), col("interval"), col("known").as("value"))
+      assert(countAsValue.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "count-as-value projection was substituted")
+
+      // the straight spelling still substitutes (fix must not over-reject)
+      val straight = gated.select("metric", "interval", "value")
+      assert(straight.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, "straight gated shape stopped substituting")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("substitution fires on the pure SQL path through Engine.install views") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-opt5").toString, numBuckets = 4)

@@ -95,6 +95,80 @@ class WindowShapeSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("gated window() shape KEEPING the count output substitutes from stored counts") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-wingatek").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0.5f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    // 5 points in window w0 (passes 0.5), 1 point in w0+300 (1/5 fails)
+    val pts = ((0 until 5).map(i => ("m", w0 + i * 60L, 10.0 + i)) :+
+      ("m", w0 + 300L, 99.0)).zipWithIndex
+      .map { case ((m, t, v), i) => (m, t, v, i.toLong) }
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(5.0) >= lit(0.5f.toDouble))
+      assert(!hasAggregate(q),
+        s"known-kept gated window() did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getStruct(1).getTimestamp(0).toInstant.getEpochSecond,
+          r.getAs[Double]("value"), r.getAs[Long]("known"))).toSet
+      assert(got == Set((w0, 12.0, 5L)), s"wrong gated-known windows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("date_trunc('hour') grouping substitutes to an hourly level") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-trunc").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 600), ArchiveInfo(3600, 48)), xff = 0f))
+    val h0 = (Now - 30000) / 3600 * 3600
+    // 6 points per hour across two hours
+    val pts = (0 until 12).map(i => ("m", h0 + i * 600L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          date_trunc("hour", timestamp_seconds(col("interval"))).as("hour"))
+        .agg(avg(col("value")).as("value"))
+      assert(!hasAggregate(q),
+        s"date_trunc substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getTimestamp(1).toInstant.getEpochSecond,
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set((h0, 12.5), (h0 + 3600L, 18.5)), s"wrong hours: $got")
+
+      // week truncation is NOT epoch-aligned (epoch is a Thursday) —
+      // never substituted even if some level matched 604800s
+      val wk = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          date_trunc("week", timestamp_seconds(col("interval"))).as("wk"))
+        .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(wk), "week truncation wrongly substituted")
+
+      // minute truncation matches only level 0 (no coarser 60s level) —
+      // identity substitution must not fire
+      val mn = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          date_trunc("minute", timestamp_seconds(col("interval"))).as("mn"))
+        .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(mn), "minute truncation wrongly substituted")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("window() last kernel — max_by(value, ts) — substitutes on a last-policy store") {
     import spark.implicits._
     val store = new MetricStore(
