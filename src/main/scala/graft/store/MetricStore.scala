@@ -50,11 +50,17 @@ final class MetricStore(val spark: SparkSession, val root: String,
 
   // ---- policy catalog -------------------------------------------------
 
-  /** Seconds of data per time-bucket partition at a given step: targets
-    * ~8k points per (metric, partition) — large enough for parquet
-    * efficiency, small enough that touched-partition rewrites stay cheap.
+  /** Seconds of data per time-bucket partition at a given step: ~1k
+    * slots per (metric, partition). The bucket is the store's REWRITE
+    * unit — an upsert re-reads and rewrites every touched (pb, tb)
+    * directory in full — so its span bounds incremental write
+    * amplification: at 1024 slots a daily batch on a 60s level touches
+    * ~17h-wide buckets (≈2× amplification) where 8192 slots meant
+    * 5.7-day buckets (≈11× — measured as x01 re-reading a third of
+    * level 0 and ALL of a 300s level at sf0.1). Row-group size inside a
+    * bucket is still metrics/numBuckets × slots, plenty for parquet.
     */
-  private[store] def bucketSeconds(step: Int): Long = step.toLong * 8192
+  private[store] def bucketSeconds(step: Int): Long = step.toLong * 1024
 
   def policies(): Map[String, RetentionPolicy] =
     MetricStore.readCatalog(policiesPath).map {
@@ -130,7 +136,9 @@ final class MetricStore(val spark: SparkSession, val root: String,
     // schema inference fails there too, so fall back to the empty frame
     if (!dir.exists()) emptyLevel(i)
     else
-      try spark.read.parquet(levelPath(i))
+      // every writer emits exactly levelSchema(i), so declare it and skip
+      // the footer-sampling schema-inference job on each read
+      try spark.read.schema(levelSchema(i)).parquet(levelPath(i))
       catch { case _: org.apache.spark.sql.AnalysisException => emptyLevel(i) }
   }
 
@@ -141,20 +149,28 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * whisper's kernel output; counts are extra derived columns, not a
     * semantic change.
     */
-  private def emptyLevel(i: Int): DataFrame = {
+  /** The level's full on-disk schema (data + partition columns). Every
+    * writer in this store emits these columns (count columns may hold
+    * nulls — see [[countsExact]]), so partition-dir reads can declare it
+    * and skip the schema-inference job a bare `spark.read.parquet` runs —
+    * at scale, footer sampling over a large touched set is pure waste.
+    */
+  private def levelSchema(i: Int): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val counts =
       if (i == 0) Nil
       else Seq(StructField("known", LongType), StructField("vsum", DoubleType))
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("metric", StringType),
-        StructField("interval", LongType),
-        StructField("value", DoubleType)) ++ counts ++ Seq(
-        StructField("pb", IntegerType),
-        StructField("tb", LongType))))
+    StructType(Seq(
+      StructField("metric", StringType),
+      StructField("interval", LongType),
+      StructField("value", DoubleType)) ++ counts ++ Seq(
+      StructField("pb", IntegerType),
+      StructField("tb", LongType)))
   }
+
+  private def emptyLevel(i: Int): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema(i))
 
   /** (metric, interval, value [, known, vsum]) — the level's data columns
     * normalized for the cascade: level 0 never has counts; deeper levels
@@ -240,8 +256,9 @@ final class MetricStore(val spark: SparkSession, val root: String,
         .map(r => (r.getInt(0), r.getLong(1))).toSet)
     if (touched.isEmpty) return
 
+    // mergedTouched output is already clustered by (pb, tb) — one writer
+    // set per touched partition without a second exchange
     mergedTouched(i, newPts, touched)
-      .repartition(col("pb"), col("tb")) // one writer set per touched partition
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("pb", "tb")
@@ -255,8 +272,9 @@ final class MetricStore(val spark: SparkSession, val root: String,
     */
   private def overwriteTouched(i: Int, merged: DataFrame): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // no repartition: mergedTouched output is already clustered by
+    // (pb, tb) — its merge groupBy rides the same exchange
     merged
-      .repartition(col("pb"), col("tb")) // one writer set per touched partition
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("pb", "tb")
@@ -275,9 +293,9 @@ final class MetricStore(val spark: SparkSession, val root: String,
       .filter(d => new java.io.File(d).exists())
     if (dirs.isEmpty) emptyLevel(i)
     else
-      spark.read.option("basePath", levelPath(i)).parquet(dirs: _*)
-        .withColumn("pb", col("pb").cast("int"))
-        .withColumn("tb", col("tb").cast("long"))
+      spark.read.option("basePath", levelPath(i))
+        .schema(levelSchema(i)) // skip the schema-inference job
+        .parquet(dirs: _*)
   }
 
   /** Post-upsert content of level i's touched partitions — existing rows
@@ -301,7 +319,14 @@ final class MetricStore(val spark: SparkSession, val root: String,
     val unioned = existing.unionByName(newPts, allowMissingColumns = true)
     val keys = Set("metric", "interval", "pb", "tb", "prio")
     val dataCols = unioned.columns.filterNot(keys)
+    // Cluster by the PHYSICAL partition keys before merging: (metric,
+    // interval) determine (pb, tb), so hash-partitioning on (pb, tb)
+    // already co-locates every merge group — the groupBy below then runs
+    // without its own exchange AND the output arrives pre-clustered for
+    // the partitionBy(pb, tb) write. Merge + write share ONE shuffle
+    // where the merge-then-repartition order paid two.
     unioned
+      .repartition(col("pb"), col("tb"))
       .groupBy("metric", "interval", "pb", "tb")
       .agg(max_by(struct(dataCols.map(col): _*), col("prio")).as("w"))
       .select(Seq("metric", "interval", "pb", "tb").map(col) ++
@@ -511,14 +536,17 @@ final class MetricStore(val spark: SparkSession, val root: String,
               }
               val untouchedDirs = dirs.filterNot(touchedDirs)
                 .filter(d => new java.io.File(d).exists())
-              val untouched =
-                if (untouchedDirs.isEmpty) withCountCols(emptyLevel(i - 1), i - 1)
+              val m = withCountCols(mirror, i - 1)
+              // common incremental case: the hull is entirely touched —
+              // skip the disk read and the union, read the mirror alone
+              val withUntouched =
+                if (untouchedDirs.isEmpty) m
                 else
-                  withCountCols(
+                  m.unionByName(withCountCols(
                     spark.read.option("basePath", levelPath(i - 1))
-                      .parquet(untouchedDirs: _*), i - 1)
-              withCountCols(mirror, i - 1)
-                .unionByName(untouched)
+                      .schema(levelSchema(i - 1)) // skip schema inference
+                      .parquet(untouchedDirs: _*), i - 1))
+              withUntouched
                 .where(col("interval") >= lowerMin && col("interval") < upper)
             }
           }.flatten

@@ -27,7 +27,7 @@ import graft.ops.{Ingest, Rollup}
 object LayoutExperiment {
 
   private val numBuckets = 8
-  private def bucketSeconds(step: Int): Long = step.toLong * 8192
+  private def bucketSeconds(step: Int): Long = step.toLong * 1024
 
   private def withPart(df: DataFrame, step: Int): DataFrame =
     df.withColumn("pb", pmod(hash(col("metric")), lit(numBuckets)))

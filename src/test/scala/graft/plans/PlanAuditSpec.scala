@@ -49,7 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val store = seededStore()
     // fetch() collects, so audit the pruned frame the same way it builds it:
     // pb literal from the metric hash must constant-fold into the filters
-    val bs = 60L * 8192
+    val bs = 60L * 1024
     val pruned = store.levelData(0)
       .where(col("pb") === pmod(hash(lit("m")), lit(4)) &&
         col("tb") >= (Now - 3600) / bs - 1 && col("tb") <= Now / bs)

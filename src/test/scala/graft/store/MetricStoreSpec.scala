@@ -198,8 +198,8 @@ class MetricStoreSpec extends AnyFunSuite {
   test("incremental ingest rewrites ONLY touched (pb, tb) partitions") {
     val store = freshStore()
     store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 100000)))) // ~69 days
-    // batch A: points spread across many time buckets (bucket = 60·8192 s)
-    val bucket = 60L * 8192
+    // batch A: points spread across many time buckets (bucket = 60·1024 s)
+    val bucket = 60L * 1024
     val ptsA = (0 until 40).map(i => ("m", Now - i * (bucket / 4), i.toDouble, i.toLong))
     store.updateMany(ptsA.toDF("metric", "ts", "value", "seq"), Now)
 
