@@ -16,6 +16,7 @@ import graft.store.MetricStore
   *   set-aggregation-method <store> <metric> <method>
   *   set-xfilesfactor <store> <metric> <xff>
   *   estimate <ret[,ret...]>
+  *   import-rrd <store> <dump.xml> [method] [xff]   (rrd2whisper from XML)
   *
   * The fetch --json shape {"start","end","step","values"} matches
   * bin/whisper-fetch.py:72-82.
@@ -180,6 +181,22 @@ object WhisperCli {
             $"ts", $"value", $"ts".as("seq")) // RRD exports have unique timestamps
         ms.updateMany(pts, now)
         println(s"imported ${pts.count()} points into $metric")
+
+      case "import-rrd" =>
+        // rrd2whisper from an `rrdtool dump` XML (the container has no
+        // rrdtool binary; the dump is RRD's portable form). One metric
+        // per datasource, archives from the RRAs matching the
+        // consolidation function, coarsest-first migration.
+        val Array(_, store, xmlPath, rest @ _*) = args: @unchecked
+        val method = rest.headOption
+          .map(graft.model.AggregationMethod.fromName)
+          .getOrElse(graft.model.AggregationMethod.Average)
+        val xff = rest.lift(1).map(_.toFloat)
+        val base = new java.io.File(xmlPath).getName
+          .stripSuffix(".xml").stripSuffix(".rrd")
+        val created = graft.sources.RrdXmlSource.importDump(
+          new MetricStore(session(), store), xmlPath, base, now, method, xff)
+        println(s"imported RRD datasources as: ${created.mkString(", ")}")
 
       case "import-wsp" =>
         // migrate an actual whisper file (or a whole carbon tree with
