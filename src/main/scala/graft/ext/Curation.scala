@@ -31,16 +31,17 @@ object Curation {
                     idCol: String = "doc_id", textCol: String = "text",
                     trainShingles: Option[DataFrame] = None,
                     benchShingles: Option[DataFrame] = None): DataFrame = {
-    // pre-shingled (id, shingle) inputs let a session running several
-    // n-gram operators share one memoized shingle table (shingling is
-    // per-document, so filtered-docs shingles == filtered shingles)
+    // pre-shingled HASHED (id, h) inputs (Dedup.hashShingles) let a
+    // session running several n-gram operators share one memoized shingle
+    // dictionary (shingling is per-document, so filtered-docs shingles ==
+    // filtered shingles); the index join moves 8-byte keys, not n-grams
     val benchIdx = benchShingles
-      .getOrElse(Dedup.shingles(bench, n, idCol, textCol))
-      .groupBy("shingle")
+      .getOrElse(Dedup.hashShingles(Dedup.shingles(bench, n, idCol, textCol)))
+      .groupBy("h")
       .agg(min("id").as("bmin"))
     trainShingles
-      .getOrElse(Dedup.shingles(train, n, idCol, textCol))
-      .join(broadcast(benchIdx), "shingle")
+      .getOrElse(Dedup.hashShingles(Dedup.shingles(train, n, idCol, textCol)))
+      .join(broadcast(benchIdx), "h")
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("hits"), min("bmin").as("contaminated_by"))
       .select(col(idCol), col("hits"), col("contaminated_by"))

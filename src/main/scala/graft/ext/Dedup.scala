@@ -49,36 +49,50 @@ object Dedup {
       .select(col("id"), expr(s"concat_ws(' ', slice(ws, i, $n))").as("shingle"))
       .distinct()
 
+  /** The shingle DICTIONARY: each shingle instance keyed by its 64-bit
+    * xxhash64 — every downstream shuffle (frequency-cap window, candidate
+    * self-join, intersection count) moves and compares 8-byte longs
+    * instead of ~n-word strings. Collisions merge two shingle identities:
+    * probability ~v²/2⁶⁵ over a v-shingle vocabulary (≈3·10⁻⁴ even at
+    * v=10⁹), and a merge only perturbs counts for pairs already sharing a
+    * blocked partition — callers needing exactness beyond that keep the
+    * string table from [[shingles]].
+    */
+  def hashShingles(sh: DataFrame): DataFrame =
+    sh.select(col("id"), xxhash64(col("shingle")).as("h"))
+
   /** Exact n-gram Jaccard duplicate pairs (a < b, jaccard >= tau).
     * Blocking: pairs must share ≥1 shingle, so the candidate join is an
-    * equi-join on shingle — skew-safe for normal text; a stopword-like
-    * shingle exploding the join is capped by `maxShingleFreq` (drop
-    * shingles appearing in more than that many docs: they generate
-    * candidates that exact verification would reject anyway — standard
-    * frequency-cap blocking).
+    * equi-join on the shingle key — skew-safe for normal text; a
+    * stopword-like shingle exploding the join is capped by
+    * `maxShingleFreq` (drop shingles appearing in more than that many
+    * docs: they generate candidates that exact verification would reject
+    * anyway — standard frequency-cap blocking).
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                    maxShingleFreq: Long = 1000,
                    idCol: String = "doc_id", textCol: String = "text",
                    shingled: Option[DataFrame] = None): DataFrame = {
-    // `shingled` = a precomputed (id, shingle) table (session-memoized by
-    // callers running several dedup strategies over one corpus — shingling
-    // is the family's shared dominant cost; lifecycle owned by the caller)
-    val sh = shingled.getOrElse(shingles(docs, n, idCol, textCol).cache())
+    // `shingled` = a precomputed HASHED (id, h) table from [[hashShingles]]
+    // (session-memoized by callers running several dedup strategies over
+    // one corpus — shingling is the family's shared dominant cost;
+    // lifecycle owned by the caller)
+    val sh = shingled.getOrElse(
+      hashShingles(shingles(docs, n, idCol, textCol)).cache())
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // Frequency cap as a window over shingle, deliberately: the window's
-    // shingle-hash exchange is REUSED by the candidate self-join below
-    // (both sides arrive partitioned by shingle), so the whole cap+join
+    // Frequency cap as a window over the shingle key, deliberately: the
+    // window's hash exchange is REUSED by the candidate self-join below
+    // (both sides arrive partitioned by h), so the whole cap+join
     // pipeline costs one shuffle of sh. The groupBy+semi-join spelling
     // looks cheaper (no per-partition sort) but adds two more shingle
     // shuffles — measured 1.5× slower end-to-end at sf0.1.
     val capped = sh
       .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .where(col("df") <= maxShingleFreq)
       .drop("df")
     val pairs = capped.as("x")
-      .join(capped.as("y"), col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .join(capped.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -96,20 +110,14 @@ object Dedup {
     * xxhash64 with k fixed salts; signature[i] = min hash over the doc's
     * shingles. One groupBy, k aggregates — map-side combinable.
     *
-    * The k hashes are computed once per DISTINCT shingle (a dictionary)
-    * and joined back: shingle instances outnumber distinct shingles by
-    * the corpus duplication factor, so this cuts hash work accordingly.
-    * The dictionary is broadcast here (fits for any sane shingle
-    * vocabulary); at extreme vocabulary sizes drop the hint and let AQE
-    * pick a shuffle join.
+    * Input is the HASHED shingle table from [[hashShingles]]: the k
+    * permutations rehash its fixed-width long key — far cheaper than k
+    * string hashes (and ANSI-safe, unlike multiply-shift wraparound).
     */
   def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
-    // k permutations via salted xxhash64 over ONE string hash per
-    // shingle instance — rehashing a fixed-width long is far cheaper
-    // than k string hashes (and ANSI-safe, unlike multiply-shift
-    // wraparound); k codegen'd min aggregates, packed to an array
-    // column for banding/estimation
-    val base = sh.select(col("id"), xxhash64(col("shingle")).as("h"))
+    // k codegen'd min aggregates over salted rehashes, packed to an
+    // array column for banding/estimation
+    val base = sh.select(col("id"), col("h"))
     val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     base.groupBy("id")
       .agg(aggs.head, aggs.tail: _*)
@@ -152,8 +160,9 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         shingled: Option[DataFrame] = None,
                         signatures: Option[DataFrame] = None): DataFrame = {
-    // precomputed shingle/signature tables: see [[jaccardPairs]]
-    val sh = shingled.getOrElse(shingles(docs, n, idCol, textCol).cache())
+    // precomputed hashed-shingle/signature tables: see [[jaccardPairs]]
+    val sh = shingled.getOrElse(
+      hashShingles(shingles(docs, n, idCol, textCol)).cache())
     val sigs = signatures.getOrElse(minhashSignatures(sh, k).cache())
     val cands = lshCandidates(sigs, k, bands)
 
@@ -174,11 +183,11 @@ object Dedup {
 
     // stage 3: exact verification on survivors only
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val shA = sh.select(col("id").as("a"), col("shingle"))
-    val shB = sh.select(col("id").as("b"), col("shingle"))
+    val shA = sh.select(col("id").as("a"), col("h"))
+    val shB = sh.select(col("id").as("b"), col("h"))
     val interCnt = est
       .join(shA, "a")
-      .join(shB, Seq("b", "shingle"))
+      .join(shB, Seq("b", "h"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
     interCnt

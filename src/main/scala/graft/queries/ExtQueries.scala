@@ -117,11 +117,13 @@ object ExtQueries {
         df
       })
 
-  /** Shingle-table memo per (session, dir, n): the dedup family's shared
-    * dominant input — d02/d03/d09/d10 all start from word trigrams and
-    * d11 from 5-grams. Computing it once per corpus is the same
-    * build-once reasoning as the ANN index memos; a real pipeline runs
-    * many dedup strategies over ONE corpus and shares exactly this table.
+  /** Shingle-dictionary memo per (session, dir, n): the dedup family's
+    * shared dominant input — d02/d03/d09/d10 all start from word trigrams
+    * and d11 from 5-grams. HASHED to (id, h) longs (Dedup.hashShingles)
+    * so every downstream shuffle moves 8-byte keys instead of n-gram
+    * strings. Computing it once per corpus is the same build-once
+    * reasoning as the ANN index memos; a real pipeline runs many dedup
+    * strategies over ONE corpus and shares exactly this table.
     */
   private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
     String, DataFrame]()
@@ -131,7 +133,7 @@ object ExtQueries {
     shingleMemo.computeIfAbsent(
       s"${System.identityHashCode(s)}:$dir:$n",
       _ => {
-        val df = Dedup.shingles(docs(s, dir), n).cache()
+        val df = Dedup.hashShingles(Dedup.shingles(docs(s, dir), n)).cache()
         df.count()
         df
       })
