@@ -220,10 +220,17 @@ object Dedup {
       col(idCol).as("id"),
       explode(expr(s"regexp_extract_all($textCol, '${TextAnalysis.TokenRe}', 0)")).as("tok"))
       .withColumn("h", hasher(col("tok")))
+    // Two-stage: collapse repeated tokens to (id, h, cnt) with ONE cheap
+    // aggregate, then run the `bits` weighted sums over distinct hashes
+    // only — natural-language token repetition makes the wide-aggregate
+    // input several times smaller, and the per-row work there is the
+    // pipeline's dominant cost (bits × rows conditional sums). Each
+    // bit's contribution is cnt·(±1) = 2·cnt·bit − cnt.
+    val uniq = toks.groupBy("id", "h").agg(count(lit(1)).as("cnt"))
     val bitAggs = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      sum(col("cnt") * (shiftright(col("h"), b).bitwiseAND(1) * 2 - 1)).as(s"b$b")
     }
-    val perBit = toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val perBit = uniq.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
     val sig = (0 until bits)
       .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
