@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.AggregationMethod
+import graft.streaming.StreamingIngest
+
+/** Latency benchmark for the two streaming rollup paths (ROADMAP):
+  *
+  *   - `rollupStateful` (update mode): flatMapGroupsWithState emits a
+  *     PROVISIONAL consolidated value for every touched window each
+  *     micro-batch, then the watermark timeout emits the final value —
+  *     downstream sees rollups at micro-batch latency;
+  *   - `rollupStream` in APPEND mode: the plain watermarked window
+  *     aggregate — a window's (single, final) row is emitted only once
+  *     the watermark passes window end + lateness.
+  *
+  * The feed is event-time-ordered: each wave adds one `step`-worth of
+  * slots per metric, then drains (processAllAvailable — the same
+  * arrival-then-drain shape as a Trigger.AvailableNow restart per wave).
+  * After each wave we record how many (metric, window) rollups are
+  * visible in the sink. The append path structurally lags by
+  * ceil(lateness/step) windows; the stateful path is flat at one wave —
+  * the numbers quantify what the refinement path buys and what it costs
+  * per wave (state-store maintenance vs plain hash aggregation).
+  *
+  * Prints one JSON line per (mode, wave):
+  *   {"mode":"stateful","wave":3,"visible":200,"sec":0.41}
+  * and a summary line per mode with total wall and visibility lag.
+  *
+  * Usage: runMain graft.tools.StreamingLatency [metrics] [waves]
+  */
+object StreamingLatency {
+  private val SourceStep = 60
+  private val Step = 300
+  private val LatenessSec = 600L // append path lags ceil(600/300)=2 windows
+  private val T0 = 1706400000L
+
+  def main(args: Array[String]): Unit = {
+    val nMetrics = args.headOption.map(_.toInt).getOrElse(50)
+    val waves = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      run(spark, "stateful", nMetrics, waves)
+      run(spark, "append", nMetrics, waves)
+    } finally spark.stop()
+  }
+
+  /** One wave = `Step/SourceStep` slots for every metric, covering
+    * exactly one rollup window: wave w spans [T0+w·Step, T0+(w+1)·Step).
+    */
+  private def waveRows(w: Int, nMetrics: Int): Seq[(String, Long, Double)] =
+    for {
+      m <- 0 until nMetrics
+      s <- 0 until Step / SourceStep
+    } yield (s"m$m", T0 + w.toLong * Step + s.toLong * SourceStep, (w + s).toDouble)
+
+  private def run(spark: SparkSession, mode: String,
+                  nMetrics: Int, waves: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value")
+    val qname = s"lat_$mode"
+    val q = mode match {
+      case "stateful" =>
+        StreamingIngest.rollupStateful(stream, SourceStep, Step,
+          AggregationMethod.Average, xff = 0.5f, LatenessSec)
+          .toDF().writeStream
+          .format("memory").queryName(qname).outputMode("update").start()
+      case "append" =>
+        StreamingIngest.rollupStream(stream, SourceStep, Step,
+          AggregationMethod.Average, xff = 0.5f, LatenessSec)
+          .writeStream
+          .format("memory").queryName(qname).outputMode("append").start()
+    }
+    var totalSec = 0.0
+    val lags = Array.newBuilder[Int]
+    (0 until waves).foreach { w =>
+      mem.addData(waveRows(w, nMetrics): _*)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val dt = (System.nanoTime() - t0) / 1e9
+      totalSec += dt
+      // update-mode sinks append refinements; count DISTINCT windows
+      val visible = spark.table(qname)
+        .selectExpr("metric", "interval").distinct().count()
+      // windows fully fed so far = (w+1)·metrics; the shortfall is the
+      // path's structural visibility lag, in windows per metric
+      lags += ((w + 1) - (visible / nMetrics)).toInt
+      println(f"""{"mode":"$mode%s","wave":$w%d,"visible":$visible%d,"sec":$dt%.3f}""")
+    }
+    q.stop()
+    val lagTail = lags.result().drop(2) // skip xff warm-in of the first waves
+    val steadyLag = if (lagTail.isEmpty) 0 else lagTail.max
+    println(f"""{"mode":"$mode%s","metric":"summary","totalSec":$totalSec%.3f,""" +
+      f""""steadyLagWindows":$steadyLag%d,"waves":$waves%d,"metrics":$nMetrics%d}""")
+  }
+}
