@@ -51,6 +51,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         if groupingExprs.size == 2 && p.output.size == 3 =>
       rewriteGated(p, cond, agg, groupingExprs, aggExprs, child)
         .orElse(rewriteGatedWindow(p, cond, agg, groupingExprs, aggExprs, child))
+        .orElse(rewriteGatedTrunc(p, cond, agg, groupingExprs, aggExprs, child))
         .getOrElse(p)
     // gated shape KEEPING the count output: the passthrough Project is
     // optimized away, leaving the bare Filter over the 4-output Aggregate
@@ -59,6 +60,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         if groupingExprs.size == 2 && agg.output.size == 4 =>
       rewriteGatedKnown(f, cond, agg, groupingExprs, aggExprs, child)
         .orElse(rewriteGatedKnownWindow(f, cond, agg, groupingExprs, aggExprs, child))
+        .orElse(rewriteGatedKnownTrunc(f, cond, agg, groupingExprs, aggExprs, child))
         .getOrElse(f)
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.size == 2 =>
@@ -415,6 +417,120 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         Alias(SecondsToTimestamp(rel.output(1)), agg.output(1).name)(
           exprId = agg.output(1).exprId),
         Alias(rel.output(2), agg.output(2).name)(exprId = agg.output(2).exprId))
+      Project(aliases, rel)
+    }
+  }
+
+  /** Gated date_trunc shape — the xff>0 dashboard spelling:
+    *   groupBy(metric, date_trunc(unit, timestamp_seconds(interval)))
+    *     .agg(kernel(value).as("value"), count(value).as("known"))
+    *     .where(known > 0 && known / slots >= xff)
+    *     .select(metric, <trunc>, value)
+    * Sound for any policy xff like the align/window gated shapes; the
+    * truncated output may carry any name — binding is by exprId role.
+    */
+  private def rewriteGatedTrunc(p: Project, cond: Expression, agg: Aggregate,
+                                grouping0: Seq[Expression],
+                                aggExprs: Seq[NamedExpression],
+                                child: LogicalPlan): Option[LogicalPlan] = {
+    val knownIds = aggExprs.collect {
+      case a @ Alias(AggregateExpression(
+            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
+            _, false, None, _), _) if v.name == "value" => a.exprId
+    }
+    val projPassthrough = p.projectList.forall {
+      case _: Attribute => true
+      case Alias(_: Attribute, _) => true
+      case _ => false
+    }
+    val grouping = resolveGrouping(grouping0, child)
+    for {
+      policy <- uniformPolicy
+      if knownIds.size == 1 && projPassthrough
+      if p.output.size == 3
+      if p.output(0).name == "metric" && p.output(2).name == "value"
+      level0 <- matchLevel0Scan(child)
+      if grouping.exists {
+        case a: Attribute => a.name == "metric"
+        case _ => false
+      }
+      step <- grouping.flatMap(truncStep).headOption
+      (kernel, kernelId) <- matchKernel(aggExprs)
+      (metricIds, _) = groupingOutputIds(aggExprs, child)
+      truncIds = outputIdsWhere(aggExprs, child)(e => truncStep(e).nonEmpty)
+      // output binding by role; also excludes the gate count from the
+      // output (the 3 slots must be exactly metric/trunc/kernel)
+      if p.projectList.zip(0 until 3).forall { case (ne, i) =>
+        underlyingId(ne).exists(id => i match {
+          case 0 => metricIds.contains(id)
+          case 1 => truncIds.contains(id)
+          case _ => id == kernelId
+        })
+      }
+      if kernel == policy.aggregation
+      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
+      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      slots = step / policy.levels.head.secondsPerPoint
+      if gateMatches(cond, knownIds.head, slots, policy.xff)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = false)
+      val aliases: Seq[NamedExpression] = Seq(
+        Alias(rel.output(0), p.output(0).name)(exprId = p.output(0).exprId),
+        Alias(SecondsToTimestamp(rel.output(1)), p.output(1).name)(
+          exprId = p.output(1).exprId),
+        Alias(rel.output(2), p.output(2).name)(exprId = p.output(2).exprId))
+      Project(aliases, rel)
+    }
+  }
+
+  /** Gated date_trunc shape KEEPING the count output — (metric, <trunc>,
+    * value, known); the passthrough Project is optimized away, leaving
+    * the bare Filter over the 4-output Aggregate. Substitutable from the
+    * stored counts when they are exact, like [[rewriteGatedKnown]].
+    */
+  private def rewriteGatedKnownTrunc(f: Filter, cond: Expression, agg: Aggregate,
+                                     grouping0: Seq[Expression],
+                                     aggExprs: Seq[NamedExpression],
+                                     child: LogicalPlan): Option[LogicalPlan] = {
+    val knownIds = aggExprs.collect {
+      case a @ Alias(AggregateExpression(
+            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
+            _, false, None, _), _) if v.name == "value" => a.exprId
+    }
+    val grouping = resolveGrouping(grouping0, child)
+    for {
+      policy <- uniformPolicy
+      if knownIds.size == 1
+      if agg.output.size == 4
+      if agg.output(0).name == "metric" && agg.output(2).name == "value" &&
+        agg.output(3).name == "known"
+      if agg.output(3).exprId == knownIds.head // the kept output IS the count
+      level0 <- matchLevel0Scan(child)
+      if grouping.exists {
+        case a: Attribute => a.name == "metric"
+        case _ => false
+      }
+      step <- grouping.flatMap(truncStep).headOption
+      (kernel, kernelId) <- matchKernel(aggExprs)
+      (metricIds, _) = groupingOutputIds(aggExprs, child)
+      truncIds = outputIdsWhere(aggExprs, child)(e => truncStep(e).nonEmpty)
+      if metricIds.contains(agg.output(0).exprId) &&
+        truncIds.contains(agg.output(1).exprId) &&
+        agg.output(2).exprId == kernelId
+      if kernel == policy.aggregation
+      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
+      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      if exactCounts(levelIdx)
+      slots = step / policy.levels.head.secondsPerPoint
+      if gateMatches(cond, knownIds.head, slots, policy.xff)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = true)
+      val aliases: Seq[NamedExpression] = Seq(
+        Alias(rel.output(0), agg.output(0).name)(exprId = agg.output(0).exprId),
+        Alias(SecondsToTimestamp(rel.output(1)), agg.output(1).name)(
+          exprId = agg.output(1).exprId),
+        Alias(rel.output(2), agg.output(2).name)(exprId = agg.output(2).exprId),
+        Alias(rel.output(3), agg.output(3).name)(exprId = agg.output(3).exprId))
       Project(aliases, rel)
     }
   }

@@ -132,6 +132,34 @@ object WhisperQueries {
         store
       })
 
+  /** Store for the GATED date_trunc substituted read (w25): hourly level
+    * under xff = 0.05 (slots = 60; events fill ~3 minute-slots/hour, so
+    * the ≥3-known gate discriminates — some hours pass, some don't),
+    * `last` kernel for exact oracle values. Ingested once per
+    * (session, dir) like w23/w24.
+    */
+  private val W25Xff = 0.05f
+  private val w25memo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+
+  private def w25Store(s: SparkSession, dir: String): graft.store.MetricStore =
+    w25memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val root = java.nio.file.Files.createTempDirectory("graft-w25").toString
+        val store = new graft.store.MetricStore(s, root, numBuckets = 8)
+        store.createAll(
+          Seq("click", "view", "signup", "error", "purchase"),
+          RetentionPolicy(
+            Seq(ArchiveInfo(60, 50000), ArchiveInfo(3600, 2000)), xff = W25Xff,
+            AggregationMethod.Last))
+        store.updateMany(
+          events(s, dir).select(col("metric"), col("tsec").as("ts"),
+            col("value"), col("seq")),
+          Now)
+        store
+      })
+
   /** Even/odd event split → two independent level-0 series (src, dst) for
     * merge/fill/diff.
     */
@@ -447,6 +475,46 @@ object WhisperQueries {
          |         row_number() OVER (PARTITION BY metric, w ORDER BY interval DESC) AS rn
          |  FROM r
          |) WHERE rn = 1 ORDER BY 1, 2""".stripMargin),
+    QueryDef(
+      "w25_rollup_trunc_gated",
+      // the GATED date_trunc spelling — an xff>0 dashboard restating the
+      // store's gate over an hourly date_trunc grouping — must also
+      // rewrite to the hourly level (whose rows ARE the gated window
+      // aggregates). Driver-gated like w23/w24: refuses to run
+      // unsubstituted; values oracle-checked against the gated recompute.
+      (s, dir) => {
+        val store = w25Store(s, dir)
+        val before = s.experimental.extraOptimizations
+        graft.plans.RollupSubstitution.register(s, store)
+        try {
+          val l0 = store.levelData(0).select("metric", "interval", "value")
+          val q = l0
+            .groupBy(col("metric"),
+              date_trunc("hour", timestamp_seconds(col("interval"))).as("hour"))
+            .agg(max_by(col("value"), col("interval")).as("value"),
+              count(col("value")).as("known"))
+            .where(col("known") > 0 &&
+              col("known").cast("double") / lit(60.0) >= lit(W25Xff.toDouble))
+            .select("metric", "hour", "value")
+            .orderBy("metric", "hour")
+          require(
+            q.queryExecution.optimizedPlan.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty,
+            "w25: gated date_trunc substitution regressed — plan still aggregates level-0")
+          q
+        } finally s.experimental.extraOptimizations = before
+      },
+      s"""$baseSql, r AS (
+         |  SELECT metric, interval - interval % 3600 AS w, interval, value FROM l0
+         |)
+         |SELECT metric, make_timestamp(w * 1000000) AS hour, value FROM (
+         |  SELECT metric, w, value,
+         |         row_number() OVER (PARTITION BY metric, w ORDER BY interval DESC) AS rn,
+         |         count(value) OVER (PARTITION BY metric, w) AS known
+         |  FROM r
+         |) WHERE rn = 1 AND known * 1.0 / 60 >= ${W25Xff.toDouble}
+         |ORDER BY 1, 2""".stripMargin),
     QueryDef(
       "w22_streaming_ingest",
       // the STREAMING write path against the same oracle: events staged

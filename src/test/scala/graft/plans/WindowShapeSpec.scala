@@ -169,6 +169,57 @@ class WindowShapeSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("gated date_trunc shape substitutes on an xff>0 store (dropped and kept count)") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-truncgate").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(600, 600), ArchiveInfo(3600, 200)), xff = 0.5f))
+    val h0 = (Now - 30000) / 3600 * 3600
+    // 4 of 6 slots in hour h0 (passes 0.5); 2 of 6 in h0+3600 (gated)
+    val pts = ((0 until 4).map(i => ("m", h0 + i * 600L, 10.0 + i)) ++
+      Seq(("m", h0 + 3600L, 99.0), ("m", h0 + 4200L, 98.0))).zipWithIndex
+      .map { case ((m, t, v), i) => (m, t, v, i.toLong) }
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      def gated = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          date_trunc("hour", timestamp_seconds(col("interval"))).as("hour"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(6.0) >= lit(0.5f.toDouble))
+      // count dropped (3-col)
+      val q = gated.select("metric", "hour", "value")
+      assert(!hasAggregate(q),
+        s"gated date_trunc substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getTimestamp(1).toInstant.getEpochSecond,
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set((h0, 11.5)), s"wrong gated hours: $got")
+      // count KEPT (4-col) — served from the stored exact counts
+      val qk = gated
+      assert(!hasAggregate(qk),
+        s"known-kept gated date_trunc did not substitute:\n${qk.queryExecution.optimizedPlan}")
+      val gotK = qk.collect()
+        .map(r => (r.getTimestamp(1).toInstant.getEpochSecond,
+          r.getAs[Double]("value"), r.getAs[Long]("known"))).toSet
+      assert(gotK == Set((h0, 11.5, 4L)), s"wrong gated-known hours: $gotK")
+      // a DIFFERENT slots denominator must NOT substitute
+      val wrong = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          date_trunc("hour", timestamp_seconds(col("interval"))).as("hour"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(5.0) >= lit(0.5f.toDouble))
+        .select("metric", "hour", "value")
+      assert(hasAggregate(wrong),
+        s"mismatched trunc gate was substituted:\n${wrong.queryExecution.optimizedPlan}")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("window() last kernel — max_by(value, ts) — substitutes on a last-policy store") {
     import spark.implicits._
     val store = new MetricStore(
