@@ -17,6 +17,7 @@ import graft.store.MetricStore
   *   set-xfilesfactor <store> <metric> <xff>
   *   estimate <ret[,ret...]>
   *   import-rrd <store> <dump.xml> [method] [xff]   (rrd2whisper from XML)
+  *   vacuum <store> [now]   (drop time buckets past every retention)
   *
   * The fetch --json shape {"start","end","step","values"} matches
   * bin/whisper-fetch.py:72-82.
@@ -266,6 +267,15 @@ object WhisperCli {
         if (bad.isEmpty) println("all policies valid")
         else bad.foreach { case (m, e) => println(s"CORRUPT $m: $e") }
 
+      case "vacuum" =>
+        // whisper's ring buffer overwrites expired slots in place; the
+        // partitioned store needs an explicit sweep — whole expired time
+        // buckets are unlinked (no data rewrite), keeping level listings
+        // and the incremental cascade's change hull bounded by retention
+        new MetricStore(session(), args(1))
+          .vacuum(args.lift(2).map(_.toLong).getOrElse(now))
+        println("vacuumed expired buckets")
+
       case "scale" =>
         val Array(_, store, metric, factor) = args: @unchecked
         new MetricStore(session(), store)
@@ -290,6 +300,6 @@ object WhisperCli {
 
   private def usage(): Unit =
     println("usage: WhisperCli <create|update|fetch|info|dump|merge|fill|" +
-      "diff|resize|validate|scale|set-aggregation-method|set-xfilesfactor|" +
-      "estimate|import|import-wsp|export-wsp> ...")
+      "diff|resize|validate|vacuum|scale|set-aggregation-method|" +
+      "set-xfilesfactor|estimate|import|import-rrd|import-wsp|export-wsp> ...")
 }

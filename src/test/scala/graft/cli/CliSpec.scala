@@ -108,6 +108,19 @@ class CliSpec extends AnyFunSuite {
     assert(fetched.contains("5.0"), fetched)
   }
 
+  test("vacuum drops data past retention via the CLI") {
+    val store = Files.createTempDirectory("cli-vacuum").toString
+    val now = System.currentTimeMillis() / 1000
+    val t1 = now - now % 60 - 120
+    run("create", store, "cpu.load", "1m:1h")
+    run("update", store, "cpu.load", s"$t1:1.5")
+    // far-future clock: the whole retention window has expired
+    assert(run("vacuum", store, (now + 864000).toString).contains("vacuumed"))
+    val json = run("fetch", store, "cpu.load",
+      (t1 - 60).toString, (t1 + 60).toString, "--json")
+    assert(!json.contains("1.5"), json)
+  }
+
   test("validate reports invalid catalog rows") {
     val store = Files.createTempDirectory("cli-store3").toString
     run("create", store, "good", "1m:1h")
