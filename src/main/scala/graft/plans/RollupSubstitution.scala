@@ -189,9 +189,10 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       policy <- uniformPolicy
       if knownIds.size == 1 && projPassthrough
       if p.output.map(_.name) == expectedNames
-      level0 <- matchLevel0Scan(child)
+      sm <- matchLevel0ScanFiltered(child)
       grouping = resolveGrouping(grouping0, child)
       (metricExpr, step) <- matchGrouping(grouping)
+      carried <- commutingPreds(sm, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       // output binding: each Project output must reference the aggregate
       // output of the SAME role — names alone pass under cross-renames
@@ -215,7 +216,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       val aliases: Seq[NamedExpression] = p.output.zipWithIndex.map {
         case (attr, i) => Alias(rel.output(i), attr.name)(exprId = attr.exprId)
       }
-      Project(aliases, rel)
+      Project(aliases, applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -239,9 +240,10 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if knownIds.size == 1
       if agg.output.map(_.name) == Seq("metric", "interval", "value", "known")
       if agg.output(3).exprId == knownIds.head // the kept output IS the count
-      level0 <- matchLevel0Scan(child)
+      sm <- matchLevel0ScanFiltered(child)
       grouping = resolveGrouping(grouping0, child)
       (metricExpr, step) <- matchGrouping(grouping)
+      carried <- commutingPreds(sm, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       // output binding by role, not just name (cross-named agg outputs)
       (metricIds, alignIds) = groupingOutputIds(aggExprs, child)
@@ -259,7 +261,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       val aliases: Seq[NamedExpression] = agg.output.zipWithIndex.map {
         case (attr, i) => Alias(rel.output(i), attr.name)(exprId = attr.exprId)
       }
-      Project(aliases, rel)
+      Project(aliases, applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -316,8 +318,9 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if policy.xff == 0f // rollup rows == plain window aggregates
       if agg.output.size == 3 &&
         agg.output.map(_.name) == Seq("metric", "interval", "value")
-      level0 <- matchLevel0Scan(child)
+      sm <- matchLevel0ScanFiltered(child)
       (metricExpr, step) <- matchGrouping(grouping)
+      carried <- commutingPreds(sm, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       // output binding by role, not just name (cross-named agg outputs)
       (metricIds, alignIds) = groupingOutputIds(aggExprs, child)
@@ -334,7 +337,8 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       val aliases: Seq[NamedExpression] = agg.output.zipWithIndex.map {
         case (attr, i) => Alias(out(i), attr.name)(exprId = attr.exprId)
       }
-      org.apache.spark.sql.catalyst.plans.logical.Project(aliases, rel)
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        aliases, applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -394,12 +398,13 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if policy.xff == 0f // rollup rows == plain window aggregates
       if agg.output.size == 3
       if agg.output(0).name == "metric" && agg.output(2).name == "value"
-      level0 <- matchLevel0Scan(child)
+      sm <- matchLevel0ScanFiltered(child)
       if grouping.exists {
         case a: Attribute => a.name == "metric"
         case _ => false
       }
       step <- grouping.flatMap(truncStep).headOption
+      carried <- commutingPreds(sm, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       // output binding by role (cross-named agg outputs)
       (metricIds, _) = groupingOutputIds(aggExprs, child)
@@ -417,7 +422,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         Alias(SecondsToTimestamp(rel.output(1)), agg.output(1).name)(
           exprId = agg.output(1).exprId),
         Alias(rel.output(2), agg.output(2).name)(exprId = agg.output(2).exprId))
-      Project(aliases, rel)
+      Project(aliases, applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -449,12 +454,13 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if knownIds.size == 1 && projPassthrough
       if p.output.size == 3
       if p.output(0).name == "metric" && p.output(2).name == "value"
-      level0 <- matchLevel0Scan(child)
+      sm <- matchLevel0ScanFiltered(child)
       if grouping.exists {
         case a: Attribute => a.name == "metric"
         case _ => false
       }
       step <- grouping.flatMap(truncStep).headOption
+      carried <- commutingPreds(sm, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       (metricIds, _) = groupingOutputIds(aggExprs, child)
       truncIds = outputIdsWhere(aggExprs, child)(e => truncStep(e).nonEmpty)
@@ -479,7 +485,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         Alias(SecondsToTimestamp(rel.output(1)), p.output(1).name)(
           exprId = p.output(1).exprId),
         Alias(rel.output(2), p.output(2).name)(exprId = p.output(2).exprId))
-      Project(aliases, rel)
+      Project(aliases, applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -505,12 +511,13 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if agg.output(0).name == "metric" && agg.output(2).name == "value" &&
         agg.output(3).name == "known"
       if agg.output(3).exprId == knownIds.head // the kept output IS the count
-      level0 <- matchLevel0Scan(child)
+      sm <- matchLevel0ScanFiltered(child)
       if grouping.exists {
         case a: Attribute => a.name == "metric"
         case _ => false
       }
       step <- grouping.flatMap(truncStep).headOption
+      carried <- commutingPreds(sm, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       (metricIds, _) = groupingOutputIds(aggExprs, child)
       truncIds = outputIdsWhere(aggExprs, child)(e => truncStep(e).nonEmpty)
@@ -531,7 +538,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
           exprId = agg.output(1).exprId),
         Alias(rel.output(2), agg.output(2).name)(exprId = agg.output(2).exprId),
         Alias(rel.output(3), agg.output(3).name)(exprId = agg.output(3).exprId))
-      Project(aliases, rel)
+      Project(aliases, applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -561,10 +568,19 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     case _ => false
   }
 
-  private def matchLevel0Scan(plan: LogicalPlan): Option[LogicalPlan] = {
-    def walk(p: LogicalPlan): Boolean = p match {
+  private def matchLevel0Scan(plan: LogicalPlan): Option[LogicalPlan] =
+    matchLevel0ScanFiltered(plan).filter(_.preds.isEmpty).map(_ => plan)
+
+  /** A matched level-0 scan plus the Filter conjuncts found between the
+    * Aggregate and the leaf (whisper's fetch shape: metric + time range).
+    */
+  private final case class ScanMatch(leaf: LogicalPlan, preds: Seq[Expression])
+
+  private def matchLevel0ScanFiltered(plan: LogicalPlan): Option[ScanMatch] = {
+    val buf = Seq.newBuilder[Expression]
+    def walk(p: LogicalPlan): Option[LogicalPlan] = p match {
       case Project(plist, child) =>
-        plist.forall {
+        val passthrough = plist.forall {
           case _: Attribute => true
           case a: Alias =>
             (a.child match {
@@ -572,11 +588,83 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
               case _ => false
             }) || a.name.startsWith("_groupingexpression")
           case _ => false
-        } && walk(child)
-      case leaf => isLevel0Leaf(leaf)
+        }
+        if (passthrough) walk(child) else None
+      case Filter(cond, child) =>
+        buf ++= conjuncts(cond); walk(child)
+      case leaf if isLevel0Leaf(leaf) => Some(leaf)
+      case _ => None
     }
-    if (walk(plan)) Some(plan) else None
+    walk(plan).map(ScanMatch(_, buf.result()))
   }
+
+  /** Classify carried predicates against the (metric, step-align)
+    * grouping, returning the ones to reapply over the substituted scan —
+    * or None if ANY predicate does not provably commute:
+    *
+    *   - deterministic, subquery-free predicates referencing ONLY the
+    *     scan's `metric` column commute (metric is a group key — they
+    *     select whole groups);
+    *   - `interval >= L` / `interval < U` with step-aligned literals
+    *     select whole windows (level-0 rows of window w have interval in
+    *     [w, w+step), so aligned bounds cut exactly on window edges) —
+    *     whisper's fetch range, which update/fetch align the same way
+    *     (/root/reference/whisper.py:947-954 picks the archive, then
+    *     fromInterval/untilInterval are step-aligned);
+    *   - IsNotNull on any scan column is dropped, not carried: level
+    *     rows are non-null by construction and a null value row joins no
+    *     rollup anyway (count/kernels ignore nulls).
+    *
+    * Anything else — value predicates, unaligned or exclusive interval
+    * bounds, non-deterministic or subquery predicates — vetoes the
+    * substitution (the rewrite would silently change the input set).
+    */
+  private def commutingPreds(sm: ScanMatch, step: Int): Option[Seq[Expression]] = {
+    val metricId = sm.leaf.output.find(_.name == "metric").map(_.exprId)
+    val intervalId = sm.leaf.output.find(_.name == "interval").map(_.exprId)
+    def isInterval(e: Expression): Boolean = uncast(e) match {
+      case a: Attribute => intervalId.contains(a.exprId)
+      case _ => false
+    }
+    def metricOnly(e: Expression): Boolean =
+      e.deterministic &&
+        !e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) &&
+        e.references.nonEmpty &&
+        e.references.forall(a => metricId.contains(a.exprId))
+    def alignedBound(e: Expression): Boolean = e match {
+      case GreaterThanOrEqual(i, l) =>
+        isInterval(i) && longLit(l).exists(_ % step == 0)
+      case LessThan(i, l) =>
+        isInterval(i) && longLit(l).exists(_ % step == 0)
+      case _ => false
+    }
+    def droppable(e: Expression): Boolean = e match {
+      case IsNotNull(a: Attribute) => sm.leaf.outputSet.contains(a)
+      case _ => false
+    }
+    val kept = sm.preds.filter(p => metricOnly(p) || alignedBound(p))
+    if (sm.preds.forall(p => metricOnly(p) || alignedBound(p) || droppable(p)))
+      Some(kept)
+    else None
+  }
+
+  /** Reapply commuting predicates over the substituted level scan,
+    * remapping the level-0 scan's metric/interval attributes to the
+    * level's (level intervals are the window starts, so aligned bounds
+    * and metric predicates carry over verbatim).
+    */
+  private def applyCarried(rel: LogicalPlan, preds: Seq[Expression],
+                           leaf: LogicalPlan): LogicalPlan =
+    if (preds.isEmpty) rel
+    else {
+      val metricId = leaf.output.find(_.name == "metric").map(_.exprId)
+      val intervalId = leaf.output.find(_.name == "interval").map(_.exprId)
+      val remapped = preds.map(_.transformUp {
+        case a: Attribute if metricId.contains(a.exprId) => rel.output(0)
+        case a: Attribute if intervalId.contains(a.exprId) => rel.output(1)
+      })
+      Filter(remapped.reduce(And), rel)
+    }
 
   /** The idiomatic Spark spelling — `groupBy(metric, window(ts, "S
     * seconds"))` over `ts = timestamp_seconds(interval)` — lands here

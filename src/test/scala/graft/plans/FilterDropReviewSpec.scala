@@ -10,10 +10,12 @@ import graft.SparkTestBase
 import graft.model._
 import graft.store.MetricStore
 
-/** Regression: substitution must NOT fire when a Filter (or any other
-  * non-pass-through node) sits between the Aggregate and the level-0
-  * scan — replacing the plan with the precomputed level would silently
-  * drop the filter (reviewer finding, round 2).
+/** Regression: a Filter between the Aggregate and the level-0 scan must
+  * never be silently dropped (reviewer finding, round 2). Group-commuting
+  * predicates (metric, step-aligned interval bounds) are since CARRIED
+  * onto the substituted scan — the substitution may fire, but the filter
+  * must survive it (FilteredSubstitutionSpec covers the carry matrix);
+  * everything else still vetoes the rewrite outright.
   */
 class FilterDropReviewSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -24,7 +26,7 @@ class FilterDropReviewSpec extends AnyFunSuite {
   private def hasAggregate(q: org.apache.spark.sql.DataFrame): Boolean =
     q.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty
 
-  test("metric-filtered window aggregate is NOT substituted") {
+  test("metric-filtered aggregate substitutes WITH the filter carried, never dropped") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-filterdrop").toString, numBuckets = 4)
     store.create("m1",
@@ -46,10 +48,15 @@ class FilterDropReviewSpec extends AnyFunSuite {
         .groupBy(col("metric"),
           (col("interval") - col("interval") % lit(300L)).as("interval"))
         .agg(avg(col("value")).as("value"))
-      assert(hasAggregate(q),
-        s"filtered aggregate was substituted:\n${q.queryExecution.optimizedPlan}")
+      // metric is a group key, so the predicate commutes: substitution
+      // fires and the filter moves onto the level scan
+      assert(!hasAggregate(q),
+        s"metric-filtered substitution did not fire:\n${q.queryExecution.optimizedPlan}")
       val metrics = q.select("metric").distinct().as[String].collect().toSet
       assert(metrics == Set("m1"), s"WHERE metric='m1' was dropped: got $metrics")
+      val got = q.collect()
+        .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+      assert(got == Map(w0 -> 12.0, (w0 + 300) -> 17.0), s"wrong values: $got")
     } finally spark.experimental.extraOptimizations = Nil
   }
 

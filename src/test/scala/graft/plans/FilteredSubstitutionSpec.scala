@@ -1,0 +1,151 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model._
+import graft.store.MetricStore
+
+/** Whisper's fetch shape — one metric, a step-aligned time range, rollup
+  * granularity — substitutes to a FILTERED level scan: group-key metric
+  * predicates and window-edge-aligned interval bounds commute with the
+  * (metric, align) grouping, so they are carried onto the substituted
+  * scan instead of vetoing it. Everything that does not provably commute
+  * (value predicates, unaligned bounds) still blocks the rewrite.
+  */
+class FilteredSubstitutionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val Now = 1706659200L
+
+  private def mkStore(): (MetricStore, Long) = {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-filtsub").toString, numBuckets = 4)
+    store.createAll(Seq("a", "b"),
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (for {
+      m <- Seq("a", "b")
+      i <- 0 until 10
+    } yield (m, w0 + i * 60L, (if (m == "a") 10.0 else 100.0) + i))
+      .zipWithIndex.map { case ((m, t, v), i) => (m, t, v, i.toLong) }
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    (store, w0)
+  }
+
+  private def hasAggregate(q: org.apache.spark.sql.DataFrame): Boolean =
+    q.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty
+
+  private def aligned(store: MetricStore) = store.levelData(0)
+    .select("metric", "interval", "value")
+
+  private def grouped(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(col("metric"),
+      (col("interval") - col("interval") % lit(300L)).as("interval"))
+    .agg(avg(col("value")).as("value"))
+
+  test("metric equality filter substitutes to a filtered level scan") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store).where(col("metric") === "a"))
+      assert(!hasAggregate(q),
+        s"metric-filtered substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval"),
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set(("a", w0, 12.0), ("a", w0 + 300L, 17.0)),
+        s"wrong filtered rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("step-aligned interval range (whisper fetch bounds) substitutes") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store)
+        .where(col("metric") === "b" &&
+          col("interval") >= lit(w0 + 300L) && col("interval") < lit(w0 + 600L)))
+      assert(!hasAggregate(q),
+        s"range-filtered substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval"),
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set(("b", w0 + 300L, 107.0)), s"wrong ranged rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("metric IN filter substitutes; values cover both kept groups") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store).where(col("metric").isin("a", "b")))
+      assert(!hasAggregate(q),
+        s"IN-filtered substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().length == 4)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("unaligned interval bound does NOT substitute (partial window)") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store).where(col("interval") >= lit(w0 + 60L)))
+      assert(hasAggregate(q),
+        s"unaligned bound wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+      // and the recompute answers the partial window correctly
+      val got = q.where(col("metric") === "a").collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"))).toSet
+      assert(got == Set((w0, 12.5), (w0 + 300L, 17.0)), s"wrong partial rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("value predicate still vetoes substitution") {
+    val (store, _) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store).where(col("value") > 12.5))
+      assert(hasAggregate(q),
+        s"value filter wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("gated date_trunc shape carries a metric filter onto the hourly scan") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-filtgate").toString, numBuckets = 4)
+    store.createAll(Seq("a", "b"),
+      RetentionPolicy(Seq(ArchiveInfo(600, 600), ArchiveInfo(3600, 200)), xff = 0.5f))
+    val h0 = (Now - 30000) / 3600 * 3600
+    val pts = (for {
+      m <- Seq("a", "b")
+      i <- 0 until 4
+    } yield (m, h0 + i * 600L, (if (m == "a") 10.0 else 100.0) + i))
+      .zipWithIndex.map { case ((m, t, v), i) => (m, t, v, i.toLong) }
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .where(col("metric") === "a")
+        .groupBy(col("metric"),
+          date_trunc("hour", timestamp_seconds(col("interval"))).as("hour"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 &&
+          col("known").cast("double") / lit(6.0) >= lit(0.5f.toDouble))
+        .select("metric", "hour", "value")
+      assert(!hasAggregate(q),
+        s"filtered gated trunc did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[String]("metric"),
+          r.getTimestamp(1).toInstant.getEpochSecond, r.getAs[Double]("value"))).toSet
+      assert(got == Set(("a", h0, 11.5)), s"wrong filtered gated rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
