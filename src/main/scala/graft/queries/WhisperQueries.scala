@@ -516,6 +516,53 @@ object WhisperQueries {
          |) WHERE rn = 1 AND known * 1.0 / 60 >= ${W25Xff.toDouble}
          |ORDER BY 1, 2""".stripMargin),
     QueryDef(
+      "w26_rollup_filtered_substituted",
+      // whisper's FETCH shape as a SQL-style read — one metric, a
+      // step-aligned [from, until) range, rollup granularity — must
+      // substitute to a FILTERED hourly-level scan (metric is a group
+      // key; aligned bounds cut on window edges, matching how fetch
+      // aligns fromInterval/untilInterval). Driver-gated like w23/w24/
+      // w25: refuses to run unsubstituted, values oracle-checked.
+      (s, dir) => {
+        val store = w24Store(s, dir) // xff=0 hourly `last` store
+        val before = s.experimental.extraOptimizations
+        graft.plans.RollupSubstitution.register(s, store)
+        try {
+          val from = 1705276800L // 2024-01-15T00:00:00Z — hour-aligned
+          val until = 1705881600L // 2024-01-22T00:00:00Z
+          val l0 = store.levelData(0).select("metric", "interval", "value")
+          val q = l0
+            .where(col("metric") === "click" &&
+              col("interval") >= lit(from) && col("interval") < lit(until))
+            .groupBy(col("metric"),
+              (col("interval") - col("interval") % lit(3600L)).as("interval"))
+            .agg(max_by(col("value"), col("interval")).as("value"))
+            .orderBy("metric", "interval")
+          require(
+            q.queryExecution.optimizedPlan.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty,
+            "w26: filtered substitution regressed — plan still aggregates level-0")
+          // the carried filter must also SURVIVE the rewrite in-plan
+          require(
+            q.queryExecution.optimizedPlan.collect {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+            }.nonEmpty,
+            "w26: carried predicates were dropped by the substitution")
+          q
+        } finally s.experimental.extraOptimizations = before
+      },
+      s"""$baseSql, r AS (
+         |  SELECT metric, interval - interval % 3600 AS w, interval, value FROM l0
+         |  WHERE metric = 'click'
+         |    AND interval >= 1705276800 AND interval < 1705881600
+         |)
+         |SELECT metric, w AS interval, value FROM (
+         |  SELECT metric, w, value,
+         |         row_number() OVER (PARTITION BY metric, w ORDER BY interval DESC) AS rn
+         |  FROM r
+         |) WHERE rn = 1 ORDER BY 1, 2""".stripMargin),
+    QueryDef(
       "w22_streaming_ingest",
       // the STREAMING write path against the same oracle: events staged
       // as 4 arrival-ordered files (repartitionByRange on seq → file
