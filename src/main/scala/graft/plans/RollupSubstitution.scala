@@ -192,7 +192,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       sm <- matchLevel0ScanFiltered(child)
       grouping = resolveGrouping(grouping0, child)
       (metricExpr, step) <- matchGrouping(grouping)
-      carried <- commutingPreds(sm, step)
+      carried <- commutingPreds(sm.preds, sm.leaf, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       // output binding: each Project output must reference the aggregate
       // output of the SAME role — names alone pass under cross-renames
@@ -243,7 +243,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       sm <- matchLevel0ScanFiltered(child)
       grouping = resolveGrouping(grouping0, child)
       (metricExpr, step) <- matchGrouping(grouping)
-      carried <- commutingPreds(sm, step)
+      carried <- commutingPreds(sm.preds, sm.leaf, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       // output binding by role, not just name (cross-named agg outputs)
       (metricIds, alignIds) = groupingOutputIds(aggExprs, child)
@@ -320,7 +320,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         agg.output.map(_.name) == Seq("metric", "interval", "value")
       sm <- matchLevel0ScanFiltered(child)
       (metricExpr, step) <- matchGrouping(grouping)
-      carried <- commutingPreds(sm, step)
+      carried <- commutingPreds(sm.preds, sm.leaf, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       // output binding by role, not just name (cross-named agg outputs)
       (metricIds, alignIds) = groupingOutputIds(aggExprs, child)
@@ -404,7 +404,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         case _ => false
       }
       step <- grouping.flatMap(truncStep).headOption
-      carried <- commutingPreds(sm, step)
+      carried <- commutingPreds(sm.preds, sm.leaf, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       // output binding by role (cross-named agg outputs)
       (metricIds, _) = groupingOutputIds(aggExprs, child)
@@ -460,7 +460,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         case _ => false
       }
       step <- grouping.flatMap(truncStep).headOption
-      carried <- commutingPreds(sm, step)
+      carried <- commutingPreds(sm.preds, sm.leaf, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       (metricIds, _) = groupingOutputIds(aggExprs, child)
       truncIds = outputIdsWhere(aggExprs, child)(e => truncStep(e).nonEmpty)
@@ -517,7 +517,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         case _ => false
       }
       step <- grouping.flatMap(truncStep).headOption
-      carried <- commutingPreds(sm, step)
+      carried <- commutingPreds(sm.preds, sm.leaf, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       (metricIds, _) = groupingOutputIds(aggExprs, child)
       truncIds = outputIdsWhere(aggExprs, child)(e => truncStep(e).nonEmpty)
@@ -543,13 +543,16 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
   }
 
   /** child must be a parquet scan of the store's level_0 directory with
-    * (metric, interval, value) visible, reached ONLY through pass-through
+    * (metric, interval, value) visible, reached through pass-through
     * Projects (plain attributes, name-preserving aliases, or Catalyst's
-    * pulled-out `_groupingexpression` aliases). Anything else between the
-    * Aggregate and the scan — a pushed-down Filter (`WHERE metric='x'`,
-    * `WHERE value>0`), a value-rewriting Project, a join — changes the
-    * aggregate's input set, and substituting the precomputed level would
-    * silently discard it.
+    * pulled-out `_groupingexpression` aliases) and Filters whose
+    * conjuncts are carried for [[commutingPreds]] to judge: group-key
+    * metric predicates and window-edge-aligned interval bounds commute
+    * with the grouping and move onto the substituted scan (whisper's
+    * fetch shape); anything else — `WHERE value>0`, unaligned bounds —
+    * vetoes the rewrite, because substituting the precomputed level
+    * would silently change the aggregate's input set. A value-rewriting
+    * Project or a join still blocks the match outright.
     */
   // THIS store's level-0 directory, scheme-normalized. Substituting must
   // never trigger on some OTHER store's level_0 scan — the rewrite would
@@ -619,9 +622,10 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * bounds, non-deterministic or subquery predicates — vetoes the
     * substitution (the rewrite would silently change the input set).
     */
-  private def commutingPreds(sm: ScanMatch, step: Int): Option[Seq[Expression]] = {
-    val metricId = sm.leaf.output.find(_.name == "metric").map(_.exprId)
-    val intervalId = sm.leaf.output.find(_.name == "interval").map(_.exprId)
+  private def commutingPreds(preds: Seq[Expression], leaf: LogicalPlan,
+                             step: Int): Option[Seq[Expression]] = {
+    val metricId = leaf.output.find(_.name == "metric").map(_.exprId)
+    val intervalId = leaf.output.find(_.name == "interval").map(_.exprId)
     def isInterval(e: Expression): Boolean = uncast(e) match {
       case a: Attribute => intervalId.contains(a.exprId)
       case _ => false
@@ -639,11 +643,17 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case _ => false
     }
     def droppable(e: Expression): Boolean = e match {
-      case IsNotNull(a: Attribute) => sm.leaf.outputSet.contains(a)
+      // isnotnull over a scan column, or over timestamp_seconds of one
+      // (TimeWindowing inserts isnotnull(ts)): never filters real rows
+      case IsNotNull(x) => uncast(x) match {
+        case a: Attribute => leaf.outputSet.contains(a)
+        case SecondsToTimestamp(a: Attribute) => leaf.outputSet.contains(a)
+        case _ => false
+      }
       case _ => false
     }
-    val kept = sm.preds.filter(p => metricOnly(p) || alignedBound(p))
-    if (sm.preds.forall(p => metricOnly(p) || alignedBound(p) || droppable(p)))
+    val kept = preds.filter(p => metricOnly(p) || alignedBound(p))
+    if (preds.forall(p => metricOnly(p) || alignedBound(p) || droppable(p)))
       Some(kept)
     else None
   }
@@ -687,20 +697,28 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * chain's Projects (TimeWindowing + ts computation land there).
     */
   private final case class WindowChain(leaf: LogicalPlan,
+                                       preds: Seq[Expression],
                                        resolve: Expression => Expression) {
     val relOut: Seq[Attribute] = leaf.output
     val intervalAttrId: Option[ExprId] =
       relOut.find(_.name == "interval").map(_.exprId)
+    /** Chain predicates resolved to scan terms, for [[commutingPreds]]. */
+    def resolvedPreds: Seq[Expression] = preds.map(resolve)
   }
 
   private def walkWindowChain(child: LogicalPlan): Option[WindowChain] = {
     val aliasBuf = scala.collection.mutable.Map[ExprId, Expression]()
+    val predBuf = Seq.newBuilder[Expression]
     def walk(p: LogicalPlan): Option[LogicalPlan] = p match {
       case Project(plist, c2)
           if plist.forall(e => e.isInstanceOf[Attribute] || e.isInstanceOf[Alias]) =>
         aliasBuf ++= plist.collect { case a: Alias => a.exprId -> a.child }
         walk(c2)
-      case Filter(cond, c2) if conjuncts(cond).forall(_.isInstanceOf[IsNotNull]) =>
+      case Filter(cond, c2) =>
+        // collected, not rejected: commutingPreds decides per rewrite
+        // whether every conjunct provably commutes (or is droppable —
+        // TimeWindowing's isnotnull(ts)) and vetoes otherwise
+        predBuf ++= conjuncts(cond)
         walk(c2)
       case leaf if isLevel0Leaf(leaf) => Some(leaf)
       case _ => None
@@ -716,7 +734,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       }
       cur
     }
-    walk(child).map(WindowChain(_, resolve))
+    walk(child).map(WindowChain(_, predBuf.result(), resolve))
   }
 
   /** Tumbling step from the window()-grouping — plus the exprIds of the
@@ -768,6 +786,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       chain <- walkWindowChain(child)
       intervalId <- chain.intervalAttrId
       (step, metricId, windowId) <- windowGroupStep(grouping0, chain)
+      carried <- commutingPreds(chain.resolvedPreds, chain.leaf, step)
       (kernel, kernelId) <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
       if kernel == policy.aggregation
       if agg.output.map(_.name).toSet == Set("metric", "window", "value")
@@ -784,7 +803,8 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
-      Project(windowOutputAliases(agg.output, rel, step), rel)
+      Project(windowOutputAliases(agg.output, rel, step),
+        applyCarried(rel, carried, chain.leaf))
     }
 
   /** Gated window() shape: the idiomatic streaming-style spelling
@@ -810,6 +830,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       chain <- walkWindowChain(child)
       intervalId <- chain.intervalAttrId
       (step, metricId, windowId) <- windowGroupStep(grouping0, chain)
+      carried <- commutingPreds(chain.resolvedPreds, chain.leaf, step)
       knownId <- countAggId(aggExprs, chain, intervalId)
       (kernel, kernelId) <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
       // output binding by role: also excludes the gate count from the
@@ -829,7 +850,8 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if gateMatches(cond, knownId, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
-      Project(windowOutputAliases(p.output, rel, step), rel)
+      Project(windowOutputAliases(p.output, rel, step),
+        applyCarried(rel, carried, chain.leaf))
     }
   }
 
@@ -849,6 +871,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       chain <- walkWindowChain(child)
       intervalId <- chain.intervalAttrId
       (step, metricId, windowId) <- windowGroupStep(grouping0, chain)
+      carried <- commutingPreds(chain.resolvedPreds, chain.leaf, step)
       knownId <- countAggId(aggExprs, chain, intervalId)
       (kernel, kernelId) <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
       // output binding by role, not just name (cross-named agg outputs)
@@ -862,7 +885,8 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if gateMatches(cond, knownId, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = true)
-      Project(windowOutputAliases(agg.output, rel, step), rel)
+      Project(windowOutputAliases(agg.output, rel, step),
+        applyCarried(rel, carried, chain.leaf))
     }
 
   /** The count(value) aggregate's output id in a window()-shape agg list

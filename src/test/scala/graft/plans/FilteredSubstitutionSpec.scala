@@ -116,6 +116,25 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("window() spelling carries metric + aligned-range filters too") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = aligned(store)
+        .where(col("metric") === "a" && col("interval") >= lit(w0 + 300L))
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"))
+      assert(!hasAggregate(q),
+        s"filtered window() substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[String]("metric"),
+          r.getStruct(1).getTimestamp(0).toInstant.getEpochSecond,
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set(("a", w0 + 300L, 17.0)), s"wrong filtered windows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("gated date_trunc shape carries a metric filter onto the hourly scan") {
     import spark.implicits._
     val store = new MetricStore(
