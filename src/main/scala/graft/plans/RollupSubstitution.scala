@@ -182,13 +182,15 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case _ => false
     }
     val outputsKnown = p.projectList.exists(refsKnown)
+    // positional output ROLES; the names themselves are free (binding is
+    // by exprId below, re-aliased to the query's names on substitution)
     val expectedNames =
       if (outputsKnown) Seq("metric", "interval", "value", "known")
       else Seq("metric", "interval", "value")
     for {
       policy <- uniformPolicy
       if knownIds.size == 1 && projPassthrough
-      if p.output.map(_.name) == expectedNames
+      if p.output.size == expectedNames.size
       sm <- matchLevel0ScanFiltered(child)
       grouping = resolveGrouping(grouping0, child)
       (metricExpr, step) <- matchGrouping(grouping)
@@ -238,7 +240,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     for {
       policy <- uniformPolicy
       if knownIds.size == 1
-      if agg.output.map(_.name) == Seq("metric", "interval", "value", "known")
+      if agg.output.size == 4 // names free — binding is by exprId role
       if agg.output(3).exprId == knownIds.head // the kept output IS the count
       sm <- matchLevel0ScanFiltered(child)
       grouping = resolveGrouping(grouping0, child)
@@ -316,8 +318,10 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     for {
       policy <- uniformPolicy
       if policy.xff == 0f // rollup rows == plain window aggregates
-      if agg.output.size == 3 &&
-        agg.output.map(_.name) == Seq("metric", "interval", "value")
+      // outputs are bound by exprId ROLE below, so their NAMES are free
+      // (`avg(value) AS v`, `... AS bucket` substitute the same way — the
+      // rewrite re-aliases the level columns to whatever the query named)
+      if agg.output.size == 3
       sm <- matchLevel0ScanFiltered(child)
       (metricExpr, step) <- matchGrouping(grouping)
       carried <- commutingPreds(sm.preds, sm.leaf, step)
@@ -396,8 +400,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     for {
       policy <- uniformPolicy
       if policy.xff == 0f // rollup rows == plain window aggregates
-      if agg.output.size == 3
-      if agg.output(0).name == "metric" && agg.output(2).name == "value"
+      if agg.output.size == 3 // names free — binding is by exprId role
       sm <- matchLevel0ScanFiltered(child)
       if grouping.exists {
         case a: Attribute => a.name == "metric"
@@ -452,8 +455,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     for {
       policy <- uniformPolicy
       if knownIds.size == 1 && projPassthrough
-      if p.output.size == 3
-      if p.output(0).name == "metric" && p.output(2).name == "value"
+      if p.output.size == 3 // names free — binding is by exprId role
       sm <- matchLevel0ScanFiltered(child)
       if grouping.exists {
         case a: Attribute => a.name == "metric"
@@ -507,9 +509,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     for {
       policy <- uniformPolicy
       if knownIds.size == 1
-      if agg.output.size == 4
-      if agg.output(0).name == "metric" && agg.output(2).name == "value" &&
-        agg.output(3).name == "known"
+      if agg.output.size == 4 // names free — binding is by exprId role
       if agg.output(3).exprId == knownIds.head // the kept output IS the count
       sm <- matchLevel0ScanFiltered(child)
       if grouping.exists {

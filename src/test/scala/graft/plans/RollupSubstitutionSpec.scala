@@ -49,6 +49,35 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("renamed outputs substitute by exprId role, keeping the query's names") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-opt-rename").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    RollupSubstitution.register(spark, store)
+    try {
+      // dashboard-style names: the shape is the same, only names differ
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("bucket"))
+        .agg(avg(col("value")).as("avg_v"))
+      val optimized = q.queryExecution.optimizedPlan
+      assert(optimized.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, s"renamed-output substitution did not fire:\n$optimized")
+      assert(q.columns.toSeq == Seq("metric", "bucket", "avg_v"))
+      val got = q.orderBy("bucket").collect()
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Double]("avg_v")).toMap
+      assert(got == Map(w0 -> 12.0, (w0 + 300) -> 17.0))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("floor/div alignment spellings and the last kernel are recognized") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-opt3").toString, numBuckets = 4)
