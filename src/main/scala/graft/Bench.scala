@@ -48,11 +48,16 @@ object Bench {
     // is being re-derivable in DuckDB for the value gate — the engine
     // path (xxhash64) is what d04 times. d14 is d06's exact-mode gate
     // (planes=0 degeneracy), same reasoning as s07–s10.
+    // w25/w26 likewise: they drive the SAME substituted-scan read path
+    // w23/w24 already time (their point is the gated/filtered shape
+    // MATCHING, oracle-gated in Verify) — benching them would re-time
+    // that path twice more and push the JSON line over the tail budget.
     val benchSkip = Set(
       "w21_ingest_incremental", "w22_streaming_ingest",
       "s07_sim_topk_ivf_exact", "s08_sim_topk_pq_exact",
       "s09_sim_topk_ivfpq_exact", "s10_sim_topk_quantized_exact",
-      "d08_dedup_simhash_portable", "d14_dedup_embedding_exact")
+      "d08_dedup_simhash_portable", "d14_dedup_embedding_exact",
+      "w25_rollup_trunc_gated", "w26_rollup_filtered_substituted")
     // deterministic timing order: `queries` is an unordered Map, so
     // iterating it directly reshuffles who pays residual warmup /
     // cache-eviction costs whenever a query is added — round-over-round
