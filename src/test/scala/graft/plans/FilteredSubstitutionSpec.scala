@@ -81,6 +81,21 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("carried predicates reach the level scan as pushed parquet filters") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store)
+        .where(col("metric") === "a" && col("interval") >= lit(w0 + 300L)))
+      assert(!hasAggregate(q))
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains("PushedFilters") &&
+        physical.contains("EqualTo(metric,a)") &&
+        physical.contains("GreaterThanOrEqual(interval"),
+        s"carried filter not pushed to the level scan:\n$physical")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("metric IN filter substitutes; values cover both kept groups") {
     val (store, w0) = mkStore()
     RollupSubstitution.register(spark, store)
