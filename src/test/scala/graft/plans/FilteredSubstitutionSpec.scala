@@ -150,6 +150,24 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("SQL WHERE clause (fetch shape) substitutes through Engine.install views") {
+    val (store, w0) = mkStore()
+    graft.Engine.install(spark, store, "fsub")
+    try {
+      val q = spark.sql(
+        s"""SELECT metric, interval - interval % 300 AS interval, avg(value) AS value
+           |FROM fsub_level_0
+           |WHERE metric = 'b' AND interval >= ${w0 + 300L} AND interval < ${w0 + 600L}
+           |GROUP BY 1, 2""".stripMargin)
+      assert(!hasAggregate(q),
+        s"SQL filtered substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval"),
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set(("b", w0 + 300L, 107.0)), s"wrong SQL rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("gated date_trunc shape carries a metric filter onto the hourly scan") {
     import spark.implicits._
     val store = new MetricStore(
