@@ -75,7 +75,12 @@ object Multimodal {
     if (isPng(b.data) || isJpeg(b.data)) {
       val img = try {
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.data))
-      } catch { case _: java.io.IOException => null }
+      } catch {
+        // ImageIO throws unchecked exceptions on malformed-but-magic'd
+        // payloads (IndexOutOfBounds, NegativeArraySize, CMMException…);
+        // any decode failure falls back to the stub, never fails the job
+        case scala.util.control.NonFatal(_) => null
+      }
       if (img == null) decodeStub(b) // magic matched but payload corrupt
       else MediaMeta(b.id, b.kind, b.data.length, img.getWidth, img.getHeight, 1)
     } else decodeStub(b)

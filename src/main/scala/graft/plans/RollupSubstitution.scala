@@ -377,10 +377,16 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         secs <- truncUnitSeconds(
           fmt.toString.toLowerCase(java.util.Locale.ROOT))
         if zoneIsUtc(tzId)
-        _ <- uncast(base) match {
+        _ <- base match {
           case SecondsToTimestamp(a) => intervalAttr(a)
-          // Cast(long → timestamp) is the seconds interpretation too
-          case other => intervalAttr(other)
+          // a SINGLE integral→timestamp cast is the seconds
+          // interpretation too; deeper chains (e.g. long→string→
+          // timestamp, which PARSES rather than converts) must not match
+          case Cast(a, _: org.apache.spark.sql.types.TimestampType, _, _)
+              if a.dataType == org.apache.spark.sql.types.LongType ||
+                a.dataType == org.apache.spark.sql.types.IntegerType =>
+            intervalAttr(a)
+          case _ => None
         }
       } yield secs
     case _ => None
@@ -570,9 +576,6 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       }
     case _ => false
   }
-
-  private def matchLevel0Scan(plan: LogicalPlan): Option[LogicalPlan] =
-    matchLevel0ScanFiltered(plan).filter(_.preds.isEmpty).map(_ => plan)
 
   /** A matched level-0 scan plus the Filter conjuncts found between the
     * Aggregate and the leaf (whisper's fetch shape: metric + time range).

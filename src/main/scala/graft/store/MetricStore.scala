@@ -50,17 +50,78 @@ final class MetricStore(val spark: SparkSession, val root: String,
 
   // ---- policy catalog -------------------------------------------------
 
-  /** Seconds of data per time-bucket partition at a given step: ~1k
-    * slots per (metric, partition). The bucket is the store's REWRITE
-    * unit — an upsert re-reads and rewrites every touched (pb, tb)
-    * directory in full — so its span bounds incremental write
-    * amplification: at 1024 slots a daily batch on a 60s level touches
-    * ~17h-wide buckets (≈2× amplification) where 8192 slots meant
-    * 5.7-day buckets (≈11× — measured as x01 re-reading a third of
+  /** Seconds of data per time-bucket partition at a given step:
+    * `bucketSlots` slots per (metric, partition). The bucket is the
+    * store's REWRITE unit — an upsert re-reads and rewrites every
+    * touched (pb, tb) directory in full — so its span bounds incremental
+    * write amplification: at 1024 slots a daily batch on a 60s level
+    * touches ~17h-wide buckets (≈2× amplification) where 8192 slots
+    * meant 5.7-day buckets (≈11× — measured as x01 re-reading a third of
     * level 0 and ALL of a 300s level at sf0.1). Row-group size inside a
     * bucket is still metrics/numBuckets × slots, plenty for parquet.
     */
-  private[store] def bucketSeconds(step: Int): Long = step.toLong * 1024
+  private[store] def bucketSeconds(step: Int): Long = step.toLong * bucketSlots
+
+  /** Slots per time bucket, PERSISTED per store (`_layout`, stamped on
+    * first open): tb values are baked into every partition directory
+    * name, so a binary whose default differs from the store's layout
+    * would otherwise silently prune every fetch to empty and write
+    * duplicate rows under new tb dirs. A store predating the marker is
+    * probed — one partition dir name + one row's interval decide which
+    * historical layout produced it — and stamped with the result.
+    */
+  private lazy val bucketSlots: Long = {
+    val f = java.nio.file.Paths.get(s"$root/_layout")
+    def stamp(v: Long): Long = {
+      val tmp = java.nio.file.Paths.get(s"$root/_layout.tmp")
+      java.nio.file.Files.writeString(tmp, s"bucket_slots=$v\n")
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      v
+    }
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.stripPrefix("bucket_slots=").toLong
+    else if (!new java.io.File(levelPath(0)).exists())
+      stamp(MetricStore.DefaultBucketSlots)
+    else stamp(probeBucketSlots())
+  }
+
+  /** Infer a pre-marker store's bucket layout from its own directories:
+    * find one `level_0/pb=?/tb=N` partition, read one row's interval,
+    * and pick the historical slot count whose `interval div (step·slots)`
+    * reproduces N. Epoch-scale intervals separate the candidates by
+    * construction (quotients coincide only near interval 0).
+    */
+  private def probeBucketSlots(): Long = {
+    val candidates = Seq(MetricStore.DefaultBucketSlots, 8192L)
+    val step = policies().values.headOption
+      .map(_.levels.head.secondsPerPoint.toLong)
+    val tbDir = {
+      val l0 = java.nio.file.Paths.get(levelPath(0))
+      val s = java.nio.file.Files.walk(l0, 2)
+      try {
+        val d = s.filter(p => p.getFileName.toString.startsWith("tb="))
+          .findFirst()
+        if (d.isPresent) Some(d.get) else None
+      } finally s.close()
+    }
+    (for {
+      st <- step
+      dir <- tbDir
+      tb = dir.getFileName.toString.stripPrefix("tb=").toLong
+      file <- {
+        val s = java.nio.file.Files.walk(dir)
+        try {
+          val p = s.filter(_.toString.endsWith(".parquet")).findFirst()
+          if (p.isPresent) Some(p.get.toString) else None
+        } finally s.close()
+      }
+      interval <- spark.read.parquet(file).select("interval")
+        .head(1).headOption.map(_.getLong(0))
+      slots <- candidates.find(c => interval / (st * c) == tb)
+    } yield slots).getOrElse(MetricStore.DefaultBucketSlots)
+  }
 
   def policies(): Map[String, RetentionPolicy] =
     MetricStore.readCatalog(policiesPath).map {
@@ -150,15 +211,25 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * semantic change.
     */
   /** The level's full on-disk schema (data + partition columns). Every
-    * writer in this store emits these columns (count columns may hold
-    * nulls — see [[countsExact]]), so partition-dir reads can declare it
-    * and skip the schema-inference job a bare `spark.read.parquet` runs —
-    * at scale, footer sampling over a large touched set is pure waste.
+    * CURRENT writer emits these columns (count columns may hold nulls —
+    * see [[countsExact]]), so partition-dir reads can declare it and skip
+    * the schema-inference job a bare `spark.read.parquet` runs — at
+    * scale, footer sampling over a large touched set is pure waste.
+    *
+    * Whether the count columns are declared follows a ONE-FILE footer
+    * probe, not blind assumption: declaring known/vsum over a level
+    * written before the columns existed would read fabricated nulls and
+    * defeat the legacy detection in [[withCountCols]] (which must see the
+    * columns genuinely absent to mark the store counts-approx — the gate
+    * RollupSubstitution.exactCounts relies on).
     */
-  private def levelSchema(i: Int): org.apache.spark.sql.types.StructType = {
+  private def levelSchema(i: Int): org.apache.spark.sql.types.StructType =
+    levelSchema(i, i > 0 && levelHasCountCols(i))
+
+  private def levelSchema(i: Int, withCounts: Boolean): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val counts =
-      if (i == 0) Nil
+      if (!withCounts) Nil
       else Seq(StructField("known", LongType), StructField("vsum", DoubleType))
     StructType(Seq(
       StructField("metric", StringType),
@@ -167,6 +238,33 @@ final class MetricStore(val spark: SparkSession, val root: String,
       StructField("pb", IntegerType),
       StructField("tb", LongType)))
   }
+
+  /** Does level i's on-disk data actually carry the count columns?
+    * Probed once per store instance from a single parquet footer (lazy,
+    * stops at the first file). An empty or absent level answers true —
+    * every current writer emits the columns. A level that gains count
+    * columns AFTER a false probe just reads conservatively (counts
+    * dropped → [[withCountCols]] marks approx) until a fresh instance
+    * re-probes; the marker is already set in that scenario.
+    */
+  private val levelCountsProbe =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+
+  private def levelHasCountCols(i: Int): Boolean =
+    levelCountsProbe.computeIfAbsent(i, _ => {
+      val dir = java.nio.file.Paths.get(levelPath(i))
+      val firstFile =
+        if (!java.nio.file.Files.isDirectory(dir)) None
+        else {
+          val s = java.nio.file.Files.walk(dir)
+          try {
+            val f = s.filter(p => p.toString.endsWith(".parquet")).findFirst()
+            if (f.isPresent) Some(f.get.toString) else None
+          } finally s.close()
+        }
+      java.lang.Boolean.valueOf(firstFile.forall(f =>
+        spark.read.parquet(f).schema.fieldNames.contains("vsum")))
+    }).booleanValue()
 
   private def emptyLevel(i: Int): DataFrame =
     spark.createDataFrame(
@@ -1071,6 +1169,11 @@ final class MetricStore(val spark: SparkSession, val root: String,
 }
 
 object MetricStore {
+  /** Current bucket layout for NEW stores; existing stores read theirs
+    * from the persisted `_layout` marker (see [[MetricStore.bucketSlots]]).
+    */
+  private[store] val DefaultBucketSlots: Long = 1024L
+
   /** Shared pool for deferred fresh-level writes (daemon threads so a
     * forgotten store never blocks JVM exit). Sized small: each task is a
     * whole Spark write job — the parallelism that matters is between the

@@ -1,0 +1,84 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model._
+
+/** On-disk format compatibility (review findings, round 5):
+  *
+  *   - the declared-schema read fast path must not FABRICATE count
+  *     columns over a level written without them — the legacy detection
+  *     (counts-approx marker, exact-count substitution gate) relies on
+  *     the columns being genuinely absent;
+  *   - the bucket layout (slots per tb directory) is baked into every
+  *     partition path, so it is persisted per store (`_layout`) and
+  *     probed for pre-marker stores — a binary with a different default
+  *     must not silently mis-prune an existing store's directories.
+  */
+class StoreFormatSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val Now = 1706659200L
+
+  test("level without count columns reads without them; update marks counts approx") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ms-legacy").toString
+    val store = new MetricStore(spark, root, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    // hand-write a LEGACY level_1 (pre-count schema: no known/vsum)
+    val legacy = Seq(("m", w0, 12.0)).toDF("metric", "interval", "value")
+      .withColumn("pb", pmod(hash(col("metric")), lit(4)))
+      .withColumn("tb", expr(s"interval div ${store.bucketSeconds(300)}"))
+    legacy.write.partitionBy("pb", "tb").parquet(s"$root/level_1")
+
+    val reopened = new MetricStore(spark, root, numBuckets = 4)
+    // the probe must expose the true on-disk schema, not the declared one
+    assert(!reopened.levelData(1).columns.contains("vsum"),
+      s"fabricated count columns: ${reopened.levelData(1).columns.toSeq}")
+    assert(reopened.countsExact) // nothing degraded yet
+
+    // an ingest cascading into the legacy level must record the mix
+    val pts = (0 until 5).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    reopened.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    assert(!reopened.countsExact,
+      "merging counted rows into a legacy level must mark counts approx")
+  }
+
+  test("fresh store stamps its bucket layout; pre-marker 8192 store is probed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ms-layout").toString
+    val store = new MetricStore(spark, root, numBuckets = 4)
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 50000)), xff = 0f))
+    val t0 = Now - Now % 60 - 600
+    store.updateMany(
+      Seq(("m", t0, 1.5, 0L)).toDF("metric", "ts", "value", "seq"), Now)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_layout")).trim == "bucket_slots=1024")
+
+    // hand-build a PRE-MARKER store whose level_0 dirs follow the old
+    // 8192-slot layout; opening it must probe 8192 and still fetch
+    val root2 = Files.createTempDirectory("ms-layout8k").toString
+    val s2 = new MetricStore(spark, root2, numBuckets = 4)
+    s2.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 50000)), xff = 0f))
+    Seq(("m", t0, 7.5)).toDF("metric", "interval", "value")
+      .withColumn("pb", pmod(hash(col("metric")), lit(4)))
+      .withColumn("tb", expr(s"interval div ${60L * 8192L}"))
+      .write.partitionBy("pb", "tb").parquet(s"$root2/level_0")
+
+    val reopened = new MetricStore(spark, root2, numBuckets = 4)
+    assert(reopened.bucketSeconds(60) == 60L * 8192L,
+      "pre-marker 8192-layout store was not probed")
+    val vals = reopened.fetch("m", t0 - 60, t0 + 60, Now).get.values
+    assert(vals.flatten.contains(7.5), s"old-layout point lost: $vals")
+    // and the probe result is now stamped for future opens
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root2/_layout")).trim == "bucket_slots=8192")
+  }
+}
