@@ -80,17 +80,23 @@ object Dedup {
     val sh = shingled.getOrElse(
       hashShingles(shingles(docs, n, idCol, textCol)).cache())
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // Frequency cap as a window over the shingle key, deliberately: the
-    // window's hash exchange is REUSED by the candidate self-join below
-    // (both sides arrive partitioned by h), so the whole cap+join
-    // pipeline costs one shuffle of sh. The groupBy+semi-join spelling
-    // looks cheaper (no per-partition sort) but adds two more shingle
-    // shuffles — measured 1.5× slower end-to-end at sf0.1.
-    val capped = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .where(col("df") <= maxShingleFreq)
-      .drop("df")
+    // Frequency cap: a dictionary table that PRECOMPUTED per-shingle doc
+    // frequency (a `df` column, built once per corpus at memo time) pays
+    // only the filter here; otherwise compute it as a window over the
+    // shingle key, deliberately: the window's hash exchange is REUSED by
+    // the candidate self-join below (both sides arrive partitioned by
+    // h), so the whole cap+join pipeline costs one shuffle of sh. The
+    // groupBy+semi-join spelling looks cheaper (no per-partition sort)
+    // but adds two more shingle shuffles — measured 1.5× slower
+    // end-to-end at sf0.1.
+    val capped =
+      if (sh.columns.contains("df"))
+        sh.where(col("df") <= maxShingleFreq).drop("df")
+      else sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .where(col("df") <= maxShingleFreq)
+        .drop("df")
     val pairs = capped.as("x")
       .join(capped.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))

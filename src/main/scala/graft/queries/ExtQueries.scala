@@ -133,7 +133,14 @@ object ExtQueries {
     shingleMemo.computeIfAbsent(
       s"${System.identityHashCode(s)}:$dir:$n",
       _ => {
-        val df = Dedup.hashShingles(Dedup.shingles(docs(s, dir), n)).cache()
+        // per-shingle doc frequency precomputed into the dictionary: the
+        // frequency-cap filter in jaccardPairs/duplicateClusters then
+        // costs nothing per query (one window pass here instead of one
+        // per query)
+        val df = Dedup.hashShingles(Dedup.shingles(docs(s, dir), n))
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("h")))
+          .cache()
         df.count()
         df
       })
