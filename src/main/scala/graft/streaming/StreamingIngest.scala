@@ -199,4 +199,24 @@ object StreamingIngest {
       rollupStream(points, policy.levels.head.secondsPerPoint,
         lvl.secondsPerPoint, policy.aggregation, policy.xff, maxLatenessSec)
     }
+
+  /** Multi-level refinement: one stateful rollup query per level ≥ 1,
+    * each upserting its own level (checkpoints under
+    * `checkpointRoot/level_i`). Every level aggregates the RAW stream at
+    * its own granularity — streaming recompute, not cascade — so each
+    * window is exact over the points seen and carries exact counts, and
+    * downstream readers see EVERY level at micro-batch latency (the
+    * batch cascade refreshes coarse levels only when a batch lands;
+    * STREAMING.md quantifies the visibility gap). State across queries
+    * is Σ_levels O(open windows × slots), each bounded by the watermark.
+    */
+  def startStatefulAll(points: DataFrame, store: MetricStore,
+                       checkpointRoot: String,
+                       maxLatenessSec: Long): Seq[StreamingQuery] = {
+    val policy = store.policies().values.headOption.getOrElse(
+      throw new IllegalArgumentException("no metrics created"))
+    (1 until policy.levels.size).map { i =>
+      startStateful(points, store, i, s"$checkpointRoot/level_$i", maxLatenessSec)
+    }
+  }
 }

@@ -273,4 +273,40 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination(60000)
     assert(l1() == Map(600L -> 2.5))
   }
+
+  test("startStatefulAll refines every coarse level at micro-batch latency") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-stateful-all").toString, numBuckets = 4)
+    // three levels: 60s raw, 300s, 1800s (xff 0 so every touched window emits)
+    store.create("m",
+      RetentionPolicy(
+        Seq(ArchiveInfo(60, 3000), ArchiveInfo(300, 1000), ArchiveInfo(1800, 400)),
+        xff = 0f))
+    val ckpt = Files.createTempDirectory("ckpt-stateful-all").toString
+
+    val mem = MemoryStream[(String, Long, Double)]
+    def stream = mem.toDF().toDF("metric", "tsec", "value")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value")
+
+    // one 300s window's worth of slots: both coarse levels see it at once
+    mem.addData((0 until 5).map(i => ("m", 3600L + i * 60L, 10.0 + i)): _*)
+    val qs = StreamingIngest.startStatefulAll(stream, store, ckpt, 60)
+    assert(qs.size == 2)
+    qs.foreach(_.awaitTermination(60000))
+
+    def lvl(i: Int) = store.levelData(i).collect()
+      .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+    assert(lvl(1) == Map(3600L -> 12.0)) // avg(10..14) in the 300s window
+    assert(lvl(2) == Map(3600L -> 12.0)) // same points, 1800s window
+
+    // second batch extends into the next 300s window; BOTH levels refine:
+    // level 1 gains a window, level 2's single window re-averages
+    mem.addData(("m", 3900L, 20.0))
+    val qs2 = StreamingIngest.startStatefulAll(stream, store, ckpt, 60)
+    qs2.foreach(_.awaitTermination(60000))
+    assert(lvl(1) == Map(3600L -> 12.0, 3900L -> 20.0))
+    assert(lvl(2) == Map(3600L -> (60.0 + 20.0) / 6))
+  }
 }
