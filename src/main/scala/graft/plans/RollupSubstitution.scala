@@ -645,12 +645,18 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         isInterval(i) && longLit(l).exists(_ % step == 0)
       case _ => false
     }
+    // isnotnull over the KEY columns (metric/interval, or
+    // timestamp_seconds(interval) — TimeWindowing inserts isnotnull(ts)):
+    // those never filter real rows. NOT over `value`: an all-null-value
+    // window still materializes a level row with value=null, while
+    // `WHERE value IS NOT NULL` removes its rows before aggregation —
+    // dropping that predicate would resurrect the group.
+    def keyAttr(a: Attribute): Boolean =
+      metricId.contains(a.exprId) || intervalId.contains(a.exprId)
     def droppable(e: Expression): Boolean = e match {
-      // isnotnull over a scan column, or over timestamp_seconds of one
-      // (TimeWindowing inserts isnotnull(ts)): never filters real rows
       case IsNotNull(x) => uncast(x) match {
-        case a: Attribute => leaf.outputSet.contains(a)
-        case SecondsToTimestamp(a: Attribute) => leaf.outputSet.contains(a)
+        case a: Attribute => keyAttr(a)
+        case SecondsToTimestamp(a: Attribute) => keyAttr(a)
         case _ => false
       }
       case _ => false
@@ -1115,10 +1121,22 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
 }
 
 object RollupSubstitution {
-  /** Inject into an existing session's optimizer. */
+  /** Inject into an existing session's optimizer. Idempotent per
+    * (session, store root), and meant to stay registered: every new
+    * action on a returned Dataset builds a FRESH QueryExecution, and the
+    * optimizer reads extraOptimizations at that moment — deregistering
+    * after building a frame silently hands its future executions the
+    * unsubstituted recompute plan (a `.count()` later would re-aggregate
+    * level-0 even though the build-time plan check passed).
+    */
   def register(spark: SparkSession, store: MetricStore): Unit = {
-    val rule = RollupSubstitution(spark, store)
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ rule
+    val already = spark.experimental.extraOptimizations.exists {
+      case r: RollupSubstitution =>
+        (r.spark eq spark) && r.store.root == store.root
+      case _ => false
+    }
+    if (!already)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupSubstitution(spark, store)
   }
 }

@@ -416,9 +416,11 @@ object WhisperQueries {
       // pruned scan, not a re-aggregation of level 0.
       (s, dir) => {
         val store = w23Store(s, dir)
-        val before = s.experimental.extraOptimizations
+        // register stays in effect (idempotent): every later action on the
+        // returned frame builds a fresh QueryExecution, and deregistering
+        // here would hand it the unsubstituted recompute plan
         graft.plans.RollupSubstitution.register(s, store)
-        try {
+        locally {
           val l0 = store.levelData(0).select("metric", "interval", "value")
           val q = l0
             .groupBy(col("metric"),
@@ -438,7 +440,7 @@ object WhisperQueries {
             }.isEmpty,
             "w23: rollup substitution regressed — plan still aggregates level-0")
           q
-        } finally s.experimental.extraOptimizations = before
+        }
       },
       rollupPickSql("interval DESC", RollStep, 5, 0.5f)),
     QueryDef(
@@ -450,9 +452,11 @@ object WhisperQueries {
       // unsubstituted and its values share the cold-rollup oracle.
       (s, dir) => {
         val store = w24Store(s, dir)
-        val before = s.experimental.extraOptimizations
+        // register stays in effect (idempotent): every later action on the
+        // returned frame builds a fresh QueryExecution, and deregistering
+        // here would hand it the unsubstituted recompute plan
         graft.plans.RollupSubstitution.register(s, store)
-        try {
+        locally {
           val l0 = store.levelData(0).select("metric", "interval", "value")
           val q = l0
             .groupBy(col("metric"),
@@ -465,7 +469,7 @@ object WhisperQueries {
             }.isEmpty,
             "w24: date_trunc substitution regressed — plan still aggregates level-0")
           q
-        } finally s.experimental.extraOptimizations = before
+        }
       },
       s"""$baseSql, r AS (
          |  SELECT metric, interval - interval % 3600 AS w, interval, value FROM l0
@@ -484,9 +488,11 @@ object WhisperQueries {
       // unsubstituted; values oracle-checked against the gated recompute.
       (s, dir) => {
         val store = w25Store(s, dir)
-        val before = s.experimental.extraOptimizations
+        // register stays in effect (idempotent): every later action on the
+        // returned frame builds a fresh QueryExecution, and deregistering
+        // here would hand it the unsubstituted recompute plan
         graft.plans.RollupSubstitution.register(s, store)
-        try {
+        locally {
           val l0 = store.levelData(0).select("metric", "interval", "value")
           val q = l0
             .groupBy(col("metric"),
@@ -503,7 +509,7 @@ object WhisperQueries {
             }.isEmpty,
             "w25: gated date_trunc substitution regressed — plan still aggregates level-0")
           q
-        } finally s.experimental.extraOptimizations = before
+        }
       },
       s"""$baseSql, r AS (
          |  SELECT metric, interval - interval % 3600 AS w, interval, value FROM l0
@@ -525,9 +531,11 @@ object WhisperQueries {
       // w25: refuses to run unsubstituted, values oracle-checked.
       (s, dir) => {
         val store = w24Store(s, dir) // xff=0 hourly `last` store
-        val before = s.experimental.extraOptimizations
+        // register stays in effect (idempotent): every later action on the
+        // returned frame builds a fresh QueryExecution, and deregistering
+        // here would hand it the unsubstituted recompute plan
         graft.plans.RollupSubstitution.register(s, store)
-        try {
+        locally {
           val from = 1705276800L // 2024-01-15T00:00:00Z — hour-aligned
           val until = 1705881600L // 2024-01-22T00:00:00Z
           val l0 = store.levelData(0).select("metric", "interval", "value")
@@ -550,7 +558,7 @@ object WhisperQueries {
             }.nonEmpty,
             "w26: carried predicates were dropped by the substitution")
           q
-        } finally s.experimental.extraOptimizations = before
+        }
       },
       s"""$baseSql, r AS (
          |  SELECT metric, interval - interval % 3600 AS w, interval, value FROM l0

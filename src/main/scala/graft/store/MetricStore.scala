@@ -88,40 +88,71 @@ final class MetricStore(val spark: SparkSession, val root: String,
   }
 
   /** Infer a pre-marker store's bucket layout from its own directories:
-    * find one `level_0/pb=?/tb=N` partition, read one row's interval,
-    * and pick the historical slot count whose `interval div (step·slots)`
-    * reproduces N. Epoch-scale intervals separate the candidates by
-    * construction (quotients coincide only near interval 0).
+    * find one `level_i/pb=?/tb=N` partition (any level with data), read
+    * one row's (metric, interval), resolve THAT metric's level-i step
+    * from the catalog — per-metric policies can differ, so the sampled
+    * row's own policy is the only sound denominator — and pick the
+    * historical slot count whose `interval div (step·slots)` reproduces
+    * N. Epoch-scale intervals separate the candidates by construction
+    * (quotients coincide only near interval 0). A store with data whose
+    * layout matches NO candidate is refused loudly: guessing would
+    * silently mis-prune every fetch and double-write new dirs. A store
+    * with no data rows anywhere stamps the current default (no dirs to
+    * misread).
     */
   private def probeBucketSlots(): Long = {
     val candidates = Seq(MetricStore.DefaultBucketSlots, 8192L)
-    val step = policies().values.headOption
-      .map(_.levels.head.secondsPerPoint.toLong)
-    val tbDir = {
-      val l0 = java.nio.file.Paths.get(levelPath(0))
-      val s = java.nio.file.Files.walk(l0, 2)
+    val ps = policies()
+    val sample = ps.values.headOption.flatMap { _ =>
+      (0 until ps.values.map(_.levels.size).max).view.flatMap { i =>
+        for {
+          dir <- firstTbDir(levelPath(i))
+          file <- firstParquetFile(dir)
+          row <- spark.read.parquet(file).select("metric", "interval")
+            .head(1).headOption
+          policy <- ps.get(row.getString(0))
+          if i < policy.levels.size
+        } yield (dir.getFileName.toString.stripPrefix("tb=").toLong,
+          policy.levels(i).secondsPerPoint.toLong, row.getLong(1))
+      }.headOption
+    }
+    sample match {
+      case None => MetricStore.DefaultBucketSlots
+      case Some((tb, step, interval)) =>
+        candidates.find(c => interval / (step * c) == tb).getOrElse(
+          throw new InvalidConfiguration(
+            s"store $root: cannot infer bucket layout (tb=$tb, step=$step, " +
+              s"interval=$interval matches none of ${candidates.mkString(",")}); " +
+              "write _layout with the store's bucket_slots to open it"))
+    }
+  }
+
+  /** First `tb=` partition directory under a level path, if any. */
+  private def firstTbDir(level: String): Option[java.nio.file.Path] = {
+    val root = java.nio.file.Paths.get(level)
+    if (!java.nio.file.Files.isDirectory(root)) None
+    else {
+      val s = java.nio.file.Files.walk(root, 2)
       try {
         val d = s.filter(p => p.getFileName.toString.startsWith("tb="))
           .findFirst()
         if (d.isPresent) Some(d.get) else None
       } finally s.close()
     }
-    (for {
-      st <- step
-      dir <- tbDir
-      tb = dir.getFileName.toString.stripPrefix("tb=").toLong
-      file <- {
-        val s = java.nio.file.Files.walk(dir)
-        try {
-          val p = s.filter(_.toString.endsWith(".parquet")).findFirst()
-          if (p.isPresent) Some(p.get.toString) else None
-        } finally s.close()
-      }
-      interval <- spark.read.parquet(file).select("interval")
-        .head(1).headOption.map(_.getLong(0))
-      slots <- candidates.find(c => interval / (st * c) == tb)
-    } yield slots).getOrElse(MetricStore.DefaultBucketSlots)
   }
+
+  /** First parquet data file under a directory, if any (shared by the
+    * layout probe and the count-column probe).
+    */
+  private def firstParquetFile(dir: java.nio.file.Path): Option[String] =
+    if (!java.nio.file.Files.isDirectory(dir)) None
+    else {
+      val s = java.nio.file.Files.walk(dir)
+      try {
+        val p = s.filter(_.toString.endsWith(".parquet")).findFirst()
+        if (p.isPresent) Some(p.get.toString) else None
+      } finally s.close()
+    }
 
   def policies(): Map[String, RetentionPolicy] =
     MetricStore.readCatalog(policiesPath).map {
@@ -252,16 +283,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
 
   private def levelHasCountCols(i: Int): Boolean =
     levelCountsProbe.computeIfAbsent(i, _ => {
-      val dir = java.nio.file.Paths.get(levelPath(i))
-      val firstFile =
-        if (!java.nio.file.Files.isDirectory(dir)) None
-        else {
-          val s = java.nio.file.Files.walk(dir)
-          try {
-            val f = s.filter(p => p.toString.endsWith(".parquet")).findFirst()
-            if (f.isPresent) Some(f.get.toString) else None
-          } finally s.close()
-        }
+      val firstFile = firstParquetFile(java.nio.file.Paths.get(levelPath(i)))
       java.lang.Boolean.valueOf(firstFile.forall(f =>
         spark.read.parquet(f).schema.fieldNames.contains("vsum")))
     }).booleanValue()

@@ -49,6 +49,44 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("substitution survives later actions: fresh QueryExecutions re-plan substituted") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-opt-replan").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    RollupSubstitution.register(spark, store)
+    // double registration stays idempotent (one rule instance)
+    RollupSubstitution.register(spark, store)
+    assert(spark.experimental.extraOptimizations.count {
+      case r: RollupSubstitution => r.store.root == store.root
+      case _ => false
+    } == 1)
+    try {
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"))
+      assert(q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty)
+      // a LATER action (what Bench's .count() does) builds a fresh
+      // QueryExecution — with the rule still registered it must re-plan
+      // substituted, not silently fall back to the recompute
+      val later = q.select("*")
+      assert(later.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty,
+        s"later action lost the substitution:\n${later.queryExecution.optimizedPlan}")
+      assert(later.count() == 2)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("renamed outputs substitute by exprId role, keeping the query's names") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-opt-rename").toString, numBuckets = 4)

@@ -81,4 +81,19 @@ class StoreFormatSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root2/_layout")).trim == "bucket_slots=8192")
   }
+
+  test("a pre-marker store matching no known layout is refused, not guessed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ms-layout-bad").toString
+    val s = new MetricStore(spark, root, numBuckets = 4)
+    s.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 50000)), xff = 0f))
+    val t0 = Now - Now % 60 - 600
+    // tb deliberately inconsistent with every historical layout
+    Seq(("m", t0, 7.5)).toDF("metric", "interval", "value")
+      .withColumn("pb", pmod(hash(col("metric")), lit(4)))
+      .withColumn("tb", lit(999L))
+      .write.partitionBy("pb", "tb").parquet(s"$root/level_0")
+    val reopened = new MetricStore(spark, root, numBuckets = 4)
+    intercept[InvalidConfiguration] { reopened.fetch("m", t0 - 60, t0 + 60, Now) }
+  }
 }
