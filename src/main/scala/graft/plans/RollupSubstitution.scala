@@ -163,11 +163,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                            aggExprs: Seq[NamedExpression],
                            child: LogicalPlan): Option[LogicalPlan] = {
     // the count(value) output the gate must reference
-    val knownIds = aggExprs.collect {
-      case a @ Alias(AggregateExpression(
-            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
-            _, false, None, _), _) if v.name == "value" => a.exprId
-    }
+    val knownIds = countOfValueIds(aggExprs)
     // Project must be attribute passthrough; the count output may either
     // be dropped (3-col shape) or passed through as `known` (4-col shape
     // — substitutable from the stored counts when they are exact)
@@ -207,18 +203,13 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
           case "known"    => knownIds.contains(id)
         })
       }
-      if kernel == policy.aggregation
-      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      levelIdx <- matchedLevel(policy, step, kernel)
       if !outputsKnown || exactCounts(levelIdx)
       slots = step / policy.levels.head.secondsPerPoint
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = outputsKnown)
-      val aliases: Seq[NamedExpression] = p.output.zipWithIndex.map {
-        case (attr, i) => Alias(rel.output(i), attr.name)(exprId = attr.exprId)
-      }
-      Project(aliases, applyCarried(rel, carried, sm.leaf))
+      Project(positionalAliases(rel, p.output), applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -232,11 +223,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                                 grouping0: Seq[Expression],
                                 aggExprs: Seq[NamedExpression],
                                 child: LogicalPlan): Option[LogicalPlan] = {
-    val knownIds = aggExprs.collect {
-      case a @ Alias(AggregateExpression(
-            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
-            _, false, None, _), _) if v.name == "value" => a.exprId
-    }
+    val knownIds = countOfValueIds(aggExprs)
     for {
       policy <- uniformPolicy
       if knownIds.size == 1
@@ -252,20 +239,69 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if metricIds.contains(agg.output(0).exprId) &&
         alignIds.contains(agg.output(1).exprId) &&
         agg.output(2).exprId == kernelId
-      if kernel == policy.aggregation
-      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      levelIdx <- matchedLevel(policy, step, kernel)
       if exactCounts(levelIdx)
       slots = step / policy.levels.head.secondsPerPoint
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = true)
-      val aliases: Seq[NamedExpression] = agg.output.zipWithIndex.map {
-        case (attr, i) => Alias(rel.output(i), attr.name)(exprId = attr.exprId)
-      }
-      Project(aliases, applyCarried(rel, carried, sm.leaf))
+      Project(positionalAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
     }
   }
+
+  /** Output exprIds of `count(value)` aggregates — the gated shapes'
+    * `known` (shared by every gated rewrite).
+    */
+  private def countOfValueIds(aggExprs: Seq[NamedExpression]): Seq[ExprId] =
+    aggExprs.collect {
+      case a @ Alias(AggregateExpression(
+            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
+            _, false, None, _), _) if v.name == "value" => a.exprId
+    }
+
+  /** The substitutable level for a (step, kernel) pair, or None: a level
+    * above 0 with that step must exist, the kernel must be the policy's,
+    * and the depth rules must allow it — the guard chain every rewrite
+    * shares.
+    */
+  private def matchedLevel(policy: graft.model.RetentionPolicy, step: Int,
+                           kernel: AggregationMethod): Option[Int] = {
+    val idx = policy.levels.indexWhere(_.secondsPerPoint == step)
+    if (idx > 0 && kernel == policy.aggregation && depthOk(idx, kernel, policy.xff))
+      Some(idx)
+    else None
+  }
+
+  /** metric grouping attribute present + epoch-aligned date_trunc step —
+    * the trunc shapes' shared grouping match.
+    */
+  private def truncGroupStep(grouping: Seq[Expression]): Option[Int] =
+    if (grouping.exists {
+      case a: Attribute => a.name == "metric"
+      case _ => false
+    }) grouping.flatMap(truncStep).headOption
+    else None
+
+  /** Rebind a node's outputs onto the substituted scan positionally,
+    * keeping each output's name and exprId so parents are untouched.
+    */
+  private def positionalAliases(rel: LogicalPlan,
+                                outs: Seq[Attribute]): Seq[NamedExpression] =
+    outs.zipWithIndex.map {
+      case (attr, i) => Alias(rel.output(i), attr.name)(exprId = attr.exprId)
+    }
+
+  /** Positional rebinding for the trunc shapes: the middle output is
+    * TimestampType, re-derived as timestamp_seconds(interval) (level
+    * intervals are step-aligned, so truncation is the identity on them).
+    */
+  private def truncOutputAliases(rel: LogicalPlan,
+                                 outs: Seq[Attribute]): Seq[NamedExpression] =
+    outs.zipWithIndex.map {
+      case (attr, 1) =>
+        Alias(SecondsToTimestamp(rel.output(1)), attr.name)(exprId = attr.exprId)
+      case (attr, i) => Alias(rel.output(i), attr.name)(exprId = attr.exprId)
+    }
 
   /** cond must be exactly {known > 0, known/slots >= xff} (any order).
     * EVERY conjunct must be one of those two recognized predicates — a
@@ -331,18 +367,10 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if metricIds.contains(agg.output(0).exprId) &&
         alignIds.contains(agg.output(1).exprId) &&
         agg.output(2).exprId == kernelId
-      if kernel == policy.aggregation
-      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      levelIdx <- matchedLevel(policy, step, kernel)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
-      val out = rel.output
-      // alias rollup columns to the aggregate's output attribute ids
-      val aliases: Seq[NamedExpression] = agg.output.zipWithIndex.map {
-        case (attr, i) => Alias(out(i), attr.name)(exprId = attr.exprId)
-      }
-      org.apache.spark.sql.catalyst.plans.logical.Project(
-        aliases, applyCarried(rel, carried, sm.leaf))
+      Project(positionalAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -408,11 +436,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if policy.xff == 0f // rollup rows == plain window aggregates
       if agg.output.size == 3 // names free — binding is by exprId role
       sm <- matchLevel0ScanFiltered(child)
-      if grouping.exists {
-        case a: Attribute => a.name == "metric"
-        case _ => false
-      }
-      step <- grouping.flatMap(truncStep).headOption
+      step <- truncGroupStep(grouping)
       carried <- commutingPreds(sm.preds, sm.leaf, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       // output binding by role (cross-named agg outputs)
@@ -421,17 +445,10 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if metricIds.contains(agg.output(0).exprId) &&
         truncIds.contains(agg.output(1).exprId) &&
         agg.output(2).exprId == kernelId
-      if kernel == policy.aggregation
-      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      levelIdx <- matchedLevel(policy, step, kernel)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
-      val aliases: Seq[NamedExpression] = Seq(
-        Alias(rel.output(0), agg.output(0).name)(exprId = agg.output(0).exprId),
-        Alias(SecondsToTimestamp(rel.output(1)), agg.output(1).name)(
-          exprId = agg.output(1).exprId),
-        Alias(rel.output(2), agg.output(2).name)(exprId = agg.output(2).exprId))
-      Project(aliases, applyCarried(rel, carried, sm.leaf))
+      Project(truncOutputAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -447,11 +464,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                                 grouping0: Seq[Expression],
                                 aggExprs: Seq[NamedExpression],
                                 child: LogicalPlan): Option[LogicalPlan] = {
-    val knownIds = aggExprs.collect {
-      case a @ Alias(AggregateExpression(
-            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
-            _, false, None, _), _) if v.name == "value" => a.exprId
-    }
+    val knownIds = countOfValueIds(aggExprs)
     val projPassthrough = p.projectList.forall {
       case _: Attribute => true
       case Alias(_: Attribute, _) => true
@@ -463,11 +476,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if knownIds.size == 1 && projPassthrough
       if p.output.size == 3 // names free — binding is by exprId role
       sm <- matchLevel0ScanFiltered(child)
-      if grouping.exists {
-        case a: Attribute => a.name == "metric"
-        case _ => false
-      }
-      step <- grouping.flatMap(truncStep).headOption
+      step <- truncGroupStep(grouping)
       carried <- commutingPreds(sm.preds, sm.leaf, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       (metricIds, _) = groupingOutputIds(aggExprs, child)
@@ -481,19 +490,12 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
           case _ => id == kernelId
         })
       }
-      if kernel == policy.aggregation
-      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      levelIdx <- matchedLevel(policy, step, kernel)
       slots = step / policy.levels.head.secondsPerPoint
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
-      val aliases: Seq[NamedExpression] = Seq(
-        Alias(rel.output(0), p.output(0).name)(exprId = p.output(0).exprId),
-        Alias(SecondsToTimestamp(rel.output(1)), p.output(1).name)(
-          exprId = p.output(1).exprId),
-        Alias(rel.output(2), p.output(2).name)(exprId = p.output(2).exprId))
-      Project(aliases, applyCarried(rel, carried, sm.leaf))
+      Project(truncOutputAliases(rel, p.output), applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -506,11 +508,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                                      grouping0: Seq[Expression],
                                      aggExprs: Seq[NamedExpression],
                                      child: LogicalPlan): Option[LogicalPlan] = {
-    val knownIds = aggExprs.collect {
-      case a @ Alias(AggregateExpression(
-            org.apache.spark.sql.catalyst.expressions.aggregate.Count(Seq(v: Attribute)),
-            _, false, None, _), _) if v.name == "value" => a.exprId
-    }
+    val knownIds = countOfValueIds(aggExprs)
     val grouping = resolveGrouping(grouping0, child)
     for {
       policy <- uniformPolicy
@@ -518,11 +516,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if agg.output.size == 4 // names free — binding is by exprId role
       if agg.output(3).exprId == knownIds.head // the kept output IS the count
       sm <- matchLevel0ScanFiltered(child)
-      if grouping.exists {
-        case a: Attribute => a.name == "metric"
-        case _ => false
-      }
-      step <- grouping.flatMap(truncStep).headOption
+      step <- truncGroupStep(grouping)
       carried <- commutingPreds(sm.preds, sm.leaf, step)
       (kernel, kernelId) <- matchKernel(aggExprs)
       (metricIds, _) = groupingOutputIds(aggExprs, child)
@@ -530,21 +524,13 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if metricIds.contains(agg.output(0).exprId) &&
         truncIds.contains(agg.output(1).exprId) &&
         agg.output(2).exprId == kernelId
-      if kernel == policy.aggregation
-      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      levelIdx <- matchedLevel(policy, step, kernel)
       if exactCounts(levelIdx)
       slots = step / policy.levels.head.secondsPerPoint
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = true)
-      val aliases: Seq[NamedExpression] = Seq(
-        Alias(rel.output(0), agg.output(0).name)(exprId = agg.output(0).exprId),
-        Alias(SecondsToTimestamp(rel.output(1)), agg.output(1).name)(
-          exprId = agg.output(1).exprId),
-        Alias(rel.output(2), agg.output(2).name)(exprId = agg.output(2).exprId),
-        Alias(rel.output(3), agg.output(3).name)(exprId = agg.output(3).exprId))
-      Project(aliases, applyCarried(rel, carried, sm.leaf))
+      Project(truncOutputAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -797,7 +783,6 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       (step, metricId, windowId) <- windowGroupStep(grouping0, chain)
       carried <- commutingPreds(chain.resolvedPreds, chain.leaf, step)
       (kernel, kernelId) <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
-      if kernel == policy.aggregation
       if agg.output.map(_.name).toSet == Set("metric", "window", "value")
       // windowOutputAliases wires by name — each output must BE the
       // grouping/kernel of that name (cross-named agg outputs)
@@ -808,8 +793,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
           case _        => attr.exprId == kernelId
         }
       }
-      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      levelIdx <- matchedLevel(policy, step, kernel)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
       Project(windowOutputAliases(agg.output, rel, step),
@@ -852,9 +836,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
             case _        => id == kernelId
           })
       }
-      if kernel == policy.aggregation
-      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      levelIdx <- matchedLevel(policy, step, kernel)
       slots = step / policy.levels.head.secondsPerPoint
       if gateMatches(cond, knownId, slots, policy.xff)
     } yield {
@@ -886,9 +868,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       // output binding by role, not just name (cross-named agg outputs)
       if agg.output(0).exprId == metricId && agg.output(1).exprId == windowId &&
         agg.output(2).exprId == kernelId && agg.output(3).exprId == knownId
-      if kernel == policy.aggregation
-      levelIdx = policy.levels.indexWhere(_.secondsPerPoint == step)
-      if levelIdx > 0 && depthOk(levelIdx, kernel, policy.xff)
+      levelIdx <- matchedLevel(policy, step, kernel)
       if exactCounts(levelIdx)
       slots = step / policy.levels.head.secondsPerPoint
       if gateMatches(cond, knownId, slots, policy.xff)
