@@ -167,11 +167,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     // Project must be attribute passthrough; the count output may either
     // be dropped (3-col shape) or passed through as `known` (4-col shape
     // — substitutable from the stored counts when they are exact)
-    val projPassthrough = p.projectList.forall {
-      case _: Attribute => true
-      case Alias(_: Attribute, _) => true
-      case _ => false
-    }
+    val projPassthrough = isAttributePassthrough(p.projectList)
     def refsKnown(ne: NamedExpression): Boolean = ne match {
       case a: Attribute => knownIds.contains(a.exprId)
       case Alias(a: Attribute, _) => knownIds.contains(a.exprId)
@@ -248,6 +244,16 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       Project(positionalAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
     }
   }
+
+  /** Every projection is a bare attribute or a single-attribute alias —
+    * the gated shapes' outer Project must not compute anything.
+    */
+  private def isAttributePassthrough(plist: Seq[NamedExpression]): Boolean =
+    plist.forall {
+      case _: Attribute => true
+      case Alias(_: Attribute, _) => true
+      case _ => false
+    }
 
   /** Output exprIds of `count(value)` aggregates — the gated shapes'
     * `known` (shared by every gated rewrite).
@@ -465,11 +471,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                                 aggExprs: Seq[NamedExpression],
                                 child: LogicalPlan): Option[LogicalPlan] = {
     val knownIds = countOfValueIds(aggExprs)
-    val projPassthrough = p.projectList.forall {
-      case _: Attribute => true
-      case Alias(_: Attribute, _) => true
-      case _ => false
-    }
+    val projPassthrough = isAttributePassthrough(p.projectList)
     val grouping = resolveGrouping(grouping0, child)
     for {
       policy <- uniformPolicy
@@ -811,11 +813,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                                  grouping0: Seq[Expression],
                                  aggExprs: Seq[NamedExpression],
                                  child: LogicalPlan): Option[LogicalPlan] = {
-    val projPassthrough = p.projectList.forall {
-      case _: Attribute => true
-      case Alias(_: Attribute, _) => true
-      case _ => false
-    }
+    val projPassthrough = isAttributePassthrough(p.projectList)
     for {
       policy <- uniformPolicy
       if projPassthrough
