@@ -604,7 +604,13 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     *     [w, w+step), so aligned bounds cut exactly on window edges) —
     *     whisper's fetch range, which update/fetch align the same way
     *     (/root/reference/whisper.py:947-954 picks the archive, then
-    *     fromInterval/untilInterval are step-aligned);
+    *     fromInterval/untilInterval are step-aligned). The bound may be
+    *     written in either domain: against the long column, or against a
+    *     timestamp view of it (`ts >= timestamp'…'` on window edges,
+    *     where ts = timestamp_seconds(interval) — the window()-chain
+    *     resolves its `ts` alias to exactly that). Carried bounds are
+    *     canonicalized to long-second comparisons so they reach the
+    *     level scan as pushable parquet filters;
     *   - IsNotNull on any scan column is dropped, not carried: level
     *     rows are non-null by construction and a null value row joins no
     *     rollup anyway (count/kernels ignore nulls).
@@ -616,22 +622,67 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
   private def commutingPreds(preds: Seq[Expression], leaf: LogicalPlan,
                              step: Int): Option[Seq[Expression]] = {
     val metricId = leaf.output.find(_.name == "metric").map(_.exprId)
-    val intervalId = leaf.output.find(_.name == "interval").map(_.exprId)
-    def isInterval(e: Expression): Boolean = uncast(e) match {
+    val intervalOut = leaf.output.find(_.name == "interval")
+    val intervalId = intervalOut.map(_.exprId)
+    def isIntervalNum(e: Expression): Boolean = uncast(e) match {
       case a: Attribute => intervalId.contains(a.exprId)
       case _ => false
     }
+    // a timestamp-typed VIEW of the interval column: timestamp_seconds,
+    // or a single integral→timestamp cast (both read the long as epoch
+    // seconds; deeper chains may parse instead of convert — no match)
+    def isIntervalTs(e: Expression): Boolean = e match {
+      case SecondsToTimestamp(a: Attribute) => intervalId.contains(a.exprId)
+      case Cast(a: Attribute, _: org.apache.spark.sql.types.TimestampType, _, _)
+          if a.dataType == org.apache.spark.sql.types.LongType ||
+            a.dataType == org.apache.spark.sql.types.IntegerType =>
+        intervalId.contains(a.exprId)
+      case _ => false
+    }
+    // The bound in epoch SECONDS, or None if `col`/`lit` is not an
+    // (interval view, literal) pair in a single domain. A timestamp
+    // literal stores MICROS — alignment must be checked on the converted
+    // seconds, never the raw literal (micros % step == 0 holds for
+    // unaligned-second bounds whenever step divides 1e6, e.g. step=100);
+    // sub-second timestamps cut inside a level-0 slot and never commute.
+    def boundSeconds(colSide: Expression, litSide: Expression): Option[Long] =
+      litSide match {
+        case Literal(micros: Long, _: org.apache.spark.sql.types.TimestampType)
+            if isIntervalTs(colSide) =>
+          if (micros % 1000000L == 0) Some(micros / 1000000L) else None
+        case _ if isIntervalNum(colSide) =>
+          uncast(litSide) match {
+            case lit @ Literal(_, dt)
+                if !dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
+                  !dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] &&
+                  !dt.isInstanceOf[org.apache.spark.sql.types.DateType] =>
+              longLit(lit)
+            case _ => None
+          }
+        case _ => None
+      }
     def metricOnly(e: Expression): Boolean =
       e.deterministic &&
         !e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) &&
         e.references.nonEmpty &&
         e.references.forall(a => metricId.contains(a.exprId))
-    def alignedBound(e: Expression): Boolean = e match {
-      case GreaterThanOrEqual(i, l) =>
-        isInterval(i) && longLit(l).exists(_ % step == 0)
-      case LessThan(i, l) =>
-        isInterval(i) && longLit(l).exists(_ % step == 0)
-      case _ => false
+    // aligned half-open bounds, canonicalized to long-second comparisons
+    // over the leaf's interval attribute (applyCarried remaps that onto
+    // the level scan, where it pushes down as a plain parquet filter)
+    def alignedBound(e: Expression): Option[Expression] = {
+      val canon: Option[(Boolean, Long)] = e match {
+        case GreaterThanOrEqual(c, l) => boundSeconds(c, l).map((true, _))  // col >= L
+        case LessThan(c, l)           => boundSeconds(c, l).map((false, _)) // col <  U
+        case LessThanOrEqual(l, c)    => boundSeconds(c, l).map((true, _))  // L <= col
+        case GreaterThan(l, c)        => boundSeconds(c, l).map((false, _)) // U >  col
+        case _ => None
+      }
+      for {
+        (isLower, s) <- canon
+        if s % step == 0
+        iv <- intervalOut
+      } yield
+        if (isLower) GreaterThanOrEqual(iv, Literal(s)) else LessThan(iv, Literal(s))
     }
     // isnotnull over the KEY columns (metric/interval, or
     // timestamp_seconds(interval) — TimeWindowing inserts isnotnull(ts)):
@@ -649,9 +700,16 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       }
       case _ => false
     }
-    val kept = preds.filter(p => metricOnly(p) || alignedBound(p))
-    if (preds.forall(p => metricOnly(p) || alignedBound(p) || droppable(p)))
-      Some(kept)
+    // Some(Some(p)) = carry p; Some(None) = drop; None = veto
+    val classified: Seq[Option[Option[Expression]]] = preds.map { p =>
+      if (metricOnly(p)) Some(Some(p))
+      else alignedBound(p) match {
+        case Some(c) => Some(Some(c))
+        case None if droppable(p) => Some(None)
+        case None => None
+      }
+    }
+    if (classified.forall(_.isDefined)) Some(classified.flatten.flatten)
     else None
   }
 

@@ -168,6 +168,134 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  private def ts(sec: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+
+  test("timestamp bound on window edges carries (window() spelling)") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = aligned(store)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .where(col("metric") === "a" && col("ts") >= lit(ts(w0 + 300L)))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"))
+      assert(!hasAggregate(q),
+        s"ts-bound window() substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[String]("metric"),
+          r.getStruct(1).getTimestamp(0).toInstant.getEpochSecond,
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set(("a", w0 + 300L, 17.0)), s"wrong ts-bound windows: $got")
+      // and the canonicalized bound pushes down as a plain long filter
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains("GreaterThanOrEqual(interval"),
+        s"ts bound not canonicalized to a pushed interval filter:\n$physical")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("timestamp upper bound against timestamp_seconds(interval) carries (align spelling)") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store)
+        .where(col("metric") === "b" &&
+          timestamp_seconds(col("interval")) < lit(ts(w0 + 300L))))
+      assert(!hasAggregate(q),
+        s"ts-bound align substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval"),
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set(("b", w0, 102.0)), s"wrong ts-bounded rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("literal-on-the-left timestamp bound carries") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store)
+        .where(col("metric") === "a" &&
+          lit(ts(w0 + 300L)) <= timestamp_seconds(col("interval"))))
+      assert(!hasAggregate(q),
+        s"reversed ts bound did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"))).toSet
+      assert(got == Set((w0 + 300L, 17.0)), s"wrong reversed-bound rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("unaligned timestamp bound does NOT substitute") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store)
+        .where(timestamp_seconds(col("interval")) >= lit(ts(w0 + 60L))))
+      assert(hasAggregate(q),
+        s"unaligned ts bound wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("sub-second timestamp bound does NOT substitute") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val half = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(w0 + 300L).plusMillis(500))
+      val q = grouped(aligned(store)
+        .where(timestamp_seconds(col("interval")) >= lit(half)))
+      assert(hasAggregate(q),
+        s"sub-second ts bound wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  /** The alignment check must convert the timestamp literal to SECONDS
+    * before the `% step` test: a bound that is unaligned in seconds still
+    * has micros divisible by any step that divides 1e6 (here 100), so a
+    * raw-literal check would carry a mid-window cut onto the level scan.
+    */
+  test("micros-divisible but seconds-unaligned cast bound does NOT substitute") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-microtrap").toString, numBuckets = 4)
+    store.createAll(Seq("a"),
+      RetentionPolicy(Seq(ArchiveInfo(20, 300), ArchiveInfo(100, 300)), xff = 0f))
+    val base = Now - 2000
+    val w0 = base - base % 100
+    val pts = (0 until 10).map(i => ("a", w0 + i * 20L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val bound = w0 + 60L // 60 % 100 != 0, but 60e6 % 100 == 0
+      val q = store.levelData(0).select("metric", "interval", "value")
+        .where(col("interval").cast("timestamp") >= lit(ts(bound)))
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(100L)).as("interval"))
+        .agg(avg(col("value")).as("value"))
+      assert(hasAggregate(q),
+        s"seconds-unaligned cast bound wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+      // the recompute answers the partial window correctly
+      val got = q.collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"))).toSet
+      assert(got == Set((w0, 13.5), (w0 + 100L, 17.0)), s"wrong partial rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("aligned cast-spelled timestamp bound substitutes") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store)
+        .where(col("metric") === "a" &&
+          col("interval").cast("timestamp") >= lit(ts(w0 + 300L))))
+      assert(!hasAggregate(q),
+        s"aligned cast ts bound did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"))).toSet
+      assert(got == Set((w0 + 300L, 17.0)), s"wrong cast-bound rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("gated date_trunc shape carries a metric filter onto the hourly scan") {
     import spark.implicits._
     val store = new MetricStore(
