@@ -571,6 +571,47 @@ object WhisperQueries {
          |  FROM r
          |) WHERE rn = 1 ORDER BY 1, 2""".stripMargin),
     QueryDef(
+      "w27_rollup_topk_substituted",
+      // TOP-K over the rollup read path — ORDER BY value LIMIT above the
+      // matched aggregate ("which hours saw the highest reading"). The
+      // rule rewrites the INNER Aggregate bottom-up, so the Sort/Limit
+      // parents ride on the substituted level scan unchanged — physically
+      // a TakeOrderedAndProject over the pruned scan, never a full sort
+      // of a level-0 re-aggregation. Driver-gated like w23..w26; the
+      // (value DESC, metric, interval) tie-break makes the top-k row set
+      // deterministic for the oracle compare.
+      (s, dir) => {
+        val store = w24Store(s, dir) // xff=0 hourly `last` store
+        // register stays in effect (idempotent): every later action on the
+        // returned frame builds a fresh QueryExecution, and deregistering
+        // here would hand it the unsubstituted recompute plan
+        graft.plans.RollupSubstitution.register(s, store)
+        locally {
+          val l0 = store.levelData(0).select("metric", "interval", "value")
+          val q = l0
+            .groupBy(col("metric"),
+              (col("interval") - col("interval") % lit(3600L)).as("interval"))
+            .agg(max_by(col("value"), col("interval")).as("value"))
+            .orderBy(col("value").desc, col("metric"), col("interval"))
+            .limit(20)
+          require(
+            q.queryExecution.optimizedPlan.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty,
+            "w27: top-k substitution regressed — plan still aggregates level-0")
+          q
+        }
+      },
+      s"""$baseSql, r AS (
+         |  SELECT metric, interval - interval % 3600 AS w, interval, value FROM l0
+         |)
+         |SELECT metric, w AS interval, value FROM (
+         |  SELECT metric, w, value,
+         |         row_number() OVER (PARTITION BY metric, w ORDER BY interval DESC) AS rn
+         |  FROM r
+         |) WHERE rn = 1
+         |ORDER BY value DESC, metric, interval LIMIT 20""".stripMargin),
+    QueryDef(
       "w22_streaming_ingest",
       // the STREAMING write path against the same oracle: events staged
       // as 4 arrival-ordered files (repartitionByRange on seq → file

@@ -49,6 +49,39 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("ORDER BY ... LIMIT above a matched aggregate substitutes (top-k read)") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-opt-topk").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("m", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"))
+        .orderBy(col("value").desc, col("interval"))
+        .limit(1)
+      val optimized = q.queryExecution.optimizedPlan
+      assert(optimized.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, s"top-k substitution did not fire:\n$optimized")
+      // Sort+Limit ride on the substituted scan: physically a top-k
+      // (TakeOrderedAndProject), not a full sort of a re-aggregation
+      assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+        s"top-k did not plan as TakeOrderedAndProject:\n${q.queryExecution.executedPlan}")
+      val got = q.collect().map(r =>
+        r.getAs[Long]("interval") -> r.getAs[Double]("value")).toSeq
+      assert(got == Seq((w0 + 300L) -> 17.0), s"wrong top-1 row: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("substitution survives later actions: fresh QueryExecutions re-plan substituted") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-opt-replan").toString, numBuckets = 4)
