@@ -87,16 +87,31 @@ object Bench {
         .values
         .foreach(r => try { r.unpersist(false); () } catch { case _: Throwable => () })
     val errors = scala.collection.mutable.Buffer.empty[String]
+    // median-of-3 per query: this machine is co-tenant (same binary
+    // benched 24.3 s and 36.9 s back to back), so single timings carry
+    // ±50% noise that reads as phantom regressions round-over-round. A
+    // median over three runs collapses most of it; a failing query
+    // aborts its repeats and surfaces in `errors`.
     val results = benched.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      dropStrayCaches()
-      // a throwing query must surface as an error, not bench as "fast"
-      if (!ok) errors += name
-      name -> (if (ok) dt else -1.0)
+      def timeOnce(): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropStrayCaches()
+        // a throwing query must surface as an error, not bench as "fast"
+        if (!ok) { if (!errors.contains(name)) errors += name; -1.0 } else dt
+      }
+      val t1 = timeOnce()
+      val v =
+        if (t1 < 0) -1.0
+        else {
+          val t2 = timeOnce()
+          val t3 = timeOnce()
+          if (t2 < 0 || t3 < 0) -1.0 else Seq(t1, t2, t3).sorted.apply(1)
+        }
+      name -> v
     }
     // Incremental-ingest evidence (ROADMAP #1): x00 = cold full-history
     // ingest into a fresh store; x01 = a second one-day batch into the

@@ -28,9 +28,18 @@ object StreamingIngest {
 
   /** Micro-batch upsert into a store. `stream` columns:
     * (metric: string, ts: timestamp, value: double, seq: long).
+    *
+    * @param vacuumEvery run the store's retention sweep
+    *        ([[MetricStore.vacuum]]) after every N non-empty batches —
+    *        a long-running ingest session otherwise accretes expired
+    *        time buckets until someone runs `cli vacuum` by hand (ring
+    *        eviction is lazy by design). 0 = off. The sweep deletes
+    *        whole expired bucket directories, so its cost is
+    *        O(#partitions), not data size.
     */
   def start(stream: DataFrame, store: MetricStore, checkpoint: String,
-            now: () => Long): StreamingQuery =
+            now: () => Long, vacuumEvery: Int = 0): StreamingQuery = {
+    val batches = new java.util.concurrent.atomic.AtomicLong
     stream
       .select(col("metric"), col("ts").cast("long").as("ts"), col("value"), col("seq"))
       .writeStream
@@ -38,9 +47,14 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) store.updateMany(batch, now())
+        if (!batch.isEmpty) {
+          store.updateMany(batch, now())
+          if (vacuumEvery > 0 && batches.incrementAndGet() % vacuumEvery == 0)
+            store.vacuum(now())
+        }
       }
       .start()
+  }
 
   /** Continuous tumbling-window rollup: the streaming form of
     * Rollup.propagate. Watermark = allowed lateness (whisper's

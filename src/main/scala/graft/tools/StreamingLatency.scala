@@ -51,6 +51,7 @@ object StreamingLatency {
     try {
       run(spark, "stateful", nMetrics, waves)
       run(spark, "append", nMetrics, waves)
+      runStorePaths(spark, nMetrics, waves)
     } finally spark.stop()
   }
 
@@ -104,5 +105,117 @@ object StreamingLatency {
     val steadyLag = if (lagTail.isEmpty) 0 else lagTail.max
     println(f"""{"mode":"$mode%s","metric":"summary","totalSec":$totalSec%.3f,""" +
       f""""steadyLagWindows":$steadyLag%d,"waves":$waves%d,"metrics":$nMetrics%d}""")
+  }
+
+  // ---- store-backed paths: batch cascade vs startStatefulAll ----------
+
+  /** STORE-level comparison (ROADMAP round-6 #3): maintain a 3-level
+    * store wave by wave through
+    *
+    *   - `cascade`: `updateMany` per wave — level-0 write + the
+    *     touched-window cascade rewrites levels 1..2 in-batch;
+    *   - `stateful-all`: level-0 write via `updateMany` on a
+    *     SINGLE-level twin store (same work, no cascade) + one
+    *     continuously-running stateful rollup query per coarse level
+    *     (the `startStatefulAll` pipelines, kept running instead of
+    *     Trigger.AvailableNow so one harness process can drive waves),
+    *     each upserting exact (value, known, vsum) rows.
+    *
+    * Both sides pay the level-0 write, so the wall-time delta isolates
+    * coarse-level maintenance: bucket-rewrite cascade vs narrow
+    * state-store upserts. After the last wave the coarse levels of the
+    * two stores must agree row-for-row (1e-9 tolerance for summation
+    * order) — printed as `levelsMatch`.
+    */
+  private def runStorePaths(spark: SparkSession, nMetrics: Int,
+                            waves: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.model.{ArchiveInfo, RetentionPolicy}
+    import graft.store.MetricStore
+    implicit val sqlCtx = spark.sqlContext
+
+    val policy = RetentionPolicy(
+      Seq(ArchiveInfo(SourceStep, 50000), ArchiveInfo(Step, 20000),
+        ArchiveInfo(Step * 6, 5000)),
+      xff = 0.5f, AggregationMethod.Average)
+    val metrics = (0 until nMetrics).map(i => s"m$i")
+    val now = T0 + waves.toLong * Step + 864000L
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+    def waveDf(w: Int) = waveRows(w, nMetrics)
+      .map { case (m, t, v) => (m, t, v, t) } // unique slots: seq = ts
+      .toDF("metric", "ts", "value", "seq")
+
+    // cascade path
+    val storeA = new MetricStore(spark, tmp("lat-cascade"), numBuckets = 8)
+    storeA.createAll(metrics, policy)
+    var cascadeSec = 0.0
+    (0 until waves).foreach { w =>
+      val df = waveDf(w)
+      val t0 = System.nanoTime()
+      storeA.updateMany(df, now)
+      val dt = (System.nanoTime() - t0) / 1e9
+      cascadeSec += dt
+      println(f"""{"mode":"cascade","wave":$w%d,"sec":$dt%.3f}""")
+    }
+
+    // stateful-all path: level-0 twin + per-level stateful upsert queries
+    val storeB = new MetricStore(spark, tmp("lat-stateful"), numBuckets = 8)
+    storeB.createAll(metrics, policy)
+    val storeB0 = new MetricStore(spark, tmp("lat-stateful-l0"), numBuckets = 8)
+    storeB0.createAll(metrics,
+      RetentionPolicy(Seq(ArchiveInfo(SourceStep, 50000)), xff = 0.5f,
+        AggregationMethod.Average))
+    val mem = MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value")
+    val queries = (1 until policy.levels.size).map { i =>
+      val step = policy.levels(i).secondsPerPoint
+      StreamingIngest.rollupStateful(stream, SourceStep, step,
+        policy.aggregation, policy.xff, LatenessSec)
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", tmp(s"lat-ck$i"))
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            storeB.upsertRollups(i,
+              batch.select("metric", "interval", "value", "known", "vsum"))
+        }
+        .start()
+    }
+    var statefulSec = 0.0
+    (0 until waves).foreach { w =>
+      val df = waveDf(w)
+      val t0 = System.nanoTime()
+      storeB0.updateMany(df, now)
+      mem.addData(waveRows(w, nMetrics): _*)
+      queries.foreach(_.processAllAvailable())
+      val dt = (System.nanoTime() - t0) / 1e9
+      statefulSec += dt
+      println(f"""{"mode":"stateful-all","wave":$w%d,"sec":$dt%.3f}""")
+    }
+    queries.foreach(_.stop())
+
+    // end-state equality of the coarse levels (1e-9: summation order)
+    val levelsMatch = (1 until policy.levels.size).forall { i =>
+      val a = storeA.levelData(i).select(col("metric"), col("interval"),
+        col("value"), col("known"))
+      val b = storeB.levelData(i).select(col("metric"), col("interval"),
+        col("value").as("bvalue"), col("known").as("bknown"))
+      val joined = a.join(b, Seq("metric", "interval"), "full_outer")
+      val bad = joined.where(
+        col("value").isNull || col("bvalue").isNull ||
+          abs(col("value") - col("bvalue")) > lit(1e-9) ||
+          col("known") =!= col("bknown")).count()
+      if (bad > 0)
+        println(s"""{"mode":"stateful-all","level":$i,"mismatchedRows":$bad}""")
+      bad == 0
+    }
+    println(f"""{"mode":"cascade","metric":"summary","totalSec":$cascadeSec%.3f,""" +
+      f""""waves":$waves%d,"metrics":$nMetrics%d}""")
+    println(f"""{"mode":"stateful-all","metric":"summary","totalSec":$statefulSec%.3f,""" +
+      f""""waves":$waves%d,"metrics":$nMetrics%d,"levelsMatch":$levelsMatch%b}""")
   }
 }

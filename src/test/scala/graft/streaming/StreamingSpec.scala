@@ -68,6 +68,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.values.flatten == Seq(9.0, 2.0)) // late write won; too-old dropped
   }
 
+  test("vacuumEvery sweeps expired buckets during a long-running ingest session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-autovac").toString, numBuckets = 4)
+    // 60s × 300 slots = 5h retention; buckets span 1024 slots ≈ 17h
+    store.create("m", RetentionPolicy(Seq(ArchiveInfo(60, 300))))
+
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value", "seq")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value", "seq")
+
+    // session 1: a point written long ago (fresh relative to ITS clock)
+    val tOld = Now - 12L * 61440L
+    mem.addData(("m", tOld - 60, 1.0, 0L))
+    StreamingIngest.start(
+      stream, store, Files.createTempDirectory("ckpt-vac1").toString,
+      () => tOld).awaitTermination(60000)
+    assert(store.levelData(0).count() == 1)
+
+    // session 2, far later with vacuumEvery=1: the fresh batch lands and
+    // the sweep after it drops the long-expired bucket directory
+    mem.addData(("m", Now - 60, 2.0, 1L))
+    StreamingIngest.start(
+      stream, store, Files.createTempDirectory("ckpt-vac2").toString,
+      () => Now, vacuumEvery = 1).awaitTermination(60000)
+
+    val left = store.levelData(0).select("interval", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(left == Seq((Now - 60) -> 2.0),
+      s"expired bucket not swept by vacuumEvery: $left")
+  }
+
   test("dedupStream: streaming exact dedup with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
