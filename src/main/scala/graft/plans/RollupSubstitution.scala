@@ -668,13 +668,26 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         e.references.forall(a => metricId.contains(a.exprId))
     // aligned half-open bounds, canonicalized to long-second comparisons
     // over the leaf's interval attribute (applyCarried remaps that onto
-    // the level scan, where it pushes down as a plain parquet filter)
+    // the level scan, where it pushes down as a plain parquet filter).
+    // Inclusive spellings (BETWEEN desugars to >= && <=) commute when the
+    // NEXT second is window-aligned: intervals are integral, so
+    // `col <= U` ⇔ `col < U+1` and `col > L` ⇔ `col >= L+1`.
     def alignedBound(e: Expression): Option[Expression] = {
+      def incl(s: Long): Option[Long] =
+        if ((s + 1) % step == 0) Some(s + 1) else None
       val canon: Option[(Boolean, Long)] = e match {
-        case GreaterThanOrEqual(c, l) => boundSeconds(c, l).map((true, _))  // col >= L
-        case LessThan(c, l)           => boundSeconds(c, l).map((false, _)) // col <  U
-        case LessThanOrEqual(l, c)    => boundSeconds(c, l).map((true, _))  // L <= col
-        case GreaterThan(l, c)        => boundSeconds(c, l).map((false, _)) // U >  col
+        case GreaterThanOrEqual(a, b) =>
+          boundSeconds(a, b).map((true, _))                           // col >= L
+            .orElse(boundSeconds(b, a).flatMap(incl).map((false, _))) // U >= col ⇔ col < U+1
+        case LessThan(a, b) =>
+          boundSeconds(a, b).map((false, _))                          // col < U
+            .orElse(boundSeconds(b, a).flatMap(incl).map((true, _)))  // L < col ⇔ col >= L+1
+        case LessThanOrEqual(a, b) =>
+          boundSeconds(a, b).flatMap(incl).map((false, _))            // col <= U ⇔ col < U+1
+            .orElse(boundSeconds(b, a).map((true, _)))                // L <= col
+        case GreaterThan(a, b) =>
+          boundSeconds(a, b).flatMap(incl).map((true, _))             // col > L ⇔ col >= L+1
+            .orElse(boundSeconds(b, a).map((false, _)))               // U > col
         case _ => None
       }
       for {
@@ -683,6 +696,43 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         iv <- intervalOut
       } yield
         if (isLower) GreaterThanOrEqual(iv, Literal(s)) else LessThan(iv, Literal(s))
+    }
+    // whole-BLOCK equality selectors: `alignExpr(B) = s` / `date_trunc
+    // (unit, ts) = s` select every window inside one B-wide block when B
+    // is a multiple of the step and s is B-aligned (an unaligned s
+    // selects nothing in the original — veto rather than canonicalize,
+    // the recompute answers empty correctly). Carried as the half-open
+    // [s, s+B) range over the level's interval.
+    def blockEq(colSide: Expression, litSide: Expression): Option[Expression] = {
+      val viaAlign = for {
+        b <- alignStep(colSide)
+        s <- uncast(litSide) match {
+          case lit @ Literal(_, dt)
+              if !dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
+                !dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] &&
+                !dt.isInstanceOf[org.apache.spark.sql.types.DateType] =>
+            longLit(lit)
+          case _ => None
+        }
+      } yield (b, s)
+      val viaTrunc = for {
+        u <- truncStep(colSide)
+        s <- litSide match {
+          case Literal(micros: Long, _: org.apache.spark.sql.types.TimestampType)
+              if micros % 1000000L == 0 => Some(micros / 1000000L)
+          case _ => None
+        }
+      } yield (u.toLong, s)
+      for {
+        (block, s) <- viaAlign.orElse(viaTrunc)
+        if block > 0 && block % step == 0 && s % block == 0
+        iv <- intervalOut
+      } yield And(GreaterThanOrEqual(iv, Literal(s)),
+        LessThan(iv, Literal(s + block)))
+    }
+    def eqSelector(e: Expression): Option[Expression] = e match {
+      case EqualTo(a, b) => blockEq(a, b).orElse(blockEq(b, a))
+      case _ => None
     }
     // isnotnull over the KEY columns (metric/interval, or
     // timestamp_seconds(interval) — TimeWindowing inserts isnotnull(ts)):
@@ -703,7 +753,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     // Some(Some(p)) = carry p; Some(None) = drop; None = veto
     val classified: Seq[Option[Option[Expression]]] = preds.map { p =>
       if (metricOnly(p)) Some(Some(p))
-      else alignedBound(p) match {
+      else alignedBound(p).orElse(eqSelector(p)) match {
         case Some(c) => Some(Some(c))
         case None if droppable(p) => Some(None)
         case None => None

@@ -296,6 +296,101 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("inclusive BETWEEN bounds carry when the next second is window-aligned") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      // BETWEEN desugars to >= && <=; the inclusive end w0+599 commutes
+      // because intervals are integral: <= w0+599 ⇔ < w0+600 (aligned)
+      val q = grouped(aligned(store)
+        .where(col("metric") === "a" &&
+          col("interval").between(lit(w0 + 300L), lit(w0 + 599L))))
+      assert(!hasAggregate(q),
+        s"BETWEEN bounds did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"))).toSet
+      assert(got == Set((w0 + 300L) -> 17.0), s"wrong BETWEEN rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("inclusive end NOT on a window edge does NOT substitute") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store)
+        .where(col("interval") <= lit(w0 + 300L))) // keeps ONE row of window w0+300
+      assert(hasAggregate(q),
+        s"mid-window inclusive end wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+      val got = q.where(col("metric") === "a").collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"))).toSet
+      assert(got == Set(w0 -> 12.0, (w0 + 300L) -> 15.0), s"wrong partial rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("equality on the aligned expression selects one whole window and carries") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store)
+        .where(col("metric") === "b" &&
+          (col("interval") - col("interval") % lit(300L)) === lit(w0 + 300L)))
+      assert(!hasAggregate(q),
+        s"aligned-expression equality did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"))).toSet
+      assert(got == Set((w0 + 300L) -> 107.0), s"wrong equality rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("date_trunc('day') equality over an hourly grouping carries as a day range") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-dayeq").toString, numBuckets = 4)
+    store.createAll(Seq("a", "b"),
+      RetentionPolicy(Seq(ArchiveInfo(600, 2000), ArchiveInfo(3600, 600)), xff = 0f))
+    val d0 = (Now - 400000) / 86400 * 86400 // a day boundary
+    val pts = (for {
+      m <- Seq("a", "b")
+      i <- 0 until 8 // spans d0 hours 0..1, plus two points the day before
+    } yield (m, d0 + (i - 2) * 1800L, (if (m == "a") 10.0 else 100.0) + i))
+      .zipWithIndex.map { case ((m, t, v), i) => (m, t, v, i.toLong) }
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      // "hourly rollups for one day": block width 86400 is a multiple of
+      // the 3600 level step and the literal is day-aligned
+      val q = store.levelData(0).select("metric", "interval", "value")
+        .where(col("metric") === "a" &&
+          date_trunc("day", timestamp_seconds(col("interval"))) === lit(ts(d0)))
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(3600L)).as("interval"))
+        .agg(avg(col("value")).as("value"))
+      assert(!hasAggregate(q),
+        s"day-equality did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"))).toSet
+      // hour 0 of d0: slots at d0, d0+1800 (values 12, 13); hour 1:
+      // d0+3600, +5400 (14, 15); hour 2: d0+7200, +9000 (16, 17);
+      // the two pre-d0 points are excluded by the day selector
+      assert(got == Set(d0 -> 12.5, (d0 + 3600L) -> 14.5, (d0 + 7200L) -> 16.5),
+        s"wrong day-equality rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("day-unaligned date_trunc equality literal does NOT substitute") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      // selects nothing in the original (trunc output is day-aligned);
+      // canonicalizing to a range would WRONGLY select rows — must veto
+      val q = grouped(aligned(store)
+        .where(date_trunc("day", timestamp_seconds(col("interval"))) === lit(ts(w0))))
+      assert(hasAggregate(q),
+        s"unaligned day-equality wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().isEmpty)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("gated date_trunc shape carries a metric filter onto the hourly scan") {
     import spark.implicits._
     val store = new MetricStore(
