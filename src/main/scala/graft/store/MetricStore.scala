@@ -476,24 +476,43 @@ final class MetricStore(val spark: SparkSession, val root: String,
     *
     * @param batch (metric, ts: epoch-sec long, value, seq: arrival order)
     */
-  def updateMany(batch: DataFrame, now: Long): Unit = {
+  def updateMany(batch: DataFrame, now: Long): Unit =
+    updateMany(batch, now, cascade = true)
+
+  /** `cascade = false` writes ONLY the finest level — for deployments
+    * whose coarse levels are maintained externally, i.e. the streaming
+    * refinement path ([[graft.streaming.StreamingIngest.startMixed]]):
+    * stateful queries upsert every coarse level from the raw stream, so
+    * cascading here would re-derive the same windows a second time per
+    * batch. Consequences the caller accepts:
+    *
+    *   - rollups are marked DIVERGED (substitution refuses — the
+    *     externally-maintained levels are recomputes of the stream, not
+    *     the cascade of level 0, and the stateful watermark may drop
+    *     what the batch path would keep);
+    *   - points too old for the finest archive FAIL-STOP instead of
+    *     routing to a coarser one (they would need exactly the skipped
+    *     cascade; they are also beyond any sane stateful watermark —
+    *     route ancient backfill through the cascade path instead).
+    */
+  def updateMany(batch: DataFrame, now: Long, cascade: Boolean): Unit = {
     val ps = policies()
     require(ps.nonEmpty, "no metrics created")
     // heterogeneous policies: one routed ingest per distinct policy shape
     // (policy count is small; each group's cascade is its own job chain)
     ps.values.toSeq.distinct match {
-      case Seq(single) => updateManyForPolicy(batch, single, now)
+      case Seq(single) => updateManyForPolicy(batch, single, now, cascade)
       case multiple =>
         multiple.foreach { policy =>
           val metrics = ps.collect { case (m, p) if p == policy => m }.toSeq
           updateManyForPolicy(
-            batch.where(col("metric").isin(metrics: _*)), policy, now)
+            batch.where(col("metric").isin(metrics: _*)), policy, now, cascade)
         }
     }
   }
 
   private def updateManyForPolicy(batch: DataFrame, policy: RetentionPolicy,
-                                  now: Long): Unit = {
+                                  now: Long, cascade: Boolean = true): Unit = {
     val routed = Ingest.routeAndDedup(batch, policy, now).cache()
     // Writes are taken off the cascade's critical path:
     //  - FRESH levels (bulk load): the cascade reads the in-memory
@@ -552,6 +571,15 @@ final class MetricStore(val spark: SparkSession, val root: String,
       // level-0 aggregations — rollup substitution is no longer sound
       if (directStats.exists { case (l, (n, _, _)) => l >= 1 && n > 0 })
         markRollupsDiverged()
+      if (!cascade) {
+        // see the public overload's contract: coarse-routed points need
+        // the very cascade being skipped — fail-stop, never drop
+        if (directStats.exists { case (l, (n, _, _)) => l >= 1 && n > 0 })
+          throw new IllegalArgumentException(
+            "cascade=false but the batch contains points too old for the " +
+              "finest archive; ingest them through the cascade path")
+        if (policy.levels.size > 1) markRollupsDiverged()
+      }
       val directTouched: Map[Int, Set[(Int, Long)]] = partStats
         .groupBy(_._1)
         .map { case (lvl, rows) => lvl -> rows.map(r => (r._2, r._3)).toSet }
@@ -633,7 +661,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
       // level still holds unpropagated direct writes — whisper cascades
       // from EVERY archive that received points (whisper.py:858-875), so
       // a batch landing only in coarse archives must still roll up
-      while (i < steps.length &&
+      while (cascade && i < steps.length &&
         (changedNonEmpty || directStats.exists { case (l, (n, _, _)) => l >= i && n > 0 })) {
         // Partition-prune the higher-level read down to the change hull
         // BEFORE the semi join: an incremental batch reads only the time

@@ -233,4 +233,47 @@ object StreamingIngest {
       startStateful(points, store, i, s"$checkpointRoot/level_$i", maxLatenessSec)
     }
   }
+
+  /** MIXED deployment — cascade backfill, stateful live tail, one store:
+    * level 0 is written by a cascade-FREE micro-batch upsert
+    * (`updateMany(…, cascade = false)` — routing, LWW, retention checks,
+    * no coarse rewrites), while one stateful query per coarse level
+    * refines that level from the raw stream at micro-batch latency.
+    * Returns the level-0 query followed by the coarse-level queries.
+    *
+    * Handoff contract: backfill (plain `updateMany` of the history)
+    * must end on a COARSEST-level window boundary, and the stream must
+    * carry everything from that boundary on. Each coarse window is then
+    * wholly owned by one side — the backfilled windows were cascaded
+    * exactly once, the live windows are exact recomputes over the raw
+    * stream — so the mixed store holds the same bytes the full cascade
+    * would (StreamingSpec pins the equality). A handoff inside a coarse
+    * window would leave that window's stateful recompute blind to the
+    * backfilled slots: the xff gate and the aggregate would both be
+    * computed over the tail alone.
+    *
+    * `stream` columns: (metric, ts: timestamp, value, seq: long).
+    */
+  def startMixed(stream: DataFrame, store: MetricStore, checkpointRoot: String,
+                 now: () => Long, maxLatenessSec: Long,
+                 vacuumEvery: Int = 0): Seq[StreamingQuery] = {
+    val batches = new java.util.concurrent.atomic.AtomicLong
+    val q0 = stream
+      .select(col("metric"), col("ts").cast("long").as("ts"), col("value"), col("seq"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$checkpointRoot/level_0")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          store.updateMany(batch, now(), cascade = false)
+          if (vacuumEvery > 0 && batches.incrementAndGet() % vacuumEvery == 0)
+            store.vacuum(now())
+        }
+      }
+      .start()
+    q0 +: startStatefulAll(
+      stream.select(col("metric"), col("ts"), col("value")),
+      store, checkpointRoot, maxLatenessSec)
+  }
 }

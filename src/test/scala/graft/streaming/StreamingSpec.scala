@@ -101,6 +101,78 @@ class StreamingSpec extends AnyFunSuite {
       s"expired bucket not swept by vacuumEvery: $left")
   }
 
+  test("mixed deployment: cascade backfill + stateful live tail equals the full cascade") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val policy = RetentionPolicy(
+      Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000), ArchiveInfo(1800, 5000)),
+      xff = 0.5f)
+    val t0 = Now - 86400L // 1800-aligned (Now % 1800 == 0)
+    def waveRows(w: Int): Seq[(String, Long, Double, Long)] =
+      for { m <- Seq("a", "b"); s <- 0 until 5 } yield {
+        val t = t0 + w * 300L + s * 60L
+        (m, t, (w * 5 + s).toDouble + (if (m == "a") 0 else 100), t)
+      }
+    def mkStore(tag: String) = {
+      val st = new MetricStore(
+        spark, Files.createTempDirectory(tag).toString, numBuckets = 4)
+      st.createAll(Seq("a", "b"), policy)
+      st
+    }
+
+    // reference: the full history through one cascade
+    val ref = mkStore("ms-mixed-ref")
+    ref.updateMany(
+      (0 until 20).flatMap(waveRows).toDF("metric", "ts", "value", "seq"), Now)
+
+    // mixed: backfill waves 0..11 by cascade — the handoff at wave 12
+    // (t0 + 3600) is a COARSEST-level (1800s) window boundary — then the
+    // live tail, waves 12..19, through startMixed
+    val mixed = mkStore("ms-mixed")
+    mixed.updateMany(
+      (0 until 12).flatMap(waveRows).toDF("metric", "ts", "value", "seq"), Now)
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value", "seq")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value", "seq")
+    mem.addData((12 until 20).flatMap(waveRows): _*)
+    val qs = StreamingIngest.startMixed(
+      stream, mixed, Files.createTempDirectory("ckpt-mixed").toString,
+      () => Now, maxLatenessSec = 900)
+    qs.foreach(_.awaitTermination(120000))
+
+    (0 until 3).foreach { i =>
+      val cols = if (i == 0) Seq("metric", "interval", "value")
+                 else Seq("metric", "interval", "value", "known")
+      val a = ref.levelData(i).select(cols.head, cols.tail: _*)
+      val b = mixed.levelData(i)
+        .select(cols.map(c => col(c).as(s"b_$c")): _*)
+      val joined = a.join(b,
+        col("metric") === col("b_metric") && col("interval") === col("b_interval"),
+        "full_outer")
+      val bad = joined.where(
+        col("value").isNull || col("b_value").isNull ||
+          abs(col("value") - col("b_value")) > lit(1e-9) ||
+          (if (i == 0) lit(false) else col("known") =!= col("b_known"))).count()
+      assert(bad == 0, s"level $i diverged between mixed and cascade: $bad rows")
+    }
+  }
+
+  test("cascade=false with a too-old point fails fast instead of dropping it") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-nocascade-old").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 10), ArchiveInfo(300, 300)), xff = 0f))
+    // 60s × 10 slots = 600s of finest retention; this point is older and
+    // would route to the 300s archive — exactly the cascade being skipped
+    val batch = Seq(("m", Now - 1200L, 1.0, 0L)).toDF("metric", "ts", "value", "seq")
+    val e = intercept[IllegalArgumentException] {
+      store.updateMany(batch, Now, cascade = false)
+    }
+    assert(e.getMessage.contains("cascade=false"))
+  }
+
   test("dedupStream: streaming exact dedup with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
