@@ -67,6 +67,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       rewrite(agg, groupingExprs, aggExprs, child)
         .orElse(rewriteWindow(agg, groupingExprs, aggExprs, child))
         .orElse(rewriteTrunc(agg, groupingExprs, aggExprs, child))
+        .orElse(rewritePruned(agg, groupingExprs, aggExprs, child))
         .getOrElse(agg)
   }
 
@@ -377,6 +378,45 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
       Project(positionalAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
+    }
+  }
+
+  /** The PRUNED fetch-grid shape: when a parent reads only
+    * (interval, value) — whisper's `__archive_fetch` spelled as a dense
+    * slot grid left-joined onto the rollup aggregate — Catalyst's column
+    * pruning drops the metric grouping from the aggregate OUTPUT while
+    * the grouping itself stays (metric, align). One row per
+    * metric×window either way, so the level scan substitutes with its
+    * metric column simply not projected; outputs (in either order) bind
+    * to the align grouping and the kernel by exprId role.
+    */
+  private def rewritePruned(agg: Aggregate, grouping0: Seq[Expression],
+                            aggExprs: Seq[NamedExpression],
+                            child: LogicalPlan): Option[LogicalPlan] = {
+    val grouping = resolveGrouping(grouping0, child)
+    for {
+      policy <- uniformPolicy
+      if policy.xff == 0f // rollup rows == plain window aggregates
+      if agg.output.size == 2
+      sm <- matchLevel0ScanFiltered(child)
+      (metricExpr, step) <- matchGrouping(grouping)
+      carried <- commutingPreds(sm.preds, sm.leaf, step)
+      (kernel, kernelId) <- matchKernel(aggExprs)
+      (metricIds, alignIds) = groupingOutputIds(aggExprs, child)
+      // the metric grouping must be PRUNED from the output (the 3-output
+      // shape is [[rewrite]]'s), and the two outputs must be exactly the
+      // align grouping and the kernel, in either order
+      if !agg.output.exists(a => metricIds.contains(a.exprId))
+      if agg.output.count(a => alignIds.contains(a.exprId)) == 1
+      if agg.output.count(_.exprId == kernelId) == 1
+      levelIdx <- matchedLevel(policy, step, kernel)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = false)
+      val outs = agg.output.map { attr =>
+        val src = if (alignIds.contains(attr.exprId)) rel.output(1) else rel.output(2)
+        Alias(src, attr.name)(exprId = attr.exprId)
+      }
+      Project(outs, applyCarried(rel, carried, sm.leaf))
     }
   }
 
@@ -746,7 +786,10 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case IsNotNull(x) => uncast(x) match {
         case a: Attribute => keyAttr(a)
         case SecondsToTimestamp(a: Attribute) => keyAttr(a)
-        case _ => false
+        // constraint inference on a grid join's key adds isnotnull over
+        // the GROUPING EXPRESSION itself — an alignment/truncation of a
+        // non-null interval is never null, so it filters nothing
+        case other => alignStep(other).nonEmpty || truncStep(other).nonEmpty
       }
       case _ => false
     }

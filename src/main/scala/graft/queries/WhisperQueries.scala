@@ -571,6 +571,58 @@ object WhisperQueries {
          |  FROM r
          |) WHERE rn = 1 ORDER BY 1, 2""".stripMargin),
     QueryDef(
+      "w28_fetch_grid_substituted",
+      // whisper __archive_fetch AS A SUBSTITUTED READ: the dense slot
+      // grid (one row per hour in [from, until), null where the archive
+      // has no window — whisper.py:959-972's null-padded vector) spelled
+      // as a range left-joined onto the rollup aggregate. Catalyst
+      // prunes the metric grouping from the aggregate's output under the
+      // join; the PRUNED shape substitutes to the filtered hourly scan
+      // and the grid join rides on top. Driver-gated like w23..w27.
+      (s, dir) => {
+        val store = w24Store(s, dir) // xff=0 hourly `last` store
+        // register stays in effect (idempotent): every later action on the
+        // returned frame builds a fresh QueryExecution, and deregistering
+        // here would hand it the unsubstituted recompute plan
+        graft.plans.RollupSubstitution.register(s, store)
+        locally {
+          val from = 1705276800L // 2024-01-15T00:00:00Z — hour-aligned
+          val until = 1705881600L // one week: 168 slots
+          val l0 = store.levelData(0).select("metric", "interval", "value")
+          val agg = l0
+            .where(col("metric") === "click" &&
+              col("interval") >= lit(from) && col("interval") < lit(until))
+            .groupBy(col("metric"),
+              (col("interval") - col("interval") % lit(3600L)).as("interval"))
+            .agg(max_by(col("value"), col("interval")).as("value"))
+          val grid = s.range(from, until, 3600).select(col("id").as("interval"))
+          val q = grid.join(agg, Seq("interval"), "left")
+            .select(col("interval"), col("value"))
+            .orderBy("interval")
+          require(
+            q.queryExecution.optimizedPlan.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty,
+            "w28: fetch-grid substitution regressed — plan still aggregates level-0")
+          q
+        }
+      },
+      s"""$baseSql, r AS (
+         |  SELECT metric, interval - interval % 3600 AS w, interval, value FROM l0
+         |  WHERE metric = 'click'
+         |    AND interval >= 1705276800 AND interval < 1705881600
+         |), roll AS (
+         |  SELECT w AS interval, value FROM (
+         |    SELECT w, value,
+         |           row_number() OVER (PARTITION BY metric, w ORDER BY interval DESC) AS rn
+         |    FROM r
+         |  ) WHERE rn = 1
+         |)
+         |SELECT g.interval, roll.value
+         |FROM range(1705276800, 1705881600, 3600) AS g(interval)
+         |LEFT JOIN roll ON roll.interval = g.interval
+         |ORDER BY 1""".stripMargin),
+    QueryDef(
       "w27_rollup_topk_substituted",
       // TOP-K over the rollup read path — ORDER BY value LIMIT above the
       // matched aggregate ("which hours saw the highest reading"). The

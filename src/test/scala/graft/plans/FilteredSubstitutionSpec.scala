@@ -391,6 +391,33 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("dense fetch grid (left join on a slot range) rides the substituted scan") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      // whisper __archive_fetch: one metric, aligned [from, until), one
+      // row per slot with null for missing windows — spelled as a grid
+      // left-joined onto the rollup aggregate. The inner Aggregate
+      // substitutes bottom-up; the grid join rides on top.
+      val from = w0
+      val until = w0 + 900L // 3 slots; only 2 have data
+      val agg = grouped(aligned(store)
+        .where(col("metric") === "a" &&
+          col("interval") >= lit(from) && col("interval") < lit(until)))
+      val grid = spark.range(from, until, 300).select(col("id").as("interval"))
+      val q = grid.join(agg, Seq("interval"), "left")
+        .select(col("interval"), col("value"))
+        .orderBy("interval")
+      assert(!hasAggregate(q),
+        s"fetch-grid read did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      assert(got.toSeq == Seq(
+        (w0, Some(12.0)), (w0 + 300L, Some(17.0)), (w0 + 600L, None)),
+        s"wrong dense grid: ${got.toSeq}")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("gated date_trunc shape carries a metric filter onto the hourly scan") {
     import spark.implicits._
     val store = new MetricStore(
