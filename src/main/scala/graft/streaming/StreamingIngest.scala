@@ -252,6 +252,12 @@ object StreamingIngest {
     * backfilled slots: the xff gate and the aggregate would both be
     * computed over the tail alone.
     *
+    * Duplicate-slot caveat: level 0 resolves same-slot duplicates by
+    * max `seq` while the stateful levels resolve by ARRIVAL order
+    * within a batch ([[rollupStateful]]'s fold) — feed arrival-ordered
+    * streams (carbon's wire order, where seq IS arrival) or dedup
+    * upstream if the two can differ.
+    *
     * `stream` columns: (metric, ts: timestamp, value, seq: long).
     */
   def startMixed(stream: DataFrame, store: MetricStore, checkpointRoot: String,
