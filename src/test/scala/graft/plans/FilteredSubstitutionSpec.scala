@@ -415,6 +415,36 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
       assert(got.toSeq == Seq(
         (w0, Some(12.0)), (w0 + 300L, Some(17.0)), (w0 + 600L, None)),
         s"wrong dense grid: ${got.toSeq}")
+      // the grid joins by broadcast — the level scan must never shuffle
+      // for a slot skeleton
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains("BroadcastHashJoin"),
+        s"grid join did not broadcast:\n$physical")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("SQL dense grid (range table function) substitutes through Engine.install views") {
+    val (store, w0) = mkStore()
+    graft.Engine.install(spark, store, "fgrid")
+    try {
+      val q = spark.sql(
+        s"""SELECT g.id AS interval, r.value
+           |FROM range(${w0}, ${w0 + 900L}, 300) AS g
+           |LEFT JOIN (
+           |  SELECT interval - interval % 300 AS w, avg(value) AS value
+           |  FROM fgrid_level_0
+           |  WHERE metric = 'a'
+           |    AND interval >= $w0 AND interval < ${w0 + 900L}
+           |  GROUP BY metric, 1
+           |) r ON r.w = g.id
+           |ORDER BY 1""".stripMargin)
+      assert(!hasAggregate(q),
+        s"SQL grid substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      assert(got.toSeq == Seq(
+        (w0, Some(12.0)), (w0 + 300L, Some(17.0)), (w0 + 600L, None)),
+        s"wrong SQL dense grid: ${got.toSeq}")
     } finally spark.experimental.extraOptimizations = Nil
   }
 

@@ -158,6 +158,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed deployment restart: stateful state resumes, a window split across runs converges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val policy = RetentionPolicy(
+      Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000), ArchiveInfo(1800, 5000)),
+      xff = 0.5f)
+    val t0 = Now - 86400L // 1800-aligned
+    def waveRows(w: Int): Seq[(String, Long, Double, Long)] =
+      for { m <- Seq("a", "b"); s <- 0 until 5 } yield {
+        val t = t0 + w * 300L + s * 60L
+        (m, t, (w * 5 + s).toDouble + (if (m == "a") 0 else 100), t)
+      }
+    val mixed = new MetricStore(
+      spark, Files.createTempDirectory("ms-mixed-restart").toString, numBuckets = 4)
+    mixed.createAll(Seq("a", "b"), policy)
+    // backfill waves 0..5 — handoff at t0+1800, a coarsest boundary
+    mixed.updateMany(
+      (0 until 6).flatMap(waveRows).toDF("metric", "ts", "value", "seq"), Now)
+
+    val ckpt = Files.createTempDirectory("ckpt-mixed-restart").toString // SHARED
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    def stream = mem.toDF().toDF("metric", "tsec", "value", "seq")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value", "seq")
+
+    // run A: waves 6..8 — the 1800s window [t0+1800, t0+3600) is only
+    // HALF fed when the queries drain and stop ("crash")
+    mem.addData((6 until 9).flatMap(waveRows): _*)
+    StreamingIngest.startMixed(stream, mixed, ckpt, () => Now, maxLatenessSec = 900)
+      .foreach(_.awaitTermination(120000))
+    // run B against the SAME checkpoints: waves 9..11 complete it — the
+    // recovered state must consolidate run A's slots with run B's
+    mem.addData((9 until 12).flatMap(waveRows): _*)
+    StreamingIngest.startMixed(stream, mixed, ckpt, () => Now, maxLatenessSec = 900)
+      .foreach(_.awaitTermination(120000))
+
+    val ref = new MetricStore(
+      spark, Files.createTempDirectory("ms-mixed-restart-ref").toString, numBuckets = 4)
+    ref.createAll(Seq("a", "b"), policy)
+    ref.updateMany(
+      (0 until 12).flatMap(waveRows).toDF("metric", "ts", "value", "seq"), Now)
+    (0 until 3).foreach { i =>
+      def dump(s: MetricStore) = s.levelData(i)
+        .select("metric", "interval", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+      assert(dump(mixed) == dump(ref), s"level $i diverged after restart")
+    }
+  }
+
   test("cascade=false with a too-old point fails fast instead of dropping it") {
     import spark.implicits._
     val store = new MetricStore(
