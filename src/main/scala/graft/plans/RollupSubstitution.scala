@@ -68,6 +68,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         .orElse(rewriteWindow(agg, groupingExprs, aggExprs, child))
         .orElse(rewriteTrunc(agg, groupingExprs, aggExprs, child))
         .orElse(rewritePruned(agg, groupingExprs, aggExprs, child))
+        .orElse(rewriteKnown(agg, groupingExprs, aggExprs, child))
         .getOrElse(agg)
   }
 
@@ -414,6 +415,59 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
       val outs = agg.output.map { attr =>
         val src = if (alignIds.contains(attr.exprId)) rel.output(1) else rel.output(2)
+        Alias(src, attr.name)(exprId = attr.exprId)
+      }
+      Project(outs, applyCarried(rel, carried, sm.leaf))
+    }
+  }
+
+  /** The 4-output (metric, time, kernel, known) aggregate on an xff=0
+    * store with exact counts — substituted at the AGGREGATE node, so any
+    * parent (an arbitrary `HAVING known >= k`, `HAVING value > x`, a
+    * join, a sort) rides the substituted scan with its exprIds intact.
+    * This is what makes user-chosen quality gates over rollups cheap:
+    * the gated rewrites only recognize the store's OWN xff gate, but on
+    * an ungated store level rows are exactly the window aggregates with
+    * their true counts, so every output-level predicate commutes by
+    * construction. Align and date_trunc groupings; outputs bind by
+    * exprId role in any order. (xff>0 stores stay with the gated
+    * rewrites: their levels lack sub-gate rows, so an arbitrary HAVING
+    * would see a different input set.)
+    */
+  private def rewriteKnown(agg: Aggregate, grouping0: Seq[Expression],
+                           aggExprs: Seq[NamedExpression],
+                           child: LogicalPlan): Option[LogicalPlan] = {
+    val knownIds = countOfValueIds(aggExprs)
+    val grouping = resolveGrouping(grouping0, child)
+    for {
+      policy <- uniformPolicy
+      if policy.xff == 0f // rollup rows == plain window aggregates
+      if agg.output.size == 4
+      if knownIds.size == 1
+      sm <- matchLevel0ScanFiltered(child)
+      (step, isTrunc) <- matchGrouping(grouping).map { case (_, s) => (s, false) }
+        .orElse(truncGroupStep(grouping).map(s => (s, true)))
+      carried <- commutingPreds(sm.preds, sm.leaf, step)
+      (kernel, kernelId) <- matchKernel(aggExprs)
+      (metricIds, alignIds) = groupingOutputIds(aggExprs, child)
+      timeIds = if (isTrunc) outputIdsWhere(aggExprs, child)(e => truncStep(e).nonEmpty)
+                else alignIds
+      // all four roles present exactly once, in any output order
+      if agg.output.count(a => metricIds.contains(a.exprId)) == 1
+      if agg.output.count(a => timeIds.contains(a.exprId)) == 1
+      if agg.output.count(_.exprId == kernelId) == 1
+      if agg.output.count(a => knownIds.contains(a.exprId)) == 1
+      levelIdx <- matchedLevel(policy, step, kernel)
+      if exactCounts(levelIdx)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = true)
+      val outs = agg.output.map { attr =>
+        val src: Expression =
+          if (metricIds.contains(attr.exprId)) rel.output(0)
+          else if (timeIds.contains(attr.exprId))
+            if (isTrunc) SecondsToTimestamp(rel.output(1)) else rel.output(1)
+          else if (attr.exprId == kernelId) rel.output(2)
+          else rel.output(3)
         Alias(src, attr.name)(exprId = attr.exprId)
       }
       Project(outs, applyCarried(rel, carried, sm.leaf))

@@ -623,6 +623,45 @@ object WhisperQueries {
          |LEFT JOIN roll ON roll.interval = g.interval
          |ORDER BY 1""".stripMargin),
     QueryDef(
+      "w29_rollup_having_counts",
+      // a USER-chosen quality gate over rollups — HAVING count >= k,
+      // not the store's xff gate (the store is ungated): the bare
+      // 4-output aggregate substitutes from the level's exact counts
+      // and the HAVING rides the substituted scan. Driver-gated like
+      // w23..w28.
+      (s, dir) => {
+        val store = w24Store(s, dir) // xff=0 hourly `last` store, exact counts
+        // register stays in effect (idempotent): every later action on the
+        // returned frame builds a fresh QueryExecution, and deregistering
+        // here would hand it the unsubstituted recompute plan
+        graft.plans.RollupSubstitution.register(s, store)
+        locally {
+          val l0 = store.levelData(0).select("metric", "interval", "value")
+          val q = l0
+            .groupBy(col("metric"),
+              (col("interval") - col("interval") % lit(3600L)).as("interval"))
+            .agg(max_by(col("value"), col("interval")).as("value"),
+              count(col("value")).as("known"))
+            .where(col("known") >= 4)
+            .orderBy("metric", "interval")
+          require(
+            q.queryExecution.optimizedPlan.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty,
+            "w29: HAVING-over-counts substitution regressed — plan still aggregates level-0")
+          q
+        }
+      },
+      s"""$baseSql, r AS (
+         |  SELECT metric, interval - interval % 3600 AS w, interval, value FROM l0
+         |)
+         |SELECT metric, w AS interval, value, known FROM (
+         |  SELECT metric, w, value,
+         |         row_number() OVER (PARTITION BY metric, w ORDER BY interval DESC) AS rn,
+         |         count(value) OVER (PARTITION BY metric, w) AS known
+         |  FROM r
+         |) WHERE rn = 1 AND known >= 4 ORDER BY 1, 2""".stripMargin),
+    QueryDef(
       "w27_rollup_topk_substituted",
       // TOP-K over the rollup read path — ORDER BY value LIMIT above the
       // matched aggregate ("which hours saw the highest reading"). The

@@ -448,6 +448,100 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("arbitrary HAVING over counts substitutes on an xff=0 store (align spelling)") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      // user-chosen quality gate, NOT the store's xff gate: the bare
+      // 4-output aggregate substitutes and the HAVING rides above it
+      val q = aligned(store)
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") >= 5 && col("value") > 50.0)
+      assert(!hasAggregate(q),
+        s"HAVING-over-counts did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("interval"),
+          r.getAs[Double]("value"), r.getAs[Long]("known"))).toSet
+      assert(got == Set(("b", w0, 102.0, 5L), ("b", w0 + 300L, 107.0, 5L)),
+        s"wrong HAVING rows: $got")
+
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("HAVING over counts substitutes on the date_trunc spelling, outputs reordered") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-havingtrunc").toString, numBuckets = 4)
+    store.createAll(Seq("a", "b"),
+      RetentionPolicy(Seq(ArchiveInfo(600, 2000), ArchiveInfo(3600, 600)), xff = 0f))
+    val h0 = (Now - 400000) / 3600 * 3600
+    // metric a fills 4 slots of hour h0; metric b only 2
+    val pts = (for {
+      (m, n) <- Seq(("a", 4), ("b", 2)); i <- 0 until n
+    } yield (m, h0 + i * 600L, (if (m == "a") 10.0 else 100.0) + i))
+      .zipWithIndex.map { case ((m, t, v), i) => (m, t, v, i.toLong) }
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0).select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          date_trunc("hour", timestamp_seconds(col("interval"))).as("hour"))
+        .agg(count(col("value")).as("known"), avg(col("value")).as("value"))
+        .where(col("known") >= 3) // user gate, not the store's (xff=0)
+      assert(!hasAggregate(q),
+        s"trunc HAVING-over-counts did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[String]("metric"), r.getAs[Long]("known"),
+          r.getAs[Double]("value"))).toSet
+      assert(got == Set(("a", 4L, 11.5)), s"wrong trunc HAVING rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("bare 4-output rollup read (value + known) substitutes on an xff=0 store") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = aligned(store)
+        .where(col("metric") === "a")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+      assert(!hasAggregate(q),
+        s"bare 4-output read did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"),
+          r.getAs[Long]("known"))).toSet
+      assert(got == Set((w0, 12.0, 5L), (w0 + 300L, 17.0, 5L)),
+        s"wrong 4-output rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("arbitrary HAVING does NOT substitute on an xff>0 store (sub-gate rows differ)") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-havinggated").toString, numBuckets = 4)
+    store.createAll(Seq("a"),
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0.5f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = (0 until 10).map(i => ("a", w0 + i * 60L, 10.0 + i, i.toLong))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      // known >= 1 would KEEP sub-gate windows the xff=0.5 level dropped
+      // — the level is not a sound source for this query
+      val q = store.levelData(0).select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") >= 1)
+      assert(hasAggregate(q),
+        s"user HAVING wrongly substituted on a gated store:\n${q.queryExecution.optimizedPlan}")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("gated date_trunc shape carries a metric filter onto the hourly scan") {
     import spark.implicits._
     val store = new MetricStore(
