@@ -1080,6 +1080,16 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * O(#partitions). Heterogeneous stores fall back to row-level
     * eviction: rewrite ONLY partitions that contain expired rows, with
     * per-metric cutoffs broadcast into the filter.
+    *
+    * Evicting LEVEL-0 buckets on a multi-level store marks rollups
+    * diverged: whisper's archive invariant (coarser archives retain
+    * LONGER, whisper.py:100-113) means every evicted level-0 window is
+    * still covered by some coarse level — a substituted level scan would
+    * return windows a level-0 re-aggregation can no longer produce.
+    * That is correct FETCH behavior (serving old ranges from coarse
+    * archives is the point of retention tiers) but breaks the
+    * substitution rule's claimed query-equivalence, so the rule must
+    * refuse from then on.
     */
   def vacuum(now: Long): Unit = {
     val ps = policies()
@@ -1094,7 +1104,10 @@ final class MetricStore(val spark: SparkSession, val root: String,
             dir.listFiles().filter(_.getName.startsWith("pb=")).foreach { pbDir =>
               pbDir.listFiles().filter(_.getName.startsWith("tb=")).foreach { tbDir =>
                 val tb = tbDir.getName.stripPrefix("tb=").toLong
-                if (tb < cutoffTb) deleteRecursively(tbDir)
+                if (tb < cutoffTb) {
+                  deleteRecursively(tbDir)
+                  if (i == 0 && policy.levels.size > 1) markRollupsDiverged()
+                }
               }
             }
           }
@@ -1127,6 +1140,11 @@ final class MetricStore(val spark: SparkSession, val root: String,
           // tb reads back as int or long depending on partition inference
           .map(r => (r.getInt(0), r.getAs[Number](1).longValue))
         if (touched.nonEmpty) {
+          // same reasoning as the uniform path: evicted level-0 windows
+          // survive in coarser archives (defensive — substitution already
+          // refuses heterogeneous stores, but the marker is the record)
+          if (i == 0 && ps.values.exists(_.levels.size > 1))
+            markRollupsDiverged()
           val touchedFilter = touched
             .map { case (p, t) => col("pb") === p && col("tb") === t }
             .reduce(_ || _)

@@ -82,6 +82,38 @@ class RollupSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("vacuum that evicts level-0 buckets disables substitution (coarse levels retain longer)") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-opt-vac").toString, numBuckets = 4)
+    // finest retention 10 slots (600s); the coarse level keeps 4000
+    // windows (1.2Ms) — whisper's archive invariant, so the evicted
+    // level-0 bucket's windows SURVIVE in level 1
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 10), ArchiveInfo(300, 4000)), xff = 0f))
+    // old points: fresh relative to THEIR write clock, far expired at Now
+    val tOld = Now - 15L * 61440L // well past a level-0 bucket span
+    val old = (0 until 5).map(i => ("m", tOld - 300 + i * 60L, 1.0 + i, i.toLong))
+    store.updateMany(old.toDF("metric", "ts", "value", "seq"), tOld)
+    assert(store.rollupsDerivedFromLevel0)
+
+    store.vacuum(Now) // drops the expired level-0 bucket; level 1 keeps it
+    assert(!store.rollupsDerivedFromLevel0,
+      "level-0 eviction must mark rollups diverged")
+
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"))
+      assert(q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty,
+        "substitution must refuse after level-0 eviction — the level holds windows the recompute cannot produce")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("substitution survives later actions: fresh QueryExecutions re-plan substituted") {
     val store = new MetricStore(
       spark, Files.createTempDirectory("ms-opt-replan").toString, numBuckets = 4)
