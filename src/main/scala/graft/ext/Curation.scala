@@ -68,6 +68,100 @@ object Curation {
       .select(col(idCol), col(srcCol), col("rk").cast("int").as("rk"))
   }
 
+  /** Global deterministic training order: a portable content-hash sort
+    * key per document — reruns, resumed jobs, and engine ports all
+    * produce the SAME shuffle for the same seed, with no RNG state to
+    * checkpoint. Consumers `.orderBy("okey")`: Spark plans that as a
+    * RANGE-partitioned global sort (sampled boundaries, per-partition
+    * sort), never a single-reducer `row_number` — the only shape that
+    * survives a 100 TB corpus.
+    */
+  def shuffleOrder(docs: DataFrame, seed: Long,
+                   idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("okey"))
+      .orderBy("okey")
+
+  /** Deterministic stratified sampling: keep each stratum (language,
+    * source, …) at its own target fraction by hashing the document id
+    * onto the unit interval — `md5(id)`'s first 8 hex digits sort below
+    * the stratum's threshold iff the doc falls in its kept fraction.
+    * Portable (md5 hex compares identically everywhere) and stable:
+    * adding documents never flips earlier keep decisions, so incremental
+    * corpus builds stay consistent. Strata without a configured fraction
+    * are dropped. One broadcast join; no shuffle of the corpus.
+    */
+  def stratifiedSample(docs: DataFrame, fractions: Map[String, Double],
+                       stratumCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def thresh(f: Double): String =
+      if (f >= 1.0) "g" // sorts above every hex digit — keep all
+      else "%08x".format(math.max(0L, math.round(f * 4294967296.0)))
+    val frDf = fractions.toSeq.map { case (k, f) => (k, thresh(f)) }
+      .toDF(stratumCol, "h_thresh")
+    docs
+      .join(broadcast(frDf), stratumCol)
+      .where(substring(md5(col(idCol).cast("string")), 1, 8) < col("h_thresh"))
+      .select(col(idCol), col(stratumCol))
+  }
+
+  /** Per-stage attrition report for a quality-filter chain: how many
+    * documents enter each stage and how many survive it, with stages
+    * applied in order (a doc dropped at stage i is not counted against
+    * later stages — the numbers a pipeline owner actually wants when a
+    * corpus shrinks unexpectedly). One scan: each doc's pass DEPTH
+    * (leading stages passed) aggregates into conditional counts; the
+    * per-stage rows come from `stack`, never a driver loop.
+    */
+  def qualityAttrition(docs: DataFrame,
+                       stages: Seq[(String, Column)]): DataFrame = {
+    val depth = stages.zipWithIndex.foldRight(lit(stages.size)) {
+      case (((_, pred), i), otherwise) => when(!pred, lit(i)).otherwise(otherwise)
+    }
+    val aggCols = count(lit(1)).as("c0") +:
+      stages.indices.map(i =>
+        sum(when(col("d") >= i + 1, 1L).otherwise(0L)).as(s"c${i + 1}"))
+    val counts = docs
+      .select(depth.as("d"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case ((name, _), i) =>
+        s"'$name', ${i + 1}, c$i, c${i + 1}" }
+      .mkString(", ")
+    counts.selectExpr(
+      s"stack(${stages.size}, $stackArgs) AS (stage, stage_idx, docs_in, docs_kept)")
+      .select(col("stage"), col("stage_idx").cast("int").as("stage_idx"),
+        col("docs_in"), col("docs_kept"),
+        (col("docs_in") - col("docs_kept")).as("docs_dropped"))
+  }
+
+  /** Quality-ordered selection under a per-source token budget: each
+    * source keeps its best documents (quality desc, doc_id tie-break)
+    * until the next one would exceed `budget` cumulative tokens — the
+    * "fill the mixture bucket" step of corpus construction. Per-source
+    * windows shuffle once and never serialize on a global reducer; a
+    * GLOBAL budget is the per-source result with source budgets set by
+    * the mixture weights (the scale-safe spelling of a global running
+    * sum).
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long,
+                        idCol: String = "doc_id", srcCol: String = "source",
+                        textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"),
+        TextAnalysis.qualityScore(col(textCol)).as("q"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .where(col("cum") <= budget)
+      .select(col("source"), col("doc_id"), col("toks"), col("cum"))
+  }
+
   /** GPT-style sequence packing: concatenate each source's documents in
     * stable (doc_id) order and cut the token stream into fixed-`budget`
     * chunks — the packing step that turns a curated corpus into

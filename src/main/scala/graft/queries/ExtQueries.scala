@@ -653,6 +653,110 @@ object ExtQueries {
         |SELECT a, b, round(dot, 4) AS cos FROM dots
         |WHERE dot >= 0.35 ORDER BY 1, 2""".stripMargin
     ),
+    QueryDef(
+      "d15_shuffle_deterministic",
+      // global training order as a portable content-hash sort key: same
+      // seed → same shuffle on any engine, no RNG state; consumers sort
+      // by okey (a range-partitioned global sort, not a row_number)
+      (s, dir) => Curation.shuffleOrder(docs(s, dir), seed = 42L),
+      """SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS okey
+        |FROM documents ORDER BY 2""".stripMargin
+    ),
+    QueryDef(
+      "d16_sample_stratified",
+      // per-language target fractions via the md5 unit interval: keep a
+      // doc iff its hash prefix sorts below the stratum threshold —
+      // stable under corpus growth, reproducible across engines
+      (s, dir) => Curation.stratifiedSample(docs(s, dir),
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 1.0, "fr" -> 0.1))
+        .orderBy("doc_id"),
+      """SELECT doc_id, lang FROM documents
+        |JOIN (VALUES ('en', '80000000'), ('es', '40000000'),
+        |             ('de', 'g'), ('fr', '1999999a')) f(lang, th)
+        |USING (lang)
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < th
+        |ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d17_quality_attrition",
+      // the per-stage attrition report a pipeline owner reads when a
+      // corpus shrinks: docs entering/surviving each filter, stages
+      // applied in order (min length → known language → quality ≥ 0.5 →
+      // stopword ratio ≥ 0.05), one scan
+      (s, dir) => Curation.qualityAttrition(docs(s, dir), Seq(
+        "min_chars" -> (col("n_chars") >= 100),
+        "lang_known" -> (graft.ext.TextAnalysis.langId(col("text")) =!= "und"),
+        "quality" -> (graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.5),
+        "stopwords" -> (graft.ext.TextAnalysis.stopwordRatio(col("text")) >= 0.05)))
+        .orderBy("stage_idx"),
+      s"""WITH q AS (
+         |  SELECT n_chars,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |        '\\b(${graft.ext.TextAnalysis.StopEn.mkString("|")})\\b')) AS INTEGER) AS s_en,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |        '\\b(${graft.ext.TextAnalysis.StopEs.mkString("|")})\\b')) AS INTEGER) AS s_es,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |        '\\b(${graft.ext.TextAnalysis.StopDe.mkString("|")})\\b')) AS INTEGER) AS s_de,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |        '\\b(${graft.ext.TextAnalysis.StopFr.mkString("|")})\\b')) AS INTEGER) AS s_fr,
+         |    CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INTEGER) * 3 AS s_zh,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_words,
+         |    CAST(length(text) AS DOUBLE) AS chars_d
+         |  FROM documents
+         |), d AS (
+         |  SELECT CASE WHEN NOT p1 THEN 0 WHEN NOT p2 THEN 1
+         |              WHEN NOT p3 THEN 2 WHEN NOT p4 THEN 3 ELSE 4 END AS d
+         |  FROM (
+         |    SELECT n_chars >= 100 AS p1,
+         |      greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 AS p2,
+         |      (least(chars_d / 200.0, 1.0)
+         |        + least((s_en / greatest(n_words, 1.0)) * 4.0, 1.0)
+         |        + (1.0 - least(punct_ratio * 5.0, 1.0))) / 3.0 >= 0.5 AS p3,
+         |      s_en / greatest(n_words, 1.0) >= 0.05 AS p4
+         |    FROM q)
+         |), a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN d >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(sum(CASE WHEN d >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |    CAST(sum(CASE WHEN d >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+         |  FROM d)
+         |SELECT * FROM (
+         |  SELECT 'min_chars' AS stage, 1 AS stage_idx, c0 AS docs_in,
+         |         c1 AS docs_kept, c0 - c1 AS docs_dropped FROM a
+         |  UNION ALL SELECT 'lang_known', 2, c1, c2, c1 - c2 FROM a
+         |  UNION ALL SELECT 'quality', 3, c2, c3, c2 - c3 FROM a
+         |  UNION ALL SELECT 'stopwords', 4, c3, c4, c3 - c4 FROM a
+         |) ORDER BY stage_idx""".stripMargin
+    ),
+    QueryDef(
+      "d18_token_budget",
+      // fill each source's mixture bucket with its best documents
+      // (quality desc, doc_id tie-break) until 4096 cumulative tokens —
+      // per-source windows, never a global reducer
+      (s, dir) => Curation.tokenBudgetSelect(docs(s, dir), budget = 4096)
+        .orderBy("source", "doc_id"),
+      s"""WITH q AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks,
+         |    (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |      + least((CAST(len(regexp_extract_all(lower(text),
+         |            '\\b(${graft.ext.TextAnalysis.StopEn.mkString("|")})\\b')) AS DOUBLE)
+         |          / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0)) * 4.0, 1.0)
+         |      + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |          / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0, 1.0))) / 3.0 AS qual
+         |  FROM documents
+         |), c AS (
+         |  SELECT source, doc_id, toks,
+         |    CAST(sum(toks) OVER (PARTITION BY source ORDER BY qual DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM q
+         |)
+         |SELECT source, doc_id, toks, cum FROM c WHERE cum <= 4096
+         |ORDER BY 1, 2""".stripMargin
+    ),
 
     // ---- similarity search -------------------------------------------
     QueryDef(
