@@ -152,9 +152,9 @@ object Bench {
     // The harness capturing this output keeps only the last ~2000 chars
     // of stdout (with sbt's trailing "[success] ..." line inside that
     // budget), so the line must stay well under that or the front gets
-    // truncated and the JSON never parses. 3-decimal times (1 ms grain,
-    // far below run-to-run noise) keep ~60 queries at ~1600 chars.
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // truncated and the JSON never parses. 2-decimal times (10 ms grain,
+    // far below run-to-run noise) keep ~65 queries at ~1750 chars.
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = (results ++ incremental).map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
