@@ -104,13 +104,18 @@ object Bench {
         // a throwing query must surface as an error, not bench as "fast"
         if (!ok) { if (!errors.contains(name)) errors += name; -1.0 } else dt
       }
+      // short-circuit on the first failure — re-running a known-failing
+      // ingest-shaped query wastes minutes of wall per repeat
       val t1 = timeOnce()
       val v =
         if (t1 < 0) -1.0
         else {
           val t2 = timeOnce()
-          val t3 = timeOnce()
-          if (t2 < 0 || t3 < 0) -1.0 else Seq(t1, t2, t3).sorted.apply(1)
+          if (t2 < 0) -1.0
+          else {
+            val t3 = timeOnce()
+            if (t3 < 0) -1.0 else Seq(t1, t2, t3).sorted.apply(1)
+          }
         }
       name -> v
     }

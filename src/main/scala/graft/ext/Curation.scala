@@ -99,7 +99,9 @@ object Curation {
     import spark.implicits._
     def thresh(f: Double): String =
       if (f >= 1.0) "g" // sorts above every hex digit — keep all
-      else "%08x".format(math.max(0L, math.round(f * 4294967296.0)))
+      else "%08x".format( // clamp: f within 2^-33 of 1.0 rounds to 2^32,
+        // which would format as NINE hex chars and break the compare
+        math.min(4294967295L, math.max(0L, math.round(f * 4294967296.0))))
     val frDf = fractions.toSeq.map { case (k, f) => (k, thresh(f)) }
       .toDF(stratumCol, "h_thresh")
     docs
@@ -118,8 +120,13 @@ object Curation {
     */
   def qualityAttrition(docs: DataFrame,
                        stages: Seq[(String, Column)]): DataFrame = {
+    // a NULL predicate (null text through langId/qualityScore) FAILS its
+    // stage, matching what `.where(pred)` would drop — without the
+    // coalesce a null would fall through every when() and count as
+    // surviving the whole chain
     val depth = stages.zipWithIndex.foldRight(lit(stages.size)) {
-      case (((_, pred), i), otherwise) => when(!pred, lit(i)).otherwise(otherwise)
+      case (((_, pred), i), otherwise) =>
+        when(!coalesce(pred, lit(false)), lit(i)).otherwise(otherwise)
     }
     val aggCols = count(lit(1)).as("c0") +:
       stages.indices.map(i =>
@@ -129,7 +136,9 @@ object Curation {
       .agg(aggCols.head, aggCols.tail: _*)
     val stackArgs = stages.zipWithIndex
       .map { case ((name, _), i) =>
-        s"'$name', ${i + 1}, c$i, c${i + 1}" }
+        // stage names land inside a SQL string literal — escape quotes so
+        // a name like "it's short" can't terminate the literal
+        s"'${name.replace("'", "''")}', ${i + 1}, c$i, c${i + 1}" }
       .mkString(", ")
     counts.selectExpr(
       s"stack(${stages.size}, $stackArgs) AS (stage, stage_idx, docs_in, docs_kept)")

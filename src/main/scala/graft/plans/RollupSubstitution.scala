@@ -734,27 +734,12 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case _ => false
     }
     // The bound in epoch SECONDS, or None if `col`/`lit` is not an
-    // (interval view, literal) pair in a single domain. A timestamp
-    // literal stores MICROS — alignment must be checked on the converted
-    // seconds, never the raw literal (micros % step == 0 holds for
-    // unaligned-second bounds whenever step divides 1e6, e.g. step=100);
-    // sub-second timestamps cut inside a level-0 slot and never commute.
+    // (interval view, literal) pair in a single domain (shared literal
+    // helpers: [[tsLitSeconds]], [[nonTemporalLongLit]]).
     def boundSeconds(colSide: Expression, litSide: Expression): Option[Long] =
-      litSide match {
-        case Literal(micros: Long, _: org.apache.spark.sql.types.TimestampType)
-            if isIntervalTs(colSide) =>
-          if (micros % 1000000L == 0) Some(micros / 1000000L) else None
-        case _ if isIntervalNum(colSide) =>
-          uncast(litSide) match {
-            case lit @ Literal(_, dt)
-                if !dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
-                  !dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] &&
-                  !dt.isInstanceOf[org.apache.spark.sql.types.DateType] =>
-              longLit(lit)
-            case _ => None
-          }
-        case _ => None
-      }
+      if (isIntervalTs(colSide)) tsLitSeconds(litSide)
+      else if (isIntervalNum(colSide)) nonTemporalLongLit(litSide)
+      else None
     def metricOnly(e: Expression): Boolean =
       e.deterministic &&
         !e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) &&
@@ -800,22 +785,11 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     def blockEq(colSide: Expression, litSide: Expression): Option[Expression] = {
       val viaAlign = for {
         b <- alignStep(colSide)
-        s <- uncast(litSide) match {
-          case lit @ Literal(_, dt)
-              if !dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
-                !dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] &&
-                !dt.isInstanceOf[org.apache.spark.sql.types.DateType] =>
-            longLit(lit)
-          case _ => None
-        }
+        s <- nonTemporalLongLit(litSide)
       } yield (b, s)
       val viaTrunc = for {
         u <- truncStep(colSide)
-        s <- litSide match {
-          case Literal(micros: Long, _: org.apache.spark.sql.types.TimestampType)
-              if micros % 1000000L == 0 => Some(micros / 1000000L)
-          case _ => None
-        }
+        s <- tsLitSeconds(litSide)
       } yield (u.toLong, s)
       for {
         (block, s) <- viaAlign.orElse(viaTrunc)
@@ -1182,6 +1156,37 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     case Cast(child, _, _, _) => uncast(child)
     case other => other
   }
+
+  /** A whole-second timestamp literal as epoch SECONDS. Timestamp
+    * literals store MICROS — alignment checks must run on the converted
+    * seconds, never the raw value (micros % step == 0 holds for
+    * unaligned-second bounds whenever step divides 1e6, e.g. step=100);
+    * sub-second instants cut inside a level-0 slot and never commute.
+    * Shared by every bound/selector matcher so the unit conversion can
+    * not drift between them.
+    */
+  private def tsLitSeconds(e: Expression): Option[Long] = e match {
+    case Literal(micros: Long, _: org.apache.spark.sql.types.TimestampType)
+        if micros % 1000000L == 0 =>
+      Some(micros / 1000000L)
+    case _ => None
+  }
+
+  /** A plain integral literal (possibly under residual casts) that is
+    * NOT temporal — a TimestampType/NTZ/Date literal also carries a Long
+    * payload, and reading it through [[longLit]] would silently treat
+    * micros/days as seconds. Shared guard for the numeric-domain bound
+    * and equality matchers.
+    */
+  private def nonTemporalLongLit(e: Expression): Option[Long] =
+    uncast(e) match {
+      case lit @ Literal(_, dt)
+          if !dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
+            !dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] &&
+            !dt.isInstanceOf[org.apache.spark.sql.types.DateType] =>
+        longLit(lit)
+      case _ => None
+    }
 
   private def longLit(e: Expression): Option[Long] = uncast(e) match {
     case Literal(v: Long, _) => Some(v)

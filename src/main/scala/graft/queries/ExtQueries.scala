@@ -706,8 +706,11 @@ object ExtQueries {
          |    CAST(length(text) AS DOUBLE) AS chars_d
          |  FROM documents
          |), d AS (
-         |  SELECT CASE WHEN NOT p1 THEN 0 WHEN NOT p2 THEN 1
-         |              WHEN NOT p3 THEN 2 WHEN NOT p4 THEN 3 ELSE 4 END AS d
+         |  -- IS NOT TRUE: a NULL predicate FAILS its stage (matches the
+         |  -- Spark side's coalesce(pred, false))
+         |  SELECT CASE WHEN p1 IS NOT TRUE THEN 0 WHEN p2 IS NOT TRUE THEN 1
+         |              WHEN p3 IS NOT TRUE THEN 2 WHEN p4 IS NOT TRUE THEN 3
+         |              ELSE 4 END AS d
          |  FROM (
          |    SELECT n_chars >= 100 AS p1,
          |      greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 AS p2,

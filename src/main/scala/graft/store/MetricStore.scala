@@ -567,19 +567,19 @@ final class MetricStore(val spark: SparkSession, val root: String,
         .map { case (lvl, rows) =>
           lvl -> ((rows.map(_._4).sum, rows.map(_._5).min, rows.map(_._6).max))
         }
+      // see the public overload's contract: coarse-routed points need the
+      // very cascade being skipped — fail-stop BEFORE any side effect
+      // (marking diverged for a batch that then writes nothing would
+      // permanently disable substitution on an untouched store)
+      if (!cascade && directStats.exists { case (l, (n, _, _)) => l >= 1 && n > 0 })
+        throw new IllegalArgumentException(
+          "cascade=false but the batch contains points too old for the " +
+            "finest archive; ingest them through the cascade path")
       // points landing directly in a coarser archive are invisible to
       // level-0 aggregations — rollup substitution is no longer sound
       if (directStats.exists { case (l, (n, _, _)) => l >= 1 && n > 0 })
         markRollupsDiverged()
-      if (!cascade) {
-        // see the public overload's contract: coarse-routed points need
-        // the very cascade being skipped — fail-stop, never drop
-        if (directStats.exists { case (l, (n, _, _)) => l >= 1 && n > 0 })
-          throw new IllegalArgumentException(
-            "cascade=false but the batch contains points too old for the " +
-              "finest archive; ingest them through the cascade path")
-        if (policy.levels.size > 1) markRollupsDiverged()
-      }
+      if (!cascade && policy.levels.size > 1) markRollupsDiverged()
       val directTouched: Map[Int, Set[(Int, Long)]] = partStats
         .groupBy(_._1)
         .map { case (lvl, rows) => lvl -> rows.map(r => (r._2, r._3)).toSet }

@@ -258,12 +258,19 @@ object StreamingIngest {
     * streams (carbon's wire order, where seq IS arrival) or dedup
     * upstream if the two can differ.
     *
+    * No in-line `vacuumEvery` here, deliberately: the level-0 query and
+    * the stateful queries write the SAME store from separate threads, so
+    * a sweep running on one while an `upsertRollups` read-merges a
+    * retention-edge partition on another could delete the directory
+    * under the read (or have an in-flight upsert resurrect a
+    * just-evicted one). Vacuum a mixed store between sessions, or from
+    * `cli vacuum`, when no queries are active. (`start`'s in-line sweep
+    * is safe — one query, one thread, writes serialized.)
+    *
     * `stream` columns: (metric, ts: timestamp, value, seq: long).
     */
   def startMixed(stream: DataFrame, store: MetricStore, checkpointRoot: String,
-                 now: () => Long, maxLatenessSec: Long,
-                 vacuumEvery: Int = 0): Seq[StreamingQuery] = {
-    val batches = new java.util.concurrent.atomic.AtomicLong
+                 now: () => Long, maxLatenessSec: Long): Seq[StreamingQuery] = {
     val q0 = stream
       .select(col("metric"), col("ts").cast("long").as("ts"), col("value"), col("seq"))
       .writeStream
@@ -271,11 +278,7 @@ object StreamingIngest {
       .option("checkpointLocation", s"$checkpointRoot/level_0")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          store.updateMany(batch, now(), cascade = false)
-          if (vacuumEvery > 0 && batches.incrementAndGet() % vacuumEvery == 0)
-            store.vacuum(now())
-        }
+        if (!batch.isEmpty) store.updateMany(batch, now(), cascade = false)
       }
       .start()
     q0 +: startStatefulAll(
