@@ -102,7 +102,10 @@ object TextAnalysis {
     val sFr = stopwordCount(text, StopFr)
     val sZh = cjkCount(text) * lit(3)
     val m = greatest(sEn, sEs, sDe, sFr, sZh)
-    when(m === 0, lit("und"))
+    // null-in-null-out: with null text every score is null, every when()
+    // is null, and the otherwise would mislabel the doc "zh"
+    when(text.isNull, lit(null).cast("string"))
+      .when(m === 0, lit("und"))
       .when(sEn === m, lit("en"))
       .when(sEs === m, lit("es"))
       .when(sDe === m, lit("de"))

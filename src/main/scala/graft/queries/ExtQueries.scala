@@ -338,7 +338,8 @@ object ExtQueries {
          |    CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INTEGER) * 3 AS s_zh
          |  FROM documents)
          |SELECT doc_id, lang,
-         |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+         |  CASE WHEN s_en IS NULL THEN NULL -- null text: null-in-null-out
+         |       WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
          |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
          |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
          |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'

@@ -16,6 +16,37 @@ class ExtSpec extends AnyFunSuite {
   private lazy val docs = graft.ops.Io.readTable(spark, dir, "documents").cache()
   private lazy val emb = graft.ops.Io.readTable(spark, dir, "embeddings").cache()
 
+  test("qualityAttrition: null text fails its stage instead of surviving the chain") {
+    val d = Seq(
+      (1L, "the a and of to in is it you that was for on are", 48L), // passes all
+      (2L, "x", 1L),                                // fails min_chars
+      (3L, null.asInstanceOf[String], 200L))        // null text: fails lang stage
+      .toDF("doc_id", "text", "n_chars")
+    val got = Curation.qualityAttrition(d, Seq(
+      "min_chars" -> (col("n_chars") >= 10),
+      "lang_known" -> (TextAnalysis.langId(col("text")) =!= "und")))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 3 enters lang_known (its n_chars passed) and must be DROPPED
+    // there — before the null fix it counted as surviving everything
+    assert(got.toSeq == Seq(
+      ("min_chars", 3L, 2L, 1L),
+      ("lang_known", 2L, 1L, 1L)), s"wrong attrition: ${got.toSeq}")
+  }
+
+  test("stratifiedSample: fraction just under 1.0 keeps ~everything (threshold clamp)") {
+    val d = (0L until 64L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val kept = Curation.stratifiedSample(d, Map("en" -> (1.0 - 1e-12))).count()
+    // pre-clamp this formatted a 9-hex-char threshold and kept only
+    // hashes starting with '0' (~1/16); the clamp keeps all but hashes
+    // equal to ffffffff (none among 64 ids)
+    assert(kept == 64L, s"clamped threshold dropped docs: $kept/64")
+    // and a genuine fraction still selects a strict, stable subset
+    val half = Curation.stratifiedSample(d, Map("en" -> 0.5)).count()
+    assert(half > 0 && half < 64, s"f=0.5 kept $half/64")
+    assert(Curation.stratifiedSample(d, Map("en" -> 0.5)).count() == half)
+  }
+
   test("contamination: synthetic overlap found, clean docs absent, counts exact") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
