@@ -100,16 +100,17 @@ object StreamingIngest {
   /** `ts` stays a timestamp so the watermark annotation survives into the
     * typed Dataset (event-time timeouts require it).
     */
-  final case class SlotPoint(metric: String, ts: java.sql.Timestamp, value: Double) {
+  final case class SlotPoint(metric: String, ts: java.sql.Timestamp, value: Double,
+                             seq: Long) {
     def tsec: Long = ts.getTime / 1000L
   }
   final case class WindowKey(metric: String, interval: Long)
-  /** Per-window state: higher-resolution slot → last-written value. Size
-    * is bounded by the window's slot capacity (step/sourceStep), and the
-    * number of live windows is bounded by the watermark — so total state
-    * is O(open windows × slots), independent of stream length.
+  /** Per-window state: higher-resolution slot → (winning seq, value).
+    * Size is bounded by the window's slot capacity (step/sourceStep), and
+    * the number of live windows is bounded by the watermark — so total
+    * state is O(open windows × slots), independent of stream length.
     */
-  final case class WindowState(slots: Map[Long, Double])
+  final case class WindowState(slots: Map[Long, (Long, Double)])
   final case class RollupUpdate(
       metric: String, interval: Long, value: Double, known: Int, vsum: Double,
       finalized: Boolean)
@@ -135,21 +136,29 @@ object StreamingIngest {
     require(step % sourceStep == 0, s"$sourceStep does not divide $step")
     val slotsCap = step / sourceStep
 
-    def consolidated(key: WindowKey, slots: Map[Long, Double],
+    def consolidated(key: WindowKey, slots: Map[Long, (Long, Double)],
                      finalized: Boolean): Iterator[RollupUpdate] = {
-      val known = slots.toSeq.sortBy(_._1).map(_._2)
+      val known = slots.toSeq.sortBy(_._1).map(_._2._2)
       if (known.nonEmpty && known.size.toDouble / slotsCap >= xff) {
         val neighbor = (0 until slotsCap)
-          .map(i => slots.get(key.interval + i.toLong * sourceStep))
+          .map(i => slots.get(key.interval + i.toLong * sourceStep).map(_._2))
         Iterator.single(RollupUpdate(key.metric, key.interval,
           AggregationMethod.aggregate(method, known, Some(neighbor)),
           known.size, known.sum, finalized))
       } else Iterator.empty
     }
 
-    points
+    // duplicate-slot LWW keys on `seq` (arrival order, whisper.py:806-808)
+    // when the stream carries one — the SAME winner updateMany picks, so
+    // batch, cascade, and stateful paths agree on contested slots. A
+    // stream without seq degrades to iterator order within a batch
+    // (seq = 0 ties, later row wins).
+    val withSeq =
+      if (points.columns.contains("seq")) points
+      else points.withColumn("seq", lit(0L))
+    withSeq
       .withWatermark("ts", s"$maxLatenessSec seconds")
-      .select(col("metric"), col("ts"), col("value"))
+      .select(col("metric"), col("ts"), col("value"), col("seq").cast("long").as("seq"))
       .as[SlotPoint]
       .groupByKey(p => WindowKey(p.metric, p.tsec - p.tsec % step))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
@@ -159,10 +168,16 @@ object StreamingIngest {
             state.remove()
             consolidated(key, slots, finalized = true)
           } else {
-            val slots0 = if (state.exists) state.get.slots else Map.empty[Long, Double]
-            // LWW per slot: later rows in the batch overwrite (arrival order)
-            val slots = rows.foldLeft(slots0) {
-              (m, p) => m + ((p.tsec - p.tsec % sourceStep) -> p.value)
+            val slots0 =
+              if (state.exists) state.get.slots else Map.empty[Long, (Long, Double)]
+            // LWW per slot by seq; equal seq resolves to the later row so
+            // seq-less streams keep the old arrival-order behavior
+            val slots = rows.foldLeft(slots0) { (m, p) =>
+              val slot = p.tsec - p.tsec % sourceStep
+              m.get(slot) match {
+                case Some((s0, _)) if s0 > p.seq => m
+                case _ => m + (slot -> ((p.seq, p.value)))
+              }
             }
             state.update(WindowState(slots))
             val windowCloseMs = (key.interval + step + maxLatenessSec) * 1000L
@@ -252,11 +267,11 @@ object StreamingIngest {
     * backfilled slots: the xff gate and the aggregate would both be
     * computed over the tail alone.
     *
-    * Duplicate-slot caveat: level 0 resolves same-slot duplicates by
-    * max `seq` while the stateful levels resolve by ARRIVAL order
-    * within a batch ([[rollupStateful]]'s fold) — feed arrival-ordered
-    * streams (carbon's wire order, where seq IS arrival) or dedup
-    * upstream if the two can differ.
+    * Duplicate slots resolve identically on both paths: the stream's
+    * `seq` flows into the stateful queries, whose per-slot LWW keys on
+    * it exactly like level 0's `updateMany` (whisper.py:806-808) — a
+    * contested slot has ONE winner store-wide regardless of row order
+    * inside a micro-batch.
     *
     * No in-line `vacuumEvery` here, deliberately: the level-0 query and
     * the stateful queries write the SAME store from separate threads, so
@@ -282,7 +297,7 @@ object StreamingIngest {
       }
       .start()
     q0 +: startStatefulAll(
-      stream.select(col("metric"), col("ts"), col("value")),
+      stream.select(col("metric"), col("ts"), col("value"), col("seq")),
       store, checkpointRoot, maxLatenessSec)
   }
 }

@@ -208,6 +208,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful LWW keys on seq: a contested slot has one winner on every level") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val policy = RetentionPolicy(
+      Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000)), xff = 0f)
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-seq-lww").toString, numBuckets = 4)
+    store.createAll(Seq("m"), policy)
+    val t0 = Now - 86400L
+    // the same slot written twice in ONE batch with seq order REVERSED
+    // from arrival: seq 9 (value 99) arrives BEFORE seq 1 (value 11).
+    // Arrival-order LWW would keep 11; whisper's seq LWW keeps 99.
+    val rows = Seq(
+      ("m", t0, 99.0, 9L),
+      ("m", t0, 11.0, 1L),
+      ("m", t0 + 60L, 2.0, 2L),
+      ("m", t0 + 120L, 3.0, 3L))
+    val mem = MemoryStream[(String, Long, Double, Long)]
+    val stream = mem.toDF().toDF("metric", "tsec", "value", "seq")
+      .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value", "seq")
+    mem.addData(rows: _*)
+    StreamingIngest.startMixed(
+      stream, store, Files.createTempDirectory("ckpt-seq-lww").toString,
+      () => Now, maxLatenessSec = 900)
+      .foreach(_.awaitTermination(120000))
+
+    val l0 = store.levelData(0).select("interval", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(l0(t0) == 99.0, s"level 0 kept the wrong duplicate: ${l0(t0)}")
+    val l1 = store.levelData(1).select("interval", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // avg(99, 2, 3) — the stateful level agrees with level 0's winner
+    assert(math.abs(l1(t0) - (99.0 + 2.0 + 3.0) / 3.0) < 1e-9,
+      s"stateful level disagrees with level-0 LWW: ${l1(t0)}")
+  }
+
   test("cascade=false with a too-old point fails fast instead of dropping it") {
     import spark.implicits._
     val store = new MetricStore(
