@@ -800,6 +800,10 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     }
     def eqSelector(e: Expression): Option[Expression] = e match {
       case EqualTo(a, b) => blockEq(a, b).orElse(blockEq(b, a))
+      // null-safe equality degenerates to plain equality here: the
+      // matched column side (an alignment/truncation of the non-null
+      // interval) is never null and the literal side is non-null
+      case EqualNullSafe(a, b) => blockEq(a, b).orElse(blockEq(b, a))
       case _ => None
     }
     // isnotnull over the KEY columns (metric/interval, or

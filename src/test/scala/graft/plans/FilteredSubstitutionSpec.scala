@@ -342,6 +342,21 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("null-safe equality (<=>) on the aligned expression carries too") {
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = grouped(aligned(store)
+        .where(col("metric") === "a" &&
+          (col("interval") - col("interval") % lit(300L)) <=> lit(w0)))
+      assert(!hasAggregate(q),
+        s"null-safe equality did not substitute:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value"))).toSet
+      assert(got == Set(w0 -> 12.0), s"wrong null-safe equality rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("date_trunc('day') equality over an hourly grouping carries as a day range") {
     import spark.implicits._
     val store = new MetricStore(
