@@ -46,7 +46,12 @@ object Rollup {
     * any window they touch — "unknown", never silently fabricated.
     */
   private def countCols(df: DataFrame): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
-    if (df.columns.contains("known")) col("known") else lit(1L),
+    // a null-valued level-0 row contributes NOTHING to `known` — stored
+    // `known` must equal count(value) (the non-null count) because the
+    // substitution rewrites equate the two; a bare lit(1L) here would
+    // count null rows into kcnt, fail the kcnt===rows check below, and
+    // null the whole window's counts
+    if (df.columns.contains("known")) col("known") else when(col("value").isNotNull, lit(1L)),
     if (df.columns.contains("vsum")) col("vsum") else col("value"))
 
   /** propagate, additionally maintaining per-window contribution counts:

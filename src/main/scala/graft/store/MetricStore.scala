@@ -82,9 +82,19 @@ final class MetricStore(val spark: SparkSession, val root: String,
     }
     if (java.nio.file.Files.exists(f))
       java.nio.file.Files.readString(f).trim.stripPrefix("bucket_slots=").toLong
-    else if (!new java.io.File(levelPath(0)).exists())
+    else if (!anyLevelDirExists)
       stamp(MetricStore.DefaultBucketSlots)
     else stamp(probeBucketSlots())
+  }
+
+  /** True when ANY `level_i` directory exists — a pre-marker store whose
+    * data lives only in coarse levels (e.g. a too-old backfill that never
+    * touched level 0) must still be probed, not stamped with the default.
+    */
+  private def anyLevelDirExists: Boolean = {
+    val dir = new java.io.File(root)
+    val kids = dir.listFiles()
+    kids != null && kids.exists(f => f.isDirectory && f.getName.startsWith("level_"))
   }
 
   /** Infer a pre-marker store's bucket layout from its own directories:
@@ -354,7 +364,6 @@ final class MetricStore(val spark: SparkSession, val root: String,
     val newPts =
       if (incoming.columns.contains("pb")) incoming
       else withPartitionCols(incoming, step)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     // first write to a fresh level: incoming frames are already
     // slot-unique (routed/propagated), so skip the merge aggregation.
@@ -380,6 +389,10 @@ final class MetricStore(val spark: SparkSession, val root: String,
     // set per touched partition without a second exchange
     mergedTouched(i, newPts, touched)
       .write
+      // per-write option, NOT session conf: mutating the session's
+      // partitionOverwriteMode would silently change overwrite semantics
+      // for unrelated user writes sharing the SparkSession
+      .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .partitionBy("pb", "tb")
       .parquet(levelPath(i))
@@ -391,11 +404,11 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * into its cache by the cascade's deferred-write reader.
     */
   private def overwriteTouched(i: Int, merged: DataFrame): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // no repartition: mergedTouched output is already clustered by
     // (pb, tb) — its merge groupBy rides the same exchange
     merged
       .write
+      .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .partitionBy("pb", "tb")
       .parquet(levelPath(i))
@@ -946,6 +959,42 @@ final class MetricStore(val spark: SparkSession, val root: String,
       .reduce(_.unionByName(_))
   }
 
+  /** [[diffMetrics]] with the reference CLI's envelope
+    * (bin/whisper-diff.py:41-112 over whisper.py:1098-1130): the compare
+    * is clamped to each level's fetch window — (now−retention, until] on
+    * the level's slot grid — and each level reports the TOTAL number of
+    * grid slots compared, so `--summary` can print "N of M datapoints
+    * differ" without scanning. Returns (diff rows as in [[diffMetrics]],
+    * per-level total slot counts).
+    */
+  def diffMetricsDetail(a: String, b: String,
+                        until: Option[Long] = None,
+                        ignoreEmpty: Boolean = false,
+                        now: Long = System.currentTimeMillis() / 1000)
+      : (DataFrame, Seq[Long]) = {
+    val p = requireSameConfig(a, b)
+    val untilT = math.min(until.getOrElse(now), now)
+    val perLevel = p.levels.zipWithIndex.map {
+      case (lvl, i) =>
+        val step = lvl.secondsPerPoint.toLong
+        def align(t: Long) = t - Math.floorMod(t, step)
+        // whisper fetch endpoints: slots (align(from), align(until)]
+        val lo = align(now - lvl.retention) + step
+        val hi = align(untilT)
+        val total = if (hi >= lo) (hi - lo) / step + 1 else 0L
+        val clamp = col("interval") >= lo && col("interval") <= hi
+        val va = levelData(i).where(col("metric") === a && clamp)
+          .select(lit(a).as("metric"), col("interval"), col("value"))
+        val vb = levelData(i).where(col("metric") === b && clamp)
+          .select(lit(a).as("metric"), col("interval"), col("value"))
+        val d = Combine.diff(va, vb, ignoreEmpty = ignoreEmpty)
+          .select(lit(i).as("level"), col("interval"),
+            col("value_a"), col("value_b"))
+        (d, total)
+    }
+    (perLevel.map(_._1).reduce(_.unionByName(_)), perLevel.map(_._2))
+  }
+
   /** find-corrupt-whisper-files analog: validate every policy row,
     * returning (metric, error) for unparseable/invalid ones.
     */
@@ -1157,9 +1206,10 @@ final class MetricStore(val spark: SparkSession, val root: String,
             val keptParts = kept.select("pb", "tb").distinct().collect()
               .map(r => (r.getInt(0), r.getAs[Number](1).longValue)).toSet
             if (keptParts.nonEmpty) {
-              spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
               kept.repartition(col("pb"), col("tb"))
-                .write.mode(SaveMode.Overwrite)
+                .write
+                .option("partitionOverwriteMode", "dynamic")
+                .mode(SaveMode.Overwrite)
                 .partitionBy("pb", "tb")
                 .parquet(levelPath(i))
             }

@@ -83,6 +83,27 @@ class OpsSpec extends AnyFunSuite {
     assert(gated.isEmpty) // 1/6 < 0.5
   }
 
+  test("null-valued level-0 rows: known equals count(value), window stays counted") {
+    // ADVICE r5: a bare lit(1L) contribution counted null rows into kcnt,
+    // failed the kcnt===rows check, and stored known=NULL for the whole
+    // window — a substituted HAVING known >= k then silently dropped rows
+    // the unsubstituted recompute returns. Stored known must equal the
+    // non-null count, exactly what count(value) computes.
+    val pts = Seq(("m", 0L, Some(1.0)), ("m", 10L, None), ("m", 20L, Some(3.0)))
+      .toDF("metric", "interval", "value")
+    for (variant <- Seq(
+        Rollup.propagateCounted(pts, 10, 60, AggregationMethod.Average, 0f),
+        Rollup.propagateSalted(pts, 10, 60, AggregationMethod.Average, 0f, salts = 4))) {
+      val got = variant.collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert(r.getAs[Double]("value") == 2.0) // avg over non-null
+      assert(!r.isNullAt(r.fieldIndex("known")), "null row must not null the window")
+      assert(r.getAs[Long]("known") == 2L) // == count(value), not 3
+      assert(r.getAs[Double]("vsum") == 4.0)
+    }
+  }
+
   test("propagateSalted equals propagate for every kernel on random data") {
     val rnd = new scala.util.Random(13)
     val pts = (0 until 500).map { i =>

@@ -15,6 +15,19 @@ import graft.store.MetricStore
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
+  /** Await a query's ACTUAL termination (AvailableNow terminates when
+    * drained) and assert it committed cleanly — `awaitTermination(timeout)`
+    * returns false on timeout without raising, so under heavy load an
+    * ignored return value let assertions read the store MID-commit (the
+    * round-5 flake). The generous bound only limits a hung query.
+    */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+                    timeoutMs: Long = 300000): Unit = {
+    val terminated = q.awaitTermination(timeoutMs)
+    assert(terminated, s"streaming query did not terminate within ${timeoutMs}ms")
+    assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+  }
+
   private val Now = 1706659200L
 
   test("foreachBatch micro-batch ingest lands in the store with rollups") {
@@ -35,7 +48,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val q = StreamingIngest.start(
       stream, store, Files.createTempDirectory("ckpt").toString, () => Now)
-    q.awaitTermination(60000)
+    drain(q)
 
     val Some(res) = store.fetch("m", w0 - 1, w0 + 300, Now, archiveToSelect = Some(300))
     assert(res.values.flatten == Seq(12.0)) // avg(10..14) propagated
@@ -56,13 +69,13 @@ class StreamingSpec extends AnyFunSuite {
     mem.addData(("m", Now - 120, 1.0, 0L), ("m", Now - 60, 2.0, 1L))
     val q1 = StreamingIngest.start(
       stream, store, Files.createTempDirectory("ckpt-late").toString, () => Now)
-    q1.awaitTermination(60000)
+    drain(q1)
     // batch 2: a LATE point for the already-written Now-120 slot, plus
     // one too-old point (beyond retention → silently dropped)
     mem.addData(("m", Now - 120, 9.0, 2L), ("m", Now - 100000, 5.0, 3L))
     val q2 = StreamingIngest.start(
       stream, store, Files.createTempDirectory("ckpt-late2").toString, () => Now)
-    q2.awaitTermination(60000)
+    drain(q2)
 
     val Some(res) = store.fetch("m", Now - 180, Now, Now)
     assert(res.values.flatten == Seq(9.0, 2.0)) // late write won; too-old dropped
@@ -83,17 +96,17 @@ class StreamingSpec extends AnyFunSuite {
     // session 1: a point written long ago (fresh relative to ITS clock)
     val tOld = Now - 12L * 61440L
     mem.addData(("m", tOld - 60, 1.0, 0L))
-    StreamingIngest.start(
+    drain(StreamingIngest.start(
       stream, store, Files.createTempDirectory("ckpt-vac1").toString,
-      () => tOld).awaitTermination(60000)
+      () => tOld))
     assert(store.levelData(0).count() == 1)
 
     // session 2, far later with vacuumEvery=1: the fresh batch lands and
     // the sweep after it drops the long-expired bucket directory
     mem.addData(("m", Now - 60, 2.0, 1L))
-    StreamingIngest.start(
+    drain(StreamingIngest.start(
       stream, store, Files.createTempDirectory("ckpt-vac2").toString,
-      () => Now, vacuumEvery = 1).awaitTermination(60000)
+      () => Now, vacuumEvery = 1))
 
     val left = store.levelData(0).select("interval", "value").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
@@ -139,7 +152,7 @@ class StreamingSpec extends AnyFunSuite {
     val qs = StreamingIngest.startMixed(
       stream, mixed, Files.createTempDirectory("ckpt-mixed").toString,
       () => Now, maxLatenessSec = 900)
-    qs.foreach(_.awaitTermination(120000))
+    qs.foreach(drain(_))
 
     (0 until 3).foreach { i =>
       val cols = if (i == 0) Seq("metric", "interval", "value")
@@ -187,12 +200,12 @@ class StreamingSpec extends AnyFunSuite {
     // HALF fed when the queries drain and stop ("crash")
     mem.addData((6 until 9).flatMap(waveRows): _*)
     StreamingIngest.startMixed(stream, mixed, ckpt, () => Now, maxLatenessSec = 900)
-      .foreach(_.awaitTermination(120000))
+      .foreach(drain(_))
     // run B against the SAME checkpoints: waves 9..11 complete it — the
     // recovered state must consolidate run A's slots with run B's
     mem.addData((9 until 12).flatMap(waveRows): _*)
     StreamingIngest.startMixed(stream, mixed, ckpt, () => Now, maxLatenessSec = 900)
-      .foreach(_.awaitTermination(120000))
+      .foreach(drain(_))
 
     val ref = new MetricStore(
       spark, Files.createTempDirectory("ms-mixed-restart-ref").toString, numBuckets = 4)
@@ -233,7 +246,7 @@ class StreamingSpec extends AnyFunSuite {
     StreamingIngest.startMixed(
       stream, store, Files.createTempDirectory("ckpt-seq-lww").toString,
       () => Now, maxLatenessSec = 900)
-      .foreach(_.awaitTermination(120000))
+      .foreach(drain(_))
 
     val l0 = store.levelData(0).select("interval", "value").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -371,13 +384,13 @@ class StreamingSpec extends AnyFunSuite {
     // run 1, then "crash" (AvailableNow drains and stops — the checkpoint
     // holds the committed offset)
     mem.addData(run1: _*)
-    StreamingIngest.start(stream, store, ckpt, now).awaitTermination(60000)
+    drain(StreamingIngest.start(stream, store, ckpt, now))
     assert(commits.get == 1)
 
     // restart against the SAME checkpoint with new data: exactly one new
     // micro-batch runs — run 1's committed batch is not replayed
     mem.addData(run2: _*)
-    StreamingIngest.start(stream, store, ckpt, now).awaitTermination(60000)
+    drain(StreamingIngest.start(stream, store, ckpt, now))
     assert(commits.get == 2, s"restart replayed committed batches: ${commits.get}")
 
     // the two-run store equals a one-shot ingest of all points
@@ -454,7 +467,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch 1: 3 of 5 slots → provisional avg 2.0 lands in level 1
     mem.addData(("m", 600L, 1.0), ("m", 660L, 2.0), ("m", 720L, 3.0))
     val q1 = StreamingIngest.startStateful(stream, store, levelIdx = 1, ckpt, 60)
-    q1.awaitTermination(60000)
+    drain(q1)
     def l1() = store.levelData(1).collect()
       .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
     assert(l1() == Map(600L -> 2.0))
@@ -462,7 +475,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch 2: 4th slot → the SAME row refines to 2.5 (upsert, not append)
     mem.addData(("m", 780L, 4.0))
     val q2 = StreamingIngest.startStateful(stream, store, levelIdx = 1, ckpt, 60)
-    q2.awaitTermination(60000)
+    drain(q2)
     assert(l1() == Map(600L -> 2.5))
   }
 
@@ -486,7 +499,7 @@ class StreamingSpec extends AnyFunSuite {
     mem.addData((0 until 5).map(i => ("m", 3600L + i * 60L, 10.0 + i)): _*)
     val qs = StreamingIngest.startStatefulAll(stream, store, ckpt, 60)
     assert(qs.size == 2)
-    qs.foreach(_.awaitTermination(60000))
+    qs.foreach(drain(_))
 
     def lvl(i: Int) = store.levelData(i).collect()
       .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
@@ -497,7 +510,7 @@ class StreamingSpec extends AnyFunSuite {
     // level 1 gains a window, level 2's single window re-averages
     mem.addData(("m", 3900L, 20.0))
     val qs2 = StreamingIngest.startStatefulAll(stream, store, ckpt, 60)
-    qs2.foreach(_.awaitTermination(60000))
+    qs2.foreach(drain(_))
     assert(lvl(1) == Map(3600L -> 12.0, 3900L -> 20.0))
     assert(lvl(2) == Map(3600L -> (60.0 + 20.0) / 6))
   }
