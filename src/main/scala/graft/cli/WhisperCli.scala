@@ -223,8 +223,13 @@ object WhisperCli {
         println(s"exported $metric (${p.levels.size} archives) to $path")
 
       case "merge" =>
-        val Array(_, store, src, dst) = args: @unchecked
-        new MetricStore(session(), store).mergeMetric(src, dst)
+        // optional --from/--until interval clamp (whisper-merge.py:18-24;
+        // the API clamp is whisper.py:1062-1074 semantics)
+        val Array(_, store, src, dst, rest @ _*) = args: @unchecked
+        def flagVal(name: String): Option[Long] =
+          rest.sliding(2).collectFirst { case Seq(`name`, v) => v.toLong }
+        new MetricStore(session(), store)
+          .mergeMetric(src, dst, flagVal("--from"), flagVal("--until"))
         println(s"merged $src into $dst")
 
       case "fill" =>
@@ -233,15 +238,65 @@ object WhisperCli {
         println(s"filled $dst gaps from $src")
 
       case "diff" =>
-        val Array(_, store, a, b) = args: @unchecked
-        val rows = new MetricStore(session(), store).diffMetrics(a, b)
-          .orderBy("level", "interval").collect()
-        rows.foreach { r =>
-          val va = if (r.isNullAt(2)) "None" else r.getDouble(2).toString
-          val vb = if (r.isNullAt(3)) "None" else r.getDouble(3).toString
-          println(s"${r.getAs[Int]("level")} ${r.getAs[Long]("interval")} $va $vb")
+        // output modes mirror bin/whisper-diff.py:41-112: default pretty
+        // per-archive blocks, --columns flat rows, --summary per-archive
+        // counts, --json the sorted-key dict shape, plus --until and
+        // --ignore-empty compare clamps
+        val Array(_, store, a, b, rest @ _*) = args: @unchecked
+        val summary = rest.contains("--summary")
+        val columns = rest.contains("--columns")
+        val headers = !rest.contains("--no-headers")
+        val asJson = rest.contains("--json")
+        val ignoreEmpty = rest.contains("--ignore-empty")
+        val until = rest.sliding(2).collectFirst { case Seq("--until", v) => v.toLong }
+        val (df, totals) = new MetricStore(session(), store)
+          .diffMetricsDetail(a, b, until, ignoreEmpty, now)
+        val rows = df.orderBy("level", "interval").collect()
+        def vstr(r: org.apache.spark.sql.Row, idx: Int): String =
+          if (r.isNullAt(idx)) "None" else r.getDouble(idx).toString
+        def vjson(r: org.apache.spark.sql.Row, idx: Int): String =
+          if (r.isNullAt(idx)) "null" else r.getDouble(idx).toString
+        val byLevel = totals.indices.map(i =>
+          (i, rows.filter(_.getInt(0) == i), totals(i)))
+        if (summary && asJson) {
+          // json.dumps(sort_keys=True, indent=2, separators=(',', ' : '))
+          val archives = byLevel.map {
+            case (i, pts, total) =>
+              s"""    {\n      "archive" : $i,\n      "points" : ${pts.length},\n      "total" : $total\n    }"""
+          }.mkString(",\n")
+          println(s"""{\n  "archives" : [\n$archives\n  ],\n  "path_a" : "$a",\n  "path_b" : "$b"\n}""")
+        } else if (asJson) {
+          val archives = byLevel.map {
+            case (i, pts, total) =>
+              val dps = pts.map(r =>
+                s"""        {\n          "timestamp" : ${r.getLong(1)},\n          "value_a" : ${vjson(r, 2)},\n          "value_b" : ${vjson(r, 3)}\n        }""").mkString(",\n")
+              val dpBlock = if (pts.isEmpty) "[]" else s"[\n$dps\n      ]"
+              s"""    {\n      "archive" : $i,\n      "datapoint" : $dpBlock,\n      "points" : ${pts.length},\n      "total" : $total\n    }"""
+          }.mkString(",\n")
+          println(s"""{\n  "archives" : [\n$archives\n  ],\n  "path_a" : "$a",\n  "path_b" : "$b"\n}""")
+        } else if (summary) {
+          val f = if (columns) "%s %s %s" else "%7s %9s %9s"
+          if (headers) println(f.format("archive", "total", "differing"))
+          byLevel.foreach {
+            case (i, pts, total) => println(f.format(i, total, pts.length))
+          }
+        } else if (columns) {
+          if (headers) println("%s %s %s %s".format("archive", "timestamp", "value_a", "value_b"))
+          byLevel.foreach {
+            case (i, pts, _) =>
+              pts.foreach(r => println("%s %d %s %s".format(i, r.getLong(1), vstr(r, 2), vstr(r, 3))))
+          }
+        } else {
+          val h = "%7s %11s %13s %13s"
+          if (headers) println(h.format("archive", "timestamp", "value_a", "value_b"))
+          byLevel.foreach {
+            case (i, pts, total) =>
+              println("Archive %d (%d of %d datapoints differ)".format(i, pts.length, total))
+              println(h.format("", "timestamp", "value_a", "value_b"))
+              pts.foreach(r =>
+                println("%7s %11d %13s %13s".format("", r.getLong(1), vstr(r, 2), vstr(r, 3))))
+          }
         }
-        println(s"${rows.length} differing slots")
 
       case "resize" =>
         // --nobackup drops the .bak after the swap (whisper-resize.py:58,

@@ -167,7 +167,7 @@ object Similarity {
     *
     * @return (seg, cid, cvec) — m×k rows
     */
-  def pqCodebooks(c: DataFrame, m: Int, k: Int, iters: Int = 2): DataFrame = {
+  def pqCodebooks(c: DataFrame, m: Int, k: Int, iters: Int = 4): DataFrame = {
     val spark = c.sparkSession
     import spark.implicits._
     val dim = c.select(size(col("vec"))).head().getInt(0)
@@ -233,7 +233,7 @@ object Similarity {
     * index is the precomputed artifact every query reuses — training
     * per query would be like rebuilding a B-tree per lookup.
     */
-  def pqIndex(emb: DataFrame, m: Int = 8, codes: Int = 16,
+  def pqIndex(emb: DataFrame, m: Int = 8, codes: Int = 256,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val c = corpus(emb, idCol, vecCol).cache()
@@ -255,7 +255,7 @@ object Similarity {
     * @param index a prebuilt `pqIndex` to reuse; trained ad hoc if absent
     */
   def topkPq(emb: DataFrame, queryIds: Seq[Long], k: Int, m: Int = 8,
-             codes: Int = 16, shortlistFactor: Int = 4,
+             codes: Int = 256, shortlistFactor: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding",
              index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val spark = emb.sparkSession
@@ -312,7 +312,7 @@ object Similarity {
     * k·shortlistFactor full vectors read.
     */
   def topkIvfPq(emb: DataFrame, queryIds: Seq[Long], k: Int,
-                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 16,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, codes: Int = 256,
                 shortlistFactor: Int = 8, residual: Boolean = true,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 index: Option[(DataFrame, DataFrame)] = None,

@@ -121,6 +121,69 @@ class CliSpec extends AnyFunSuite {
     assert(!json.contains("1.5"), json)
   }
 
+  test("merge --from/--until clamps the copied interval (whisper-merge.py:18-24)") {
+    val store = Files.createTempDirectory("cli-merge").toString
+    val now = System.currentTimeMillis() / 1000
+    val t1 = now - now % 60 - 240
+    val t2 = t1 + 120
+    run("create", store, "src", "1m:1h")
+    run("create", store, "dst", "1m:1h")
+    run("update", store, "src", s"$t1:1.0", s"$t2:2.0")
+    // clamp excludes t1: only t2 lands in dst
+    assert(run("merge", store, "src", "dst",
+      "--from", (t1 + 60).toString).contains("merged src into dst"))
+    val fetched = run("fetch", store, "dst",
+      (t1 - 60).toString, (t2 + 60).toString, "--drop", "nulls")
+    assert(fetched.contains("2.0") && !fetched.contains("1.0"), fetched)
+  }
+
+  test("diff output modes match bin/whisper-diff.py:41-112 shapes") {
+    val store = Files.createTempDirectory("cli-diff").toString
+    val now = System.currentTimeMillis() / 1000
+    val t1 = now - now % 60 - 240
+    val t2 = t1 + 60
+    run("create", store, "a", "1m:1h")
+    run("create", store, "b", "1m:1h")
+    run("update", store, "a", s"$t1:1.5", s"$t2:7.0")
+    run("update", store, "b", s"$t1:2.5", s"$t2:7.0") // t2 agrees
+
+    // default pretty: one 60-slot archive, exactly one differing slot
+    val pretty = run("diff", store, "a", "b")
+    assert(pretty.contains("Archive 0 (1 of 60 datapoints differ)"), pretty)
+    assert(pretty.contains("%7s %11s %13s %13s".format("archive", "timestamp", "value_a", "value_b")), pretty)
+    assert(pretty.contains("%7s %11d %13s %13s".format("", t1, "1.5", "2.5")), pretty)
+
+    // --columns: flat rows, archive index leading
+    val cols = run("diff", store, "a", "b", "--columns")
+    assert(cols.contains(s"0 $t1 1.5 2.5"), cols)
+    assert(cols.startsWith("archive timestamp value_a value_b"), cols)
+
+    // --summary: per-archive counts in the reference column format
+    val sumOut = run("diff", store, "a", "b", "--summary")
+    assert(sumOut.contains("%7s %9s %9s".format("archive", "total", "differing")), sumOut)
+    assert(sumOut.contains("%7s %9s %9s".format("0", "60", "1")), sumOut)
+
+    // --no-headers suppresses the header row
+    assert(!run("diff", store, "a", "b", "--summary", "--no-headers")
+      .contains("differing"))
+
+    // --json: sorted-key dict with path_a/path_b and datapoint list
+    val js = run("diff", store, "a", "b", "--json")
+    assert(js.contains("\"path_a\" : \"a\""), js)
+    assert(js.contains("\"timestamp\" : " + t1), js)
+    assert(js.contains("\"value_a\" : 1.5"), js)
+    val sjs = run("diff", store, "a", "b", "--summary", "--json")
+    assert(sjs.contains("\"points\" : 1") && sjs.contains("\"total\" : 60"), sjs)
+    assert(!sjs.contains("datapoint"), sjs)
+
+    // --until excludes the newest differing slot from the compare:
+    // window shrinks to slots (now-3600, t2] → (t2-lo)/60+1 = 57 of the
+    // 60, and the new t2+60 disagreement is outside it
+    run("update", store, "a", s"${t2 + 60}:9.0")
+    val clamped = run("diff", store, "a", "b", "--summary", "--until", t2.toString)
+    assert(clamped.contains("%7s %9s %9s".format("0", "57", "1")), clamped)
+  }
+
   test("validate reports invalid catalog rows") {
     val store = Files.createTempDirectory("cli-store3").toString
     run("create", store, "good", "1m:1h")
