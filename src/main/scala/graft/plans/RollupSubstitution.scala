@@ -68,7 +68,9 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         .orElse(rewriteWindow(agg, groupingExprs, aggExprs, child))
         .orElse(rewriteTrunc(agg, groupingExprs, aggExprs, child))
         .orElse(rewritePruned(agg, groupingExprs, aggExprs, child))
+        .orElse(rewritePrunedWindow(agg, groupingExprs, aggExprs, child))
         .orElse(rewriteKnown(agg, groupingExprs, aggExprs, child))
+        .orElse(rewriteKnownWindow(agg, groupingExprs, aggExprs, child))
         .getOrElse(agg)
   }
 
@@ -814,6 +816,25 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     // dropping that predicate would resurrect the group.
     def keyAttr(a: Attribute): Boolean =
       metricId.contains(a.exprId) || intervalId.contains(a.exprId)
+    // TimeWindowing's start/end arithmetic — ptc((ptc(ts) − ts%W…),
+    // Long→Timestamp) over ts = timestamp_seconds(interval) — is
+    // non-null whenever the interval is, so a grid join's key constraint
+    // spelled over it filters nothing
+    def windowPartNonNull(e0: Expression): Boolean = {
+      val e = e0 match { case KnownNullable(c) => c; case c => c }
+      e match {
+        case PreciseTimestampConversion(inner, _, _) =>
+          val bases = inner.collect {
+            case PreciseTimestampConversion(t,
+                _: org.apache.spark.sql.types.TimestampType, _) => t
+          }
+          bases.nonEmpty && bases.forall {
+            case SecondsToTimestamp(a: Attribute) => keyAttr(a)
+            case _ => false
+          } && e.references.forall(keyAttr)
+        case _ => false
+      }
+    }
     def droppable(e: Expression): Boolean = e match {
       case IsNotNull(x) => uncast(x) match {
         case a: Attribute => keyAttr(a)
@@ -821,7 +842,8 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         // constraint inference on a grid join's key adds isnotnull over
         // the GROUPING EXPRESSION itself — an alignment/truncation of a
         // non-null interval is never null, so it filters nothing
-        case other => alignStep(other).nonEmpty || truncStep(other).nonEmpty
+        case other => alignStep(other).nonEmpty || truncStep(other).nonEmpty ||
+          windowPartNonNull(other)
       }
       case _ => false
     }
@@ -1057,6 +1079,111 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       val rel = substitutedScan(levelIdx, kernel, withKnown = true)
       Project(windowOutputAliases(agg.output, rel, step),
         applyCarried(rel, carried, chain.leaf))
+    }
+
+  /** The window struct a substituted window()-shape plan re-derives from
+    * the level's interval column (shared by every window-shape rewrite).
+    */
+  private def windowStructOf(iOut: Attribute, step: Int): Expression =
+    CreateNamedStruct(Seq(
+      Literal("start"), SecondsToTimestamp(iOut),
+      Literal("end"), SecondsToTimestamp(Add(iOut, Literal(step.toLong)))))
+
+  /** The PRUNED window() shape — [[rewritePruned]]'s grid-join spelling
+    * with window(ts, …) grouping: a parent (the dense fetch-grid join)
+    * reads only (window, value), so column pruning drops the metric
+    * grouping from the aggregate OUTPUT while the grouping keeps it.
+    * Outputs bind by exprId role in either order.
+    */
+  private def rewritePrunedWindow(agg: Aggregate, grouping0: Seq[Expression],
+                                  aggExprs: Seq[NamedExpression],
+                                  child: LogicalPlan): Option[LogicalPlan] = {
+    // the grid join usually reads window.start, so column pruning leaves
+    // `window#g.start AS _extract_start` in the agg list rather than the
+    // struct attribute itself — bind either spelling, rebuilding just
+    // the extracted field from the level's interval column
+    def isTimeOut(ne: NamedExpression, windowId: ExprId): Boolean = ne match {
+      case a: Attribute => a.exprId == windowId
+      case Alias(GetStructField(b: Attribute, _, _), _) => b.exprId == windowId
+      case _ => false
+    }
+    def timeOut(ne: NamedExpression, windowId: ExprId, step: Int,
+                iOut: Attribute): Option[Expression] = ne match {
+      case a: Attribute if a.exprId == windowId =>
+        Some(windowStructOf(iOut, step))
+      case Alias(GetStructField(b: Attribute, ord, _), _) if b.exprId == windowId =>
+        if (ord == 0) Some(SecondsToTimestamp(iOut))
+        else Some(SecondsToTimestamp(Add(iOut, Literal(step.toLong))))
+      case _ => None
+    }
+    for {
+      policy <- uniformPolicy
+      if policy.xff == 0f // rollup rows == plain window aggregates
+      if agg.output.size == 2
+      chain <- walkWindowChain(child)
+      intervalId <- chain.intervalAttrId
+      (step, metricId, windowId) <- windowGroupStep(grouping0, chain)
+      carried <- commutingPreds(chain.resolvedPreds, chain.leaf, step)
+      (kernel, kernelId) <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
+      // metric must be PRUNED from the output; the two outputs are
+      // exactly a window-derived column (struct or extracted edge) and
+      // the kernel, in either order
+      if !aggExprs.exists(_.references.exists(_.exprId == metricId))
+      if aggExprs.count(isTimeOut(_, windowId)) == 1
+      if agg.output.count(_.exprId == kernelId) == 1
+      levelIdx <- matchedLevel(policy, step, kernel)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = false)
+      val iOut = rel.output(1).asInstanceOf[Attribute]
+      val outs = aggExprs.map { ne =>
+        val e: Expression = timeOut(ne, windowId, step, iOut)
+          .getOrElse(rel.output(2))
+        Alias(e, ne.name)(exprId = ne.exprId)
+      }
+      Project(outs, applyCarried(rel, carried, chain.leaf))
+    }
+  }
+
+  /** The 4-output window() shape substituted at the AGGREGATE node —
+    * [[rewriteKnown]]'s window(ts, …) spelling: (metric, window, kernel,
+    * count(value)) on an xff=0 store with exact counts, so ANY parent
+    * (`HAVING known >= k`, `HAVING value > x`, a join, a sort) rides the
+    * substituted scan with its exprIds intact. xff>0 stores stay with
+    * [[rewriteGatedKnownWindow]]: their levels lack sub-gate rows, so an
+    * arbitrary HAVING would see a different input set.
+    */
+  private def rewriteKnownWindow(agg: Aggregate, grouping0: Seq[Expression],
+                                 aggExprs: Seq[NamedExpression],
+                                 child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      policy <- uniformPolicy
+      if policy.xff == 0f // any parent predicate sees the same input set
+      if agg.output.size == 4
+      chain <- walkWindowChain(child)
+      intervalId <- chain.intervalAttrId
+      (step, metricId, windowId) <- windowGroupStep(grouping0, chain)
+      carried <- commutingPreds(chain.resolvedPreds, chain.leaf, step)
+      knownId <- countAggId(aggExprs, chain, intervalId)
+      (kernel, kernelId) <- matchKernelWindow(aggExprs, chain.relOut, intervalId, chain.resolve)
+      // all four roles present exactly once, in any output order
+      if agg.output.count(_.exprId == metricId) == 1
+      if agg.output.count(_.exprId == windowId) == 1
+      if agg.output.count(_.exprId == kernelId) == 1
+      if agg.output.count(_.exprId == knownId) == 1
+      levelIdx <- matchedLevel(policy, step, kernel)
+      if exactCounts(levelIdx)
+    } yield {
+      val rel = substitutedScan(levelIdx, kernel, withKnown = true)
+      val iOut = rel.output(1).asInstanceOf[Attribute]
+      val outs = agg.output.map { attr =>
+        val e: Expression =
+          if (attr.exprId == metricId) rel.output(0)
+          else if (attr.exprId == windowId) windowStructOf(iOut, step)
+          else if (attr.exprId == kernelId) rel.output(2)
+          else rel.output(3)
+        Alias(e, attr.name)(exprId = attr.exprId)
+      }
+      Project(outs, applyCarried(rel, carried, chain.leaf))
     }
 
   /** The count(value) aggregate's output id in a window()-shape agg list

@@ -300,4 +300,100 @@ class WindowShapeSpec extends AnyFunSuite {
       assert(vals == Set(17.0), s"filter dropped: $vals")
     } finally spark.experimental.extraOptimizations = Nil
   }
+
+  test("pruned window() shape: grid join reading only (window, value) substitutes") {
+    import spark.implicits._
+    val (store, w0) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val agg = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"))
+        .select(col("window"), col("value")) // metric pruned by the reader
+      val grid = Seq(w0, w0 + 300L, w0 + 600L).toDF("slot")
+        .select(timestamp_seconds(col("slot")).as("start"))
+      val q = grid.join(agg, grid("start") === agg("window.start"), "left")
+        .select(col("start"), col("value"))
+      assert(!hasAggregate(q),
+        s"pruned window() substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      assert(got == Set((w0, Some(12.0)), (w0 + 300L, Some(17.0)),
+        (w0 + 600L, None)), s"wrong grid rows: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("pruned window() shape with a value filter below the aggregate is NOT rewritten") {
+    val (store, _) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .where(col("value") > 14.5)
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"))
+        .select(col("window"), col("value"))
+      assert(hasAggregate(q),
+        s"value-filtered pruned window wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(_.getAs[Double]("value")).toSet == Set(17.0))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("window() 4-output shape under an arbitrary HAVING substitutes on an xff=0 store") {
+    val (store, w0) = mkStore() // xff=0, exact stored counts
+    RollupSubstitution.register(spark, store)
+    try {
+      // NOT the store's gate: an arbitrary user threshold over the kernel
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("value") > 12.5)
+      assert(!hasAggregate(q),
+        s"HAVING-any window() substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getStruct(1).getTimestamp(0).toInstant.getEpochSecond,
+          r.getAs[Double]("value"), r.getAs[Long]("known"))).toSet
+      assert(got == Set((w0 + 300L, 17.0, 5L)), s"wrong HAVING rows: $got")
+
+      // known-threshold spelling rides the same substitution
+      val q2 = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") >= 5)
+      assert(!hasAggregate(q2),
+        s"known-HAVING window() did not substitute:\n${q2.queryExecution.optimizedPlan}")
+      assert(q2.collect().length == 2)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("window() 4-output arbitrary HAVING on an xff>0 store is NOT rewritten") {
+    import spark.implicits._
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-winhavneg").toString, numBuckets = 4)
+    store.create("m",
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0.5f))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = ((0 until 5).map(i => ("m", w0 + i * 60L, 10.0 + i)) :+
+      ("m", w0 + 300L, 99.0)).zipWithIndex
+      .map { case ((m, t, v), i) => (m, t, v, i.toLong) }
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      // the level lacks sub-gate windows (w0+300 was gated out), so an
+      // arbitrary HAVING must recompute — substitution would lose rows
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") >= 1)
+      assert(hasAggregate(q),
+        s"xff>0 HAVING-any window wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().length == 2) // both windows, incl. the sub-gate one
+    } finally spark.experimental.extraOptimizations = Nil
+  }
 }
