@@ -371,12 +371,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
     // task writes a file into every (pb, tb) directory and the file
     // count explodes by the task count.
     if (!new java.io.File(levelPath(i)).exists()) {
-      newPts.drop("prio")
-        .repartition(col("pb"), col("tb"))
-        .write
-        .mode(SaveMode.Overwrite)
-        .partitionBy("pb", "tb")
-        .parquet(levelPath(i))
+      writeFresh(i, newPts.drop("prio"), touchedPre)
       return
     }
 
@@ -396,6 +391,63 @@ final class MetricStore(val spark: SparkSession, val root: String,
       .mode(SaveMode.Overwrite)
       .partitionBy("pb", "tb")
       .parquet(levelPath(i))
+  }
+
+  /** Bulk write into a nonexistent level. Two regimes, picked by the
+    * touched-pb count the caller already collected (no extra job):
+    *
+    *  - **commit-bound** (small stores / small SF): the dynamic-partition
+    *    commit walks every (pb, tb) directory sequentially on the driver
+    *    — for a ~2 MB sf0.1 batch landing in ~130 dirs that is ~1.1 s of
+    *    the 1.4 s write (`tools/WriteProbe`: flat 32-file write 0.33 s,
+    *    any partitionBy spelling 1.3–1.5 s regardless of codec/buffer
+    *    knobs). Fan out ONE JOB PER pb, each writing `pb=<p>/` with
+    *    `partitionBy(tb)`: separate output roots mean separate
+    *    `_temporary` staging and separate commits that overlap across
+    *    jobs (WriteProbe: 1.38 s → 0.64 s warm). Layout on disk is
+    *    byte-identical to the single write.
+    *  - **data-bound** (many pbs = real scale): one clustered shuffle
+    *    write. Per-pb jobs would each re-filter the routed cache — at
+    *    hundreds of pbs that is hundreds of cache scans for no commit
+    *    win, since the commit cost is amortized by data volume there.
+    *
+    * An earlier round-6 experiment fused all fresh LEVELS into one
+    * commit instead; it lost ~1 s at sf0.1 because it serialized the
+    * cascade behind the write (`LayoutExperiment`: x00 2.0 s pre-fuse
+    * vs 3.0 s fused) — level writes must keep overlapping the cascade
+    * via [[MetricStore.writeEc]] futures, so the fan-out lives HERE,
+    * inside the per-level write.
+    */
+  private def writeFresh(i: Int, pts: DataFrame,
+                         touchedPre: Option[Set[(Int, Long)]]): Unit = {
+    val pbs: Set[Int] = touchedPre.map(_.map(_._1)).getOrElse(Set.empty)
+    if (pbs.size < 2 || pbs.size > MetricStore.MaxParallelPbWrites) {
+      pts.repartition(col("pb"), col("tb"))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("pb", "tb")
+        .parquet(levelPath(i))
+      return
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    // NOT writeEc: the caller may itself be a writeEc future — sub-jobs
+    // on the same fixed pool could starve behind parents awaiting them
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val done = pbs.toSeq.sorted.map { p =>
+      Future {
+        // pb is encoded in the directory name; keeping the column in the
+        // data too would collide with partition discovery on read
+        pts.where(col("pb") === p).drop("pb")
+          .repartition(col("tb"))
+          .write
+          .mode(SaveMode.Overwrite)
+          .partitionBy("tb")
+          .parquet(s"${levelPath(i)}/pb=$p")
+      }
+    }
+    done.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Land a precomputed post-upsert mirror of level i's touched
@@ -1291,6 +1343,13 @@ object MetricStore {
     * from the persisted `_layout` marker (see [[MetricStore.bucketSlots]]).
     */
   private[store] val DefaultBucketSlots: Long = 1024L
+
+  /** Fresh-level bulk writes fan out one job per pb up to this many pbs
+    * (see [[MetricStore.writeFresh]]); past it the batch is data-bound
+    * and a single clustered write wins (each per-pb job re-scans the
+    * routed cache to filter its slice — linear in pb count).
+    */
+  private[store] val MaxParallelPbWrites: Int = 16
 
   /** Shared pool for deferred fresh-level writes (daemon threads so a
     * forgotten store never blocks JVM exit). Sized small: each task is a
