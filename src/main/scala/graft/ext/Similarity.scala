@@ -167,7 +167,7 @@ object Similarity {
     *
     * @return (seg, cid, cvec) — m×k rows
     */
-  def pqCodebooks(c: DataFrame, m: Int, k: Int, iters: Int = 4): DataFrame = {
+  def pqCodebooks(c: DataFrame, m: Int, k: Int, iters: Int = 8): DataFrame = {
     val spark = c.sparkSession
     import spark.implicits._
     val dim = c.select(size(col("vec"))).head().getInt(0)
