@@ -225,6 +225,12 @@ object Bench {
     // far below run-to-run noise) keep ~65 queries at ~1750 chars; the
     // noise fields are summarized (base/max/samples), not dumped.
     def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // a query can fail in one phase (median or noise-rerun) yet end with
+    // a valid time from the other; `errors` records the attempt but the
+    // artifact must not list a query as BOTH errored and validly timed —
+    // the final value wins
+    val settled = results.filter(_._2 >= 0).map(_._1).toSet
+    errors --= errors.filter(settled.contains)
     val qs = (results ++ incremental).map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

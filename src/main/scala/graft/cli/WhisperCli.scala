@@ -83,6 +83,11 @@ object WhisperCli {
         val archive = opts.sliding(2).collectFirst {
           case Seq("--archive", p) => Retention.parseRetentionDef(s"$p:1").secondsPerPoint
         }
+        Seq("--archive", "--drop").foreach { fl =>
+          if (opts.lastOption.contains(fl)) {
+            println(s"$fl requires an argument"); sys.exit(1)
+          }
+        }
         val res = new MetricStore(session(), store)
           .fetch(metric, from, until, now, archive)
           .getOrElse { println("no data in requested range"); sys.exit(0); ??? }
@@ -226,8 +231,15 @@ object WhisperCli {
         // optional --from/--until interval clamp (whisper-merge.py:18-24;
         // the API clamp is whisper.py:1062-1074 semantics)
         val Array(_, store, src, dst, rest @ _*) = args: @unchecked
-        def flagVal(name: String): Option[Long] =
-          rest.sliding(2).collectFirst { case Seq(`name`, v) => v.toLong }
+        def flagVal(name: String): Option[Long] = {
+          val v = rest.sliding(2).collectFirst { case Seq(`name`, v) => v.toLong }
+          // a flag with its value missing must error, not silently merge
+          // the whole series (whisper-merge.py: optparse errors out)
+          if (v.isEmpty && rest.contains(name)) {
+            println(s"$name requires a timestamp argument"); sys.exit(1)
+          }
+          v
+        }
         new MetricStore(session(), store)
           .mergeMetric(src, dst, flagVal("--from"), flagVal("--until"))
         println(s"merged $src into $dst")
@@ -249,6 +261,9 @@ object WhisperCli {
         val asJson = rest.contains("--json")
         val ignoreEmpty = rest.contains("--ignore-empty")
         val until = rest.sliding(2).collectFirst { case Seq("--until", v) => v.toLong }
+        if (until.isEmpty && rest.contains("--until")) {
+          println("--until requires a timestamp argument"); sys.exit(1)
+        }
         val (df, totals) = new MetricStore(session(), store)
           .diffMetricsDetail(a, b, until, ignoreEmpty, now)
         val rows = df.orderBy("level", "interval").collect()

@@ -38,7 +38,13 @@ object Similarity {
   def corpusNormalized(emb: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame =
     corpus(emb, idCol, vecCol)
-      .withColumn("nrm", sqrt(dotCol(col("vec"), col("vec"))))
+      // zero-norm guard (an all-zero embedding, e.g. an empty document):
+      // divide by 1 so the vector stays zero instead of going NaN and
+      // poisoning downstream kmeans/LSH aggregates — quantizeInt8's
+      // maxabs guard, same reasoning
+      .withColumn("nrm",
+        when(sqrt(dotCol(col("vec"), col("vec"))) === 0.0, lit(1.0))
+          .otherwise(sqrt(dotCol(col("vec"), col("vec")))))
       .select(col("id"), transform(col("vec"), x => x / col("nrm")).as("vec"))
 
   /** Plain dot product of two array<double> columns — the native
@@ -354,7 +360,10 @@ object Similarity {
       // geometry is cell-local and the q·c_cell correction is exact
       val pqInput =
         if (!residual) assigned
-          .withColumn("nrm", sqrt(dotCol(col("vec"), col("vec"))))
+          // zero-norm guard: see [[corpusNormalized]]
+          .withColumn("nrm",
+            when(sqrt(dotCol(col("vec"), col("vec"))) === 0.0, lit(1.0))
+              .otherwise(sqrt(dotCol(col("vec"), col("vec")))))
           .select(col("id"), col("cell"),
             transform(col("vec"), x => x / col("nrm")).as("vec"))
         else assigned

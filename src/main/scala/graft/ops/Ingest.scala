@@ -45,6 +45,14 @@ object Ingest {
           when(col("level") === i, lit(lvl.secondsPerPoint.toLong)).otherwise(elseExpr)
       }
     batch
+      // a null-valued point is a GAP, not a datum: whisper's update can
+      // only write floats (whisper.py:693,740) — an unwritten slot is the
+      // only "null". Dropping BEFORE the LWW collapse means a null last
+      // write leaves the earlier real point standing (the null write
+      // never existed), and level 0 never stores null values — the
+      // invariant the substitution rewrites' count(value) == count(*)
+      // equations and the all-null-window xff gate rely on.
+      .where(col("value").isNotNull)
       .withColumn("level", levelFor(lit(now) - col("ts"), policy))
       .where(col("level").isNotNull)
       .withColumn("interval", Grid.align(col("ts"), stepForLevel))

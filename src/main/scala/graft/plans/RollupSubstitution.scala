@@ -965,9 +965,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
   private def windowOutputAliases(outAttrs: Seq[Attribute], rel: LogicalPlan,
                                   step: Int): Seq[NamedExpression] = {
     val mOut = rel.output(0); val iOut = rel.output(1); val vOut = rel.output(2)
-    val winStruct = CreateNamedStruct(Seq(
-      Literal("start"), SecondsToTimestamp(iOut),
-      Literal("end"), SecondsToTimestamp(Add(iOut, Literal(step.toLong)))))
+    val winStruct = windowStructOf(iOut, step)
     outAttrs.map { attr =>
       val e: Expression = attr.name match {
         case "metric" => mOut

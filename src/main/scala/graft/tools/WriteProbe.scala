@@ -106,6 +106,9 @@ object WriteProbe {
         ev.repartition(col("pb"), col("tb")).write.mode(SaveMode.Overwrite)
           .partitionBy("pb", "tb").parquet(tmp())
       }
+      // restore: K's setting must not leak into the next round's A–J
+      spark.sparkContext.hadoopConfiguration
+        .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
     }
     spark.stop()
   }

@@ -39,6 +39,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out.contains((0, slot, 2.0)))
   }
 
+  test("routeAndDedup: null-valued points are gaps — dropped before LWW") {
+    val policy = RetentionPolicy(Seq(ArchiveInfo(60, 60), ArchiveInfo(300, 1000)))
+    val batch = Seq(
+      ("m", Now - 30, Some(1.0), 1L),
+      // a LATER null write must not erase the real point: whisper can
+      // only write floats, so the null write never existed
+      ("m", Now - 30, None, 2L),
+      // a slot fed ONLY nulls must produce no row at all
+      ("m", Now - 90, None, 3L)
+    ).toDF("metric", "ts", "value", "seq")
+    val out = Ingest.routeAndDedup(batch, policy, Now).collect()
+      .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value")))
+    assert(out.toSeq == Seq((Grid.alignDown(Now - 30, 60), 1.0)))
+  }
+
   test("rollup matches pure-Scala kernels for every method") {
     // 10s grid → 60s windows (6 slots); xff 0.5 needs ≥3 known
     val pts = Seq(

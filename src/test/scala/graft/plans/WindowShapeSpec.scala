@@ -256,6 +256,23 @@ class WindowShapeSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("window() with an EXTRA grouping column is NOT rewritten") {
+    // GROUP BY metric, window, value partitions each window by distinct
+    // value — finer than the stored rollup. The dispatch guard
+    // (groupingExprs.size == 2) must keep every window-shape rewrite
+    // away from it; substituting would collapse the sub-groups.
+    val (store, _) = mkStore()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select(col("metric"), timestamp_seconds(col("interval")).as("ts"), col("value"))
+        .groupBy(col("metric"), window(col("ts"), "300 seconds"), col("value"))
+        .agg(avg(col("value")).as("value2"), count(col("value")).as("known"))
+      assert(hasAggregate(q),
+        s"extra-grouping aggregate wrongly substituted:\n${q.queryExecution.optimizedPlan}")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("window() with a startTime offset is NOT rewritten") {
     val (store, _) = mkStore()
     RollupSubstitution.register(spark, store)
