@@ -382,15 +382,53 @@ final class MetricStore(val spark: SparkSession, val root: String,
 
     // mergedTouched output is already clustered by (pb, tb) — one writer
     // set per touched partition without a second exchange
-    mergedTouched(i, newPts, touched)
-      .write
-      // per-write option, NOT session conf: mutating the session's
-      // partitionOverwriteMode would silently change overwrite semantics
-      // for unrelated user writes sharing the SparkSession
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .partitionBy("pb", "tb")
-      .parquet(levelPath(i))
+    writeMerged(i, mergedTouched(i, newPts, touched), touched.map(_._1))
+  }
+
+  /** Land merged touched-partition rows over an EXISTING level. Same two
+    * regimes as [[writeFresh]] — the dynamic-overwrite commit walks
+    * touched dirs sequentially on the driver, so in the commit-bound
+    * small-batch regime one overwrite job per pb (separate output roots,
+    * overlapping commits) beats the single write. Unlike writeFresh the
+    * per-pb jobs need no shared cache: the `pb = p` filter is a partition
+    * predicate, so each job's touched-dir read PRUNES to its own pb's
+    * directories — the merge work partitions naturally across the jobs.
+    */
+  private def writeMerged(i: Int, merged: DataFrame, pbs: Set[Int]): Unit = {
+    if (pbs.size < 2 || pbs.size > MetricStore.MaxParallelPbWrites) {
+      merged
+        .write
+        // per-write option, NOT session conf: mutating the session's
+        // partitionOverwriteMode would silently change overwrite
+        // semantics for unrelated user writes sharing the SparkSession
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .partitionBy("pb", "tb")
+        .parquet(levelPath(i))
+      return
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    // NOT writeEc — see writeFresh
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val done = pbs.toSeq.sorted.map { p =>
+      Future {
+        // re-cluster by tb inside the job: the filtered slice of the
+        // merged frame can claim a stale cached ordering that makes the
+        // write planner elide its partition sort and collide staging
+        // files — the fresh exchange (same shape as writeFresh) makes
+        // the required clustering explicit
+        merged.where(col("pb") === p).drop("pb")
+          .repartition(col("tb"))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(SaveMode.Overwrite)
+          .partitionBy("tb")
+          .parquet(s"${levelPath(i)}/pb=$p")
+      }
+    }
+    done.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Bulk write into a nonexistent level. Two regimes, picked by the
@@ -451,20 +489,14 @@ final class MetricStore(val spark: SparkSession, val root: String,
   }
 
   /** Land a precomputed post-upsert mirror of level i's touched
-    * partitions: one dynamic-overwrite write, no re-read/re-merge — the
-    * rows are [[mergedTouched]]'s output, usually already materialized
-    * into its cache by the cascade's deferred-write reader.
+    * partitions: no re-read/re-merge — the rows are [[mergedTouched]]'s
+    * output, usually already materialized into its cache by the
+    * cascade's deferred-write reader. Routes through [[writeMerged]] so
+    * the commit-bound regime fans out per pb like every other write.
     */
-  private def overwriteTouched(i: Int, merged: DataFrame): Unit = {
-    // no repartition: mergedTouched output is already clustered by
-    // (pb, tb) — its merge groupBy rides the same exchange
-    merged
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .partitionBy("pb", "tb")
-      .parquet(levelPath(i))
-  }
+  private def overwriteTouched(i: Int, merged: DataFrame,
+                               pbs: Set[Int]): Unit =
+    writeMerged(i, merged, pbs)
 
   /** Current on-disk rows of level i's touched (pb, tb) partitions.
     * Reads ONLY those partition directories: going through the root path
@@ -684,7 +716,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
               else withPartitionCols(incoming, step)
             val mirror = mergedTouched(i, newPts, t).cache()
             levelCaches += mirror
-            deferred = Some(() => overwriteTouched(i, mirror))
+            deferred = Some(() => overwriteTouched(i, mirror, t.map(_._1)))
             deferredMirror = Some((i, mirror, t))
           case _ =>
             deferred = Some(() => upsertLevel(i, step, incoming, touchedPre))
