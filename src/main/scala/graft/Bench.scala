@@ -89,7 +89,7 @@ object Bench {
       "d08_dedup_simhash_portable", "d14_dedup_embedding_exact",
       "w25_rollup_trunc_gated", "w26_rollup_filtered_substituted",
       "w27_rollup_topk_substituted", "w28_fetch_grid_substituted",
-      "w29_rollup_having_counts")
+      "w29_rollup_having_counts", "w30_hetero_substituted")
     // deterministic timing order: `queries` is an unordered Map, so
     // iterating it directly reshuffles who pays residual warmup /
     // cache-eviction costs whenever a query is added — round-over-round

@@ -85,7 +85,9 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * policies). Substituting a level scan after checking only one
     * metric's policy would return wrong grids for metrics with a
     * different one — so require the store to be policy-uniform,
-    * mirroring upsertRollups' guard.
+    * mirroring upsertRollups' guard; on non-uniform stores
+    * [[pinnedPolicy]] still substitutes queries whose predicates pin
+    * the scan to metrics of a single policy.
     */
   /** Also requires the store's levels to still BE the cascade of the
     * current level-0 table: points that routed directly into coarser
@@ -99,6 +101,68 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     val ps = store.policies().values.toSeq.distinct
     if (ps.size == 1) ps.headOption else None
   }
+
+  /** Heterogeneous stores (whisper's storage-schemas.conf: per-family
+    * retention): substitution is still sound when the query's scan is
+    * PINNED to metrics that all share one policy — the pinning conjunct
+    * (an equality/IN on `metric` with string literals) restricts the
+    * input to a subset of those names, every carried metric predicate is
+    * reapplied on the substituted level scan, and each policy's cascade
+    * writes its metrics' level-i rollups into the shared `level_i`
+    * directory, so the pinned policy's level index + the carried metric
+    * filter read exactly the pinned metrics' rollups. Names the store
+    * never created contribute no rows on either side; at least one
+    * pinned name must resolve to a policy, and all resolving names must
+    * agree on it. OR-arms / IN-lists that mix policies refuse — the
+    * substituted grid would be wrong for one family.
+    */
+  private def pinnedPolicy(preds: Seq[Expression],
+                           leaf: LogicalPlan): Option[graft.model.RetentionPolicy] = {
+    if (!store.rollupsDerivedFromLevel0) return None
+    val metricId = leaf.output.find(_.name == "metric").map(_.exprId)
+    def isMetric(e: Expression): Boolean = e match {
+      case a: Attribute => metricId.contains(a.exprId)
+      case _ => false
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(v, _: org.apache.spark.sql.types.StringType) if v != null =>
+        Some(v.toString)
+      case _ => None
+    }
+    // the names a single conjunct restricts the scan to, or None if the
+    // conjunct does not pin (any non-pinning OR-arm un-pins the whole Or)
+    def names(conj: Expression): Option[Seq[String]] = conj match {
+      case EqualTo(a, l) if isMetric(a)       => strLit(l).map(Seq(_))
+      case EqualTo(l, a) if isMetric(a)       => strLit(l).map(Seq(_))
+      case EqualNullSafe(a, l) if isMetric(a) => strLit(l).map(Seq(_))
+      case EqualNullSafe(l, a) if isMetric(a) => strLit(l).map(Seq(_))
+      case In(a, ls) if isMetric(a) =>
+        val ss = ls.map(strLit)
+        if (ss.nonEmpty && ss.forall(_.isDefined)) Some(ss.flatten) else None
+      case InSet(a, vs) if isMetric(a) =>
+        Some(vs.toSeq.collect { case s if s != null => s.toString })
+      case Or(x, y) =>
+        for { nx <- names(x); ny <- names(y) } yield nx ++ ny
+      case _ => None
+    }
+    preds.flatMap(names(_)).headOption.flatMap { ns =>
+      val pols = store.policies()
+      val found = ns.flatMap(pols.get).distinct
+      if (found.size == 1) Some(found.head) else None
+    }
+  }
+
+  /** Policy governing a matched scan: the store-uniform policy, else the
+    * policy its predicates pin (heterogeneous stores). Re-runs the scan
+    * match the caller already did — plan-walk only, optimizer-time cheap
+    * — to keep the seventeen rewrite sites a one-line change.
+    */
+  private def policyFor(child: LogicalPlan): Option[graft.model.RetentionPolicy] =
+    uniformPolicy.orElse {
+      matchLevel0ScanFiltered(child).map(sm => (sm.preds, sm.leaf))
+        .orElse(walkWindowChain(child).map(c => (c.resolvedPreds, c.leaf)))
+        .flatMap { case (ps, leaf) => pinnedPolicy(ps, leaf) }
+    }
 
   /** The store cascade computes level i from level i-1 (matching
     * whisper.py:858-875), so a level>=2 Average VALUE is an avg-of-avgs —
@@ -184,7 +248,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if (outputsKnown) Seq("metric", "interval", "value", "known")
       else Seq("metric", "interval", "value")
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if knownIds.size == 1 && projPassthrough
       if p.output.size == expectedNames.size
       sm <- matchLevel0ScanFiltered(child)
@@ -225,7 +289,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                                 child: LogicalPlan): Option[LogicalPlan] = {
     val knownIds = countOfValueIds(aggExprs)
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if knownIds.size == 1
       if agg.output.size == 4 // names free — binding is by exprId role
       if agg.output(3).exprId == knownIds.head // the kept output IS the count
@@ -362,7 +426,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                       child: LogicalPlan): Option[LogicalPlan] = {
     val grouping = resolveGrouping(grouping0, child)
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if policy.xff == 0f // rollup rows == plain window aggregates
       // outputs are bound by exprId ROLE below, so their NAMES are free
       // (`avg(value) AS v`, `... AS bucket` substitute the same way — the
@@ -398,7 +462,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                             child: LogicalPlan): Option[LogicalPlan] = {
     val grouping = resolveGrouping(grouping0, child)
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if policy.xff == 0f // rollup rows == plain window aggregates
       if agg.output.size == 2
       sm <- matchLevel0ScanFiltered(child)
@@ -442,7 +506,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     val knownIds = countOfValueIds(aggExprs)
     val grouping = resolveGrouping(grouping0, child)
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if policy.xff == 0f // rollup rows == plain window aggregates
       if agg.output.size == 4
       if knownIds.size == 1
@@ -534,7 +598,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                            child: LogicalPlan): Option[LogicalPlan] = {
     val grouping = resolveGrouping(grouping0, child)
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if policy.xff == 0f // rollup rows == plain window aggregates
       if agg.output.size == 3 // names free — binding is by exprId role
       sm <- matchLevel0ScanFiltered(child)
@@ -570,7 +634,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     val projPassthrough = isAttributePassthrough(p.projectList)
     val grouping = resolveGrouping(grouping0, child)
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if knownIds.size == 1 && projPassthrough
       if p.output.size == 3 // names free — binding is by exprId role
       sm <- matchLevel0ScanFiltered(child)
@@ -609,7 +673,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     val knownIds = countOfValueIds(aggExprs)
     val grouping = resolveGrouping(grouping0, child)
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if knownIds.size == 1
       if agg.output.size == 4 // names free — binding is by exprId role
       if agg.output(3).exprId == knownIds.head // the kept output IS the count
@@ -981,7 +1045,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                             aggExprs: Seq[NamedExpression],
                             child: LogicalPlan): Option[LogicalPlan] =
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if policy.xff == 0f // rollup rows == plain window aggregates
       chain <- walkWindowChain(child)
       intervalId <- chain.intervalAttrId
@@ -1018,7 +1082,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                                  child: LogicalPlan): Option[LogicalPlan] = {
     val projPassthrough = isAttributePassthrough(p.projectList)
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if projPassthrough
       if p.output.map(_.name) == Seq("metric", "window", "value")
       chain <- walkWindowChain(child)
@@ -1058,7 +1122,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                                       aggExprs: Seq[NamedExpression],
                                       child: LogicalPlan): Option[LogicalPlan] =
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if agg.output.map(_.name) == Seq("metric", "window", "value", "known")
       chain <- walkWindowChain(child)
       intervalId <- chain.intervalAttrId
@@ -1115,7 +1179,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       case _ => None
     }
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if policy.xff == 0f // rollup rows == plain window aggregates
       if agg.output.size == 2
       chain <- walkWindowChain(child)
@@ -1154,7 +1218,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
                                  aggExprs: Seq[NamedExpression],
                                  child: LogicalPlan): Option[LogicalPlan] =
     for {
-      policy <- uniformPolicy
+      policy <- policyFor(child)
       if policy.xff == 0f // any parent predicate sees the same input set
       if agg.output.size == 4
       chain <- walkWindowChain(child)

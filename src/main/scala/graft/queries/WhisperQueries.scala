@@ -132,6 +132,37 @@ object WhisperQueries {
         store
       })
 
+  /** Store for the HETEROGENEOUS-policy substituted read (w30): two
+    * retention families on ONE store (whisper's storage-schemas.conf
+    * shape) — click/view roll up at 300s, signup/error/purchase at 600s,
+    * both xff=0 `last`. Ingested once per (session, dir) like w23/w24.
+    */
+  private val w30memo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+
+  private def w30Store(s: SparkSession, dir: String): graft.store.MetricStore =
+    w30memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val root = java.nio.file.Files.createTempDirectory("graft-w30").toString
+        val store = new graft.store.MetricStore(s, root, numBuckets = 8)
+        store.createAll(
+          Seq("click", "view"),
+          RetentionPolicy(
+            Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000)), xff = 0f,
+            AggregationMethod.Last))
+        store.createAll(
+          Seq("signup", "error", "purchase"),
+          RetentionPolicy(
+            Seq(ArchiveInfo(60, 50000), ArchiveInfo(600, 20000)), xff = 0f,
+            AggregationMethod.Last))
+        store.updateMany(
+          events(s, dir).select(col("metric"), col("tsec").as("ts"),
+            col("value"), col("seq")),
+          Now)
+        store
+      })
+
   /** Store for the GATED date_trunc substituted read (w25): hourly level
     * under xff = 0.05 (slots = 60; events fill ~3 minute-slots/hour, so
     * the ≥3-known gate discriminates — some hours pass, some don't),
@@ -661,6 +692,47 @@ object WhisperQueries {
          |         count(value) OVER (PARTITION BY metric, w) AS known
          |  FROM r
          |) WHERE rn = 1 AND known >= 4 ORDER BY 1, 2""".stripMargin),
+    QueryDef(
+      "w30_hetero_substituted",
+      // HETEROGENEOUS-policy substituted read, driver-gated: one store,
+      // two retention families (click/view @ 300s, signup/error/purchase
+      // @ 600s — whisper's storage-schemas.conf). A query PINNED to
+      // same-policy metrics substitutes against that family's level even
+      // though the store is not policy-uniform: the pinning IN-predicate
+      // is carried onto the shared level directory's scan. Refuses to
+      // run unsubstituted like w23..w29.
+      (s, dir) => {
+        val store = w30Store(s, dir)
+        // register stays in effect (idempotent): every later action on the
+        // returned frame builds a fresh QueryExecution, and deregistering
+        // here would hand it the unsubstituted recompute plan
+        graft.plans.RollupSubstitution.register(s, store)
+        locally {
+          val l0 = store.levelData(0).select("metric", "interval", "value")
+          val q = l0
+            .where(col("metric").isin("click", "view"))
+            .groupBy(col("metric"),
+              (col("interval") - col("interval") % lit(300L)).as("interval"))
+            .agg(max_by(col("value"), col("interval")).as("value"))
+            .orderBy("metric", "interval")
+          require(
+            q.queryExecution.optimizedPlan.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isEmpty,
+            "w30: heterogeneous pinned substitution regressed — " +
+              "plan still aggregates level-0")
+          q
+        }
+      },
+      s"""$baseSql, r AS (
+         |  SELECT metric, interval - interval % 300 AS w, interval, value
+         |  FROM l0 WHERE metric IN ('click', 'view')
+         |)
+         |SELECT metric, w AS interval, value FROM (
+         |  SELECT metric, w, value,
+         |         row_number() OVER (PARTITION BY metric, w ORDER BY interval DESC) AS rn
+         |  FROM r
+         |) WHERE rn = 1 ORDER BY 1, 2""".stripMargin),
     QueryDef(
       "w27_rollup_topk_substituted",
       // TOP-K over the rollup read path — ORDER BY value LIMIT above the

@@ -1,0 +1,184 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model._
+import graft.store.MetricStore
+
+/** Heterogeneous-policy substitution: a store with per-metric retention
+  * (whisper's storage-schemas.conf shape) refuses store-wide
+  * substitution, but a query PINNED to metrics of one policy substitutes
+  * against that policy's levels — the pinning predicate is carried onto
+  * the shared level directory's scan.
+  */
+class HeteroPolicySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val Now = 1706659200L
+
+  /** Store with metric a @ (60s → 300s) and metric b @ (60s → 600s),
+    * both xff=0 average; 20 minutes of minutely points for each.
+    */
+  private def mkHetero(): (MetricStore, Long) = {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-hetero").toString, numBuckets = 4)
+    store.create("a",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(300, 1200)), xff = 0f))
+    store.create("b",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(600, 1200)), xff = 0f))
+    val base = Now - 1200
+    val w0 = base - base % 600
+    val pts = (0 until 20).flatMap(i => Seq(
+      ("a", w0 + i * 60L, 10.0 + i, i.toLong),
+      ("b", w0 + i * 60L, 100.0 + i, i.toLong)))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    (store, w0)
+  }
+
+  private def hasAggregate(q: org.apache.spark.sql.DataFrame): Boolean =
+    q.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+
+  private def alignAgg(store: MetricStore, step: Long,
+                       pin: org.apache.spark.sql.Column) =
+    store.levelData(0)
+      .select("metric", "interval", "value")
+      .where(pin)
+      .groupBy(col("metric"),
+        (col("interval") - col("interval") % lit(step)).as("interval"))
+      .agg(avg(col("value")).as("value"))
+
+  test("metric-pinned aggregate substitutes against the pinned policy's level") {
+    val (store, w0) = mkHetero()
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = alignAgg(store, 300L, col("metric") === "a")
+      assert(!hasAggregate(q),
+        s"pinned substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      // values = recompute (windows of 5 minutely points, avg)
+      val got = q.orderBy("interval").collect()
+        .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+      val expect = (0 until 4).map(wi =>
+        (w0 + wi * 300L) -> (10.0 + wi * 5 + 2)).toMap
+      assert(got == expect, s"wrong values: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("the OTHER policy's step substitutes for its own metric only") {
+    val (store, _) = mkHetero()
+    RollupSubstitution.register(spark, store)
+    try {
+      // b's 600s level exists; a has no 600s level
+      val qb = alignAgg(store, 600L, col("metric") === "b")
+      assert(!hasAggregate(qb),
+        s"b-pinned 600s substitution did not fire:\n${qb.queryExecution.optimizedPlan}")
+      val gotB = qb.orderBy("interval").collect()
+        .map(r => r.getAs[Double]("value")).toSeq
+      assert(gotB == Seq(104.5, 114.5), s"wrong b values: $gotB")
+      val qa = alignAgg(store, 600L, col("metric") === "a")
+      assert(hasAggregate(qa),
+        "a-pinned 600s aggregate wrongly substituted (a has no 600s level)")
+      // a's 300s step must not substitute under b's pin either
+      val qba = alignAgg(store, 300L, col("metric") === "b")
+      assert(hasAggregate(qba),
+        "b-pinned 300s aggregate wrongly substituted (b has no 300s level)")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("unpinned / multi-policy-pinned aggregates on a hetero store refuse") {
+    val (store, _) = mkHetero()
+    RollupSubstitution.register(spark, store)
+    try {
+      assert(hasAggregate(alignAgg(store, 300L, lit(true))),
+        "unpinned aggregate on a heterogeneous store wrongly substituted")
+      assert(hasAggregate(
+        alignAgg(store, 300L, col("metric").isin("a", "b"))),
+        "IN spanning two policies wrongly substituted")
+      // LIKE restricts to metric but pins no names — must refuse
+      assert(hasAggregate(alignAgg(store, 300L, col("metric").like("a%"))),
+        "LIKE pin (no literal names) wrongly substituted")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("IN over same-policy metrics substitutes; unknown names don't block") {
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-hetero2").toString, numBuckets = 4)
+    val pol =
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(300, 1200)), xff = 0f)
+    store.create("a", pol)
+    store.create("c", pol)
+    store.create("b",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(600, 1200)), xff = 0f))
+    val base = Now - 1200
+    val w0 = base - base % 600
+    val pts = (0 until 20).flatMap(i => Seq(
+      ("a", w0 + i * 60L, 10.0 + i, i.toLong),
+      ("c", w0 + i * 60L, 50.0 + i, i.toLong)))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = alignAgg(store, 300L, col("metric").isin("a", "c"))
+      assert(!hasAggregate(q),
+        s"same-policy IN did not substitute:\n${q.queryExecution.optimizedPlan}")
+      assert(q.count() == 8) // 4 windows × 2 metrics
+
+      // a name the store never created resolves no policy but cannot
+      // change the choice — both sides return nothing for it
+      val q2 = alignAgg(store, 300L, col("metric").isin("a", "ghost"))
+      assert(!hasAggregate(q2),
+        s"IN with unknown name did not substitute:\n${q2.queryExecution.optimizedPlan}")
+      assert(q2.count() == 4)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("divergence marker still vetoes pinned substitution") {
+    val (store, _) = mkHetero()
+    store.markRollupsDiverged()
+    RollupSubstitution.register(spark, store)
+    try {
+      assert(hasAggregate(alignAgg(store, 300L, col("metric") === "a")),
+        "diverged store wrongly substituted a pinned read")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("pinned GATED shape uses the pinned policy's xff") {
+    // metric g @ xff=0.5: the store gate drops 2-known windows; a query
+    // restating that gate over level-0, pinned to g, substitutes
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-hetero3").toString, numBuckets = 4)
+    store.create("g",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(300, 1200)),
+        xff = 0.5f, AggregationMethod.Average))
+    store.create("h",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(600, 1200)), xff = 0f))
+    val base = Now - 1200
+    val w0 = base - base % 600
+    // window w0: 5 points (passes 0.5 gate); w0+300: 2 points (gated out)
+    val pts = ((0 until 5).map(i => ("g", w0 + i * 60L, 10.0 + i, i.toLong)) ++
+      Seq(("g", w0 + 300L, 1.0, 9L), ("g", w0 + 360L, 2.0, 10L)))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val xffF32 = 0.5f.toDouble
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .where(col("metric") === "g")
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 && col("known") / lit(5.0) >= lit(xffF32))
+        .select("metric", "interval", "value")
+      assert(!hasAggregate(q),
+        s"pinned gated substitution did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect().map(r =>
+        r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
+      assert(got == Map(w0 -> 12.0), s"wrong gated values: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
