@@ -209,12 +209,20 @@ object Bench {
         "x01_jobs" -> (j2 - j1).toDouble)
     }
     val incremental: Map[String, Double] = try {
-      var inc = ingestEvidence()
+      // median-of-3 like every timed query: both phases are ~1 s
+      // fixed-cost dominated at sf0.1, so a single ±0.15 s sample can
+      // flip the x01 < x00 ordering the pair exists to evidence
+      // (tools/IngestRepeat shows x01 < x00 in 5/5 in-process reps).
+      // Per-KEY medians over three fresh stores; one extra noise-guarded
+      // retry if calibration says the whole span was contaminated.
+      def medians(runs: Seq[Map[String, Double]]): Map[String, Double] =
+        runs.head.keySet.map { k =>
+          k -> runs.map(_(k)).sorted.apply(runs.size / 2)
+        }.toMap
+      var inc = medians(Seq.fill(3)(ingestEvidence()))
       val calAfter = calibrate()
       calSamples += calAfter
       if (calAfter > 2 * calBase) {
-        // the ingest pair is cheap enough to re-run whole (fresh store);
-        // keep the cleaner (lower-x00) pair rather than mixing phases
         val inc2 = ingestEvidence()
         val calAfter2 = calibrate()
         calSamples += calAfter2
