@@ -116,10 +116,14 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * agree on it. OR-arms / IN-lists that mix policies refuse — the
     * substituted grid would be wrong for one family.
     */
-  private def pinnedPolicy(preds: Seq[Expression],
-                           leaf: LogicalPlan): Option[graft.model.RetentionPolicy] = {
-    if (!store.rollupsDerivedFromLevel0) return None
-    val metricId = leaf.output.find(_.name == "metric").map(_.exprId)
+  /** The metric names a predicate set PINS the scan to: the names of the
+    * first conjunct that is an equality / IN / OR-of-equalities on the
+    * metric column with string literals (a conjunct restricts the scan
+    * to a subset of its names; any non-pinning OR-arm un-pins its Or).
+    * None when no conjunct pins.
+    */
+  private def pinnedNames(preds: Seq[Expression],
+                          metricId: Option[ExprId]): Option[Seq[String]] = {
     def isMetric(e: Expression): Boolean = e match {
       case a: Attribute => metricId.contains(a.exprId)
       case _ => false
@@ -129,8 +133,6 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         Some(v.toString)
       case _ => None
     }
-    // the names a single conjunct restricts the scan to, or None if the
-    // conjunct does not pin (any non-pinning OR-arm un-pins the whole Or)
     def names(conj: Expression): Option[Seq[String]] = conj match {
       case EqualTo(a, l) if isMetric(a)       => strLit(l).map(Seq(_))
       case EqualTo(l, a) if isMetric(a)       => strLit(l).map(Seq(_))
@@ -145,7 +147,14 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         for { nx <- names(x); ny <- names(y) } yield nx ++ ny
       case _ => None
     }
-    preds.flatMap(names(_)).headOption.flatMap { ns =>
+    preds.flatMap(names(_)).headOption
+  }
+
+  private def pinnedPolicy(preds: Seq[Expression],
+                           leaf: LogicalPlan): Option[graft.model.RetentionPolicy] = {
+    if (!store.rollupsDerivedFromLevel0) return None
+    val metricId = leaf.output.find(_.name == "metric").map(_.exprId)
+    pinnedNames(preds, metricId).flatMap { ns =>
       val pols = store.policies()
       val found = ns.flatMap(pols.get).distinct
       if (found.size == 1) Some(found.head) else None
@@ -209,7 +218,11 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       org.apache.spark.sql.functions.col("metric"),
       org.apache.spark.sql.functions.col("interval"),
       valueCol) ++
-      (if (withKnown) Seq(org.apache.spark.sql.functions.col("known")) else Nil)
+      (if (withKnown) Seq(org.apache.spark.sql.functions.col("known")) else Nil) ++
+      // pb LAST so every positional rebinding (indexes 0..3) is
+      // untouched: it exists purely for [[applyCarried]]'s bucket
+      // pruning and is dropped by the output projection otherwise
+      Seq(org.apache.spark.sql.functions.col("pb"))
     base.select(cols: _*).queryExecution.analyzed
   }
 
@@ -929,6 +942,19 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     * level's (level intervals are the window starts, so aligned bounds
     * and metric predicates carry over verbatim).
     */
+  /** metric's partition bucket, computed driver-side with the SAME hash
+    * the writer stamps (MetricStore.withPartitionCols:
+    * pmod(hash(metric), numBuckets); functions.hash = Murmur3, seed 42).
+    */
+  private def pbOf(name: String): Int = {
+    val h = Murmur3Hash(
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(name),
+        org.apache.spark.sql.types.StringType)), 42)
+      .eval(null).asInstanceOf[Int]
+    val n = store.effectiveBuckets
+    ((h % n) + n) % n
+  }
+
   private def applyCarried(rel: LogicalPlan, preds: Seq[Expression],
                            leaf: LogicalPlan): LogicalPlan =
     if (preds.isEmpty) rel
@@ -939,7 +965,17 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         case a: Attribute if metricId.contains(a.exprId) => rel.output(0)
         case a: Attribute if intervalId.contains(a.exprId) => rel.output(1)
       })
-      Filter(remapped.reduce(And), rel)
+      // metric pins prune PARTITION DIRECTORIES, not just row groups:
+      // pb is a function of the metric name, so a pinned scan needs only
+      // the pinned names' buckets — at scale the difference between
+      // listing/reading every pb dir and one of them. The pb column is
+      // exposed last on the substituted scan for exactly this conjunct;
+      // the output projection prunes it away again.
+      val pbIn = for {
+        ns <- pinnedNames(preds, metricId)
+        pbAttr <- rel.output.find(_.name == "pb")
+      } yield In(pbAttr, ns.map(pbOf).distinct.sorted.map(b => Literal(b)))
+      Filter((remapped ++ pbIn).reduce(And), rel)
     }
 
   /** The idiomatic Spark spelling — `groupBy(metric, window(ts, "S

@@ -70,22 +70,49 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * probed — one partition dir name + one row's interval decide which
     * historical layout produced it — and stamped with the result.
     */
+  /** `_layout` parsed as key=value lines. Legacy single-line files
+    * (bucket_slots only) parse the same way.
+    */
+  private lazy val layoutKv: Map[String, String] = {
+    val f = java.nio.file.Paths.get(s"$root/_layout")
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else java.nio.file.Files.readString(f).linesIterator.flatMap { l =>
+      l.trim.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+  }
+
   private lazy val bucketSlots: Long = {
     val f = java.nio.file.Paths.get(s"$root/_layout")
     def stamp(v: Long): Long = {
       val tmp = java.nio.file.Paths.get(s"$root/_layout.tmp")
-      java.nio.file.Files.writeString(tmp, s"bucket_slots=$v\n")
+      java.nio.file.Files.writeString(tmp,
+        s"bucket_slots=$v\nnum_buckets=$numBuckets\n")
       java.nio.file.Files.move(tmp, f,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       v
     }
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim.stripPrefix("bucket_slots=").toLong
-    else if (!anyLevelDirExists)
-      stamp(MetricStore.DefaultBucketSlots)
-    else stamp(probeBucketSlots())
+    layoutKv.get("bucket_slots").map(_.toLong).getOrElse {
+      if (!anyLevelDirExists) stamp(MetricStore.DefaultBucketSlots)
+      else stamp(probeBucketSlots())
+    }
   }
+
+  /** Effective partition-bucket count, PERSISTED like bucketSlots: pb
+    * values are baked into directory names as pmod(hash(metric), n), so
+    * opening an 8-bucket store with the 32-bucket constructor default
+    * would compute wrong buckets — silently mis-pruning every fetch,
+    * vacuum selector, and substituted read, and splitting new writes
+    * across two layouts. The persisted value wins; a legacy `_layout`
+    * without the key keeps the constructor value (pre-existing
+    * behavior, and those stores were always opened with their creating
+    * bucket count in-repo).
+    */
+  lazy val effectiveBuckets: Int =
+    layoutKv.get("num_buckets").map(_.toInt).getOrElse(numBuckets)
 
   /** True when ANY `level_i` directory exists — a pre-marker store whose
     * data lives only in coarse levels (e.g. a too-old backfill that never
@@ -349,7 +376,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
   private[graft] def markRollupsDiverged(): Unit = { divergedMarker.createNewFile(); () }
 
   private def withPartitionCols(df: DataFrame, step: Int): DataFrame =
-    df.withColumn("pb", pmod(hash(col("metric")), lit(numBuckets)))
+    df.withColumn("pb", pmod(hash(col("metric")), lit(effectiveBuckets)))
       .withColumn("tb", expr(s"interval div ${bucketSeconds(step)}"))
 
   /** Merge `incoming` (metric, interval, value, prio) into level i:
@@ -652,7 +679,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
               expr(s"interval div ${bucketSeconds(st)}")).otherwise(e)
         }
       val partStats: Seq[(Int, Int, Long, Long, Long, Long)] = routed
-        .withColumn("pb", pmod(hash(col("metric")), lit(numBuckets)))
+        .withColumn("pb", pmod(hash(col("metric")), lit(effectiveBuckets)))
         .withColumn("tb", tbForLevel)
         .groupBy("level", "pb", "tb")
         .agg(count(lit(1)).as("n"), min("interval").as("lo"), max("interval").as("hi"))
@@ -957,7 +984,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
         // whisper's ring-offset arithmetic (only touched buckets are read)
         val bs = bucketSeconds(step)
         val pruned = levelData(level)
-          .where(col("pb") === pmod(hash(lit(metric)), lit(numBuckets)) &&
+          .where(col("pb") === pmod(hash(lit(metric)), lit(effectiveBuckets)) &&
             col("tb") >= fromInterval / bs - 1 && col("tb") <= untilInterval / bs)
           .select("metric", "interval", "value")
         val rows = Fetch
@@ -1175,7 +1202,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
         // folded per metric) as well as the time range — a k-metric fetch
         // reads at most k buckets per time bucket
         val pbFilter = metrics
-          .map(m => col("pb") === pmod(hash(lit(m)), lit(numBuckets)))
+          .map(m => col("pb") === pmod(hash(lit(m)), lit(effectiveBuckets)))
           .reduce(_ || _)
         val pruned = levelData(level)
           .where(pbFilter &&
@@ -1354,7 +1381,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
 
     val tmpRoot = s"$root.tmp"
     MetricStore.deleteRecursively(new java.io.File(tmpRoot))
-    val tmp = new MetricStore(spark, tmpRoot, numBuckets)
+    val tmp = new MetricStore(spark, tmpRoot, effectiveBuckets)
     old.keys.foreach(m => tmp.create(m, newPolicy))
     Rollup.cascade(level0, newPolicy).zip(newPolicy.levels).zipWithIndex.foreach {
       case ((df, lvl), i) =>
@@ -1366,7 +1393,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
     MetricStore.deleteRecursively(bak)
     new java.io.File(root).renameTo(bak)
     new java.io.File(tmpRoot).renameTo(new java.io.File(root))
-    new MetricStore(spark, root, numBuckets)
+    new MetricStore(spark, root, effectiveBuckets)
   }
 }
 

@@ -93,6 +93,13 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
         physical.contains("EqualTo(metric,a)") &&
         physical.contains("GreaterThanOrEqual(interval"),
         s"carried filter not pushed to the level scan:\n$physical")
+      // the metric pin also prunes PARTITION DIRECTORIES: pb is a
+      // function of the metric name, computed driver-side with the
+      // writer's hash — at scale the difference between reading every
+      // pb dir and one
+      assert(physical.contains("PartitionFilters: [pb") &&
+        physical.contains(" IN ("),
+        s"metric pin did not become a pb partition filter:\n$physical")
     } finally spark.experimental.extraOptimizations = Nil
   }
 

@@ -60,7 +60,8 @@ class StoreFormatSpec extends AnyFunSuite {
     store.updateMany(
       Seq(("m", t0, 1.5, 0L)).toDF("metric", "ts", "value", "seq"), Now)
     assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$root/_layout")).trim == "bucket_slots=1024")
+      java.nio.file.Paths.get(s"$root/_layout")).trim ==
+      "bucket_slots=1024\nnum_buckets=4")
 
     // hand-build a PRE-MARKER store whose level_0 dirs follow the old
     // 8192-slot layout; opening it must probe 8192 and still fetch
@@ -79,7 +80,8 @@ class StoreFormatSpec extends AnyFunSuite {
     assert(vals.flatten.contains(7.5), s"old-layout point lost: $vals")
     // and the probe result is now stamped for future opens
     assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$root2/_layout")).trim == "bucket_slots=8192")
+      java.nio.file.Paths.get(s"$root2/_layout")).trim ==
+      "bucket_slots=8192\nnum_buckets=4")
   }
 
   test("a pre-marker store matching no known layout is refused, not guessed") {
@@ -95,5 +97,36 @@ class StoreFormatSpec extends AnyFunSuite {
       .write.partitionBy("pb", "tb").parquet(s"$root/level_0")
     val reopened = new MetricStore(spark, root, numBuckets = 4)
     intercept[InvalidConfiguration] { reopened.fetch("m", t0 - 60, t0 + 60, Now) }
+  }
+
+  test("bucket COUNT persists: reopening with a different default cannot mis-prune") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ms-nbpersist").toString
+    val store = new MetricStore(spark, root, numBuckets = 4)
+    val policy =
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f)
+    val metrics = (0 until 6).map(i => s"m$i")
+    metrics.foreach(store.create(_, policy))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    val pts = metrics.flatMap(m =>
+      (0 until 5).map(i => (m, w0 + i * 60L, 10.0 + i, i.toLong)))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    val before = store.fetch("m3", w0, w0 + 300, Now).get.values
+
+    // reopen with the DEFAULT constructor (32 buckets): the persisted
+    // layout must win — pb = pmod(hash(metric), 4) is baked into the
+    // directory names, so computing buckets mod 32 would prune fetches
+    // to the wrong (usually empty) directories and split new writes
+    // across two layouts
+    val reopened = new MetricStore(spark, root)
+    assert(reopened.effectiveBuckets == 4)
+    assert(reopened.fetch("m3", w0, w0 + 300, Now).get.values == before)
+    // a write through the reopened handle lands in the SAME layout and
+    // is visible to the original handle's pruned read
+    reopened.updateMany(
+      Seq(("m3", w0 + 120L, 99.0, 100L)).toDF("metric", "ts", "value", "seq"), Now)
+    val after = store.fetch("m3", w0, w0 + 300, Now).get.values
+    assert(after.flatten.contains(99.0), s"reopened write not visible: $after")
   }
 }
