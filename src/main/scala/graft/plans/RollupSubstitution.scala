@@ -219,10 +219,11 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       org.apache.spark.sql.functions.col("interval"),
       valueCol) ++
       (if (withKnown) Seq(org.apache.spark.sql.functions.col("known")) else Nil) ++
-      // pb LAST so every positional rebinding (indexes 0..3) is
-      // untouched: it exists purely for [[applyCarried]]'s bucket
-      // pruning and is dropped by the output projection otherwise
-      Seq(org.apache.spark.sql.functions.col("pb"))
+      // pb/tb LAST so every positional rebinding (indexes 0..3) is
+      // untouched: they exist purely for [[applyCarried]]'s partition
+      // pruning and are dropped by the output projection otherwise
+      Seq(org.apache.spark.sql.functions.col("pb"),
+        org.apache.spark.sql.functions.col("tb"))
     base.select(cols: _*).queryExecution.analyzed
   }
 
@@ -286,7 +287,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = outputsKnown)
-      Project(positionalAliases(rel, p.output), applyCarried(rel, carried, sm.leaf))
+      Project(positionalAliases(rel, p.output), applyCarried(rel, carried, sm.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -322,7 +323,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = true)
-      Project(positionalAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
+      Project(positionalAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -457,7 +458,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       levelIdx <- matchedLevel(policy, step, kernel)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
-      Project(positionalAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
+      Project(positionalAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -496,7 +497,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         val src = if (alignIds.contains(attr.exprId)) rel.output(1) else rel.output(2)
         Alias(src, attr.name)(exprId = attr.exprId)
       }
-      Project(outs, applyCarried(rel, carried, sm.leaf))
+      Project(outs, applyCarried(rel, carried, sm.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -549,7 +550,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
           else rel.output(3)
         Alias(src, attr.name)(exprId = attr.exprId)
       }
-      Project(outs, applyCarried(rel, carried, sm.leaf))
+      Project(outs, applyCarried(rel, carried, sm.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -627,7 +628,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       levelIdx <- matchedLevel(policy, step, kernel)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
-      Project(truncOutputAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
+      Project(truncOutputAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -670,7 +671,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
-      Project(truncOutputAliases(rel, p.output), applyCarried(rel, carried, sm.leaf))
+      Project(truncOutputAliases(rel, p.output), applyCarried(rel, carried, sm.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -705,7 +706,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       if gateMatches(cond, knownIds.head, slots, policy.xff)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = true)
-      Project(truncOutputAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf))
+      Project(truncOutputAliases(rel, agg.output), applyCarried(rel, carried, sm.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -956,7 +957,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
   }
 
   private def applyCarried(rel: LogicalPlan, preds: Seq[Expression],
-                           leaf: LogicalPlan): LogicalPlan =
+                           leaf: LogicalPlan, bucketSecs: Long): LogicalPlan =
     if (preds.isEmpty) rel
     else {
       val metricId = leaf.output.find(_.name == "metric").map(_.exprId)
@@ -968,14 +969,33 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       // metric pins prune PARTITION DIRECTORIES, not just row groups:
       // pb is a function of the metric name, so a pinned scan needs only
       // the pinned names' buckets — at scale the difference between
-      // listing/reading every pb dir and one of them. The pb column is
-      // exposed last on the substituted scan for exactly this conjunct;
-      // the output projection prunes it away again.
+      // listing/reading every pb dir and one of them. The pb/tb columns
+      // are exposed last on the substituted scan for exactly these
+      // conjuncts; the output projection prunes them away again.
       val pbIn = for {
         ns <- pinnedNames(preds, metricId)
         pbAttr <- rel.output.find(_.name == "pb")
       } yield In(pbAttr, ns.map(pbOf).distinct.sorted.map(b => Literal(b)))
-      Filter((remapped ++ pbIn).reduce(And), rel)
+      // carried interval bounds prune TIME-bucket directories the same
+      // way: tb = interval div bucketSecs (the writer's layout), so
+      // interval >= L implies tb >= L div bucketSecs and interval < U
+      // implies tb <= (U-1) div bucketSecs. `div` truncates toward zero
+      // — only derive for non-negative epochs, where that IS floor (a
+      // retention span of years narrows to the dashboard's hours).
+      val ivAttr = rel.output.lift(1)
+      val tbAttr = rel.output.find(_.name == "tb")
+      val tbBounds: Seq[Expression] =
+        if (bucketSecs <= 0 || tbAttr.isEmpty) Nil
+        else remapped.flatMap(conjuncts).flatMap {
+          case GreaterThanOrEqual(a: Attribute, Literal(l: Long, _))
+              if ivAttr.exists(_.exprId == a.exprId) && l >= 0 =>
+            Some(GreaterThanOrEqual(tbAttr.get, Literal(l / bucketSecs)))
+          case LessThan(a: Attribute, Literal(u: Long, _))
+              if ivAttr.exists(_.exprId == a.exprId) && u >= 1 =>
+            Some(LessThanOrEqual(tbAttr.get, Literal((u - 1) / bucketSecs)))
+          case _ => None
+        }
+      Filter((remapped ++ pbIn ++ tbBounds).reduce(And), rel)
     }
 
   /** The idiomatic Spark spelling — `groupBy(metric, window(ts, "S
@@ -1102,7 +1122,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
       Project(windowOutputAliases(agg.output, rel, step),
-        applyCarried(rel, carried, chain.leaf))
+        applyCarried(rel, carried, chain.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
 
   /** Gated window() shape: the idiomatic streaming-style spelling
@@ -1143,7 +1163,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = false)
       Project(windowOutputAliases(p.output, rel, step),
-        applyCarried(rel, carried, chain.leaf))
+        applyCarried(rel, carried, chain.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -1176,7 +1196,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
     } yield {
       val rel = substitutedScan(levelIdx, kernel, withKnown = true)
       Project(windowOutputAliases(agg.output, rel, step),
-        applyCarried(rel, carried, chain.leaf))
+        applyCarried(rel, carried, chain.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
 
   /** The window struct a substituted window()-shape plan re-derives from
@@ -1238,7 +1258,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
           .getOrElse(rel.output(2))
         Alias(e, ne.name)(exprId = ne.exprId)
       }
-      Project(outs, applyCarried(rel, carried, chain.leaf))
+      Project(outs, applyCarried(rel, carried, chain.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
   }
 
@@ -1281,7 +1301,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
           else rel.output(3)
         Alias(e, attr.name)(exprId = attr.exprId)
       }
-      Project(outs, applyCarried(rel, carried, chain.leaf))
+      Project(outs, applyCarried(rel, carried, chain.leaf, store.bucketSeconds(policy.levels(levelIdx).secondsPerPoint)))
     }
 
   /** The count(value) aggregate's output id in a window()-shape agg list

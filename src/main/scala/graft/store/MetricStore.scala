@@ -60,7 +60,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * level 0 and ALL of a 300s level at sf0.1). Row-group size inside a
     * bucket is still metrics/numBuckets × slots, plenty for parquet.
     */
-  private[store] def bucketSeconds(step: Int): Long = step.toLong * bucketSlots
+  def bucketSeconds(step: Int): Long = step.toLong * bucketSlots
 
   /** Slots per time bucket, PERSISTED per store (`_layout`, stamped on
     * first open): tb values are baked into every partition directory

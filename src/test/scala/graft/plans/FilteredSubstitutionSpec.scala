@@ -93,13 +93,15 @@ class FilteredSubstitutionSpec extends AnyFunSuite {
         physical.contains("EqualTo(metric,a)") &&
         physical.contains("GreaterThanOrEqual(interval"),
         s"carried filter not pushed to the level scan:\n$physical")
-      // the metric pin also prunes PARTITION DIRECTORIES: pb is a
-      // function of the metric name, computed driver-side with the
-      // writer's hash — at scale the difference between reading every
-      // pb dir and one
+      // the metric pin and the interval bound also prune PARTITION
+      // DIRECTORIES: pb is a function of the metric name (computed
+      // driver-side with the writer's hash) and tb = interval div
+      // bucketSecs — at scale the difference between reading every
+      // (pb, tb) dir and the dashboard's few
       assert(physical.contains("PartitionFilters: [pb") &&
-        physical.contains(" IN ("),
-        s"metric pin did not become a pb partition filter:\n$physical")
+        physical.contains(" IN (") &&
+        physical.contains("(tb"),
+        s"metric pin / interval bound did not become partition filters:\n$physical")
     } finally spark.experimental.extraOptimizations = Nil
   }
 
