@@ -424,6 +424,8 @@ final class MetricStore(val spark: SparkSession, val root: String,
   private def writeMerged(i: Int, merged: DataFrame, pbs: Set[Int]): Unit = {
     if (pbs.size < 2 || pbs.size > MetricStore.MaxParallelPbWrites) {
       merged
+        // order INSIDE files by (metric, interval) — see writeFresh
+        .sortWithinPartitions("pb", "tb", "metric", "interval")
         .write
         // per-write option, NOT session conf: mutating the session's
         // partitionOverwriteMode would silently change overwrite
@@ -448,6 +450,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
         // the required clustering explicit
         merged.where(col("pb") === p).drop("pb")
           .repartition(col("tb"))
+          .sortWithinPartitions("tb", "metric", "interval")
           .write
           .option("partitionOverwriteMode", "dynamic")
           .mode(SaveMode.Overwrite)
@@ -487,7 +490,16 @@ final class MetricStore(val spark: SparkSession, val root: String,
                          touchedPre: Option[Set[(Int, Long)]]): Unit = {
     val pbs: Set[Int] = touchedPre.map(_.map(_._1)).getOrElse(Set.empty)
     if (pbs.size < 2 || pbs.size > MetricStore.MaxParallelPbWrites) {
+      // sort INSIDE files by (metric, interval): the write planner's
+      // required ordering is the partition columns, so a
+      // (pb, tb, metric, interval) sortWithinPartitions satisfies it
+      // (no second sort) AND lines parquet page/row-group min-max stats
+      // up with exactly the filters every read pushes — at scale a
+      // metric-pinned or time-bounded scan skips pages instead of
+      // decoding whole files. Free at small SF (the writer sorted by
+      // (pb, tb) anyway); the win grows with rows per file.
       pts.repartition(col("pb"), col("tb"))
+        .sortWithinPartitions("pb", "tb", "metric", "interval")
         .write
         .mode(SaveMode.Overwrite)
         .partitionBy("pb", "tb")
@@ -506,6 +518,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
         // data too would collide with partition discovery on read
         pts.where(col("pb") === p).drop("pb")
           .repartition(col("tb"))
+          .sortWithinPartitions("tb", "metric", "interval")
           .write
           .mode(SaveMode.Overwrite)
           .partitionBy("tb")
@@ -1318,6 +1331,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
               .map(r => (r.getInt(0), r.getAs[Number](1).longValue)).toSet
             if (keptParts.nonEmpty) {
               kept.repartition(col("pb"), col("tb"))
+                .sortWithinPartitions("pb", "tb", "metric", "interval")
                 .write
                 .option("partitionOverwriteMode", "dynamic")
                 .mode(SaveMode.Overwrite)

@@ -129,4 +129,43 @@ class StoreFormatSpec extends AnyFunSuite {
     val after = store.fetch("m3", w0, w0 + 300, Now).get.values
     assert(after.flatten.contains(99.0), s"reopened write not visible: $after")
   }
+
+  test("level files are ordered by (metric, interval) on fresh AND merged writes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ms-fileorder").toString
+    val store = new MetricStore(spark, root, numBuckets = 4)
+    val policy =
+      RetentionPolicy(Seq(ArchiveInfo(60, 300), ArchiveInfo(300, 300)), xff = 0f)
+    val metrics = (0 until 8).map(i => s"m$i")
+    metrics.foreach(store.create(_, policy))
+    val base = Now - 3000
+    val w0 = base - base % 300
+    def assertFilesSorted(tag: String): Unit = {
+      val files = new java.io.File(root).listFiles
+        .filter(f => f.getName.startsWith("level_"))
+        .flatMap(l => l.listFiles.filter(_.getName.startsWith("pb=")))
+        .flatMap(p => p.listFiles.filter(_.getName.startsWith("tb=")))
+        .flatMap(t => t.listFiles.filter(_.getName.endsWith(".parquet")))
+      assert(files.nonEmpty, s"$tag: no level files found")
+      files.foreach { f =>
+        // a single small parquet file is one split → collect preserves
+        // the writer's row order, so page/row-group min-max stats for
+        // (metric, interval) are monotone iff this is sorted
+        val rows = spark.read.parquet(f.getPath)
+          .select("metric", "interval").as[(String, Long)].collect.toSeq
+        assert(rows == rows.sortBy(identity),
+          s"$tag: ${f.getPath} not (metric, interval)-ordered: $rows")
+      }
+    }
+    // fresh path (writeFresh, per-pb fan-out regime: 8 metrics / 4 pbs)
+    val pts = metrics.flatMap(m =>
+      (0 until 5).map(i => (m, w0 + i * 60L, 10.0 + i, i.toLong)))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    assertFilesSorted("fresh")
+    // merged path (writeMerged over the existing level, same dirs)
+    val pts2 = metrics.flatMap(m =>
+      (0 until 5).map(i => (m, w0 + i * 60L + 60, 20.0 + i, 100L + i)))
+    store.updateMany(pts2.toDF("metric", "ts", "value", "seq"), Now)
+    assertFilesSorted("merged")
+  }
 }
