@@ -137,18 +137,26 @@ object Dedup {
     * element), one posexplode per doc — linear, never quadratic.
     */
   def lshCandidates(sigs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
-    val rows = k / bands
-    val banded = sigs.select(
-      col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows))
-      }: _*)).as(Seq("band", "bh")))
+    val banded = bandHashes(sigs, k, bands)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+  }
+
+  /** The LSH band-bucket table itself: (id, band, bh) — the join key an
+    * incremental dedup persists so tomorrow's batch can collide against
+    * today's corpus without recomputing it (see [[MinHashIndex]]).
+    */
+  def bandHashes(sigs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    sigs.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows))
+      }: _*)).as(Seq("band", "bh")))
   }
 
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ tau.
@@ -170,16 +178,27 @@ object Dedup {
     val sh = shingled.getOrElse(
       hashShingles(shingles(docs, n, idCol, textCol)).cache())
     val sigs = signatures.getOrElse(minhashSignatures(sh, k).cache())
-    val cands = lshCandidates(sigs, k, bands)
+    verifyCandidates(lshCandidates(sigs, k, bands), sigs, sigs, sh, sh, tau, k)
+  }
 
+  /** Stages 2–3 of the MinHash pipeline over an (a, b) candidate set:
+    * signature-estimate prefilter, then exact shingle-join Jaccard ≥ tau.
+    * The a side reads (sigsA, shA) and the b side (sigsB, shB) — the same
+    * tables for in-corpus dedup, a new batch vs a persisted index for
+    * [[MinHashIndex.dedupBatch]].
+    */
+  private[ext] def verifyCandidates(cands: DataFrame,
+                                    sigsA: DataFrame, sigsB: DataFrame,
+                                    shA: DataFrame, shB: DataFrame,
+                                    tau: Double, k: Int): DataFrame = {
     // stage 2: signature-estimate prefilter. No broadcast HINT on the
-    // signature table: it is O(corpus), so forcing broadcast would ship
-    // the whole corpus to every executor at scale — AQE auto-broadcasts
-    // below the threshold (so small corpora keep the fast plan) and
-    // shuffle-joins above it.
+    // signature tables: they are O(corpus), so forcing broadcast would
+    // ship the whole corpus to every executor at scale — AQE
+    // auto-broadcasts below the threshold (so small corpora/batches keep
+    // the fast plan) and shuffle-joins above it.
     val est = cands
-      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
-      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
+      .join(sigsA.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sigsB.select(col("id").as("b"), col("sig").as("sigb")), "b")
       .withColumn("estj",
         aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
@@ -188,17 +207,16 @@ object Dedup {
       .select("a", "b")
 
     // stage 3: exact verification on survivors only
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val shA = sh.select(col("id").as("a"), col("h"))
-    val shB = sh.select(col("id").as("b"), col("h"))
+    val szA = shA.groupBy("id").agg(count(lit(1)).as("sz"))
+    val szB = shB.groupBy("id").agg(count(lit(1)).as("sz"))
     val interCnt = est
-      .join(shA, "a")
-      .join(shB, Seq("b", "h"))
+      .join(shA.select(col("id").as("a"), col("h")), "a")
+      .join(shB.select(col("id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
     interCnt
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .join(szA.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(szB.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= tau)

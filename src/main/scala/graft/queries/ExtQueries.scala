@@ -184,6 +184,28 @@ object ExtQueries {
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
 
+  /** Persisted MinHash index over the CORPUS split (doc_id % 5 != 0),
+    * built into a temp dir and round-tripped through load — d19 then
+    * dedups the BATCH split (doc_id % 5 = 0) against it, so the
+    * build/save/load/cross-dedup plumbing is all under the exact oracle
+    * (the pqPersistMemo precedent). k=128/bands=64 keeps d03's
+    * effectively-exact candidate recall; exact verification fixes
+    * precision.
+    */
+  private val mhIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, MinHashIndex]()
+
+  private def mhIndexFor(s: org.apache.spark.sql.SparkSession,
+                         dir: String): MinHashIndex =
+    mhIdxMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+        MinHashIndex.build(docs(s, dir).where(col("doc_id") % 5 =!= 0), path,
+          n = 3, k = 128, bands = 64)
+        MinHashIndex.load(s, path)
+      })
+
   /** Word-trigram exact-Jaccard pair SQL (the dedup oracle), at `tau`. */
   private def jaccardSql(tau: Double): String =
     s"""WITH tok AS (
@@ -759,6 +781,36 @@ object ExtQueries {
          |  FROM q
          |)
          |SELECT source, doc_id, toks, cum FROM c WHERE cum <= 4096
+         |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "d19_dedup_incremental",
+      // incremental delivery dedup: the batch split (doc_id % 5 = 0)
+      // cross-checked against a persisted MinHash index of the corpus
+      // split — build + parquet round-trip + band-join + exact verify
+      // all under the brute-force cross-pair oracle
+      (s, dir) =>
+        mhIndexFor(s, dir)
+          .dedupBatch(docs(s, dir).where(col("doc_id") % 5 === 0), tau = 0.5)
+          .orderBy("doc_id", "dup_of"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+         |), tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM tok
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM tri x JOIN tri y ON x.shingle = y.shingle
+         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a AS doc_id, b AS dup_of,
+         |  CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) AS jaccard
+         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+         |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
          |ORDER BY 1, 2""".stripMargin
     ),
 

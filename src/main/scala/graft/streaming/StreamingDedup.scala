@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.ext.{Dedup, MinHashIndex}
+
+/** Streaming corpus construction: continuous near-dup filtering of a
+  * document stream against a persisted [[MinHashIndex]] — the shape a
+  * training-data pipeline actually runs: deliveries arrive continuously,
+  * and a document is kept only if it near-dups neither the kept corpus
+  * nor an earlier keeper in its own batch.
+  *
+  * Per micro-batch (the rule, deterministic given batch content):
+  *
+  *   1. cross dedup against the index ([[MinHashIndex.dedupBatch]]):
+  *      any doc with an indexed near-dup is dropped (`dup_index`,
+  *      dup_of = its smallest-id indexed match);
+  *   2. within the remainder, exact-verified MinHash pairs →
+  *      connected components → keep each cluster's min id
+  *      (`dup_batch`, dup_of = cluster root) — the
+  *      [[graft.ext.Curation.curateNearDups]] keeper rule. Components
+  *      run on the REMAINDER: a doc whose only near-dup was itself
+  *      dropped in step 1 survives (Jaccard is not transitive — it
+  *      dups nothing that was kept);
+  *   3. survivors are appended to the index as segment `b<batchId>` and
+  *      verdicts land in `verdictPath/batch=<batchId>/` — BOTH
+  *      overwrite-by-segment, so a replayed batch (foreachBatch is
+  *      at-least-once) rewrites its own directories instead of
+  *      double-appending: index maintenance is exactly-once.
+  *
+  * State lives entirely in the index parquet — no streaming state store,
+  * so restarts resume from the checkpoint with nothing to rebuild and
+  * the per-batch cost is bounded by |batch| × collided buckets, never
+  * corpus size.
+  */
+object StreamingDedup {
+
+  /** Start the filter on a streaming `docs` frame with (doc_id: long,
+    * text: string) columns. The index at `indexPath` must already exist
+    * ([[MinHashIndex.build]] over a non-empty seed corpus).
+    */
+  def start(docs: DataFrame, indexPath: String, verdictPath: String,
+            checkpoint: String, tau: Double = 0.5): StreamingQuery =
+    docs
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(batch, batchId, indexPath, verdictPath, tau)
+      }
+      .start()
+
+  /** One batch of the rule above — public so a batch backfill can apply
+    * the IDENTICAL keeper semantics outside a stream (segment and
+    * verdict directory names come from `batchId` either way).
+    */
+  def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                   verdictPath: String, tau: Double): Unit = {
+    val spark = batch.sparkSession
+    val idx = MinHashIndex.load(spark, indexPath)
+    val docs = batch.select(col("doc_id"), col("text")).cache()
+    try {
+      // 1. cross: smallest indexed match per dropped doc. The batch's
+      // own segment is excluded so a replay (at-least-once foreachBatch)
+      // reads the index as it stood BEFORE its first attempt's append —
+      // without this, replayed survivors match their own earlier rows
+      // and the rewrite empties the segment.
+      val cross = idx.dedupBatch(docs, tau, excludeSeg = Some(s"b$batchId"))
+        .groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
+        .cache()
+      val remaining = docs.join(cross.select("doc_id"), Seq("doc_id"), "left_anti")
+
+      // 2. in-batch: exact-verified pairs → components → keep min id.
+      // Shingles/signatures are cached HERE and unpersisted at the end
+      // of the batch — the minhashDuplicates defaults would leave a
+      // cached table behind per micro-batch, accreting over a
+      // long-running stream.
+      val remSh = Dedup.hashShingles(Dedup.shingles(remaining, idx.n)).cache()
+      val remSigs = Dedup.minhashSignatures(remSh, idx.k).cache()
+      val pairs = Dedup.minhashDuplicates(remaining, n = idx.n, tau = tau,
+        k = idx.k, bands = idx.bands,
+        shingled = Some(remSh), signatures = Some(remSigs))
+      val comp = Dedup.connectedComponents(pairs)
+      val batchDups = comp.where(col("id") =!= col("root"))
+        .select(col("id").as("doc_id"), col("root").as("dup_of"))
+        .cache()
+      val survivors = remaining
+        .join(batchDups.select("doc_id"), Seq("doc_id"), "left_anti")
+        .cache()
+
+      // 3. exactly-once effects: segment + verdict dirs keyed by batchId
+      idx.append(survivors, seg = s"b$batchId")
+      cross.withColumn("verdict", lit("dup_index"))
+        .unionByName(batchDups.withColumn("verdict", lit("dup_batch")))
+        .unionByName(survivors.select(col("doc_id"),
+          lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
+        .select("doc_id", "verdict", "dup_of")
+        .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
+      cross.unpersist()
+      batchDups.unpersist()
+      survivors.unpersist()
+      remSh.unpersist()
+      remSigs.unpersist()
+    } finally docs.unpersist()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ext.MinHashIndex
+
+/** Incremental corpus dedup: a persisted MinHash index, batch dedup
+  * against it, and the streaming keeper rule (cross-drop → in-batch
+  * components → append survivors), including exactly-once replay.
+  *
+  * Jaccards here are hand-computable: 10-word docs have 8 word
+  * trigrams; identical text → 1.0, one trailing word changed →
+  * 7/9 ≈ 0.78 (both ≥ tau 0.5); distinct texts share nothing.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    assert(q.awaitTermination(300000), "streaming query did not terminate")
+    assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+  }
+
+  private val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val B = "one two three four five six seven eight nine ten"
+  private val C = "red orange yellow green blue indigo violet umber black white"
+  private val D = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+  private val E = "north south east west up down left right fore aft"
+  private val A1 = A.replace("kappa", "lambda") // 7/9 vs A
+
+  test("build + load round-trip; dedupBatch reports cross pairs with exact jaccard") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("mhidx").toString
+    MinHashIndex.build(
+      Seq((1L, A), (2L, B), (3L, C)).toDF("doc_id", "text"), path)
+    val idx = MinHashIndex.load(spark, path)
+    assert((idx.n, idx.k, idx.bands) == ((3, 128, 64)))
+    val got = idx
+      .dedupBatch(Seq((101L, A), (102L, A1), (103L, D)).toDF("doc_id", "text"),
+        tau = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2))
+      .toSeq
+    assert(got.map(x => (x._1, x._2)) == Seq((101L, 1L), (102L, 1L)))
+    assert(got(0)._3 == 1.0)
+    assert(math.abs(got(1)._3 - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("streamed batches: cross-drop, in-batch keeper, survivors join the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = Files.createTempDirectory("mhidx-s").toString
+    val vPath = Files.createTempDirectory("mhv").toString
+    val ckpt = Files.createTempDirectory("mhckpt").toString
+    MinHashIndex.build(
+      Seq((1L, A), (2L, B), (3L, C)).toDF("doc_id", "text"), idxPath)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+
+    // batch 0: 101 dups the index (A), 102/103 dup each other (keeper
+    // 102), 104 near-dups the index (A1 vs A)
+    mem.addData((101L, A), (102L, D), (103L, D), (104L, A1))
+    drain(StreamingDedup.start(stream, idxPath, vPath, ckpt, tau = 0.5))
+
+    def verdicts(batch: Long): Map[Long, (String, Option[Long])] =
+      spark.read.parquet(vPath)
+        .where(s"batch = $batch")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+    assert(verdicts(0) == Map(
+      101L -> ("dup_index", Some(1L)),
+      102L -> ("kept", None),
+      103L -> ("dup_batch", Some(102L)),
+      104L -> ("dup_index", Some(1L))))
+
+    // batch 1 (query restart from the same checkpoint): 201 dups the
+    // doc kept in batch 0 — proving survivors were indexed; 203 is new
+    mem.addData((201L, D), (202L, D), (203L, E))
+    drain(StreamingDedup.start(stream, idxPath, vPath, ckpt, tau = 0.5))
+    assert(verdicts(1) == Map(
+      201L -> ("dup_index", Some(102L)),
+      202L -> ("dup_index", Some(102L)),
+      203L -> ("kept", None)))
+
+    val indexed = MinHashIndex.load(spark, idxPath)
+      .signatures.select("id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 3L, 102L, 203L))
+  }
+
+  test("replaying a batch rewrites its segment and verdicts: exactly-once") {
+    import spark.implicits._
+    val idxPath = Files.createTempDirectory("mhidx-r").toString
+    val vPath = Files.createTempDirectory("mhv-r").toString
+    MinHashIndex.build(Seq((1L, A)).toDF("doc_id", "text"), idxPath)
+    val batch = Seq((10L, B), (11L, B)).toDF("doc_id", "text")
+
+    StreamingDedup.processBatch(batch, 7L, idxPath, vPath, tau = 0.5)
+    StreamingDedup.processBatch(batch, 7L, idxPath, vPath, tau = 0.5)
+
+    val idx = MinHashIndex.load(spark, idxPath)
+    // base(1) + keeper 10 — NOT doubled by the replay
+    assert(idx.signatures.count() == 2)
+    assert(idx.signatures.select("id").distinct().as[Long].collect().toSet ==
+      Set(1L, 10L))
+    val v = spark.read.parquet(vPath).where("batch = 7")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(10L -> "kept", 11L -> "dup_batch"))
+  }
+}
