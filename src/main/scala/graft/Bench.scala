@@ -86,6 +86,7 @@ object Bench {
       "w21_ingest_incremental", "w22_streaming_ingest",
       "s07_sim_topk_ivf_exact", "s08_sim_topk_pq_exact",
       "s09_sim_topk_ivfpq_exact", "s10_sim_topk_quantized_exact",
+      "s11_sim_topk_ivf_appended", "s12_sim_topk_pq_appended",
       "d08_dedup_simhash_portable", "d14_dedup_embedding_exact",
       "w25_rollup_trunc_gated", "w26_rollup_filtered_substituted",
       "w27_rollup_topk_substituted", "w28_fetch_grid_substituted",

@@ -499,28 +499,72 @@ object Similarity {
     */
   def savePqIndex(path: String, books: DataFrame, codes: DataFrame): Unit = {
     books.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_books")
-    codes.write.mode("overwrite").parquet(s"$path/pq_codes")
+    // ixseg, not seg: code rows already carry the vector-segment column
+    codes.write.mode("overwrite").parquet(s"$path/pq_codes/ixseg=base")
+  }
+
+  /** Append new vectors to a persisted PQ index WITHOUT retraining:
+    * encode them against the frozen codebooks (in the same
+    * unit-normalized space [[pqIndex]] trains in) and land the code
+    * rows as segment `ixseg` — overwrite-per-segment, so replays are
+    * idempotent (the [[appendIvfIndex]] contract). Quantization error
+    * for appended vectors grows only with distribution drift from the
+    * training corpus; rebuild codebooks when recall sags.
+    */
+  def appendPqIndex(path: String, newEmb: DataFrame, ixseg: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = newEmb.sparkSession
+    val books = spark.read.parquet(s"$path/pq_books")
+    val m = books.agg(countDistinct(col("seg"))).head().getLong(0).toInt
+    val c = corpusNormalized(newEmb, idCol, vecCol).cache()
+    try
+      pqEncode(c, books, m)
+        .write.mode("overwrite").parquet(s"$path/pq_codes/ixseg=$ixseg")
+    finally c.unpersist()
   }
 
   /** @return (books, codes) frames reading the persisted index. */
   def loadPqIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/pq_books"),
-      spark.read.parquet(s"$path/pq_codes"))
+      spark.read.parquet(s"$path/pq_codes").select("id", "seg", "code"))
 
   /** Persist an IVF index: coarse centroids (nlist rows, single file) and
     * the corpus cell membership (id, cell). Vectors are NOT duplicated —
-    * search re-joins membership against the corpus table.
+    * search re-joins membership against the corpus table. Membership is
+    * segment-partitioned (`seg=base` here, one segment per
+    * [[appendIvfIndex]] call after) so the index GROWS without rewrites.
     */
   def saveIvfIndex(path: String, cents: DataFrame, membership: DataFrame): Unit = {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/ivf_cents")
     membership.select(col("id"), col("cell"))
-      .write.mode("overwrite").parquet(s"$path/ivf_membership")
+      .write.mode("overwrite").parquet(s"$path/ivf_membership/seg=base")
+  }
+
+  /** Append new vectors to a persisted IVF index WITHOUT retraining —
+    * the FAISS add-after-train contract: centroids froze at build time,
+    * an addition only assigns each new vector to its nearest centroid
+    * and lands the (id, cell) rows as membership segment `seg`.
+    * Overwrite-per-segment makes a replayed append idempotent (the
+    * [[MinHashIndex]] precedent), so a streaming embedding feed can
+    * foreachBatch this with seg=b<batchId>. Centroid quality degrades
+    * only as far as new data drifts from the training distribution —
+    * watch per-cell counts on the membership table and rebuild when
+    * skewed.
+    */
+  def appendIvfIndex(path: String, newEmb: DataFrame, seg: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val cents = newEmb.sparkSession.read.parquet(s"$path/ivf_cents")
+    ivfMembership(corpus(newEmb, idCol, vecCol), cents)
+      .select(col("id"), col("cell"))
+      .write.mode("overwrite").parquet(s"$path/ivf_membership/seg=$seg")
   }
 
   /** @return (centroids, membership) frames reading the persisted index. */
   def loadIvfIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/ivf_cents"),
-      spark.read.parquet(s"$path/ivf_membership"))
+      spark.read.parquet(s"$path/ivf_membership").select("id", "cell"))
 
   /** IVF top-k: probe the `nprobe` cells nearest to each query, exact
     * cosine within probed cells only. Approximate — recall measured in

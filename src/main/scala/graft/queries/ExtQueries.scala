@@ -184,6 +184,52 @@ object ExtQueries {
   private val fpSql =
     "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
 
+  /** IVF index built on the corpus split (vec_id % 5 != 0), then the
+    * batch split appended WITHOUT retraining ([[Similarity.appendIvfIndex]])
+    * and reloaded — s11 probes every cell so the incremental-growth
+    * plumbing sits under the brute-force oracle.
+    */
+  private val ivfAppendMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+
+  private def appendedIvfIndexFor(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): (DataFrame, DataFrame) =
+    ivfAppendMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+        val base = emb(s, dir).where(col("vec_id") % 5 =!= 0)
+        val c = Similarity.corpus(base)
+        val cents = Similarity.ivfCentroids(c, nlist = 8).cache()
+        Similarity.saveIvfIndex(path, cents, Similarity.ivfMembership(c, cents))
+        Similarity.appendIvfIndex(path,
+          emb(s, dir).where(col("vec_id") % 5 === 0), seg = "delta")
+        Similarity.loadIvfIndex(s, path)
+      })
+
+  /** PQ twin of [[appendedIvfIndexFor]]: codebooks trained on the corpus
+    * split, the batch split encoded against the FROZEN books
+    * ([[Similarity.appendPqIndex]]) and reloaded — s12's exhaustive
+    * shortlist + exact rerank make the grown index structurally brute
+    * force, so the append/encode plumbing is value-gated.
+    */
+  private val pqAppendMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+
+  private def appendedPqIndexFor(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): (DataFrame, DataFrame) =
+    pqAppendMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-pqapp").toString
+        val (books, codes) = Similarity.pqIndex(
+          emb(s, dir).where(col("vec_id") % 5 =!= 0))
+        Similarity.savePqIndex(path, books, codes)
+        Similarity.appendPqIndex(path,
+          emb(s, dir).where(col("vec_id") % 5 === 0), ixseg = "delta")
+        Similarity.loadPqIndex(s, path)
+      })
+
   /** Persisted MinHash index over the CORPUS split (doc_id % 5 != 0),
     * built into a temp dir and round-tripped through load — d19 then
     * dedups the BATCH split (doc_id % 5 = 0) against it, so the
@@ -954,6 +1000,33 @@ object ExtQueries {
         Similarity
           .topkQuantized(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
             shortlistFactor = 200000)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      bruteTopkSql),
+    QueryDef(
+      "s11_sim_topk_ivf_appended",
+      // incremental index growth: centroids trained on the corpus split
+      // only (vec_id % 5 != 0), the batch split appended WITHOUT
+      // retraining via appendIvfIndex, search over the reloaded index
+      // with every cell probed — assign/append/load plumbing verified
+      // value-exact (a lost or mis-celled appended vector changes the
+      // result)
+      (s, dir) =>
+        Similarity
+          .topkIvf(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            nlist = 8, nprobe = 8, index = Some(appendedIvfIndexFor(s, dir)))
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      bruteTopkSql),
+    QueryDef(
+      "s12_sim_topk_pq_appended",
+      // PQ index grown without retraining: batch split encoded against
+      // frozen codebooks, searched with an exhaustive shortlist — the
+      // append/encode path value-gated like s11's IVF twin
+      (s, dir) =>
+        Similarity
+          .topkPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            shortlistFactor = 200000, index = Some(appendedPqIndexFor(s, dir)))
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       bruteTopkSql),

@@ -477,6 +477,53 @@ class ExtSpec extends AnyFunSuite {
         pairs(Similarity.topkIvf(emb, qids, k = 3, nlist = 8, nprobe = 4)))
   }
 
+  test("IVF append grows the index without retraining; replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val c = Similarity.corpus(base)
+    val cents = Similarity.ivfCentroids(c, nlist = 8).cache()
+    Similarity.saveIvfIndex(dir, cents, Similarity.ivfMembership(c, cents))
+    val baseCount = Similarity.loadIvfIndex(spark, dir)._2.count()
+
+    Similarity.appendIvfIndex(dir, delta, seg = "delta")
+    Similarity.appendIvfIndex(dir, delta, seg = "delta") // replay: same segment
+    val (cents2, membership2) = Similarity.loadIvfIndex(spark, dir)
+    assert(membership2.count() == baseCount + delta.count(),
+      "replayed append must rewrite its segment, not double it")
+
+    // every cell probed → appended index is structurally brute force
+    // over the UNION (a lost or mis-celled appended vector would show)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("nid"))).toSeq
+    assert(
+      rows(Similarity.topkIvf(emb, Seq(0L, 1L, 2L), k = 5, nlist = 8, nprobe = 8,
+        index = Some((cents2, membership2)))) ==
+        rows(Similarity.topkBruteForce(emb, Seq(0L, 1L, 2L), k = 5)))
+  }
+
+  test("PQ append encodes against frozen books; replay is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pq-append").toString
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val (books, codes) = Similarity.pqIndex(base)
+    Similarity.savePqIndex(dir, books, codes)
+    Similarity.appendPqIndex(dir, delta, ixseg = "delta")
+    Similarity.appendPqIndex(dir, delta, ixseg = "delta") // replay
+    val (books2, codes2) = Similarity.loadPqIndex(spark, dir)
+    assert(codes2.count() == (base.count() + delta.count()) * 8,
+      "replayed PQ append must rewrite its segment, not double it")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("nid"))).toSeq
+    // exhaustive shortlist + exact rerank → grown index == brute force
+    assert(
+      rows(Similarity.topkPq(emb, Seq(0L, 1L, 2L), k = 5,
+        shortlistFactor = 200000, index = Some((books2, codes2)))) ==
+        rows(Similarity.topkBruteForce(emb, Seq(0L, 1L, 2L), k = 5)))
+  }
+
   test("exact-mode ANN variants equal brute force (the s07–s10 gates)") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
