@@ -147,26 +147,68 @@ object Curation {
         (col("docs_in") - col("docs_kept")).as("docs_dropped"))
   }
 
+  /** Distributed ROWS-frame prefix sum: `cum` = running total of
+    * `valCol` within `srcCol` ordered by `orderCols`, computed WITHOUT
+    * ever streaming one source's whole corpus through a single task —
+    * the two-phase scan a `Window.partitionBy(source)` running sum needs
+    * at 100 TB, where source skew is the rule (one crawl IS most of a
+    * real corpus) and a per-source window serializes terabytes on one
+    * core.
+    *
+    * Phase 1: range-partition rows by (source, order key) — contiguous
+    * order-key shards, sampled boundaries, so a dominant source spreads
+    * over ~all shards. Per-shard totals are one small aggregate (≤
+    * `spark.sql.shuffle.partitions` rows). Phase 2: each shard's
+    * EXCLUSIVE prefix offset (a window over the tiny totals frame) is
+    * broadcast back and added to a shard-local running sum. Both
+    * branches read the one range exchange, so shard ids agree by
+    * shuffle reuse. Net cost: two shuffles of the data (range + the
+    * shard-local window's hash exchange) and one broadcast — no task
+    * ever holds more than ~1/shards of the data, whatever the skew.
+    *
+    * Returns the input columns + `cum` + the `__shard` id (callers drop
+    * it; tests assert skewed sources actually span shards).
+    */
+  private[ext] def prefixSums(rows: DataFrame, srcCol: String, valCol: String,
+                              orderCols: Seq[Column]): DataFrame = {
+    val shards = rows.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = rows
+      .repartitionByRange(shards, (col(srcCol) +: orderCols): _*)
+      .withColumn("__shard", spark_partition_id())
+    val wo = Window.partitionBy(col("__src")).orderBy(col("__oshard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy(col(srcCol).as("__src"), col("__shard").as("__oshard"))
+      .agg(sum(col(valCol)).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wo), lit(0L)))
+      .select(col("__src"), col("__oshard"), col("__off"))
+    val w = Window.partitionBy(col(srcCol), col("__shard"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__cumLocal", sum(col(valCol)).over(w))
+      .join(broadcast(offsets),
+        col(srcCol) === col("__src") && col("__shard") === col("__oshard"))
+      .withColumn("cum", col("__cumLocal") + col("__off"))
+      .drop("__src", "__oshard", "__off", "__cumLocal")
+  }
+
   /** Quality-ordered selection under a per-source token budget: each
     * source keeps its best documents (quality desc, doc_id tie-break)
     * until the next one would exceed `budget` cumulative tokens — the
-    * "fill the mixture bucket" step of corpus construction. Per-source
-    * windows shuffle once and never serialize on a global reducer; a
-    * GLOBAL budget is the per-source result with source budgets set by
-    * the mixture weights (the scale-safe spelling of a global running
-    * sum).
+    * "fill the mixture bucket" step of corpus construction. The running
+    * sum is the two-phase [[prefixSums]] scan, so a source holding most
+    * of the corpus still spreads across shards; a GLOBAL budget is the
+    * per-source result with source budgets set by the mixture weights.
     */
   def tokenBudgetSelect(docs: DataFrame, budget: Long,
                         idCol: String = "doc_id", srcCol: String = "source",
                         textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("q").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val scored = docs
       .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
         TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"),
         TextAnalysis.qualityScore(col(textCol)).as("q"))
-      .withColumn("cum", sum(col("toks")).over(w))
+    prefixSums(scored, "source", "toks", Seq(col("q").desc, col("doc_id")))
       .where(col("cum") <= budget)
       .select(col("source"), col("doc_id"), col("toks"), col("cum"))
   }
@@ -179,25 +221,24 @@ object Curation {
     * (source, chunk_id, doc_id, tok_from, tok_to) with doc-relative
     * token offsets [tok_from, tok_to). Zero-token documents are skipped.
     *
-    * Scale shape: sources pack independently — one shuffle by source,
-    * each stream's running sum a partition-local window. A single global
-    * stream (no source column) would serialize on one reducer; the
-    * 100 TB spelling of that is the classic two-phase scan (per-partition
-    * token totals collected once, broadcast back as prefix offsets),
-    * which this per-source form avoids needing.
+    * Scale shape: the running sum is the two-phase [[prefixSums]] scan —
+    * contiguous order-key shards with broadcast prefix offsets — so
+    * neither a single global stream nor a Zipfian source distribution
+    * serializes a reducer: every shard holds ~1/shards of the data
+    * regardless of how documents distribute over sources.
+    *
+    * ROWS-frame note: duplicate (source, doc_id) rows are RANGE-frame
+    * peers sharing one cumulative sum, which would overlap their token
+    * spans and double-pack chunks — prefixSums uses a ROWS frame, giving
+    * each row its own prefix.
     */
   def packChunks(docs: DataFrame, budget: Long,
                  idCol: String = "doc_id", srcCol: String = "source",
                  textCol: String = "text"): DataFrame = {
-    // ROWS frame, not the default RANGE: duplicate (source, doc_id) rows are
-    // RANGE-frame peers sharing one cumulative sum, which would overlap their
-    // token spans and double-pack chunks. ROWS gives each row its own prefix.
-    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val toks = docs
       .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
         TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"))
-      .withColumn("cum", sum(col("toks")).over(w))
+    prefixSums(toks, "source", "toks", Seq(col("doc_id")))
       .withColumn("start", col("cum") - col("toks"))
       .where(col("toks") > 0)
       // a doc covers token span [start, cum) → chunks floor(start/B)..floor((cum-1)/B)

@@ -114,6 +114,43 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
       } finally sigs.unpersist()
     } finally sh.unpersist()
   }
+
+  /** Fold appended segments into `base` across all three tables, so the
+    * index's file and partition count is bounded by compaction cadence
+    * instead of stream age — without this, the documented "per-batch
+    * cost bounded by |batch| × collided buckets" claim quietly decays as
+    * listing overhead grows with every micro-batch. Rows are preserved
+    * verbatim (a fold moves them between partition directories), so
+    * every dedupBatch verdict is identical before and after.
+    *
+    * Replay safety ([[SegmentedTable]] contract): only fold a segment a
+    * restarted stream can no longer replay — use [[compactCommitted]]
+    * when the segments come from [[graft.streaming.StreamingDedup]].
+    * Run quiesced (no concurrent batch).
+    *
+    * @return segment names actually folded
+    */
+  def compact(folds: Seq[String]): Seq[String] = {
+    val done = SegmentedTable.compact(spark, s"$path/shingles", "seg", "base",
+      folds, Seq("id", "h"))
+    SegmentedTable.compact(spark, s"$path/sigs", "seg", "base",
+      folds, Seq("id", "sig"))
+    SegmentedTable.compact(spark, s"$path/bands", "seg", "base",
+      folds, Seq("id", "band", "bh"))
+    done
+  }
+
+  /** Compact every `b<batchId>` segment STRICTLY OLDER than the
+    * checkpoint's newest committed batch. The newest commit's segment is
+    * deliberately left unfolded as insurance, and any batch after it may
+    * still be replayed (its replay excludes its own segment — which must
+    * therefore still exist as a segment, not as folded base rows).
+    */
+  def compactCommitted(checkpoint: String): Seq[String] = {
+    val committed = SegmentedTable.committedBatches(checkpoint)
+    if (committed.size < 2) Nil
+    else compact(committed.init.map(b => s"b$b"))
+  }
 }
 
 object MinHashIndex {

@@ -566,6 +566,29 @@ object Similarity {
     (spark.read.parquet(s"$path/ivf_cents"),
       spark.read.parquet(s"$path/ivf_membership").select("id", "cell"))
 
+  /** Fold appended membership segments into `seg=base` — bounds the
+    * index's partition/file count by compaction cadence instead of
+    * append count (the [[MinHashIndex.compact]] contract: rows preserved
+    * verbatim, so search results are identical before/after; run
+    * quiesced; never fold a segment a replay could target).
+    *
+    * @return segment names actually folded
+    */
+  def compactIvfIndex(spark: SparkSession, path: String,
+                      folds: Seq[String]): Seq[String] =
+    SegmentedTable.compact(spark, s"$path/ivf_membership", "seg", "base",
+      folds, Seq("id", "cell"))
+
+  /** PQ twin of [[compactIvfIndex]]: fold appended `ixseg=` code
+    * segments into `ixseg=base` (the data columns keep `seg` — the PQ
+    * sub-vector index — which is why code segments partition on a
+    * differently-named column).
+    */
+  def compactPqIndex(spark: SparkSession, path: String,
+                     folds: Seq[String]): Seq[String] =
+    SegmentedTable.compact(spark, s"$path/pq_codes", "ixseg", "base",
+      folds, Seq("id", "seg", "code"))
+
   /** IVF top-k: probe the `nprobe` cells nearest to each query, exact
     * cosine within probed cells only. Approximate — recall measured in
     * tests against topkBruteForce. `nprobe == nlist` probes every cell

@@ -252,6 +252,57 @@ object ExtQueries {
         MinHashIndex.load(s, path)
       })
 
+  /** Compacted twin of [[mhIndexFor]]: the corpus split lands in three
+    * slices (base + two appended segments) and the segments are then
+    * FOLDED into base ([[MinHashIndex.compact]]) before d20 dedups the
+    * batch split against the reloaded index. Index content equals
+    * [[mhIndexFor]]'s exactly, so d19's oracle gates the fold: a row
+    * lost, doubled, or mis-partitioned by compaction flips a verdict.
+    */
+  private val mhCompactIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, MinHashIndex]()
+
+  private def mhCompactedIndexFor(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): MinHashIndex =
+    mhCompactIdxMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-mhcidx").toString
+        val corpus = docs(s, dir).where(col("doc_id") % 5 =!= 0)
+        MinHashIndex.build(corpus.where(col("doc_id") % 3 === 0), path,
+          n = 3, k = 128, bands = 64)
+        val idx = MinHashIndex.load(s, path)
+        idx.append(corpus.where(col("doc_id") % 3 === 1), seg = "b0")
+        idx.append(corpus.where(col("doc_id") % 3 === 2), seg = "b1")
+        require(idx.compact(Seq("b0", "b1")).sorted == Seq("b0", "b1"),
+          "d20 gate: both appended segments must fold")
+        MinHashIndex.load(s, path)
+      })
+
+  /** Compacted twin of [[appendedIvfIndexFor]]: the appended segment is
+    * folded into base before s13 searches the reloaded index with every
+    * cell probed — the brute-force oracle gates the fold.
+    */
+  private val ivfCompactMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+
+  private def compactedIvfIndexFor(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): (DataFrame, DataFrame) =
+    ivfCompactMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-ivfcidx").toString
+        val base = emb(s, dir).where(col("vec_id") % 5 =!= 0)
+        val c = Similarity.corpus(base)
+        val cents = Similarity.ivfCentroids(c, nlist = 8).cache()
+        Similarity.saveIvfIndex(path, cents, Similarity.ivfMembership(c, cents))
+        Similarity.appendIvfIndex(path,
+          emb(s, dir).where(col("vec_id") % 5 === 0), seg = "delta")
+        require(Similarity.compactIvfIndex(s, path, Seq("delta")) == Seq("delta"),
+          "s13 gate: the appended segment must fold")
+        Similarity.loadIvfIndex(s, path)
+      })
+
   /** Word-trigram exact-Jaccard pair SQL (the dedup oracle), at `tau`. */
   private def jaccardSql(tau: Double): String =
     s"""WITH tok AS (
@@ -859,6 +910,35 @@ object ExtQueries {
          |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
          |ORDER BY 1, 2""".stripMargin
     ),
+    QueryDef(
+      "d20_dedup_compacted",
+      // the d19 pipeline over a COMPACTED index: corpus split written as
+      // base + two appended segments, folded into base, reloaded — same
+      // exact cross-pair oracle, so the fold is value-gated end to end
+      (s, dir) =>
+        mhCompactedIndexFor(s, dir)
+          .dedupBatch(docs(s, dir).where(col("doc_id") % 5 === 0), tau = 0.5)
+          .orderBy("doc_id", "dup_of"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+         |), tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM tok
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM tri x JOIN tri y ON x.shingle = y.shingle
+         |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a AS doc_id, b AS dup_of,
+         |  CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) AS jaccard
+         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+         |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+         |ORDER BY 1, 2""".stripMargin
+    ),
 
     // ---- similarity search -------------------------------------------
     QueryDef(
@@ -1027,6 +1107,19 @@ object ExtQueries {
         Similarity
           .topkPq(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
             shortlistFactor = 200000, index = Some(appendedPqIndexFor(s, dir)))
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      bruteTopkSql),
+    QueryDef(
+      "s13_sim_topk_ivf_compacted",
+      // s11's grown index with the appended segment FOLDED into base
+      // (compactIvfIndex) before the reload — every cell probed, so the
+      // brute-force oracle gates the fold: a membership row lost or
+      // doubled by compaction changes a neighbor or its rank
+      (s, dir) =>
+        Similarity
+          .topkIvf(emb(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+            nlist = 8, nprobe = 8, index = Some(compactedIvfIndexFor(s, dir)))
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       bruteTopkSql),

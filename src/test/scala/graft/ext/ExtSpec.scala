@@ -113,6 +113,44 @@ class ExtSpec extends AnyFunSuite {
     assert(a == c)
   }
 
+  test("two-phase prefix sums: a 90%-skewed source spans shards, sums exact") {
+    import org.apache.spark.sql.expressions.Window
+    // 1 source = 90% of docs — the Zipfian shape that serializes a
+    // plain per-source window on one reducer
+    val rows = (0 until 2000).map { i =>
+      val src = if (i < 1800) "crawl" else s"s${i % 4}"
+      (src, i.toLong, (i % 7 + 1).toLong)
+    }.toDF("source", "doc_id", "toks")
+
+    val got = Curation.prefixSums(rows, "source", "toks", Seq(col("doc_id")))
+    // exact vs the single-window spelling, row for row
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = rows.withColumn("cum", sum(col("toks")).over(w))
+    assert(got.select("source", "doc_id", "toks", "cum").except(ref).isEmpty
+      && ref.except(got.select("source", "doc_id", "toks", "cum")).isEmpty)
+
+    // the skewed source must actually spread: > 1 shard, and no shard
+    // task holds anything close to the whole source
+    val byShard = got.where(col("source") === "crawl")
+      .groupBy("__shard").count().collect().map(_.getLong(1))
+    assert(byShard.length > 1,
+      s"skewed source landed in ${byShard.length} shard(s) — two-phase scan not sharding")
+    assert(byShard.max < 1800,
+      s"one shard holds ${byShard.max}/1800 of the skewed source")
+
+    // order keys with direction (the tokenBudgetSelect shape) shard too
+    val got2 = Curation.prefixSums(
+      rows.withColumn("q", (col("doc_id") % 13).cast("double")),
+      "source", "toks", Seq(col("q").desc, col("doc_id")))
+    val w2 = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref2 = rows.withColumn("q", (col("doc_id") % 13).cast("double"))
+      .withColumn("cum", sum(col("toks")).over(w2))
+    assert(got2.select("source", "doc_id", "toks", "q", "cum").except(ref2).isEmpty
+      && ref2.except(got2.select("source", "doc_id", "toks", "q", "cum")).isEmpty)
+  }
+
   test("minhash-LSH near-dups == brute-force jaccard pairs at tau=0.5") {
     val brute = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -522,6 +560,56 @@ class ExtSpec extends AnyFunSuite {
       rows(Similarity.topkPq(emb, Seq(0L, 1L, 2L), k = 5,
         shortlistFactor = 200000, index = Some((books2, codes2)))) ==
         rows(Similarity.topkBruteForce(emb, Seq(0L, 1L, 2L), k = 5)))
+  }
+
+  test("IVF/PQ compaction folds segments into base; results identical; layout shrinks") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ann-compact").toString
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val d1 = emb.where(col("vec_id") % 10 === 0)
+    val d2 = emb.where(col("vec_id") % 10 === 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("nid"))).toSeq
+    def segDirs(sub: String): Set[String] =
+      Option(new java.io.File(s"$dir/$sub").listFiles).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).toSet
+
+    // IVF: two appended segments, compact one, then both
+    val c = Similarity.corpus(base)
+    val cents = Similarity.ivfCentroids(c, nlist = 8).cache()
+    Similarity.saveIvfIndex(dir, cents, Similarity.ivfMembership(c, cents))
+    Similarity.appendIvfIndex(dir, d1, seg = "b0")
+    Similarity.appendIvfIndex(dir, d2, seg = "b1")
+    val before = rows(Similarity.topkIvf(emb, Seq(0L, 1L, 2L), k = 5, nlist = 8,
+      nprobe = 8, index = Some(Similarity.loadIvfIndex(spark, dir))))
+    assert(Similarity.compactIvfIndex(spark, dir, Seq("b0")) == Seq("b0"))
+    assert(segDirs("ivf_membership") == Set("seg=base", "seg=b1"))
+    // folding a missing or already-folded segment is a no-op
+    assert(Similarity.compactIvfIndex(spark, dir, Seq("b0", "nope")).isEmpty)
+    assert(Similarity.compactIvfIndex(spark, dir, Seq("b1", "base")) == Seq("b1"))
+    assert(segDirs("ivf_membership") == Set("seg=base"))
+    val after = rows(Similarity.topkIvf(emb, Seq(0L, 1L, 2L), k = 5, nlist = 8,
+      nprobe = 8, index = Some(Similarity.loadIvfIndex(spark, dir))))
+    assert(after == before, "compaction must not change IVF search results")
+    assert(Similarity.loadIvfIndex(spark, dir)._2.count() == emb.count())
+
+    // PQ: codes partition on ixseg but KEEP the data column `seg`
+    val (books, codes) = Similarity.pqIndex(base)
+    Similarity.savePqIndex(dir, books, codes)
+    Similarity.appendPqIndex(dir, d1, ixseg = "b0")
+    Similarity.appendPqIndex(dir, d2, ixseg = "b1")
+    val pqBefore = rows(Similarity.topkPq(emb, Seq(0L, 1L, 2L), k = 5,
+      shortlistFactor = 200000, index = Some(Similarity.loadPqIndex(spark, dir))))
+    assert(Similarity.compactPqIndex(spark, dir, Seq("b0", "b1")).sorted ==
+      Seq("b0", "b1"))
+    assert(segDirs("pq_codes") == Set("ixseg=base"))
+    val (_, codes2) = Similarity.loadPqIndex(spark, dir)
+    assert(codes2.count() == emb.count() * 8)
+    assert(codes2.select("seg").distinct().count() == 8,
+      "PQ sub-vector segment column must survive the fold")
+    val pqAfter = rows(Similarity.topkPq(emb, Seq(0L, 1L, 2L), k = 5,
+      shortlistFactor = 200000, index = Some(Similarity.loadPqIndex(spark, dir))))
+    assert(pqAfter == pqBefore, "compaction must not change PQ search results")
   }
 
   test("exact-mode ANN variants equal brute force (the s07–s10 gates)") {

@@ -94,6 +94,68 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(indexed == Set(1L, 2L, 3L, 102L, 203L))
   }
 
+  test("compact folds appended segments into base; dedup verdicts identical") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("mhidx-c").toString
+    MinHashIndex.build(Seq((1L, A), (2L, B)).toDF("doc_id", "text"), path)
+    val idx = MinHashIndex.load(spark, path)
+    idx.append(Seq((10L, C)).toDF("doc_id", "text"), seg = "b0")
+    idx.append(Seq((20L, D)).toDF("doc_id", "text"), seg = "b1")
+
+    val probe = Seq((101L, A), (102L, C), (103L, D), (104L, E))
+      .toDF("doc_id", "text")
+    def verdicts(i: MinHashIndex): Seq[(Long, Long, Double)] =
+      i.dedupBatch(probe, tau = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val before = verdicts(idx)
+    assert(before.map(v => (v._1, v._2)) == Seq((101L, 1L), (102L, 10L), (103L, 20L)))
+
+    assert(idx.compact(Seq("b0", "b1")).sorted == Seq("b0", "b1"))
+    for (t <- Seq("shingles", "sigs", "bands")) {
+      val segs = Option(new java.io.File(s"$path/$t").listFiles)
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+      assert(segs == Set("seg=base"), s"$t should hold only base after the fold")
+    }
+    // a reloaded index over the folded layout reproduces every verdict
+    assert(verdicts(MinHashIndex.load(spark, path)) == before)
+    assert(idx.compact(Seq("b0", "b1")).isEmpty, "re-fold is a no-op")
+  }
+
+  test("compactCommitted folds only batches strictly older than the newest commit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = Files.createTempDirectory("mhidx-cc").toString
+    val vPath = Files.createTempDirectory("mhv-cc").toString
+    val ckpt = Files.createTempDirectory("mhckpt-cc").toString
+    MinHashIndex.build(Seq((1L, A)).toDF("doc_id", "text"), idxPath)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    mem.addData((10L, B))
+    drain(StreamingDedup.start(stream, idxPath, vPath, ckpt, tau = 0.5))
+    mem.addData((20L, C))
+    drain(StreamingDedup.start(stream, idxPath, vPath, ckpt, tau = 0.5))
+
+    val idx = MinHashIndex.load(spark, idxPath)
+    // commits 0 and 1 exist → fold b0 only; b1 stays replayable-shaped
+    assert(idx.compactCommitted(ckpt) == Seq("b0"))
+    val segs = Option(new java.io.File(s"$idxPath/bands").listFiles)
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert(segs == Set("seg=base", "seg=b1"))
+
+    // the stream keeps running over the compacted index: batch 2 sees
+    // folded history (21 dups the batch-0 keeper now living in base)
+    mem.addData((21L, B), (22L, D))
+    drain(StreamingDedup.start(stream, idxPath, vPath, ckpt, tau = 0.5))
+    val v2 = spark.read.parquet(vPath).where("batch = 2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2 == Map(21L -> "dup_index", 22L -> "kept"))
+    assert(MinHashIndex.load(spark, idxPath)
+      .signatures.select("id").distinct().as[Long].collect().toSet ==
+      Set(1L, 10L, 20L, 22L))
+  }
+
   test("replaying a batch rewrites its segment and verdicts: exactly-once") {
     import spark.implicits._
     val idxPath = Files.createTempDirectory("mhidx-r").toString
