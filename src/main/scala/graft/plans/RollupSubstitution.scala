@@ -52,6 +52,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       rewriteGated(p, cond, agg, groupingExprs, aggExprs, child)
         .orElse(rewriteGatedWindow(p, cond, agg, groupingExprs, aggExprs, child))
         .orElse(rewriteGatedTrunc(p, cond, agg, groupingExprs, aggExprs, child))
+        .orElse(rewriteMultiPolicy(p))
         .getOrElse(p)
     // gated shape KEEPING the count output: the passthrough Project is
     // optimized away, leaving the bare Filter over the 4-output Aggregate
@@ -61,6 +62,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       rewriteGatedKnown(f, cond, agg, groupingExprs, aggExprs, child)
         .orElse(rewriteGatedKnownWindow(f, cond, agg, groupingExprs, aggExprs, child))
         .orElse(rewriteGatedKnownTrunc(f, cond, agg, groupingExprs, aggExprs, child))
+        .orElse(rewriteMultiPolicy(f))
         .getOrElse(f)
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.size == 2 =>
@@ -71,6 +73,7 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
         .orElse(rewritePrunedWindow(agg, groupingExprs, aggExprs, child))
         .orElse(rewriteKnown(agg, groupingExprs, aggExprs, child))
         .orElse(rewriteKnownWindow(agg, groupingExprs, aggExprs, child))
+        .orElse(rewriteMultiPolicy(agg))
         .getOrElse(agg)
   }
 
@@ -158,6 +161,69 @@ final case class RollupSubstitution(spark: SparkSession, store: MetricStore)
       val pols = store.policies()
       val found = ns.flatMap(pols.get).distinct
       if (found.size == 1) Some(found.head) else None
+    }
+  }
+
+  /** Multi-policy pinned substitution: a pin whose names span N > 1
+    * retention families refuses the single-policy path — but the
+    * grouping includes `metric`, so the aggregate (and any per-group
+    * xff gate above it) DISTRIBUTES over a disjoint partition of the
+    * pinned names. Rewrite to the UNION of per-family copies of the
+    * matched plan, each narrowed by a leading `metric IN (family
+    * names)` conjunct that the normal machinery then substitutes with
+    * that family's own level choice and carried pin — the Grafana
+    * dashboard shape (panels mixing fast/slow metric families) that
+    * previously fell back to a full level-0 scan.
+    *
+    * All-or-nothing: if any family's branch fails to substitute (no
+    * matching level, kernel/gate mismatch, depth rule), the whole
+    * rewrite refuses and the original single level-0 scan stands — a
+    * split that still scans level-0 per branch would trade one scan
+    * for N without buying anything. Unpinned heterogeneous reads still
+    * refuse: this path only fires on an explicit multi-family pin.
+    */
+  private def rewriteMultiPolicy(top: LogicalPlan): Option[LogicalPlan] = {
+    if (!store.rollupsDerivedFromLevel0) return None
+    if (uniformPolicy.isDefined) return None
+    val located: Option[(Aggregate, LogicalPlan => LogicalPlan)] = top match {
+      case a: Aggregate => Some((a, c => a.copy(child = c)))
+      case p @ Project(_, f @ Filter(_, a: Aggregate)) =>
+        Some((a, c => p.copy(child = f.copy(child = a.copy(child = c)))))
+      case f @ Filter(_, a: Aggregate) =>
+        Some((a, c => f.copy(child = a.copy(child = c))))
+      case _ => None
+    }
+    located.flatMap { case (agg, rebuild) =>
+      val child = agg.child
+      matchLevel0ScanFiltered(child).map(s => (s.leaf, s.preds))
+        .orElse(walkWindowChain(child).map(c => (c.leaf, c.resolvedPreds)))
+        .flatMap { case (leaf, preds) =>
+          val metricId = leaf.output.find(_.name == "metric").map(_.exprId)
+          for {
+            ns <- pinnedNames(preds, metricId)
+            m <- child.output.find(_.name == "metric")
+            pols = store.policies()
+            families = ns.distinct
+              .flatMap(n => pols.get(n).map(_ -> n))
+              .groupBy(_._1).toSeq
+              .map { case (p, xs) => (p, xs.map(_._2).sorted) }
+              .sortBy(_._2.head)
+            if families.size >= 2
+            branches = families.map { case (_, names) =>
+              // the narrowing conjunct lands FIRST in the walked preds,
+              // so the branch's pinnedPolicy resolves its one family;
+              // it is metric-only, so commutingPreds carries it onto
+              // the substituted level scan
+              apply(rebuild(Filter(
+                In(m, names.map(Literal.create(_,
+                  org.apache.spark.sql.types.StringType))), child)))
+            }
+            // all-or-nothing: every branch must have dropped its level-0
+            // scan for the union to beat the original plan
+            if branches.forall(_.find(isLevel0Leaf).isEmpty)
+          } yield branches.reduce(
+            org.apache.spark.sql.catalyst.plans.logical.Union(_, _))
+        }
     }
   }
 

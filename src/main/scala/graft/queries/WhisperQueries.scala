@@ -163,6 +163,41 @@ object WhisperQueries {
         store
       })
 
+  /** Store for the MULTI-policy pinned substituted read (w31): two
+    * retention families that BOTH cover a 600s step at different level
+    * indexes — click/view @ (60 → 600) read it from level 1,
+    * signup/error/purchase @ (60 → 300 → 600) from level 2 — so a pin
+    * spanning the families must union two different level choices.
+    * xff=0 `last` (cascades exactly at any depth). Ingested once per
+    * (session, dir) like w23/w24.
+    */
+  private val w31memo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+
+  private def w31Store(s: SparkSession, dir: String): graft.store.MetricStore =
+    w31memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val root = java.nio.file.Files.createTempDirectory("graft-w31").toString
+        val store = new graft.store.MetricStore(s, root, numBuckets = 8)
+        store.createAll(
+          Seq("click", "view"),
+          RetentionPolicy(
+            Seq(ArchiveInfo(60, 50000), ArchiveInfo(600, 20000)), xff = 0f,
+            AggregationMethod.Last))
+        store.createAll(
+          Seq("signup", "error", "purchase"),
+          RetentionPolicy(
+            Seq(ArchiveInfo(60, 50000), ArchiveInfo(300, 20000),
+              ArchiveInfo(600, 20000)), xff = 0f,
+            AggregationMethod.Last))
+        store.updateMany(
+          events(s, dir).select(col("metric"), col("tsec").as("ts"),
+            col("value"), col("seq")),
+          Now)
+        store
+      })
+
   /** Store for the GATED date_trunc substituted read (w25): hourly level
     * under xff = 0.05 (slots = 60; events fill ~3 minute-slots/hour, so
     * the ≥3-known gate discriminates — some hours pass, some don't),
@@ -727,6 +762,52 @@ object WhisperQueries {
       s"""$baseSql, r AS (
          |  SELECT metric, interval - interval % 300 AS w, interval, value
          |  FROM l0 WHERE metric IN ('click', 'view')
+         |)
+         |SELECT metric, w AS interval, value FROM (
+         |  SELECT metric, w, value,
+         |         row_number() OVER (PARTITION BY metric, w ORDER BY interval DESC) AS rn
+         |  FROM r
+         |) WHERE rn = 1 ORDER BY 1, 2""".stripMargin),
+    QueryDef(
+      "w31_hetero_multi_substituted",
+      // MULTI-policy pinned substituted read, driver-gated: a pin
+      // spanning TWO retention families rewrites to the UNION of
+      // per-family substituted scans — click reads its family's 600s
+      // rollup from level 1, signup/error from theirs at level 2 (each
+      // family its own level choice + carried pin). The Grafana-panel
+      // shape (one query mixing fast/slow metric families) that
+      // previously refused and re-aggregated level-0. Refuses to run
+      // unsubstituted like w23..w30.
+      (s, dir) => {
+        val store = w31Store(s, dir)
+        // register stays in effect (idempotent): every later action on the
+        // returned frame builds a fresh QueryExecution, and deregistering
+        // here would hand it the unsubstituted recompute plan
+        graft.plans.RollupSubstitution.register(s, store)
+        locally {
+          val l0 = store.levelData(0).select("metric", "interval", "value")
+          val q = l0
+            .where(col("metric").isin("click", "signup", "error"))
+            .groupBy(col("metric"),
+              (col("interval") - col("interval") % lit(600L)).as("interval"))
+            .agg(max_by(col("value"), col("interval")).as("value"))
+            .orderBy("metric", "interval")
+          val opt = q.queryExecution.optimizedPlan
+          require(opt.collect {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          }.isEmpty,
+            "w31: multi-policy pinned substitution regressed — " +
+              "plan still aggregates level-0")
+          require(opt.collect {
+            case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+          }.nonEmpty,
+            "w31: expected a union of per-family substituted scans")
+          q
+        }
+      },
+      s"""$baseSql, r AS (
+         |  SELECT metric, interval - interval % 600 AS w, interval, value
+         |  FROM l0 WHERE metric IN ('click', 'signup', 'error')
          |)
          |SELECT metric, w AS interval, value FROM (
          |  SELECT metric, w, value,

@@ -386,6 +386,22 @@ final class MetricStore(val spark: SparkSession, val root: String,
     * @param touchedPre the incoming frame's distinct (pb, tb) set when
     *        the caller already knows it (saves the discovery job)
     */
+  /** Run `body` with its Spark jobs tagged as store writes (restoring the
+    * caller's description after): the per-pb fan-out launches write jobs
+    * from pool threads interleaved with cascade jobs from the caller, and
+    * without a tag the two are indistinguishable in listener events — a
+    * bench artifact then can't say whether a job-count asymmetry is
+    * fan-out commits or cascade work. The tag rides the job-description
+    * local property, so it also labels the writes in the Spark UI.
+    */
+  private def taggedWrite[T](i: Int)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft.store.write level=$i")
+    try body
+    finally sc.setJobDescription(prev)
+  }
+
   private def upsertLevel(i: Int, step: Int, incoming: DataFrame,
                           touchedPre: Option[Set[(Int, Long)]] = None): Unit = {
     val newPts =
@@ -423,17 +439,19 @@ final class MetricStore(val spark: SparkSession, val root: String,
     */
   private def writeMerged(i: Int, merged: DataFrame, pbs: Set[Int]): Unit = {
     if (pbs.size < 2 || pbs.size > MetricStore.MaxParallelPbWrites) {
-      merged
-        // order INSIDE files by (metric, interval) — see writeFresh
-        .sortWithinPartitions("pb", "tb", "metric", "interval")
-        .write
-        // per-write option, NOT session conf: mutating the session's
-        // partitionOverwriteMode would silently change overwrite
-        // semantics for unrelated user writes sharing the SparkSession
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(SaveMode.Overwrite)
-        .partitionBy("pb", "tb")
-        .parquet(levelPath(i))
+      taggedWrite(i) {
+        merged
+          // order INSIDE files by (metric, interval) — see writeFresh
+          .sortWithinPartitions("pb", "tb", "metric", "interval")
+          .write
+          // per-write option, NOT session conf: mutating the session's
+          // partitionOverwriteMode would silently change overwrite
+          // semantics for unrelated user writes sharing the SparkSession
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(SaveMode.Overwrite)
+          .partitionBy("pb", "tb")
+          .parquet(levelPath(i))
+      }
       return
     }
     import scala.concurrent.{Await, Future}
@@ -443,19 +461,21 @@ final class MetricStore(val spark: SparkSession, val root: String,
       scala.concurrent.ExecutionContext.global
     val done = pbs.toSeq.sorted.map { p =>
       Future {
-        // re-cluster by tb inside the job: the filtered slice of the
-        // merged frame can claim a stale cached ordering that makes the
-        // write planner elide its partition sort and collide staging
-        // files — the fresh exchange (same shape as writeFresh) makes
-        // the required clustering explicit
-        merged.where(col("pb") === p).drop("pb")
-          .repartition(col("tb"))
-          .sortWithinPartitions("tb", "metric", "interval")
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .mode(SaveMode.Overwrite)
-          .partitionBy("tb")
-          .parquet(s"${levelPath(i)}/pb=$p")
+        taggedWrite(i) {
+          // re-cluster by tb inside the job: the filtered slice of the
+          // merged frame can claim a stale cached ordering that makes the
+          // write planner elide its partition sort and collide staging
+          // files — the fresh exchange (same shape as writeFresh) makes
+          // the required clustering explicit
+          merged.where(col("pb") === p).drop("pb")
+            .repartition(col("tb"))
+            .sortWithinPartitions("tb", "metric", "interval")
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode(SaveMode.Overwrite)
+            .partitionBy("tb")
+            .parquet(s"${levelPath(i)}/pb=$p")
+        }
       }
     }
     done.foreach(Await.result(_, Duration.Inf))
@@ -498,12 +518,14 @@ final class MetricStore(val spark: SparkSession, val root: String,
       // metric-pinned or time-bounded scan skips pages instead of
       // decoding whole files. Free at small SF (the writer sorted by
       // (pb, tb) anyway); the win grows with rows per file.
-      pts.repartition(col("pb"), col("tb"))
-        .sortWithinPartitions("pb", "tb", "metric", "interval")
-        .write
-        .mode(SaveMode.Overwrite)
-        .partitionBy("pb", "tb")
-        .parquet(levelPath(i))
+      taggedWrite(i) {
+        pts.repartition(col("pb"), col("tb"))
+          .sortWithinPartitions("pb", "tb", "metric", "interval")
+          .write
+          .mode(SaveMode.Overwrite)
+          .partitionBy("pb", "tb")
+          .parquet(levelPath(i))
+      }
       return
     }
     import scala.concurrent.{Await, Future}
@@ -514,15 +536,17 @@ final class MetricStore(val spark: SparkSession, val root: String,
       scala.concurrent.ExecutionContext.global
     val done = pbs.toSeq.sorted.map { p =>
       Future {
-        // pb is encoded in the directory name; keeping the column in the
-        // data too would collide with partition discovery on read
-        pts.where(col("pb") === p).drop("pb")
-          .repartition(col("tb"))
-          .sortWithinPartitions("tb", "metric", "interval")
-          .write
-          .mode(SaveMode.Overwrite)
-          .partitionBy("tb")
-          .parquet(s"${levelPath(i)}/pb=$p")
+        taggedWrite(i) {
+          // pb is encoded in the directory name; keeping the column in
+          // the data too would collide with partition discovery on read
+          pts.where(col("pb") === p).drop("pb")
+            .repartition(col("tb"))
+            .sortWithinPartitions("tb", "metric", "interval")
+            .write
+            .mode(SaveMode.Overwrite)
+            .partitionBy("tb")
+            .parquet(s"${levelPath(i)}/pb=$p")
+        }
       }
     }
     done.foreach(Await.result(_, Duration.Inf))

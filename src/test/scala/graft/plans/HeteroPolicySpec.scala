@@ -137,6 +137,102 @@ class HeteroPolicySpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  private def hasUnion(q: org.apache.spark.sql.DataFrame): Boolean =
+    q.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.nonEmpty
+
+  test("two-family IN-pin substitutes as a union of per-family level scans") {
+    // both families have a 300s level (at the same index here), but the
+    // policies differ — the single-policy path refuses, the multi-policy
+    // union path must fire and produce recompute-identical values
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-hetero-mp").toString, numBuckets = 4)
+    store.create("a",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(300, 1200)), xff = 0f))
+    store.create("b",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(300, 1200),
+        ArchiveInfo(600, 1200)), xff = 0f))
+    val base = Now - 1200
+    val w0 = base - base % 600
+    val pts = (0 until 20).flatMap(i => Seq(
+      ("a", w0 + i * 60L, 10.0 + i, i.toLong),
+      ("b", w0 + i * 60L, 100.0 + i, i.toLong)))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = alignAgg(store, 300L, col("metric").isin("a", "b"))
+      assert(!hasAggregate(q),
+        s"two-family pin did not substitute:\n${q.queryExecution.optimizedPlan}")
+      assert(hasUnion(q),
+        s"expected a union of per-family scans:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getAs[Long]("interval")) ->
+          r.getAs[Double]("value")).toMap
+      val expect = (0 until 4).flatMap(wi => Seq(
+        ("a", w0 + wi * 300L) -> (10.0 + wi * 5 + 2),
+        ("b", w0 + wi * 300L) -> (100.0 + wi * 5 + 2))).toMap
+      assert(got == expect, s"wrong union values: $got")
+
+      // an unknown name in the pin resolves no family and cannot block
+      val q2 = alignAgg(store, 300L, col("metric").isin("a", "b", "ghost"))
+      assert(!hasAggregate(q2) && hasUnion(q2),
+        "unknown name in a multi-family pin blocked the union rewrite")
+      assert(q2.count() == 8)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("multi-family pin: each branch takes its own level choice") {
+    // family a covers 600s at level 1; family b at level 2 (via 300s) —
+    // the union's branches must read DIFFERENT levels. `last` kernel:
+    // cascades exactly at any depth under xff=0.
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-hetero-lvl").toString, numBuckets = 4)
+    store.create("a",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(600, 1200)),
+        xff = 0f, AggregationMethod.Last))
+    store.create("b",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(300, 1200),
+        ArchiveInfo(600, 1200)), xff = 0f, AggregationMethod.Last))
+    val base = Now - 1200
+    val w0 = base - base % 600
+    val pts = (0 until 20).flatMap(i => Seq(
+      ("a", w0 + i * 60L, 10.0 + i, i.toLong),
+      ("b", w0 + i * 60L, 100.0 + i, i.toLong)))
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val q = store.levelData(0)
+        .select("metric", "interval", "value")
+        .where(col("metric").isin("a", "b"))
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(600L)).as("interval"))
+        .agg(max_by(col("value"), col("interval")).as("value"))
+      assert(!hasAggregate(q) && hasUnion(q),
+        s"different-level union did not fire:\n${q.queryExecution.optimizedPlan}")
+      // last of each 600s window = the 10th minutely point's value
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getAs[Long]("interval")) ->
+          r.getAs[Double]("value")).toMap
+      val expect = Map(
+        ("a", w0) -> 19.0, ("a", w0 + 600L) -> 29.0,
+        ("b", w0) -> 109.0, ("b", w0 + 600L) -> 119.0)
+      assert(got == expect, s"wrong per-level union values: $got")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("multi-family pin refuses when one family lacks the level") {
+    val (store, _) = mkHetero() // a @ 300s only, b @ 600s only
+    RollupSubstitution.register(spark, store)
+    try {
+      for (step <- Seq(300L, 600L)) {
+        val q = alignAgg(store, step, col("metric").isin("a", "b"))
+        assert(hasAggregate(q) && !hasUnion(q),
+          s"step=$step: union fired although one family cannot substitute")
+      }
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("divergence marker still vetoes pinned substitution") {
     val (store, _) = mkHetero()
     store.markRollupsDiverged()
