@@ -52,20 +52,20 @@ object Curation {
     * across engines and reruns, unlike RNG sampling). Returns the kept
     * rows with their sample rank.
     *
-    * One shuffle (by source). A pathologically hot source makes one
-    * reducer read that source's full partition — for web-scale source
-    * skew, pre-filter with an approximate per-source quantile of the
-    * hash (keep hash < k/n̂ quantile) before the exact window; the window
-    * over survivors is then tiny.
+    * The rank is a running COUNT in hash order, i.e. [[prefixSums]] over
+    * a constant 1 — so a pathologically hot source shards across range
+    * partitions like the packing family instead of pulling its whole
+    * stream through one `row_number` reducer (the same Zipfian-source
+    * fix as packChunks/tokenBudgetSelect, and still exact: shard-local
+    * rank + broadcast shard offsets ≡ the global row_number).
     */
   def capPerSource(docs: DataFrame, k: Int,
                    idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
-    val ord = md5(col(idCol).cast("string"))
-    docs
-      .withColumn("rk",
-        row_number().over(Window.partitionBy(col(srcCol)).orderBy(ord, col(idCol))))
-      .where(col("rk") <= k)
-      .select(col(idCol), col(srcCol), col("rk").cast("int").as("rk"))
+    val rows = docs.select(col(idCol), col(srcCol),
+      md5(col(idCol).cast("string")).as("__ord"), lit(1L).as("__one"))
+    prefixSums(rows, srcCol, "__one", Seq(col("__ord"), col(idCol)))
+      .where(col("cum") <= k)
+      .select(col(idCol), col(srcCol), col("cum").cast("int").as("rk"))
   }
 
   /** Global deterministic training order: a portable content-hash sort

@@ -40,9 +40,20 @@ object StreamingDedup {
   /** Start the filter on a streaming `docs` frame with (doc_id: long,
     * text: string) columns. The index at `indexPath` must already exist
     * ([[MinHashIndex.build]] over a non-empty seed corpus).
+    *
+    * @param compactEvery fold appended index segments into base every
+    *        this many batches ([[MinHashIndex.compactCommitted]] —
+    *        only segments strictly older than the checkpoint's newest
+    *        commit, so replay safety is preserved). 0 disables; without
+    *        it a long-lived stream accretes one segment directory per
+    *        micro-batch per table and listing cost grows with stream
+    *        AGE (tools/DedupSoak measures both regimes). The fold runs
+    *        inside foreachBatch, i.e. quiesced: no concurrent reader of
+    *        the index exists between batches.
     */
   def start(docs: DataFrame, indexPath: String, verdictPath: String,
-            checkpoint: String, tau: Double = 0.5): StreamingQuery =
+            checkpoint: String, tau: Double = 0.5,
+            compactEvery: Int = 0): StreamingQuery =
     docs
       .select(col("doc_id"), col("text"))
       .writeStream
@@ -50,7 +61,15 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) processBatch(batch, batchId, indexPath, verdictPath, tau)
+        if (!batch.isEmpty) {
+          processBatch(batch, batchId, indexPath, verdictPath, tau)
+          // runs AFTER the batch's own append: its segment is the
+          // newest and never in compactCommitted's fold set (the
+          // checkpoint hasn't committed this batch yet)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            MinHashIndex.load(batch.sparkSession, indexPath)
+              .compactCommitted(checkpoint): Unit
+        }
       }
       .start()
 

@@ -156,6 +156,52 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Set(1L, 10L, 20L, 22L))
   }
 
+  test("stream with compactEvery folds history; verdicts identical to uncompacted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two identical three-wave streams, one with auto-compaction —
+    // verdicts and final index content must match row for row
+    def runStream(every: Int): (String, String) = {
+      val idxPath = Files.createTempDirectory(s"mhidx-ac$every").toString
+      val vPath = Files.createTempDirectory(s"mhv-ac$every").toString
+      val ckpt = Files.createTempDirectory(s"mhckpt-ac$every").toString
+      MinHashIndex.build(Seq((1L, A)).toDF("doc_id", "text"), idxPath)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      for (wave <- Seq(
+          Seq((101L, A), (102L, D)),
+          Seq((201L, D), (202L, E)),
+          Seq((301L, E), (302L, A1), (303L, B)))) {
+        mem.addData(wave: _*)
+        drain(StreamingDedup.start(stream, idxPath, vPath, ckpt, tau = 0.5,
+          compactEvery = every))
+      }
+      (idxPath, vPath)
+    }
+    val (idxPlain, vPlain) = runStream(0)
+    val (idxComp, vComp) = runStream(1)
+
+    def verdicts(p: String): Set[(Long, Long, String, Option[Long])] =
+      spark.read.parquet(p)
+        .selectExpr("CAST(batch AS BIGINT) AS b", "doc_id", "verdict", "dup_of")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(verdicts(vComp) == verdicts(vPlain),
+      "auto-compaction changed a verdict")
+    def ids(p: String): Set[Long] = MinHashIndex.load(spark, p)
+      .signatures.select("id").distinct().as[Long].collect().toSet
+    assert(ids(idxComp) == ids(idxPlain))
+
+    // history actually folded: only base + the segments at-or-after the
+    // newest commit may remain (b0/b1 folded after batch 2's fold ran
+    // at commit boundary 1 → b0 folded; batch-2 fold has commits {0,1})
+    val segs = Option(new java.io.File(s"$idxComp/bands").listFiles)
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert(!segs.contains("seg=b0"), s"b0 survived auto-compaction: $segs")
+    assert(segs.contains("seg=base"))
+  }
+
   test("replaying a batch rewrites its segment and verdicts: exactly-once") {
     import spark.implicits._
     val idxPath = Files.createTempDirectory("mhidx-r").toString
