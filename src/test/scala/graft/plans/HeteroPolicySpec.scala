@@ -233,6 +233,61 @@ class HeteroPolicySpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("GATED multi-family pin: unions when both families share the gate, refuses otherwise") {
+    // g1 @ (60→300) and g2 @ (60→300→600), both xff=0.5 average: a
+    // gated query restating the 0.5/5-slot gate substitutes BOTH
+    // branches (the gate is validated against each family's own policy
+    // inside its branch); g4 @ xff=0.25 breaks the all-or-nothing rule.
+    val store = new MetricStore(
+      spark, Files.createTempDirectory("ms-hetero-gmp").toString, numBuckets = 4)
+    store.create("g1",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(300, 1200)),
+        xff = 0.5f, AggregationMethod.Average))
+    store.create("g2",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(300, 1200),
+        ArchiveInfo(600, 1200)), xff = 0.5f, AggregationMethod.Average))
+    store.create("g4",
+      RetentionPolicy(Seq(ArchiveInfo(60, 1200), ArchiveInfo(300, 1200)),
+        xff = 0.25f, AggregationMethod.Average))
+    val base = Now - 1200
+    val w0 = base - base % 600
+    // per metric: window w0 fully populated (passes any gate), w0+300
+    // holds 2/5 points (fails 0.5, passes 0.25 — the gates differ)
+    val pts = Seq("g1" -> 10.0, "g2" -> 100.0, "g4" -> 1000.0).flatMap {
+      case (m, v0) =>
+        (0 until 5).map(i => (m, w0 + i * 60L, v0 + i, i.toLong)) ++
+          Seq((m, w0 + 300L, v0, 9L), (m, w0 + 360L, v0, 10L))
+    }
+    store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
+    RollupSubstitution.register(spark, store)
+    try {
+      val xffF32 = 0.5f.toDouble
+      def gated(pin: Seq[String]) = store.levelData(0)
+        .select("metric", "interval", "value")
+        .where(col("metric").isin(pin: _*))
+        .groupBy(col("metric"),
+          (col("interval") - col("interval") % lit(300L)).as("interval"))
+        .agg(avg(col("value")).as("value"), count(col("value")).as("known"))
+        .where(col("known") > 0 && col("known") / lit(5.0) >= lit(xffF32))
+        .select("metric", "interval", "value")
+
+      val q = gated(Seq("g1", "g2"))
+      assert(!hasAggregate(q) && hasUnion(q),
+        s"gated two-family pin did not union:\n${q.queryExecution.optimizedPlan}")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getAs[Long]("interval")) ->
+          r.getAs[Double]("value")).toMap
+      assert(got == Map(("g1", w0) -> 12.0, ("g2", w0) -> 102.0),
+        s"wrong gated union values: $got")
+
+      // mixed xff: g4's store gate is 0.25 — the query's 0.5 gate does
+      // not equal it, so that branch refuses and all-or-nothing holds
+      val qBad = gated(Seq("g1", "g4"))
+      assert(hasAggregate(qBad) && !hasUnion(qBad),
+        "union fired although one family's gate differs from the query's")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("divergence marker still vetoes pinned substitution") {
     val (store, _) = mkHetero()
     store.markRollupsDiverged()
