@@ -477,4 +477,52 @@ object Dedup {
       .select(col("a"), col("b"), Similarity.dotCol(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= tau)
   }
+
+  /** SemDeDup-style semantic deduplication (cluster-then-prune; Abbas et
+    * al. 2023, arXiv:2303.09540): k-means-cluster the embedding space
+    * with the IVF trainer, compare pairs only WITHIN a cluster, and drop
+    * any doc with a smaller-id cluster-mate at cosine >= tau — the same
+    * deterministic keeper rule as the text-dedup family. Pairwise work
+    * is bounded by the largest cluster, not the corpus: at 100 TB nlist
+    * scales with corpus size (SemDeDup trains ~0.1% of |corpus|
+    * clusters) so per-cell pair counts stay ~constant, and the per-cell
+    * self-join is a plain equi-join on `cell` — the pairs shuffle is
+    * keyed by nlist values, never all-pairs. Clustering only REMOVES
+    * candidate pairs vs the exact all-pairs graph, so exact survivors ⊆
+    * clustered survivors (pinned in ExtSpec).
+    *
+    * nlist=1 degenerates to exact all-pairs semantic dedup — the
+    * driver-gated oracle mode (d21, the d14/s07 exact-twin pattern);
+    * `normalized=false` there keeps the plain `cosine` spelling the
+    * DuckDB oracle reproduces bit-for-bit (corpusNormalized's
+    * divide-then-multiply differs in the last ulp). The scale path
+    * (d22) normalizes once so each pair costs ONE dot product.
+    *
+    * Returns survivors as (id, cell).
+    */
+  def semanticDedup(emb: DataFrame, tau: Double, nlist: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    normalized: Boolean = true): DataFrame = {
+    val assigned =
+      if (nlist <= 1) {
+        val c0 =
+          if (normalized) Similarity.corpusNormalized(emb, idCol, vecCol)
+          else Similarity.corpus(emb, idCol, vecCol)
+        c0.withColumn("cell", lit(0L))
+      } else {
+        val c = Similarity.corpusNormalized(emb, idCol, vecCol)
+        c.join(Similarity.ivfMembership(c, Similarity.ivfCentroids(c, nlist)),
+          Seq("id"))
+      }
+    val sim =
+      if (normalized) Similarity.dotCol(col("x.vec"), col("y.vec"))
+      else Similarity.cosine(col("x.vec"), col("y.vec"))
+    val dropped = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .where(sim >= tau)
+      .select(col("y.id").as("id"))
+      .distinct()
+    assigned.select("id", "cell").join(dropped, Seq("id"), "left_anti")
+  }
 }

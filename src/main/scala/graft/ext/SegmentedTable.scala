@@ -37,11 +37,17 @@ private[graft] object SegmentedTable {
     *
     * @param cols data columns to carry (the partition column is dropped —
     *             folded rows become base rows)
+    * @param subPartition sub-partition columns WITHIN each segment (e.g.
+    *             [[SemanticIndex]]'s `cell=` dirs) — columns listed here
+    *             must also appear in `cols`, and the folded base is
+    *             rewritten with the same sub-layout so directory pruning
+    *             keeps working after the fold
     * @return the segment values actually folded (missing ones are
     *         skipped; never includes `baseVal`)
     */
   def compact(spark: SparkSession, tableDir: String, partCol: String,
-              baseVal: String, folds: Seq[String], cols: Seq[String]): Seq[String] = {
+              baseVal: String, folds: Seq[String], cols: Seq[String],
+              subPartition: Seq[String] = Nil): Seq[String] = {
     val dir = new File(tableDir)
     val present = Option(dir.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
@@ -56,7 +62,10 @@ private[graft] object SegmentedTable {
       .select(cols.map(col): _*)
     val staging = new File(dir.getParentFile, s".compact-${dir.getName}")
     deleteRecursively(staging)
-    merged.write.mode("overwrite").parquet(staging.toString)
+    val writer =
+      if (subPartition.isEmpty) merged.write
+      else merged.write.partitionBy(subPartition: _*)
+    writer.mode("overwrite").parquet(staging.toString)
 
     live.foreach(s => deleteRecursively(new File(dir, s"$partCol=$s")))
     Files.move(staging.toPath, new File(dir, s"$partCol=$baseVal").toPath)

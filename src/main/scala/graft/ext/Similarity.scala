@@ -480,7 +480,7 @@ object Similarity {
   def ivfMembership(c: DataFrame, cents: DataFrame): DataFrame =
     assignToNearest(c, cents).select("id", "cell")
 
-  private def assignToNearest(c: DataFrame, cents: DataFrame): DataFrame = {
+  private[ext] def assignToNearest(c: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)
     c.join(broadcast(cents), col("id") =!= lit(-1L))
       .select(col("id"), col("vec"), col("cid"), cosine(col("vec"), col("cvec")).as("cos"))

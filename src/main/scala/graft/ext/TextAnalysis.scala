@@ -120,6 +120,103 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")).cast("binary"))
 
+  // ---- PII redaction --------------------------------------------------
+
+  /** PII patterns for the standard pre-training scrub (emails, IPv4,
+    * phone-ish digit runs — the C4/Dolma-style redaction set). Character
+    * classes and alternation only, no lookaround, explicit `[0-9]` and
+    * literal-space classes (never `\d`/`\s`, whose definitions differ
+    * between engines) — identical semantics in Java (Spark) and RE2
+    * (DuckDB), so the oracle gates the actual match+replace behavior.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9 ().-]{6,}[0-9]"
+
+  /** Redact in fixed order email → IPv4 → phone. Order matters and is
+    * part of the contract: emails and IPs contain digit runs a phone
+    * pattern would otherwise swallow, and every replacement token is
+    * digit-free so later patterns can never re-match inside an earlier
+    * replacement. Pure codegen'd Column expression — scan speed, no
+    * shuffle, 100 TB safe.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Matches of one PII pattern at its redaction stage (email counts on
+    * raw text, IPv4 on email-redacted, phone on IPv4-redacted — the same
+    * strings `redactPii`'s stages see, so counts and replacements agree).
+    */
+  def countRe(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  // ---- repetition signals (Gopher-style quality rules) ---------------
+
+  /** Fraction of whitespace tokens that repeat an earlier token —
+    * Gopher's duplicate-fraction family (Rae et al. 2021, §A1.1) at the
+    * token granularity (this corpus has no line structure). Pure Column
+    * expression; 0.0 for empty/token-free docs.
+    */
+  def dupTokenFraction(text: Column): Column = {
+    val t = regexp_extract_all(text, lit("\\S+"), lit(0))
+    when(size(t) === 0, lit(0.0)).otherwise(
+      (size(t) - size(array_distinct(t))).cast("double") /
+        size(t).cast("double"))
+  }
+
+  /** Per-document repetition signals: token counts, duplicate-token
+    * fraction, and the most frequent token 2-gram with the fraction of
+    * the document's characters its occurrences cover (Gopher's
+    * "top 2-gram character fraction"; ties broken by lexicographically
+    * smallest gram, overlapping occurrences counted independently so the
+    * ratio can exceed 1 on degenerate repeats — documented, not capped).
+    *
+    * Shape: 2-grams explode per doc, the count aggregates map-side, and
+    * the per-doc argmax is a `min(struct(-cnt, gram))` — one shuffle
+    * keyed by (doc, gram) then one by doc, no windows, no skew beyond a
+    * single document's gram vocabulary.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars_m"),
+      regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("t"))
+    val stats = base.select(
+      col("doc_id"), col("n_chars_m"),
+      size(col("t")).as("n_tok"),
+      size(array_distinct(col("t"))).as("n_uniq"),
+      col("t"))
+    val grams = stats.select(
+      col("doc_id"),
+      explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+    val top = grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("cnt")).as("neg"), col("gram").as("g"))).as("m"))
+      .select(col("doc_id"), col("m.g").as("top_gram"),
+        (-col("m.neg")).as("top_cnt"))
+    stats
+      .join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(when(col("n_tok") === 0, lit(0.0)).otherwise(
+          (col("n_tok") - col("n_uniq")).cast("double") /
+            col("n_tok").cast("double")), 4).as("dup_frac"),
+        col("top_gram"),
+        round(coalesce(
+          col("top_cnt") * length(col("top_gram")).cast("double") /
+            greatest(col("n_chars_m").cast("double"), lit(1.0)),
+          lit(0.0)), 4).as("top_frac"))
+  }
+
   /** One document's rolling-hash fingerprint summary. */
   final case class RollingFp(
       doc_id: Long, n_grams: Int, n_fp: Int, fp_min: Long, fp_max: Long)

@@ -279,6 +279,77 @@ object ExtQueries {
         MinHashIndex.load(s, path)
       })
 
+  /** Shared d23/d24 oracle: brute-force cross pairs (batch × corpus
+    * splits) at plain cosine ≥ 0.35 — both queries run the same
+    * dedupBatch against indexes whose CONTENT is identical by
+    * construction, so one SQL gates both the incremental build and the
+    * compacted fold.
+    */
+  private val semCrossSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      |  FROM embeddings
+      |), dots AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b,
+      |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      |  FROM e a JOIN e b ON a.i = b.i
+      |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+      |  GROUP BY 1, 2
+      |), nrm AS (
+      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT a AS vec_id, b AS dup_of, round(dot / na.n / nb.n, 4) AS cos
+      |FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+      |WHERE dot / na.n / nb.n >= 0.35
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Exact-mode [[graft.ext.SemanticIndex]] over the corpus split
+    * (vec_id % 5 ≠ 0): nlist=1 makes cell blocking structurally
+    * complete and normalized=false keeps the plain-cosine spelling, so
+    * d23's DuckDB cross-pair oracle gates build + parquet round-trip +
+    * cell join + threshold end to end (the d19 pattern for embeddings).
+    */
+  private val semIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.SemanticIndex]()
+
+  private def semIndexFor(s: org.apache.spark.sql.SparkSession,
+                          dir: String): graft.ext.SemanticIndex =
+    semIdxMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-semidx").toString
+        graft.ext.SemanticIndex.build(emb(s, dir).where(col("vec_id") % 5 =!= 0),
+          path, nlist = 1, normalized = false)
+        graft.ext.SemanticIndex.load(s, path)
+      })
+
+  /** Compacted twin of [[semIndexFor]]: base + two appended segments,
+    * folded ([[graft.ext.SemanticIndex.compact]] — the cell-partitioned
+    * [[graft.ext.SegmentedTable]] path) before d24 dedups the batch
+    * split against the reloaded index. Content equals [[semIndexFor]]'s
+    * exactly, so d23's oracle gates the fold.
+    */
+  private val semCompactIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.SemanticIndex]()
+
+  private def semCompactedIndexFor(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): graft.ext.SemanticIndex =
+    semCompactIdxMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-semcidx").toString
+        val corpus = emb(s, dir).where(col("vec_id") % 5 =!= 0)
+        graft.ext.SemanticIndex.build(corpus.where(col("vec_id") % 3 === 0),
+          path, nlist = 1, normalized = false)
+        val idx = graft.ext.SemanticIndex.load(s, path)
+        idx.append(corpus.where(col("vec_id") % 3 === 1), seg = "b0")
+        idx.append(corpus.where(col("vec_id") % 3 === 2), seg = "b1")
+        require(idx.compact(Seq("b0", "b1")).sorted == Seq("b0", "b1"),
+          "d24 gate: both appended segments must fold")
+        graft.ext.SemanticIndex.load(s, path)
+      })
+
   /** Compacted twin of [[appendedIvfIndexFor]]: the appended segment is
     * folded into base before s13 searches the reloaded index with every
     * cell probed — the brute-force oracle gates the fold.
@@ -473,6 +544,84 @@ object ExtQueries {
           .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
           .orderBy("doc_id"),
       s"""SELECT doc_id, $fpSql AS fp FROM documents ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "t08_text_redact",
+      // The fixture is PII-free, so the query grafts deterministic PII
+      // (email + IPv4 + phone, derived from doc_id by the SAME expression
+      // in both engines) onto every row first — the oracle then gates the
+      // actual match+replace behavior of all three patterns and the
+      // staged counts on every document, not a no-op identity pass.
+      (s, dir) => {
+        val d = docs(s, dir).select(
+          col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@mail.example.com or 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 tel +1 (555) 010-"),
+            (lit(1000) + col("doc_id") % 9000).cast("string"),
+            lit(" bye")).as("t0"))
+        d
+          .withColumn("n_email",
+            TextAnalysis.countRe(col("t0"), TextAnalysis.EmailRe))
+          .withColumn("t1",
+            regexp_replace(col("t0"), TextAnalysis.EmailRe, "<EMAIL>"))
+          .withColumn("n_ip",
+            TextAnalysis.countRe(col("t1"), TextAnalysis.Ipv4Re))
+          .withColumn("t2",
+            regexp_replace(col("t1"), TextAnalysis.Ipv4Re, "<IP>"))
+          .withColumn("n_phone",
+            TextAnalysis.countRe(col("t2"), TextAnalysis.PhoneRe))
+          .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+            TextAnalysis.redactPii(col("t0")).as("red"))
+          .orderBy("doc_id")
+      },
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@mail.example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |    '.7 tel +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' bye' AS t0
+         |  FROM documents
+         |), s1 AS (
+         |  SELECT doc_id, len(regexp_extract_all(t0, '${TextAnalysis.EmailRe}')) AS n_email,
+         |    regexp_replace(t0, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS t1 FROM p
+         |), s2 AS (
+         |  SELECT doc_id, n_email, len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Re}')) AS n_ip,
+         |    regexp_replace(t1, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS t2 FROM s1
+         |)
+         |SELECT doc_id, CAST(n_email AS INTEGER) AS n_email, CAST(n_ip AS INTEGER) AS n_ip,
+         |  CAST(len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}')) AS INTEGER) AS n_phone,
+         |  regexp_replace(t2, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS red
+         |FROM s2 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "t09_text_repetition",
+      // Gopher-style repetition signals at token granularity (the fixture
+      // has no line structure but repeats tokens heavily): duplicate-token
+      // fraction + the most frequent 2-gram's character-coverage fraction.
+      (s, dir) => TextAnalysis.repetitionSignals(docs(s, dir)).orderBy("doc_id"),
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars_m, regexp_extract_all(text, '\S+') AS tok
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, tok[CAST(u.i AS INTEGER)] || ' ' || tok[CAST(u.i AS INTEGER) + 1] AS gram
+        |  FROM t, UNNEST(range(1, len(tok))) AS u(i)
+        |), c AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+        |), b AS (
+        |  SELECT doc_id, gram AS top_gram, cnt AS top_cnt,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        |  FROM c
+        |)
+        |SELECT t.doc_id, CAST(len(tok) AS INTEGER) AS n_tok,
+        |  round(CASE WHEN len(tok) = 0 THEN 0.0 ELSE
+        |    CAST(len(tok) - len(list_distinct(tok)) AS DOUBLE) / len(tok) END, 4) AS dup_frac,
+        |  b.top_gram,
+        |  round(coalesce(b.top_cnt * CAST(length(b.top_gram) AS DOUBLE)
+        |    / greatest(CAST(n_chars_m AS DOUBLE), 1.0), 0.0), 4) AS top_frac
+        |FROM t LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (doc_id)
+        |ORDER BY 1""".stripMargin
     ),
 
     // ---- dedup --------------------------------------------------------
@@ -938,6 +1087,77 @@ object ExtQueries {
          |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
          |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
          |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "d21_dedup_semantic_exact",
+      // SemDeDup exact mode: nlist=1 makes the cluster blocking
+      // structurally complete (one cluster = all pairs), so the keeper
+      // rule is fully DuckDB-checkable — the d14/s07 exact-twin pattern.
+      // normalized=false keeps the plain-cosine spelling the oracle
+      // reproduces. id%3 subset bounds the all-pairs count at bench SF.
+      (s, dir) =>
+        Dedup
+          .semanticDedup(emb(s, dir).where(col("vec_id") % 3 === 0),
+            tau = 0.35, nlist = 1, normalized = false)
+          .select(col("id"))
+          .orderBy("id"),
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings WHERE vec_id % 3 = 0
+        |), dots AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+        |  FROM e GROUP BY 1
+        |), drp AS (
+        |  SELECT DISTINCT b AS id
+        |  FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+        |  WHERE dot / na.n / nb.n >= 0.35
+        |)
+        |SELECT vec_id AS id FROM embeddings
+        |WHERE vec_id % 3 = 0 AND vec_id NOT IN (SELECT id FROM drp)
+        |ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d22_dedup_semantic",
+      // the 100 TB path: k-means cells bound the pairwise work; cluster
+      // blocking is approximate (cross-cell near-dups are never compared)
+      // → rows-only for the driver, like d06. ExtSpec pins the one-sided
+      // invariant (exact survivors ⊆ clustered survivors) + agreement.
+      (s, dir) =>
+        Dedup.semanticDedup(emb(s, dir), tau = 0.35, nlist = 8)
+          .select(col("id"))
+          .orderBy("id"),
+      None
+    ),
+    QueryDef(
+      "d23_dedup_semantic_incremental",
+      // incremental semantic dedup: the batch split (vec_id % 5 = 0)
+      // cross-checked against a persisted SemanticIndex of the corpus
+      // split — build + parquet round-trip + cell join + threshold all
+      // under the brute-force cross-pair oracle (exact mode: nlist=1,
+      // plain cosine; the d19 pattern for embeddings)
+      (s, dir) =>
+        semIndexFor(s, dir)
+          .dedupBatch(emb(s, dir).where(col("vec_id") % 5 === 0), tau = 0.35)
+          .select(col("vec_id"), col("dup_of"), round(col("cos"), 4).as("cos"))
+          .orderBy("vec_id", "dup_of"),
+      semCrossSql
+    ),
+    QueryDef(
+      "d24_dedup_semantic_compacted",
+      // the d23 pipeline over a COMPACTED index: corpus split written as
+      // base + two appended cell-partitioned segments, folded into base,
+      // reloaded — same exact cross-pair oracle, so the cell-layout fold
+      // is value-gated end to end (the d20 pattern)
+      (s, dir) =>
+        semCompactedIndexFor(s, dir)
+          .dedupBatch(emb(s, dir).where(col("vec_id") % 5 === 0), tau = 0.35)
+          .select(col("vec_id"), col("dup_of"), round(col("cos"), 4).as("cos"))
+          .orderBy("vec_id", "dup_of"),
+      semCrossSql
     ),
 
     // ---- similarity search -------------------------------------------

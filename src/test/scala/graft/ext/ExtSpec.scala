@@ -691,4 +691,90 @@ class ExtSpec extends AnyFunSuite {
     val out = docs.select(TextAnalysis.langId(col("text")).as("l")).collect()
     assert(out.forall(r => Set("en", "es", "de", "fr", "zh", "und").contains(r.getString(0))))
   }
+
+  test("PII redaction: email → IP → phone staged, digit-free tokens, non-PII untouched") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@sub.example.co.uk today"),
+      (2L, "server at 192.168.0.1 and 10.20.30.40."),
+      (3L, "call +44 (0) 20 7946-0958 now"),
+      // an email whose local part is a long digit run: must become
+      // <EMAIL>, never <PHONE> — the staged order is the contract
+      (4L, "ticket 5551234567@txt.example.com filed"),
+      // version-ish dotted numbers: not \b-delimited IPv4 on both ends?
+      // 1.2.3.4 IS shaped like an IP — redacted; 1.2.3 is not
+      (5L, "versions 1.2.3 and 1.2.3.4 differ"),
+      (6L, "no pii here at all"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "server at <IP> and <IP>.")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "ticket <EMAIL> filed")
+    assert(out(5L) == "versions 1.2.3 and <IP> differ")
+    assert(out(6L) == "no pii here at all")
+    assert(out(7L) == "")
+    // staged counts see the same strings the replacements do
+    val counted = df
+      .select(col("doc_id"),
+        TextAnalysis.countRe(col("text"), TextAnalysis.EmailRe).as("e"),
+        TextAnalysis.countRe(
+          regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
+          TextAnalysis.Ipv4Re).as("i"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(counted(2L) == ((0, 2)))
+    assert(counted(4L) == ((1, 0)), "digit-run email must be counted as email, not leak to IP/phone")
+  }
+
+  test("repetition signals: known dup fractions, top 2-gram with deterministic ties") {
+    val df = Seq(
+      (1L, "a b a b a"),       // toks 5, uniq 2 → dup 0.6; top gram "a b" ×2 (ties "b a" ×2 → lexicographic pick "a b"); frac 2*3/9
+      (2L, "x y z"),           // no dups; all grams ×1 → lexicographic smallest "x y"
+      (3L, "w w w w"),         // overlapping degenerate repeat: "w w" ×3, frac 3*3/7 > 1 allowed
+      (4L, "solo"),            // 1 token → no grams: top_gram null, top_frac 0
+      (5L, "")                 // empty → n_tok 0, dup 0, no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), Option(r.getString(3)).orNull, r.getDouble(4)))).toMap
+    assert(out(1L) == ((5, 0.6, "a b", math.rint(2.0 * 3 / 9 * 1e4) / 1e4)), s"${out(1L)}")
+    assert(out(2L)._3 == "x y", s"tie-break must be lexicographic: ${out(2L)}")
+    assert(out(3L)._4 > 1.0, "overlapping repeats may exceed 1 by contract")
+    assert(out(4L) == ((1, 0.0, null, 0.0)))
+    assert(out(5L) == ((0, 0.0, null, 0.0)))
+    // pure-column twin agrees with the DataFrame op
+    val colFrac = df.select(col("doc_id"),
+        round(TextAnalysis.dupTokenFraction(col("text")), 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(colFrac(1L) == 0.6 && colFrac(5L) == 0.0)
+  }
+
+  test("semantic dedup: nlist=1 equals the all-pairs keeper rule; clustering only adds survivors") {
+    // brute-force reference: drop ids with a smaller-id neighbor at cos>=tau
+    val c = Similarity.corpus(emb)
+    val drop = c.as("x").join(c.as("y"), col("x.id") < col("y.id"))
+      .where(Similarity.cosine(col("x.vec"), col("y.vec")) >= 0.35)
+      .select(col("y.id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val all = c.select("id").collect().map(_.getLong(0)).toSet
+    val expect = all -- drop
+
+    val exact = Dedup.semanticDedup(emb, tau = 0.35, nlist = 1, normalized = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == expect, s"nlist=1 must equal brute force: ${exact.size} vs ${expect.size}")
+
+    // cluster blocking only REMOVES candidate pairs → can only rescue docs
+    val clustered = Dedup.semanticDedup(emb, tau = 0.35, nlist = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(clustered),
+      s"exact survivors must be ⊆ clustered survivors (missing ${exact -- clustered})")
+    // and it should still do real work: agreement stays high on the fixture
+    val agree = exact.size.toDouble / clustered.size
+    assert(agree >= 0.5, s"clustered dedup dropped too little: $agree")
+    // deterministic across runs
+    val again = Dedup.semanticDedup(emb, tau = 0.35, nlist = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == clustered)
+  }
 }
