@@ -516,7 +516,7 @@ object Dedup {
       }
     val sim =
       if (normalized) Similarity.dotCol(col("x.vec"), col("y.vec"))
-      else Similarity.cosine(col("x.vec"), col("y.vec"))
+      else Similarity.cosineSafe(col("x.vec"), col("y.vec"))
     val dropped = assigned.as("x")
       .join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))

@@ -90,7 +90,7 @@ final class SemanticIndex private[ext] (val spark: SparkSession,
       val touched = b.select("cell").distinct().collect().map(_.getLong(0)).toSeq
       val sim =
         if (normalized) Similarity.dotCol(col("x.vec"), col("y.vec"))
-        else Similarity.cosine(col("x.vec"), col("y.vec"))
+        else Similarity.cosineSafe(col("x.vec"), col("y.vec"))
       b.as("x")
         .join(members(excludeSeg, Some(touched)).as("y"),
           col("x.cell") === col("y.cell"))

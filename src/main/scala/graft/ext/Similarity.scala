@@ -23,6 +23,23 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotCol(a, b) / sqrt(dotCol(a, a)) / sqrt(dotCol(b, b))
 
+  /** [[cosine]] with [[corpusNormalized]]'s zero-norm guard on both
+    * divisors: a zero vector (an empty document's embedding — expected
+    * input per the normalization contract) yields cosine 0 against
+    * everything instead of an ANSI DIVIDE_BY_ZERO. Identical to
+    * [[cosine]] for nonzero vectors (the guard only replaces a 0
+    * divisor with 1), so oracle-exact paths may use it wherever zero
+    * vectors are representable. The k-means assignment and the semantic
+    * dedup family route through this.
+    */
+  def cosineSafe(a: Column, b: Column): Column = {
+    def n(v: Column) = {
+      val s = sqrt(dotCol(v, v))
+      when(s === 0.0, lit(1.0)).otherwise(s)
+    }
+    dotCol(a, b) / n(a) / n(b)
+  }
+
   /** Corpus as (id, vec: array<double>) — float→double widened (exact). */
   def corpus(emb: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame =
@@ -482,8 +499,10 @@ object Similarity {
 
   private[ext] def assignToNearest(c: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)
+    // cosineSafe: a zero-norm vector ties at cos 0 everywhere and lands
+    // deterministically in the lowest cell instead of throwing (ANSI)
     c.join(broadcast(cents), col("id") =!= lit(-1L))
-      .select(col("id"), col("vec"), col("cid"), cosine(col("vec"), col("cvec")).as("cos"))
+      .select(col("id"), col("vec"), col("cid"), cosineSafe(col("vec"), col("cvec")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("id"), col("vec"), col("cid").as("cell"))

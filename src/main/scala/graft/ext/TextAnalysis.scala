@@ -217,6 +217,58 @@ object TextAnalysis {
           lit(0.0)), 4).as("top_frac"))
   }
 
+  // ---- feature-hashed TF vectors --------------------------------------
+
+  /** Feature-hashed term-frequency document vectors (the "hashing
+    * trick", Weinberger et al. 2009): token → bucket = hash mod dim,
+    * weight = token count, l2-normalized per document — a model-free
+    * text→vector bridge into the similarity/semantic-dedup family.
+    *
+    * Emitted SPARSE as one row per (doc, bucket): nothing dense is ever
+    * shuffled (row count ≤ distinct tokens per doc), and every weight is
+    * a scalar an oracle can check row by row. Shape: one shuffle keyed
+    * (id, bucket) with map-side combine, then the l2 norm as a window
+    * over the same id partitioning.
+    *
+    * @param hasher token hash — xxhash64 (fast engine default) or
+    *        [[Dedup.md5Hash60]] (cross-engine, the t10 oracle spelling;
+    *        the d04/d08 pattern)
+    */
+  def hashedTf(docs: DataFrame, dim: Int = 64,
+               hasher: Column => Column = xxhash64(_),
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0))).as("tok"))
+    val counts = toks
+      .select(col("doc_id"), pmod(hasher(col("tok")), lit(dim.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    counts
+      .withColumn("nrm",
+        sqrt(sum(col("cnt") * col("cnt")).over(w).cast("double")))
+      .select(col("doc_id"), col("bucket"),
+        (col("cnt").cast("double") / col("nrm")).as("w"))
+  }
+
+  /** [[hashedTf]] assembled dense: (doc_id, vec: array&lt;double&gt;[dim]) —
+    * the shape [[Similarity]]/[[Dedup.semanticDedup]] consume. The
+    * per-doc map holds ≤ dim entries, so the collect_list is bounded by
+    * dim, never by document length.
+    */
+  def hashedTfDense(docs: DataFrame, dim: Int = 64,
+                    hasher: Column => Column = xxhash64(_),
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    hashedTf(docs, dim, hasher, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("vec"))
+
   /** One document's rolling-hash fingerprint summary. */
   final case class RollingFp(
       doc_id: Long, n_grams: Int, n_fp: Int, fp_min: Long, fp_max: Long)

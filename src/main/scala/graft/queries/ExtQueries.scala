@@ -596,6 +596,37 @@ object ExtQueries {
          |FROM s2 ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "t10_text_hashtf",
+      // feature-hashed TF vectors with the cross-engine md5-60bit token
+      // hash (d08's pattern): the full pipeline — tokenize, hash-bucket,
+      // count, l2-normalize — is value-checked row by row on the sparse
+      // form. The engine path keeps xxhash64 (hashedTf's default).
+      (s, dir) =>
+        TextAnalysis.hashedTf(docs(s, dir), dim = 64,
+            hasher = Dedup.md5Hash60)
+          .select(col("doc_id"), col("bucket"), round(col("w"), 4).as("w"))
+          .orderBy("doc_id", "bucket"), {
+        val hexVal = (1 to 15)
+          .map(i =>
+            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
+              s"${BigInt(16).pow(15 - i)}")
+          .mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+           |  FROM documents
+           |), h AS (
+           |  SELECT doc_id, CAST(($hexVal) % 64 AS BIGINT) AS bucket FROM tok
+           |), c AS (
+           |  SELECT doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2
+           |), n AS (
+           |  SELECT doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm FROM c GROUP BY 1
+           |)
+           |SELECT c.doc_id, bucket, round(CAST(cnt AS DOUBLE) / nrm, 4) AS w
+           |FROM c JOIN n ON n.doc_id = c.doc_id
+           |ORDER BY 1, 2""".stripMargin
+      }
+    ),
+    QueryDef(
       "t09_text_repetition",
       // Gopher-style repetition signals at token granularity (the fixture
       // has no line structure but repeats tokens heavily): duplicate-token

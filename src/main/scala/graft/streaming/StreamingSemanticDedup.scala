@@ -92,7 +92,7 @@ object StreamingSemanticDedup {
       val assigned = idx.assign(remaining).cache()
       val sim =
         if (idx.normalized) Similarity.dotCol(col("x.vec"), col("y.vec"))
-        else Similarity.cosine(col("x.vec"), col("y.vec"))
+        else Similarity.cosineSafe(col("x.vec"), col("y.vec"))
       val batchDups = assigned.as("x")
         .join(assigned.as("y"),
           col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))

@@ -750,6 +750,43 @@ class ExtSpec extends AnyFunSuite {
     assert(colFrac(1L) == 0.6 && colFrac(5L) == 0.0)
   }
 
+  test("hashed TF: unit norms, dense == sparse, exact-dup texts collide in vector space") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"),   // exact dup of 1 → identical vector
+      (3L, "one two three four five"),
+      (4L, "")                           // no tokens → no rows / no vector
+    ).toDF("doc_id", "text")
+    val sparse = TextAnalysis.hashedTf(d, dim = 16).cache()
+    // unit l2 norm per doc
+    val norms = sparse.groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(norms.keySet == Set(1L, 2L, 3L))
+    assert(norms.values.forall(n => math.abs(n - 1.0) < 1e-12), s"$norms")
+    // dense assembly agrees with the sparse rows
+    val dense = TextAnalysis.hashedTfDense(d, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val bySparse = sparse.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        val v = Array.fill(16)(0.0)
+        rs.foreach(r => v(r.getLong(1).toInt) = r.getDouble(2))
+        id -> v.toSeq
+      }
+    assert(dense.keySet == Set(1L, 2L, 3L))
+    dense.foreach { case (id, v) => assert(v == bySparse(id), s"doc $id") }
+    // identical text → identical vector; the semantic-dedup composition
+    // then catches it at tau≈1 (the text→vector→dedup bridge end to end)
+    assert(dense(1L) == dense(2L))
+    val surv = Dedup.semanticDedup(
+        TextAnalysis.hashedTfDense(d, dim = 16), tau = 0.999, nlist = 1,
+        idCol = "doc_id", vecCol = "vec")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 3L), s"dup doc 2 must drop, got $surv")
+    sparse.unpersist()
+  }
+
   test("semantic dedup: nlist=1 equals the all-pairs keeper rule; clustering only adds survivors") {
     // brute-force reference: drop ids with a smaller-id neighbor at cos>=tau
     val c = Similarity.corpus(emb)

@@ -148,6 +148,28 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(got.contains((100L, 0L)))
   }
 
+  test("zero-norm vectors: assigned deterministically, never dup, never throw") {
+    // an all-zero embedding (an empty document) is expected input per
+    // corpusNormalized's guard — before cosineSafe the k-means assign
+    // threw ANSI DIVIDE_BY_ZERO on it (found by SemanticSoak batch 0)
+    val zero = Array(0f, 0f, 0f, 0f)
+    val path = Files.createTempDirectory("semidx-z").toString
+    SemanticIndex.build(df((1L, vA), (2L, vB), (3L, vC), (4L, vD), (5L, zero)),
+      path, nlist = 2)
+    val idx = SemanticIndex.load(spark, path)
+    val got = idx.dedupBatch(df((100L, zero), (101L, vA)), tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists(_._1 == 100L), s"zero vector must dup nothing: $got")
+    assert(got.contains((100L, 0L)) == false)
+    assert(got.exists(_._1 == 101L), s"nonzero dup must still be found: $got")
+    // batch form too: exact mode with a raw zero vector
+    val surv = graft.ext.Dedup
+      .semanticDedup(df((1L, vA), (2L, zero), (3L, vA)), tau = 0.5,
+        nlist = 1, normalized = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 2L), s"zero vec survives, dup of vA dropped: $surv")
+  }
+
   test("replaying a batch rewrites its segment and verdicts: exactly-once") {
     val idxPath = Files.createTempDirectory("semidx-r").toString
     val vPath = Files.createTempDirectory("semv-r").toString
