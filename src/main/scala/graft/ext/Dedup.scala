@@ -502,18 +502,18 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, tau: Double, nlist: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    normalized: Boolean = true): DataFrame = {
-    val assigned =
-      if (nlist <= 1) {
-        val c0 =
-          if (normalized) Similarity.corpusNormalized(emb, idCol, vecCol)
-          else Similarity.corpus(emb, idCol, vecCol)
-        c0.withColumn("cell", lit(0L))
-      } else {
-        val c = Similarity.corpusNormalized(emb, idCol, vecCol)
-        c.join(Similarity.ivfMembership(c, Similarity.ivfCentroids(c, nlist)),
-          Seq("id"))
-      }
+                    normalized: Boolean = true,
+                    assignment: Option[DataFrame] = None): DataFrame = {
+    // `assignment` = a precomputed (id, vec, cell) frame from
+    // [[clusterAssignment]], session-memoized by callers (the
+    // embeddingNearDups `index` precedent): the within-cell self-join
+    // reads its input TWICE, and without a cached assignment each side
+    // re-runs normalize + k-means scoring over the whole corpus —
+    // plan-audited as zero exchange reuse. Lifecycle owned by the
+    // caller. For the continuously-growing corpus the persisted
+    // [[SemanticIndex]] is the scale path.
+    val assigned = assignment.getOrElse(
+      clusterAssignment(emb, nlist, idCol, vecCol, normalized))
     val sim =
       if (normalized) Similarity.dotCol(col("x.vec"), col("y.vec"))
       else Similarity.cosineSafe(col("x.vec"), col("y.vec"))
@@ -525,4 +525,28 @@ object Dedup {
       .distinct()
     assigned.select("id", "cell").join(dropped, Seq("id"), "left_anti")
   }
+
+  /** The (id, vec, cell) cluster assignment [[semanticDedup]] consumes:
+    * nlist=1 puts everything in cell 0 (exact mode); otherwise k-means
+    * cells from the IVF trainer, scored map-side
+    * ([[Similarity.assignToNearest]]'s max_by — never an n×nlist
+    * shuffle). Build once per (corpus, nlist) and cache when running
+    * several dedups over one corpus.
+    */
+  def clusterAssignment(emb: DataFrame, nlist: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        normalized: Boolean = true): DataFrame =
+    if (nlist <= 1) {
+      val c0 =
+        if (normalized) Similarity.corpusNormalized(emb, idCol, vecCol)
+        else Similarity.corpus(emb, idCol, vecCol)
+      c0.withColumn("cell", lit(0L))
+    } else {
+      // assignToNearest returns (id, vec, cell) directly — joining the
+      // (id, cell) membership back to c by id would re-shuffle the
+      // whole corpus for nothing
+      val c = Similarity.corpusNormalized(emb, idCol, vecCol)
+      Similarity.assignToNearest(c, Similarity.ivfCentroids(c, nlist))
+    }
 }

@@ -64,7 +64,12 @@ private[graft] object SegmentedTable {
     deleteRecursively(staging)
     val writer =
       if (subPartition.isEmpty) merged.write
-      else merged.write.partitionBy(subPartition: _*)
+      // cluster by the sub-partition columns first: an unclustered
+      // partitionBy write emits tasks × values files (see the
+      // SemanticIndex.append comment) — the fold exists to SHRINK file
+      // counts, so its own write must be one file per value
+      else merged.repartition(subPartition.map(col): _*)
+        .write.partitionBy(subPartition: _*)
     writer.mode("overwrite").parquet(staging.toString)
 
     live.foreach(s => deleteRecursively(new File(dir, s"$partCol=$s")))

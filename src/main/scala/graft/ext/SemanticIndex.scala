@@ -111,6 +111,12 @@ final class SemanticIndex private[ext] (val spark: SparkSession,
              vecCol: String = "embedding"): Unit =
     assign(newEmb, idCol, vecCol)
       .select(col("id"), col("cell"), col("vec"))
+      // cluster by cell BEFORE the partitioned write: without it every
+      // task writes a file into every cell it touches (tasks × cells
+      // files — at 1000 executors over 100k cells that is 10^8 files
+      // per segment); clustered, the segment holds one file per
+      // non-empty cell (the MetricStore mergedTouched precedent)
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/members/seg=$seg")
 

@@ -498,14 +498,23 @@ object Similarity {
     assignToNearest(c, cents).select("id", "cell")
 
   private[ext] def assignToNearest(c: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cid").asc)
     // cosineSafe: a zero-norm vector ties at cos 0 everywhere and lands
-    // deterministically in the lowest cell instead of throwing (ANSI)
+    // deterministically in the lowest cell instead of throwing (ANSI).
+    // Argmax per id as a partial-aggregable max_by with ordering
+    // (cos, -cid) — max cos, ties to the LOWEST cid: identical to the
+    // previous row_number-over-window result, but the n×nlist scored
+    // rows (vectors included) collapse map-side to n aggregation
+    // buffers before the exchange; the window spelling shuffled and
+    // sorted all n×nlist of them, which at SemDeDup-scale nlist
+    // (~0.1%·n cells) is quadratic shuffle volume. NaN ties match too:
+    // Spark orders NaN greatest both in DESC-first windows and max_by.
     c.join(broadcast(cents), col("id") =!= lit(-1L))
-      .select(col("id"), col("vec"), col("cid"), cosineSafe(col("vec"), col("cvec")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cid").as("cell"))
+      .select(col("id"), col("vec"), col("cid"),
+        cosineSafe(col("vec"), col("cvec")).as("cos"))
+      .groupBy("id")
+      .agg(max_by(struct(col("cid"), col("vec")),
+        struct(col("cos"), (-col("cid")).as("nc"))).as("b"))
+      .select(col("id"), col("b.vec").as("vec"), col("b.cid").as("cell"))
   }
 
   // ---- index persistence ---------------------------------------------

@@ -279,6 +279,20 @@ object ExtQueries {
         MinHashIndex.load(s, path)
       })
 
+  /** Session-memoized (id, vec, cell) cluster assignment for d22 — the
+    * build-once artifact its within-cell self-join reads twice (the
+    * lshIndexFor/IVF-index precedent; without it each join side re-runs
+    * normalize + k-means scoring over the corpus).
+    */
+  private val semAssignMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]()
+
+  private def semAssignFor(s: org.apache.spark.sql.SparkSession,
+                           dir: String, nlist: Int): DataFrame =
+    semAssignMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir:$nlist",
+      _ => Dedup.clusterAssignment(emb(s, dir), nlist).cache())
+
   /** Shared d23/d24 oracle: brute-force cross pairs (batch × corpus
     * splits) at plain cosine ≥ 0.35 — both queries run the same
     * dedupBatch against indexes whose CONTENT is identical by
@@ -1158,7 +1172,8 @@ object ExtQueries {
       // → rows-only for the driver, like d06. ExtSpec pins the one-sided
       // invariant (exact survivors ⊆ clustered survivors) + agreement.
       (s, dir) =>
-        Dedup.semanticDedup(emb(s, dir), tau = 0.35, nlist = 8)
+        Dedup.semanticDedup(emb(s, dir), tau = 0.35, nlist = 8,
+            assignment = Some(semAssignFor(s, dir, 8)))
           .select(col("id"))
           .orderBy("id"),
       None
