@@ -113,6 +113,11 @@ object Bench {
       "d21_dedup_semantic_exact", "d24_dedup_semantic_compacted",
       "w03_rollup_sum", "w04_rollup_last", "w05_rollup_max",
       "w06_rollup_min", "w07_rollup_avg_zero", "w09_rollup_absmin",
+      // w24 times the SAME substituted level scan as w23 (only the
+      // matched spelling differs — matching is Verify's job); t07 on the
+      // CJK-free fixture times t05's pipeline plus a no-op regex (the
+      // CJK discrimination is ScalaTest-covered)
+      "w24_rollup_trunc_substituted", "t07_text_cjk_tokens",
       "w25_rollup_trunc_gated", "w26_rollup_filtered_substituted",
       "w27_rollup_topk_substituted", "w28_fetch_grid_substituted",
       "w29_rollup_having_counts", "w30_hetero_substituted",
@@ -310,7 +315,10 @@ object Bench {
     // write-job counts ride the compact "xw":[x00, x01] field, not two
     // long-keyed queries-map entries (tail-budget)
     val xw = Seq("x00_write_jobs", "x01_write_jobs").flatMap(incremental.get)
-    val qs = (results ++ (incremental -- Seq("x00_write_jobs", "x01_write_jobs")))
+    // total job counts ride a compact "xj" pair too (tail-budget)
+    val xj = Seq("x00_jobs", "x01_jobs").flatMap(incremental.get)
+    val qs = (results ++ (incremental -- Seq(
+      "x00_write_jobs", "x01_write_jobs", "x00_jobs", "x01_jobs")))
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -326,7 +334,8 @@ object Bench {
           (if (noisy.size > 6) Seq(s"+${noisy.size - 6}") else Nil))
         .map("\"" + _ + "\"").mkString(""","noise":[""", ",", "]")
     val xwField =
-      if (xw.size == 2) s""","xw":[${f(xw(0))},${f(xw(1))}]""" else ""
+      (if (xw.size == 2) s""","xw":[${f(xw(0))},${f(xw(1))}]""" else "") +
+        (if (xj.size == 2) s""","xj":[${f(xj(0))},${f(xj(1))}]""" else "")
     // cal as [base, max, samples] (was an object pre-r8 — array saves
     // the tail budget the spread field spends)
     val calField = s""","cal":[${f(calBase)},${f(calSamples.max)},${calSamples.size}]"""

@@ -514,12 +514,37 @@ object Dedup {
     // [[SemanticIndex]] is the scale path.
     val assigned = assignment.getOrElse(
       clusterAssignment(emb, nlist, idCol, vecCol, normalized))
+    // Per-PAIR similarity pays one dot product when normalized; the raw
+    // (oracle-exact) mode's guarded cosine would pay THREE per pair —
+    // so the self-norms are precomputed per ROW here and divided in
+    // cosineSafe's exact order (dot / n(a) / n(b): identical doubles,
+    // 3× less pair work).
+    val withN =
+      if (normalized) assigned
+      else {
+        val s2 = sqrt(Similarity.dotCol(col("vec"), col("vec")))
+        assigned.withColumn("nrm",
+          when(s2 === 0.0, lit(1.0)).otherwise(s2))
+      }
     val sim =
       if (normalized) Similarity.dotCol(col("x.vec"), col("y.vec"))
-      else Similarity.cosineSafe(col("x.vec"), col("y.vec"))
-    val dropped = assigned.as("x")
-      .join(assigned.as("y"),
-        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      else Similarity.dotCol(col("x.vec"), col("y.vec")) /
+        col("x.nrm") / col("y.nrm")
+    // Skew-salted within-cell self-join (the store's salting precedent):
+    // a bare equi-join on `cell` serializes each cell's quadratic pair
+    // work through ONE task — in the nlist=1 exact mode that is the
+    // whole corpus in one task (measured 4.7 s → 1.2 s at sf0.1). The y
+    // side partitions by (cell, salt-of-id); the x side replicates S
+    // ways — x-side volume grows n·S, pair work is unchanged but split
+    // across S tasks per cell. Join output is identical.
+    val S = 32L
+    val ys = withN.withColumn("salt", pmod(xxhash64(col("id")), lit(S)))
+    val xs = withN.withColumn("salt",
+      explode(sequence(lit(0L), lit(S - 1L))))
+    val dropped = xs.as("x")
+      .join(ys.as("y"),
+        col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
+          col("x.id") < col("y.id"))
       .where(sim >= tau)
       .select(col("y.id").as("id"))
       .distinct()

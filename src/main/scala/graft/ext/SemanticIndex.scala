@@ -86,18 +86,27 @@ final class SemanticIndex private[ext] (val spark: SparkSession,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  excludeSeg: Option[String] = None): DataFrame = {
     val b = assign(newEmb, idCol, vecCol).cache()
-    try {
-      val touched = b.select("cell").distinct().collect().map(_.getLong(0)).toSeq
-      val sim =
-        if (normalized) Similarity.dotCol(col("x.vec"), col("y.vec"))
-        else Similarity.cosineSafe(col("x.vec"), col("y.vec"))
-      b.as("x")
-        .join(members(excludeSeg, Some(touched)).as("y"),
-          col("x.cell") === col("y.cell"))
-        .select(col("x.id").as("vec_id"), col("y.id").as("dup_of"),
-          sim.as("cos"))
-        .where(col("cos") >= tau)
-    } finally { b.unpersist(); () }
+    try dedupAssigned(b, tau, excludeSeg)
+    finally { b.unpersist(); () }
+  }
+
+  /** [[dedupBatch]] over a PRE-ASSIGNED (id, vec, cell) frame — the
+    * streaming wiring assigns its batch once and threads that frame
+    * through cross dedup, the in-batch rule, and the append, instead of
+    * paying normalize + centroid scoring three times per micro-batch.
+    * Pass a cached frame: the touched-cell collect materializes it here.
+    */
+  def dedupAssigned(assigned: DataFrame, tau: Double,
+                    excludeSeg: Option[String] = None): DataFrame = {
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val sim = Similarity.pairSim(normalized, col("x.vec"), col("y.vec"))
+    assigned.as("x")
+      .join(members(excludeSeg, Some(touched)).as("y"),
+        col("x.cell") === col("y.cell"))
+      .select(col("x.id").as("vec_id"), col("y.id").as("dup_of"),
+        sim.as("cos"))
+      .where(col("cos") >= tau)
   }
 
   /** Write a batch's assigned vectors into segment `seg`, sub-partitioned
@@ -109,7 +118,13 @@ final class SemanticIndex private[ext] (val spark: SparkSession,
     */
   def append(newEmb: DataFrame, seg: String, idCol: String = "vec_id",
              vecCol: String = "embedding"): Unit =
-    assign(newEmb, idCol, vecCol)
+    appendAssigned(assign(newEmb, idCol, vecCol), seg)
+
+  /** [[append]] for a pre-assigned (id, vec, cell) frame (see
+    * [[dedupAssigned]]).
+    */
+  def appendAssigned(assigned: DataFrame, seg: String): Unit =
+    assigned
       .select(col("id"), col("cell"), col("vec"))
       // cluster by cell BEFORE the partitioned write: without it every
       // task writes a file into every cell it touches (tasks × cells
@@ -154,7 +169,7 @@ object SemanticIndex {
   def build(emb: DataFrame, path: String, nlist: Int,
             normalized: Boolean = true, idCol: String = "vec_id",
             vecCol: String = "embedding"): SemanticIndex = {
-    deleteRecursively(new java.io.File(path))
+    SegmentedTable.deleteRecursively(new java.io.File(path))
     Files.createDirectories(Paths.get(path))
     val spark = emb.sparkSession
     val idx = new SemanticIndex(spark, path, nlist, normalized)
@@ -183,8 +198,4 @@ object SemanticIndex {
     new SemanticIndex(spark, path, params("nlist"), params("normalized") == 1)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
 }

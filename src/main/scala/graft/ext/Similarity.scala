@@ -40,6 +40,17 @@ object Similarity {
     dotCol(a, b) / n(a) / n(b)
   }
 
+  /** The semantic-dedup family's pair similarity: unit-normalized
+    * corpora pay ONE dot product per pair; raw corpora (the
+    * oracle-exact mode) the guarded cosine. One definition point — the
+    * three dedup call sites (batch, index, stream) must never drift on
+    * this contract. Oracles restating it must mirror the zero-norm
+    * guard (divide by 1, not 0) or a zero vector turns their division
+    * into NaN, which DuckDB orders ABOVE every threshold.
+    */
+  def pairSim(normalized: Boolean, a: Column, b: Column): Column =
+    if (normalized) dotCol(a, b) else cosineSafe(a, b)
+
   /** Corpus as (id, vec: array<double>) — float→double widened (exact). */
   def corpus(emb: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame =

@@ -125,9 +125,13 @@ object TextAnalysis {
   /** PII patterns for the standard pre-training scrub (emails, IPv4,
     * phone-ish digit runs — the C4/Dolma-style redaction set). Character
     * classes and alternation only, no lookaround, explicit `[0-9]` and
-    * literal-space classes (never `\d`/`\s`, whose definitions differ
-    * between engines) — identical semantics in Java (Spark) and RE2
-    * (DuckDB), so the oracle gates the actual match+replace behavior.
+    * literal-space classes rather than `\d`/`\s` — Java `\s` includes
+    * vertical tab (\x0B), RE2's does not, so a class the PATTERN
+    * controls avoids the one engine divergence. (The `\S+` tokenizers
+    * elsewhere in this file accept that divergence deliberately: it is
+    * the t01/t04 precedent, and \x0B inside running text is excluded by
+    * the corpus contract — redaction patterns get no such contract on
+    * their surroundings, hence the stricter rule here.)
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

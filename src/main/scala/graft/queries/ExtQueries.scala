@@ -293,6 +293,21 @@ object ExtQueries {
       s"${System.identityHashCode(s)}:$dir:$nlist",
       _ => Dedup.clusterAssignment(emb(s, dir), nlist).cache())
 
+  /** Session-memoized hashed-TF vector table for d25 (quality-filtered
+    * docs → md5-60bit feature hashing, dim 32) — the build-once artifact
+    * its exact semantic dedup self-joins (the semAssignFor precedent).
+    */
+  private val d25VecsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]()
+
+  private def d25VecsFor(s: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    d25VecsMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => TextAnalysis.hashedTfDense(
+        docs(s, dir).where(TextAnalysis.dupTokenFraction(col("text")) <= 0.65),
+        dim = 32, hasher = Dedup.md5Hash60).cache())
+
   /** Shared d23/d24 oracle: brute-force cross pairs (batch × corpus
     * splits) at plain cosine ≥ 0.35 — both queries run the same
     * dedupBatch against indexes whose CONTENT is identical by
@@ -310,7 +325,10 @@ object ExtQueries {
       |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
       |  GROUP BY 1, 2
       |), nrm AS (
-      |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+      |  -- zero-norm guard mirroring Similarity.cosineSafe: divide by 1,
+      |  -- not 0 - NaN would order ABOVE the threshold in DuckDB
+      |  SELECT vec_id, CASE WHEN sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+      |    THEN 1 ELSE sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END AS n
       |  FROM e GROUP BY 1
       |)
       |SELECT a AS vec_id, b AS dup_of, round(dot / na.n / nb.n, 4) AS cos
@@ -1154,7 +1172,10 @@ object ExtQueries {
         |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
         |), nrm AS (
-        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+        |  -- zero-norm guard mirroring Similarity.cosineSafe: divide by 1,
+        |  -- not 0 - NaN would order ABOVE the threshold in DuckDB
+        |  SELECT vec_id, CASE WHEN sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |    THEN 1 ELSE sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END AS n
         |  FROM e GROUP BY 1
         |), drp AS (
         |  SELECT DISTINCT b AS id
@@ -1204,6 +1225,75 @@ object ExtQueries {
           .select(col("vec_id"), col("dup_of"), round(col("cos"), 4).as("cos"))
           .orderBy("vec_id", "dup_of"),
       semCrossSql
+    ),
+
+    QueryDef(
+      "d25_corpus_pipeline_semantic",
+      // Capstone composition of the round-8 family, exactly oracle-gated
+      // end to end: repetition-quality filter (dupTokenFraction) →
+      // feature-hashed TF vectors (md5-60bit, dim 32) → EXACT semantic
+      // dedup over those vectors (nlist=1, plain cosine) → per-source
+      // corpus stats. tau=0.982 sits in a measured empty band of the
+      // fixture's pair-cosine distribution (nearest values ≥3e-3 away —
+      // cross-engine fp summation differences are ~1e-15).
+      (s, dir) => {
+        val kept1 = docs(s, dir)
+          .where(TextAnalysis.dupTokenFraction(col("text")) <= 0.65)
+        // memoized + cached: the exact dedup self-joins this table, and
+        // an uncached plan would re-run the md5 hashed-TF build (the
+        // pipeline's dominant cost) once per join side
+        val vecs = d25VecsFor(s, dir)
+        val surv = Dedup.semanticDedup(vecs, tau = 0.982, nlist = 1,
+          normalized = false, idCol = "doc_id", vecCol = "vec")
+        kept1
+          .join(surv.select(col("id").as("doc_id")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy("source")
+      }, {
+        val hexVal = (1 to 15)
+          .map(i =>
+            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
+              s"${BigInt(16).pow(15 - i)}")
+          .mkString(" + ")
+        s"""WITH kept1 AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  WHERE CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0
+           |    ELSE 1.0 - CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE)
+           |      / len(regexp_extract_all(text, '\\S+')) END <= 0.65
+           |), tok AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok FROM kept1
+           |), h AS (
+           |  SELECT doc_id, CAST(($hexVal) % 32 AS BIGINT) AS bucket FROM tok
+           |), c AS (
+           |  SELECT doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2
+           |), nn AS (
+           |  SELECT doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm FROM c GROUP BY 1
+           |), w AS (
+           |  SELECT c.doc_id, bucket, CAST(cnt AS DOUBLE) / nrm AS w
+           |  FROM c JOIN nn ON nn.doc_id = c.doc_id
+           |), dots AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b, sum(a.w * b.w) AS dot
+           |  FROM w a JOIN w b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |), vn AS (
+           |  SELECT doc_id, CASE WHEN sqrt(sum(w * w)) = 0 THEN 1
+           |    ELSE sqrt(sum(w * w)) END AS n
+           |  FROM w GROUP BY 1
+           |), drp AS (
+           |  SELECT DISTINCT b FROM dots
+           |  JOIN vn na ON na.doc_id = a JOIN vn nb ON nb.doc_id = b
+           |  WHERE dot / na.n / nb.n >= 0.982
+           |)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens
+           |FROM kept1 WHERE doc_id NOT IN (SELECT b FROM drp)
+           |  -- token-less docs have no vector: the engine pipeline drops
+           |  -- them at the vecs join, so the oracle must too
+           |  AND doc_id IN (SELECT DISTINCT doc_id FROM c)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }
     ),
 
     // ---- similarity search -------------------------------------------

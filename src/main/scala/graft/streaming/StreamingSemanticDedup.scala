@@ -77,45 +77,53 @@ object StreamingSemanticDedup {
                    verdictPath: String, tau: Double): Unit = {
     val spark = batch.sparkSession
     val idx = SemanticIndex.load(spark, indexPath)
-    val vecs = batch.select(col("vec_id"), col("embedding")).cache()
+    // Same vec_id delivered twice inside one batch collapses to one row
+    // up front: the in-batch rule's strict x.id < y.id can never pair an
+    // id with itself, so without this a re-delivered id would append
+    // twice and write two verdicts. A payload tie is broken arbitrarily
+    // — only observable when one id carries two DIFFERENT vectors in one
+    // delivery, which is an upstream key-assignment bug.
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+    // ONE centroid assignment per micro-batch, threaded through cross
+    // dedup, the in-batch rule, and the append (each used to re-assign:
+    // three normalize + broadcast-score passes per batch on the hot path)
+    val assigned = idx.assign(vecs).cache()
     try {
       // 1. cross: smallest indexed match per dropped vector; own-segment
       // exclusion so a replay reads the index as of its FIRST attempt
-      val cross = idx.dedupBatch(vecs, tau, excludeSeg = Some(s"b$batchId"))
+      val cross = idx.dedupAssigned(assigned, tau, excludeSeg = Some(s"b$batchId"))
         .groupBy("vec_id").agg(min(col("dup_of")).as("dup_of"))
         .cache()
-      val remaining = vecs.join(cross.select("vec_id"), Seq("vec_id"), "left_anti")
+      val remaining = assigned.join(
+        cross.select(col("vec_id").as("id")), Seq("id"), "left_anti")
 
       // 2. in-batch: the semanticDedup smaller-id keeper rule within the
-      // remainder's cells (assigned against the index's frozen centroids
-      // so batch and index agree on the cell space)
-      val assigned = idx.assign(remaining).cache()
-      val sim =
-        if (idx.normalized) Similarity.dotCol(col("x.vec"), col("y.vec"))
-        else Similarity.cosineSafe(col("x.vec"), col("y.vec"))
-      val batchDups = assigned.as("x")
-        .join(assigned.as("y"),
+      // remainder's cells (the index's frozen centroid space, so batch
+      // and index agree on cells)
+      val sim = Similarity.pairSim(idx.normalized, col("x.vec"), col("y.vec"))
+      val batchDups = remaining.as("x")
+        .join(remaining.as("y"),
           col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
         .where(sim >= tau)
         .groupBy(col("y.id").as("vec_id"))
         .agg(min(col("x.id")).as("dup_of"))
         .cache()
       val survivors = remaining
-        .join(batchDups.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(batchDups.select(col("vec_id").as("id")), Seq("id"), "left_anti")
         .cache()
 
       // 3. exactly-once effects: segment + verdict dirs keyed by batchId
-      idx.append(survivors, seg = s"b$batchId")
+      idx.appendAssigned(survivors, seg = s"b$batchId")
       cross.withColumn("verdict", lit("dup_index"))
         .unionByName(batchDups.withColumn("verdict", lit("dup_batch")))
-        .unionByName(survivors.select(col("vec_id"),
+        .unionByName(survivors.select(col("id").as("vec_id"),
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("vec_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
       cross.unpersist()
       batchDups.unpersist()
       survivors.unpersist()
-      assigned.unpersist()
-    } finally { vecs.unpersist(); () }
+    } finally { assigned.unpersist(); () }
   }
 }

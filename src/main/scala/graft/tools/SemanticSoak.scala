@@ -100,9 +100,13 @@ object SemanticSoak {
         println(f"""{"mode":"$mode","batch":$b,"sec":$sec%.2f,"csec":$csec%.2f,"files":$files,"segs":$segs}""")
         sec
       }
-      val head = walls.take(10).sum / 10
-      val tail = walls.takeRight(10).sum / 10
-      println(f"""{"mode":"$mode","first10_mean":$head%.2f,"last10_mean":$tail%.2f,"ratio":${tail / head}%.2f}""")
+      // honest means for short runs: sample count = what was taken, and
+      // the two windows never overlap (take/takeRight share batches when
+      // batches < 20, which would pin the ratio at ~1 regardless of growth)
+      val span = math.max(math.min(10, walls.size / 2), 1)
+      val head = walls.take(span).sum / span
+      val tail = walls.takeRight(span).sum / span
+      println(f"""{"mode":"$mode","first_mean":$head%.2f,"last_mean":$tail%.2f,"ratio":${tail / head}%.2f}""")
       (head, tail)
     }
 

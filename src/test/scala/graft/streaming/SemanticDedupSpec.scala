@@ -187,4 +187,23 @@ class SemanticDedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v == Map(10L -> "kept", 11L -> "dup_batch"))
   }
+
+  test("same vec_id delivered twice in one batch: one member row, one verdict") {
+    // the in-batch rule's strict x.id < y.id can never pair an id with
+    // itself — without the up-front dropDuplicates a re-delivered id
+    // appended twice and wrote two 'kept' verdicts
+    val idxPath = Files.createTempDirectory("semidx-d").toString
+    val vPath = Files.createTempDirectory("semv-d").toString
+    SemanticIndex.build(df((1L, vA)), idxPath, nlist = 1, normalized = false)
+    val batch = df((10L, vB), (10L, vB), (11L, vC))
+
+    StreamingSemanticDedup.processBatch(batch, 3L, idxPath, vPath, tau = 0.5)
+
+    val members = spark.read.parquet(s"$idxPath/members")
+    assert(members.count() == 3, "base(1) + 10 + 11, id 10 NOT doubled")
+    val v = spark.read.parquet(vPath).where("batch = 3").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(v.length == 2, s"one verdict per distinct id: ${v.toSeq}")
+    assert(v.toMap == Map(10L -> "kept", 11L -> "kept"))
+  }
 }
