@@ -188,6 +188,64 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(v == Map(10L -> "kept", 11L -> "dup_batch"))
   }
 
+  test("randomized batches: index == keeper set, every drop justified, fold invariant") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors (hash-mixed, no RNG state)
+    def rv(salt: Long, i: Long): Array[Float] = {
+      var h = salt * 0x9e3779b97f4a7c15L + i * 0xc2b2ae3d27d4eb4fL + 1
+      Array.fill(8) {
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+        (h % 1000) / 1000.0f
+      }
+    }
+    val idxPath = Files.createTempDirectory("semidx-rand").toString
+    val vPath = Files.createTempDirectory("semv-rand").toString
+    val seed = (0L until 40L).map(i => (i, rv(-1, i)))
+    SemanticIndex.build(seed.toDF("vec_id", "embedding"), idxPath, nlist = 4)
+
+    val batches = (0 until 4).map { b =>
+      // fresh + some exact copies of seed and in-batch vectors → all
+      // three verdict paths exercised with unpredictable cell layouts
+      (0 until 24).map(i => (1000L * (b + 1) + i, rv(b.toLong, i))) ++
+        (0 until 3).map(i => (1000L * (b + 1) + 100 + i, rv(-1, (b * 7 + i) % 40))) ++
+        (0 until 3).map(i => (1000L * (b + 1) + 200 + i, rv(b.toLong, i)))
+    }
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      StreamingSemanticDedup.processBatch(rows.toDF("vec_id", "embedding"),
+        b.toLong, idxPath, vPath, tau = 0.98)
+    }
+
+    val verdicts = spark.read.parquet(vPath)
+      .select("vec_id", "verdict", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val keepers = verdicts.collect { case (id, "kept", _) => id }.toSet
+    val dropped = verdicts.filter(_._2 != "kept")
+    // exactly one verdict per delivered id
+    assert(verdicts.map(_._1).distinct.length == verdicts.length)
+    // the index holds exactly seed ∪ keepers
+    val members = spark.read.parquet(s"$idxPath/members")
+      .select("id").as[Long].collect().toSet
+    assert(members == (seed.map(_._1).toSet ++ keepers),
+      s"index (${members.size}) must equal seed+keepers (${seed.size + keepers.size})")
+    // every drop names its duplicate, and a cross-drop's dup_of is an
+    // EARLIER keeper or a seed vector (never a later arrival)
+    dropped.foreach { case (id, verdict, dupOf) =>
+      assert(dupOf.isDefined, s"$id dropped without dup_of")
+      if (verdict == "dup_index")
+        assert(members.contains(dupOf.get), s"$id dup_of ${dupOf.get} not indexed")
+    }
+    // folding committed history never changes a dedup verdict
+    val probe = (0 until 20).map(i => (9000L + i, rv(99, i))).toDF("vec_id", "embedding")
+    val idx = SemanticIndex.load(spark, idxPath)
+    def probeVerdicts(i: SemanticIndex): Seq[(Long, Long)] =
+      i.dedupBatch(probe, tau = 0.98).select("vec_id", "dup_of")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val before = probeVerdicts(idx)
+    assert(idx.compact(Seq("b0", "b1", "b2")).sorted == Seq("b0", "b1", "b2"))
+    assert(probeVerdicts(SemanticIndex.load(spark, idxPath)) == before)
+  }
+
   test("same vec_id delivered twice in one batch: one member row, one verdict") {
     // the in-batch rule's strict x.id < y.id can never pair an id with
     // itself — without the up-front dropDuplicates a re-delivered id
