@@ -293,6 +293,29 @@ object ExtQueries {
       s"${System.identityHashCode(s)}:$dir:$nlist",
       _ => Dedup.clusterAssignment(emb(s, dir), nlist).cache())
 
+  /** Session-memoized [[graft.ext.FingerprintIndex]] over the corpus
+    * split, built as base + one appended segment then COMPACTED and
+    * reloaded — d26's oracle gates the whole lifecycle.
+    */
+  private val fpIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.FingerprintIndex]()
+
+  private def fpIndexFor(s: org.apache.spark.sql.SparkSession,
+                         dir: String): graft.ext.FingerprintIndex =
+    fpIdxMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
+        val corpus = docs(s, dir).where(col("doc_id") % 5 =!= 0)
+        graft.ext.FingerprintIndex.build(
+          corpus.where(col("doc_id") % 2 === 0), path)
+        val idx = graft.ext.FingerprintIndex.load(s, path)
+        idx.append(corpus.where(col("doc_id") % 2 =!= 0), seg = "b0")
+        require(idx.compact(Seq("b0")) == Seq("b0"),
+          "d26 gate: the appended segment must fold")
+        graft.ext.FingerprintIndex.load(s, path)
+      })
+
   /** Session-memoized hashed-TF vector table for d25 (quality-filtered
     * docs → md5-60bit feature hashing, dim 32) — the build-once artifact
     * its exact semantic dedup self-joins (the semAssignFor precedent).
@@ -1227,6 +1250,26 @@ object ExtQueries {
       semCrossSql
     ),
 
+    QueryDef(
+      "d26_dedup_exact_incremental",
+      // incremental EXACT dedup — completes the {exact, MinHash,
+      // semantic} × {batch, incremental} matrix: the batch split
+      // cross-checked against a persisted FingerprintIndex of the
+      // corpus split (build + parquet round-trip + append + fold +
+      // reload), all under the DuckDB md5 cross-pair oracle. The index
+      // is built as base + one appended segment then COMPACTED, so the
+      // d20/d24 fold pattern is value-gated here too.
+      (s, dir) =>
+        fpIndexFor(s, dir)
+          .dedupBatch(docs(s, dir).where(col("doc_id") % 5 === 0))
+          .select(col("doc_id"), col("dup_of"), col("fp"))
+          .orderBy("doc_id", "dup_of"),
+      s"""WITH f AS (SELECT doc_id, $fpSql AS fp FROM documents)
+         |SELECT x.doc_id, y.doc_id AS dup_of, x.fp
+         |FROM f x JOIN f y ON x.fp = y.fp
+         |WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+         |ORDER BY 1, 2""".stripMargin
+    ),
     QueryDef(
       "d25_corpus_pipeline_semantic",
       // Capstone composition of the round-8 family, exactly oracle-gated

@@ -787,6 +787,41 @@ class ExtSpec extends AnyFunSuite {
     sparse.unpersist()
   }
 
+  test("fingerprint index: cross pairs exact, own-segment exclusion, fold identity") {
+    val path = java.nio.file.Files.createTempDirectory("fpidx").toString
+    val corpus = Seq(
+      (1L, "Alpha, beta GAMMA!"),
+      (2L, "totally different content here"),
+      (3L, "unrelated third document")).toDF("doc_id", "text")
+    FingerprintIndex.build(corpus, path)
+    val idx = FingerprintIndex.load(spark, path)
+    // canonicalization: case/punct variants collide, new content doesn't
+    val batch = Seq(
+      (101L, "alpha beta gamma"),
+      (102L, "brand new never seen")).toDF("doc_id", "text")
+    def pairs(i: FingerprintIndex, ex: Option[String] = None) =
+      i.dedupBatch(batch, excludeSeg = ex).select("doc_id", "dup_of")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(pairs(idx) == Seq((101L, 1L)))
+
+    // append survivors; a replay excluding its own segment reproduces
+    // the original verdicts even though 102's fp is now indexed
+    idx.append(Seq((102L, "brand new never seen")).toDF("doc_id", "text"),
+      seg = "b7")
+    assert(pairs(idx) == Seq((101L, 1L), (102L, 102L)),
+      "a re-delivered id matches its own indexed row")
+    assert(pairs(idx, ex = Some("b7")) == Seq((101L, 1L)),
+      "own-segment exclusion must hide the batch's earlier append")
+
+    // fold preserves every verdict; layout shrinks to base
+    assert(idx.compact(Seq("b7")) == Seq("b7"))
+    val segs = Option(new java.io.File(s"$path/fps").listFiles)
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert(segs == Set("seg=base"))
+    assert(pairs(FingerprintIndex.load(spark, path)) ==
+      Seq((101L, 1L), (102L, 102L)))
+  }
+
   test("semantic dedup: nlist=1 equals the all-pairs keeper rule; clustering only adds survivors") {
     // brute-force reference: drop ids with a smaller-id neighbor at cos>=tau
     val c = Similarity.corpus(emb)
