@@ -110,6 +110,54 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Character-k-gram span-overlap pairs: the substring-duplication
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499) as a blocked equi-join —
+    * copy-pasted spans (quotes, boilerplate, licenses) shared between
+    * documents that doc-level word-shingle Jaccard underweights. Every
+    * overlapping char k-gram is sampled by md5-hex PREFIX (a
+    * content-defined 16^|prefix|-to-1 sample, the stratifiedSample
+    * trick — trivially portable to any SQL engine, unlike a rolling
+    * polynomial hash), sampled grams equi-join across docs, and pairs
+    * report their shared-gram count. A gram appearing in more than
+    * `maxGramFreq` docs is dropped before the join (frequency-cap
+    * blocking, [[jaccardPairs]]'s bound — ubiquitous grams would
+    * explode the join while identifying nothing pairwise).
+    *
+    * Shape per doc: the cheap start-position sequence explodes and the
+    * k-char substring cuts per exploded row ([[shingles]]'s
+    * Generate-shape lesson — never explode a transform-built array);
+    * one shuffle keyed by gram, one by pair.
+    *
+    * @return (a, b, shared) — doc pairs (a < b) sharing ≥ `minShared`
+    *         sampled k-grams, with the shared count
+    */
+  def charGramOverlap(docs: DataFrame, k: Int = 16, prefix: String = "0",
+                      minShared: Long = 2, maxGramFreq: Long = 200,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"), col("t"),
+        explode(when(length(col("t")) >= k,
+          sequence(lit(1), length(col("t")) - lit(k - 1)))
+          .otherwise(array())).as("i"))
+      .select(col("id"), md5(col("t").substr(col("i"), lit(k)).cast("binary")).as("g"))
+      .where(col("g").startsWith(prefix))
+      .distinct()
+    val capped = grams
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .where(col("df") <= maxGramFreq)
+      .drop("df")
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   /** MinHash signatures: k independent permutations approximated by

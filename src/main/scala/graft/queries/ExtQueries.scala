@@ -1271,6 +1271,30 @@ object ExtQueries {
          |ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
+      "d27_dedup_span_overlap",
+      // char-16-gram span-overlap pairs (Lee et al. 2021 substring-dup
+      // signal): md5-prefix-sampled grams, frequency-cap blocking,
+      // shared-count pairs — exactly reproducible in SQL, full oracle
+      (s, dir) =>
+        Dedup.charGramOverlap(docs(s, dir), k = 16, prefix = "0",
+            minShared = 2, maxGramFreq = 200)
+          .orderBy("a", "b"),
+      """WITH g0 AS (
+        |  SELECT doc_id, md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+        |), g AS (
+        |  SELECT DISTINCT doc_id, g FROM g0 WHERE g LIKE '0%'
+        |), capped AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM g)
+        |  WHERE df <= 200
+        |)
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+        |FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
       "d25_corpus_pipeline_semantic",
       // Capstone composition of the round-8 family, exactly oracle-gated
       // end to end: repetition-quality filter (dupTokenFraction) →

@@ -787,6 +787,39 @@ class ExtSpec extends AnyFunSuite {
     sparse.unpersist()
   }
 
+  test("char-gram span overlap: shared spans found, short/unrelated docs silent") {
+    val boiler = "all rights reserved worldwide by the example corporation"
+    val d = Seq(
+      (1L, s"first document body. $boiler trailing text one"),
+      (2L, s"second unrelated opening. $boiler and a different tail"),
+      (3L, "completely different content with no shared spans at all here"),
+      (4L, "tiny")) // shorter than k → no grams
+      .toDF("doc_id", "text")
+    val got = Dedup.charGramOverlap(d, k = 16, prefix = "",
+        minShared = 2, maxGramFreq = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // prefix "" samples EVERY gram: the 56-char boilerplate span gives
+    // 41 shared grams between 1 and 2; nothing else pairs
+    assert(got == Set((1L, 2L)), s"$got")
+    // prefix sampling only shrinks the shared count, never invents pairs
+    val sampled = Dedup.charGramOverlap(d, k = 16, prefix = "0",
+        minShared = 1, maxGramFreq = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled.subsetOf(got), s"sampled $sampled ⊄ full $got")
+    // a ubiquitous gram is capped out of the join: each doc differs in
+    // ONE letter, so every cross-doc gram is either universal (df=20,
+    // capped) or contains the unique letter (unshared) — numeric pads
+    // would leak partially-shared suffix grams ("0. all rights…" lives
+    // in docs 10 AND 20) under the cap
+    val many = (10L until 30L).map(i =>
+      (i, s"prefix pad ${('a' + (i - 10)).toChar} $boiler")) :+
+      (50L, "nothing in common with anything")
+    val capped = Dedup.charGramOverlap(many.toDF("doc_id", "text"),
+      k = 16, prefix = "", minShared = 1, maxGramFreq = 5)
+    assert(capped.where(col("a") < 30 && col("b") < 30).count() == 0,
+      "grams in >5 docs must be frequency-capped out")
+  }
+
   test("fingerprint index: cross pairs exact, own-segment exclusion, fold identity") {
     val path = java.nio.file.Files.createTempDirectory("fpidx").toString
     val corpus = Seq(
