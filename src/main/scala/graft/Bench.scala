@@ -365,19 +365,29 @@ object Bench {
     // first (spread_n survives, the flag count is the load-bearing
     // bit), then the noise list (count sentinel survives). The queries
     // map itself is never dropped.
-    def assemble(spreadF: String, noiseF: String): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$noiseF$spreadF$xwField$calField$loadField,"sf":"$sfDir"}"""
+    // sf as basename: the /root/testdata prefix is constant and the
+    // full path was 17 chars of budget per line for no information
+    val sfName = new java.io.File(sfDir).getName
+    def assemble(spreadF: String, noiseF: String, xF: String): String =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$noiseF$spreadF$xF$calField$loadField,"sf":"$sfName"}"""
     val budget = 1900
-    val full = assemble(spreadField, noiseField)
+    val full = assemble(spreadField, noiseField, xwField)
     val line =
       if (full.length <= budget) full
       else {
         val spreadCount =
           if (flagged.isEmpty) "" else s""","spread_n":${flagged.size}"""
-        val noSpread = assemble(spreadCount, noiseField)
+        val noSpread = assemble(spreadCount, noiseField, xwField)
         if (noSpread.length <= budget) noSpread
-        else assemble(spreadCount,
-          if (noisy.isEmpty) "" else s""","noise":["+${noisy.size}"]""")
+        else {
+          val noiseCount =
+            if (noisy.isEmpty) "" else s""","noise":["+${noisy.size}"]"""
+          val noNoise = assemble(spreadCount, noiseCount, xwField)
+          // last resort: the compact job-count pairs go too — the
+          // queries map itself is never dropped
+          if (noNoise.length <= budget) noNoise
+          else assemble(spreadCount, noiseCount, "")
+        }
       }
     println(line)
     spark.stop()
