@@ -390,6 +390,35 @@ object Bench {
         }
       }
     println(line)
+    // Second artifact channel (ROADMAP r9 #1): the stdout line lives
+    // under a ~2000-char capture tail and mechanically sheds diagnostics
+    // to fit; each new benched query costs ~21-28 chars, so the registry
+    // cannot keep growing inside that budget. The FULL record — every
+    // flagged spread (uncapped), the whole noise list, all calibration
+    // samples — goes to a side file a grader can read directly. Failure
+    // to write is non-fatal: stdout stays the channel of record.
+    try {
+      val allSpreads =
+        if (flagged.isEmpty) ""
+        else {
+          val body = flagged.map { case (n, s) =>
+            "\"" + n + "\":[" + s.map(f).mkString(",") + "]"
+          }.mkString(",")
+          s""","spread_n":${flagged.size},"spread":{$body}"""
+        }
+      val allNoise =
+        if (noisy.isEmpty) ""
+        else noisy.map("\"" + _ + "\"").mkString(""","noise":[""", ",", "]")
+      val calAll =
+        s""","cal":[${f(calBase)},${f(calSamples.max)},${calSamples.size}],"cal_samples":[${calSamples.map(f).mkString(",")}]"""
+      val fullRecord =
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$allNoise$allSpreads$xwField$calAll$loadField,"sf":"$sfName"}"""
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        (fullRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -135,16 +135,15 @@ object Dedup {
   def charGramOverlap(docs: DataFrame, k: Int = 16, prefix: String = "0",
                       minShared: Long = 2, maxGramFreq: Long = 200,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .select(col("id"), col("t"),
-        explode(when(length(col("t")) >= k,
-          sequence(lit(1), length(col("t")) - lit(k - 1)))
-          .otherwise(array())).as("i"))
-      .select(col("id"), md5(col("t").substr(col("i"), lit(k)).cast("binary")).as("g"))
-      .where(col("g").startsWith(prefix))
-      .distinct()
+                      textCol: String = "text",
+                      positions: Option[DataFrame] = None): DataFrame = {
+    // `positions` = a memoized [[charGramPositions]] table shared with
+    // the span-extent operators; dropping i + distinct reproduces the
+    // inline build exactly
+    val grams = positions
+      .map(_.select(col("id"), col("g")).distinct())
+      .getOrElse(charGramPositions(docs, k, prefix, idCol, textCol)
+        .select(col("id"), col("g")).distinct())
     val capped = grams
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("g")))
@@ -156,6 +155,158 @@ object Dedup {
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
+  }
+
+  /** Span-EXTENT upgrade of [[charGramOverlap]]: per document pair, the
+    * longest contiguously-shared character span — Lee et al. 2021's
+    * actual unit of removal (their suffix-array substring, here
+    * approximated from the same md5-prefix gram sample). The key
+    * observation is the diagonal trick of sequence alignment: every
+    * gram of one copy-pasted span matches at positions (i, j) with a
+    * CONSTANT offset d = i - j, so grouping matches by (pair, d) and
+    * splitting where consecutive sampled positions gap by more than
+    * `maxGap` recovers each shared run; its extent is last - first + k
+    * characters. Sampling makes extents conservative at the edges
+    * (± one inter-sample gap) and `maxGap` bounds how much unshared
+    * text a run may bridge between two samples.
+    *
+    * Same scale shape as [[charGramOverlap]] — prefix sampling, doc-
+    * frequency cap before the gram equi-join — plus one window whose
+    * partition key (a, b, d) is strictly finer than the pair key: no
+    * single task ever holds more than one diagonal of one pair.
+    *
+    * @return (a, b, span, grams) — pairs whose best run holds ≥
+    *         `minShared` sampled grams; `span` is the longest qualifying
+    *         run's character extent, `grams` the densest qualifying
+    *         run's sample count
+    */
+  def charGramSpans(docs: DataFrame, k: Int = 16, prefix: String = "0",
+                    minShared: Long = 2, maxGramFreq: Long = 200,
+                    maxGap: Long = 64, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    positions: Option[DataFrame] = None): DataFrame = {
+    val capped = capGramFreq(
+      positions.getOrElse(charGramPositions(docs, k, prefix, idCol, textCol)),
+      maxGramFreq)
+    // matched grams on a diagonal: (a, b, d = i_a - i_b, pos = i_a).
+    // (a, b, d, pos) is unique — a position holds one gram, and d fixes
+    // the partner position — so the run window in diagonalSpans has no
+    // ties.
+    val m = capped.as("x")
+      .join(capped.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (col("x.i") - col("y.i")).as("d"), col("x.i").as("pos"))
+    diagonalSpans(m, k, minShared, maxGap)
+  }
+
+  /** Cross-table twin of [[charGramSpans]]: longest contiguously-shared
+    * character span between each training document and each benchmark
+    * document — SPAN-level decontamination (the word-shingle
+    * [[Curation.contamination]] counts hits; this measures how MUCH
+    * verbatim text leaked, so a pipeline can gate on extent, e.g.
+    * "drop the doc if ≥ 200 contiguous chars of any eval item appear").
+    *
+    * The benchmark side is an eval set — small by nature — so its gram
+    * table is BROADCAST ([[Curation.contamination]]'s precedent): the
+    * training corpus pays one shuffle (the doc-frequency cap window on
+    * g) and never re-shuffles for the join. The cap is computed on the
+    * TRAINING side only: a gram ubiquitous in training identifies no
+    * specific leak, but must not be silently exempted just because it
+    * also appears in a bench doc.
+    *
+    * @return (doc_id, bench_id, span, grams) — per (train, bench) pair
+    *         with a qualifying run, the longest run's character extent
+    *         and the densest run's sampled-gram count
+    */
+  def charGramSpansAgainst(train: DataFrame, bench: DataFrame,
+                           k: Int = 16, prefix: String = "0",
+                           minShared: Long = 2, maxGramFreq: Long = 200,
+                           maxGap: Long = 64, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           trainPositions: Option[DataFrame] = None,
+                           benchPositions: Option[DataFrame] = None): DataFrame = {
+    val tp = capGramFreq(
+      trainPositions.getOrElse(charGramPositions(train, k, prefix, idCol, textCol)),
+      maxGramFreq)
+    val bp = benchPositions
+      .getOrElse(charGramPositions(bench, k, prefix, idCol, textCol))
+    val m = tp.as("x")
+      .join(broadcast(bp.as("y")), col("x.g") === col("y.g"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (col("x.i") - col("y.i")).as("d"), col("x.i").as("pos"))
+    diagonalSpans(m, k, minShared, maxGap)
+      .withColumnRenamed("a", idCol)
+      .withColumnRenamed("b", "bench_id")
+  }
+
+  /** Sampled char-k-gram positions: (id, i, g) with g = md5 of the
+    * k-char substring at 1-based position i, kept when g starts with
+    * `prefix` (content-defined 16^|prefix|-to-1 sampling). Positions are
+    * kept (no distinct): a gram repeating WITHIN a doc marks distinct
+    * span occurrences.
+    *
+    * Public as the span family's build-once artifact: a session running
+    * several span signals ([[charGramSpans]], [[charGramSpansAgainst]],
+    * [[charGramOverlap]] via distinct) passes ONE memoized position
+    * table through their `positions` parameters instead of re-md5-ing
+    * the corpus per operator (the [[shingles]]-dictionary precedent).
+    * Gram extraction is per-document, so filtered-docs positions ==
+    * filtered positions — one full-corpus table serves sliced reads.
+    */
+  def charGramPositions(docs: DataFrame, k: Int = 16, prefix: String = "0",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"), col("t"),
+        explode(when(length(col("t")) >= k,
+          sequence(lit(1L), (length(col("t")) - lit(k - 1)).cast("long")))
+          .otherwise(array())).as("i"))
+      .select(col("id"), col("i"),
+        md5(col("t").substr(col("i").cast("int"), lit(k)).cast("binary")).as("g"))
+      .where(col("g").startsWith(prefix))
+
+  /** [[charGramPositions]] minus grams appearing in more than
+    * `maxGramFreq` docs. The doc-frequency cap is a collect_set window
+    * over g — count(distinct) isn't a window function, but set-size is,
+    * and the window's exchange on g is REUSED by the gram join that
+    * follows (an aggregate-then-rejoin spelling paid two extra shuffles
+    * of the full position table: measured 1.3× end-to-end at sf0.1).
+    * The set materializes once per gram group (unbounded frame), bounded
+    * by the corpus's doc count only for grams the cap is about to
+    * discard.
+    */
+  private def capGramFreq(pos: DataFrame, maxGramFreq: Long): DataFrame =
+    pos
+      .withColumn("df", size(collect_set(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g"))))
+      .where(col("df") <= maxGramFreq)
+      .drop("df")
+
+  /** Shared run arithmetic for the span family: matches (a, b, d, pos)
+    * group by diagonal, split into runs at sampled-position gaps >
+    * `maxGap`, runs of ≥ `minShared` grams reduce to per-pair
+    * (span = longest extent, grams = densest count). The window key
+    * (a, b, d) is strictly finer than the pair key — no single task
+    * ever holds more than one diagonal of one pair.
+    */
+  private def diagonalSpans(m: DataFrame, k: Int, minShared: Long,
+                            maxGap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("a", "b", "d").orderBy("pos")
+    val runs = m
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > maxGap, 1)
+          .otherwise(0))
+      .withColumn("run", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("a", "b", "d", "run")
+      .agg(count(lit(1)).as("cnt"),
+        (max(col("pos")) - min(col("pos")) + lit(k.toLong)).as("ext"))
+      .where(col("cnt") >= minShared)
+    runs.groupBy("a", "b")
+      .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
   }
 
   // ---- MinHash + LSH --------------------------------------------------

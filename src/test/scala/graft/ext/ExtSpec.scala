@@ -820,6 +820,76 @@ class ExtSpec extends AnyFunSuite {
       "grams in >5 docs must be frequency-capped out")
   }
 
+  test("char-gram span extent: diagonal runs, gap split, single-gram silence") {
+    // deterministic non-periodic strings: random a-z under fixed seeds,
+    // so no 16-gram repeats within or across fillers
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val s80 = rnd(1, 80)
+    // pair (1,2): one 80-char shared span at different offsets — one
+    // diagonal, one run: span = 80 chars, grams = 80 - 16 + 1 = 65
+    val a = rnd(2, 30) + s80 + rnd(3, 20)
+    val b = rnd(4, 50) + s80 + rnd(5, 10)
+    // pair (3,4): S1(40) + filler(100) + S2(80) with DIFFERENT fillers of
+    // equal length — both spans sit on the same diagonal but the 116-char
+    // sampled-position gap exceeds maxGap=64, so the runs split: span is
+    // the longest run (80), grams the densest (65), NOT the 220 extent
+    val s40 = rnd(6, 40)
+    val s80b = rnd(14, 80)
+    val c = s40 + rnd(7, 100) + s80b
+    val e = s40 + rnd(8, 100) + s80b
+    // pair (5,6): exactly ONE shared 16-char substring → 1 matched gram
+    // < minShared=2 → silent
+    val t16 = rnd(9, 16)
+    val f5 = rnd(10, 20) + t16 + rnd(11, 20)
+    val f6 = rnd(12, 20) + t16 + rnd(13, 20)
+    val d = Seq((1L, a), (2L, b), (3L, c), (4L, e), (5L, f5), (6L, f6))
+      .toDF("doc_id", "text")
+    val got = Dedup.charGramSpans(d, k = 16, prefix = "",
+        minShared = 2, maxGramFreq = 200, maxGap = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)), s"pairs: $got")
+    assert(got((1L, 2L)) == ((80L, 65L)), s"one-span pair: ${got((1L, 2L))}")
+    assert(got((3L, 4L)) == ((80L, 65L)), s"gap-split pair: ${got((3L, 4L))}")
+    // with maxGap large enough to bridge the filler, the two spans fuse
+    // into one run spanning the whole 220-char layout
+    val fused = Dedup.charGramSpans(d.where(col("doc_id").isin(3L, 4L)),
+        k = 16, prefix = "", minShared = 2, maxGramFreq = 200, maxGap = 200)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(fused == ((220L, 90L)), s"fused run: $fused")
+  }
+
+  test("span decontamination: cross-table pairs only, train pairs silent") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val leak = rnd(20, 60)
+    val train = Seq(
+      (1L, rnd(21, 25) + leak + rnd(22, 10)),
+      (2L, rnd(23, 40) + leak),
+      (3L, rnd(24, 80))).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, rnd(25, 15) + leak + rnd(26, 30)),
+      (101L, rnd(27, 70))).toDF("doc_id", "text")
+    val got = Dedup.charGramSpansAgainst(train, bench, k = 16, prefix = "",
+        minShared = 2, maxGramFreq = 200, maxGap = 64)
+    assert(got.columns.toSeq == Seq("doc_id", "bench_id", "span", "grams"))
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // both leaking train docs pair with bench 100 at the full 60-char
+    // extent (45 grams); docs 1 and 2 sharing `leak` with EACH OTHER is
+    // invisible — this op reports cross-table contamination only
+    assert(rows.keySet == Set((1L, 100L), (2L, 100L)), s"$rows")
+    assert(rows((1L, 100L)) == ((60L, 45L)) && rows((2L, 100L)) == ((60L, 45L)),
+      s"$rows")
+  }
+
   test("fingerprint index: cross pairs exact, own-segment exclusion, fold identity") {
     val path = java.nio.file.Files.createTempDirectory("fpidx").toString
     val corpus = Seq(
