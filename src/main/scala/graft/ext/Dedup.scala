@@ -173,7 +173,12 @@ object Dedup {
     * Same scale shape as [[charGramOverlap]] — prefix sampling, doc-
     * frequency cap before the gram equi-join — plus one window whose
     * partition key (a, b, d) is strictly finer than the pair key: no
-    * single task ever holds more than one diagonal of one pair.
+    * single task ever holds more than one diagonal of one pair. Because
+    * positions are kept (unlike the overlap op's distinct), repetitive
+    * text needs its own bound: `maxOccur` caps positions per (doc,
+    * gram), holding every (pair, gram)'s join fanout to maxOccur² where
+    * two log-like documents would otherwise join length × length rows
+    * on one gram (see [[capGramFreq]]).
     *
     * @return (a, b, span, grams) — pairs whose best run holds ≥
     *         `minShared` sampled grams; `span` is the longest qualifying
@@ -184,10 +189,11 @@ object Dedup {
                     minShared: Long = 2, maxGramFreq: Long = 200,
                     maxGap: Long = 64, idCol: String = "doc_id",
                     textCol: String = "text",
-                    positions: Option[DataFrame] = None): DataFrame = {
+                    positions: Option[DataFrame] = None,
+                    maxOccur: Int = 8): DataFrame = {
     val capped = capGramFreq(
       positions.getOrElse(charGramPositions(docs, k, prefix, idCol, textCol)),
-      maxGramFreq)
+      maxGramFreq, maxOccur)
     // matched grams on a diagonal: (a, b, d = i_a - i_b, pos = i_a).
     // (a, b, d, pos) is unique — a position holds one gram, and d fixes
     // the partner position — so the run window in diagonalSpans has no
@@ -225,12 +231,15 @@ object Dedup {
                            maxGap: Long = 64, idCol: String = "doc_id",
                            textCol: String = "text",
                            trainPositions: Option[DataFrame] = None,
-                           benchPositions: Option[DataFrame] = None): DataFrame = {
+                           benchPositions: Option[DataFrame] = None,
+                           maxOccur: Int = 8): DataFrame = {
     val tp = capGramFreq(
       trainPositions.getOrElse(charGramPositions(train, k, prefix, idCol, textCol)),
-      maxGramFreq)
-    val bp = benchPositions
-      .getOrElse(charGramPositions(bench, k, prefix, idCol, textCol))
+      maxGramFreq, maxOccur)
+    val bp = capOccurrences(
+      benchPositions
+        .getOrElse(charGramPositions(bench, k, prefix, idCol, textCol)),
+      maxOccur)
     val m = tp.as("x")
       .join(broadcast(bp.as("y")), col("x.g") === col("y.g"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
@@ -268,21 +277,54 @@ object Dedup {
       .where(col("g").startsWith(prefix))
 
   /** [[charGramPositions]] minus grams appearing in more than
-    * `maxGramFreq` docs. The doc-frequency cap is a collect_set window
-    * over g — count(distinct) isn't a window function, but set-size is,
-    * and the window's exchange on g is REUSED by the gram join that
-    * follows (an aggregate-then-rejoin spelling paid two extra shuffles
-    * of the full position table: measured 1.3× end-to-end at sf0.1).
-    * The set materializes once per gram group (unbounded frame), bounded
-    * by the corpus's doc count only for grams the cap is about to
-    * discard.
+    * `maxGramFreq` docs, and minus positions past the first `maxOccur`
+    * occurrences of a gram WITHIN a doc.
+    *
+    * The doc-frequency cap is a collect_set window over g —
+    * count(distinct) isn't a window function, but set-size is, and the
+    * window's exchange on g is REUSED by the gram join that follows
+    * (an aggregate-then-rejoin spelling paid two extra shuffles of the
+    * full position table: measured 1.3× end-to-end at sf0.1). The set
+    * materializes once per gram group (unbounded frame), bounded by the
+    * corpus's doc count only for grams the cap is about to discard.
+    *
+    * The occurrence cap is the REPETITIVE-TEXT bound the df cap cannot
+    * provide: df counts docs, so two log files of one repeated line (or
+    * two all-'a' documents) pass df ≤ maxGramFreq yet would join
+    * positions × positions on a single (pair, gram) — quadratic in
+    * document length. Capping occurrences per (doc, gram) bounds every
+    * (pair, gram)'s join fanout at maxOccur², and keeps the FIRST
+    * occurrences, so the earliest span instance survives intact.
+    * Ordering matters for the plan: the occ window's partition key
+    * (g, id) is a superset of the df window's (g), so run AFTER it the
+    * row_number plans as a re-sort on the SAME exchange; the reverse
+    * order would pay a second full shuffle.
     */
-  private def capGramFreq(pos: DataFrame, maxGramFreq: Long): DataFrame =
+  private def capGramFreq(pos: DataFrame, maxGramFreq: Long,
+                          maxOccur: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     pos
       .withColumn("df", size(collect_set(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("g"))))
+        Window.partitionBy("g"))))
       .where(col("df") <= maxGramFreq)
       .drop("df")
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("g", "id").orderBy("i")))
+      .where(col("occ") <= maxOccur)
+      .drop("occ")
+  }
+
+  /** The occurrence cap alone (see [[capGramFreq]]) — for the benchmark
+    * side of [[charGramSpansAgainst]], which skips the df cap but still
+    * must not let one repetitive eval document multiply the join.
+    */
+  private def capOccurrences(pos: DataFrame, maxOccur: Int): DataFrame =
+    pos
+      .withColumn("occ", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("g", "id").orderBy("i")))
+      .where(col("occ") <= maxOccur)
+      .drop("occ")
 
   /** Shared run arithmetic for the span family: matches (a, b, d, pos)
     * group by diagonal, split into runs at sampled-position gaps >

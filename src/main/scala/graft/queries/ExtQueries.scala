@@ -1342,7 +1342,11 @@ object ExtQueries {
         |    SELECT g, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
         |  WHERE df <= 200
         |), capped AS (
-        |  SELECT p.doc_id, p.i, p.g FROM p JOIN rare USING (g)
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT p.doc_id, p.i, p.g,
+        |           row_number() OVER (PARTITION BY p.g, p.doc_id ORDER BY p.i) AS occ
+        |    FROM p JOIN rare USING (g))
+        |  WHERE occ <= 8
         |), m AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
         |  FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
@@ -1391,13 +1395,21 @@ object ExtQueries {
         |), tp AS (
         |  SELECT doc_id, i, g FROM p WHERE doc_id % 20 <> 0
         |), bp AS (
-        |  SELECT doc_id, i, g FROM p WHERE doc_id % 20 = 0
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT doc_id, i, g,
+        |           row_number() OVER (PARTITION BY g, doc_id ORDER BY i) AS occ
+        |    FROM p WHERE doc_id % 20 = 0)
+        |  WHERE occ <= 8
         |), rare AS (
         |  SELECT g FROM (
         |    SELECT g, count(DISTINCT doc_id) AS df FROM tp GROUP BY 1)
         |  WHERE df <= 200
         |), capped AS (
-        |  SELECT tp.doc_id, tp.i, tp.g FROM tp JOIN rare USING (g)
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT tp.doc_id, tp.i, tp.g,
+        |           row_number() OVER (PARTITION BY tp.g, tp.doc_id ORDER BY tp.i) AS occ
+        |    FROM tp JOIN rare USING (g))
+        |  WHERE occ <= 8
         |), m AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
         |  FROM capped x JOIN bp y ON x.g = y.g

@@ -890,6 +890,27 @@ class ExtSpec extends AnyFunSuite {
       s"$rows")
   }
 
+  test("span family: occurrence cap bounds repetitive-text join fanout") {
+    // two all-'x' docs: ONE distinct gram at ~2000 positions each — the
+    // df cap (counts docs) is blind to this, and uncapped the gram join
+    // would produce ~4M rows for this single pair. The occ cap keeps
+    // the first 8 positions per (doc, gram): the densest diagonal (d=0)
+    // then holds 8 consecutive grams → span = 8 - 1 + 16 = 23, grams = 8.
+    val d = Seq((7L, "x" * 2000), (8L, "x" * 2000)).toDF("doc_id", "text")
+    val r = Dedup.charGramSpans(d, k = 16, prefix = "", minShared = 2,
+        maxGramFreq = 200, maxGap = 64).collect()
+    assert(r.length == 1, r.mkString(","))
+    assert((r.head.getLong(2), r.head.getLong(3)) == ((23L, 8L)),
+      r.head.toString)
+    // cross-table twin: a repetitive BENCH doc is occurrence-capped too
+    val x = Dedup.charGramSpansAgainst(
+        d.where(col("doc_id") === 7L), d.where(col("doc_id") === 8L),
+        k = 16, prefix = "", minShared = 2, maxGramFreq = 200, maxGap = 64)
+      .collect()
+    assert(x.length == 1 && (x.head.getLong(2), x.head.getLong(3)) == ((23L, 8L)),
+      x.mkString(","))
+  }
+
   test("fingerprint index: cross pairs exact, own-segment exclusion, fold identity") {
     val path = java.nio.file.Files.createTempDirectory("fpidx").toString
     val corpus = Seq(
