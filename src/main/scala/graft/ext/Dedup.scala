@@ -249,6 +249,101 @@ object Dedup {
       .withColumnRenamed("b", "bench_id")
   }
 
+  /** SPAN REMOVAL — the [[charGramSpans]] signal applied: excise every
+    * shared run of extent ≥ `minSpan` characters from the LARGER-id
+    * document of its pair, returning the cleaned corpus. This is Lee et
+    * al. 2021's actual intervention (their suffix-array dedup deletes
+    * the duplicated substring, keeping one occurrence corpus-wide);
+    * here the keeper rule is pairwise smaller-id — the dedup family's
+    * convention ([[minhashDuplicates]], [[semanticDedup]]) — so the
+    * earliest document keeps the span and every later one sheds it.
+    *
+    * Pipeline, all relational: diagonal runs → removal intervals in the
+    * loser's coordinates [sa − d, sa − d + ext) → per-doc interval
+    * union (running-max merge window) → complement segments (gaps +
+    * tail via lag) → substring splice reassembled in segment order.
+    * Per-doc work is proportional to that doc's interval count; no
+    * step holds more than one document's intervals in one task state.
+    *
+    * A fully-excised document (every char inside removal intervals)
+    * stays in the corpus with empty text — dropping it is a curation
+    * decision ([[Curation.qualityAttrition]]'s job), not a side effect.
+    *
+    * @return (idCol, textCol) — the corpus with shared spans removed;
+    *         untouched documents pass through verbatim
+    */
+  def removeSharedSpans(docs: DataFrame, k: Int = 16, prefix: String = "0",
+                        minShared: Long = 2, maxGramFreq: Long = 200,
+                        maxGap: Long = 64, minSpan: Long = 48,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        positions: Option[DataFrame] = None,
+                        maxOccur: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = capGramFreq(
+      positions.getOrElse(charGramPositions(docs, k, prefix, idCol, textCol)),
+      maxGramFreq, maxOccur)
+    val m = capped.as("x")
+      .join(capped.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (col("x.i") - col("y.i")).as("d"), col("x.i").as("pos"))
+    // removal intervals in the loser's (b's) coordinates, half-open
+    val iv0 = diagonalRuns(m, k, minShared, maxGap)
+      .where(col("ext") >= minSpan)
+      .select(col("b").as("id"), (col("sa") - col("d")).as("s"),
+        (col("sa") - col("d") + col("ext")).as("e"))
+    // interval union: sort by (s, e), break where s clears the running
+    // max end over all PRECEDING intervals (adjacent intervals merge:
+    // s == maxe does not break). Duplicate intervals from different
+    // partners are interchangeable under ties — the merge is
+    // order-insensitive among equal rows.
+    val wm = Window.partitionBy("id").orderBy("s", "e")
+    val merged = iv0
+      .withColumn("maxe", max(col("e")).over(
+        wm.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "grp")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    // complement segments: the gap before each interval [lag(e), s) and
+    // one tail [max(e), len + 1); zero-length segments filter out
+    val ws = Window.partitionBy("id").orderBy("s")
+    val gapSegs = merged
+      .select(col("id"), lag(col("e"), 1, 1L).over(ws).as("st"), col("s"))
+      .select(col("id"), col("st"), (col("s") - col("st")).as("ln"))
+      .where(col("ln") > 0)
+    val docsSel = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val tailSegs = merged.groupBy("id").agg(max(col("e")).as("st"))
+      .join(docsSel, "id")
+      .select(col("id"), col("st"),
+        (length(col("t")).cast("long") + 1L - col("st")).as("ln"))
+      .where(col("ln") > 0)
+    // splice: substring per segment, reassemble in order. array_sort on
+    // (st, seg) structs orders by st (unique per doc) — deterministic.
+    val spliced = gapSegs.unionByName(tailSegs)
+      .join(docsSel, "id")
+      .select(col("id"),
+        struct(col("st"),
+          col("t").substr(col("st").cast("int"), col("ln").cast("int"))
+            .as("seg")).as("p"))
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("p"))), p => p.getField("seg")),
+        "").as("clean"))
+    // affected ids with NO surviving segment are fully excised → empty
+    // text, not absence
+    val affected = merged.select("id").distinct()
+      .join(spliced, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean"), lit("")).as(textCol))
+    val untouched = docsSel
+      .join(merged.select("id").distinct(), Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("t").as(textCol))
+    affected.unionByName(untouched)
+  }
+
   /** Sampled char-k-gram positions: (id, i, g) with g = md5 of the
     * k-char substring at 1-based position i, kept when g starts with
     * `prefix` (content-defined 16^|prefix|-to-1 sampling). Positions are
@@ -334,10 +429,20 @@ object Dedup {
     * ever holds more than one diagonal of one pair.
     */
   private def diagonalSpans(m: DataFrame, k: Int, minShared: Long,
-                            maxGap: Long): DataFrame = {
+                            maxGap: Long): DataFrame =
+    diagonalRuns(m, k, minShared, maxGap)
+      .groupBy("a", "b")
+      .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
+
+  /** The per-run table under [[diagonalSpans]]: one row per qualifying
+    * shared run — (a, b, d, run, cnt, ext, sa) with sa = the run's first
+    * matched position in a's coordinates (b's = sa − d).
+    */
+  private def diagonalRuns(m: DataFrame, k: Int, minShared: Long,
+                           maxGap: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("a", "b", "d").orderBy("pos")
-    val runs = m
+    m
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) > maxGap, 1)
           .otherwise(0))
@@ -345,10 +450,9 @@ object Dedup {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("a", "b", "d", "run")
       .agg(count(lit(1)).as("cnt"),
-        (max(col("pos")) - min(col("pos")) + lit(k.toLong)).as("ext"))
+        (max(col("pos")) - min(col("pos")) + lit(k.toLong)).as("ext"),
+        min(col("pos")).as("sa"))
       .where(col("cnt") >= minShared)
-    runs.groupBy("a", "b")
-      .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
   }
 
   // ---- MinHash + LSH --------------------------------------------------

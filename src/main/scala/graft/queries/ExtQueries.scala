@@ -1432,6 +1432,97 @@ object ExtQueries {
         |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
+      "d30_span_removal",
+      // Lee et al. 2021's actual intervention, end to end: shared runs of
+      // ≥ 48 chars are EXCISED from the larger-id doc (pairwise
+      // smaller-id keeper), via interval union + complement splice — the
+      // full cleaned corpus is string-compared against DuckDB.
+      (s, dir) =>
+        Dedup.removeSharedSpans(docs(s, dir), k = 16, prefix = "0",
+            minShared = 2, maxGramFreq = 200, maxGap = 64, minSpan = 48,
+            positions = Some(gramPositionsFor(s, dir, 16, "0")))
+          .orderBy("doc_id"),
+      """WITH g0 AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+        |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+        |), p AS (
+        |  SELECT doc_id, i, g FROM g0 WHERE g LIKE '0%'
+        |), rare AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+        |  WHERE df <= 200
+        |), capped AS (
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT p.doc_id, p.i, p.g,
+        |           row_number() OVER (PARTITION BY p.g, p.doc_id ORDER BY p.i) AS occ
+        |    FROM p JOIN rare USING (g))
+        |  WHERE occ <= 8
+        |), m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
+        |  FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
+        |), r AS (
+        |  SELECT a, b, d, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 64
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM m
+        |), r2 AS (
+        |  SELECT a, b, d, pos,
+        |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM r
+        |), runs AS (
+        |  SELECT a, b, d, run, count(*) AS cnt,
+        |         max(pos) - min(pos) + 16 AS ext, min(pos) AS sa
+        |  FROM r2 GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+        |), iv0 AS (
+        |  SELECT b AS doc_id, sa - d AS s, sa - d + ext AS e
+        |  FROM runs WHERE ext >= 48
+        |), mg AS (
+        |  SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv0
+        |), mg2 AS (
+        |  SELECT doc_id, s, e,
+        |         sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM mg
+        |), merged AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM mg2 GROUP BY doc_id, grp
+        |), gaps AS (
+        |  SELECT doc_id,
+        |         lag(e, 1, CAST(1 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY s) AS st,
+        |         s
+        |  FROM merged
+        |), gsegs AS (
+        |  SELECT doc_id, st, s - st AS ln FROM gaps WHERE s - st > 0
+        |), tsegs AS (
+        |  SELECT t.doc_id, t.st, length(dd.text) + 1 - t.st AS ln
+        |  FROM (SELECT doc_id, max(e) AS st FROM merged GROUP BY 1) t
+        |  JOIN documents dd USING (doc_id)
+        |  WHERE length(dd.text) + 1 - t.st > 0
+        |), segs AS (
+        |  SELECT doc_id, st, ln FROM gsegs
+        |  UNION ALL
+        |  SELECT doc_id, st, ln FROM tsegs
+        |), spliced AS (
+        |  SELECT s.doc_id,
+        |         string_agg(substr(dd.text, CAST(s.st AS INTEGER), CAST(s.ln AS INTEGER)),
+        |                    '' ORDER BY s.st) AS text
+        |  FROM segs s JOIN documents dd USING (doc_id) GROUP BY s.doc_id
+        |), aff AS (
+        |  SELECT DISTINCT doc_id FROM merged
+        |)
+        |SELECT a.doc_id, coalesce(sp.text, '') AS text
+        |FROM aff a LEFT JOIN spliced sp USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, text FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM aff)
+        |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
       "d25_corpus_pipeline_semantic",
       // Capstone composition of the round-8 family, exactly oracle-gated
       // end to end: repetition-quality filter (dupTokenFraction) →

@@ -911,6 +911,31 @@ class ExtSpec extends AnyFunSuite {
       x.mkString(","))
   }
 
+  test("span removal: loser sheds the span, keeper intact, full dup empties") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val s80 = rnd(30, 80)
+    val x30 = rnd(31, 30); val y20 = rnd(32, 20)
+    val z40 = rnd(33, 40); val w10 = rnd(34, 10)
+    val solo = rnd(35, 50)
+    val d = Seq(
+      (1L, x30 + s80 + y20), // smallest id: keeps the span everywhere
+      (2L, z40 + s80 + w10), // loses s80 to doc 1 → z40 + w10
+      (3L, s80),             // IS the span → fully excised, empty text
+      (4L, solo))            // untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.removeSharedSpans(d, k = 16, prefix = "", minShared = 2,
+        maxGramFreq = 200, maxGap = 64, minSpan = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == x30 + s80 + y20, "keeper must be verbatim")
+    assert(got(2L) == z40 + w10, s"loser splice: ${got(2L).length} chars")
+    assert(got(3L) == "", "fully-duplicated doc stays with empty text")
+    assert(got(4L) == solo, "untouched doc must be verbatim")
+  }
+
   test("fingerprint index: cross pairs exact, own-segment exclusion, fold identity") {
     val path = java.nio.file.Files.createTempDirectory("fpidx").toString
     val corpus = Seq(
