@@ -118,6 +118,10 @@ object Bench {
       // CJK-free fixture times t05's pipeline plus a no-op regex (the
       // CJK discrimination is ScalaTest-covered)
       "w24_rollup_trunc_substituted", "t07_text_cjk_tokens",
+      // d31 drives d29's decontamination read path through a persisted
+      // index (build → persist → load → check lifecycle is its point,
+      // oracle-gated in Verify) — benching it would re-time d29
+      "d31_decontaminate_indexed",
       "w25_rollup_trunc_gated", "w26_rollup_filtered_substituted",
       "w27_rollup_topk_substituted", "w28_fetch_grid_substituted",
       "w29_rollup_having_counts", "w30_hetero_substituted",

@@ -413,7 +413,7 @@ object Dedup {
     * side of [[charGramSpansAgainst]], which skips the df cap but still
     * must not let one repetitive eval document multiply the join.
     */
-  private def capOccurrences(pos: DataFrame, maxOccur: Int): DataFrame =
+  private[ext] def capOccurrences(pos: DataFrame, maxOccur: Int): DataFrame =
     pos
       .withColumn("occ", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -339,6 +339,24 @@ object ExtQueries {
         graft.ext.FingerprintIndex.load(s, path)
       })
 
+  /** Span-decontamination index memo per (session, dir): built over the
+    * benchmark slice, SAVED to parquet, then RELOADED — d31 runs the
+    * full build → persist → load → check lifecycle, like d19/d23/d26.
+    */
+  private val spanIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.SpanIndex]()
+
+  private def spanIndexFor(s: org.apache.spark.sql.SparkSession,
+                           dir: String): graft.ext.SpanIndex =
+    spanIdxMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-spanidx").toString
+        graft.ext.SpanIndex.build(
+          docs(s, dir).where(col("doc_id") % 20 === 0), path)
+        graft.ext.SpanIndex.load(s, path)
+      })
+
   /** Session-memoized hashed-TF vector table for d25 (quality-filtered
     * docs → md5-60bit feature hashing, dim 32) — the build-once artifact
     * its exact semantic dedup self-joins (the semAssignFor precedent).
@@ -1394,6 +1412,64 @@ object ExtQueries {
         |  SELECT doc_id, i, g FROM g0 WHERE g LIKE '0%'
         |), tp AS (
         |  SELECT doc_id, i, g FROM p WHERE doc_id % 20 <> 0
+        |), bp AS (
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT doc_id, i, g,
+        |           row_number() OVER (PARTITION BY g, doc_id ORDER BY i) AS occ
+        |    FROM p WHERE doc_id % 20 = 0)
+        |  WHERE occ <= 8
+        |), rare AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM tp GROUP BY 1)
+        |  WHERE df <= 200
+        |), capped AS (
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT tp.doc_id, tp.i, tp.g,
+        |           row_number() OVER (PARTITION BY tp.g, tp.doc_id ORDER BY tp.i) AS occ
+        |    FROM tp JOIN rare USING (g))
+        |  WHERE occ <= 8
+        |), m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
+        |  FROM capped x JOIN bp y ON x.g = y.g
+        |), r AS (
+        |  SELECT a, b, d, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 64
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM m
+        |), r2 AS (
+        |  SELECT a, b, d, pos,
+        |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM r
+        |), runs AS (
+        |  SELECT a, b, d, run, count(*) AS cnt, max(pos) - min(pos) + 16 AS ext
+        |  FROM r2 GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+        |)
+        |SELECT a AS doc_id, b AS bench_id, CAST(max(ext) AS BIGINT) AS span,
+        |       CAST(max(cnt) AS BIGINT) AS grams
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "d31_decontaminate_indexed",
+      // d29's streaming face: the benchmark gram-position index is built
+      // over the eval slice, persisted, reloaded, and a delivery batch
+      // (train docs, doc_id % 5 == 0) checks against it — full oracle
+      // over the whole build → persist → load → check lifecycle. The df
+      // cap is computed on the BATCH (the contamination semantics: "is
+      // this delivery leaking eval text", not "did all history").
+      (s, dir) =>
+        spanIndexFor(s, dir)
+          .check(docs(s, dir)
+            .where(col("doc_id") % 20 =!= 0 && col("doc_id") % 5 === 0))
+          .orderBy("doc_id", "bench_id"),
+      """WITH g0 AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+        |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+        |), p AS (
+        |  SELECT doc_id, i, g FROM g0 WHERE g LIKE '0%'
+        |), tp AS (
+        |  SELECT doc_id, i, g FROM p WHERE doc_id % 20 <> 0 AND doc_id % 5 = 0
         |), bp AS (
         |  SELECT doc_id, i, g FROM (
         |    SELECT doc_id, i, g,

@@ -911,6 +911,30 @@ class ExtSpec extends AnyFunSuite {
       x.mkString(","))
   }
 
+  test("span index: persisted bench grams reproduce the direct decontamination") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val leak = rnd(40, 60)
+    val train = Seq(
+      (1L, rnd(41, 25) + leak + rnd(42, 10)),
+      (2L, rnd(43, 80))).toDF("doc_id", "text")
+    val bench = Seq((100L, rnd(44, 15) + leak + rnd(45, 30)))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("spanidx").toString
+    SpanIndex.build(bench, path, prefix = "")
+    val idx = SpanIndex.load(spark, path)
+    assert(idx.k == 16 && idx.prefix == "" && idx.maxOccur == 8,
+      s"params round-trip: k=${idx.k} prefix='${idx.prefix}' occ=${idx.maxOccur}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaIdx = rows(idx.check(train))
+    val direct = rows(Dedup.charGramSpansAgainst(train, bench, prefix = ""))
+    assert(viaIdx == direct, s"index check diverged: $viaIdx vs $direct")
+    assert(viaIdx.map(t => (t._1, t._2)) == Set((1L, 100L)), s"$viaIdx")
+  }
+
   test("span removal: loser sheds the span, keeper intact, full dup empties") {
     def rnd(seed: Int, n: Int): String = {
       val r = new scala.util.Random(seed)

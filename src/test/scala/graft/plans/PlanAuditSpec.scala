@@ -147,6 +147,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus-shuffling join in IVF search:\n$ivf")
   }
 
+  test("span family: occ window rides the df window's exchange; bench side broadcasts") {
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val docs = (0L until 40L).map(i =>
+      (i, s"document $i body " + ("shared boilerplate span here " * 3) + i))
+      .toDF("doc_id", "text")
+
+    // The repetitive-text occurrence cap's row_number window partitions
+    // on (g, id) — a SUPERSET of the df window's (g) — and is ordered
+    // after it precisely so it plans as a re-sort on the SAME exchange.
+    // A second exchange on (g, id) would double the position table's
+    // shuffle volume; this pins the ordering argument mechanically.
+    val spans = finalPlan(graft.ext.Dedup.charGramSpans(docs, prefix = ""))
+    assert(!spans.matches("(?s).*hashpartitioning\\(g#\\d+, id#.*"),
+      s"occ window paid its own (g, id) exchange:\n$spans")
+    assert(spans.matches("(?s).*hashpartitioning\\(g#\\d+, \\d+\\).*"),
+      s"expected the shared exchange on g:\n$spans")
+    assert(!spans.contains("CartesianProduct") &&
+      !spans.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the span pipeline:\n$spans")
+
+    // Decontamination: the benchmark side is an eval set — small by
+    // nature — and must broadcast; the training corpus never re-shuffles
+    // for the gram join.
+    val against = finalPlan(graft.ext.Dedup.charGramSpansAgainst(
+      docs.where(col("doc_id") < 30), docs.where(col("doc_id") >= 30),
+      prefix = ""))
+    assert(against.contains("BroadcastHashJoin"),
+      s"bench gram table not broadcast:\n$against")
+
+    // Removal: interval merge + splice stay equi-keyed per doc
+    val removal = finalPlan(graft.ext.Dedup.removeSharedSpans(
+      docs, prefix = "", minSpan = 20))
+    assert(!removal.contains("CartesianProduct") &&
+      !removal.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in span removal:\n$removal")
+  }
+
   test("high-slot-count rollup auto-selects the two-stage salted plan") {
     val higher = (0 until 1000).map(i => ("m", i.toLong, i.toDouble))
       .toDF("metric", "interval", "value")
