@@ -344,6 +344,57 @@ object Dedup {
     affected.unionByName(untouched)
   }
 
+  /** EXACT LINE DEDUP — C4's intervention (Raffel et al. 2020,
+    * arXiv:1910.10683, the "three-sentence span" discard; RefinedWeb and
+    * Gopher run the line-granularity variant): a line of text appearing
+    * verbatim anywhere earlier in the corpus is removed, keeping the
+    * FIRST occurrence in (doc, position) order. The workhorse against
+    * web boilerplate — nav bars, cookie banners, license footers —
+    * which repeats verbatim at line granularity where the span family
+    * hunts arbitrary-offset substrings.
+    *
+    * Lines shorter than `minLen` characters are exempt (always kept):
+    * blank lines, list bullets, and punctuation-only lines repeat
+    * legitimately, and deduping them would gut document structure, not
+    * boilerplate.
+    *
+    * Scale shape: one shuffle keyed by the line content for the global
+    * first-occurrence rank (only lines ≥ minLen enter the window — the
+    * short-line mass never shuffles), one by doc for reassembly. The
+    * keeper rule is a row_number over (line → corpus order), so a
+    * 10k-way repeated banner costs one partition of 10k rows, never a
+    * join blow-up. A fully-gutted document stays in the corpus with
+    * empty text ([[removeSharedSpans]]'s contract — dropping is
+    * curation's decision).
+    *
+    * @return (idCol, textCol) — the corpus with later duplicate lines
+    *         removed; line order and separators are preserved verbatim
+    */
+  def dedupLines(docs: DataFrame, sep: String = "\n", minLen: Int = 15,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"),
+        posexplode(split(col("t"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("idx", "line")))
+    val eligible = lines.where(length(col("line")) >= minLen)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("line").orderBy("id", "idx")))
+      .where(col("rn") === 1)
+      .drop("rn")
+    val exempt = lines.where(length(col("line")) < minLen)
+    val rebuilt = eligible.unionByName(exempt)
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          p => p.getField("line")),
+        sep).as("clean"))
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("clean"), lit("")).as(textCol))
+  }
+
   /** Sampled char-k-gram positions: (id, i, g) with g = md5 of the
     * k-char substring at 1-based position i, kept when g starts with
     * `prefix` (content-defined 16^|prefix|-to-1 sampling). Positions are

@@ -1508,6 +1508,49 @@ object ExtQueries {
         |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
+      "d32_line_dedup",
+      // C4-style exact line dedup (Raffel et al. 2020; the
+      // RefinedWeb/Gopher line-granularity variant): the fixture has no
+      // newlines, so BOTH engines first synthesize line structure by
+      // breaking after every 8th word (same regex, engine-native
+      // backreference spelling), then later duplicate lines ≥ 20 chars
+      // are removed keeping the corpus-order first occurrence. The
+      // whole cleaned corpus is string-compared; at sf0.01 ~87% of the
+      // synthesized lines are cross-doc duplicates, so the keeper rule
+      // and the reassembly are both load-bearing.
+      (s, dir) =>
+        Dedup.dedupLines(
+            docs(s, dir).withColumn("text",
+              regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n")),
+            sep = "\n", minLen = 20)
+          .orderBy("doc_id"),
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents
+        |), split AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined
+        |), lines AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS idx,
+        |         ls[CAST(u.i AS INTEGER)] AS line
+        |  FROM split, UNNEST(range(1, len(ls) + 1)) AS u(i)
+        |), elig AS (
+        |  SELECT doc_id, idx, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |  FROM lines WHERE length(line) >= 20
+        |), kept AS (
+        |  SELECT doc_id, idx, line FROM elig WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, idx, line FROM lines WHERE length(line) < 20
+        |), agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(a.text, '') AS text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "d30_span_removal",
       // Lee et al. 2021's actual intervention, end to end: shared runs of
       // ≥ 48 chars are EXCISED from the larger-id doc (pairwise

@@ -935,6 +935,26 @@ class ExtSpec extends AnyFunSuite {
     assert(viaIdx.map(t => (t._1, t._2)) == Set((1L, 100L)), s"$viaIdx")
   }
 
+  test("line dedup: first occurrence wins, short lines exempt, order preserved") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta unique\nshared boilerplate line here\nx\ntail one"),
+      (2L, "shared boilerplate line here\nsecond doc content line two\nx"),
+      (3L, "shared boilerplate line here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(d, minLen = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the first occurrence of the shared line → verbatim
+    assert(got(1L) ==
+      "alpha beta gamma delta unique\nshared boilerplate line here\nx\ntail one")
+    // doc 2 loses the shared line but keeps its own content AND the
+    // short exempt "x" (repeated across docs, below minLen → untouched)
+    assert(got(2L) == "second doc content line two\nx", s"'${got(2L)}'")
+    // doc 3 was ONLY the shared line → gutted to empty, not dropped
+    assert(got(3L) == "")
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // "tail one" (8 chars) is exempt and survives even though unique
+  }
+
   test("span removal: loser sheds the span, keeper intact, full dup empties") {
     def rnd(seed: Int, n: Int): String = {
       val r = new scala.util.Random(seed)
