@@ -357,6 +357,35 @@ object ExtQueries {
         graft.ext.SpanIndex.load(s, path)
       })
 
+  /** Line-dedup index memo per (session, dir): built over the lined
+    * history slice as base + one appended segment then COMPACTED and
+    * reloaded (the fpIndexFor fold pattern) — d33 value-gates the whole
+    * build → append → fold → reload → clean lifecycle.
+    */
+  private val lineIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.LineIndex]()
+
+  private def linedDocs(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    docs(s, dir).withColumn("text",
+      regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
+
+  private def lineIndexFor(s: org.apache.spark.sql.SparkSession,
+                           dir: String): graft.ext.LineIndex =
+    lineIdxMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-lineidx").toString
+        val hist = linedDocs(s, dir).where(col("doc_id") % 5 =!= 0)
+        graft.ext.LineIndex.build(
+          hist.where(col("doc_id") % 2 === 0), path, minLen = 20)
+        val idx = graft.ext.LineIndex.load(s, path)
+        idx.append(hist.where(col("doc_id") % 2 =!= 0), seg = "b0")
+        require(idx.compact(Seq("b0")) == Seq("b0"),
+          "d33 gate: the appended segment must fold")
+        graft.ext.LineIndex.load(s, path)
+      })
+
   /** Session-memoized hashed-TF vector table for d25 (quality-filtered
     * docs → md5-60bit feature hashing, dim 32) — the build-once artifact
     * its exact semantic dedup self-joins (the semAssignFor precedent).
@@ -1519,10 +1548,7 @@ object ExtQueries {
       // synthesized lines are cross-doc duplicates, so the keeper rule
       // and the reassembly are both load-bearing.
       (s, dir) =>
-        Dedup.dedupLines(
-            docs(s, dir).withColumn("text",
-              regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n")),
-            sep = "\n", minLen = 20)
+        Dedup.dedupLines(linedDocs(s, dir), sep = "\n", minLen = 20)
           .orderBy("doc_id"),
       """WITH lined AS (
         |  SELECT doc_id,
@@ -1548,6 +1574,53 @@ object ExtQueries {
         |)
         |SELECT d.doc_id, coalesce(a.text, '') AS text
         |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d33_line_dedup_incremental",
+      // d32's incremental face: the line-hash index is built over the
+      // lined history slice (doc_id % 5 != 0) as base + one appended
+      // segment, COMPACTED, reloaded, then a delivery (doc_id % 5 == 0)
+      // cleans against it — history dups AND within-batch repeats
+      // removed, short lines exempt. Full oracle over the cleaned
+      // delivery, covering the entire build → append → fold → reload →
+      // clean lifecycle (the d26 pattern at line grain).
+      (s, dir) =>
+        lineIndexFor(s, dir)
+          .dedupLinesBatch(linedDocs(s, dir).where(col("doc_id") % 5 === 0))
+          .orderBy("doc_id"),
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents
+        |), split AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined
+        |), lines AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS idx,
+        |         ls[CAST(u.i AS INTEGER)] AS line
+        |  FROM split, UNNEST(range(1, len(ls) + 1)) AS u(i)
+        |), hist AS (
+        |  SELECT DISTINCT line FROM lines
+        |  WHERE doc_id % 5 <> 0 AND length(line) >= 20
+        |), batchl AS (
+        |  SELECT doc_id, idx, line FROM lines WHERE doc_id % 5 = 0
+        |), elig AS (
+        |  SELECT doc_id, idx, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |  FROM batchl WHERE length(line) >= 20
+        |), kept AS (
+        |  SELECT e.doc_id, e.idx, e.line
+        |  FROM elig e LEFT JOIN hist h ON e.line = h.line
+        |  WHERE e.rn = 1 AND h.line IS NULL
+        |  UNION ALL
+        |  SELECT doc_id, idx, line FROM batchl WHERE length(line) < 20
+        |), agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(a.text, '') AS text
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN agg a USING (doc_id)
         |ORDER BY 1""".stripMargin
     ),
     QueryDef(

@@ -955,6 +955,42 @@ class ExtSpec extends AnyFunSuite {
     // "tail one" (8 chars) is exempt and survives even though unique
   }
 
+  test("line index: history dups removed, replay idempotent, fold identity") {
+    val path = java.nio.file.Files.createTempDirectory("lineidx").toString
+    val corpus = Seq(
+      (1L, "shared boilerplate line here\nalpha content line number one"),
+      (2L, "beta content line number two")).toDF("doc_id", "text")
+    LineIndex.build(corpus, path, minLen = 10)
+    val idx = LineIndex.load(spark, path)
+    assert(idx.sep == "\n" && idx.minLen == 10,
+      s"params round-trip: sep=${idx.sep.map(_.toInt)} minLen=${idx.minLen}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = Seq(
+      (10L, "shared boilerplate line here\nnew batch line alpha\nx"),
+      (11L, "new batch line alpha\nnew batch line beta"))
+      .toDF("doc_id", "text")
+    val cleanDf = idx.dedupLinesBatch(batch)
+    val clean = rows(cleanDf)
+    // history dup removed, short "x" exempt, within-batch first
+    // occurrence (doc 10) wins over doc 11's copy
+    assert(clean(10L) == "new batch line alpha\nx", s"'${clean(10L)}'")
+    assert(clean(11L) == "new batch line beta", s"'${clean(11L)}'")
+    idx.append(cleanDf, "b0")
+    // a later delivery dups the batch-0 keeper → removed via the index
+    val batch2 = Seq((20L, "new batch line alpha\nfresh line content two"))
+      .toDF("doc_id", "text")
+    val clean2 = rows(idx.dedupLinesBatch(batch2))
+    assert(clean2(20L) == "fresh line content two")
+    // replay of batch 0 hides its own segment → identical cleaning
+    val replay = rows(idx.dedupLinesBatch(batch, excludeSeg = Some("b0")))
+    assert(replay == clean, "replay must reproduce the original cleaning")
+    // fold b0 into base: every cleaning identical before/after
+    assert(idx.compact(Seq("b0")) == Seq("b0"))
+    val folded = LineIndex.load(spark, path)
+    assert(rows(folded.dedupLinesBatch(batch2)) == clean2)
+  }
+
   test("span removal: loser sheds the span, keeper intact, full dup empties") {
     def rnd(seed: Int, n: Int): String = {
       val r = new scala.util.Random(seed)
