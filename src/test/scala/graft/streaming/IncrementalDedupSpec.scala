@@ -222,6 +222,54 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(v == Map(10L -> "kept", 11L -> "dup_batch"))
   }
 
+  test("streaming line dedup: history + in-batch repeats shed, replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = Files.createTempDirectory("lineidx-s").toString
+    val outPath = Files.createTempDirectory("lineout").toString
+    val ckpt = Files.createTempDirectory("lineckpt").toString
+    graft.ext.LineIndex.build(
+      Seq((1L, "seed boilerplate banner line\nseed unique content line one"))
+        .toDF("doc_id", "text"),
+      idxPath, minLen = 10)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+
+    // batch 0: 10 repeats the seed banner + adds a fresh line; 11
+    // repeats 10's fresh line in-batch and adds its own
+    mem.addData(
+      (10L, "seed boilerplate banner line\nfresh delivery line alpha"),
+      (11L, "fresh delivery line alpha\nfresh delivery line beta"))
+    drain(StreamingLineDedup.start(stream, idxPath, outPath, ckpt))
+    def cleaned(batch: Long): Map[Long, String] =
+      spark.read.parquet(s"$outPath/batch=$batch")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(0) == Map(
+      10L -> "fresh delivery line alpha",
+      11L -> "fresh delivery line beta"))
+
+    // batch 1 (restart from the same checkpoint): 20 repeats batch 0's
+    // keeper line — proving kept lines were indexed — plus one new line
+    mem.addData((20L, "fresh delivery line alpha\nbrand new line gamma"))
+    drain(StreamingLineDedup.start(stream, idxPath, outPath, ckpt))
+    assert(cleaned(1) == Map(20L -> "brand new line gamma"))
+
+    // replay of batch 0 (processBatch twice): own-segment exclusion +
+    // overwrite dirs reproduce the identical cleaning, nothing doubles
+    val b0 = Seq(
+      (10L, "seed boilerplate banner line\nfresh delivery line alpha"),
+      (11L, "fresh delivery line alpha\nfresh delivery line beta"))
+      .toDF("doc_id", "text")
+    StreamingLineDedup.processBatch(b0, 0L, idxPath, outPath)
+    assert(cleaned(0) == Map(
+      10L -> "fresh delivery line alpha",
+      11L -> "fresh delivery line beta"))
+    val idxRows = spark.read.parquet(s"$idxPath/lines")
+      .where("seg = 'b0'").count()
+    assert(idxRows == 2, s"replayed segment must hold exactly its 2 kept lines, got $idxRows")
+  }
+
   test("span decontamination rides foreachBatch: per-delivery checks, no state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
