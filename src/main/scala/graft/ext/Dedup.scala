@@ -144,11 +144,16 @@ object Dedup {
       .map(_.select(col("id"), col("g")).distinct())
       .getOrElse(charGramPositions(docs, k, prefix, idCol, textCol)
         .select(col("id"), col("g")).distinct())
-    val capped = grams
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+    // df as aggregate-then-rejoin, NOT a count window over g: a gram in
+    // every doc would funnel its whole row mass through one window task
+    // at corpus scale, while this groupBy's partials combine map-side on
+    // the distinct's (id, g)-spread partitions and the join's exchange
+    // on g is reused by the self-join below (see capGramFreq's skew
+    // discipline note)
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxGramFreq)
-      .drop("df")
+      .select("g")
+    val capped = grams.join(rare, "g")
     capped.as("x")
       .join(capped.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
@@ -372,17 +377,24 @@ object Dedup {
     */
   def dedupLines(docs: DataFrame, sep: String = "\n", minLen: Int = 15,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .select(col("id"),
         posexplode(split(col("t"), java.util.regex.Pattern.quote(sep)))
           .as(Seq("idx", "line")))
+    // keeper = min (id, idx) per line as a struct-min AGGREGATE, not a
+    // row_number window: a universal banner line would put its entire
+    // corpus-wide occurrence list through one window task, while the
+    // aggregate's partials collapse map-side — the 10k-way (or 10⁹-way)
+    // repeated line reduces inside each input split before shuffling
+    // one row per (line, split). The struct carries the line text, so
+    // no join back is needed; (id, idx) is unique, so the min is the
+    // first corpus-order occurrence exactly.
     val eligible = lines.where(length(col("line")) >= minLen)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("line").orderBy("id", "idx")))
-      .where(col("rn") === 1)
-      .drop("rn")
+      .groupBy(md5(col("line").cast("binary")).as("lh"))
+      .agg(min(struct(col("id"), col("idx"), col("line"))).as("k"))
+      .select(col("k.id").as("id"), col("k.idx").as("idx"),
+        col("k.line").as("line"))
     val exempt = lines.where(length(col("line")) < minLen)
     val rebuilt = eligible.unionByName(exempt)
       .groupBy("id")
@@ -422,17 +434,9 @@ object Dedup {
         md5(col("t").substr(col("i").cast("int"), lit(k)).cast("binary")).as("g"))
       .where(col("g").startsWith(prefix))
 
-  /** [[charGramPositions]] minus grams appearing in more than
-    * `maxGramFreq` docs, and minus positions past the first `maxOccur`
-    * occurrences of a gram WITHIN a doc.
-    *
-    * The doc-frequency cap is a collect_set window over g —
-    * count(distinct) isn't a window function, but set-size is, and the
-    * window's exchange on g is REUSED by the gram join that follows
-    * (an aggregate-then-rejoin spelling paid two extra shuffles of the
-    * full position table: measured 1.3× end-to-end at sf0.1). The set
-    * materializes once per gram group (unbounded frame), bounded by the
-    * corpus's doc count only for grams the cap is about to discard.
+  /** [[charGramPositions]] minus positions past the first `maxOccur`
+    * occurrences of a gram WITHIN a doc, minus grams appearing in more
+    * than `maxGramFreq` docs.
     *
     * The occurrence cap is the REPETITIVE-TEXT bound the df cap cannot
     * provide: df counts docs, so two log files of one repeated line (or
@@ -441,23 +445,42 @@ object Dedup {
     * document length. Capping occurrences per (doc, gram) bounds every
     * (pair, gram)'s join fanout at maxOccur², and keeps the FIRST
     * occurrences, so the earliest span instance survives intact.
-    * Ordering matters for the plan: the occ window's partition key
-    * (g, id) is a superset of the df window's (g), so run AFTER it the
-    * row_number plans as a re-sort on the SAME exchange; the reverse
-    * order would pay a second full shuffle.
+    *
+    * SKEW DISCIPLINE (the df cap's own pre-condition is the hazard): a
+    * gram in EVERY document — a license header, a site banner — is
+    * guaranteed at corpus scale, and any per-g window computing its df
+    * funnels that gram's entire position mass through ONE task (a
+    * collect_set spelling additionally materializes an O(corpus) set:
+    * the first version of this function did exactly that, fine at
+    * sf0.1, OOM at the mandate). So nothing here partitions by bare g
+    * before the cap: the occ window's (g, id) key is fine-grained
+    * (bounded by one doc's length); the df count then rides that same
+    * (g, id) exchange — dropDuplicates needs no new shuffle on already-
+    * clustered data, and the groupBy(g) count combines map-side because
+    * the (g, id) partitioning SPREADS a mega-gram's docs across tasks.
+    * The mega-gram's only full gathering is the equi-join on g, where
+    * it no longer exists: the df filter removed it before the join.
+    * Costs one more exchange of the position table than the window
+    * spelling; the bound is worth it.
+    *
+    * The occ-first order is result-identical to df-first: occ ranks
+    * within (g, id) don't change when whole grams are dropped, and df's
+    * distinct-doc count doesn't change when the occ cap keeps ≥ 1
+    * position per (g, id) — the oracles pin this (they spell df-first).
     */
   private def capGramFreq(pos: DataFrame, maxGramFreq: Long,
                           maxOccur: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    pos
-      .withColumn("df", size(collect_set(col("id")).over(
-        Window.partitionBy("g"))))
-      .where(col("df") <= maxGramFreq)
-      .drop("df")
+    val wOcc = pos
       .withColumn("occ", row_number().over(
         Window.partitionBy("g", "id").orderBy("i")))
       .where(col("occ") <= maxOccur)
       .drop("occ")
+    val rare = wOcc.select("g", "id").dropDuplicates("g", "id")
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxGramFreq)
+      .select("g")
+    wOcc.join(rare, "g")
   }
 
   /** The occurrence cap alone (see [[capGramFreq]]) — for the benchmark

@@ -58,15 +58,18 @@ final class LineIndex private[ext] (val spark: SparkSession, val path: String,
   def dedupLinesBatch(newDocs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
                       excludeSeg: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = lineTable(newDocs, idCol, textCol)
+    // batch-internal keeper as a struct-min aggregate, not a window —
+    // [[Dedup.dedupLines]]'s skew reasoning: a banner repeated across
+    // the whole delivery collapses map-side instead of sorting through
+    // one task
     val kept = lines.where(length(col("line")) >= minLen)
       .withColumn("lh", md5(col("line").cast("binary")))
       .join(indexed(excludeSeg), Seq("lh"), "left_anti")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("lh").orderBy("id", "idx")))
-      .where(col("rn") === 1)
-      .select("id", "idx", "line")
+      .groupBy("lh")
+      .agg(min(struct(col("id"), col("idx"), col("line"))).as("k"))
+      .select(col("k.id").as("id"), col("k.idx").as("idx"),
+        col("k.line").as("line"))
       .unionByName(lines.where(length(col("line")) < minLen))
     val rebuilt = kept.groupBy("id")
       .agg(array_join(

@@ -156,19 +156,34 @@ class PlanAuditSpec extends AnyFunSuite {
       (i, s"document $i body " + ("shared boilerplate span here " * 3) + i))
       .toDF("doc_id", "text")
 
-    // The repetitive-text occurrence cap's row_number window partitions
-    // on (g, id) — a SUPERSET of the df window's (g) — and is ordered
-    // after it precisely so it plans as a re-sort on the SAME exchange.
-    // A second exchange on (g, id) would double the position table's
-    // shuffle volume; this pins the ordering argument mechanically.
+    // Skew discipline (capGramFreq): no stage may partition the raw
+    // position table by bare g — a gram in every doc would funnel its
+    // whole mass through one task — and the OOM vector (a collect_set
+    // window gathering a mega-gram's doc set) must not reappear. The
+    // only per-g structures allowed before the df cap are fine-grained
+    // (g, id) ones; the equi-join on g happens after the cap removed
+    // the mega-grams.
     val spans = finalPlan(graft.ext.Dedup.charGramSpans(docs, prefix = ""))
-    assert(!spans.matches("(?s).*hashpartitioning\\(g#\\d+, id#.*"),
-      s"occ window paid its own (g, id) exchange:\n$spans")
-    assert(spans.matches("(?s).*hashpartitioning\\(g#\\d+, \\d+\\).*"),
-      s"expected the shared exchange on g:\n$spans")
+    assert(spans.matches("(?s).*hashpartitioning\\(g#\\d+, id#.*"),
+      s"expected the fine-grained (g, id) exchange for the occ window:\n$spans")
+    assert(!spans.contains("collect_set"),
+      s"mega-gram set materialization is back:\n$spans")
     assert(!spans.contains("CartesianProduct") &&
       !spans.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in the span pipeline:\n$spans")
+
+    // Line dedup: the keeper is a struct-min AGGREGATE (map-side
+    // combinable — a universal banner collapses inside each split), so
+    // the whole plan must be window-free and equi-keyed.
+    val lineDedup = finalPlan(graft.ext.Dedup.dedupLines(
+      docs.withColumn("text",
+        regexp_replace(col("text"), "((?:\\S+ ){3}\\S+) ", "$1\n")),
+      minLen = 10))
+    assert(!lineDedup.contains("Window"),
+      s"line-dedup keeper must be an aggregate, not a window:\n$lineDedup")
+    assert(!lineDedup.contains("CartesianProduct") &&
+      !lineDedup.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in line dedup:\n$lineDedup")
 
     // Decontamination: the benchmark side is an eval set — small by
     // nature — and must broadcast; the training corpus never re-shuffles
