@@ -195,20 +195,41 @@ object Dedup {
                     maxGap: Long = 64, idCol: String = "doc_id",
                     textCol: String = "text",
                     positions: Option[DataFrame] = None,
-                    maxOccur: Int = 8): DataFrame = {
+                    maxOccur: Int = 8,
+                    runs: Option[DataFrame] = None): DataFrame =
+    runs.getOrElse(charGramRuns(docs, k, prefix, minShared, maxGramFreq,
+        maxGap, idCol, textCol, positions, maxOccur))
+      .groupBy("a", "b")
+      .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
+
+  /** The span family's shared analytic product: one row per qualifying
+    * shared run — (a, b, d, run, cnt, ext, sa) with d = the alignment
+    * diagonal, cnt = sampled grams in the run, ext = character extent,
+    * sa = the run's first matched position in a's coordinates (b's =
+    * sa − d). [[charGramSpans]] reduces this to per-pair extents and
+    * [[removeSharedSpans]] to removal intervals; a session running both
+    * passes ONE (cached) runs table through their `runs` parameters —
+    * the gram self-join underneath is the family's dominant cost.
+    *
+    * Matched grams on a diagonal: (a, b, d = i_a − i_b, pos = i_a).
+    * (a, b, d, pos) is unique — a position holds one gram and d fixes
+    * the partner position — so the run window has no ties.
+    */
+  def charGramRuns(docs: DataFrame, k: Int = 16, prefix: String = "0",
+                   minShared: Long = 2, maxGramFreq: Long = 200,
+                   maxGap: Long = 64, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   positions: Option[DataFrame] = None,
+                   maxOccur: Int = 8): DataFrame = {
     val capped = capGramFreq(
       positions.getOrElse(charGramPositions(docs, k, prefix, idCol, textCol)),
       maxGramFreq, maxOccur)
-    // matched grams on a diagonal: (a, b, d = i_a - i_b, pos = i_a).
-    // (a, b, d, pos) is unique — a position holds one gram, and d fixes
-    // the partner position — so the run window in diagonalSpans has no
-    // ties.
     val m = capped.as("x")
       .join(capped.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (col("x.i") - col("y.i")).as("d"), col("x.i").as("pos"))
-    diagonalSpans(m, k, minShared, maxGap)
+    diagonalRuns(m, k, minShared, maxGap)
   }
 
   /** Cross-table twin of [[charGramSpans]]: longest contiguously-shared
@@ -282,18 +303,13 @@ object Dedup {
                         maxGap: Long = 64, minSpan: Long = 48,
                         idCol: String = "doc_id", textCol: String = "text",
                         positions: Option[DataFrame] = None,
-                        maxOccur: Int = 8): DataFrame = {
+                        maxOccur: Int = 8,
+                        runs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = capGramFreq(
-      positions.getOrElse(charGramPositions(docs, k, prefix, idCol, textCol)),
-      maxGramFreq, maxOccur)
-    val m = capped.as("x")
-      .join(capped.as("y"),
-        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        (col("x.i") - col("y.i")).as("d"), col("x.i").as("pos"))
     // removal intervals in the loser's (b's) coordinates, half-open
-    val iv0 = diagonalRuns(m, k, minShared, maxGap)
+    val iv0 = runs
+      .getOrElse(charGramRuns(docs, k, prefix, minShared, maxGramFreq,
+        maxGap, idCol, textCol, positions, maxOccur))
       .where(col("ext") >= minSpan)
       .select(col("b").as("id"), (col("sa") - col("d")).as("s"),
         (col("sa") - col("d") + col("ext")).as("e"))

@@ -168,6 +168,27 @@ object ExtQueries {
         df
       })
 
+  /** Diagonal-runs memo per (session, dir): the span family's shared
+    * analytic product over the memoized position table — the gram
+    * self-join underneath is the family's dominant cost, and d28
+    * (extents) + d30 (removal) both reduce from exactly this table.
+    */
+  private val gramRunsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]()
+
+  private def gramRunsFor(s: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame =
+    gramRunsMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val df = Dedup.charGramRuns(docs(s, dir), k = 16, prefix = "0",
+            minShared = 2, maxGramFreq = 200, maxGap = 64,
+            positions = Some(gramPositionsFor(s, dir, 16, "0")))
+          .cache()
+        df.count()
+        df
+      })
+
   /** MinHash-signature memo per (session, dir, n, k) — d03's second
     * build-once artifact over the memoized shingle table.
     */
@@ -1376,7 +1397,7 @@ object ExtQueries {
       (s, dir) =>
         Dedup.charGramSpans(docs(s, dir), k = 16, prefix = "0",
             minShared = 2, maxGramFreq = 200, maxGap = 64,
-            positions = Some(gramPositionsFor(s, dir, 16, "0")))
+            runs = Some(gramRunsFor(s, dir)))
           .orderBy("a", "b"),
       """WITH g0 AS (
         |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
@@ -1632,7 +1653,7 @@ object ExtQueries {
       (s, dir) =>
         Dedup.removeSharedSpans(docs(s, dir), k = 16, prefix = "0",
             minShared = 2, maxGramFreq = 200, maxGap = 64, minSpan = 48,
-            positions = Some(gramPositionsFor(s, dir, 16, "0")))
+            runs = Some(gramRunsFor(s, dir)))
           .orderBy("doc_id"),
       """WITH g0 AS (
         |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
