@@ -232,6 +232,187 @@ object Dedup {
     diagonalRuns(m, k, minShared, maxGap)
   }
 
+  /** EXACT-substring spans — [[charGramRuns]] at Lee et al. 2021's
+    * suffix-array exactness, from the same machinery: take EVERY k-gram
+    * (prefix "" disables the 16^|prefix|-to-1 sample) and require
+    * strictly CONSECUTIVE diagonal matches (maxGap = 1). A shared
+    * substring of length L then matches at all L − k + 1 consecutive
+    * positions of its diagonal, so `ext` = L exactly — no conservative
+    * edges — and every duplication of ≥ k chars is visible, where the
+    * sampled family needs ≥ ~2 sampled grams to fire.
+    *
+    * Exactness holds up to the two scale caps, both still load-bearing:
+    * grams in more than `maxGramFreq` docs are excluded (universal
+    * boilerplate identifies no specific pair), and positions past
+    * `maxOccur` per (doc, gram) are dropped (two log-like documents
+    * would otherwise join length × length) — a doc-internal k-gram
+    * repeat beyond `maxOccur` can split or shorten a reported run.
+    *
+    * Cost: one md5 per character of corpus (16× the prefix-"0" sample)
+    * and a correspondingly larger gram join — embarrassingly parallel,
+    * but at full-corpus scale prefer [[exactifyRuns]] over a sampled
+    * [[charGramRuns]]: same exact extents, verify cost proportional to
+    * candidate spans instead of corpus size.
+    *
+    * @return (a, b, d, run, cnt, ext, sa) — [[charGramRuns]]'s schema
+    *         with exact extents; cnt = ext − k + 1 by construction
+    */
+  def exactGramRuns(docs: DataFrame, k: Int = 16, minShared: Long = 1,
+                    maxGramFreq: Long = 200, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    positions: Option[DataFrame] = None,
+                    maxOccur: Int = 8): DataFrame =
+    charGramRuns(docs, k, prefix = "", minShared, maxGramFreq,
+      maxGap = 1, idCol, textCol, positions, maxOccur)
+
+  /** FILTER-VERIFY exactness at scale: upgrade SAMPLED runs
+    * ([[charGramRuns]] at prefix "0") to exact character extents by
+    * re-examining only the candidate regions. [[exactGramRuns]] pays
+    * one hash per corpus character; this pays one character COMPARE per
+    * candidate-region character — cost proportional to what the sample
+    * found, never corpus size — at the price of recall: a span the
+    * sample never hit (expected when shorter than ~2·16^|prefix| chars)
+    * stays invisible.
+    *
+    * Verify is alignment-local, so it is cheap and fanout-free: a
+    * sampled run fixes its diagonal d exactly (it came from real
+    * matched grams), and on a diagonal, position p of doc a pairs with
+    * exactly position p − d of doc b — each region explodes to aligned
+    * single-character equality tests, 1:1, no join multiplication even
+    * on pathological repetitive text. Matching positions re-enter the
+    * family's run window (maxGap = 1, (a, b, d)-keyed — finer than the
+    * pair key) to become maximal exact runs; a gap ANYWHERE inside the
+    * sampled extent splits it — sampled runs may bridge up to `maxGap`
+    * unverified chars between samples, so one conservative candidate
+    * can yield several exact runs.
+    *
+    * A run reaching the edge of its searched region may continue
+    * beyond it: such runs re-enter with a doubled search slack (the
+    * region is re-centered on the run), and the loop — CC-style driver
+    * fixpoint, lineage cut per round — ends when no run can extend,
+    * typically ≤ 2 rounds past `slack` ≥ the inter-sample gap.
+    *
+    * @param runs sampled candidate runs — (a, b, d, sa, ext) rows
+    *        ([[charGramRuns]] output); share the memoized family table
+    * @param minKeep shortest exact run worth reporting, in chars
+    * @param slack initial search margin beyond the sampled extent
+    * @return (a, b, d, sa, ext) — maximal exact shared substrings
+    *         discoverable from the candidates: every maximal aligned
+    *         char run of ≥ minKeep chars intersecting a candidate
+    *         region, extents exact to the character
+    */
+  def exactifyRuns(docs: DataFrame, runs: DataFrame, minKeep: Long = 16,
+                   slack: Long = 64, maxIter: Int = 16,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val docsSel = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    // candidate regions in a's char coordinates, half-open [rs, re).
+    // `anc` anchors extension rounds: round 1 keeps every run its
+    // regions surface (all intersect a candidate region by
+    // construction); later rounds search a WIDER area than any
+    // candidate covered, so only the run CONTAINING the anchor — a
+    // verified matching char of the run being grown — may continue.
+    // Without the anchor, a neighboring run that never intersected any
+    // candidate region could ride in on a widened window, making the
+    // output depend on extension accidents instead of the contract.
+    var pending = runs
+      .select(col("a"), col("b"), col("d"),
+        (col("sa") - slack).as("rs"),
+        (col("sa") + col("ext") + slack).as("re"),
+        lit(null).cast("long").as("anc"))
+      .localCheckpoint()
+    val emptyRuns = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("a", "long").add("b", "long").add("d", "long")
+        .add("s", "long").add("e", "long"))
+    var done = emptyRuns
+    var it = 0
+    var growth = slack
+    var converged = pending.isEmpty
+    while (!converged && it < maxIter) {
+      val anchors = pending.where(col("anc").isNotNull)
+        .select(col("a"), col("b"), col("d"), col("anc")).distinct()
+      val anchored = it > 0
+      // clamp to both texts (b's bounds shifted by d), slice once per
+      // region, then aligned per-char equality — w rows per region, 1:1
+      val sliced = pending
+        .join(docsSel.as("da"), col("a") === col("da.id"))
+        .join(docsSel.as("db"), col("b") === col("db.id"))
+        .select(col("a"), col("b"), col("d"),
+          greatest(col("rs"), lit(1L), col("d") + 1L).as("lo"),
+          least(col("re"), length(col("da.t")) + 1L,
+            length(col("db.t")) + 1L + col("d")).as("hi"),
+          col("da.t").as("ta"), col("db.t").as("tb"))
+        .where(col("hi") > col("lo"))
+        .select(col("a"), col("b"), col("d"), col("lo"), col("hi"),
+          col("ta").substr(col("lo").cast("int"),
+            (col("hi") - col("lo")).cast("int")).as("xa"),
+          col("tb").substr((col("lo") - col("d")).cast("int"),
+            (col("hi") - col("lo")).cast("int")).as("xb"))
+      val matched = sliced
+        .select(col("a"), col("b"), col("d"), col("lo"),
+          explode(filter(
+            sequence(lit(1L), length(col("xa")).cast("long")),
+            i => col("xa").substr(i.cast("int"), lit(1)) ===
+              col("xb").substr(i.cast("int"), lit(1)))).as("off"))
+        .select(col("a"), col("b"), col("d"),
+          (col("off") + col("lo") - 1L).as("pos"))
+        .dropDuplicates("a", "b", "d", "pos")
+      val w = Window.partitionBy("a", "b", "d").orderBy("pos")
+      val allRuns = matched
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(w) > 1L, 1).otherwise(0))
+        .withColumn("run", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("a", "b", "d", "run")
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + 1L).as("e"))
+        .drop("run")
+      val exact =
+        if (!anchored) allRuns
+        else allRuns.join(anchors, Seq("a", "b", "d"))
+          .where(col("s") <= col("anc") && col("anc") < col("e"))
+          .select("a", "b", "d", "s", "e").distinct()
+      // exact local extension test: can the run grow past its searched
+      // window? (The char before s / at e exists in both docs and
+      // matches.) Extendable runs re-region with doubled slack; the
+      // rest are maximal — keep those long enough.
+      val tested = exact
+        .join(docsSel.as("da"), col("a") === col("da.id"))
+        .join(docsSel.as("db"), col("b") === col("db.id"))
+        .select(col("a"), col("b"), col("d"), col("s"), col("e"),
+          (col("s") > 1L && col("s") - col("d") > 1L &&
+            col("da.t").substr((col("s") - 1L).cast("int"), lit(1)) ===
+            col("db.t").substr((col("s") - 1L - col("d")).cast("int"), lit(1)))
+            .as("growL"),
+          (col("e") <= length(col("da.t")) &&
+            col("e") - col("d") <= length(col("db.t")) &&
+            col("da.t").substr(col("e").cast("int"), lit(1)) ===
+            col("db.t").substr((col("e") - col("d")).cast("int"), lit(1)))
+            .as("growR"))
+        .localCheckpoint()
+      growth = growth * 2
+      pending = tested.where(col("growL") || col("growR"))
+        .select(col("a"), col("b"), col("d"),
+          (col("s") - growth).as("rs"), (col("e") + growth).as("re"),
+          col("s").as("anc"))
+        .localCheckpoint()
+      done = done.unionByName(
+        tested.where(!col("growL") && !col("growR"))
+          .select("a", "b", "d", "s", "e")).localCheckpoint()
+      converged = pending.isEmpty
+      it += 1
+    }
+    require(converged, s"exactifyRuns did not converge in $maxIter rounds")
+    done
+      .where(col("e") - col("s") >= minKeep)
+      .select(col("a"), col("b"), col("d"), col("s").as("sa"),
+        (col("e") - col("s")).as("ext"))
+      .distinct()
+  }
+
   /** Cross-table twin of [[charGramSpans]]: longest contiguously-shared
     * character span between each training document and each benchmark
     * document — SPAN-level decontamination (the word-shingle
@@ -305,7 +486,6 @@ object Dedup {
                         positions: Option[DataFrame] = None,
                         maxOccur: Int = 8,
                         runs: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // removal intervals in the loser's (b's) coordinates, half-open
     val iv0 = runs
       .getOrElse(charGramRuns(docs, k, prefix, minShared, maxGramFreq,
@@ -313,6 +493,21 @@ object Dedup {
       .where(col("ext") >= minSpan)
       .select(col("b").as("id"), (col("sa") - col("d")).as("s"),
         (col("sa") - col("d") + col("ext")).as("e"))
+    exciseIntervals(docs, iv0, idCol, textCol)
+  }
+
+  /** Splice character intervals OUT of documents: given removal
+    * intervals (id, s, e) — 1-based, half-open, possibly overlapping —
+    * return the corpus with those character ranges excised. The span
+    * family's shared back half ([[removeSharedSpans]] feeds it pairwise
+    * losers, [[removeSharedSpansGlobal]] cluster-global losers).
+    *
+    * Per-doc work is proportional to that doc's interval count; no step
+    * holds more than one document's intervals in one task state.
+    */
+  private[ext] def exciseIntervals(docs: DataFrame, iv0: DataFrame,
+                                   idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // interval union: sort by (s, e), break where s clears the running
     // max end over all PRECEDING intervals (adjacent intervals merge:
     // s == maxe does not break). Duplicate intervals from different
@@ -363,6 +558,100 @@ object Dedup {
       .join(merged.select("id").distinct(), Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("t").as(textCol))
     affected.unionByName(untouched)
+  }
+
+  /** CLUSTER-GLOBAL span removal — [[removeSharedSpans]] with Lee et
+    * al. 2021's actual keeper rule: ONE occurrence of each duplicated
+    * span survives corpus-wide. The pairwise smaller-id rule can keep
+    * two occurrences when the detected pair graph is incomplete (A–B
+    * and B–C runs but no A–C run: C loses to B, A and B both keep); a
+    * connected-components pass over the runs' interval endpoints
+    * resolves each span CLUSTER to a single keeper.
+    *
+    * Graph: one node per distinct removal-candidate interval (doc, s,
+    * e); every qualifying run links its two endpoints' intervals, and
+    * within a doc, OVERLAPPING intervals link too — the same span
+    * detected against two partners yields near-identical (not
+    * byte-identical: sampling truncates extents at the edges) intervals
+    * that must land in one cluster, or a chain's middle doc would split
+    * the component and re-admit a second keeper. Overlap connectivity
+    * needs only O(intervals) edges, not the O(m²) overlap graph: after
+    * the interval-merge grouping (the running-max window
+    * [[exciseIntervals]] already uses), every member of a merge group
+    * links to the group's first interval.
+    *
+    * Keeper per component = the (id, s, e)-lexicographic minimum — the
+    * earliest position of the earliest document — and every OTHER node
+    * becomes a removal interval for its doc. Vertices are xxhash64 of
+    * the interval triple (CC runs on longs); a 64-bit collision merges
+    * two clusters, which removes one extra span occurrence — the
+    * conservative direction for a dedup — with probability ~n²/2⁶⁴.
+    *
+    * Scale shape: the runs table is the dominant cost (shared with the
+    * family via `runs`); on top of it, one per-doc window for overlap
+    * groups, the shuffle-bounded large/small-star closure on O(runs)
+    * edges, and one aggregate per component for the keeper.
+    *
+    * @return (idCol, textCol) — the corpus with every non-keeper span
+    *         occurrence removed; untouched documents pass through
+    */
+  def removeSharedSpansGlobal(docs: DataFrame, k: Int = 16,
+                              prefix: String = "0", minShared: Long = 2,
+                              maxGramFreq: Long = 200, maxGap: Long = 64,
+                              minSpan: Long = 48, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              positions: Option[DataFrame] = None,
+                              maxOccur: Int = 8,
+                              runs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rs = runs
+      .getOrElse(charGramRuns(docs, k, prefix, minShared, maxGramFreq,
+        maxGap, idCol, textCol, positions, maxOccur))
+      .where(col("ext") >= minSpan)
+    // both endpoints' intervals in their own coordinates (half-open)
+    def nid(i: Column, s: Column, e: Column): Column = xxhash64(i, s, e)
+    val nodes = rs
+      .select(col("a").as("id"), col("sa").as("s"),
+        (col("sa") + col("ext")).as("e"))
+      .unionByName(rs.select(col("b").as("id"),
+        (col("sa") - col("d")).as("s"),
+        (col("sa") - col("d") + col("ext")).as("e")))
+      .distinct()
+    val runEdges = rs.select(
+      nid(col("a"), col("sa"), col("sa") + col("ext")).as("a"),
+      nid(col("b"), col("sa") - col("d"),
+        col("sa") - col("d") + col("ext")).as("b"))
+    // same-doc overlap edges: merge-group members → group's first node.
+    // STRICT overlap (s >= maxe breaks): adjacent intervals share no
+    // characters and must stay separate clusters — exciseIntervals's
+    // adjacency-merge is for removal unions, not span identity
+    val wm = Window.partitionBy("id").orderBy("s", "e")
+    val grouped = nodes
+      .withColumn("maxe", max(col("e")).over(
+        wm.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("maxe").isNull || col("s") >= col("maxe"), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val overlapEdges = grouped
+      .withColumn("f", first(struct(col("s"), col("e"))).over(
+        Window.partitionBy("id", "grp").orderBy("s", "e")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("s") =!= col("f.s") || col("e") =!= col("f.e"))
+      .select(nid(col("id"), col("s"), col("e")).as("a"),
+        nid(col("id"), col("f.s"), col("f.e")).as("b"))
+    val comp = connectedComponents(runEdges.unionByName(overlapEdges))
+      .withColumnRenamed("id", "nid")
+    val labeled = nodes
+      .withColumn("nid", nid(col("id"), col("s"), col("e")))
+      .join(comp, "nid")
+    val keepers = labeled.groupBy("root")
+      .agg(min(struct(col("id"), col("s"), col("e"))).as("kp"))
+    val losers = labeled.join(keepers, "root")
+      .where(col("id") =!= col("kp.id") || col("s") =!= col("kp.s") ||
+        col("e") =!= col("kp.e"))
+      .select("id", "s", "e")
+    exciseIntervals(docs, losers, idCol, textCol)
   }
 
   /** EXACT LINE DEDUP — C4's intervention (Raffel et al. 2020,

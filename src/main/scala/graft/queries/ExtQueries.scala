@@ -189,6 +189,27 @@ object ExtQueries {
         df
       })
 
+  /** EXACT diagonal-runs memo per (session, dir): [[Dedup.exactGramRuns]]
+    * — every gram, strictly consecutive runs — shared by the exact span
+    * queries (d35 extents + d36 removal) the way [[gramRunsFor]] serves
+    * the sampled family. Positions are NOT shared with [[gramPositionsFor]]:
+    * that table is prefix-"0" filtered; the exact path hashes all 16×.
+    */
+  private val exactRunsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]()
+
+  private def exactRunsFor(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    exactRunsMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val df = Dedup.exactGramRuns(docs(s, dir), k = 16, minShared = 1,
+            maxGramFreq = 200)
+          .cache()
+        df.count()
+        df
+      })
+
   /** MinHash-signature memo per (session, dir, n, k) — d03's second
     * build-once artifact over the memoized shingle table.
     */
@@ -1691,6 +1712,270 @@ object ExtQueries {
         |), iv0 AS (
         |  SELECT b AS doc_id, sa - d AS s, sa - d + ext AS e
         |  FROM runs WHERE ext >= 48
+        |), mg AS (
+        |  SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv0
+        |), mg2 AS (
+        |  SELECT doc_id, s, e,
+        |         sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM mg
+        |), merged AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM mg2 GROUP BY doc_id, grp
+        |), gaps AS (
+        |  SELECT doc_id,
+        |         lag(e, 1, CAST(1 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY s) AS st,
+        |         s
+        |  FROM merged
+        |), gsegs AS (
+        |  SELECT doc_id, st, s - st AS ln FROM gaps WHERE s - st > 0
+        |), tsegs AS (
+        |  SELECT t.doc_id, t.st, length(dd.text) + 1 - t.st AS ln
+        |  FROM (SELECT doc_id, max(e) AS st FROM merged GROUP BY 1) t
+        |  JOIN documents dd USING (doc_id)
+        |  WHERE length(dd.text) + 1 - t.st > 0
+        |), segs AS (
+        |  SELECT doc_id, st, ln FROM gsegs
+        |  UNION ALL
+        |  SELECT doc_id, st, ln FROM tsegs
+        |), spliced AS (
+        |  SELECT s.doc_id,
+        |         string_agg(substr(dd.text, CAST(s.st AS INTEGER), CAST(s.ln AS INTEGER)),
+        |                    '' ORDER BY s.st) AS text
+        |  FROM segs s JOIN documents dd USING (doc_id) GROUP BY s.doc_id
+        |), aff AS (
+        |  SELECT DISTINCT doc_id FROM merged
+        |)
+        |SELECT a.doc_id, coalesce(sp.text, '') AS text
+        |FROM aff a LEFT JOIN spliced sp USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, text FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM aff)
+        |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
+      "d35_span_extent_exact",
+      // d28 at suffix-array exactness (Lee et al. 2021): EVERY k-gram
+      // (no prefix sample) + strictly consecutive diagonals (maxGap=1)
+      // make `span` the exact character length of the longest shared
+      // substring — no conservative edges, sub-32-char spans visible.
+      (s, dir) =>
+        Dedup.charGramSpans(docs(s, dir), k = 16, prefix = "",
+            minShared = 1, maxGramFreq = 200, maxGap = 1,
+            runs = Some(exactRunsFor(s, dir)))
+          .orderBy("a", "b"),
+      """WITH p AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+        |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+        |), rare AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+        |  WHERE df <= 200
+        |), capped AS (
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT p.doc_id, p.i, p.g,
+        |           row_number() OVER (PARTITION BY p.g, p.doc_id ORDER BY p.i) AS occ
+        |    FROM p JOIN rare USING (g))
+        |  WHERE occ <= 8
+        |), m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
+        |  FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
+        |), r AS (
+        |  SELECT a, b, d, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 1
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM m
+        |), r2 AS (
+        |  SELECT a, b, d, pos,
+        |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM r
+        |), runs AS (
+        |  SELECT a, b, d, run, count(*) AS cnt, max(pos) - min(pos) + 16 AS ext
+        |  FROM r2 GROUP BY 1, 2, 3, 4 HAVING count(*) >= 1
+        |)
+        |SELECT a, b, CAST(max(ext) AS BIGINT) AS span,
+        |       CAST(max(cnt) AS BIGINT) AS grams
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "d36_span_exactify",
+      // filter-verify exactness at scale: the memoized SAMPLED runs are
+      // candidate regions; aligned per-char comparison inside each
+      // region (±64 slack) recovers every maximal exact run ≥ 16 chars
+      // intersecting a candidate, extents exact to the character, with
+      // runs touching their searched window re-entering at doubled
+      // slack until maximal. Oracle: exact char runs per candidate
+      // diagonal over the full texts, kept when they intersect a
+      // sampled candidate region.
+      (s, dir) =>
+        Dedup.exactifyRuns(docs(s, dir), gramRunsFor(s, dir),
+            minKeep = 16, slack = 64)
+          .orderBy("a", "b", "d", "sa"),
+      """WITH g0 AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+        |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+        |), p AS (
+        |  SELECT doc_id, i, g FROM g0 WHERE g LIKE '0%'
+        |), rare AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+        |  WHERE df <= 200
+        |), capped AS (
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT p.doc_id, p.i, p.g,
+        |           row_number() OVER (PARTITION BY p.g, p.doc_id ORDER BY p.i) AS occ
+        |    FROM p JOIN rare USING (g))
+        |  WHERE occ <= 8
+        |), m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
+        |  FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
+        |), r AS (
+        |  SELECT a, b, d, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 64
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM m
+        |), r2 AS (
+        |  SELECT a, b, d, pos,
+        |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM r
+        |), sruns AS (
+        |  SELECT a, b, d, min(pos) AS sa, max(pos) - min(pos) + 16 AS ext
+        |  FROM r2 GROUP BY a, b, d, run HAVING count(*) >= 2
+        |), diag AS (
+        |  SELECT DISTINCT a, b, d FROM sruns
+        |), ap AS (
+        |  SELECT dg.a, dg.b, dg.d, CAST(u.p AS BIGINT) AS pos
+        |  FROM diag dg
+        |  JOIN documents da ON da.doc_id = dg.a
+        |  JOIN documents db ON db.doc_id = dg.b,
+        |  UNNEST(range(greatest(1, dg.d + 1),
+        |               least(length(da.text), length(db.text) + dg.d) + 1)) AS u(p)
+        |  WHERE substr(da.text, CAST(u.p AS INTEGER), 1) =
+        |        substr(db.text, CAST(u.p - dg.d AS INTEGER), 1)
+        |), er AS (
+        |  SELECT a, b, d, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 1
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM ap
+        |), er2 AS (
+        |  SELECT a, b, d, pos,
+        |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM er
+        |), eruns AS (
+        |  SELECT a, b, d, min(pos) AS sa, max(pos) - min(pos) + 1 AS ext
+        |  FROM er2 GROUP BY a, b, d, run
+        |)
+        |SELECT e.a, e.b, e.d, e.sa, e.ext
+        |FROM eruns e
+        |WHERE e.ext >= 16 AND EXISTS (
+        |  SELECT 1 FROM sruns s
+        |  WHERE s.a = e.a AND s.b = e.b AND s.d = e.d
+        |    AND e.sa < s.sa + s.ext + 64 AND s.sa - 64 < e.sa + e.ext)
+        |ORDER BY 1, 2, 3, 4""".stripMargin
+    ),
+    QueryDef(
+      "d34_span_removal_global",
+      // d30 with Lee et al.'s keeper fidelity: connected components over
+      // the runs' interval endpoints (run edges + same-doc overlap-group
+      // edges) resolve each span cluster to ONE surviving occurrence —
+      // the (id, s, e)-minimum — and every other occurrence is excised.
+      // Oracle recomputes the closure with a recursive CTE over string
+      // node keys, then reuses d30's merge/complement/splice machinery.
+      (s, dir) =>
+        Dedup.removeSharedSpansGlobal(docs(s, dir), k = 16, prefix = "0",
+            minShared = 2, maxGramFreq = 200, maxGap = 64, minSpan = 48,
+            runs = Some(gramRunsFor(s, dir)))
+          .orderBy("doc_id"),
+      """WITH RECURSIVE g0 AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+        |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+        |), p AS (
+        |  SELECT doc_id, i, g FROM g0 WHERE g LIKE '0%'
+        |), rare AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+        |  WHERE df <= 200
+        |), capped AS (
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT p.doc_id, p.i, p.g,
+        |           row_number() OVER (PARTITION BY p.g, p.doc_id ORDER BY p.i) AS occ
+        |    FROM p JOIN rare USING (g))
+        |  WHERE occ <= 8
+        |), m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
+        |  FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
+        |), r AS (
+        |  SELECT a, b, d, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 64
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM m
+        |), r2 AS (
+        |  SELECT a, b, d, pos,
+        |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM r
+        |), runs AS (
+        |  SELECT a, b, d, run, count(*) AS cnt,
+        |         max(pos) - min(pos) + 16 AS ext, min(pos) AS sa
+        |  FROM r2 GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+        |), sruns AS (
+        |  SELECT a, b, d, ext, sa FROM runs WHERE ext >= 48
+        |), nd AS (
+        |  SELECT DISTINCT doc_id, s, e FROM (
+        |    SELECT a AS doc_id, sa AS s, sa + ext AS e FROM sruns
+        |    UNION
+        |    SELECT b, sa - d, sa - d + ext FROM sruns)
+        |), nk AS (
+        |  SELECT doc_id, s, e,
+        |         CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR) ||
+        |           ':' || CAST(e AS VARCHAR) AS nid
+        |  FROM nd
+        |), re AS (
+        |  SELECT CAST(a AS VARCHAR) || ':' || CAST(sa AS VARCHAR) || ':' ||
+        |           CAST(sa + ext AS VARCHAR) AS u,
+        |         CAST(b AS VARCHAR) || ':' || CAST(sa - d AS VARCHAR) || ':' ||
+        |           CAST(sa - d + ext AS VARCHAR) AS v
+        |  FROM sruns
+        |), og AS (
+        |  SELECT doc_id, s, e, nid,
+        |         sum(CASE WHEN maxe IS NULL OR s >= maxe THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM (SELECT doc_id, s, e, nid,
+        |               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |        FROM nk)
+        |), oe AS (
+        |  SELECT u, v FROM (
+        |    SELECT nid AS u,
+        |           first_value(nid) OVER (PARTITION BY doc_id, grp
+        |                                  ORDER BY s, e) AS v
+        |    FROM og)
+        |  WHERE u <> v
+        |), edges AS (
+        |  SELECT u, v FROM re UNION SELECT v, u FROM re
+        |  UNION SELECT u, v FROM oe UNION SELECT v, u FROM oe
+        |), reach(nid, l) AS (
+        |  SELECT nid, nid FROM nk
+        |  UNION
+        |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.nid
+        |), comp AS (SELECT nid, min(l) AS root FROM reach GROUP BY 1
+        |), lab AS (
+        |  SELECT k.doc_id, k.s, k.e,
+        |         row_number() OVER (PARTITION BY c.root
+        |                            ORDER BY k.doc_id, k.s, k.e) AS rn
+        |  FROM nk k JOIN comp c USING (nid)
+        |), iv0 AS (
+        |  SELECT doc_id, s, e FROM lab WHERE rn > 1
         |), mg AS (
         |  SELECT doc_id, s, e,
         |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e

@@ -38,7 +38,9 @@ import graft.ext.Dedup
   * hash-derived from (id, j): no RNG state, generation is distributed
   * and replayable.
   *
-  * Usage: runMain graft.tools.SemanticScale [n] [dim] [planted] [tau]
+  * Usage: runMain graft.tools.SemanticScale [n] [dim] [planted] [tau] [nlists]
+  * where nlists is comma-separated (default "32,100,320" — production
+  * shape 0.03%–0.3%·n at the 100k decade; pass "320,1000,3200" at 1M).
   */
 object SemanticScale {
   def main(args: Array[String]): Unit = {
@@ -46,6 +48,8 @@ object SemanticScale {
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
     val planted = args.lift(2).map(_.toInt).getOrElse(1000)
     val tau = args.lift(3).map(_.toDouble).getOrElse(0.95)
+    val nlists = args.lift(4).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(32, 100, 320))
     val clusters = 200
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -81,7 +85,7 @@ object SemanticScale {
       s(math.min(s.length - 1, (p * s.length).toInt))
     }
 
-    for (nlist <- Seq(32, 100, 320)) {
+    for (nlist <- nlists) {
       val t0 = System.nanoTime()
       val assigned = Dedup.clusterAssignment(emb, nlist).cache()
       assigned.count()

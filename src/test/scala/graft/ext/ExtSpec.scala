@@ -1016,6 +1016,154 @@ class ExtSpec extends AnyFunSuite {
     assert(got(4L) == solo, "untouched doc must be verbatim")
   }
 
+  test("global span removal: overlap chain resolves to ONE cluster keeper") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // the pairwise anomaly: S = A+B+C; doc 1 holds A+B, doc 2 holds
+    // B+C, doc 3 holds all of S. Pairs (1,3) and (2,3) qualify; (1,2)
+    // shares only B (40 chars < minSpan) — no run. Pairwise smaller-id
+    // removes both intervals from doc 3 and doc 2 keeps B+C: TWO
+    // surviving occurrences of B. Cluster-global links doc 3's two
+    // overlapping intervals, so the whole chain is one component and
+    // only the (id, s)-minimum — doc 1's A+B — survives.
+    val a40 = rnd(40, 40); val b40 = rnd(41, 40); val c40 = rnd(42, 40)
+    val z30 = rnd(43, 30); val w30 = rnd(44, 30)
+    val solo = rnd(45, 50)
+    val d = Seq(
+      (1L, z30 + a40 + b40), // cluster keeper: earliest doc
+      (2L, b40 + c40 + w30), // pairwise would keep B+C; global excises it
+      (3L, a40 + b40 + c40), // both intervals removed → empty
+      (4L, solo))            // untouched
+      .toDF("doc_id", "text")
+    val pairwise = Dedup.removeSharedSpans(d, k = 16, prefix = "",
+        minShared = 2, maxGramFreq = 200, maxGap = 64, minSpan = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairwise(2L) == b40 + c40 + w30,
+      "pairwise keeps doc 2 verbatim — the two-occurrence anomaly")
+    assert(pairwise(3L) == "", "pairwise: doc 3 loses both intervals")
+    val got = Dedup.removeSharedSpansGlobal(d, k = 16, prefix = "",
+        minShared = 2, maxGramFreq = 200, maxGap = 64, minSpan = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == z30 + a40 + b40, "cluster keeper must be verbatim")
+    assert(got(2L) == w30, s"doc 2 must shed B+C: '${got(2L)}'")
+    assert(got(3L) == "", "doc 3 loses its whole span chain")
+    assert(got(4L) == solo, "untouched doc must be verbatim")
+  }
+
+  test("global span removal: ADJACENT intervals stay separate clusters") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // doc 2 holds X then Y back to back; X pairs with doc 1, Y with
+    // doc 3. The intervals touch at a point but share no characters —
+    // linking them would chain X's and Y's clusters and extinguish Y
+    // corpus-wide. Strict overlap keeps two clusters: doc 1 keeps X,
+    // doc 2 keeps Y (it is Y's earliest occurrence).
+    val x80 = rnd(50, 80); val y80 = rnd(51, 80)
+    val p30 = rnd(52, 30); val q20 = rnd(53, 20); val w10 = rnd(54, 10)
+    val d = Seq(
+      (1L, p30 + x80 + q20), // X's keeper
+      (2L, x80 + y80),       // loses X to doc 1, keeps Y
+      (3L, y80 + w10))       // loses Y to doc 2
+      .toDF("doc_id", "text")
+    val got = Dedup.removeSharedSpansGlobal(d, k = 16, prefix = "",
+        minShared = 2, maxGramFreq = 200, maxGap = 64, minSpan = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == p30 + x80 + q20, "X keeper verbatim")
+    assert(got(2L) == y80, s"doc 2 sheds X, keeps Y: '${got(2L).take(20)}…'")
+    assert(got(3L) == w10, "doc 3 sheds Y")
+  }
+
+  test("exact gram runs: extents exact to the char, sub-sample spans visible, mismatches split") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val s80 = rnd(60, 80); val s20 = rnd(61, 20)
+    val u40 = rnd(62, 40); val v40 = rnd(63, 40)
+    val d = Seq(
+      (1L, rnd(64, 30) + s80 + rnd(65, 20)),
+      (2L, rnd(66, 40) + s80 + rnd(67, 10)),  // 80 shared with 1 at d = -10
+      (3L, rnd(68, 25) + s20 + rnd(69, 25)),
+      (4L, s20 + rnd(70, 50)),                // 20 shared with 3 — below the
+                                              // sampled family's radar
+      (5L, u40 + "!" + v40),
+      (6L, u40 + "?" + v40))                  // one differing char splits 5|6
+      .toDF("doc_id", "text")
+    val runs = Dedup.exactGramRuns(d)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(6), r.getLong(5), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // (1,2): sa = 31 (a-coords), d = 31 - 41 = -10, ext EXACTLY 80,
+    // cnt = 80 - 16 + 1 (every position, no sampling)
+    assert(runs((1L, 2L)) == Set((-10L, 31L, 80L, 65L)),
+      s"exact 80-char run: ${runs((1L, 2L))}")
+    // (3,4): a 20-char span — invisible to prefix-"0" minShared=2
+    // sampling, exact here with ext = 20, cnt = 5
+    assert(runs((3L, 4L)) == Set((25L, 26L, 20L, 5L)),
+      s"sub-sample span: ${runs((3L, 4L))}")
+    // (5,6): same diagonal, one differing char → TWO exact runs of 40
+    assert(runs((5L, 6L)).map(t => (t._1, t._3)) == Set((0L, 40L)) &&
+      runs((5L, 6L)).size == 2,
+      s"mismatch splits: ${runs((5L, 6L))}")
+  }
+
+  test("exactify: sampled runs upgrade to exact extents; slack extension; bridge splits") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // 400-char shared span: the sampled family sees conservative edges;
+    // exactify must recover ext = 400 even from slack = 8 (forcing the
+    // doubling extension loop), matching exactGramRuns to the char
+    val s400 = rnd(80, 400)
+    val dd = Seq(
+      (1L, rnd(81, 37) + s400 + rnd(82, 23)),
+      (2L, rnd(83, 11) + s400 + rnd(84, 41)))
+      .toDF("doc_id", "text")
+    val sampled = Dedup.charGramRuns(dd, k = 16, prefix = "0",
+      minShared = 2, maxGramFreq = 200, maxGap = 64)
+    assert(sampled.count() >= 1, "fixture must be sampled-visible")
+    val viaSample = sampled.select("a", "b", "d", "sa", "ext").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = Dedup.exactifyRuns(dd, sampled, minKeep = 16, slack = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(exact == Set((1L, 2L, 26L, 38L, 400L)),
+      s"exact extent from slack=8: $exact")
+    assert(viaSample.forall(t => t == ((1L, 2L, 26L))), s"diagonal: ${viaSample.toSeq}")
+
+    // a sampled run BRIDGES a 10-char mismatch (gap ≤ maxGap) on one
+    // diagonal; exactify splits it into the two true runs — and agrees
+    // with exactGramRuns run for run
+    val l60 = rnd(85, 60); val r60 = rnd(86, 60)
+    // explicit distinct endpoints: p20.reverse must not share its char
+    // adjacent to l60 with p20, or the run extends 1 left by accident
+    val p20 = "A" + rnd(87, 18) + "B"
+    // bridge strings with explicitly distinct endpoints — equal first
+    // or last bridge chars would legitimately extend the exact runs
+    val bridged = Seq(
+      (1L, p20 + l60 + ("C" + rnd(88, 8) + "D") + r60),
+      (2L, p20.reverse + l60 + ("E" + rnd(89, 8) + "F") + r60))
+      .toDF("doc_id", "text")
+    val bSampled = Dedup.charGramRuns(bridged, k = 16, prefix = "0",
+      minShared = 2, maxGramFreq = 200, maxGap = 64)
+    val bExact = Dedup.exactifyRuns(bridged, bSampled, minKeep = 16)
+      .select("a", "b", "d", "sa", "ext").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val reference = Dedup.exactGramRuns(bridged, minShared = 1)
+      .where(col("ext") >= 16)
+      .select("d", "sa", "ext").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bExact == reference, s"exactify $bExact vs exact $reference")
+    assert(bExact.map(_._3) == Set(60L), s"two 60-char runs: $bExact")
+  }
+
   test("fingerprint index: cross pairs exact, own-segment exclusion, fold identity") {
     val path = java.nio.file.Files.createTempDirectory("fpidx").toString
     val corpus = Seq(
