@@ -296,6 +296,9 @@ object Dedup {
     *        ([[charGramRuns]] output); share the memoized family table
     * @param minKeep shortest exact run worth reporting, in chars
     * @param slack initial search margin beyond the sampled extent
+    * @param docsB cross-table mode: resolve the runs' b ids here
+    *        (e.g. [[charGramRunsAgainst]] candidates — a = train,
+    *        b = benchmark); defaults to `docs`
     * @return (a, b, d, sa, ext) — maximal exact shared substrings
     *         discoverable from the candidates: every maximal aligned
     *         char run of ≥ minKeep chars intersecting a candidate
@@ -304,10 +307,16 @@ object Dedup {
   def exactifyRuns(docs: DataFrame, runs: DataFrame, minKeep: Long = 16,
                    slack: Long = 64, maxIter: Int = 16,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   docsB: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val docsSel = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    // cross-table mode ([[charGramRunsAgainst]] candidates): b ids
+    // resolve in docsB — e.g. a's are training docs, b's benchmark docs
+    val bSel = docsB
+      .map(_.select(col(idCol).as("id"), col(textCol).as("t")))
+      .getOrElse(docsSel)
     // candidate regions in a's char coordinates, half-open [rs, re).
     // `anc` anchors extension rounds: round 1 keeps every run its
     // regions surface (all intersect a candidate region by
@@ -340,7 +349,7 @@ object Dedup {
       // region, then aligned per-char equality — w rows per region, 1:1
       val sliced = pending
         .join(docsSel.as("da"), col("a") === col("da.id"))
-        .join(docsSel.as("db"), col("b") === col("db.id"))
+        .join(bSel.as("db"), col("b") === col("db.id"))
         .select(col("a"), col("b"), col("d"),
           greatest(col("rs"), lit(1L), col("d") + 1L).as("lo"),
           least(col("re"), length(col("da.t")) + 1L,
@@ -381,7 +390,7 @@ object Dedup {
       // rest are maximal — keep those long enough.
       val tested = exact
         .join(docsSel.as("da"), col("a") === col("da.id"))
-        .join(docsSel.as("db"), col("b") === col("db.id"))
+        .join(bSel.as("db"), col("b") === col("db.id"))
         .select(col("a"), col("b"), col("d"), col("s"), col("e"),
           (col("s") > 1L && col("s") - col("d") > 1L &&
             col("da.t").substr((col("s") - 1L).cast("int"), lit(1)) ===
@@ -439,7 +448,29 @@ object Dedup {
                            textCol: String = "text",
                            trainPositions: Option[DataFrame] = None,
                            benchPositions: Option[DataFrame] = None,
-                           maxOccur: Int = 8): DataFrame = {
+                           maxOccur: Int = 8): DataFrame =
+    charGramRunsAgainst(train, bench, k, prefix, minShared, maxGramFreq,
+      maxGap, idCol, textCol, trainPositions, benchPositions, maxOccur)
+      .groupBy("a", "b")
+      .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
+      .withColumnRenamed("a", idCol)
+      .withColumnRenamed("b", "bench_id")
+
+  /** The per-run table under [[charGramSpansAgainst]] — the cross-table
+    * twin of [[charGramRuns]]: one row per qualifying shared run between
+    * a training doc (a) and a benchmark doc (b), with the run's diagonal
+    * and start, so downstream exactness ([[exactifyRuns]] with `docsB`)
+    * or interval logic can consume runs instead of per-pair maxima.
+    * Same plan shape: bench side broadcast, df cap train-side only.
+    */
+  def charGramRunsAgainst(train: DataFrame, bench: DataFrame,
+                          k: Int = 16, prefix: String = "0",
+                          minShared: Long = 2, maxGramFreq: Long = 200,
+                          maxGap: Long = 64, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          trainPositions: Option[DataFrame] = None,
+                          benchPositions: Option[DataFrame] = None,
+                          maxOccur: Int = 8): DataFrame = {
     val tp = capGramFreq(
       trainPositions.getOrElse(charGramPositions(train, k, prefix, idCol, textCol)),
       maxGramFreq, maxOccur)
@@ -451,9 +482,7 @@ object Dedup {
       .join(broadcast(bp.as("y")), col("x.g") === col("y.g"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (col("x.i") - col("y.i")).as("d"), col("x.i").as("pos"))
-    diagonalSpans(m, k, minShared, maxGap)
-      .withColumnRenamed("a", idCol)
-      .withColumnRenamed("b", "bench_id")
+    diagonalRuns(m, k, minShared, maxGap)
   }
 
   /** SPAN REMOVAL — the [[charGramSpans]] signal applied: excise every
@@ -800,22 +829,13 @@ object Dedup {
       .where(col("occ") <= maxOccur)
       .drop("occ")
 
-  /** Shared run arithmetic for the span family: matches (a, b, d, pos)
-    * group by diagonal, split into runs at sampled-position gaps >
-    * `maxGap`, runs of ≥ `minShared` grams reduce to per-pair
-    * (span = longest extent, grams = densest count). The window key
-    * (a, b, d) is strictly finer than the pair key — no single task
-    * ever holds more than one diagonal of one pair.
-    */
-  private def diagonalSpans(m: DataFrame, k: Int, minShared: Long,
-                            maxGap: Long): DataFrame =
-    diagonalRuns(m, k, minShared, maxGap)
-      .groupBy("a", "b")
-      .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
-
-  /** The per-run table under [[diagonalSpans]]: one row per qualifying
+  /** Shared run arithmetic for the span family: one row per qualifying
     * shared run — (a, b, d, run, cnt, ext, sa) with sa = the run's first
-    * matched position in a's coordinates (b's = sa − d).
+    * matched position in a's coordinates (b's = sa − d). Matches
+    * (a, b, d, pos) group by diagonal, split into runs at sampled-
+    * position gaps > `maxGap`. The window key (a, b, d) is strictly
+    * finer than the pair key — no single task ever holds more than one
+    * diagonal of one pair.
     */
   private def diagonalRuns(m: DataFrame, k: Int, minShared: Long,
                            maxGap: Long): DataFrame = {

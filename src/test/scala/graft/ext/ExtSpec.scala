@@ -1164,6 +1164,34 @@ class ExtSpec extends AnyFunSuite {
     assert(bExact.map(_._3) == Set(60L), s"two 60-char runs: $bExact")
   }
 
+  test("cross-table exactify: exact leaked extent, train-train pairs silent") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // an eval item of exactly 200 chars leaks verbatim into train doc 1;
+    // train docs 1 and 2 also share a 100-char span BETWEEN THEMSELVES —
+    // the cross-table candidates must surface only the bench leak, and
+    // its extent must come back exact to the char (the sampled d29
+    // numbers are conservative at the edges)
+    val leak = "A" + rnd(100, 198) + "B"
+    val t100 = "C" + rnd(101, 98) + "D"
+    val train = Seq(
+      (1L, rnd(102, 21) + leak + rnd(103, 15) + t100),
+      (2L, t100 + rnd(104, 60)))
+      .toDF("doc_id", "text")
+    val bench = Seq((50L, rnd(105, 9) + leak + rnd(106, 11)))
+      .toDF("doc_id", "text")
+    val cands = Dedup.charGramRunsAgainst(train, bench, k = 16,
+      prefix = "", minShared = 2, maxGramFreq = 200, maxGap = 64)
+    val got = Dedup.exactifyRuns(train, cands, minKeep = 16, slack = 8,
+        docsB = Some(bench))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set((1L, 50L, 22L, 200L)),
+      s"exact leak extent in train coords: $got")
+  }
+
   test("fingerprint index: cross pairs exact, own-segment exclusion, fold identity") {
     val path = java.nio.file.Files.createTempDirectory("fpidx").toString
     val corpus = Seq(
