@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Persisted benchmark gram-position index for span-level
   * decontamination at ingest time: build once over the eval sets a
@@ -13,9 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Unlike the corpus indexes ([[MinHashIndex]], [[SemanticIndex]],
   * [[FingerprintIndex]]) this one has NO append/compact lifecycle: an
-  * eval set is a fixed artifact, so the index is one immutable parquet
-  * table (`positions/` — the occurrence-capped (id, i, g) sample) plus
-  * a `_params` file pinning the gram space (k, prefix, maxOccur). A new
+  * eval set is a fixed artifact, so the index is two immutable parquet
+  * tables (`positions/` — the occurrence-capped (id, i, g) sample —
+  * and `docs/` — the benchmark text, read by [[checkExact]]'s per-char
+  * verify) plus a `_params` file pinning the gram space (k, prefix,
+  * maxOccur). A new
   * benchmark version is a new `build` at a new path — versioning by
   * replacement, whisper's resize-then-swap shape rather than its ring
   * append.
@@ -45,6 +48,40 @@ final class SpanIndex private[ext] (val spark: SparkSession, val path: String,
     Dedup.charGramSpansAgainst(batch, batch, k, prefix, minShared,
       maxGramFreq, maxGap, idCol, textCol,
       benchPositions = Some(positions), maxOccur = maxOccur)
+
+  /** The persisted benchmark documents (idCol, textCol as built) — the
+    * verify side of [[checkExact]]. Eval-set-sized, broadcastable.
+    */
+  def benchDocs: DataFrame = spark.read.parquet(s"$path/docs")
+
+  /** [[check]] at EXACT extents: the sampled cross-table runs become
+    * candidate regions and [[Dedup.exactifyRuns]] re-reads the leaked
+    * characters against the index's persisted benchmark TEXT — so the
+    * pipeline gate ("drop the doc if ≥ N contiguous chars of any eval
+    * item appear") thresholds on exact numbers, not conservative
+    * sampled ones. Verify cost is proportional to the candidate
+    * regions the sample found — a clean delivery pays only the sampled
+    * check.
+    *
+    * @return (idCol, bench_id, span, nruns) — per contaminated (batch
+    *         doc, bench doc) pair, the EXACT longest leaked span (≥
+    *         `minKeep` chars) and the count of exact leaked runs; pairs
+    *         whose exact runs all fall below `minKeep` drop out
+    */
+  def checkExact(batch: DataFrame, minShared: Long = 2,
+                 maxGramFreq: Long = 200, maxGap: Long = 64,
+                 minKeep: Long = 16, slack: Long = 64,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val bd = benchDocs
+    val cands = Dedup.charGramRunsAgainst(batch, bd, k, prefix, minShared,
+      maxGramFreq, maxGap, idCol, textCol,
+      benchPositions = Some(positions), maxOccur = maxOccur)
+    Dedup.exactifyRuns(batch, cands, minKeep, slack,
+        idCol = idCol, textCol = textCol, docsB = Some(bd))
+      .groupBy(col("a").as(idCol), col("b").as("bench_id"))
+      .agg(max(col("ext")).as("span"), count(lit(1)).as("nruns"))
+  }
 }
 
 object SpanIndex {
@@ -64,6 +101,11 @@ object SpanIndex {
     Dedup.capOccurrences(
         Dedup.charGramPositions(bench, k, prefix, idCol, textCol), maxOccur)
       .write.mode("overwrite").parquet(s"$path/positions")
+    // the benchmark text itself rides along (eval-set-sized): the
+    // [[SpanIndex.checkExact]] per-char verify reads leaked characters
+    // from it — positions alone cannot reconstruct extents exactly
+    bench.select(col(idCol), col(textCol))
+      .write.mode("overwrite").parquet(s"$path/docs")
     Files.write(Paths.get(path, "_params"),
       s"k=$k\nmaxOccur=$maxOccur\nprefix=$prefix\n"
         .getBytes(StandardCharsets.UTF_8))

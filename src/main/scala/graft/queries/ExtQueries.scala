@@ -1579,6 +1579,94 @@ object ExtQueries {
         |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
+      "d38_decontaminate_exact_indexed",
+      // d31's persisted-index lifecycle at d37's exactness: the index
+      // (positions + benchmark text + params) is built over the eval
+      // slice, persisted, reloaded, and the delivery's sampled
+      // candidates are per-char verified against the index's OWN
+      // persisted text — build → persist → load → checkExact, exact
+      // longest leaked span per pair, full oracle.
+      (s, dir) =>
+        spanIndexFor(s, dir)
+          .checkExact(docs(s, dir)
+            .where(col("doc_id") % 20 =!= 0 && col("doc_id") % 5 === 0))
+          .orderBy("doc_id", "bench_id"),
+      """WITH g0 AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+        |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+        |), p AS (
+        |  SELECT doc_id, i, g FROM g0 WHERE g LIKE '0%'
+        |), tp AS (
+        |  SELECT doc_id, i, g FROM p WHERE doc_id % 20 <> 0 AND doc_id % 5 = 0
+        |), bp AS (
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT doc_id, i, g,
+        |           row_number() OVER (PARTITION BY g, doc_id ORDER BY i) AS occ
+        |    FROM p WHERE doc_id % 20 = 0)
+        |  WHERE occ <= 8
+        |), rare AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM tp GROUP BY 1)
+        |  WHERE df <= 200
+        |), capped AS (
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT tp.doc_id, tp.i, tp.g,
+        |           row_number() OVER (PARTITION BY tp.g, tp.doc_id ORDER BY tp.i) AS occ
+        |    FROM tp JOIN rare USING (g))
+        |  WHERE occ <= 8
+        |), m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
+        |  FROM capped x JOIN bp y ON x.g = y.g
+        |), r AS (
+        |  SELECT a, b, d, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 64
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM m
+        |), r2 AS (
+        |  SELECT a, b, d, pos,
+        |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM r
+        |), sruns AS (
+        |  SELECT a, b, d, min(pos) AS sa, max(pos) - min(pos) + 16 AS ext
+        |  FROM r2 GROUP BY a, b, d, run HAVING count(*) >= 2
+        |), diag AS (
+        |  SELECT DISTINCT a, b, d FROM sruns
+        |), ap AS (
+        |  SELECT dg.a, dg.b, dg.d, CAST(u.p AS BIGINT) AS pos
+        |  FROM diag dg
+        |  JOIN documents da ON da.doc_id = dg.a
+        |  JOIN documents db ON db.doc_id = dg.b,
+        |  UNNEST(range(greatest(1, dg.d + 1),
+        |               least(length(da.text), length(db.text) + dg.d) + 1)) AS u(p)
+        |  WHERE substr(da.text, CAST(u.p AS INTEGER), 1) =
+        |        substr(db.text, CAST(u.p - dg.d AS INTEGER), 1)
+        |), er AS (
+        |  SELECT a, b, d, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 1
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM ap
+        |), er2 AS (
+        |  SELECT a, b, d, pos,
+        |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM er
+        |), eruns AS (
+        |  SELECT a, b, d, min(pos) AS sa, max(pos) - min(pos) + 1 AS ext
+        |  FROM er2 GROUP BY a, b, d, run
+        |)
+        |SELECT e.a AS doc_id, e.b AS bench_id,
+        |       CAST(max(e.ext) AS BIGINT) AS span,
+        |       CAST(count(*) AS BIGINT) AS nruns
+        |FROM eruns e
+        |WHERE e.ext >= 16 AND EXISTS (
+        |  SELECT 1 FROM sruns s
+        |  WHERE s.a = e.a AND s.b = e.b AND s.d = e.d
+        |    AND e.sa < s.sa + s.ext + 64 AND s.sa - 64 < e.sa + e.ext)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
       "d32_line_dedup",
       // C4-style exact line dedup (Raffel et al. 2020; the
       // RefinedWeb/Gopher line-granularity variant): the fixture has no

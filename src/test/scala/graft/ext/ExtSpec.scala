@@ -933,6 +933,14 @@ class ExtSpec extends AnyFunSuite {
     val direct = rows(Dedup.charGramSpansAgainst(train, bench, prefix = ""))
     assert(viaIdx == direct, s"index check diverged: $viaIdx vs $direct")
     assert(viaIdx.map(t => (t._1, t._2)) == Set((1L, 100L)), s"$viaIdx")
+
+    // checkExact reads the persisted benchmark TEXT and returns the
+    // leak's extent exact to the char (60 here — the leak's random
+    // neighbors never extend it, 1/26^2 seed risk accepted by the
+    // sibling fixtures)
+    val exact = rows(idx.checkExact(train))
+    assert(exact == Set((1L, 100L, 60L, 1L)),
+      s"exact leaked extent via persisted text: $exact")
   }
 
   test("line dedup: first occurrence wins, short lines exempt, order preserved") {
