@@ -1845,6 +1845,143 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
+      "d39_span_removal_exact_global",
+      // the full-fidelity Lee et al. 2021 intervention: EXACT runs
+      // (every gram, consecutive diagonals — d35's memo) + cluster-
+      // global keepers (d34's closure) → exactly one occurrence of
+      // every duplicated substring ≥ 48 chars survives corpus-wide,
+      // extents exact to the char. Oracle = d34's closure over the
+      // unsampled maxGap=1 runs.
+      (s, dir) =>
+        Dedup.removeSharedSpansGlobal(docs(s, dir), k = 16, prefix = "",
+            minShared = 1, maxGramFreq = 200, maxGap = 1, minSpan = 48,
+            runs = Some(exactRunsFor(s, dir)))
+          .orderBy("doc_id"),
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+        |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+        |), rare AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+        |  WHERE df <= 200
+        |), capped AS (
+        |  SELECT doc_id, i, g FROM (
+        |    SELECT p.doc_id, p.i, p.g,
+        |           row_number() OVER (PARTITION BY p.g, p.doc_id ORDER BY p.i) AS occ
+        |    FROM p JOIN rare USING (g))
+        |  WHERE occ <= 8
+        |), m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
+        |  FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id
+        |), r AS (
+        |  SELECT a, b, d, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 1
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM m
+        |), r2 AS (
+        |  SELECT a, b, d, pos,
+        |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM r
+        |), runs AS (
+        |  SELECT a, b, d, run, count(*) AS cnt,
+        |         max(pos) - min(pos) + 16 AS ext, min(pos) AS sa
+        |  FROM r2 GROUP BY 1, 2, 3, 4 HAVING count(*) >= 1
+        |), sruns AS (
+        |  SELECT a, b, d, ext, sa FROM runs WHERE ext >= 48
+        |), nd AS (
+        |  SELECT DISTINCT doc_id, s, e FROM (
+        |    SELECT a AS doc_id, sa AS s, sa + ext AS e FROM sruns
+        |    UNION
+        |    SELECT b, sa - d, sa - d + ext FROM sruns)
+        |), nk AS (
+        |  SELECT doc_id, s, e,
+        |         CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR) ||
+        |           ':' || CAST(e AS VARCHAR) AS nid
+        |  FROM nd
+        |), re AS (
+        |  SELECT CAST(a AS VARCHAR) || ':' || CAST(sa AS VARCHAR) || ':' ||
+        |           CAST(sa + ext AS VARCHAR) AS u,
+        |         CAST(b AS VARCHAR) || ':' || CAST(sa - d AS VARCHAR) || ':' ||
+        |           CAST(sa - d + ext AS VARCHAR) AS v
+        |  FROM sruns
+        |), og AS (
+        |  SELECT doc_id, s, e, nid,
+        |         sum(CASE WHEN maxe IS NULL OR s >= maxe THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM (SELECT doc_id, s, e, nid,
+        |               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |        FROM nk)
+        |), oe AS (
+        |  SELECT u, v FROM (
+        |    SELECT nid AS u,
+        |           first_value(nid) OVER (PARTITION BY doc_id, grp
+        |                                  ORDER BY s, e) AS v
+        |    FROM og)
+        |  WHERE u <> v
+        |), edges AS (
+        |  SELECT u, v FROM re UNION SELECT v, u FROM re
+        |  UNION SELECT u, v FROM oe UNION SELECT v, u FROM oe
+        |), reach(nid, l) AS (
+        |  SELECT nid, nid FROM nk
+        |  UNION
+        |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.nid
+        |), comp AS (SELECT nid, min(l) AS root FROM reach GROUP BY 1
+        |), lab AS (
+        |  SELECT k.doc_id, k.s, k.e,
+        |         row_number() OVER (PARTITION BY c.root
+        |                            ORDER BY k.doc_id, k.s, k.e) AS rn
+        |  FROM nk k JOIN comp c USING (nid)
+        |), iv0 AS (
+        |  SELECT doc_id, s, e FROM lab WHERE rn > 1
+        |), mg AS (
+        |  SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv0
+        |), mg2 AS (
+        |  SELECT doc_id, s, e,
+        |         sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM mg
+        |), merged AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM mg2 GROUP BY doc_id, grp
+        |), gaps AS (
+        |  SELECT doc_id,
+        |         lag(e, 1, CAST(1 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY s) AS st,
+        |         s
+        |  FROM merged
+        |), gsegs AS (
+        |  SELECT doc_id, st, s - st AS ln FROM gaps WHERE s - st > 0
+        |), tsegs AS (
+        |  SELECT t.doc_id, t.st, length(dd.text) + 1 - t.st AS ln
+        |  FROM (SELECT doc_id, max(e) AS st FROM merged GROUP BY 1) t
+        |  JOIN documents dd USING (doc_id)
+        |  WHERE length(dd.text) + 1 - t.st > 0
+        |), segs AS (
+        |  SELECT doc_id, st, ln FROM gsegs
+        |  UNION ALL
+        |  SELECT doc_id, st, ln FROM tsegs
+        |), spliced AS (
+        |  SELECT s.doc_id,
+        |         string_agg(substr(dd.text, CAST(s.st AS INTEGER), CAST(s.ln AS INTEGER)),
+        |                    '' ORDER BY s.st) AS text
+        |  FROM segs s JOIN documents dd USING (doc_id) GROUP BY s.doc_id
+        |), aff AS (
+        |  SELECT DISTINCT doc_id FROM merged
+        |)
+        |SELECT a.doc_id, coalesce(sp.text, '') AS text
+        |FROM aff a LEFT JOIN spliced sp USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, text FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM aff)
+        |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
       "d35_span_extent_exact",
       // d28 at suffix-array exactness (Lee et al. 2021): EVERY k-gram
       // (no prefix sample) + strictly consecutive diagonals (maxGap=1)

@@ -1172,6 +1172,26 @@ class ExtSpec extends AnyFunSuite {
     assert(bExact.map(_._3) == Set(60L), s"two 60-char runs: $bExact")
   }
 
+  test("exactify: repetitive text stays bounded — aligned compare has no fanout") {
+    // two identical log-like docs: every 16-gram repeats 12× per doc,
+    // the classic join-blowup fixture. Sampled candidates are occ-capped
+    // (8 per (doc, gram)); the per-char verify is aligned 1:1 by the
+    // diagonal, so exactify must terminate quickly AND report the exact
+    // structure: d=0 matches the whole doc; every other diagonal is a
+    // multiple of the 42-char period (self-similarity), shorter by |d|.
+    val rep = "error at line 42; retrying connection now " * 12
+    val d = Seq((1L, rep), (2L, rep)).toDF("doc_id", "text")
+    val cands = Dedup.charGramRuns(d, k = 16, prefix = "", minShared = 2,
+      maxGramFreq = 200, maxGap = 64)
+    val got = Dedup.exactifyRuns(d, cands, minKeep = 16)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    val full = got.filter(_._1 == 0L)
+    assert(full.toSeq == Seq((0L, 1L, rep.length.toLong)),
+      s"d=0 must be one exact full-length run: ${full.toSeq}")
+    assert(got.forall(t => t._1 % 42 == 0 && t._3 == rep.length - math.abs(t._1)),
+      s"off-diagonals must be period-aligned with exact shifted extents: ${got.toSeq}")
+  }
+
   test("cross-table exactify: exact leaked extent, train-train pairs silent") {
     def rnd(seed: Int, n: Int): String = {
       val r = new scala.util.Random(seed)

@@ -202,6 +202,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"non-equi join in span removal:\n$removal")
   }
 
+  test("exact span family: cross-table bench broadcasts; global removal equi-keyed") {
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val docs = (0L until 40L).map(i =>
+      (i, s"document $i body " + ("shared boilerplate span here " * 3) + i))
+      .toDF("doc_id", "text")
+
+    // Cross-table run candidates (the exact-decontamination front end):
+    // the benchmark side must broadcast, like its aggregated sibling.
+    val runsAgainst = finalPlan(graft.ext.Dedup.charGramRunsAgainst(
+      docs.where(col("doc_id") < 30), docs.where(col("doc_id") >= 30),
+      prefix = ""))
+    assert(runsAgainst.contains("BroadcastHashJoin"),
+      s"bench gram table not broadcast in charGramRunsAgainst:\n$runsAgainst")
+
+    // Cluster-global removal: interval-node edges, the CC closure, the
+    // keeper resolution, and the splice must all stay equi-keyed — a
+    // cartesian here would be quadratic in the node count.
+    val global = finalPlan(graft.ext.Dedup.removeSharedSpansGlobal(
+      docs, prefix = "", minSpan = 20))
+    assert(!global.contains("CartesianProduct") &&
+      !global.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in cluster-global span removal:\n$global")
+  }
+
   test("high-slot-count rollup auto-selects the two-stage salted plan") {
     val higher = (0 until 1000).map(i => ("m", i.toLong, i.toDouble))
       .toDF("metric", "interval", "value")
