@@ -273,6 +273,95 @@ object TextAnalysis {
         transform(sequence(lit(0L), lit(dim - 1L)),
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("vec"))
 
+  /** A trained unigram language model: `table` = (tok, logp) for every
+    * kept vocabulary token, `oovLogp` = the smoothed log-probability of
+    * any unseen token. See [[unigramLm]].
+    */
+  final case class UnigramLm(table: DataFrame, oovLogp: Double,
+                             tokens: Long, vocab: Long)
+
+  /** Train a unigram LM over a reference corpus — the relational core
+    * of CCNet's (Wenzek et al. 2020, arXiv:1911.00359) LM-perplexity
+    * quality filter, with the n-gram model reduced to its unigram
+    * spine: p(t) = (c_t + 1) / (N + V + 1), add-one smoothed over the
+    * kept vocabulary (V types, N total training tokens), and any
+    * unseen token scoring (0 + 1) / (N + V + 1) — the same formula at
+    * c = 0, so scoring needs no special OOV row.
+    *
+    * One map-side-combinable groupBy over the token stream; `minCount`
+    * prunes the tail (tokens below it fold into the unseen case),
+    * bounding the dictionary a scoring join ships. The two scalars
+    * (N, V) are collected driver-side — the centroids/codebooks
+    * precedent, two longs, never data.
+    */
+  def unigramLm(corpus: DataFrame, minCount: Long = 1,
+                idCol: String = "doc_id",
+                textCol: String = "text"): UnigramLm = {
+    val toks = corpus.select(
+      explode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .cache()
+    val n = toks.count()
+    val v = counts.count()
+    val denom = math.log((n + v + 1).toDouble)
+    UnigramLm(
+      counts.select(col("tok"),
+        (log(col("cnt").cast("double") + 1.0) - denom).as("logp")),
+      -denom, n, v)
+  }
+
+  /** Score documents against a [[UnigramLm]]: per doc, the token count
+    * and the mean negative log-probability (nats/token — the monotone
+    * core of perplexity; a pipeline thresholds "too surprising" docs
+    * the way CCNet buckets by LM score). Token-less documents keep a
+    * row with `tokens` = 0 and null `nll`.
+    *
+    * Scale shape: tokens equi-join the LM table on tok (the dictionary
+    * is `minCount`-bounded and usually broadcastable), one aggregate
+    * per doc — no other shuffle.
+    */
+  def unigramNll(docs: DataFrame, lm: UnigramLm,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0))).as("tok"))
+    val scored = toks
+      .join(lm.table, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tokens"),
+        avg(-coalesce(col("logp"), lit(lm.oovLogp))).as("nll"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"), col("nll"))
+  }
+
+  /** Linear quality scorer over [[hashedTf]] features: score =
+    * sigmoid(bias + Σ w_doc(b) · weights(b)) — the fastText-style
+    * "quality classifier" stage of a curation pipeline (train the tiny
+    * model offline, apply it corpus-wide here), with the weights a
+    * broadcast literal so scoring is one aggregate over the sparse TF
+    * rows: no join, no shuffle beyond hashedTf's own. Documents with
+    * no features (no tokens) score sigmoid(bias).
+    */
+  def scoreLinear(docs: DataFrame, weights: Seq[Double], bias: Double = 0.0,
+                  hasher: Column => Column = xxhash64(_),
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val warr = array(weights.map(lit): _*)
+    val z = TextAnalysis.hashedTf(docs, weights.length, hasher, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(sum(col("w") *
+        element_at(warr, (col("bucket") + 1L).cast("int"))).as("z"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(col("z"), lit(0.0)) + lit(bias))))).as("score"))
+  }
+
   /** One document's rolling-hash fingerprint summary. */
   final case class RollingFp(
       doc_id: Long, n_grams: Int, n_fp: Int, fp_min: Long, fp_max: Long)

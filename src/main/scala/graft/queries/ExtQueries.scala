@@ -210,6 +210,19 @@ object ExtQueries {
         df
       })
 
+  /** Unigram-LM memo per (session, dir): trained once on the corpus
+    * slice (doc_id % 5 != 0) — a model is a build-once artifact, and
+    * [[graft.ext.TextAnalysis.unigramLm]] is eager (two counting jobs).
+    */
+  private val lmMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.TextAnalysis.UnigramLm]()
+
+  private def lmFor(s: org.apache.spark.sql.SparkSession,
+                    dir: String): graft.ext.TextAnalysis.UnigramLm =
+    lmMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => TextAnalysis.unigramLm(docs(s, dir).where(col("doc_id") % 5 =!= 0)))
+
   /** MinHash-signature memo per (session, dir, n, k) — d03's second
     * build-once artifact over the memoized shingle table.
     */
@@ -791,6 +804,77 @@ object ExtQueries {
            |SELECT c.doc_id, bucket, round(CAST(cnt AS DOUBLE) / nrm, 4) AS w
            |FROM c JOIN n ON n.doc_id = c.doc_id
            |ORDER BY 1, 2""".stripMargin
+      }
+    ),
+    QueryDef(
+      "t11_text_unigram_nll",
+      // CCNet-style LM quality scoring at its relational core: a
+      // unigram LM trained on the corpus slice (doc_id % 5 != 0,
+      // add-one smoothing over N tokens + V types), every doc scored
+      // by mean negative log-probability per token. Seen and unseen
+      // tokens share one formula — p = (c+1)/(N+V+1) at c = 0 — so the
+      // whole train+score path is value-gated.
+      (s, dir) =>
+        TextAnalysis.unigramNll(docs(s, dir), lmFor(s, dir))
+          .select(col("doc_id"), col("tokens"), round(col("nll"), 4).as("nll"))
+          .orderBy("doc_id"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+         |  FROM documents
+         |), tcorp AS (
+         |  SELECT tok FROM tok WHERE doc_id % 5 <> 0
+         |), cnts AS (
+         |  SELECT tok, count(*) AS cnt FROM tcorp GROUP BY 1
+         |), nv AS (
+         |  SELECT (SELECT count(*) FROM tcorp) AS n,
+         |         (SELECT count(*) FROM cnts) AS v
+         |), sc AS (
+         |  SELECT t.doc_id, count(*) AS tokens,
+         |         avg(-(ln(coalesce(c.cnt, 0) + 1.0) - ln(n + v + 1.0))) AS nll
+         |  FROM tok t LEFT JOIN cnts c USING (tok) CROSS JOIN nv
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(sc.tokens, 0) AS BIGINT) AS tokens,
+         |       round(sc.nll, 4) AS nll
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "t12_text_quality_linear",
+      // fastText-style linear quality scorer over the hashed-TF
+      // features: sigmoid(bias + w·x) with a deterministic weight
+      // vector (w_b = ((b·37) mod 21 − 10)/10) the oracle derives from
+      // the bucket index — t10's md5-60bit hash twin keeps bucketing
+      // engine-portable, so train-offline/apply-corpus-wide scoring is
+      // value-gated end to end.
+      (s, dir) =>
+        TextAnalysis.scoreLinear(docs(s, dir),
+            (0 until 64).map(i => ((i * 37) % 21 - 10) / 10.0),
+            bias = -0.1, hasher = Dedup.md5Hash60)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy("doc_id"), {
+        val hexVal = (1 to 15)
+          .map(i =>
+            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
+              s"${BigInt(16).pow(15 - i)}")
+          .mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+           |  FROM documents
+           |), h AS (
+           |  SELECT doc_id, CAST(($hexVal) % 64 AS BIGINT) AS bucket FROM tok
+           |), c AS (
+           |  SELECT doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2
+           |), n AS (
+           |  SELECT doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm FROM c GROUP BY 1
+           |), z AS (
+           |  SELECT c.doc_id,
+           |         sum((CAST(cnt AS DOUBLE) / nrm) *
+           |             (CAST((bucket * 37) % 21 - 10 AS DOUBLE) / 10.0)) AS z
+           |  FROM c JOIN n ON n.doc_id = c.doc_id GROUP BY 1
+           |)
+           |SELECT d.doc_id,
+           |       round(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0) - 0.1))), 4) AS score
+           |FROM documents d LEFT JOIN z USING (doc_id) ORDER BY 1""".stripMargin
       }
     ),
     QueryDef(

@@ -1172,6 +1172,39 @@ class ExtSpec extends AnyFunSuite {
     assert(bExact.map(_._3) == Set(60L), s"two 60-char runs: $bExact")
   }
 
+  test("unigram LM: add-one math exact, OOV shares the formula, empty doc null") {
+    val train = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val lm = TextAnalysis.unigramLm(train)
+    assert(lm.tokens == 5 && lm.vocab == 3, s"N=${lm.tokens} V=${lm.vocab}")
+    val denom = math.log(9.0) // N + V + 1
+    assert(math.abs(lm.oovLogp - -denom) < 1e-12)
+    val got = TextAnalysis.unigramNll(
+        Seq((10L, "a z"), (11L, "")).toDF("doc_id", "text"), lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // "a" seen 2× → ln(3) − ln(9); "z" unseen → ln(1) − ln(9)
+    val expect = -((math.log(3) - denom) + (0.0 - denom)) / 2
+    assert(got(10L)._1 == 2 && math.abs(got(10L)._2.get - expect) < 1e-12,
+      s"nll math: ${got(10L)}")
+    assert(got(11L) == ((0L, None)), "token-less doc keeps a row, null nll")
+  }
+
+  test("linear scorer: weighted hashed-TF sigmoid, featureless doc scores sigmoid(bias)") {
+    // deterministic toy hasher: bucket = token length % dim
+    val lenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => length(t).cast("long")
+    val d = Seq((1L, "ab"), (2L, "!!! ...")).toDF("doc_id", "text")
+    val got = TextAnalysis.scoreLinear(d, Seq(0.1, 0.2, 0.3, 0.4),
+        bias = -0.5, hasher = lenHash)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1: one token "ab" → bucket 2, w = 1.0 → z = 0.3
+    assert(math.abs(got(1L) - 1.0 / (1.0 + math.exp(-(0.3 - 0.5)))) < 1e-12,
+      s"score math: ${got(1L)}")
+    // doc 2: no [A-Za-z0-9] tokens → no features → sigmoid(bias)
+    assert(math.abs(got(2L) - 1.0 / (1.0 + math.exp(0.5))) < 1e-12,
+      s"featureless score: ${got(2L)}")
+  }
+
   test("exactify: repetitive text stays bounded — aligned compare has no fanout") {
     // two identical log-like docs: every 16-gram repeats 12× per doc,
     // the classic join-blowup fixture. Sampled candidates are occ-capped
