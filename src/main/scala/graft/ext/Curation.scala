@@ -193,6 +193,42 @@ object Curation {
       .drop("__src", "__oshard", "__off", "__cumLocal")
   }
 
+  /** CCNet-style score-tier bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359: rank by LM score per source, keep the best
+    * tiers): each source's documents are ranked by `scoreCol` (ties
+    * broken by `idCol`) and split into `buckets` equal-frequency tiers,
+    * tier 1 = best. Compose with [[TextAnalysis.unigramNll]] (lower =
+    * better, the default ascending order) or any score column.
+    *
+    * Tier arithmetic is floor((rank − 1) · buckets / n) + 1 — spelled
+    * identically in the oracles rather than SQL NTILE, whose remainder
+    * distribution (front-loaded) differs from this even-spread form.
+    *
+    * Scale shape: the rank is [[prefixSums]] over a constant 1 — the
+    * two-phase scan — so a dominant source never serializes through one
+    * task (the packing family's discipline); per-source sizes are a
+    * broadcast-joined aggregate (one row per source).
+    *
+    * @return (source, doc_id, score, tier)
+    */
+  def bucketByScore(scored: DataFrame, buckets: Int = 3,
+                    scoreCol: String = "score", ascending: Boolean = true,
+                    idCol: String = "doc_id",
+                    srcCol: String = "source"): DataFrame = {
+    val base = scored.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        col(scoreCol).cast("double").as("score"))
+      .withColumn("one", lit(1L))
+    val order =
+      if (ascending) Seq(col("score"), col("doc_id"))
+      else Seq(col("score").desc, col("doc_id"))
+    val sizes = base.groupBy("source").agg(count(lit(1)).as("n"))
+    prefixSums(base, "source", "one", order)
+      .join(broadcast(sizes), "source")
+      .select(col("source"), col("doc_id"), col("score"),
+        (floor((col("cum") - 1L) * buckets / col("n")) + 1L)
+          .cast("int").as("tier"))
+  }
+
   /** Quality-ordered selection under a per-source token budget: each
     * source keeps its best documents (quality desc, doc_id tie-break)
     * until the next one would exceed `budget` cumulative tokens — the

@@ -878,6 +878,50 @@ object ExtQueries {
       }
     ),
     QueryDef(
+      "d40_score_buckets",
+      // CCNet's rank-and-keep step end to end: unigram-LM NLL scores
+      // (t11's model, rounded before ranking so both engines rank
+      // identical values) bucketed into 3 equal-frequency tiers per
+      // source via the two-phase prefix-sum rank — tier 1 = best.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = TextAnalysis.unigramNll(d, lmFor(s, dir))
+          .where(col("nll").isNotNull)
+          .select(col("doc_id"), round(col("nll"), 4).as("score"))
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+        Curation.bucketByScore(scored, buckets = 3)
+          .orderBy("source", "doc_id")
+      },
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+         |  FROM documents
+         |), tcorp AS (
+         |  SELECT tok FROM tok WHERE doc_id % 5 <> 0
+         |), cnts AS (
+         |  SELECT tok, count(*) AS cnt FROM tcorp GROUP BY 1
+         |), nv AS (
+         |  SELECT (SELECT count(*) FROM tcorp) AS n,
+         |         (SELECT count(*) FROM cnts) AS v
+         |), sc AS (
+         |  SELECT t.doc_id, count(*) AS tokens,
+         |         avg(-(ln(coalesce(c.cnt, 0) + 1.0) - ln(n + v + 1.0))) AS nll
+         |  FROM tok t LEFT JOIN cnts c USING (tok) CROSS JOIN nv
+         |  GROUP BY 1
+         |), scored AS (
+         |  SELECT d.source, d.doc_id, round(sc.nll, 4) AS score
+         |  FROM documents d JOIN sc USING (doc_id)
+         |  WHERE sc.nll IS NOT NULL
+         |), rk AS (
+         |  SELECT source, doc_id, score,
+         |         row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rnk,
+         |         count(*) OVER (PARTITION BY source) AS n
+         |  FROM scored
+         |)
+         |SELECT source, doc_id, score,
+         |       CAST(floor((rnk - 1) * 3 / n) + 1 AS INTEGER) AS tier
+         |FROM rk ORDER BY source, doc_id""".stripMargin
+    ),
+    QueryDef(
       "t09_text_repetition",
       // Gopher-style repetition signals at token granularity (the fixture
       // has no line structure but repeats tokens heavily): duplicate-token

@@ -151,6 +151,36 @@ class ExtSpec extends AnyFunSuite {
       && ref2.except(got2.select("source", "doc_id", "toks", "q", "cum")).isEmpty)
   }
 
+  test("score buckets: even tiers, rank ties broken by id, window-reference exact") {
+    import org.apache.spark.sql.expressions.Window
+    // 10 docs in one source + 7 in another (n not divisible by 3 —
+    // exercises the remainder spread), scores with a tie
+    val rows = ((0 until 10).map(i => ("s1", i.toLong, (i % 5).toDouble)) ++
+      (0 until 7).map(i => ("s2", 100L + i, (7 - i).toDouble)))
+      .toDF("source", "doc_id", "score")
+    val got = Curation.bucketByScore(rows, buckets = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val w = Window.partitionBy("source").orderBy("score", "doc_id")
+    val ref = rows
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("source"), col("doc_id"),
+        (floor((col("rnk") - 1L) * 3L / col("n")) + 1L).cast("int").as("tier"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == ref, s"tier mismatch: ${got.toSeq.sorted} vs ${ref.toSeq.sorted}")
+    // equal-frequency contract: per-source tier sizes differ by ≤ 1
+    Seq("s1", "s2").foreach { s =>
+      val sizes = got.collect { case ((`s`, _), t) => t }
+        .groupBy(identity).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$s tier sizes: $sizes")
+    }
+    // descending mode flips the ranking (best = highest score)
+    val desc = Curation.bucketByScore(rows.where(col("source") === "s2"),
+        buckets = 3, ascending = false)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(desc(100L) == 1 && desc(106L) == 3, s"descending tiers: $desc")
+  }
+
   test("minhash-LSH near-dups == brute-force jaccard pairs at tau=0.5") {
     val brute = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
