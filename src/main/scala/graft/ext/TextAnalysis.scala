@@ -338,6 +338,84 @@ object TextAnalysis {
         coalesce(col("tokens"), lit(0L)).as("tokens"), col("nll"))
   }
 
+  /** A trained interpolated bigram LM: `uni` = (tok, cnt), `bi` =
+    * (prev, tok, bcnt), mixed at `lambda`. See [[bigramLm]].
+    */
+  final case class BigramLm(uni: DataFrame, bi: DataFrame, lambda: Double,
+                            tokens: Long, vocab: Long)
+
+  /** Train an interpolated bigram LM — one rung up [[unigramLm]]'s
+    * ladder toward CCNet's full KenLM: p(t | prev) = λ · p_bi + (1−λ) ·
+    * p_uni with p_bi = (c(prev,t) + 1) / (c(prev) + V + 1) and p_uni =
+    * (c(t) + 1) / (N + V + 1), both add-one smoothed so unseen events
+    * share the formula at c = 0. Bigrams never cross document
+    * boundaries. `minCount` prunes the unigram dictionary (the bigram
+    * table is naturally sparser); with pruning, a pruned context scores
+    * as unseen — document-level monotonicity, not a normalized LM.
+    *
+    * Training is two map-side-combinable groupBys over the token
+    * stream; the bigram pairing is a per-doc lag window (keyed by doc,
+    * bounded by one document's length — no corpus-scale window).
+    */
+  def bigramLm(corpus: DataFrame, lambda: Double = 0.7, minCount: Long = 1,
+               idCol: String = "doc_id",
+               textCol: String = "text"): BigramLm = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("idx")
+    val toks = corpus.select(
+      col(idCol).as("doc_id"),
+      posexplode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0)))
+        .as(Seq("idx", "tok")))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .cache()
+    val bi = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("bcnt"))
+    BigramLm(uni, bi, lambda, toks.count(), uni.count())
+  }
+
+  /** Score documents against a [[BigramLm]]: per doc, token count and
+    * mean negative log-probability — each document's first token scores
+    * by the unigram term alone (no context), every later one by the
+    * interpolated mixture. Token-less documents keep a row with null
+    * `nll` ([[unigramNll]]'s contract).
+    *
+    * Scale shape: one per-doc lag window, three dictionary equi-joins
+    * (unigram twice — token and context — and the bigram table), one
+    * aggregate per doc.
+    */
+  def bigramNll(docs: DataFrame, lm: BigramLm,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("idx")
+    val denomU = lit((lm.tokens + lm.vocab + 1).toDouble)
+    val toks = docs.select(
+        col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0)))
+          .as(Seq("idx", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+    val joined = toks
+      .join(lm.uni.select(col("tok"), col("cnt").as("cu")), Seq("tok"), "left")
+      .join(lm.uni.select(col("tok").as("prev"), col("cnt").as("cp")),
+        Seq("prev"), "left")
+      .join(lm.bi.select(col("prev"), col("tok"), col("bcnt")),
+        Seq("prev", "tok"), "left")
+    val pu = (coalesce(col("cu"), lit(0L)) + 1.0) / denomU
+    val pb = (coalesce(col("bcnt"), lit(0L)) + 1.0) /
+      (coalesce(col("cp"), lit(0L)) + lit((lm.vocab + 1).toDouble))
+    val p = when(col("prev").isNull, pu)
+      .otherwise(lit(lm.lambda) * pb + (lit(1.0) - lit(lm.lambda)) * pu)
+    val scored = joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tokens"), avg(-log(p)).as("nll"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"), col("nll"))
+  }
+
   /** Linear quality scorer over [[hashedTf]] features: score =
     * sigmoid(bias + Σ w_doc(b) · weights(b)) — the fastText-style
     * "quality classifier" stage of a curation pipeline (train the tiny

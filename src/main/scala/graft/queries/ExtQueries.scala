@@ -223,6 +223,15 @@ object ExtQueries {
       s"${System.identityHashCode(s)}:$dir",
       _ => TextAnalysis.unigramLm(docs(s, dir).where(col("doc_id") % 5 =!= 0)))
 
+  private val lm2Memo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.TextAnalysis.BigramLm]()
+
+  private def lm2For(s: org.apache.spark.sql.SparkSession,
+                     dir: String): graft.ext.TextAnalysis.BigramLm =
+    lm2Memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => TextAnalysis.bigramLm(docs(s, dir).where(col("doc_id") % 5 =!= 0)))
+
   /** MinHash-signature memo per (session, dir, n, k) — d03's second
     * build-once artifact over the memoized shingle table.
     */
@@ -833,6 +842,57 @@ object ExtQueries {
          |         avg(-(ln(coalesce(c.cnt, 0) + 1.0) - ln(n + v + 1.0))) AS nll
          |  FROM tok t LEFT JOIN cnts c USING (tok) CROSS JOIN nv
          |  GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(sc.tokens, 0) AS BIGINT) AS tokens,
+         |       round(sc.nll, 4) AS nll
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "t13_text_bigram_nll",
+      // one rung up t11's ladder toward CCNet's KenLM: interpolated
+      // bigram scoring (λ=0.7), add-one smoothed at both orders, first
+      // token of each doc scored by the unigram term alone. Bigrams
+      // never cross doc boundaries; the whole train+score path is
+      // value-gated including unseen-context and unseen-bigram cases.
+      (s, dir) => {
+        val lm = lm2For(s, dir)
+        TextAnalysis.bigramNll(docs(s, dir), lm)
+          .select(col("doc_id"), col("tokens"), round(col("nll"), 4).as("nll"))
+          .orderBy("doc_id")
+      },
+      s"""WITH dt AS (
+         |  SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.TokenRe}') AS arr
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+         |         arr[CAST(u.i AS INTEGER)] AS tok,
+         |         CASE WHEN u.i > 1 THEN arr[CAST(u.i AS INTEGER) - 1] END AS prev
+         |  FROM dt, UNNEST(range(1, len(arr) + 1)) AS u(i)
+         |), tr AS (
+         |  SELECT tok, prev FROM tok WHERE doc_id % 5 <> 0
+         |), cnts AS (
+         |  SELECT tok, count(*) AS cnt FROM tr GROUP BY 1
+         |), bis AS (
+         |  SELECT prev, tok, count(*) AS bcnt FROM tr WHERE prev IS NOT NULL
+         |  GROUP BY 1, 2
+         |), nv AS (
+         |  SELECT (SELECT count(*) FROM tr) AS n,
+         |         (SELECT count(*) FROM cnts) AS v
+         |), ps AS (
+         |  SELECT t.doc_id, t.prev,
+         |         (coalesce(cu.cnt, 0) + 1.0) / (n + v + 1.0) AS pu,
+         |         (coalesce(b.bcnt, 0) + 1.0) /
+         |           (coalesce(cp.cnt, 0) + v + 1.0) AS pb
+         |  FROM tok t
+         |  LEFT JOIN cnts cu ON cu.tok = t.tok
+         |  LEFT JOIN cnts cp ON cp.tok = t.prev
+         |  LEFT JOIN bis b ON b.prev = t.prev AND b.tok = t.tok
+         |  CROSS JOIN nv
+         |), sc AS (
+         |  SELECT doc_id, count(*) AS tokens,
+         |         avg(-ln(CASE WHEN prev IS NULL THEN pu
+         |                      ELSE 0.7 * pb + (1.0 - 0.7) * pu END)) AS nll
+         |  FROM ps GROUP BY 1
          |)
          |SELECT d.doc_id, CAST(coalesce(sc.tokens, 0) AS BIGINT) AS tokens,
          |       round(sc.nll, 4) AS nll

@@ -1219,6 +1219,34 @@ class ExtSpec extends AnyFunSuite {
     assert(got(11L) == ((0L, None)), "token-less doc keeps a row, null nll")
   }
 
+  test("bigram LM: interpolation math exact, first token unigram-only, unseen context") {
+    val train = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLm(train, lambda = 0.7)
+    // N=5, V=3; bigrams (a,a)=1, (a,b)=1, (b,c)=1 — (b,?) never crosses
+    // the doc-1/doc-2 boundary.
+    assert(lm.tokens == 5 && lm.vocab == 3, s"N=${lm.tokens} V=${lm.vocab}")
+    val bi = lm.bi.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi == Map(("a", "a") -> 1L, ("a", "b") -> 1L, ("b", "c") -> 1L),
+      s"bigram table: $bi")
+    val got = TextAnalysis.bigramNll(
+        Seq((10L, "a b"), (11L, "z z"), (12L, "")).toDF("doc_id", "text"), lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // doc 10: "a" first → pu = (2+1)/9; "b"|"a" → pb = (1+1)/(2+4),
+    // pu = 3/9, p = 0.7/3 + 0.3/3 = 1/3 exactly.
+    val e10 = -(math.log(3.0 / 9) + math.log(1.0 / 3)) / 2
+    assert(got(10L)._1 == 2 && math.abs(got(10L)._2.get - e10) < 1e-12,
+      s"seen-bigram math: ${got(10L)}")
+    // doc 11: "z" first → pu = 1/9; "z"|"z" unseen context → pb =
+    // (0+1)/(0+4), same add-one formula at c = 0.
+    val e11 = -(math.log(1.0 / 9) +
+      math.log(0.7 / 4 + 0.3 / 9)) / 2
+    assert(math.abs(got(11L)._2.get - e11) < 1e-12,
+      s"unseen-context math: ${got(11L)}")
+    assert(got(12L) == ((0L, None)), "token-less doc keeps a row, null nll")
+  }
+
   test("linear scorer: weighted hashed-TF sigmoid, featureless doc scores sigmoid(bias)") {
     // deterministic toy hasher: bucket = token length % dim
     val lenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
