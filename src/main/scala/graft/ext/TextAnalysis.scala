@@ -416,6 +416,75 @@ object TextAnalysis {
         coalesce(col("tokens"), lit(0L)).as("tokens"), col("nll"))
   }
 
+  /** The stopwords Gopher's "required word" rule checks for (Rae et al.
+    * 2021, arXiv:2112.11446, table A1): a document must contain at least
+    * `minStopHits` DISTINCT members to pass.
+    */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher's rule-based document-quality filter (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) as one per-document flag table: word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio (`#` and
+    * ellipses), bullet-line and ellipsis-line fractions, alphabetic-word
+    * fraction, and the required-stopword rule; `keep` = the conjunction.
+    * Emits the raw metrics AND the 0/1 per-rule flags so a pipeline can
+    * report per-rule attrition ([[graft.ext.Curation]]'s stage pattern)
+    * rather than a single opaque verdict.
+    *
+    * Every signal is a pure Column expression over the text — counts and
+    * exact int/int divisions only (no float accumulation), so the values
+    * are bit-identical across engines. Scale shape: embarrassingly
+    * parallel, no shuffle, runs at scan speed.
+    */
+  def gopherRules(docs: DataFrame,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val words = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val wc = size(words).cast("long")
+    val wcD = greatest(wc.cast("double"), lit(1.0))
+    // mean word length = non-whitespace chars / words (exact division)
+    val meanLen = length(regexp_replace(text, "\\s+", "")).cast("double") / wcD
+    val symbolRatio =
+      size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+        .cast("double") / wcD
+    val lines = split(text, "\n")
+    val lnD = greatest(size(lines).cast("double"), lit(1.0))
+    val bulletFrac =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / lnD
+    val ellipsisFrac =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / lnD
+    val alphaFrac =
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / wcD
+    val stopHits = GopherStops
+      .map(w => when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    def flag(c: Column): Column = when(c, 1).otherwise(0)
+    val rWords = flag(wc >= minWords && wc <= maxWords)
+    val rWordLen = flag(meanLen >= minWordLen && meanLen <= maxWordLen)
+    val rSymbol = flag(symbolRatio <= maxSymbolRatio)
+    val rBullet = flag(bulletFrac <= maxBulletFrac)
+    val rEllipsis = flag(ellipsisFrac <= maxEllipsisFrac)
+    val rAlpha = flag(alphaFrac >= minAlphaFrac)
+    val rStop = flag(stopHits >= minStopHits)
+    docs.select(
+      col(idCol).as("doc_id"),
+      wc.as("words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      rWords.as("r_words"), rWordLen.as("r_word_len"),
+      rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"), rStop.as("r_stop"),
+      (rWords * rWordLen * rSymbol * rBullet * rEllipsis * rAlpha * rStop)
+        .as("keep"))
+  }
+
   /** Linear quality scorer over [[hashedTf]] features: score =
     * sigmoid(bias + Σ w_doc(b) · weights(b)) — the fastText-style
     * "quality classifier" stage of a curation pipeline (train the tiny

@@ -434,6 +434,25 @@ object ExtQueries {
     docs(s, dir).withColumn("text",
       regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"))
 
+  /** t14's enriched fixture: [[linedDocs]] plus deterministic bullet
+    * lines (lines starting 'a'), `#` symbols (the word "hash"),
+    * line-final ellipses (lines ending 'e'), and a second Gopher
+    * stopword ("data" → "of"; the fixture vocabulary only contains
+    * "the") — so every Gopher rule is load-bearing over a fixture that
+    * natively has none of them. Same four regex rewrites on both
+    * engines.
+    */
+  private def gopherDocs(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    linedDocs(s, dir).withColumn("text",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), "(^|\\n)a", "$1- a"),
+            "\\bhash\\b", "#"),
+          "\\bdata\\b", "of"),
+        "e(\\n|$)", "e...$1"))
+
   private def lineIndexFor(s: org.apache.spark.sql.SparkSession,
                            dir: String): graft.ext.LineIndex =
     lineIdxMemo.computeIfAbsent(
@@ -936,6 +955,73 @@ object ExtQueries {
            |       round(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0) - 0.1))), 4) AS score
            |FROM documents d LEFT JOIN z USING (doc_id) ORDER BY 1""".stripMargin
       }
+    ),
+    QueryDef(
+      "t14_text_gopher_rules",
+      // Gopher's rule-based quality filter (Rae et al. 2021 §A1.1) at
+      // its published thresholds, per-rule flags + keep, over the
+      // enriched fixture (synthesized lines, bullets, '#', ellipses —
+      // see gopherDocs) so all seven rules are load-bearing. Every
+      // metric is a count or an exact int/int division; no rounding.
+      (s, dir) =>
+        TextAnalysis.gopherRules(gopherDocs(s, dir)).orderBy("doc_id"),
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t0
+        |  FROM documents
+        |), enr AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(t0, '(^|\n)a', '\1- a', 'g'),
+        |               '\bhash\b', '#', 'g'),
+        |             '\bdata\b', 'of', 'g'),
+        |           'e(\n|$)', 'e...\1', 'g') AS t
+        |  FROM lined
+        |), m AS (
+        |  SELECT doc_id, t,
+        |         CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS words,
+        |         greatest(CAST(len(regexp_extract_all(t, '\S+')) AS DOUBLE), 1.0) AS wd,
+        |         string_split(t, chr(10)) AS ls
+        |  FROM enr
+        |), x AS (
+        |  SELECT doc_id, words,
+        |    CAST(length(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) / wd AS mean_word_len,
+        |    CAST(len(regexp_extract_all(t, '#|\.\.\.|…')) AS DOUBLE) / wd AS symbol_ratio,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+        |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS bullet_frac,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE)
+        |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS ellipsis_frac,
+        |    CAST(len(list_filter(regexp_extract_all(t, '\S+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / wd AS alpha_frac,
+        |    CAST(CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END
+        |      AS BIGINT) AS stop_hits
+        |  FROM m
+        |), f AS (
+        |  SELECT *,
+        |    CASE WHEN words >= 50 AND words <= 100000 THEN 1 ELSE 0 END AS r_words,
+        |    CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS r_word_len,
+        |    CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol,
+        |    CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS r_bullet,
+        |    CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END AS r_ellipsis,
+        |    CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS r_alpha,
+        |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop
+        |  FROM x
+        |)
+        |SELECT doc_id, words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, stop_hits, r_words, r_word_len,
+        |  r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
+        |  r_words * r_word_len * r_symbol * r_bullet * r_ellipsis
+        |    * r_alpha * r_stop AS keep
+        |FROM f ORDER BY 1""".stripMargin
     ),
     QueryDef(
       "d40_score_buckets",

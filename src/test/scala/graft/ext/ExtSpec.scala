@@ -1247,6 +1247,37 @@ class ExtSpec extends AnyFunSuite {
     assert(got(12L) == ((0L, None)), "token-less doc keeps a row, null nll")
   }
 
+  test("gopher rules: metrics exact on hand-built docs, each rule flags correctly") {
+    val d = Seq(
+      (1L, "- aa bb... cc\n# the dd to\nx"),
+      (2L, "aaaa bbbb...\ncccc dddd"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(d, minWords = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 9 ws-words, 19 non-ws chars; symbols # + ... = 2; 3 lines,
+    // one bullet; alpha words 7 (− '-' and '#'); stops {the, to} = 2.
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 9 && math.abs(r1.getDouble(2) - 19.0 / 9) < 1e-15)
+    assert(math.abs(r1.getDouble(3) - 2.0 / 9) < 1e-15, "symbol_ratio")
+    assert(math.abs(r1.getDouble(4) - 1.0 / 3) < 1e-15, "bullet_frac")
+    assert(r1.getDouble(5) == 0.0, "ellipsis_frac")
+    assert(math.abs(r1.getDouble(6) - 7.0 / 9) < 1e-15, "alpha_frac")
+    assert(r1.getLong(7) == 2, "stop_hits")
+    // flags: words pass, word_len fail (2.11<3), symbol fail (0.22>0.1),
+    // bullet pass, ellipsis pass, alpha fail (0.778<0.8), stop pass
+    assert((8 to 15).map(r1.getInt) == Seq(1, 0, 0, 1, 1, 0, 1, 0),
+      s"doc1 flags: ${(8 to 15).map(r1.getInt)}")
+    // doc 2: 4 words (min 5 fails), mean 19/4 passes, one of two lines
+    // ends with an ellipsis (0.5 > 0.3 fails), no stops.
+    val r2 = got(2L)
+    assert(r2.getLong(1) == 4 && math.abs(r2.getDouble(5) - 0.5) < 1e-15)
+    assert((8 to 15).map(r2.getInt) == Seq(0, 1, 0, 1, 0, 1, 0, 0),
+      s"doc2 flags: ${(8 to 15).map(r2.getInt)}")
+    // doc 3: empty text keeps its row, all-zero metrics, keep = 0.
+    val r3 = got(3L)
+    assert(r3.getLong(1) == 0 && r3.getDouble(2) == 0.0 && r3.getInt(15) == 0)
+  }
+
   test("linear scorer: weighted hashed-TF sigmoid, featureless doc scores sigmoid(bias)") {
     // deterministic toy hasher: bucket = token length % dim
     val lenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
