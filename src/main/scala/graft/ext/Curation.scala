@@ -229,6 +229,50 @@ object Curation {
           .cast("int").as("tier"))
   }
 
+  /** Temperature-scaled source mixing — the multilingual/multi-source
+    * sampling rule of XLM-R and mT5 (Conneau et al. 2020,
+    * arXiv:1911.02116 §5; Xue et al. 2021, arXiv:2010.11934 §3.1):
+    * sample sources with probability p_s ∝ n_s^τ, flattening a Zipfian
+    * source distribution toward uniform as τ → 0 (τ = 1 keeps natural
+    * proportions) so dominant crawls stop drowning the tail. Each
+    * source's quota out of `target` total documents is
+    * least(n_s, floor(target · w_s)) with w_s = n_s^τ / Σ_t n_t^τ
+    * ROUNDED to 9 decimals first — canonicalizing the only
+    * engine-divergent floats (pow + an order-sensitive sum) before the
+    * floor, so reruns and engine ports compute identical quotas. Within
+    * a source the quota picks the smallest md5(id) hashes
+    * ([[capPerSource]]'s key): deterministic, portable, and stable —
+    * a doc's hash never changes, so growing the corpus only ever
+    * slides the quota boundary.
+    *
+    * Scale shape: source stats are one map-side-combinable aggregate
+    * (one row per source) and ride a broadcast join back; the
+    * within-source rank is the two-phase [[prefixSums]] scan, so a
+    * source holding most of the corpus spreads over ~all shards.
+    * Sources whose scaled share floors to a zero quota drop out.
+    *
+    * @return (source, doc_id, rk, quota) — the kept rows with their
+    *         hash-order rank and the source's quota
+    */
+  def temperatureSample(docs: DataFrame, tau: Double, target: Long,
+                        idCol: String = "doc_id",
+                        srcCol: String = "source"): DataFrame = {
+    val sizes = docs.groupBy(col(srcCol).as("source")).agg(count(lit(1)).as("n"))
+    val tot = sizes.agg(sum(pow(col("n"), lit(tau))).as("wsum"))
+    val quotas = sizes.crossJoin(broadcast(tot))
+      .withColumn("w", round(pow(col("n"), lit(tau)) / col("wsum"), 9))
+      .select(col("source"),
+        least(col("n"), floor(lit(target.toDouble) * col("w")).cast("long"))
+          .as("quota"))
+    val rows = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      md5(col(idCol).cast("string")).as("__ord"), lit(1L).as("__one"))
+    prefixSums(rows, "source", "__one", Seq(col("__ord"), col("doc_id")))
+      .select(col("source"), col("doc_id"), col("cum").cast("int").as("rk"))
+      .join(broadcast(quotas), "source")
+      .where(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+  }
+
   /** Quality-ordered selection under a per-source token budget: each
     * source keeps its best documents (quality desc, doc_id tie-break)
     * until the next one would exceed `budget` cumulative tokens — the

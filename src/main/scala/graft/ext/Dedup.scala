@@ -72,7 +72,50 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                    maxShingleFreq: Long = 1000,
                    idCol: String = "doc_id", textCol: String = "text",
-                   shingled: Option[DataFrame] = None): DataFrame = {
+                   shingled: Option[DataFrame] = None): DataFrame =
+    shingleIntersections(docs, n, maxShingleFreq, idCol, textCol, shingled)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** Exact n-gram CONTAINMENT duplicate pairs (a < b, containment >=
+    * tau): containment = |S_a ∩ S_b| / min(|S_a|, |S_b|) — Broder's
+    * containment coefficient (Broder 1997, "On the resemblance and
+    * containment of documents"), the asymmetric near-dup signal Jaccard
+    * structurally underweights. A short document quoted whole inside a
+    * long one has Jaccard ≈ |short|/|long| (the union is dominated by
+    * the long doc — a 1 KB post inside a 100 KB page scores 0.01, below
+    * any useful tau) but containment 1.0; subsumption dedup, quote
+    * mining, and template detection all want this denominator.
+    *
+    * Same blocked candidate generation as [[jaccardPairs]] — shared
+    * shingle dictionary, frequency-cap window whose exchange the
+    * self-join reuses, intersection counted only on blocked pairs —
+    * only the verification ratio changes, so the 100 TB shape is
+    * identical: no cross join, one shuffle keyed by shingle hash, one
+    * by pair.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.8,
+                       maxShingleFreq: Long = 1000,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingled: Option[DataFrame] = None): DataFrame =
+    shingleIntersections(docs, n, maxShingleFreq, idCol, textCol, shingled)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .where(col("containment") >= tau)
+      .select(col("a"), col("b"), col("containment"))
+
+  /** Shared candidate-intersection core of the word-shingle pair family:
+    * blocked (share ≥1 capped shingle) doc pairs with their exact
+    * intersection count and both set sizes — (a, b, inter, na, nb),
+    * a < b. [[jaccardPairs]] and [[containmentPairs]] differ only in the
+    * ratio they verify over this frame.
+    */
+  private def shingleIntersections(docs: DataFrame, n: Int,
+                                   maxShingleFreq: Long,
+                                   idCol: String, textCol: String,
+                                   shingled: Option[DataFrame]): DataFrame = {
     // `shingled` = a precomputed HASHED (id, h) table from [[hashShingles]]
     // (session-memoized by callers running several dedup strategies over
     // one corpus — shingling is the family's shared dominant cost;
@@ -104,10 +147,6 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .where(col("jaccard") >= tau)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Character-k-gram span-overlap pairs: the substring-duplication

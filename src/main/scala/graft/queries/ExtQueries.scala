@@ -1110,6 +1110,37 @@ object ExtQueries {
           shingled = Some(shinglesFor(s, dir, 3))).orderBy("a", "b"),
       jaccardSql(0.3)),
     QueryDef(
+      "d41_dedup_containment",
+      // Broder containment pairs: |S_a ∩ S_b| / min(|S_a|, |S_b|) — the
+      // asymmetric subsumption signal (short doc quoted inside a long
+      // one) that Jaccard's union denominator washes out. Same shingle
+      // dictionary and blocked join as d02; only the verify ratio
+      // differs, so the oracle is jaccardSql's shape with least().
+      (s, dir) =>
+        Dedup.containmentPairs(docs(s, dir), n = 3, tau = 0.5,
+          shingled = Some(shinglesFor(s, dir, 3)))
+          .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
+          .orderBy("a", "b"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+         |), tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM tok
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b,
+         |  round(CAST(c AS DOUBLE) / CAST(least(na.sz, nb.sz) AS DOUBLE), 4) AS containment
+         |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+         |WHERE CAST(c AS DOUBLE) / CAST(least(na.sz, nb.sz) AS DOUBLE) >= 0.5
+         |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
       "d03_dedup_minhash",
       // k=128, bands=64 (rows=2): candidate miss prob at j=0.5 is
       // (1-0.25)^64 ≈ 1e-8 — LSH recall is effectively exact, and exact
@@ -1292,6 +1323,43 @@ object ExtQueries {
         |    PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
+      "d42_temperature_mix",
+      // XLM-R/mT5 temperature sampling: per-source quota ∝ n^τ out of a
+      // 300-doc target (τ=0.5 flattens toward uniform), filled by the
+      // stable md5-hash order. The fixture's sources are uniform, so a
+      // Zipfian head is derived (70% of docs fold into one 'head'
+      // source, spelled identically on both engines) to keep the τ
+      // reweighting AND the least(n, ·) clamp both load-bearing: the
+      // head's quota floors well under its n; tail quotas clamp at n.
+      // Weights round to 9dp BEFORE the quota floor on both engines,
+      // canonicalizing pow/sum float drift.
+      (s, dir) => Curation.temperatureSample(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 10 < 7, lit("head"))
+            .otherwise(col("source")).as("source")),
+        tau = 0.5, target = 300).orderBy("doc_id"),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
+        |  FROM documents
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM d GROUP BY 1
+        |), q AS (
+        |  SELECT source,
+        |    least(n, CAST(floor(300.0 * round(pow(n, 0.5) /
+        |      (SELECT sum(pow(n, 0.5)) FROM sz), 9)) AS BIGINT)) AS quota
+        |  FROM sz
+        |), rk AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d
+        |)
+        |SELECT source, doc_id, CAST(rk AS INTEGER) AS rk, quota
+        |FROM rk JOIN q USING (source)
+        |WHERE rk <= quota ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
       "d13_pack_chunks",

@@ -181,6 +181,51 @@ class ExtSpec extends AnyFunSuite {
     assert(desc(100L) == 1 && desc(106L) == 3, s"descending tiers: $desc")
   }
 
+  test("temperatureSample: τ flattens Zipfian sources; quotas exact; hash-order stable") {
+    import org.apache.spark.sql.expressions.Window
+    // 90/10 Zipf-ish split: τ=1 keeps natural shares, τ=0.5 lifts the tail
+    val d = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (0 until 10).map(i => (1000L + i, "small"))).toDF("doc_id", "source")
+    def quotas(tau: Double) =
+      Curation.temperatureSample(d, tau, target = 40)
+        .groupBy("source").agg(max("quota").as("q"), count(lit(1)).as("kept"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nat = quotas(1.0)
+    assert(nat("big") == ((36L, 36L)) && nat("small") == ((4L, 4L)), s"τ=1: $nat")
+    val flat = quotas(0.5) // sqrt(90):sqrt(10) = 0.75:0.25 of 40 → 30/10
+    assert(flat("big") == ((30L, 30L)) && flat("small") == ((10L, 10L)), s"τ=0.5: $flat")
+    // selection = the smallest md5 hashes per source (window reference)
+    val got = Curation.temperatureSample(d, 0.5, target = 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ref = d
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .where(col("rk") <= when(col("source") === "big", 30).otherwise(10))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == ref, s"selection mismatch: ${got -- ref} / ${ref -- got}")
+  }
+
+  test("containment: subsumed doc scores 1.0 where jaccard washes out; ⊇ jaccard pairs") {
+    // a 4-shingle post quoted verbatim inside a much longer page:
+    // containment = 1.0, jaccard = 4/24 ≈ 0.17 — the asymmetric case
+    // the containment denominator exists for
+    val post = "alpha beta gamma delta epsilon zeta"
+    val page = ((1 to 22).map(i => s"w$i").mkString(" ")) + " " + post
+    val synth = Seq((1L, post), (2L, page)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(synth, n = 3, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), s"containment: ${cont.toSeq}")
+    assert(Dedup.jaccardPairs(synth, n = 3, tau = 0.5).isEmpty,
+      "jaccard must miss the subsumption pair")
+    // on the fixture: containment ≥ jaccard pointwise (min ≤ union), so
+    // the pair set at one tau contains the jaccard pair set at that tau
+    val jp = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cp = Dedup.containmentPairs(docs, n = 3, tau = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jp.nonEmpty && jp.subsetOf(cp), s"jaccard ⊄ containment: ${jp -- cp}")
+  }
+
   test("minhash-LSH near-dups == brute-force jaccard pairs at tau=0.5") {
     val brute = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
