@@ -262,6 +262,75 @@ object TextAnalysis {
     * per-doc map holds ≤ dim entries, so the collect_list is bounded by
     * dim, never by document length.
     */
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every raw-corpus document by the
+    * log-likelihood ratio of its hashed unigram features under a TARGET
+    * domain's bucket distribution vs the raw corpus's own —
+    * llr(doc) = Σ_b c_b(doc) · (ln p̂_t(b) − ln p̂_r(b)), with add-one
+    * smoothed bucket unigram models p̂(b) = (c_b + 1) / (N + dim) on
+    * each side (every bucket seen ≥ "once", so no ±∞ terms). Documents
+    * whose feature profile looks like the target domain score high;
+    * selection is then top-k / [[Curation.bucketByScore]] /
+    * thresholding over `avg_llr` (the length-normalized form — raw
+    * `llr` grows with doc length, which pure importance RESAMPLING
+    * wants, while quality FILTERING wants the per-token rate; both are
+    * returned).
+    *
+    * Scale shape: two token-stream scans (raw + target) collapse
+    * map-side into ≤ `dim`-row bucket tables; the dim-row log-ratio
+    * table broadcasts back onto the per-doc bucket counts (themselves
+    * ≤ dim rows per doc, map-side combined). Nothing ever shuffles on
+    * text; the target corpus is typically tiny (a benchmark or curated
+    * seed set) and the raw side streams through one aggregation — the
+    * same one-pass discipline as [[unigramLm]].
+    *
+    * @param hasher token hash — xxhash64 (fast engine default) or
+    *        [[Dedup.md5Hash60]] (cross-engine, the t10 oracle spelling)
+    * @return (doc_id, tokens, llr, avg_llr) for every raw doc with ≥1
+    *         token
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, dim: Int = 64,
+                        hasher: Column => Column = xxhash64(_),
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def buckets(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0))).as("tok"))
+      .select(col("doc_id"), pmod(hasher(col("tok")), lit(dim.toLong)).as("bucket"))
+    // the raw token stream is scanned ONCE: per-doc bucket counts are
+    // the base table, and the raw-side bucket model re-aggregates THEM
+    // (≤ dim rows per doc) instead of re-tokenizing the corpus — at
+    // 100 TB that is the difference between one and two passes over the
+    // text. Both consumers sit on the SAME (doc_id, bucket) exchange,
+    // so ReuseExchange ships the shuffle files to both (the plan audit
+    // pins the ReusedExchange node).
+    val dc = buckets(raw).groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    // per-side bucket models over ALL dim buckets (unseen buckets carry
+    // their smoothed c=0 mass): a dim-row frame left-joined with counts
+    val allB = raw.sparkSession.range(0, dim).select(col("id").as("bucket"))
+    def model(counts: DataFrame, cntCol: String, nCol: String) = {
+      val n = counts.agg(coalesce(sum(cntCol), lit(0L)).as(nCol))
+      allB.join(counts, Seq("bucket"), "left")
+        .na.fill(0L, Seq(cntCol))
+        .crossJoin(broadcast(n))
+    }
+    val ratio = model(
+        buckets(target).groupBy("bucket").agg(count(lit(1)).as("ct")), "ct", "nt")
+      .join(model(
+        dc.groupBy("bucket").agg(sum("cnt").as("cr")), "cr", "nr"), "bucket")
+      .select(col("bucket"),
+        (log((col("ct") + 1L).cast("double") / (col("nt") + dim).cast("double")) -
+         log((col("cr") + 1L).cast("double") / (col("nr") + dim).cast("double")))
+          .as("lr"))
+    dc
+      .join(broadcast(ratio), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("tokens"), sum(col("cnt") * col("lr")).as("llr"))
+      .select(col("doc_id"), col("tokens"), col("llr"),
+        (col("llr") / col("tokens").cast("double")).as("avg_llr"))
+  }
+
   def hashedTfDense(docs: DataFrame, dim: Int = 64,
                     hasher: Column => Column = xxhash64(_),
                     idCol: String = "doc_id",

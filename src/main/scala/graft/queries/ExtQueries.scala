@@ -957,6 +957,57 @@ object ExtQueries {
       }
     ),
     QueryDef(
+      "t15_text_importance",
+      // DSIR importance weighting end to end: the doc_id%5==0 slice
+      // plays the target domain, hashed-unigram bucket models with
+      // add-one smoothing on both sides, every raw doc scored by the
+      // log-likelihood ratio Σ c_b·(ln p̂_t(b) − ln p̂_r(b)). The
+      // md5-60bit hash twin (t10's pattern) keeps bucketing portable,
+      // so model fitting AND scoring are value-gated.
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextAnalysis.importanceWeights(d,
+            d.where(col("doc_id") % 5 === 0), dim = 64,
+            hasher = Dedup.md5Hash60)
+          .select(col("doc_id"), col("tokens"),
+            round(col("llr"), 4).as("llr"),
+            round(col("avg_llr"), 4).as("avg_llr"))
+          .orderBy("doc_id")
+      }, {
+        val hexVal = (1 to 15)
+          .map(i =>
+            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
+              s"${BigInt(16).pow(15 - i)}")
+          .mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+           |  FROM documents
+           |), h AS (
+           |  SELECT doc_id, CAST(($hexVal) % 64 AS BIGINT) AS bucket FROM tok
+           |), tcnt AS (
+           |  SELECT bucket, count(*) AS ct FROM h WHERE doc_id % 5 = 0 GROUP BY 1
+           |), rcnt AS (
+           |  SELECT bucket, count(*) AS cr FROM h GROUP BY 1
+           |), nn AS (
+           |  SELECT (SELECT count(*) FROM h WHERE doc_id % 5 = 0) AS nt,
+           |         (SELECT count(*) FROM h) AS nr
+           |), lr AS (
+           |  SELECT b.bucket,
+           |    ln((coalesce(ct, 0) + 1.0) / (nt + 64.0))
+           |      - ln((coalesce(cr, 0) + 1.0) / (nr + 64.0)) AS lr
+           |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) b
+           |  LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)
+           |  CROSS JOIN nn
+           |), dc AS (
+           |  SELECT doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2
+           |)
+           |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tokens,
+           |  round(sum(cnt * lr), 4) AS llr,
+           |  round(sum(cnt * lr) / sum(cnt), 4) AS avg_llr
+           |FROM dc JOIN lr USING (bucket) GROUP BY 1 ORDER BY 1""".stripMargin
+      }
+    ),
+    QueryDef(
       "t14_text_gopher_rules",
       // Gopher's rule-based quality filter (Rae et al. 2021 §A1.1) at
       // its published thresholds, per-rule flags + keep, over the

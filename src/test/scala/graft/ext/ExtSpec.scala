@@ -205,6 +205,29 @@ class ExtSpec extends AnyFunSuite {
     assert(got == ref, s"selection mismatch: ${got -- ref} / ${ref -- got}")
   }
 
+  test("importanceWeights: target-domain docs score higher; target==raw is exactly 0") {
+    val raw = Seq(
+      (1L, "neural models train on curated data fast"),
+      (2L, "stock market prices fell sharply in trading today"),
+      (3L, "neural training data curation at scale")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "neural networks and training data"),
+      (11L, "neural models train on curated data")).toDF("doc_id", "text")
+    val w = TextAnalysis.importanceWeights(raw, target, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // docs sharing the target's vocabulary outrank the off-domain doc
+    assert(w(1L) > w(2L) && w(3L) > w(2L), s"avg_llr ordering: $w")
+    // degenerate self-target: both bucket models identical → every lr
+    // term is exactly ln(x) − ln(x) = 0, so llr ≡ 0.0 bit-for-bit
+    val self = TextAnalysis.importanceWeights(raw, raw, dim = 64)
+      .collect().map(_.getDouble(2))
+    assert(self.forall(_ == 0.0), s"self-target llr: ${self.toSeq}")
+    // tokens column = whitespace-ish token count of each doc
+    val toks = TextAnalysis.importanceWeights(raw, target, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toks == Map(1L -> 7L, 2L -> 8L, 3L -> 6L), s"tokens: $toks")
+  }
+
   test("containment: subsumed doc scores 1.0 where jaccard washes out; ⊇ jaccard pairs") {
     // a 4-shingle post quoted verbatim inside a much longer page:
     // containment = 1.0, jaccard = 4/24 ≈ 0.17 — the asymmetric case

@@ -249,4 +249,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val brute = (0 until 1000).map(_.toDouble).sum
     assert(salted.collect().map(_.getDouble(2)).sum == brute)
   }
+
+  test("importance weighting: one token scan (ReusedExchange), ratio broadcast, no SMJ") {
+    val raw = (0L until 200L)
+      .map(i => (i, s"tok${i % 7} tok${i % 11} common words here"))
+      .toDF("doc_id", "text")
+    val tgt = (0L until 40L).map(i => (i, s"tok${i % 5} target words"))
+      .toDF("doc_id", "text")
+    val df = graft.ext.TextAnalysis.importanceWeights(raw, tgt, dim = 64)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the raw-side bucket model re-aggregates the per-doc counts table,
+    // and both consumers ride ONE (doc_id, bucket) exchange — without
+    // the ReusedExchange the 100 TB corpus would tokenize twice
+    assert(plan.contains("ReusedExchange"),
+      s"raw token scan not reused:\n$plan")
+    // the dim-row log-ratio table broadcasts onto the corpus-side
+    // counts; nothing joins by shuffling the corpus
+    assert(plan.contains("BroadcastHashJoin"), s"ratio join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
+  }
 }
