@@ -293,6 +293,64 @@ object Curation {
       .select(col("source"), col("doc_id"), col("toks"), col("cum"))
   }
 
+  /** Per-source corpus health report — the summary a pipeline owner
+    * reads before and after every curation stage: document and exact-dup
+    * counts, token totals, vocabulary size, type-token ratio, and mean
+    * document length. One pass over the token stream (groupBy (source,
+    * token) is vocabulary-sized after map-side combine) plus one over
+    * the documents for fingerprint dup counting; the two tiny per-source
+    * frames broadcast-join.
+    *
+    * @return (source, docs, dup_docs, tokens, distinct_tokens, ttr,
+    *         mean_doc_tokens) — ttr and mean rounded to 4
+    */
+  def corpusStats(docs: DataFrame, idCol: String = "doc_id",
+                  srcCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(srcCol).as("source"),
+      explode(expr(s"regexp_extract_all($textCol, '${TextAnalysis.TokenRe}', 0)"))
+        .as("tok"))
+    val tokStats = toks
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("tokens"), count(lit(1)).as("distinct_tokens"))
+    val docStats = docs
+      .select(col(srcCol).as("source"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("docs"), (sum("c") - count(lit(1))).as("dup_docs"))
+    docStats.join(broadcast(tokStats), Seq("source"), "left")
+      .na.fill(0L, Seq("tokens", "distinct_tokens"))
+      .select(col("source"), col("docs"), col("dup_docs"),
+        col("tokens"), col("distinct_tokens"),
+        round(col("distinct_tokens").cast("double") /
+          greatest(col("tokens"), lit(1L)).cast("double"), 4).as("ttr"),
+        round(col("tokens").cast("double") / col("docs").cast("double"), 4)
+          .as("mean_doc_tokens"))
+  }
+
+  /** Deterministic source-interleaved training order over a temperature
+    * mix: each kept document's epoch position is its fractional rank
+    * within its source's quota, okey = (rk − 0.5) / quota — a source
+    * contributing 10% of the mix surfaces evenly through the epoch
+    * instead of clumping, which is what a trainer wants from a mixture
+    * (the round-robin discipline of mixture dataloaders, computed
+    * ahead of time as a sort key). Consumers `.orderBy("okey",
+    * "source", "doc_id")` — a range-partitioned global sort, the
+    * [[shuffleOrder]] scale shape; rk/quota are integers so the
+    * division is bit-identical on any IEEE engine.
+    *
+    * @return (source, doc_id, okey) for the temperature-mix keep set
+    */
+  def interleaveOrder(docs: DataFrame, tau: Double, target: Long,
+                      idCol: String = "doc_id",
+                      srcCol: String = "source"): DataFrame =
+    temperatureSample(docs, tau, target, idCol, srcCol)
+      .select(col("source"), col("doc_id"),
+        ((col("rk").cast("double") - 0.5) / col("quota").cast("double"))
+          .as("okey"))
+
   /** GPT-style sequence packing: concatenate each source's documents in
     * stable (doc_id) order and cut the token stream into fixed-`budget`
     * chunks — the packing step that turns a curated corpus into

@@ -1413,6 +1413,66 @@ object ExtQueries {
         |WHERE rk <= quota ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
+      "d43_corpus_stats",
+      // the per-source corpus health report read before/after every
+      // curation stage: docs, exact-dup docs (canonical fingerprint),
+      // token totals, vocabulary size, type-token ratio, mean doc length
+      (s, dir) => Curation.corpusStats(docs(s, dir)).orderBy("source"),
+      s"""WITH tok AS (
+         |  SELECT source, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+         |  FROM documents
+         |), ts AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+         |         CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+         |  FROM tok GROUP BY 1
+         |), ds AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         |         CAST(count(*) - count(DISTINCT $fpSql) AS BIGINT) AS dup_docs
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT source, docs, dup_docs,
+         |  coalesce(tokens, 0) AS tokens,
+         |  coalesce(distinct_tokens, 0) AS distinct_tokens,
+         |  round(CAST(coalesce(distinct_tokens, 0) AS DOUBLE)
+         |    / greatest(CAST(coalesce(tokens, 0) AS DOUBLE), 1.0), 4) AS ttr,
+         |  round(CAST(coalesce(tokens, 0) AS DOUBLE) / docs, 4) AS mean_doc_tokens
+         |FROM ds LEFT JOIN ts USING (source) ORDER BY source""".stripMargin
+    ),
+    QueryDef(
+      "d44_interleave_order",
+      // deterministic mixture epoch order: each kept doc's okey is its
+      // fractional rank within its source's quota, so a 10%-share
+      // source surfaces evenly through the epoch instead of clumping.
+      // Same derived Zipfian head as d42; okey = (rk−0.5)/quota is an
+      // integer-operand IEEE division, bit-identical on both engines.
+      (s, dir) => Curation.interleaveOrder(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 10 < 7, lit("head"))
+            .otherwise(col("source")).as("source")),
+        tau = 0.5, target = 300).orderBy("doc_id"),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
+        |  FROM documents
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM d GROUP BY 1
+        |), q AS (
+        |  SELECT source,
+        |    least(n, CAST(floor(300.0 * round(pow(n, 0.5) /
+        |      (SELECT sum(pow(n, 0.5)) FROM sz), 9)) AS BIGINT)) AS quota
+        |  FROM sz
+        |), rk AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d
+        |)
+        |SELECT source, doc_id,
+        |  (CAST(rk AS DOUBLE) - 0.5) / quota AS okey
+        |FROM rk JOIN q USING (source)
+        |WHERE rk <= quota ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
       "d13_pack_chunks",
       // sequence packing: concat each source's docs (stable doc_id order)
       // and cut into 512-token training chunks; docs may straddle chunks

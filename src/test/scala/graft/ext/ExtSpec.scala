@@ -205,6 +205,37 @@ class ExtSpec extends AnyFunSuite {
     assert(got == ref, s"selection mismatch: ${got -- ref} / ${ref -- got}")
   }
 
+  test("corpusStats: dup/token/vocab arithmetic exact on a controlled corpus") {
+    val d = Seq(
+      (1L, "A", "a b a"), (2L, "A", "a b a"), (3L, "A", "c d"),
+      (4L, "B", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.corpusStats(d).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("A", 3L, 1L, 8L, 4L, 0.5, 2.6667),
+      ("B", 1L, 0L, 3L, 3L, 1.0, 3.0)), s"stats: ${got.toSeq}")
+  }
+
+  test("interleaveOrder: minority source spreads evenly through the epoch") {
+    val d = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (0 until 10).map(i => (1000L + i, "small"))).toDF("doc_id", "source")
+    val rows = Curation.interleaveOrder(d, 0.5, target = 40)
+      .orderBy("okey", "source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(rows.length == 40)
+    // quotas are 30/10 (temperatureSample spec); small's okeys are the
+    // exact fractional ranks (i − 0.5)/10
+    val smallKeys = rows.filter(_._1 == "small").map(_._2).toSeq
+    assert(smallKeys == (1 to 10).map(i => (i - 0.5) / 10.0), s"small okeys: $smallKeys")
+    // even spread: every consecutive window of 4 epoch positions holds
+    // exactly one small-source doc (30:10 = 3:1 interleave)
+    rows.grouped(4).foreach { w =>
+      assert(w.count(_._1 == "small") == 1, s"clumped window: ${w.toSeq}")
+    }
+  }
+
   test("importanceWeights: target-domain docs score higher; target==raw is exactly 0") {
     val raw = Seq(
       (1L, "neural models train on curated data fast"),
