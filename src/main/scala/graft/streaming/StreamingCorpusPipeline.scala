@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.ext.{Dedup, FingerprintIndex, MinHashIndex, SpanIndex, TextAnalysis}
+
+/** The turnkey continuous corpus constructor: every delivery flows
+  * through the full curation gauntlet — quality rules → exact dedup →
+  * eval-set decontamination → near-dup dedup — with one verdict row per
+  * document and survivors appended to the persisted indexes, so the
+  * NEXT delivery dedups against everything ever kept. This is the
+  * composition the individual streaming operators
+  * ([[StreamingDedup]], [[graft.ext.FingerprintIndex]],
+  * [[graft.ext.SpanIndex]]) exist for.
+  *
+  * Stage order is cheapest-first, each stage shrinking the next one's
+  * input (the attrition discipline of
+  * [[graft.ext.Curation.qualityAttrition]]):
+  *
+  *   1. `drop_quality` — the pluggable quality gate (default: Gopher
+  *      rules), pure column expressions at scan speed;
+  *   2. `dup_exact` / `dup_exact_batch` — one fingerprint equi-join
+  *      against the [[FingerprintIndex]], then the in-batch
+  *      first-occurrence keeper;
+  *   3. `contaminated` — span-level eval leakage against the
+  *      [[SpanIndex]] (skipped when no index is configured); runs
+  *      BEFORE near-dup so keeper selection happens among documents
+  *      that can actually ship;
+  *   4. `dup_index` / `dup_batch` — MinHash near-dup against the
+  *      [[MinHashIndex]], then in-batch exact-verified components
+  *      ([[StreamingDedup]]'s rule);
+  *   5. `kept` — appended to BOTH dedup indexes as segment
+  *      `b<batchId>`.
+  *
+  * Exactly-once under at-least-once foreachBatch replay, by the family
+  * contract: every effect (two index segments + the verdict directory)
+  * is an overwrite keyed by batchId, and both cross-checks exclude the
+  * batch's own segment so a replay reads the index as it stood before
+  * the first attempt. State lives entirely in the index parquet — no
+  * streaming state store; per-batch cost is bounded by batch size ×
+  * collided buckets, never corpus size, and `compactEvery` keeps the
+  * segment count bounded over stream age.
+  */
+object StreamingCorpusPipeline {
+
+  /** Per-stage knobs. `quality` maps the batch frame to (doc_id, keep)
+    * — swap in a tuned ruleset, a [[TextAnalysis.scoreLinear]]
+    * threshold, or `lit(1)` to disable; `minLeak` is the shared-run
+    * length that convicts contamination.
+    */
+  final case class Config(
+      tau: Double = 0.5,
+      minLeak: Long = 2,
+      compactEvery: Int = 0,
+      quality: DataFrame => DataFrame =
+        d => TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep")))
+
+  /** Start the pipeline on a streaming (doc_id, text) frame. The
+    * fingerprint and MinHash indexes must already exist (seed builds —
+    * possibly over empty frames); `spanPath` is the optional eval-set
+    * decontamination index.
+    */
+  def start(docs: DataFrame, fpPath: String, mhPath: String,
+            spanPath: Option[String], verdictPath: String,
+            checkpoint: String, cfg: Config = Config()): StreamingQuery =
+    docs
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          processBatch(batch, batchId, fpPath, mhPath, spanPath,
+            verdictPath, cfg)
+          if (cfg.compactEvery > 0 && batchId > 0 &&
+              batchId % cfg.compactEvery == 0) {
+            FingerprintIndex.load(batch.sparkSession, fpPath)
+              .compactCommitted(checkpoint)
+            MinHashIndex.load(batch.sparkSession, mhPath)
+              .compactCommitted(checkpoint): Unit
+          }
+        }
+      }
+      .start()
+
+  /** One batch of the gauntlet — public so a batch backfill applies
+    * IDENTICAL semantics outside a stream.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, fpPath: String,
+                   mhPath: String, spanPath: Option[String],
+                   verdictPath: String, cfg: Config): Unit = {
+    val spark = batch.sparkSession
+    val seg = s"b$batchId"
+    val docs = batch.select(col("doc_id"), col("text")).cache()
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
+    def keep(df: DataFrame): DataFrame = { caches += df.cache(); df }
+    def minus(from: DataFrame, dropped: DataFrame): DataFrame =
+      from.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+    try {
+      // 1. quality: anything the gate does not keep drops first
+      val qDrops = keep(docs
+        .join(cfg.quality(docs).where(col("keep") === 0), Seq("doc_id"),
+          "left_semi")
+        .select(col("doc_id"), lit("drop_quality").as("verdict"),
+          lit(null).cast("long").as("ref_id")))
+      val afterQ = minus(docs, qDrops)
+
+      // 2a. exact vs the kept corpus (own segment excluded for replay)
+      val fpIdx = FingerprintIndex.load(spark, fpPath)
+      val exCross = keep(fpIdx
+        .dedupBatch(afterQ, excludeSeg = Some(seg))
+        .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
+        .select(col("doc_id"), lit("dup_exact").as("verdict"), col("ref_id")))
+      val afterExC = minus(afterQ, exCross)
+      // 2b. exact within the batch: first (smallest-id) occurrence kept
+      val wFp = Window.partitionBy("fp")
+      val exBatch = keep(afterExC
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .withColumn("keeper", min("doc_id").over(wFp))
+        .where(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), lit("dup_exact_batch").as("verdict"),
+          col("keeper").as("ref_id")))
+      val afterEx = minus(afterExC, exBatch)
+
+      // 3. decontamination: any run of ≥ minLeak shared sampled grams
+      // with any indexed eval doc convicts
+      val contam = keep(spanPath match {
+        case Some(p) => SpanIndex.load(spark, p)
+          .check(afterEx, minShared = cfg.minLeak)
+          .groupBy("doc_id").agg(min("bench_id").as("ref_id"))
+          .select(col("doc_id"), lit("contaminated").as("verdict"),
+            col("ref_id"))
+        case None => spark.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit("").as("verdict"),
+            lit(null).cast("long").as("ref_id"))
+          .where(lit(false))
+      })
+      val afterC = minus(afterEx, contam)
+
+      // 4. near-dup: cross vs the index, then in-batch components
+      // (StreamingDedup's rule; shingles cached for the batch only)
+      val mhIdx = MinHashIndex.load(spark, mhPath)
+      val nearCross = keep(mhIdx
+        .dedupBatch(afterC, cfg.tau, excludeSeg = Some(seg))
+        .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
+        .select(col("doc_id"), lit("dup_index").as("verdict"), col("ref_id")))
+      val afterNc = minus(afterC, nearCross)
+      val remSh = keep(Dedup.hashShingles(Dedup.shingles(afterNc, mhIdx.n)))
+      val remSigs = keep(Dedup.minhashSignatures(remSh, mhIdx.k))
+      val pairs = Dedup.minhashDuplicates(afterNc, n = mhIdx.n, tau = cfg.tau,
+        k = mhIdx.k, bands = mhIdx.bands,
+        shingled = Some(remSh), signatures = Some(remSigs))
+      val nearBatch = keep(Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("root"))
+        .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
+          col("root").as("ref_id")))
+      val survivors = keep(minus(afterNc, nearBatch))
+
+      // 5. exactly-once effects, all keyed by batchId
+      fpIdx.append(survivors, seg = seg)
+      mhIdx.append(survivors, seg = seg)
+      qDrops
+        .unionByName(exCross).unionByName(exBatch).unionByName(contam)
+        .unionByName(nearCross).unionByName(nearBatch)
+        .unionByName(survivors.select(col("doc_id"),
+          lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
+        .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
+    } finally caches.foreach(_.unpersist())
+  }
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ext.{FingerprintIndex, MinHashIndex, SpanIndex}
+
+/** The composed continuous corpus constructor: quality → exact dedup →
+  * decontamination → near-dup, one verdict per doc, survivors indexed,
+  * exactly-once under replay. Texts follow IncrementalDedupSpec's
+  * hand-computable jaccard convention (10 words → 8 trigrams; one word
+  * changed → 7/9 ≈ 0.78 ≥ tau 0.5).
+  */
+class StreamingPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    assert(q.awaitTermination(300000), "streaming query did not terminate")
+    assert(q.exception.isEmpty, s"streaming query failed: ${q.exception}")
+  }
+
+  private val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val D = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+  private val E = "north south east west up down left right fore aft"
+  private val A1 = A.replace("kappa", "lambda") // near-dups A (7/9)
+  private val D1 = D.dropRight(2) + "dX"        // near-dups D (7/9)
+  private val E1 = E.replace("aft", "stern")    // near-dups E (7/9)
+  private val F = "zeta yotta peta tera giga mega kilo hecto deka deci"
+
+  private def rnd(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+  }
+  private val leak = rnd(70, 60)
+  private val benchDoc = rnd(71, 15) + leak + rnd(72, 30)
+
+  // keep = ≥ 10 chars (the default Gopher gate's 50-word floor would
+  // drop every fixture doc, and the contamination fixtures are single
+  // unspaced tokens — quality is pluggable for exactly this reason)
+  private val cfg = StreamingCorpusPipeline.Config(
+    tau = 0.5,
+    quality = d => d.select(col("doc_id"),
+      when(length(col("text")) >= 10, 1).otherwise(0).as("keep")))
+
+  test("gauntlet verdicts, survivor indexing across batches, replay idempotence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fpPath = Files.createTempDirectory("cp-fp").toString
+    val mhPath = Files.createTempDirectory("cp-mh").toString
+    val spanPath = Files.createTempDirectory("cp-span").toString
+    val vPath = Files.createTempDirectory("cp-v").toString
+    val ckpt = Files.createTempDirectory("cp-ckpt").toString
+    val seed = Seq((1L, A), (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    FingerprintIndex.build(seed, fpPath)
+    MinHashIndex.build(seed, mhPath)
+    SpanIndex.build(Seq((901L, benchDoc)).toDF("doc_id", "text"),
+      spanPath, prefix = "")
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    def verdicts(batch: Long): Map[Long, (String, Option[Long])] =
+      spark.read.parquet(vPath).where(s"batch = $batch").collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+
+    // batch 0: every stage convicts someone
+    mem.addData(
+      (101L, A),                                // exact dup of indexed 1
+      (102L, D), (103L, D),                     // in-batch exact pair
+      (104L, A1),                               // near-dups indexed 1
+      (105L, "x y"),                            // fails quality (2 words)
+      (106L, rnd(73, 20) + leak + rnd(74, 12)), // leaks the eval span
+      (107L, E),                                // clean — kept
+      (108L, D1))                               // near-dups in-batch keeper 102
+    drain(StreamingCorpusPipeline.start(stream, fpPath, mhPath,
+      Some(spanPath), vPath, ckpt, cfg))
+    assert(verdicts(0) == Map(
+      101L -> ("dup_exact", Some(1L)),
+      102L -> ("kept", None),
+      103L -> ("dup_exact_batch", Some(102L)),
+      104L -> ("dup_index", Some(1L)),
+      105L -> ("drop_quality", None),
+      106L -> ("contaminated", Some(901L)),
+      107L -> ("kept", None),
+      108L -> ("dup_batch", Some(102L))), s"batch 0: ${verdicts(0)}")
+
+    // batch 1 (restart from the same checkpoint): survivors 102/107 are
+    // now in BOTH indexes — exact and near-dup cross-checks hit them
+    mem.addData((201L, D), (202L, E1), (203L, F))
+    drain(StreamingCorpusPipeline.start(stream, fpPath, mhPath,
+      Some(spanPath), vPath, ckpt, cfg))
+    assert(verdicts(1) == Map(
+      201L -> ("dup_exact", Some(102L)),
+      202L -> ("dup_index", Some(107L)),
+      203L -> ("kept", None)), s"batch 1: ${verdicts(1)}")
+
+    def indexedIds: Set[Long] = MinHashIndex.load(spark, mhPath)
+      .signatures.select("id").distinct().as[Long].collect().toSet
+    val idsAfter = indexedIds
+    assert(idsAfter == Set(1L, 2L, 102L, 107L, 203L), s"indexed: $idsAfter")
+
+    // replay batch 1 (at-least-once foreachBatch): same verdicts, same
+    // index — every effect overwrote its own batch-keyed directory
+    StreamingCorpusPipeline.processBatch(
+      Seq((201L, D), (202L, E1), (203L, F)).toDF("doc_id", "text"),
+      1L, fpPath, mhPath, Some(spanPath), vPath, cfg)
+    assert(verdicts(1) == Map(
+      201L -> ("dup_exact", Some(102L)),
+      202L -> ("dup_index", Some(107L)),
+      203L -> ("kept", None)), s"replayed batch 1: ${verdicts(1)}")
+    assert(indexedIds == idsAfter, "replay changed the index")
+  }
+
+  test("no span index: contamination stage is a no-op, the rest unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fpPath = Files.createTempDirectory("cp2-fp").toString
+    val mhPath = Files.createTempDirectory("cp2-mh").toString
+    val vPath = Files.createTempDirectory("cp2-v").toString
+    val seed = Seq((1L, A)).toDF("doc_id", "text")
+    FingerprintIndex.build(seed, fpPath)
+    MinHashIndex.build(seed, mhPath)
+    StreamingCorpusPipeline.processBatch(
+      Seq((101L, rnd(73, 20) + leak + rnd(74, 12)), (102L, E))
+        .toDF("doc_id", "text"),
+      0L, fpPath, mhPath, None, vPath, cfg)
+    val got = spark.read.parquet(vPath).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the would-be-contaminated doc sails through without an index
+    assert(got == Map(101L -> "kept", 102L -> "kept"), s"verdicts: $got")
+  }
+}
