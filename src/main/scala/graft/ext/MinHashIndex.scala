@@ -77,9 +77,17 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
     */
   def dedupBatch(newDocs: DataFrame, tau: Double,
                  idCol: String = "doc_id", textCol: String = "text",
-                 excludeSeg: Option[String] = None): DataFrame = {
-    val newSh = Dedup.hashShingles(Dedup.shingles(newDocs, n, idCol, textCol))
-    val newSigs = Dedup.minhashSignatures(newSh, k)
+                 excludeSeg: Option[String] = None,
+                 shingled: Option[DataFrame] = None,
+                 signatures: Option[DataFrame] = None): DataFrame = {
+    // `shingled`/`signatures` = precomputed (id, h)/(id, sig) tables for
+    // EXACTLY newDocs' ids (Dedup.minhashDuplicates' memo contract) — a
+    // pipeline running several index operations over one batch shingles
+    // it once and filters per stage (shingling is per-document, so
+    // filtered-docs shingles == filtered shingles)
+    val newSh = shingled.getOrElse(
+      Dedup.hashShingles(Dedup.shingles(newDocs, n, idCol, textCol)))
+    val newSigs = signatures.getOrElse(Dedup.minhashSignatures(newSh, k))
     val newBands = Dedup.bandHashes(newSigs, k, bands)
     val cands = newBands.as("x")
       .join(table("bands", Seq("id", "band", "bh"), excludeSeg).as("y"),
@@ -102,17 +110,22 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
     * duplicate candidate pairs, collapsed by dedupBatch's DISTINCT.
     */
   def append(newDocs: DataFrame, seg: String,
-             idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val sh = Dedup.hashShingles(Dedup.shingles(newDocs, n, idCol, textCol)).cache()
+             idCol: String = "doc_id", textCol: String = "text",
+             shingled: Option[DataFrame] = None,
+             signatures: Option[DataFrame] = None): Unit = {
+    // precomputed-table contract as in [[dedupBatch]]; caller owns the
+    // lifecycle of injected tables (they are not unpersisted here)
+    val sh = shingled.getOrElse(
+      Dedup.hashShingles(Dedup.shingles(newDocs, n, idCol, textCol)).cache())
     try {
-      val sigs = Dedup.minhashSignatures(sh, k).cache()
+      val sigs = signatures.getOrElse(Dedup.minhashSignatures(sh, k).cache())
       try {
         sh.write.mode("overwrite").parquet(s"$path/shingles/seg=$seg")
         sigs.write.mode("overwrite").parquet(s"$path/sigs/seg=$seg")
         Dedup.bandHashes(sigs, k, bands)
           .write.mode("overwrite").parquet(s"$path/bands/seg=$seg")
-      } finally sigs.unpersist()
-    } finally sh.unpersist()
+      } finally if (signatures.isEmpty) sigs.unpersist(): Unit
+    } finally if (shingled.isEmpty) sh.unpersist(): Unit
   }
 
   /** Fold appended segments into `base` across all three tables, so the

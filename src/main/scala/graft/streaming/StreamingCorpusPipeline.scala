@@ -139,21 +139,39 @@ object StreamingCorpusPipeline {
             lit(null).cast("long").as("ref_id"))
           .where(lit(false))
       })
+      // lineage cut: everything before this point is a chain of
+      // anti-joins whose LOGICAL plan would otherwise underlie every
+      // frame the near-dup block builds — Catalyst re-analyzes that
+      // whole tree per derived frame, a driver-side cost that grew to
+      // ~40% of the batch wall. The checkpointed frame is batch-sized
+      // by construction (micro-batches are bounded), so materializing
+      // it is cheap and every downstream plan starts from an RDD scan.
       val afterC = minus(afterEx, contam)
+        .select(col("doc_id"), col("text")).localCheckpoint()
 
       // 4. near-dup: cross vs the index, then in-batch components
-      // (StreamingDedup's rule; shingles cached for the batch only)
+      // (StreamingDedup's rule). The batch is shingled and signed ONCE
+      // here — the cross check, the in-batch pair search, and the
+      // survivor append all filter the same two cached tables by id
+      // (shingling is per-document, so filtered-docs shingles ==
+      // filtered shingles), instead of re-tokenizing the batch three
+      // times.
       val mhIdx = MinHashIndex.load(spark, mhPath)
+      def idsOf(d: DataFrame)(t: DataFrame): DataFrame =
+        t.join(d.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      val shAll = keep(Dedup.hashShingles(Dedup.shingles(afterC, mhIdx.n)))
+      val sigsAll = keep(Dedup.minhashSignatures(shAll, mhIdx.k))
       val nearCross = keep(mhIdx
-        .dedupBatch(afterC, cfg.tau, excludeSeg = Some(seg))
+        .dedupBatch(afterC, cfg.tau, excludeSeg = Some(seg),
+          shingled = Some(shAll), signatures = Some(sigsAll))
         .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
         .select(col("doc_id"), lit("dup_index").as("verdict"), col("ref_id")))
       val afterNc = minus(afterC, nearCross)
-      val remSh = keep(Dedup.hashShingles(Dedup.shingles(afterNc, mhIdx.n)))
-      val remSigs = keep(Dedup.minhashSignatures(remSh, mhIdx.k))
+        .select(col("doc_id"), col("text")).localCheckpoint()
       val pairs = Dedup.minhashDuplicates(afterNc, n = mhIdx.n, tau = cfg.tau,
         k = mhIdx.k, bands = mhIdx.bands,
-        shingled = Some(remSh), signatures = Some(remSigs))
+        shingled = Some(idsOf(afterNc)(shAll)),
+        signatures = Some(idsOf(afterNc)(sigsAll)))
       val nearBatch = keep(Dedup.connectedComponents(pairs)
         .where(col("id") =!= col("root"))
         .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
@@ -162,7 +180,9 @@ object StreamingCorpusPipeline {
 
       // 5. exactly-once effects, all keyed by batchId
       fpIdx.append(survivors, seg = seg)
-      mhIdx.append(survivors, seg = seg)
+      mhIdx.append(survivors, seg = seg,
+        shingled = Some(idsOf(survivors)(shAll)),
+        signatures = Some(idsOf(survivors)(sigsAll)))
       qDrops
         .unionByName(exCross).unionByName(exBatch).unionByName(contam)
         .unionByName(nearCross).unionByName(nearBatch)
