@@ -1617,6 +1617,86 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
+      "d46_corpus_bootstrap",
+      // the cold-start twin of d45: bootstrap the gauntlet's indexes
+      // from a historical corpus — quality gate → GLOBAL exact keeper
+      // (min id per canonical fingerprint) → GLOBAL near-dup components
+      // → survivors become the indexes' base segment. Gated on the %3
+      // corpus subset (the whole-corpus op is priced honestly — no
+      // memo) with planted exact clones and appended-word near-dups;
+      // natural j ≥ 0.5 in-corpus pairs are live too.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sub = d.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(d.where(col("doc_id") % 30 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(d.where(col("doc_id") % 30 === 6)
+            .select((col("doc_id") + 30000).as("doc_id"),
+              concat(col("text"), lit(" xqz")).as("text")))
+        val fp = java.nio.file.Files.createTempDirectory("graft-boot-fp").toString
+        val mh = java.nio.file.Files.createTempDirectory("graft-boot-mh").toString
+        graft.streaming.StreamingCorpusPipeline.bootstrap(sub, fp, mh,
+            graft.streaming.StreamingCorpusPipeline.Config(tau = 0.5,
+              quality = b => b.select(col("doc_id"),
+                when(length(col("text")) >= 100, 1).otherwise(0).as("keep"))))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 30 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text || ' xqz' FROM documents
+         |  WHERE doc_id % 30 = 6
+         |), v_q AS (
+         |  SELECT doc_id FROM corpus WHERE length(text) < 100
+         |), rem1 AS (
+         |  SELECT doc_id, text FROM corpus WHERE length(text) >= 100
+         |), bf AS (
+         |  SELECT doc_id, $fpSql AS fp FROM rem1
+         |), keepf AS (
+         |  SELECT fp, min(doc_id) AS keeper FROM bf GROUP BY 1
+         |), v_ex AS (
+         |  SELECT b.doc_id, k.keeper AS ref
+         |  FROM bf b JOIN keepf k USING (fp) WHERE b.doc_id <> k.keeper
+         |), rem2 AS (
+         |  SELECT r.doc_id, r.text FROM rem1 r
+         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM v_ex)
+         |), tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM rem2)
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM tri x JOIN tri y
+         |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), ipairs AS (
+         |  SELECT a, b
+         |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+         |), nodes AS (SELECT a AS id FROM ipairs UNION SELECT b FROM ipairs),
+         |edges AS (SELECT a AS u, b AS v FROM ipairs UNION SELECT b, a FROM ipairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1),
+         |v_nb AS (SELECT id AS doc_id, root AS ref FROM comp WHERE id <> root),
+         |v_kept AS (
+         |  SELECT doc_id FROM rem2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM v_nb)
+         |)
+         |SELECT doc_id, 'drop_quality' AS verdict, CAST(NULL AS BIGINT) AS ref_id FROM v_q
+         |UNION ALL SELECT doc_id, 'dup_exact', CAST(ref AS BIGINT) FROM v_ex
+         |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
+         |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept
+         |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
       "d13_pack_chunks",
       // sequence packing: concat each source's docs (stable doc_id order)
       // and cut into 512-token training chunks; docs may straddle chunks

@@ -87,6 +87,63 @@ object StreamingCorpusPipeline {
       }
       .start()
 
+  /** Cold-start bootstrap: run the gauntlet's BATCH-GLOBAL twin over a
+    * historical corpus and seed both dedup indexes from the survivors —
+    * the step before [[start]] takes over for deliveries. Against a
+    * whole corpus there is no index to cross-check, so the stages are
+    * the global operators: quality gate → exact keeper (min id per
+    * canonical fingerprint) → near-dup components
+    * ([[Dedup.minhashDuplicates]] → [[Dedup.connectedComponents]],
+    * cluster root keeps). Survivors land as the indexes' `base`
+    * segment via the build path, so the first streamed delivery dedups
+    * against the full curated history.
+    *
+    * @return the verdict frame (doc_id, verdict, ref_id) with classes
+    *         drop_quality / dup_exact / dup_batch / kept — the
+    *         in-corpus analogues of the streaming verdicts
+    */
+  def bootstrap(corpus: DataFrame, fpPath: String, mhPath: String,
+                cfg: Config = Config(), n: Int = 3, k: Int = 128,
+                bands: Int = 64): DataFrame = {
+    val docs = corpus.select(col("doc_id"), col("text"))
+    def minus(from: DataFrame, dropped: DataFrame): DataFrame =
+      from.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+    val qDrops = docs
+      .join(cfg.quality(docs).where(col("keep") === 0), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), lit("drop_quality").as("verdict"),
+        lit(null).cast("long").as("ref_id"))
+    val afterQ = minus(docs, qDrops)
+    val wFp = Window.partitionBy("fp")
+    val exDrops = afterQ
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("keeper", min("doc_id").over(wFp))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), lit("dup_exact").as("verdict"),
+        col("keeper").as("ref_id"))
+    // lineage cut before the pair search, as in processBatch
+    val afterEx = minus(afterQ, exDrops)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val sh = Dedup.hashShingles(Dedup.shingles(afterEx, n)).cache()
+    val sigs = Dedup.minhashSignatures(sh, k).cache()
+    try {
+      val pairs = Dedup.minhashDuplicates(afterEx, n = n, tau = cfg.tau,
+        k = k, bands = bands, shingled = Some(sh), signatures = Some(sigs))
+      val nearDrops = Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("root"))
+        .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
+          col("root").as("ref_id"))
+      val survivors = minus(afterEx, nearDrops)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      FingerprintIndex.build(survivors, fpPath): Unit
+      MinHashIndex.build(survivors, mhPath, n = n, k = k, bands = bands): Unit
+      qDrops
+        .unionByName(exDrops).unionByName(nearDrops)
+        .unionByName(survivors.select(col("doc_id"),
+          lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
+    } finally { sh.unpersist(); sigs.unpersist(): Unit }
+  }
+
   /** One batch of the gauntlet — public so a batch backfill applies
     * IDENTICAL semantics outside a stream.
     */

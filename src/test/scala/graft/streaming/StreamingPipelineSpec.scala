@@ -117,6 +117,45 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(indexedIds == idsAfter, "replay changed the index")
   }
 
+  test("bootstrap: global keepers seed the indexes; the stream takes over against them") {
+    import spark.implicits._
+    val fpPath = Files.createTempDirectory("cp3-fp").toString
+    val mhPath = Files.createTempDirectory("cp3-mh").toString
+    val vPath = Files.createTempDirectory("cp3-v").toString
+    val corpus = Seq(
+      (1L, A), (2L, D),
+      (3L, D),     // exact dup of 2 → dup_exact ref 2
+      (4L, A1),    // near-dups 1 → dup_batch ref 1
+      (5L, "x y"), // fails quality
+      (6L, E))
+      .toDF("doc_id", "text")
+    val got = StreamingCorpusPipeline.bootstrap(corpus, fpPath, mhPath, cfg)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ("kept", None),
+      2L -> ("kept", None),
+      3L -> ("dup_exact", Some(2L)),
+      4L -> ("dup_batch", Some(1L)),
+      5L -> ("drop_quality", None),
+      6L -> ("kept", None)), s"bootstrap verdicts: $got")
+    // the seeded indexes ARE the streaming state: a delivery dedups
+    // against the bootstrap survivors through the normal batch path
+    StreamingCorpusPipeline.processBatch(
+      Seq((101L, D), (102L, E1), (103L, F)).toDF("doc_id", "text"),
+      0L, fpPath, mhPath, None, vPath, cfg)
+    val v = spark.read.parquet(vPath).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(v == Map(
+      101L -> ("dup_exact", Some(2L)),
+      102L -> ("dup_index", Some(6L)),
+      103L -> ("kept", None)), s"post-bootstrap delivery: $v")
+  }
+
   test("no span index: contamination stage is a no-op, the rest unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
