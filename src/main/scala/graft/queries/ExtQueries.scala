@@ -127,6 +127,36 @@ object ExtQueries {
         (fp, mh, v)
       })
 
+  /** Seed indexes for the d47 semantic-gauntlet gate: an EXACT-mode
+    * SemanticIndex (nlist=1, plain cosine — the d21/d23 degeneracy)
+    * over the embedding corpus split, plus fp/MinHash indexes over
+    * derived two-word texts that can never match a batch doc (texts
+    * are unique and too short to shingle), so the oracle models ONLY
+    * the semantic stage while the engine runs the whole gauntlet.
+    * Owned by d47 — the pipeline appends to these.
+    */
+  private val semGauntletMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String, String)]()
+
+  private def semGauntletPathsFor(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): (String, String, String, String) =
+    semGauntletMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val fp = java.nio.file.Files.createTempDirectory("graft-sg-fp").toString
+        val mh = java.nio.file.Files.createTempDirectory("graft-sg-mh").toString
+        val sm = java.nio.file.Files.createTempDirectory("graft-sg-sem").toString
+        val v = java.nio.file.Files.createTempDirectory("graft-sg-v").toString
+        val seedEmb = emb(s, dir).where(col("vec_id") % 5 =!= 0)
+        val seedDocs = seedEmb.select(col("vec_id").as("doc_id"),
+          concat(lit("t "), col("vec_id").cast("string")).as("text"))
+        graft.ext.FingerprintIndex.build(seedDocs, fp)
+        MinHashIndex.build(seedDocs, mh)
+        graft.ext.SemanticIndex.build(seedEmb, sm, nlist = 1,
+          normalized = false)
+        (fp, mh, sm, v)
+      })
+
   private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
     String, DataFrame]()
 
@@ -1695,6 +1725,81 @@ object ExtQueries {
          |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
          |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept
          |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
+      "d47_corpus_gauntlet_semantic",
+      // the gauntlet with the SemDeDup stage live, under the exact-mode
+      // oracle: embedding batch (vec_id%5=0 + identical-vector clones)
+      // through the WHOLE pipeline — the text stages are provably inert
+      // (unique two-word texts: distinct fingerprints, zero trigrams)
+      // so the oracle models the semantic cross-check (vs the seeded
+      // nlist=1 index) and the in-batch smaller-id keeper exactly.
+      (s, dir) => {
+        val (fpP, mhP, semP, vP) = semGauntletPathsFor(s, dir)
+        val e = emb(s, dir)
+        val batch = e.where(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+          .unionByName(e.where(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 10000).as("doc_id"), col("embedding")))
+          .withColumn("text", concat(lit("t "), col("doc_id").cast("string")))
+        graft.streaming.StreamingCorpusPipeline.processBatch(
+          batch, 0L, fpP, mhP, None, vP,
+          graft.streaming.StreamingCorpusPipeline.Config(tau = 0.5,
+            semTau = 0.35,
+            quality = b => b.select(col("doc_id"), lit(1).as("keep"))),
+          semPath = Some(semP))
+        s.read.parquet(s"$vP/batch=0")
+          .select(col("doc_id"), col("verdict"), col("ref_id"))
+          .orderBy("doc_id")
+      },
+      """WITH batch AS (
+        |  SELECT vec_id AS doc_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 0
+        |), be AS (
+        |  SELECT doc_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM batch
+        |), se AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings WHERE vec_id % 5 <> 0
+        |), bn AS (
+        |  SELECT doc_id, CASE WHEN sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |    THEN 1 ELSE sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END AS n
+        |  FROM be GROUP BY 1
+        |), sn AS (
+        |  SELECT vec_id, CASE WHEN sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |    THEN 1 ELSE sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END AS n
+        |  FROM se GROUP BY 1
+        |), xdots AS (
+        |  SELECT b.doc_id AS a, s.vec_id AS b2,
+        |         sum(CAST(b.x AS DOUBLE) * CAST(s.x AS DOUBLE)) AS dot
+        |  FROM be b JOIN se s ON b.i = s.i GROUP BY 1, 2
+        |), v_semx AS (
+        |  SELECT a AS doc_id, min(b2) AS ref
+        |  FROM xdots JOIN bn ON bn.doc_id = a JOIN sn ON sn.vec_id = b2
+        |  WHERE dot / bn.n / sn.n >= 0.35 GROUP BY 1
+        |), rem AS (
+        |  SELECT doc_id FROM batch
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM v_semx)
+        |), idots AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b2,
+        |         sum(CAST(x.x AS DOUBLE) * CAST(y.x AS DOUBLE)) AS dot
+        |  FROM be x JOIN be y ON x.i = y.i AND x.doc_id < y.doc_id
+        |  WHERE x.doc_id IN (SELECT doc_id FROM rem)
+        |    AND y.doc_id IN (SELECT doc_id FROM rem)
+        |  GROUP BY 1, 2
+        |), v_semb AS (
+        |  SELECT b2 AS doc_id, min(a) AS ref
+        |  FROM idots JOIN bn na ON na.doc_id = a JOIN bn nb ON nb.doc_id = b2
+        |  WHERE dot / na.n / nb.n >= 0.35 GROUP BY 1
+        |), v_kept AS (
+        |  SELECT doc_id FROM rem
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM v_semb)
+        |)
+        |SELECT doc_id, 'dup_semantic' AS verdict, CAST(ref AS BIGINT) AS ref_id FROM v_semx
+        |UNION ALL SELECT doc_id, 'dup_semantic_batch', CAST(ref AS BIGINT) FROM v_semb
+        |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept
+        |ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
       "d13_pack_chunks",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
-import graft.ext.{Dedup, FingerprintIndex, MinHashIndex, SpanIndex, TextAnalysis}
+import graft.ext.{Dedup, FingerprintIndex, MinHashIndex, SemanticIndex, Similarity, SpanIndex, TextAnalysis}
 
 /** The turnkey continuous corpus constructor: every delivery flows
   * through the full curation gauntlet — quality rules → exact dedup →
@@ -54,20 +54,25 @@ object StreamingCorpusPipeline {
   final case class Config(
       tau: Double = 0.5,
       minLeak: Long = 2,
+      semTau: Double = 0.35,
       compactEvery: Int = 0,
       quality: DataFrame => DataFrame =
         d => TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep")))
 
-  /** Start the pipeline on a streaming (doc_id, text) frame. The
+  /** Start the pipeline on a streaming (doc_id, text) frame — plus an
+    * `embedding: array&lt;float&gt;` column when `semPath` is set. The
     * fingerprint and MinHash indexes must already exist (seed builds —
     * possibly over empty frames); `spanPath` is the optional eval-set
-    * decontamination index.
+    * decontamination index; `semPath` an optional [[SemanticIndex]]
+    * adding the SemDeDup stage after near-dup.
     */
   def start(docs: DataFrame, fpPath: String, mhPath: String,
             spanPath: Option[String], verdictPath: String,
-            checkpoint: String, cfg: Config = Config()): StreamingQuery =
+            checkpoint: String, cfg: Config = Config(),
+            semPath: Option[String] = None): StreamingQuery =
     docs
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id") +: col("text") +:
+        semPath.map(_ => col("embedding")).toSeq: _*)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -75,13 +80,15 @@ object StreamingCorpusPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           processBatch(batch, batchId, fpPath, mhPath, spanPath,
-            verdictPath, cfg)
+            verdictPath, cfg, semPath)
           if (cfg.compactEvery > 0 && batchId > 0 &&
               batchId % cfg.compactEvery == 0) {
             FingerprintIndex.load(batch.sparkSession, fpPath)
               .compactCommitted(checkpoint)
             MinHashIndex.load(batch.sparkSession, mhPath)
-              .compactCommitted(checkpoint): Unit
+              .compactCommitted(checkpoint)
+            semPath.foreach(p => SemanticIndex.load(batch.sparkSession, p)
+              .compactCommitted(checkpoint)): Unit
           }
         }
       }
@@ -149,10 +156,18 @@ object StreamingCorpusPipeline {
     */
   def processBatch(batch: DataFrame, batchId: Long, fpPath: String,
                    mhPath: String, spanPath: Option[String],
-                   verdictPath: String, cfg: Config): Unit = {
+                   verdictPath: String, cfg: Config,
+                   semPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val seg = s"b$batchId"
-    val docs = batch.select(col("doc_id"), col("text")).cache()
+    // the embedding column rides along only when the semantic stage is on
+    val carried = col("doc_id") +: col("text") +:
+      semPath.map(_ => col("embedding")).toSeq
+    def emptyVerdicts: DataFrame = spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit("").as("verdict"),
+        lit(null).cast("long").as("ref_id"))
+      .where(lit(false))
+    val docs = batch.select(carried: _*).cache()
     val caches = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
     def keep(df: DataFrame): DataFrame = { caches += df.cache(); df }
     def minus(from: DataFrame, dropped: DataFrame): DataFrame =
@@ -191,10 +206,7 @@ object StreamingCorpusPipeline {
           .groupBy("doc_id").agg(min("bench_id").as("ref_id"))
           .select(col("doc_id"), lit("contaminated").as("verdict"),
             col("ref_id"))
-        case None => spark.emptyDataFrame
-          .select(lit(0L).as("doc_id"), lit("").as("verdict"),
-            lit(null).cast("long").as("ref_id"))
-          .where(lit(false))
+        case None => emptyVerdicts
       })
       // lineage cut: everything before this point is a chain of
       // anti-joins whose LOGICAL plan would otherwise underlie every
@@ -204,7 +216,7 @@ object StreamingCorpusPipeline {
       // by construction (micro-batches are bounded), so materializing
       // it is cheap and every downstream plan starts from an RDD scan.
       val afterC = minus(afterEx, contam)
-        .select(col("doc_id"), col("text")).localCheckpoint()
+        .select(carried: _*).localCheckpoint()
 
       // 4. near-dup: cross vs the index, then in-batch components
       // (StreamingDedup's rule). The batch is shingled and signed ONCE
@@ -224,7 +236,7 @@ object StreamingCorpusPipeline {
         .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
         .select(col("doc_id"), lit("dup_index").as("verdict"), col("ref_id")))
       val afterNc = minus(afterC, nearCross)
-        .select(col("doc_id"), col("text")).localCheckpoint()
+        .select(carried: _*).localCheckpoint()
       val pairs = Dedup.minhashDuplicates(afterNc, n = mhIdx.n, tau = cfg.tau,
         k = mhIdx.k, bands = mhIdx.bands,
         shingled = Some(idsOf(afterNc)(shAll)),
@@ -233,7 +245,43 @@ object StreamingCorpusPipeline {
         .where(col("id") =!= col("root"))
         .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
           col("root").as("ref_id")))
-      val survivors = keep(minus(afterNc, nearBatch))
+      val afterNear = minus(afterNc, nearBatch)
+
+      // 4b. semantic (SemDeDup) stage, when an index is configured:
+      // assign ONCE against the frozen centroids, cross-dedup with
+      // own-segment exclusion, then the in-batch smaller-id keeper
+      // within cells (StreamingSemanticDedup's rule verbatim);
+      // survivors extend the semantic index like the text indexes
+      val (semCross, semBatch, survivors) = semPath match {
+        case Some(p) =>
+          val semIdx = SemanticIndex.load(spark, p)
+          val assigned = keep(semIdx.assign(afterNear, idCol = "doc_id",
+            vecCol = "embedding"))
+          val sCross = keep(semIdx
+            .dedupAssigned(assigned, cfg.semTau, excludeSeg = Some(seg))
+            .groupBy("vec_id").agg(min("dup_of").as("ref_id"))
+            .select(col("vec_id").as("doc_id"),
+              lit("dup_semantic").as("verdict"), col("ref_id")))
+          val remaining = keep(assigned.join(
+            sCross.select(col("doc_id").as("id")), Seq("id"), "left_anti"))
+          val sim = Similarity.pairSim(semIdx.normalized,
+            col("x.vec"), col("y.vec"))
+          val sBatch = keep(remaining.as("x")
+            .join(remaining.as("y"),
+              col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+            .where(sim >= cfg.semTau)
+            .groupBy(col("y.id").as("doc_id"))
+            .agg(min(col("x.id")).as("ref_id"))
+            .select(col("doc_id"), lit("dup_semantic_batch").as("verdict"),
+              col("ref_id")))
+          val surv = keep(minus(minus(afterNear, sCross), sBatch))
+          semIdx.appendAssigned(remaining.join(
+            surv.select(col("doc_id").as("id")), Seq("id"), "left_semi"),
+            seg = seg)
+          (sCross, sBatch, surv)
+        case None =>
+          (emptyVerdicts, emptyVerdicts, keep(afterNear))
+      }
 
       // 5. exactly-once effects, all keyed by batchId
       fpIdx.append(survivors, seg = seg)
@@ -243,6 +291,7 @@ object StreamingCorpusPipeline {
       qDrops
         .unionByName(exCross).unionByName(exBatch).unionByName(contam)
         .unionByName(nearCross).unionByName(nearBatch)
+        .unionByName(semCross).unionByName(semBatch)
         .unionByName(survivors.select(col("doc_id"),
           lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")

@@ -156,6 +156,52 @@ class StreamingPipelineSpec extends AnyFunSuite {
       103L -> ("kept", None)), s"post-bootstrap delivery: $v")
   }
 
+  test("semantic stage: cross + in-batch SemDeDup verdicts, survivors extend the index") {
+    import spark.implicits._
+    val fpPath = Files.createTempDirectory("cp4-fp").toString
+    val mhPath = Files.createTempDirectory("cp4-mh").toString
+    val semPath = Files.createTempDirectory("cp4-sem").toString
+    val vPath = Files.createTempDirectory("cp4-v").toString
+    def txt(id: Long) = s"w${id}a w${id}b w${id}c w${id}d"
+    def vec(i: Int) = Array.tabulate(4)(j => if (j == i) 1f else 0f)
+    val seedDocs = Seq((1L, txt(1)), (2L, txt(2))).toDF("doc_id", "text")
+    FingerprintIndex.build(seedDocs, fpPath)
+    MinHashIndex.build(seedDocs, mhPath)
+    graft.ext.SemanticIndex.build(
+      Seq((1L, vec(0)), (2L, vec(1))).toDF("vec_id", "embedding"),
+      semPath, nlist = 1, normalized = false)
+
+    // texts are all unique (no text-stage convictions); the vectors
+    // carry the dups: 301 matches indexed 1, 302/303 are an in-batch
+    // pair (keeper 302), 304 is orthogonal to everything
+    val batch = Seq(
+      (301L, txt(301), vec(0)),
+      (302L, txt(302), vec(2)), (303L, txt(303), vec(2)),
+      (304L, txt(304), vec(3)))
+      .toDF("doc_id", "text", "embedding")
+    StreamingCorpusPipeline.processBatch(batch, 0L, fpPath, mhPath, None,
+      vPath, cfg, semPath = Some(semPath))
+    def verdicts: Map[Long, (String, Option[Long])] =
+      spark.read.parquet(vPath).where("batch = 0").collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+    val want = Map(
+      301L -> ("dup_semantic", Some(1L)),
+      302L -> ("kept", None),
+      303L -> ("dup_semantic_batch", Some(302L)),
+      304L -> ("kept", None))
+    assert(verdicts == want, s"semantic verdicts: $verdicts")
+    // survivors joined the semantic index (base seeds + 302, 304)
+    val ids = spark.read.parquet(s"$semPath/members")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 302L, 304L), s"semantic members: $ids")
+    // replay: batch-keyed overwrites + own-segment exclusion
+    StreamingCorpusPipeline.processBatch(batch, 0L, fpPath, mhPath, None,
+      vPath, cfg, semPath = Some(semPath))
+    assert(verdicts == want, "replay changed verdicts")
+  }
+
   test("no span index: contamination stage is a no-op, the rest unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
