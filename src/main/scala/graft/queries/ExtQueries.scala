@@ -1802,6 +1802,48 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
+      "d48_bootstrap_semantic",
+      // the semantic cold-start: SemDeDup over the historical corpus
+      // with the dropping keeper RECORDED, survivors seeding the
+      // SemanticIndex base — exact mode (nlist=1, plain cosine) on the
+      // %3 subset (d21's all-pairs bound), so the pairwise rule is
+      // fully DuckDB-checkable: y drops iff some x < y has cos ≥ 0.35,
+      // ref = the smallest such x.
+      (s, dir) => {
+        val sm = java.nio.file.Files
+          .createTempDirectory("graft-bsem").toString
+        graft.streaming.StreamingCorpusPipeline.bootstrapSemantic(
+          emb(s, dir).where(col("vec_id") % 3 === 0), sm,
+          nlist = 1, tau = 0.35, normalized = false)
+          .orderBy("doc_id")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings WHERE vec_id % 3 = 0
+        |), n AS (
+        |  SELECT vec_id, CASE WHEN sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |    THEN 1 ELSE sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END AS nm
+        |  FROM e GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b2,
+        |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |), drops AS (
+        |  SELECT b2 AS doc_id, min(a) AS ref
+        |  FROM dots JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b2
+        |  WHERE dot / na.nm / nb.nm >= 0.35 GROUP BY 1
+        |)
+        |SELECT doc_id, 'dup_semantic_batch' AS verdict,
+        |       CAST(ref AS BIGINT) AS ref_id
+        |FROM drops
+        |UNION ALL
+        |SELECT vec_id, 'kept', CAST(NULL AS BIGINT)
+        |FROM embeddings WHERE vec_id % 3 = 0
+        |  AND vec_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
       "d13_pack_chunks",
       // sequence packing: concat each source's docs (stable doc_id order)
       // and cut into 512-token training chunks; docs may straddle chunks

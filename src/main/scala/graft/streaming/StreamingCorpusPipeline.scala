@@ -151,6 +151,55 @@ object StreamingCorpusPipeline {
     } finally { sh.unpersist(); sigs.unpersist(): Unit }
   }
 
+  /** Cold-start for the semantic stage: SemDeDup over a historical
+    * embedding corpus and seed the [[SemanticIndex]] from the
+    * survivors — [[bootstrap]]'s embedding twin. The keeper rule is
+    * [[Dedup.semanticDedup]]'s (drop any vector with a smaller-id
+    * near-pair in its cell), spelled here with the dropping keeper
+    * RECORDED (ref_id = the smallest such id) so the verdict frame
+    * matches the gauntlet's shape; the pair join is the same
+    * skew-salted within-cell self-join (a hot cell's quadratic work
+    * splits across salt shards instead of one task).
+    *
+    * @return (doc_id, verdict, ref_id) with classes dup_semantic_batch
+    *         / kept
+    */
+  def bootstrapSemantic(emb: DataFrame, semPath: String, nlist: Int,
+                        tau: Double = 0.35, normalized: Boolean = true,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val assigned = Dedup.clusterAssignment(emb, nlist, idCol, vecCol,
+      normalized).cache()
+    try {
+      val sim = Similarity.pairSim(normalized, col("x.vec"), col("y.vec"))
+      val S = 32L
+      val ys = assigned.withColumn("salt", pmod(xxhash64(col("id")), lit(S)))
+      val xs = assigned.withColumn("salt",
+        explode(sequence(lit(0L), lit(S - 1L))))
+      val drops = xs.as("x")
+        .join(ys.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.salt") === col("y.salt") && col("x.id") < col("y.id"))
+        .where(sim >= tau)
+        .groupBy(col("y.id").as("doc_id"))
+        .agg(min(col("x.id")).as("ref_id"))
+        .select(col("doc_id"), lit("dup_semantic_batch").as("verdict"),
+          col("ref_id"))
+      val survivors = assigned
+        .join(drops.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+        .select(col("id")).localCheckpoint()
+      // build from the ORIGINAL rows (the assignment's vec may be the
+      // normalized copy — build normalizes itself); centroids train on
+      // the survivor set and land as base, the index the gauntlet grows
+      SemanticIndex.build(
+        emb.join(survivors.select(col("id").as(idCol)), Seq(idCol),
+          "left_semi"),
+        semPath, nlist, normalized, idCol, vecCol): Unit
+      drops.unionByName(survivors.select(col("id").as("doc_id"),
+        lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
+    } finally { assigned.unpersist(); () }
+  }
+
   /** One batch of the gauntlet — public so a batch backfill applies
     * IDENTICAL semantics outside a stream.
     */

@@ -202,6 +202,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(verdicts == want, "replay changed verdicts")
   }
 
+  test("bootstrapSemantic: global keeper + refs; seeded index serves the gauntlet") {
+    import spark.implicits._
+    val fpPath = Files.createTempDirectory("cp5-fp").toString
+    val mhPath = Files.createTempDirectory("cp5-mh").toString
+    val semPath = Files.createTempDirectory("cp5-sem").toString
+    val vPath = Files.createTempDirectory("cp5-v").toString
+    def txt(id: Long) = s"w${id}a w${id}b w${id}c w${id}d"
+    def vec(i: Int) = Array.tabulate(4)(j => if (j == i) 1f else 0f)
+    // 1 and 3 are an in-corpus pair (keeper 1, ref recorded); 2 distinct
+    val got = StreamingCorpusPipeline.bootstrapSemantic(
+      Seq((1L, vec(0)), (2L, vec(1)), (3L, vec(0)))
+        .toDF("vec_id", "embedding"),
+      semPath, nlist = 1, tau = 0.35, normalized = false)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ("kept", None),
+      2L -> ("kept", None),
+      3L -> ("dup_semantic_batch", Some(1L))), s"bootstrap verdicts: $got")
+    // the seeded index IS the gauntlet's semantic state
+    FingerprintIndex.build(Seq((1L, txt(1)), (2L, txt(2))).toDF("doc_id", "text"), fpPath)
+    MinHashIndex.build(Seq((1L, txt(1)), (2L, txt(2))).toDF("doc_id", "text"), mhPath)
+    StreamingCorpusPipeline.processBatch(
+      Seq((401L, txt(401), vec(0)), (402L, txt(402), vec(2)))
+        .toDF("doc_id", "text", "embedding"),
+      0L, fpPath, mhPath, None, vPath, cfg, semPath = Some(semPath))
+    val v = spark.read.parquet(vPath).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(v == Map(
+      401L -> ("dup_semantic", Some(1L)),
+      402L -> ("kept", None)), s"post-bootstrap semantic delivery: $v")
+  }
+
   test("no span index: contamination stage is a no-op, the rest unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
