@@ -157,6 +157,32 @@ object ExtQueries {
         (fp, mh, sm, v)
       })
 
+  /** Seed indexes for d49 (gauntlet with the contamination stage live):
+    * d45's fp/mh seeds plus a SpanIndex over the derived bench set
+    * (doc_id % 50 = 7, ≥ 300 chars). Owned by d49.
+    */
+  private val spanGauntletMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String, String)]()
+
+  private def spanGauntletPathsFor(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): (String, String, String, String) =
+    spanGauntletMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val fp = java.nio.file.Files.createTempDirectory("graft-spg-fp").toString
+        val mh = java.nio.file.Files.createTempDirectory("graft-spg-mh").toString
+        val sp = java.nio.file.Files.createTempDirectory("graft-spg-span").toString
+        val v = java.nio.file.Files.createTempDirectory("graft-spg-v").toString
+        val d = docs(s, dir)
+        val seed = d.where(col("doc_id") % 5 =!= 0)
+        graft.ext.FingerprintIndex.build(seed, fp)
+        MinHashIndex.build(seed, mh, n = 3, k = 128, bands = 64)
+        graft.ext.SpanIndex.build(
+          d.where(col("doc_id") % 50 === 7 && length(col("text")) >= 300),
+          sp)
+        (fp, mh, sp, v)
+      })
+
   private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
     String, DataFrame]()
 
@@ -1842,6 +1868,180 @@ object ExtQueries {
         |FROM embeddings WHERE vec_id % 3 = 0
         |  AND vec_id NOT IN (SELECT doc_id FROM drops)
         |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
+      "d49_corpus_gauntlet_spans",
+      // d45 with the contamination stage LIVE: the gauntlet batch plus
+      // planted leak docs (a 200-char prefix of each bench doc + a
+      // unique suffix — not exact dups, so they survive the exact
+      // stages and convict at the span check before near-dup runs);
+      // the oracle models all five active stages, with d29's
+      // sampled-gram diagonal-run CTEs for the contamination step.
+      (s, dir) => {
+        val (fpPath, mhPath, spPath, vPath) = spanGauntletPathsFor(s, dir)
+        val d = docs(s, dir)
+        val batch = d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(d
+            .where(col("doc_id") % 5 =!= 0 && col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(d.where(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(d.where(col("doc_id") % 50 === 30)
+            .select((col("doc_id") + 30000).as("doc_id"),
+              concat(col("text"), lit(" xqz")).as("text")))
+          .unionByName(d
+            .where(col("doc_id") % 50 === 7 && length(col("text")) >= 300)
+            .select((col("doc_id") + 40000).as("doc_id"),
+              concat(substring(col("text"), 1, 200), lit(" uq"),
+                (col("doc_id") + 40000).cast("string")).as("text")))
+        graft.streaming.StreamingCorpusPipeline.processBatch(
+          batch, 0L, fpPath, mhPath, Some(spPath), vPath,
+          graft.streaming.StreamingCorpusPipeline.Config(tau = 0.5,
+            minLeak = 2,
+            quality = b => b.select(col("doc_id"),
+              when(length(col("text")) >= 100, 1).otherwise(0).as("keep"))))
+        s.read.parquet(s"$vPath/batch=0")
+          .select(col("doc_id"), col("verdict"), col("ref_id"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE seed AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+         |), batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents
+         |  WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text || ' xqz' FROM documents
+         |  WHERE doc_id % 50 = 30
+         |  UNION ALL
+         |  SELECT doc_id + 40000,
+         |         substr(text, 1, 200) || ' uq' || (doc_id + 40000)
+         |  FROM documents WHERE doc_id % 50 = 7 AND length(text) >= 300
+         |), v_q AS (
+         |  SELECT doc_id FROM batch WHERE length(text) < 100
+         |), rem1 AS (
+         |  SELECT doc_id, text FROM batch WHERE length(text) >= 100
+         |), bf AS (
+         |  SELECT doc_id, $fpSql AS fp FROM rem1
+         |), sf AS (
+         |  SELECT doc_id, $fpSql AS fp FROM seed
+         |), v_exc AS (
+         |  SELECT b.doc_id, min(s.doc_id) AS ref
+         |  FROM bf b JOIN sf s USING (fp) GROUP BY 1
+         |), bf2 AS (
+         |  SELECT * FROM bf WHERE doc_id NOT IN (SELECT doc_id FROM v_exc)
+         |), keep2 AS (
+         |  SELECT fp, min(doc_id) AS keeper FROM bf2 GROUP BY 1
+         |), v_exb AS (
+         |  SELECT b.doc_id, k.keeper AS ref
+         |  FROM bf2 b JOIN keep2 k USING (fp) WHERE b.doc_id <> k.keeper
+         |), rem3 AS (
+         |  SELECT r.doc_id, r.text FROM rem1 r
+         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM v_exc)
+         |    AND r.doc_id NOT IN (SELECT doc_id FROM v_exb)
+         |), cg0 AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+         |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+         |  FROM rem3, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+         |), cp AS (
+         |  SELECT doc_id, i, g FROM cg0 WHERE g LIKE '0%'
+         |), bg0 AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+         |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+         |  FROM documents, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+         |  WHERE doc_id % 50 = 7 AND length(text) >= 300
+         |), cbp AS (
+         |  SELECT doc_id, i, g FROM (
+         |    SELECT doc_id, i, g,
+         |           row_number() OVER (PARTITION BY g, doc_id ORDER BY i) AS occ
+         |    FROM bg0 WHERE g LIKE '0%')
+         |  WHERE occ <= 8
+         |), crare AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(DISTINCT doc_id) AS df FROM cp GROUP BY 1)
+         |  WHERE df <= 200
+         |), ccap AS (
+         |  SELECT doc_id, i, g FROM (
+         |    SELECT cp.doc_id, cp.i, cp.g,
+         |           row_number() OVER (PARTITION BY cp.g, cp.doc_id ORDER BY cp.i) AS occ
+         |    FROM cp JOIN crare USING (g))
+         |  WHERE occ <= 8
+         |), cm AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
+         |  FROM ccap x JOIN cbp y ON x.g = y.g
+         |), cr AS (
+         |  SELECT a, b, d, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, b, d ORDER BY pos) > 64
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM cm
+         |), cr2 AS (
+         |  SELECT a, b, d, pos,
+         |         sum(brk) OVER (PARTITION BY a, b, d ORDER BY pos
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM cr
+         |), v_ct AS (
+         |  SELECT a AS doc_id, min(b) AS ref FROM (
+         |    SELECT a, b FROM cr2 GROUP BY a, b, d, run HAVING count(*) >= 2)
+         |  GROUP BY 1
+         |), rem4 AS (
+         |  SELECT r.doc_id, r.text FROM rem3 r
+         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM v_ct)
+         |), btri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM rem4)
+         |), bsz AS (SELECT doc_id, count(*) AS sz FROM btri GROUP BY 1),
+         |stri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM seed)
+         |), ssz AS (SELECT doc_id, count(*) AS sz FROM stri GROUP BY 1),
+         |xinter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM btri x JOIN stri y ON x.shingle = y.shingle GROUP BY 1, 2
+         |), v_nx AS (
+         |  SELECT a AS doc_id, min(b) AS ref
+         |  FROM xinter JOIN bsz na ON na.doc_id = a JOIN ssz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+         |  GROUP BY 1
+         |), rtri AS (
+         |  SELECT * FROM btri WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+         |), iinter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM rtri x JOIN rtri y
+         |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), ipairs AS (
+         |  SELECT a, b
+         |  FROM iinter JOIN bsz na ON na.doc_id = a JOIN bsz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+         |), nodes AS (SELECT a AS id FROM ipairs UNION SELECT b FROM ipairs),
+         |edges AS (SELECT a AS u, b AS v FROM ipairs UNION SELECT b, a FROM ipairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1),
+         |v_nb AS (SELECT id AS doc_id, root AS ref FROM comp WHERE id <> root),
+         |v_kept AS (
+         |  SELECT doc_id FROM rem4
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+         |    AND doc_id NOT IN (SELECT doc_id FROM v_nb)
+         |)
+         |SELECT doc_id, 'drop_quality' AS verdict, CAST(NULL AS BIGINT) AS ref_id FROM v_q
+         |UNION ALL SELECT doc_id, 'dup_exact', CAST(ref AS BIGINT) FROM v_exc
+         |UNION ALL SELECT doc_id, 'dup_exact_batch', CAST(ref AS BIGINT) FROM v_exb
+         |UNION ALL SELECT doc_id, 'contaminated', CAST(ref AS BIGINT) FROM v_ct
+         |UNION ALL SELECT doc_id, 'dup_index', CAST(ref AS BIGINT) FROM v_nx
+         |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
+         |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept
+         |ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
       "d13_pack_chunks",
