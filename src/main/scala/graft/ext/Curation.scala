@@ -351,6 +351,43 @@ object Curation {
         ((col("rk").cast("double") - 0.5) / col("quota").cast("double"))
           .as("okey"))
 
+  /** Temperature mixing by TOKEN mass under one global budget — the
+    * composition of [[temperatureSample]]'s quota rule and
+    * [[tokenBudgetSelect]]'s quality-ordered fill, which is how
+    * multilingual mixtures are actually specified (α-scaled token
+    * shares, not document counts): each source's token budget is
+    * floor(totalBudget · w_s), w_s = round(m_s^τ / Σ_t m_t^τ, 9) over
+    * the per-source TOKEN masses m_s, and the source fills it with its
+    * best documents (quality desc, doc_id tie-break) until the next
+    * doc would overflow. Same portability discipline as
+    * temperatureSample (9dp-rounded weights before the floor); same
+    * scale shape as tokenBudgetSelect (two-phase [[prefixSums]] — a
+    * dominant source spans shards; token masses are one
+    * map-side-combinable aggregate riding a broadcast join).
+    *
+    * @return (source, doc_id, toks, cum, budget) for the kept rows
+    */
+  def tokenBudgetMixture(docs: DataFrame, totalBudget: Long, tau: Double,
+                         idCol: String = "doc_id", srcCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val scored = docs
+      .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("toks"),
+        TextAnalysis.qualityScore(col(textCol)).as("q"))
+    val sizes = scored.groupBy("source").agg(sum("toks").as("m"))
+    val tot = sizes.agg(sum(pow(col("m"), lit(tau))).as("wsum"))
+    val budgets = sizes.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(lit(totalBudget.toDouble) *
+            round(pow(col("m"), lit(tau)) / col("wsum"), 9))
+          .cast("long").as("budget"))
+    prefixSums(scored, "source", "toks", Seq(col("q").desc, col("doc_id")))
+      .join(broadcast(budgets), "source")
+      .where(col("cum") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("toks"), col("cum"),
+        col("budget"))
+  }
+
   /** GPT-style sequence packing: concatenate each source's documents in
     * stable (doc_id) order and cut the token stream into fixed-`budget`
     * chunks — the packing step that turns a curated corpus into

@@ -2252,6 +2252,48 @@ object ExtQueries {
          |ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
+      "d50_token_budget_mixture",
+      // temperature mixing by TOKEN mass: per-source token budget ∝
+      // m^τ of a 40k-token total (τ=0.5), each source filling its
+      // budget with its best docs. Same derived Zipfian head as d42 so
+      // the τ reweighting binds; weights 9dp-rounded before the floor.
+      (s, dir) => Curation.tokenBudgetMixture(
+        docs(s, dir).select(col("doc_id"), col("text"),
+          when(col("doc_id") % 10 < 7, lit("head"))
+            .otherwise(col("source")).as("source")),
+        totalBudget = 40000, tau = 0.5).orderBy("source", "doc_id"),
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
+         |  FROM documents
+         |), q AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks,
+         |    (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |      + least((CAST(len(regexp_extract_all(lower(text),
+         |            '\\b(${graft.ext.TextAnalysis.StopEn.mkString("|")})\\b')) AS DOUBLE)
+         |          / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0)) * 4.0, 1.0)
+         |      + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |          / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0, 1.0))) / 3.0 AS qual
+         |  FROM d
+         |), sz AS (
+         |  SELECT source, sum(toks) AS m FROM q GROUP BY 1
+         |), bud AS (
+         |  SELECT source,
+         |    CAST(floor(40000.0 * round(pow(m, 0.5) /
+         |      (SELECT sum(pow(m, 0.5)) FROM sz), 9)) AS BIGINT) AS budget
+         |  FROM sz
+         |), c AS (
+         |  SELECT source, doc_id, toks,
+         |    CAST(sum(toks) OVER (PARTITION BY source ORDER BY qual DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM q
+         |)
+         |SELECT source, doc_id, toks, cum, budget
+         |FROM c JOIN bud USING (source) WHERE cum <= budget
+         |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
       "d19_dedup_incremental",
       // incremental delivery dedup: the batch split (doc_id % 5 = 0)
       // cross-checked against a persisted MinHash index of the corpus

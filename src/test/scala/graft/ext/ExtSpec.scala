@@ -259,6 +259,24 @@ class ExtSpec extends AnyFunSuite {
     assert(toks == Map(1L -> 7L, 2L -> 8L, 3L -> 6L), s"tokens: $toks")
   }
 
+  test("tokenBudgetMixture: τ-scaled token budgets, quality-ordered fill") {
+    // 9:1 token-mass split ('big' docs have 9 words each, 10 docs;
+    // 'small' 1 word each, 10 docs): m = 90/10, τ=0.5 → weights .75/.25
+    val d = ((0 until 10).map(i => (i.toLong, "big",
+      (1 to 9).map(j => s"b$i$j").mkString(" "))) ++
+      (0 until 10).map(i => (100L + i, "small", s"s$i")))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.tokenBudgetMixture(d, totalBudget = 40, tau = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    // budgets: sqrt(90):sqrt(10) → .75/.25 of 40 → 30/10
+    assert(got.forall { case (s, _, b) =>
+      b == (if (s == "big") 30L else 10L) }, s"budgets: ${got.toSeq}")
+    // fill: big keeps 3 docs (27 ≤ 30 < 36), small keeps all 10 (10 ≤ 10)
+    val kept = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(kept == Map("big" -> 3, "small" -> 10), s"kept: $kept")
+  }
+
   test("containment: subsumed doc scores 1.0 where jaccard washes out; ⊇ jaccard pairs") {
     // a 4-shingle post quoted verbatim inside a much longer page:
     // containment = 1.0, jaccard = 4/24 ≈ 0.17 — the asymmetric case
