@@ -351,6 +351,35 @@ object Curation {
         ((col("rk").cast("double") - 0.5) / col("quota").cast("double"))
           .as("okey"))
 
+  /** Soft deduplication: instead of DROPPING near-duplicates, DOWNWEIGHT
+    * them — every document gets sampling weight 1 / |its transitive
+    * near-dup cluster| (singletons weigh 1), so a family of 20
+    * boilerplate variants contributes one document's worth of mass to
+    * training in expectation while keeping its internal diversity. The
+    * alternative the hard keeper rule ([[Dedup.curateNearDups]])
+    * throws away; mixture dataloaders consume the weight column
+    * directly. Clusters are [[Dedup.duplicateClusters]]' transitive
+    * closure (chains, not cliques — web near-dup families are chains);
+    * the weight is an exact integer reciprocal, bit-identical on any
+    * IEEE engine.
+    *
+    * @return one row per document: (doc_id, root, cluster_size, weight)
+    *         — root = self and weight = 1.0 for singletons
+    */
+  def softDedupWeights(docs: DataFrame, tau: Double = 0.5, n: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingled: Option[DataFrame] = None): DataFrame = {
+    val clustered = Dedup.duplicateClusters(docs, n, tau,
+      idCol = idCol, textCol = textCol, shingled = shingled)
+    docs.select(col(idCol).as("doc_id"))
+      .join(clustered.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("root"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"))
+          .as("weight"))
+  }
+
   /** Temperature mixing by TOKEN mass under one global budget — the
     * composition of [[temperatureSample]]'s quota rule and
     * [[tokenBudgetSelect]]'s quality-ordered fill, which is how

@@ -1319,6 +1319,48 @@ object ExtQueries {
          |FROM comp ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "d51_soft_dedup_weights",
+      // soft dedup: downweight near-dup clusters (weight = 1/|cluster|)
+      // instead of dropping them — d09's transitive closure left-joined
+      // back onto the corpus, singletons at weight 1. The reciprocal is
+      // an exact integer division, so the compare needs no rounding.
+      (s, dir) => Curation.softDedupWeights(docs(s, dir), tau = 0.3,
+        shingled = Some(shinglesFor(s, dir, 3))).orderBy("doc_id"),
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+         |), tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM tok
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT a, b
+         |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.3
+         |), nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (
+         |  SELECT id, min(l) AS root FROM reach GROUP BY 1
+         |), sized AS (
+         |  SELECT id, root, count(*) OVER (PARTITION BY root) AS csz FROM comp
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.root, d.doc_id) AS BIGINT) AS root,
+         |  CAST(coalesce(s.csz, 1) AS BIGINT) AS cluster_size,
+         |  1.0 / coalesce(s.csz, 1) AS weight
+         |FROM documents d LEFT JOIN sized s ON s.id = d.doc_id
+         |ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "d10_curation_neardup",
       // keep-one-per-near-dup-cluster curation: transitive Jaccard
       // clusters (d09's closure), drop non-roots, per-source stats —

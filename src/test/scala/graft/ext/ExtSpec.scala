@@ -259,6 +259,24 @@ class ExtSpec extends AnyFunSuite {
     assert(toks == Map(1L -> 7L, 2L -> 8L, 3L -> 6L), s"tokens: $toks")
   }
 
+  test("softDedupWeights: chain cluster weighs 1/3 each; mass = distinct clusters") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val synth = Seq(
+      (1L, t),
+      (2L, t.replace("kappa", "lambda")),  // near-dups 1
+      (3L, t.replace("alpha", "omega").replace("kappa", "lambda")), // chains to 2, not 1
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val w = Curation.softDedupWeights(synth, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(w(1L) == ((1L, 3L, 1.0 / 3)) && w(2L) == ((1L, 3L, 1.0 / 3)) &&
+      w(3L) == ((1L, 3L, 1.0 / 3)), s"chain cluster: $w")
+    assert(w(4L) == ((4L, 1L, 1.0)), s"singleton: $w")
+    // expectation preserved: total weight == number of distinct contents
+    assert(math.abs(w.values.map(_._3).sum - 2.0) < 1e-12)
+  }
+
   test("tokenBudgetMixture: τ-scaled token budgets, quality-ordered fill") {
     // 9:1 token-mass split ('big' docs have 9 words each, 10 docs;
     // 'small' 1 word each, 10 docs): m = 90/10, τ=0.5 → weights .75/.25

@@ -238,6 +238,70 @@ class StreamingPipelineSpec extends AnyFunSuite {
       402L -> ("kept", None)), s"post-bootstrap semantic delivery: $v")
   }
 
+  test("randomized batches: kept set is dup-free, indexes == kept, refs resolve") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val fpPath = Files.createTempDirectory("cp6-fp").toString
+    val mhPath = Files.createTempDirectory("cp6-mh").toString
+    val vPath = Files.createTempDirectory("cp6-v").toString
+    // deterministic 12-word doc text, unique per (salt, i)
+    def docText(salt: Long, i: Long): String = {
+      var h = salt * 0x9e3779b97f4a7c15L + i * 0xc2b2ae3d27d4eb4fL
+      (0 until 12).map { _ =>
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+        s"w${java.lang.Long.toUnsignedString(h % 50000)}"
+      }.mkString(" ")
+    }
+    val seed = (0 until 40).map(i => (i.toLong, docText(-1L, i)))
+    FingerprintIndex.build(seed.toDF("doc_id", "text"), fpPath)
+    MinHashIndex.build(seed.toDF("doc_id", "text"), mhPath)
+    val rnd = new scala.util.Random(42)
+    var all = seed.toVector // every (id, text) ever offered
+    for (b <- 0 until 3) {
+      val fresh = (0 until 20).map(i => ((b + 1) * 100000L + i, docText(b.toLong, i)))
+      // clones and near-clones of anything seen so far + quality fails
+      val clones = (0 until 4).map { i =>
+        val (_, t) = all(rnd.nextInt(all.size))
+        ((b + 1) * 100000L + 40000 + i, t)
+      }
+      val nears = (0 until 4).map { i =>
+        val (_, t) = all(rnd.nextInt(all.size))
+        ((b + 1) * 100000L + 50000 + i, t + " tail")
+      }
+      val bad = (0 until 3).map(i => ((b + 1) * 100000L + 60000 + i, "x"))
+      val batch = rnd.shuffle(fresh ++ clones ++ nears ++ bad)
+      StreamingCorpusPipeline.processBatch(
+        batch.toDF("doc_id", "text"), b.toLong, fpPath, mhPath, None,
+        vPath, cfg)
+      all = all ++ (fresh ++ clones ++ nears)
+    }
+    val verdicts = spark.read.parquet(vPath)
+      .select("doc_id", "verdict", "ref_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // one verdict per offered doc per batch
+    assert(verdicts.length == 3 * 31, s"verdict rows: ${verdicts.length}")
+    val keptIds = verdicts.collect { case (id, "kept", _) => id }.toSet
+    // the kept corpus is dup-free BY CONSTRUCTION: any ≥tau pair or
+    // shared fingerprint among seed+kept means a cross/in-batch check
+    // failed to fire
+    val keptDocs = (seed ++ all.filter(d => keptIds(d._1)))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(keptDocs, n = 3, tau = 0.5).isEmpty,
+      "near-dup pair survived the gauntlet")
+    assert(Dedup.exactGroups(keptDocs).where(col("n") > 1).isEmpty,
+      "exact dup survived the gauntlet")
+    // index content == seed + kept, exactly
+    val indexed = MinHashIndex.load(spark, mhPath)
+      .signatures.select("id").distinct().as[Long].collect().toSet
+    assert(indexed == seed.map(_._1).toSet ++ keptIds,
+      s"index drift: ${indexed.size} vs ${seed.size + keptIds.size}")
+    // every dup ref resolves to a doc that was offered or seeded
+    val known = all.map(_._1).toSet ++ seed.map(_._1).toSet
+    assert(verdicts.forall { case (_, _, ref) => ref.forall(known) },
+      "dangling ref")
+  }
+
   test("no span index: contamination stage is a no-op, the rest unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
