@@ -1334,6 +1334,63 @@ object Dedup {
     assigned.select("id", "cell").join(dropped, Seq("id"), "left_anti")
   }
 
+  /** D4-style prototype pruning (Tirumala et al. 2023, "D4: Improving
+    * LLM Pretraining via Document De-Duplication and Diversification",
+    * arXiv:2308.12284 — the SSL-prototypes step of Sorscher et al.
+    * 2022 applied after SemDeDup): within each k-means cell, DROP the
+    * most prototypical documents — those closest to the cell's member
+    * centroid — and keep the diverse tail. Near-centroid points are
+    * the cluster's redundant core; the far points carry its variety.
+    *
+    * Mechanics: cells from [[clusterAssignment]] (nlist=1 = one global
+    * cell, the exact/oracle mode); each cell's centroid is the
+    * element-wise MEAN of its members (dimension-wise aggregate,
+    * map-side combinable; `nlist` centroid rows collect driver-side —
+    * the centroids/codebooks precedent — and broadcast back);
+    * prototypicality = cosine(vec, centroid) ROUNDED to 6dp (so
+    * cross-engine float drift in the mean cannot flip a rank), ranked
+    * ascending with id tie-break through the two-phase
+    * [[Curation.prefixSums]] scan — a giant cell spans shards instead
+    * of one reducer; each cell keeps its floor(n · keepFrac)
+    * least-prototypical members.
+    *
+    * @return kept rows: (id, cell, cos, rk, n_keep) — cos rounded 6dp,
+    *         rk = 1 is the cell's most diverse member
+    */
+  def prototypePrune(emb: DataFrame, keepFrac: Double, nlist: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     normalized: Boolean = true,
+                     assignment: Option[DataFrame] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val assigned = assignment.getOrElse(
+      clusterAssignment(emb, nlist, idCol, vecCol, normalized))
+    // per-(cell, dim) means — tiny frame (nlist × dim rows), collected
+    // and re-emitted as a broadcast centroid table
+    val byDim = assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq
+    import spark.implicits._
+    // centroids stay DOUBLE: the oracle's mean is double, and a float
+    // round-trip here could flip the 6dp-rounded cosine at the margin
+    val cents = broadcast(byDim.toDF("cell", "cent"))
+    val scored = assigned.join(cents, "cell")
+      .select(col("id"), col("cell"),
+        round(Similarity.cosineSafe(col("vec"), col("cent")), 6).as("cos"))
+    val sizes = scored.groupBy("cell").agg(count(lit(1)).as("n"))
+    Curation.prefixSums(
+        scored.withColumn("one", lit(1L)), "cell", "one",
+        Seq(col("cos"), col("id")))
+      .join(broadcast(sizes), "cell")
+      .withColumn("n_keep", floor(col("n").cast("double") * keepFrac).cast("long"))
+      .where(col("cum") <= col("n_keep"))
+      .select(col("id"), col("cell"), col("cos"),
+        col("cum").cast("long").as("rk"), col("n_keep"))
+  }
+
   /** The (id, vec, cell) cluster assignment [[semanticDedup]] consumes:
     * nlist=1 puts everything in cell 0 (exact mode); otherwise k-means
     * cells from the IVF trainer, scored map-side

@@ -2336,6 +2336,42 @@ object ExtQueries {
          |ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
+      "d52_prototype_prune",
+      // D4's diversification step in exact mode: nlist=1 puts the whole
+      // corpus in one cell, centroid = element-wise mean, each doc's
+      // prototypicality = guarded cosine to it ROUNDED to 6dp (drift in
+      // the mean cannot flip ranks), keep the floor(n/2)
+      // least-prototypical (most diverse) documents.
+      (s, dir) => Dedup.prototypePrune(emb(s, dir), keepFrac = 0.5,
+        nlist = 1, normalized = false).orderBy("id"),
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT i, avg(CAST(x AS DOUBLE)) AS m FROM e GROUP BY 1
+        |), dots AS (
+        |  SELECT vec_id, sum(CAST(x AS DOUBLE) * m) AS dot,
+        |         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx
+        |  FROM e JOIN cent USING (i) GROUP BY 1
+        |), cn AS (
+        |  SELECT sqrt(sum(m * m)) AS nm FROM cent
+        |), sc AS (
+        |  SELECT vec_id,
+        |         round(dot / (CASE WHEN nx = 0 THEN 1 ELSE nx END)
+        |                   / (CASE WHEN nm = 0 THEN 1 ELSE nm END), 6) AS cos
+        |  FROM dots CROSS JOIN cn
+        |), rk AS (
+        |  SELECT vec_id, cos,
+        |         row_number() OVER (ORDER BY cos, vec_id) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM sc
+        |)
+        |SELECT vec_id AS id, CAST(0 AS BIGINT) AS cell, cos,
+        |       CAST(rk AS BIGINT) AS rk,
+        |       CAST(floor(n * 0.5) AS BIGINT) AS n_keep
+        |FROM rk WHERE rk <= floor(n * 0.5) ORDER BY id""".stripMargin
+    ),
+    QueryDef(
       "d19_dedup_incremental",
       // incremental delivery dedup: the batch split (doc_id % 5 = 0)
       // cross-checked against a persisted MinHash index of the corpus

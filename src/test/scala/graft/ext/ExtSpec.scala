@@ -259,6 +259,32 @@ class ExtSpec extends AnyFunSuite {
     assert(toks == Map(1L -> 7L, 2L -> 8L, 3L -> 6L), s"tokens: $toks")
   }
 
+  test("prototypePrune: keeps the least-prototypical per cell, window-reference exact") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Dedup.prototypePrune(emb, keepFrac = 0.4, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // reference: same assignment, same rounded cosine, plain window rank
+    val assigned = Dedup.clusterAssignment(emb, 4).cache()
+    val byDim = assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(map_from_entries(collect_list(struct(col("i"), col("m")))).as("mm"))
+      .select(col("cell"), transform(sequence(lit(0), lit(63)),
+        i => element_at(col("mm"), i.cast("int"))).as("cent"))
+    val ref = assigned.join(byDim, "cell")
+      .select(col("id"), col("cell"),
+        round(Similarity.cosineSafe(col("vec"), col("cent")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("cos"), col("id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cell")))
+      .where(col("rk") <= floor(col("n") * 0.4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    assigned.unpersist()
+    assert(got == ref, s"prune mismatch: ${(got -- ref).take(5)} / ${(ref -- got).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("softDedupWeights: chain cluster weighs 1/3 each; mass = distinct clusters") {
     val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val synth = Seq(
