@@ -2372,6 +2372,62 @@ object ExtQueries {
         |FROM rk WHERE rk <= floor(n * 0.5) ORDER BY id""".stripMargin
     ),
     QueryDef(
+      "d53_d4_pipeline",
+      // D4 end to end (Tirumala et al. 2023): SemDeDup (smaller-id
+      // keeper at tau=0.35) THEN prototype pruning over the survivors
+      // (keep the 50% farthest from the survivor-mean centroid) — both
+      // in exact mode (nlist=1, plain cosine) on the %3 subset, so the
+      // whole two-stage method is value-gated.
+      (s, dir) => {
+        val sub = emb(s, dir).where(col("vec_id") % 3 === 0)
+        val kept = Dedup.semanticDedup(sub, tau = 0.35, nlist = 1,
+          normalized = false).select(col("id").as("vec_id"))
+        Dedup.prototypePrune(sub.join(kept, Seq("vec_id"), "left_semi"),
+          keepFrac = 0.5, nlist = 1, normalized = false).orderBy("id")
+      },
+      """WITH e0 AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings WHERE vec_id % 3 = 0
+        |), n0 AS (
+        |  SELECT vec_id, CASE WHEN sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+        |    THEN 1 ELSE sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END AS nm
+        |  FROM e0 GROUP BY 1
+        |), pdots AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b2,
+        |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        |  FROM e0 a JOIN e0 b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |), drops AS (
+        |  SELECT DISTINCT b2 AS vec_id
+        |  FROM pdots JOIN n0 na ON na.vec_id = a JOIN n0 nb ON nb.vec_id = b2
+        |  WHERE dot / na.nm / nb.nm >= 0.35
+        |), e AS (
+        |  SELECT * FROM e0 WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        |), cent AS (
+        |  SELECT i, avg(CAST(x AS DOUBLE)) AS m FROM e GROUP BY 1
+        |), dots AS (
+        |  SELECT vec_id, sum(CAST(x AS DOUBLE) * m) AS dot,
+        |         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx
+        |  FROM e JOIN cent USING (i) GROUP BY 1
+        |), cn AS (
+        |  SELECT sqrt(sum(m * m)) AS nm FROM cent
+        |), sc AS (
+        |  SELECT vec_id,
+        |         round(dot / (CASE WHEN nx = 0 THEN 1 ELSE nx END)
+        |                   / (CASE WHEN nm = 0 THEN 1 ELSE nm END), 6) AS cos
+        |  FROM dots CROSS JOIN cn
+        |), rk AS (
+        |  SELECT vec_id, cos,
+        |         row_number() OVER (ORDER BY cos, vec_id) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM sc
+        |)
+        |SELECT vec_id AS id, CAST(0 AS BIGINT) AS cell, cos,
+        |       CAST(rk AS BIGINT) AS rk,
+        |       CAST(floor(n * 0.5) AS BIGINT) AS n_keep
+        |FROM rk WHERE rk <= floor(n * 0.5) ORDER BY id""".stripMargin
+    ),
+    QueryDef(
       "d19_dedup_incremental",
       // incremental delivery dedup: the batch split (doc_id % 5 = 0)
       // cross-checked against a persisted MinHash index of the corpus
