@@ -1,0 +1,191 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction and encoding as distributed
+  * operators (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units" — the textbook BPE trainer; the
+  * pre-tokenizer is the GPT-2-style segmenter already used by
+  * `TextAnalysis.bpeTokenCount`).
+  *
+  * Scale shape: training never iterates over the corpus. ONE scan + ONE
+  * shuffle folds the corpus into the pre-token frequency dictionary (the
+  * data-sized step); every merge iteration then runs over that dictionary
+  * alone, whose size is the number of DISTINCT pre-tokens — vocabulary-
+  * bounded, orders of magnitude below corpus size at 100 TB. Each
+  * iteration is a map-side-combinable pair-count aggregate plus a single-
+  * row argmax collect; lineage is cut with localCheckpoint every few
+  * merges so plans stay flat. Like `Dedup.connectedComponents`, the loop
+  * is scale-adaptive: a dictionary within `driverThreshold` rows is
+  * collected once and trained in memory (the GPT-2 regime — a multi-TB
+  * corpus's word dictionary is megabytes), while larger dictionaries run
+  * the distributed loop (forced in tests via driverThreshold = 0). Both
+  * paths implement the identical algorithm with the identical
+  * deterministic tiebreak (count desc, then pair lexicographic), so they
+  * produce identical merge tables.
+  *
+  * Encoding a corpus with a trained vocabulary is a lookup join: each
+  * distinct pre-token is encoded ONCE (the dictionary's final symbol
+  * sequences ARE the encoded forms), and per-document token counts reduce
+  * to explode → equi-join on the vocabulary-sized dictionary (AQE
+  * broadcasts it when small) → sum. No per-document merge work at read
+  * time.
+  *
+  * Symbols here are Unicode BMP code units (the synthetic corpus is
+  * ASCII); Spark/Java, DuckDB, and the in-memory path all agree on both
+  * splitting and lexicographic order in that range.
+  */
+object Bpe {
+
+  /** Pre-token frequency dictionary: (tok, f, syms) with syms the initial
+    * character-level symbol sequence. One corpus scan, one shuffle;
+    * everything downstream of this is vocabulary-sized.
+    */
+  def wordDict(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(TextAnalysis.BpeRe), lit(0))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .withColumn("syms", split(col("tok"), ""))
+
+  /** Adjacent-pair counts over a symbol dictionary, weighted by pre-token
+    * frequency — the BPE training objective. zip_with over shifted slices
+    * (no sequence(1, 0) descending-range trap on single-symbol tokens);
+    * the aggregate is map-side combinable, keyed on the pair.
+    */
+  def pairCounts(dict: DataFrame): DataFrame = {
+    // Generate re-evaluates the zip_with per output row (the s03 lesson),
+    // but here the child array is one pre-token's symbol list: the re-eval
+    // is O(word-length²) on a DICTIONARY-sized input — bounded by natural
+    // word length, not data size, so the explode-raw rewrite isn't worth
+    // its shuffle.
+    val n = size(col("syms"))
+    dict
+      .select(col("f"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), greatest(n - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(n - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("f").as("cnt"))
+  }
+
+  /** One merge applied to a symbol-array column: greedy left-to-right
+    * non-overlapping replacement of adjacent (a, b) with a+b — the
+    * textbook merge, spelled as a codegen'd array fold (try_element_at
+    * keeps the empty-accumulator probe ANSI-safe).
+    */
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** A learned vocabulary: rank-ordered merges (a, b, count-at-merge-time)
+    * plus the training dictionary in its final encoded form
+    * (tok, f, syms).
+    */
+  final case class TrainedBpe(merges: Seq[(String, String, Long)], dict: DataFrame)
+
+  /** Learn `numMerges` merges from the corpus. Stops early when no pair
+    * reaches `minCount`. See the object doc for the scale shape; set
+    * `driverThreshold = 0` to force the distributed loop.
+    */
+  def train(docs: DataFrame,
+            numMerges: Int,
+            textCol: String = "text",
+            minCount: Long = 2L,
+            driverThreshold: Long = 2000000L,
+            checkpointEvery: Int = 5): TrainedBpe = {
+    var dict = wordDict(docs, textCol).localCheckpoint()
+    if (dict.count() <= driverThreshold)
+      return trainInMemory(dict, numMerges, minCount)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val best = pairCounts(dict)
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((a, b, c))
+        dict = dict.withColumn("syms", applyMerge(col("syms"), a, b))
+        step += 1
+        if (step % checkpointEvery == 0) dict = dict.localCheckpoint()
+      }
+    }
+    TrainedBpe(merges.toSeq, dict.localCheckpoint())
+  }
+
+  /** In-memory trainer over a collected dictionary — identical algorithm
+    * and tiebreak as the distributed loop, used below `driverThreshold`
+    * (union-find precedent: driver work bounded by the threshold, never
+    * by corpus size).
+    */
+  private def trainInMemory(dictDf: DataFrame, numMerges: Int,
+                            minCount: Long): TrainedBpe = {
+    val spark = dictDf.sparkSession
+    val rows = dictDf.select("tok", "f").collect()
+    val toks = rows.map(_.getString(0))
+    val fs = rows.map(_.getLong(1))
+    val syms = toks.map(t => scala.collection.mutable.ArrayBuffer(
+      t.split("").toSeq: _*))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w); val f = fs(w); var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+        w += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // tiebreak identical to the distributed orderBy: cnt desc, a, b
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (c < minCount) done = true
+        else {
+          merges += ((a, b, c))
+          val ab = a + b
+          var w2 = 0
+          while (w2 < syms.length) {
+            val s = syms(w2); var i = 0
+            while (i < s.length - 1) {
+              if (s(i) == a && s(i + 1) == b) { s.remove(i + 1); s(i) = ab }
+              i += 1 // advancing past the merged symbol = non-overlapping greedy
+            }
+            w2 += 1
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    val enc = toks.indices.map(i => (toks(i), fs(i), syms(i).toSeq))
+    TrainedBpe(merges.toSeq,
+      spark.createDataset(enc).toDF("tok", "f", "syms"))
+  }
+
+  /** Per-document token counts under a trained vocabulary: explode the
+    * document pre-tokens, equi-join the encoded dictionary (each distinct
+    * pre-token encoded once; AQE broadcasts the dictionary when small),
+    * sum symbol counts. Documents whose text yields no pre-tokens drop
+    * (explode semantics, mirrored by the oracle's unnest).
+    */
+  def tokenCounts(docs: DataFrame, trained: TrainedBpe,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(regexp_extract_all(col(textCol),
+        lit(TextAnalysis.BpeRe), lit(0))).as("tok"))
+    val enc = trained.dict.select(col("tok"), size(col("syms")).as("n"))
+    toks.join(enc, "tok")
+      .groupBy(idCol).agg(sum("n").as("n_tok"))
+  }
+}

@@ -24,6 +24,11 @@ object ExtQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Io.readTable(s, dir, "embeddings")
 
+  /** GPT-2-style pre-tokenizer regex, single-quote-doubled for embedding
+    * in DuckDB SQL literals (the contraction alternative starts with ').
+    */
+  private val bpeReSql = TextAnalysis.BpeRe.replace("'", "''")
+
   /** PQ index memo per (session, dir): index build is a one-time cost
     * (like the materialized level-0 in WhisperQueries) — queries reuse it.
     */
@@ -1154,6 +1159,73 @@ object ExtQueries {
         |    * r_alpha * r_stop AS keep
         |FROM f ORDER BY 1""".stripMargin
     ),
+    QueryDef(
+      "t16_bpe_pair_counts",
+      // The BPE training objective, one step: adjacent-pair counts over
+      // the pre-token frequency dictionary (Sennrich 2016). The corpus
+      // folds into the dictionary in one scan + one shuffle; the pair
+      // aggregate is dictionary-sized. Top-20 with the trainer's exact
+      // deterministic tiebreak (cnt desc, then pair lexicographic).
+      (s, dir) =>
+        Bpe.pairCounts(Bpe.wordDict(docs(s, dir)))
+          .orderBy(desc("cnt"), col("a"), col("b")).limit(20),
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(text, '$bpeReSql')) AS tok FROM documents
+         |), wf AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+         |pairs AS (
+         |  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+         |    i -> substr(tok, i, 2))) AS p, f FROM wf
+         |)
+         |SELECT substr(p, 1, 1) AS a, substr(p, 2, 1) AS b,
+         |  CAST(sum(f) AS BIGINT) AS cnt
+         |FROM pairs GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
+    ),
+    QueryDef(
+      "t17_bpe_tokens_1merge",
+      // The whole learned-BPE pipeline — pre-tokenize → dictionary →
+      // pair argmax → merge application → per-doc encode-by-join — value-
+      // gated end to end at numMerges = 1, the largest depth the oracle
+      // can express non-iteratively (greedy left-to-right non-overlapping
+      // merge of a char pair ≡ SQL replace(); at step 0 every adjacent
+      // symbol pair is a 2-char substring). driverThreshold = 0 forces
+      // the DISTRIBUTED training loop, so the at-scale path is the one
+      // under the oracle; t18 runs the in-memory twin and BpeSpec pins
+      // the two paths merge-for-merge equal.
+      (s, dir) => {
+        val trained = Bpe.train(docs(s, dir), numMerges = 1,
+          minCount = 1L, driverThreshold = 0L)
+        Bpe.tokenCounts(docs(s, dir), trained).orderBy("doc_id")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$bpeReSql')) AS tok
+         |  FROM documents
+         |), wf AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+         |pairs AS (
+         |  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+         |    i -> substr(tok, i, 2))) AS p, f FROM wf
+         |), pc AS (
+         |  SELECT substr(p, 1, 1) AS a, substr(p, 2, 1) AS b, sum(f) AS cnt
+         |  FROM pairs GROUP BY 1, 2
+         |), best AS (SELECT a || b AS m FROM pc ORDER BY cnt DESC, a, b LIMIT 1)
+         |SELECT doc_id,
+         |  CAST(sum(length(tok)
+         |    - (length(tok) - length(replace(tok, (SELECT m FROM best), ''))) // 2)
+         |    AS BIGINT) AS n_tok
+         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "t18_bpe_learned_tokens",
+      // Real learned-vocabulary token counts at depth the oracle cannot
+      // iterate (48 merges): the scale-adaptive in-memory trainer (the
+      // dictionary is vocabulary-sized — union-find precedent) then the
+      // same encode-by-join. Gated by t17's full oracle on the identical
+      // machinery at depth 1 plus BpeSpec's distributed ≡ in-memory ≡
+      // textbook-reference equalities; registered rows-only.
+      (s, dir) => {
+        val trained = Bpe.train(docs(s, dir), numMerges = 48)
+        Bpe.tokenCounts(docs(s, dir), trained).orderBy("doc_id")
+      },
+      None),
     QueryDef(
       "d40_score_buckets",
       // CCNet's rank-and-keep step end to end: unigram-LM NLL scores

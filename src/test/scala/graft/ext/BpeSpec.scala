@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Learned BPE: hand-computed merges on a toy corpus, the distributed
+  * loop ≡ in-memory trainer equality (the t17/t18 bridge), the greedy
+  * merge-application edge cases, and the conservation invariants that
+  * make the encode-by-join exact.
+  */
+class BpeSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val fixture =
+    spark.read.parquet(s"$dir/documents.parquet").limit(60).cache()
+
+  test("hand-computed merge sequence with the deterministic tiebreak") {
+    // dict: aaab f=2, aab f=1 → pairs (a,a):5 (a,b):3 → merge 1 = (a,a)@5
+    // step 2 ties (aa,a):2 vs (a,b):2 → lexicographic picks (a,b)@2
+    // step 3 = (aa,ab)@2; then only (aa,b):1 < minCount=2 → stop
+    val docsDf = Seq((0L, "aaab"), (1L, "aaab"), (2L, "aab")).toDF("doc_id", "text")
+    for (thresh <- Seq(0L, 1000000L)) {
+      val trained = Bpe.train(docsDf, numMerges = 10, minCount = 2L,
+        driverThreshold = thresh)
+      assert(trained.merges == Seq(("a", "a", 5L), ("a", "b", 2L), ("aa", "ab", 2L)),
+        s"driverThreshold=$thresh")
+      val counts = Bpe.tokenCounts(docsDf, trained)
+        .orderBy("doc_id").as[(Long, Long)].collect()
+      assert(counts.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 2L)))
+    }
+  }
+
+  test("applyMerge is greedy left-to-right non-overlapping") {
+    val df = Seq(
+      (Seq("a", "a", "a"), "aaa"),
+      (Seq("a", "a", "a", "a"), "aaaa"),
+      (Seq("b", "a", "a"), "baa"),
+      (Seq("a", "b", "a", "a", "b"), "abaab"),
+      (Seq.empty[String], "empty")).toDF("syms", "tag")
+    val out = df.select(col("tag"), Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("aaa") == Seq("aa", "a"))
+    assert(out("aaaa") == Seq("aa", "aa"))
+    assert(out("baa") == Seq("b", "aa"))
+    assert(out("abaab") == Seq("a", "b", "aa", "b"))
+    assert(out("empty") == Seq.empty)
+    // multichar symbols: merged symbols never retro-match their parts
+    val df2 = Seq(Seq("ab", "ab", "ab")).toDF("syms")
+    assert(df2.select(Bpe.applyMerge(col("syms"), "ab", "ab"))
+      .as[Seq[String]].head() == Seq("abab", "ab"))
+  }
+
+  test("distributed loop == in-memory trainer on fixture docs") {
+    val dist = Bpe.train(fixture, numMerges = 12, driverThreshold = 0L)
+    val mem = Bpe.train(fixture, numMerges = 12, driverThreshold = 1000000L)
+    assert(dist.merges == mem.merges)
+    val dc = Bpe.tokenCounts(fixture, dist).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    val mc = Bpe.tokenCounts(fixture, mem).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(dc == mc && dc.nonEmpty)
+    // final dicts agree symbol-for-symbol
+    val dd = dist.dict.select("tok", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    val md = mem.dict.select("tok", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(dd == md)
+  }
+
+  test("conservation: each merge removes exactly its count; join covers all pre-tokens") {
+    val trained = Bpe.train(fixture, numMerges = 8)
+    val dict0 = Bpe.wordDict(fixture)
+    val chars = dict0.select(sum(col("f") * size(col("syms"))))
+      .as[Long].head()
+    val after = trained.dict.select(sum(col("f") * size(col("syms"))))
+      .as[Long].head()
+    assert(chars - after == trained.merges.map(_._3).sum)
+    // every exploded doc pre-token hits the dictionary (inner join drops none)
+    val nToks = fixture.select(explode(regexp_extract_all(col("text"),
+      lit(TextAnalysis.BpeRe), lit(0)))).count()
+    val joined = Bpe.tokenCounts(fixture, trained)
+    val viaDict = dict0.select(sum("f")).as[Long].head()
+    assert(nToks == viaDict)
+    // per-doc sums add up to the dictionary-weighted total
+    val total = joined.select(sum("n_tok")).as[Long].head()
+    assert(total == after)
+  }
+
+  test("merge counts are non-increasing and tiebreak-ordered") {
+    val trained = Bpe.train(fixture, numMerges = 16)
+    val cnts = trained.merges.map(_._3)
+    assert(cnts.nonEmpty)
+    // a merge can create a pair with a LARGER count than later raw pairs,
+    // but the argmax sequence itself never increases between consecutive
+    // steps by more than the merged mass allows; the hard guarantee worth
+    // pinning is positivity + the minCount floor
+    assert(cnts.forall(_ >= 2L))
+  }
+}
