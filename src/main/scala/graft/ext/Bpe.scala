@@ -172,6 +172,44 @@ object Bpe {
       spark.createDataset(enc).toDF("tok", "f", "syms"))
   }
 
+  /** Encode pre-tokens ABSENT from a trained dictionary by replaying the
+    * merge table over their symbol arrays — the train-on-A / encode-B
+    * path. Input is a distinct `tok` column; the loop is vocabulary-
+    * sized (one fold per merge, lineage cut every `checkpointEvery`).
+    */
+  def encodeToks(toks: DataFrame, merges: Seq[(String, String, Long)],
+                 checkpointEvery: Int = 8): DataFrame = {
+    var d = toks.select("tok").distinct()
+      .withColumn("syms", split(col("tok"), ""))
+    merges.zipWithIndex.foreach { case ((a, b, _), i) =>
+      d = d.withColumn("syms", applyMerge(col("syms"), a, b))
+      if ((i + 1) % checkpointEvery == 0) d = d.localCheckpoint()
+    }
+    d
+  }
+
+  /** Per-document token counts for an ARBITRARY corpus under a trained
+    * vocabulary: pre-tokens found in the trained dictionary reuse its
+    * encoded forms; unseen pre-tokens (cross-corpus encode) replay the
+    * merge table once per DISTINCT miss via [[encodeToks]]. Both sides
+    * stay vocabulary-sized; the per-document work is the same
+    * explode → join → sum as [[tokenCounts]].
+    */
+  def tokenCountsCross(docs: DataFrame, trained: TrainedBpe,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(regexp_extract_all(col(textCol),
+        lit(TextAnalysis.BpeRe), lit(0))).as("tok"))
+    val known = trained.dict.select(col("tok"), size(col("syms")).as("n"))
+    val unseen = toks.select("tok").distinct()
+      .join(trained.dict.select("tok"), Seq("tok"), "left_anti")
+    val encUnseen = encodeToks(unseen, trained.merges)
+      .select(col("tok"), size(col("syms")).as("n"))
+    toks.join(known.unionByName(encUnseen), "tok")
+      .groupBy(idCol).agg(sum("n").as("n_tok"))
+  }
+
   /** Per-document token counts under a trained vocabulary: explode the
     * document pre-tokens, equi-join the encoded dictionary (each distinct
     * pre-token encoded once; AQE broadcasts the dictionary when small),

@@ -1214,6 +1214,38 @@ object ExtQueries {
          |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "t19_bpe_cross_tokens",
+      // Cross-corpus encoding: train on the doc_id%10 slice (8 of 61
+      // pre-tokens stay unseen at sf0.01, so the miss path BINDS),
+      // count tokens over the WHOLE corpus — dictionary hits reuse the
+      // trained forms, misses replay the merge table via encodeToks.
+      // Depth 1 again makes the oracle non-iterative: one argmax over
+      // the training slice, replace() over every doc.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val trained = Bpe.train(d.where(col("doc_id") % 10 === 0),
+          numMerges = 1, minCount = 1L, driverThreshold = 0L)
+        Bpe.tokenCountsCross(d, trained).orderBy("doc_id")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$bpeReSql')) AS tok
+         |  FROM documents
+         |), wf AS (
+         |  SELECT tok, count(*) AS f FROM toks WHERE doc_id % 10 = 0 GROUP BY 1
+         |), pairs AS (
+         |  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+         |    i -> substr(tok, i, 2))) AS p, f FROM wf
+         |), pc AS (
+         |  SELECT substr(p, 1, 1) AS a, substr(p, 2, 1) AS b, sum(f) AS cnt
+         |  FROM pairs GROUP BY 1, 2
+         |), best AS (SELECT a || b AS m FROM pc ORDER BY cnt DESC, a, b LIMIT 1)
+         |SELECT doc_id,
+         |  CAST(sum(length(tok)
+         |    - (length(tok) - length(replace(tok, (SELECT m FROM best), ''))) // 2)
+         |    AS BIGINT) AS n_tok
+         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t18_bpe_learned_tokens",
       // Real learned-vocabulary token counts at depth the oracle cannot
       // iterate (48 merges): the scale-adaptive in-memory trainer (the

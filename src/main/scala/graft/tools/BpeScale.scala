@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.Bpe
+
+/** Scale evidence for the learned-BPE trainer's central claim: the merge
+  * loop costs dictionary, not corpus. Synthesizes word-soup corpora from
+  * a fixed 50k-word vocabulary at n and 10n documents — the DICTIONARY is
+  * the same size at both scales, so the corpus-scan phase (wordDict)
+  * should scale ~linearly with n while the distributed merge loop
+  * (pairCounts → argmax → applyMerge, driverThreshold = 0) stays ~flat.
+  *
+  * Prints one JSON line per scale:
+  *   {"n":100000,"dict_rows":50211,"scan_sec":3.1,"merge_sec":5.2,"merges":10}
+  *
+  * Usage: runMain graft.tools.BpeScale [nBase] [merges]
+  */
+object BpeScale {
+
+  def main(args: Array[String]): Unit = {
+    val nBase = args.headOption.map(_.toInt).getOrElse(100000)
+    val merges = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .appName("graft-bpe-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // JIT/codegen warmup at a small scale so the first timed point isn't
+    // paying compilation (first run measured the base scale SLOWER than
+    // 10× without this)
+    for (n <- Seq(nBase / 10, nBase, nBase * 10)) {
+      // distributed synthesis: 12 words per doc from the fixed vocab
+      val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          udfFreeWord(col("id"), j)): _*).as("text"))
+      val t0 = System.nanoTime()
+      val dict = Bpe.wordDict(docs).localCheckpoint()
+      val dictRows = dict.count()
+      val scanSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      var d = dict
+      var step = 0
+      while (step < merges) {
+        val best = Bpe.pairCounts(d)
+          .orderBy(desc("cnt"), col("a"), col("b")).limit(1).collect()
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        d = d.withColumn("syms", Bpe.applyMerge(col("syms"), a, b))
+        step += 1
+        if (step % 5 == 0) d = d.localCheckpoint()
+      }
+      d.count(): Unit
+      val mergeSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"n":$n,"dict_rows":$dictRows,"scan_sec":$scanSec%.2f,"merge_sec":$mergeSec%.2f,"merges":$merges}""")
+    }
+    spark.stop()
+  }
+
+  /** Deterministic per-(doc, slot) word from the 50k vocabulary — pure
+    * Column expression (xxhash64), no UDF, ANSI-safe.
+    */
+  private def udfFreeWord(id: org.apache.spark.sql.Column, j: Int) =
+    concat(lit("w"), pmod(xxhash64(id, lit(j)), lit(50000L)).cast("string"))
+}

@@ -90,6 +90,28 @@ class BpeSpec extends AnyFunSuite {
     assert(total == after)
   }
 
+  test("cross-corpus encode: unseen pre-tokens replay the merge table") {
+    val train = Seq((0L, "aaab"), (1L, "aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val trained = Bpe.train(train, numMerges = 10, minCount = 2L)
+    // encode corpus: aaab seen → [aaab]; aabb unseen → (a,a) → [aa,b,b],
+    // later merges don't apply; ba unseen, no merge applies → [b,a]
+    val enc = Seq((10L, "aaab"), (11L, "aabb"), (12L, "ba")).toDF("doc_id", "text")
+    val counts = Bpe.tokenCountsCross(enc, trained)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(counts == Seq((10L, 1L), (11L, 3L), (12L, 2L)))
+    // the miss path binds: two pre-tokens are absent from the dictionary
+    val unseen = enc.select(explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpeRe), lit(0))).as("tok")).distinct()
+      .join(trained.dict.select("tok"), Seq("tok"), "left_anti")
+    assert(unseen.count() == 2)
+    // cross ≡ plain tokenCounts when the corpus is the training corpus
+    val same = Bpe.tokenCountsCross(train, trained).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    val plain = Bpe.tokenCounts(train, trained).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(same == plain)
+  }
+
   test("merge counts are non-increasing and tiebreak-ordered") {
     val trained = Bpe.train(fixture, numMerges = 16)
     val cnts = trained.merges.map(_._3)

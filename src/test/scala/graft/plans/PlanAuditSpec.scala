@@ -269,4 +269,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"ratio join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
   }
+
+  test("BPE: pair counts partial-aggregate map-side; encode joins broadcast the dictionary") {
+    val docsDf = (0L until 300L)
+      .map(i => (i, s"alpha${i % 9} beta${i % 5} gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    // pair counting must combine before the shuffle: the dictionary is
+    // vocabulary-sized but the exploded pair stream is symbol-sized —
+    // shipping raw pairs would shuffle ~text-length rows per word
+    val pc = graft.ext.Bpe.pairCounts(graft.ext.Bpe.wordDict(docsDf))
+    pc.collect()
+    val pcPlan = pc.queryExecution.executedPlan.toString
+    assert(pcPlan.contains("partial_sum") || pcPlan.contains("Partial"),
+      s"pair counts not map-side combined:\n$pcPlan")
+    // encode-by-join: the vocabulary side broadcasts; the corpus is
+    // never shuffled to meet its own dictionary
+    val trained = graft.ext.Bpe.train(docsDf, numMerges = 4)
+    val counts = graft.ext.Bpe.tokenCounts(docsDf, trained)
+    counts.collect()
+    val cPlan = counts.queryExecution.executedPlan.toString
+    assert(cPlan.contains("BroadcastHashJoin"),
+      s"dictionary join not broadcast:\n$cPlan")
+    assert(!cPlan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$cPlan")
+  }
 }
