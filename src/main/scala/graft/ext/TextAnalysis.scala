@@ -621,4 +621,94 @@ object TextAnalysis {
           if (seen.isEmpty) -1L else fpMin, if (seen.isEmpty) -1L else fpMax)
     })
   }
+
+  final case class WinnowFp(doc_id: Long, pos: Int, h: Long)
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003):
+    * over the Rabin–Karp k-gram hash stream, every window of `w`
+    * consecutive hashes contributes its minimum (rightmost on ties); the
+    * distinct selected (pos, hash) pairs are the document's fingerprints.
+    * The published guarantee mod-sampling (`rollingFingerprints`) lacks:
+    * any shared substring of at least w + k − 1 chars is ALWAYS detected,
+    * at expected density 2/(w+1). Documents with fewer than `w` grams
+    * select nothing (no full window exists).
+    *
+    * Per-byte imperative work (rolling hash + monotone deque, one O(n)
+    * pass) → typed mapPartitions, no shuffle — the t06 precedent.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
+                         base: Long = 31L, mod: Long = 1000000007L,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): Dataset[WinnowFp] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val topPow = Array.iterate(1L, k)(h => h * base % mod).last // base^(k-1)
+    docs.select(col(idCol), col(textCol)).as[(Long, String)].flatMap {
+      case (id, text) =>
+        val bs = text.getBytes("UTF-8")
+        val n = bs.length - k + 1
+        if (n < w) Iterator.empty
+        else {
+          val hs = new Array[Long](n)
+          var h = 0L
+          var p = 0
+          while (p < bs.length) {
+            val b = bs(p) & 0xffL
+            h =
+              if (p < k) (h * base + b) % mod
+              else (((h - (bs(p - k) & 0xffL) * topPow) % mod + mod) % mod * base + b) % mod
+            if (p >= k - 1) hs(p - k + 1) = h
+            p += 1
+          }
+          // monotone deque: popping `>=` from the back keeps the RIGHTMOST
+          // of equal minima at the front, the paper's tie rule
+          val dq = new java.util.ArrayDeque[Int]()
+          val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+          var j = 0
+          while (j < n) {
+            while (!dq.isEmpty && hs(dq.peekLast) >= hs(j)) dq.pollLast()
+            dq.addLast(j)
+            while (dq.peekFirst <= j - w) dq.pollFirst()
+            if (j >= w - 1) out += ((dq.peekFirst, hs(dq.peekFirst)))
+            j += 1
+          }
+          out.iterator.map { case (pos, hv) => WinnowFp(id, pos, hv) }
+        }
+    }
+  }
+
+  final case class CharEntropy(doc_id: Long, n_chars: Int, entropy: Double)
+
+  /** Shannon character entropy per document — the classic repetitiveness
+    * signal for web-text cleaning (low entropy = boilerplate / repeated
+    * filler; complements Gopher's token-level repetition rules with a
+    * tokenizer-free one). Computed as ln(n) − Σ c·ln(c) / n with the sum
+    * taken in CHARACTER ORDER on both engines, so the float accumulation
+    * order is deterministic cross-engine (chars are UTF-16 code units —
+    * identical to codepoints in the BMP, the split("") caveat).
+    * Single per-doc pass → typed mapPartitions, no shuffle.
+    */
+  def charEntropy(docs: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): Dataset[CharEntropy] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)].mapPartitions(_.map {
+      case (id, text) =>
+        val counts = new java.util.TreeMap[Char, Long]()
+        var i = 0
+        while (i < text.length) {
+          counts.merge(text.charAt(i), 1L, _ + _)
+          i += 1
+        }
+        val n = text.length
+        if (n == 0) CharEntropy(id, 0, 0.0)
+        else {
+          var slc = 0.0
+          val it = counts.values().iterator()
+          while (it.hasNext) { val c = it.next(); slc += c * math.log(c.toDouble) }
+          CharEntropy(id, n, math.log(n.toDouble) - slc / n)
+        }
+    })
+  }
 }

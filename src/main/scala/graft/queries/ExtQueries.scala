@@ -760,6 +760,66 @@ object ExtQueries {
       }
     ),
     QueryDef(
+      "t20_text_winnowing",
+      // Winnowing fingerprint selection (Schleimer 2003) — the published
+      // guarantee t06's mod-sampling lacks (every shared run ≥ w+k−1
+      // chars detected, density 2/(w+1)). Full fingerprint SET oracled
+      // row-for-row: the oracle winnows the same Rabin–Karp hash stream
+      // with list ops (rightmost-tie via list_position over the reversed
+      // window), fingerprints packed as pos·mod + h then unpacked.
+      (s, dir) =>
+        TextAnalysis.winnowFingerprints(docs(s, dir)).toDF()
+          .orderBy("doc_id", "pos"),
+      {
+        val (k, w, b, m) = (8, 8, 31L, 1000000007L)
+        val pw = (0 until k).map(j =>
+          (0 until (k - 1 - j)).foldLeft(1L)((h, _) => h * b % m))
+        s"""WITH bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+           |u AS (
+           |  SELECT doc_id, i,
+           |    strpos('123456789ABCDEF', substr(hx, i*2-1, 1)) * 16 +
+           |    strpos('123456789ABCDEF', substr(hx, i*2, 1)) AS byte
+           |  FROM bx, unnest(range(1, length(hx)//2 + 1)) AS t(i)),
+           |l AS (SELECT doc_id, list(byte ORDER BY i) AS bs FROM u GROUP BY 1),
+           |g AS (
+           |  SELECT doc_id, CAST(greatest(len(bs) - $k + 1, 0) AS INTEGER) AS n_grams,
+           |    list_transform(generate_series(1, greatest(len(bs) - $k + 1, 0)), p ->
+           |      list_sum(list_transform(generate_series(0, ${k - 1}), j ->
+           |        bs[p + j] * CAST([${pw.mkString(",")}][j + 1] AS BIGINT))) % $m) AS hs
+           |  FROM l),
+           |sel AS (
+           |  SELECT doc_id, list_distinct(list_transform(generate_series($w, n_grams), t ->
+           |    (t - list_position(list_reverse(hs[t-$w+1:t]), list_min(hs[t-$w+1:t])))
+           |      * CAST($m AS BIGINT) + list_min(hs[t-$w+1:t]))) AS ss
+           |  FROM g WHERE n_grams >= $w)
+           |SELECT doc_id, CAST(x // $m AS INTEGER) AS pos, CAST(x % $m AS BIGINT) AS h
+           |FROM (SELECT doc_id, unnest(ss) AS x FROM sel)
+           |ORDER BY doc_id, pos""".stripMargin
+      }
+    ),
+    QueryDef(
+      "t21_text_entropy",
+      // Shannon character entropy — the tokenizer-free repetitiveness
+      // signal. ln(n) − Σ c·ln(c)/n with the sum in CHARACTER ORDER on
+      // both engines (deterministic float accumulation), rounded 6dp.
+      (s, dir) =>
+        TextAnalysis.charEntropy(docs(s, dir)).toDF()
+          .select(col("doc_id"), col("n_chars"),
+            round(col("entropy"), 6).as("entropy"))
+          .orderBy("doc_id"),
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |  FROM documents
+        |), cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |    list_sum(list(cnt * ln(cnt) ORDER BY c)) AS slc
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
+        |  round(ln(n) - slc / n, 6) AS entropy
+        |FROM s ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t07_text_cjk_tokens",
       // CJK-aware token budget (ROADMAP: zh runs collapse to one BpeRe
       // pre-token): one token per CJK codepoint + BPE-ish segments over

@@ -858,6 +858,49 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1L).copy(doc_id = 3L) == out(3L))
   }
 
+  test("winnowing: shared-run guarantee, tie rule, density, short-doc emptiness") {
+    val k = 8; val w = 8
+    val shared = "this exact forty-plus character passage is shared verbatim"
+    val a = (10L, "prefix one two three " + shared + " suffix alpha beta")
+    val b = (11L, "completely different opening words here " + shared + " and other tail")
+    val uni = (12L, "a" * 20)    // uniform → all gram hashes equal
+    val tiny = (13L, "too few") // 7 bytes < k → no grams at all
+    val df = Seq(a, b, uni, tiny).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(df, k = k, w = w).collect()
+      .groupBy(_.doc_id).map { case (id, fs) => id -> fs.map(f => (f.pos, f.h)) }
+    // the paper's guarantee: a shared run ≥ w+k−1 chars yields at least
+    // one shared HASH between the two documents
+    val ha = out(10L).map(_._2).toSet
+    val hb = out(11L).map(_._2).toSet
+    assert((ha & hb).nonEmpty, "shared 50+ char passage produced no shared fingerprint")
+    // uniform text: every window's rightmost minimum is its last position
+    // → exactly positions w-1 .. n-1, all with one hash value
+    val nUni = 20 - k + 1
+    assert(out(12L).map(_._1).sorted.toSeq == (w - 1 until nUni).toSeq)
+    assert(out(12L).map(_._2).distinct.length == 1)
+    assert(!out.contains(13L), "doc with < w grams must select nothing")
+    // expected density 2/(w+1) ≈ 0.22 — allow a wide band on short text
+    val densA = out(10L).length.toDouble / (a._2.getBytes("UTF-8").length - k + 1)
+    assert(densA > 0.08 && densA < 0.5, s"winnow density off: $densA")
+  }
+
+  test("charEntropy: closed-form values, empty doc, repetition ordering") {
+    val df = Seq(
+      (1L, "aaaaaaaa"),          // single symbol → 0
+      (2L, "abababab"),          // two equiprobable → ln 2
+      (3L, "abcdabcd"),          // four equiprobable → ln 4
+      (4L, ""),                  // empty → 0 by contract
+      (5L, "the quick brown fox")
+    ).toDF("doc_id", "text")
+    val e = TextAnalysis.charEntropy(df).collect().map(x => x.doc_id -> x).toMap
+    assert(e(1L).entropy == 0.0 && e(1L).n_chars == 8)
+    assert(math.abs(e(2L).entropy - math.log(2)) < 1e-12)
+    assert(math.abs(e(3L).entropy - math.log(4)) < 1e-12)
+    assert(e(4L) == TextAnalysis.CharEntropy(4L, 0, 0.0))
+    // natural text sits above repetitive text
+    assert(e(5L).entropy > e(3L).entropy)
+  }
+
   test("CJK-aware token counting: one token per CJK char, BPE segments for the rest") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
