@@ -149,6 +149,47 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
   }
 
+  /** Winnowing near-dup pairs — MOSS's actual use of the fingerprints
+    * (Schleimer 2003 §5): documents sharing winnow-selected hashes pair
+    * by an equi-join on the hash, verified as inter / min(na, nb) over
+    * each doc's DISTINCT winnow-hash set (containment form — winnow
+    * anchors are content-defined samples, and the min denominator keeps
+    * a short doc quoted inside a long one visible, the d41 argument).
+    * Compared to the word-shingle family this signal is positional and
+    * sub-token (byte k-grams), so it also catches near-dups that share
+    * long char runs but tokenize differently.
+    *
+    * Same 100 TB shape as [[jaccardPairs]]: per-hash doc-frequency cap
+    * (boilerplate mega-keys die before the join; the cap window's
+    * exchange is reused by the self-join), one shuffle keyed by hash,
+    * one by pair. Sizes use the UNCAPPED sets (the shingleIntersections
+    * convention).
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 8,
+                  tau: Double = 0.4, maxHashFreq: Long = 64,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = TextAnalysis.winnowFingerprints(docs, k = k, w = w,
+        idCol = idCol, textCol = textCol)
+      .toDF().select(col("doc_id").as("id"), col("h")).distinct()
+    val sizes = fp.groupBy("id").agg(count(lit(1)).as("sz"))
+    val capped = fp
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .where(col("df") <= maxHashFreq)
+      .drop("df")
+    val pairs = capped.as("x")
+      .join(capped.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .withColumn("sim",
+        col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .where(col("sim") >= tau)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** Character-k-gram span-overlap pairs: the substring-duplication
     * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
     * Language Models Better", arXiv:2107.06499) as a blocked equi-join —

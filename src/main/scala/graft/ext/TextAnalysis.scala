@@ -485,6 +485,128 @@ object TextAnalysis {
         coalesce(col("tokens"), lit(0L)).as("tokens"), col("nll"))
   }
 
+  /** C4's cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2) as
+    * one per-document table: line-level retention (terminal punctuation
+    * [.!?"], ≥ `minWordsPerLine` words, no "javascript"), then the
+    * page-level drops (fewer than `minSentences` sentences in the
+    * retained text, "lorem ipsum", a curly brace). Emits the retained
+    * (cleaned) text plus every intermediate count and flag, so the
+    * oracle string-compares the actual intervention and a pipeline can
+    * report per-rule attrition — the t14/Gopher pattern.
+    *
+    * Pure Column expressions (split + HOF filter + counts), no shuffle,
+    * scan-speed at 100 TB.
+    */
+  def c4Rules(docs: DataFrame, minWordsPerLine: Int = 5,
+              minSentences: Int = 3,
+              idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val ls = split(col(textCol), "\n")
+    val kept = filter(ls, l =>
+      l.rlike("[.!?\"]$") &&
+        (size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minWordsPerLine) &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSent = size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0)))
+    val lorem = when(lower(col(textCol)).contains("lorem ipsum"), 1).otherwise(0)
+    val brace = when(col(textCol).contains("{"), 1).otherwise(0)
+    docs.select(
+      col(idCol),
+      size(ls).as("n_lines"),
+      size(kept).as("n_kept"),
+      nSent.as("n_sentences"),
+      lorem.as("lorem"),
+      brace.as("brace"),
+      when(nSent >= minSentences && lorem === 0 && brace === 0, 1)
+        .otherwise(0).as("keep"),
+      cleaned.as("cleaned"))
+  }
+
+  final case class TrigramLm(uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                             l3: Double, l2: Double, tokens: Long, vocab: Long)
+
+  /** Interpolated trigram LM — the next rung after [[bigramLm]] toward
+    * CCNet's KenLM: add-one-smoothed conditional counts at all three
+    * orders, n-grams never crossing document boundaries. Training is
+    * three map-combinable aggregates over one posexplode + lag pass.
+    */
+  def trigramLm(corpus: DataFrame, l3: Double = 0.5, l2: Double = 0.3,
+                minCount: Long = 1, idCol: String = "doc_id",
+                textCol: String = "text"): TrigramLm = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("idx")
+    val toks = corpus.select(
+      col(idCol).as("doc_id"),
+      posexplode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0)))
+        .as(Seq("idx", "tok")))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .cache()
+    val lagged = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .withColumn("prev2", lag(col("tok"), 2).over(w))
+    val bi = lagged.where(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("bcnt"))
+    val tri = lagged.where(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "tok").agg(count(lit(1)).as("tcnt"))
+    TrigramLm(uni, bi, tri, l3, l2, toks.count(), uni.count())
+  }
+
+  /** Score documents against a [[TrigramLm]]. Per-token probability by
+    * available context: the first token scores by the unigram term, the
+    * second by the bigram mixture with the trigram's mass backed off onto
+    * it (λ = l3 + l2), the rest by l3·p̂(w|w₋₂w₋₁) + l2·p̂(w|w₋₁) +
+    * (1−l3−l2)·p̂(w). Conditionals are add-one over their context count
+    * plus V+1 ([[bigramNll]]'s convention at every order).
+    *
+    * Scale shape: one per-doc lag window, five dictionary equi-joins
+    * (unigram ×2, bigram ×2 — target and context — trigram ×1), one
+    * aggregate per doc; every dictionary is vocabulary-sized.
+    */
+  def trigramNll(docs: DataFrame, lm: TrigramLm,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("idx")
+    val denomU = lit((lm.tokens + lm.vocab + 1).toDouble)
+    val vp1 = lit((lm.vocab + 1).toDouble)
+    val toks = docs.select(
+        col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0)))
+          .as(Seq("idx", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .withColumn("prev2", lag(col("tok"), 2).over(w))
+    val joined = toks
+      .join(lm.uni.select(col("tok"), col("cnt").as("cu")), Seq("tok"), "left")
+      .join(lm.uni.select(col("tok").as("prev"), col("cnt").as("cp")),
+        Seq("prev"), "left")
+      .join(lm.bi.select(col("prev"), col("tok"), col("bcnt")),
+        Seq("prev", "tok"), "left")
+      .join(lm.bi.select(col("prev").as("prev2"), col("tok").as("prev"),
+          col("bcnt").as("ccnt")),
+        Seq("prev2", "prev"), "left")
+      .join(lm.tri.select(col("prev2"), col("prev"), col("tok"), col("tcnt")),
+        Seq("prev2", "prev", "tok"), "left")
+    val pu = (coalesce(col("cu"), lit(0L)) + 1.0) / denomU
+    val pb = (coalesce(col("bcnt"), lit(0L)) + 1.0) /
+      (coalesce(col("cp"), lit(0L)) + vp1)
+    val pt = (coalesce(col("tcnt"), lit(0L)) + 1.0) /
+      (coalesce(col("ccnt"), lit(0L)) + vp1)
+    val lb = lit(lm.l3 + lm.l2)
+    val p = when(col("prev").isNull, pu)
+      .otherwise(when(col("prev2").isNull,
+        lb * pb + (lit(1.0) - lb) * pu)
+        .otherwise(lit(lm.l3) * pt + lit(lm.l2) * pb +
+          (lit(1.0) - lb) * pu))
+    val scored = joined
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tokens"), avg(-log(p)).as("nll"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"), col("nll"))
+  }
+
   /** The stopwords Gopher's "required word" rule checks for (Rae et al.
     * 2021, arXiv:2112.11446, table A1): a document must contain at least
     * `minStopHits` DISTINCT members to pass.

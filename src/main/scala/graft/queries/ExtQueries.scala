@@ -29,6 +29,38 @@ object ExtQueries {
     */
   private val bpeReSql = TextAnalysis.BpeRe.replace("'", "''")
 
+  private val WinnowMod = 1000000007L
+
+  /** Shared winnowing CTE chain (t20/d54): rebuild the Rabin–Karp k-gram
+    * hash stream from the text's hex bytes (t06's arithmetic), then
+    * winnow with list ops — window minimum with the RIGHTMOST tie via
+    * list_position over the reversed window, (pos, h) packed as
+    * pos·mod + h in `sel.ss`. k = w = 8, base 31, mod 1e9+7.
+    */
+  private val winnowCtes: String = {
+    val (k, w, b, m) = (8, 8, 31L, WinnowMod)
+    val pw = (0 until k).map(j =>
+      (0 until (k - 1 - j)).foldLeft(1L)((h, _) => h * b % m))
+    s"""WITH bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       |u AS (
+       |  SELECT doc_id, i,
+       |    strpos('123456789ABCDEF', substr(hx, i*2-1, 1)) * 16 +
+       |    strpos('123456789ABCDEF', substr(hx, i*2, 1)) AS byte
+       |  FROM bx, unnest(range(1, length(hx)//2 + 1)) AS t(i)),
+       |l AS (SELECT doc_id, list(byte ORDER BY i) AS bs FROM u GROUP BY 1),
+       |g AS (
+       |  SELECT doc_id, CAST(greatest(len(bs) - $k + 1, 0) AS INTEGER) AS n_grams,
+       |    list_transform(generate_series(1, greatest(len(bs) - $k + 1, 0)), p ->
+       |      list_sum(list_transform(generate_series(0, ${k - 1}), j ->
+       |        bs[p + j] * CAST([${pw.mkString(",")}][j + 1] AS BIGINT))) % $m) AS hs
+       |  FROM l),
+       |sel AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series($w, n_grams), t ->
+       |    (t - list_position(list_reverse(hs[t-$w+1:t]), list_min(hs[t-$w+1:t])))
+       |      * CAST($m AS BIGINT) + list_min(hs[t-$w+1:t]))) AS ss
+       |  FROM g WHERE n_grams >= $w)""".stripMargin
+  }
+
   /** PQ index memo per (session, dir): index build is a one-time cost
     * (like the materialized level-0 in WhisperQueries) — queries reuse it.
     */
@@ -317,6 +349,20 @@ object ExtQueries {
       s"${System.identityHashCode(s)}:$dir",
       _ => TextAnalysis.bigramLm(docs(s, dir).where(col("doc_id") % 5 =!= 0)))
 
+  private val lm3Memo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.TextAnalysis.TrigramLm]()
+
+  /** Trigram-LM memo per (session, dir) — t22's build-once model over
+    * the same %5 training slice as t11/t13. λ3=0.5, λ2=0.25 keep every
+    * mixture weight an exact dyadic double on both engines.
+    */
+  private def lm3For(s: org.apache.spark.sql.SparkSession,
+                     dir: String): graft.ext.TextAnalysis.TrigramLm =
+    lm3Memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => TextAnalysis.trigramLm(docs(s, dir).where(col("doc_id") % 5 =!= 0),
+        l3 = 0.5, l2 = 0.25))
+
   /** MinHash-signature memo per (session, dir, n, k) — d03's second
     * build-once artifact over the memoized shingle table.
     */
@@ -537,6 +583,27 @@ object ExtQueries {
             "\\bhash\\b", "#"),
           "\\bdata\\b", "of"),
         "e(\\n|$)", "e...$1"))
+
+  /** t23's enriched fixture: [[linedDocs]] plus deterministic C4
+    * triggers — "dup" → "lorem ipsum" (5% of docs carry the rare word:
+    * page drop), a brace spliced into docs STARTING with "batch" (~3%:
+    * page drop), "sort" at line starts → "javascript" (line drop), and
+    * terminal punctuation for lines ending 'e' ('.') or 't' ('!') so
+    * the retention rule keeps a real subset. Same five regex rewrites
+    * on both engines, applied in the same order.
+    */
+  private def c4Docs(s: org.apache.spark.sql.SparkSession,
+                     dir: String): org.apache.spark.sql.DataFrame =
+    linedDocs(s, dir).withColumn("text",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), "\\bdup\\b", "lorem ipsum"),
+              "^batch", "batch {"),
+            "(^|\\n)sort", "$1javascript"),
+          "e(\\n|$)", "e.$1"),
+        "t(\\n|$)", "t!$1"))
 
   private def lineIndexFor(s: org.apache.spark.sql.SparkSession,
                            dir: String): graft.ext.LineIndex =
@@ -770,32 +837,38 @@ object ExtQueries {
       (s, dir) =>
         TextAnalysis.winnowFingerprints(docs(s, dir)).toDF()
           .orderBy("doc_id", "pos"),
-      {
-        val (k, w, b, m) = (8, 8, 31L, 1000000007L)
-        val pw = (0 until k).map(j =>
-          (0 until (k - 1 - j)).foldLeft(1L)((h, _) => h * b % m))
-        s"""WITH bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
-           |u AS (
-           |  SELECT doc_id, i,
-           |    strpos('123456789ABCDEF', substr(hx, i*2-1, 1)) * 16 +
-           |    strpos('123456789ABCDEF', substr(hx, i*2, 1)) AS byte
-           |  FROM bx, unnest(range(1, length(hx)//2 + 1)) AS t(i)),
-           |l AS (SELECT doc_id, list(byte ORDER BY i) AS bs FROM u GROUP BY 1),
-           |g AS (
-           |  SELECT doc_id, CAST(greatest(len(bs) - $k + 1, 0) AS INTEGER) AS n_grams,
-           |    list_transform(generate_series(1, greatest(len(bs) - $k + 1, 0)), p ->
-           |      list_sum(list_transform(generate_series(0, ${k - 1}), j ->
-           |        bs[p + j] * CAST([${pw.mkString(",")}][j + 1] AS BIGINT))) % $m) AS hs
-           |  FROM l),
-           |sel AS (
-           |  SELECT doc_id, list_distinct(list_transform(generate_series($w, n_grams), t ->
-           |    (t - list_position(list_reverse(hs[t-$w+1:t]), list_min(hs[t-$w+1:t])))
-           |      * CAST($m AS BIGINT) + list_min(hs[t-$w+1:t]))) AS ss
-           |  FROM g WHERE n_grams >= $w)
-           |SELECT doc_id, CAST(x // $m AS INTEGER) AS pos, CAST(x % $m AS BIGINT) AS h
-           |FROM (SELECT doc_id, unnest(ss) AS x FROM sel)
-           |ORDER BY doc_id, pos""".stripMargin
-      }
+      s"""$winnowCtes
+         |SELECT doc_id, CAST(x // $WinnowMod AS INTEGER) AS pos,
+         |  CAST(x % $WinnowMod AS BIGINT) AS h
+         |FROM (SELECT doc_id, unnest(ss) AS x FROM sel)
+         |ORDER BY doc_id, pos""".stripMargin
+    ),
+    QueryDef(
+      "d54_dedup_winnow",
+      // MOSS over the corpus: winnow-fingerprint near-dup pairs —
+      // hash-blocked equi-join with a df≤64 cap (boilerplate mega-keys
+      // die pre-join), verified as inter/min over each doc's distinct
+      // winnow-hash set. The oracle winnows in SQL (t20's CTEs) and
+      // replays the cap/join/verify arithmetic exactly.
+      (s, dir) =>
+        Dedup.winnowPairs(docs(s, dir), tau = 0.4, maxHashFreq = 64)
+          .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+          .orderBy("a", "b"),
+      s"""$winnowCtes,
+         |fp AS (
+         |  SELECT DISTINCT doc_id AS id, x % $WinnowMod AS h
+         |  FROM (SELECT doc_id, unnest(ss) AS x FROM sel)),
+         |dfs AS (SELECT h, count(*) AS df FROM fp GROUP BY 1),
+         |capped AS (SELECT id, h FROM fp JOIN dfs USING (h) WHERE df <= 64),
+         |sizes AS (SELECT id, count(*) AS sz FROM fp GROUP BY 1),
+         |pairs AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS c
+         |  FROM capped x JOIN capped y ON x.h = y.h AND x.id < y.id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, round(CAST(c AS DOUBLE) / least(na.sz, nb.sz), 4) AS sim
+         |FROM pairs JOIN sizes na ON na.id = a JOIN sizes nb ON nb.id = b
+         |WHERE CAST(c AS DOUBLE) / least(na.sz, nb.sz) >= 0.4
+         |ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
       "t21_text_entropy",
@@ -1063,6 +1136,69 @@ object ExtQueries {
          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "t22_text_trigram_nll",
+      // the rung above t13 toward CCNet's KenLM: interpolated trigram
+      // scoring (λ3=0.5, λ2=0.25 — all mixture weights exact dyadic
+      // doubles), add-one smoothed at every order over its context
+      // count + V + 1, n-grams never crossing doc boundaries. First
+      // token scores unigram-only; second backs the trigram mass off
+      // onto the bigram mixture (λ = λ3+λ2 = 0.75); unseen contexts,
+      // bigrams, and trigrams all exercise the coalesce paths.
+      (s, dir) => {
+        val lm = lm3For(s, dir)
+        TextAnalysis.trigramNll(docs(s, dir), lm)
+          .select(col("doc_id"), col("tokens"), round(col("nll"), 4).as("nll"))
+          .orderBy("doc_id")
+      },
+      s"""WITH dt AS (
+         |  SELECT doc_id, regexp_extract_all(text, '${TextAnalysis.TokenRe}') AS arr
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+         |         arr[CAST(u.i AS INTEGER)] AS tok,
+         |         CASE WHEN u.i > 1 THEN arr[CAST(u.i AS INTEGER) - 1] END AS prev,
+         |         CASE WHEN u.i > 2 THEN arr[CAST(u.i AS INTEGER) - 2] END AS prev2
+         |  FROM dt, UNNEST(range(1, len(arr) + 1)) AS u(i)
+         |), tr AS (
+         |  SELECT tok, prev, prev2 FROM tok WHERE doc_id % 5 <> 0
+         |), cnts AS (
+         |  SELECT tok, count(*) AS cnt FROM tr GROUP BY 1
+         |), bis AS (
+         |  SELECT prev, tok, count(*) AS bcnt FROM tr WHERE prev IS NOT NULL
+         |  GROUP BY 1, 2
+         |), tris AS (
+         |  SELECT prev2, prev, tok, count(*) AS tcnt FROM tr
+         |  WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3
+         |), nv AS (
+         |  SELECT (SELECT count(*) FROM tr) AS n,
+         |         (SELECT count(*) FROM cnts) AS v
+         |), ps AS (
+         |  SELECT t.doc_id, t.prev, t.prev2,
+         |         (coalesce(cu.cnt, 0) + 1.0) / (n + v + 1.0) AS pu,
+         |         (coalesce(b.bcnt, 0) + 1.0) /
+         |           (coalesce(cp.cnt, 0) + v + 1.0) AS pb,
+         |         (coalesce(tt.tcnt, 0) + 1.0) /
+         |           (coalesce(bc.bcnt, 0) + v + 1.0) AS pt
+         |  FROM tok t
+         |  LEFT JOIN cnts cu ON cu.tok = t.tok
+         |  LEFT JOIN cnts cp ON cp.tok = t.prev
+         |  LEFT JOIN bis b ON b.prev = t.prev AND b.tok = t.tok
+         |  LEFT JOIN bis bc ON bc.prev = t.prev2 AND bc.tok = t.prev
+         |  LEFT JOIN tris tt ON tt.prev2 = t.prev2 AND tt.prev = t.prev
+         |    AND tt.tok = t.tok
+         |  CROSS JOIN nv
+         |), sc AS (
+         |  SELECT doc_id, count(*) AS tokens,
+         |         avg(-ln(CASE WHEN prev IS NULL THEN pu
+         |                      WHEN prev2 IS NULL THEN 0.75 * pb + 0.25 * pu
+         |                      ELSE 0.5 * pt + 0.25 * pb + 0.25 * pu END)) AS nll
+         |  FROM ps GROUP BY 1
+         |)
+         |SELECT d.doc_id, CAST(coalesce(sc.tokens, 0) AS BIGINT) AS tokens,
+         |       round(sc.nll, 4) AS nll
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t12_text_quality_linear",
       // fastText-style linear quality scorer over the hashed-TF
       // features: sigmoid(bias + w·x) with a deterministic weight
@@ -1318,6 +1454,57 @@ object ExtQueries {
         Bpe.tokenCounts(docs(s, dir), trained).orderBy("doc_id")
       },
       None),
+    QueryDef(
+      "t23_text_c4_rules",
+      // C4's cleaning pass (Raffel 2020 §2.2) end to end over the
+      // enriched fixture: line retention (terminal punct, ≥5 words, no
+      // "javascript"), page drops (<3 sentences kept, "lorem ipsum",
+      // brace). The oracle rebuilds the SAME enrichment and rules and
+      // string-compares the CLEANED TEXT itself plus every count/flag.
+      (s, dir) =>
+        TextAnalysis.c4Rules(c4Docs(s, dir)).orderBy("doc_id"),
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t0
+        |  FROM documents
+        |), enr AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(t0, '\bdup\b', 'lorem ipsum', 'g'),
+        |                 '^batch', 'batch {'),
+        |               '(^|\n)sort', '\1javascript', 'g'),
+        |             'e(\n|$)', 'e.\1', 'g'),
+        |           't(\n|$)', 't!\1', 'g') AS t
+        |  FROM lined
+        |), k AS (
+        |  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(regexp_extract_all(l, '\S+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM enr
+        |), c AS (
+        |  SELECT doc_id, t, len(ls) AS n_lines, len(kept) AS n_kept,
+        |         -- array_to_string([]) is NULL in DuckDB; Spark's
+        |         -- array_join([]) is '' — align on ''
+        |         coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+        |  FROM k
+        |)
+        |SELECT doc_id,
+        |  CAST(n_lines AS INTEGER) AS n_lines,
+        |  CAST(n_kept AS INTEGER) AS n_kept,
+        |  CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS INTEGER) AS n_sentences,
+        |  CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS lorem,
+        |  CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS brace,
+        |  CASE WHEN len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+        |        AND NOT contains(lower(t), 'lorem ipsum')
+        |        AND NOT contains(t, '{') THEN 1 ELSE 0 END AS keep,
+        |  cleaned
+        |FROM c ORDER BY 1""".stripMargin
+    ),
     QueryDef(
       "d40_score_buckets",
       // CCNet's rank-and-keep step end to end: unigram-LM NLL scores

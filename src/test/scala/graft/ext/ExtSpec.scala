@@ -884,6 +884,31 @@ class ExtSpec extends AnyFunSuite {
     assert(densA > 0.08 && densA < 0.5, s"winnow density off: $densA")
   }
 
+  test("winnowPairs: planted near-dup found, unrelated apart, cap kills boilerplate") {
+    val base = "the committee reviewed the quarterly projections and approved " +
+      "the revised capital allocation plan for the northern region offices"
+    val nearDup = base.replace("northern", "southern")
+    val df = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, "entirely unrelated content about marine biology and coral reef " +
+        "ecosystems in the tropical pacific zone with plankton blooms"),
+      (4L, "zxqv jklm wpfg hrtd bnys cvex another block of distinct words " +
+        "that shares no eight byte run with anything else at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"planted near-dup missed: $pairs")
+    assert(pairs((1L, 2L)) > 0.6)
+    assert(pairs.keySet == Set((1L, 2L)), s"spurious pairs: $pairs")
+    // universal boilerplate: every doc identical → every hash df = 4 >
+    // cap 3 → no candidate survives the frequency cap
+    val boiler = (1L to 4L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(boiler, tau = 0.1, maxHashFreq = 3).isEmpty)
+    // ...and the same corpus pairs fully once the cap admits it
+    val full = Dedup.winnowPairs(boiler, tau = 0.99, maxHashFreq = 4)
+    assert(full.count() == 6, "4 identical docs must yield all 6 pairs at sim 1")
+  }
+
   test("charEntropy: closed-form values, empty doc, repetition ordering") {
     val df = Seq(
       (1L, "aaaaaaaa"),          // single symbol → 0
@@ -1449,6 +1474,73 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(got(11L)._2.get - e11) < 1e-12,
       s"unseen-context math: ${got(11L)}")
     assert(got(12L) == ((0L, None)), "token-less doc keeps a row, null nll")
+  }
+
+  test("c4 rules: line retention, sentence floor, lorem/brace page drops") {
+    val keepable = "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\n" +
+      "lambda mu nu xi omicron pi?\nshort one.\nno terminal punct six words here"
+    val d = Seq(
+      (1L, keepable),                                    // 3 kept lines → keep
+      (2L, keepable + "\nthis page has lorem ipsum in."),// lorem → drop
+      (3L, keepable.replace("delta", "del{ta")),         // brace → drop
+      (4L, "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!"), // 2 sentences → drop
+      (5L, "alpha beta gamma delta javascript epsilon.\n" + keepable)      // js line dropped, rest keeps
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Rules(d).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getInt(1) == 5 && r1.getInt(2) == 3 && r1.getInt(3) == 3)
+    assert(r1.getInt(4) == 0 && r1.getInt(5) == 0 && r1.getInt(6) == 1)
+    assert(r1.getString(7) == keepable.split("\n").take(3).mkString("\n"))
+    assert(got(2L).getInt(6) == 0 && got(2L).getInt(4) == 1, "lorem must drop")
+    assert(got(3L).getInt(6) == 0 && got(3L).getInt(5) == 1, "brace must drop")
+    assert(got(4L).getInt(6) == 0 && got(4L).getInt(3) == 2, "sentence floor")
+    // the javascript LINE drops but the page keeps on the other 3
+    assert(got(5L).getInt(6) == 1 && got(5L).getInt(2) == 3,
+      s"javascript line handling: ${got(5L)}")
+  }
+
+  test("trigram LM: hand math, l3=0 degenerates to bigram, context availability") {
+    val train = Seq((1L, "a a b a a b"), (2L, "b c a")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trigramLm(train, l3 = 0.5, l2 = 0.25)
+    assert(lm.tokens == 9 && lm.vocab == 3)
+    val tri = lm.tri.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    // doc 1 trigrams: aab, aba, baa, aab; doc 2: bca
+    assert(tri == Map(("a", "a", "b") -> 2L, ("a", "b", "a") -> 1L,
+      ("b", "a", "a") -> 1L, ("b", "c", "a") -> 1L), s"trigram table: $tri")
+    val score = Seq((10L, "a a b"), (11L, "z"), (12L, "q q q q")).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramNll(score, lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // doc 10: N=9, V=3; cnt a=5 b=3 c=1 → pu(a) = (5+1)/13, pu(b) = (3+1)/13;
+    // "a" → pu; "a"|a → 0.75·pb + 0.25·pu, pb(a|a) = (2+1)/(5+4);
+    // "b"|aa → 0.5·pt + 0.25·pb + 0.25·pu,
+    //   pt(b|aa) = (2+1)/(2+4) (ctx bigram aa = 2), pb(b|a) = (2+1)/(5+4)
+    val puA = 6.0 / 13; val puB = 4.0 / 13
+    val p2 = 0.75 * (3.0 / 9) + 0.25 * puA
+    val p3 = 0.5 * (3.0 / 6) + 0.25 * (3.0 / 9) + 0.25 * puB
+    val e10 = -(math.log(puA) + math.log(p2) + math.log(p3)) / 3
+    assert(got(10L)._1 == 3 && math.abs(got(10L)._2.get - e10) < 1e-12,
+      s"trigram hand math: ${got(10L)}")
+    // single token → unigram-only; unseen token pu = 1/13
+    assert(math.abs(got(11L)._2.get - -math.log(1.0 / 13)) < 1e-12)
+    // fully unseen everything exercises every coalesce path
+    assert(got(12L)._2.get > got(10L)._2.get,
+      "gibberish must score worse than training-like text")
+    // l3 = 0 with l2 = 0.7 must equal the bigram model at λ = 0.7 on
+    // every document (the trigram term carries zero mass, the second-
+    // token backoff weight is the same 0.7)
+    val lm0 = TextAnalysis.trigramLm(train, l3 = 0.0, l2 = 0.7)
+    val lmB = TextAnalysis.bigramLm(train, lambda = 0.7)
+    val a = TextAnalysis.trigramNll(score, lm0).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    val b = TextAnalysis.bigramNll(score, lmB).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(a.zip(b).forall { case ((i1, t1, n1), (i2, t2, n2)) =>
+      i1 == i2 && t1 == t2 && (n1.isNaN && n2.isNaN || math.abs(n1 - n2) < 1e-12)
+    }, s"l3=0 twin diverged:\n${a.toSeq}\n${b.toSeq}")
   }
 
   test("gopher rules: metrics exact on hand-built docs, each rule flags correctly") {
