@@ -83,6 +83,61 @@ object Curation {
         md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("okey"))
       .orderBy("okey")
 
+  /** Token-balanced shard assignment for training export — the
+    * WebDataset/tf.data pattern: a FIXED shard count, a deterministic
+    * global order, every document whole inside exactly one shard.
+    * Order = the md5 hash shuffle ([[shuffleOrder]]'s key); the running
+    * token sum is the two-phase [[prefixSums]] scan under a constant
+    * grouping key, so the whole corpus (one giant "source") never
+    * serializes through a single task. Shard boundaries sit at
+    * total·i/n: shard = ⌊startOffset · n / total⌋ (exact integer
+    * division, safe to 2⁵³/n tokens), which balances shard token masses
+    * to within one document of each other.
+    *
+    * @return (doc_id, toks, ord, shard)
+    */
+  def shardAssign(docs: DataFrame, nShards: Int, seed: Long = 42L,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val rows = docs.select(col(idCol).as("doc_id"),
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("ord"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("toks"))
+      .withColumn("__g", lit(0))
+    // one driver scalar (the corpus token total) — bounded, like the
+    // union-find edge count
+    val total = math.max(
+      Option(rows.agg(sum("toks")).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L), 1L)
+    prefixSums(rows, "__g", "toks", Seq(col("ord"), col("doc_id")))
+      .withColumn("shard",
+        least(expr(s"((cum - toks) * $nShards) div $total"),
+          lit(nShards - 1L)).cast("int"))
+      .select(col("doc_id"), col("toks"), col("ord"), col("shard"))
+  }
+
+  /** Per-shard manifest over a [[shardAssign]] frame: the record a
+    * training loader consumes (shard → document and token masses).
+    */
+  def shardManifest(assigned: DataFrame): DataFrame =
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum("toks").as("tokens"))
+
+  /** Materialize the sharded corpus: assign, CLUSTER BY shard (hash
+    * repartition on the partition column — one parquet file per shard,
+    * never tasks × shards files), write `partitionBy("shard")`, return
+    * the manifest. Readers get shard-pruned scans for free.
+    */
+  def writeShards(docs: DataFrame, path: String, nShards: Int,
+                  seed: Long = 42L, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val assigned = shardAssign(docs, nShards, seed, idCol, textCol)
+    docs.join(assigned.select(col("doc_id").as(idCol), col("shard")), idCol)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    shardManifest(assigned)
+  }
+
   /** Deterministic stratified sampling: keep each stratum (language,
     * source, …) at its own target fraction by hashing the document id
     * onto the unit interval — `md5(id)`'s first 8 hex digits sort below

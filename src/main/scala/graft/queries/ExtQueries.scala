@@ -1455,6 +1455,31 @@ object ExtQueries {
       },
       None),
     QueryDef(
+      "d55_shard_manifest",
+      // Training export: token-balanced shard assignment (8 shards,
+      // hash-shuffle global order, each doc whole in one shard, running
+      // sums via the two-phase prefixSums scan) summarized as the
+      // loader-facing manifest. The oracle replays order, cumulative
+      // sums, and the exact boundary arithmetic.
+      (s, dir) =>
+        Curation.shardManifest(Curation.shardAssign(docs(s, dir), 8))
+          .orderBy("shard"),
+      """WITH t AS (
+        |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS ord,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    sum(toks) OVER (ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT greatest(sum(toks), 1) FROM t) AS total
+        |  FROM t
+        |), a AS (SELECT least((cum - toks) * 8 // total, 7) AS shard, toks FROM c)
+        |SELECT CAST(shard AS INTEGER) AS shard, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t23_text_c4_rules",
       // C4's cleaning pass (Raffel 2020 §2.2) end to end over the
       // enriched fixture: line retention (terminal punct, ≥5 words, no

@@ -1476,6 +1476,44 @@ class ExtSpec extends AnyFunSuite {
     assert(got(12L) == ((0L, None)), "token-less doc keeps a row, null nll")
   }
 
+  test("shard export: balance, totality, determinism, one file per shard") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val n = 8
+    val assigned = Curation.shardAssign(d, n).cache()
+    val m = Curation.shardManifest(assigned).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // totality: every doc in exactly one shard, totals conserved
+    assert(assigned.count() == d.count())
+    assert(m.values.map(_._1).sum == d.count())
+    // balance: every shard within one max-doc of the ideal token mass
+    val maxDoc = assigned.agg(max("toks")).first().getLong(0)
+    val total = m.values.map(_._2).sum
+    val ideal = total.toDouble / n
+    assert(m.size == n, s"empty shard: $m")
+    m.values.foreach { case (_, toks) =>
+      assert(math.abs(toks - ideal) <= maxDoc + 1,
+        s"shard imbalance: $toks vs ideal $ideal (maxDoc $maxDoc)")
+    }
+    // determinism
+    val again = Curation.shardAssign(d, n).select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == assigned.select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // the writer: one parquet file per shard directory, round-trip exact
+    val path = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Curation.writeShards(d, path, n)
+    val dirs = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length == n)
+    dirs.foreach { sd =>
+      val files = sd.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: ${files.length} files (want 1)")
+    }
+    val back = spark.read.parquet(path)
+    assert(back.count() == d.count())
+    assert(back.select("doc_id").except(d.select("doc_id")).isEmpty)
+  }
+
   test("c4 rules: line retention, sentence floor, lorem/brace page drops") {
     val keepable = "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\n" +
       "lambda mu nu xi omicron pi?\nshort one.\nno terminal punct six words here"

@@ -302,6 +302,34 @@ class StreamingPipelineSpec extends AnyFunSuite {
       "dangling ref")
   }
 
+  test("C4 rules plug in as the gauntlet quality gate") {
+    import spark.implicits._
+    val fpPath = Files.createTempDirectory("cp3-fp").toString
+    val mhPath = Files.createTempDirectory("cp3-mh").toString
+    val vPath = Files.createTempDirectory("cp3-v").toString
+    val c4cfg = StreamingCorpusPipeline.Config(tau = 0.5,
+      quality = d => graft.ext.TextAnalysis.c4Rules(d)
+        .select(col("doc_id"), col("keep")))
+    val seed = Seq((1L, "seed doc nothing shares eight byte runs with me kraz"))
+      .toDF("doc_id", "text")
+    FingerprintIndex.build(seed, fpPath)
+    MinHashIndex.build(seed, mhPath)
+    val passing = "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\n" +
+      "lambda mu nu xi omicron pi?"
+    StreamingCorpusPipeline.processBatch(
+      Seq(
+        (101L, passing),                       // 3 kept sentences → kept
+        (102L, "no punctuation lines here at\nall so c4 retains nothing"),
+        (103L, passing + "\nbut lorem ipsum poisons this page."),
+        (104L, passing)                        // exact dup of 101 IN batch
+      ).toDF("doc_id", "text"),
+      0L, fpPath, mhPath, None, vPath, c4cfg)
+    val got = spark.read.parquet(vPath).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(101L -> "kept", 102L -> "drop_quality",
+      103L -> "drop_quality", 104L -> "dup_exact_batch"), s"verdicts: $got")
+  }
+
   test("no span index: contamination stage is a no-op, the rest unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
