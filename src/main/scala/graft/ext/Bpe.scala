@@ -172,6 +172,31 @@ object Bpe {
       spark.createDataset(enc).toDF("tok", "f", "syms"))
   }
 
+  /** Persist a trained vocabulary as parquet artifacts — the ANN
+    * index-persistence precedent (train once, encode many, across
+    * sessions): the rank-ordered merge table and the encoded
+    * dictionary. A tokenization service needs only these two tables.
+    */
+  def saveVocab(trained: TrainedBpe, path: String): Unit = {
+    val spark = trained.dict.sparkSession
+    import spark.implicits._
+    trained.merges.zipWithIndex
+      .map { case ((a, b, c), r) => (r, a, b, c) }
+      .toDF("rank", "a", "b", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    trained.dict.write.mode("overwrite").parquet(s"$path/dict")
+  }
+
+  /** Load a persisted vocabulary. The merge table is vocabulary-sized —
+    * the one-row-per-merge collect is bounded by the trained depth.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): TrainedBpe = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    TrainedBpe(merges, spark.read.parquet(s"$path/dict"))
+  }
+
   /** Encode pre-tokens ABSENT from a trained dictionary by replaying the
     * merge table over their symbol arrays — the train-on-A / encode-B
     * path. Input is a distinct `tok` column; the loop is vocabulary-

@@ -1095,14 +1095,25 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
-                   hasher: Column => Column = xxhash64(_), bits: Int = 64): DataFrame = {
+                   hasher: Column => Column = xxhash64(_), bits: Int = 64): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol, hasher, bits),
+      maxDist, bits, sigCol = "simhash")
+
+  /** Pigeonhole-blocked Hamming pairs over ANY (id, signature) frame —
+    * the simhash candidate machinery, reusable for other fixed-width
+    * signatures (e.g. [[Multimodal.payloadHash]]'s perceptual hash):
+    * split into maxDist+1 chunks, any pair within maxDist agrees exactly
+    * on ≥1 chunk, equi-join per chunk, verify exact bit_count distance.
+    */
+  def hammingPairs(sigs: DataFrame, maxDist: Int, bits: Int,
+                   sigCol: String = "simhash",
+                   idCol: String = "id"): DataFrame = {
     val chunks = maxDist + 1
     val width = bits / chunks
-    val sigs = simhash(docs, idCol, textCol, hasher, bits)
     val keyed = sigs.select(
-      col("id"), col("simhash"),
+      col(idCol).as("id"), col(sigCol).as("__sig"),
       posexplode(array((0 until chunks).map { c =>
-        shiftright(col("simhash"), c * width)
+        shiftright(col(sigCol), c * width)
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk", "key")))
     keyed.as("x")
@@ -1110,7 +1121,7 @@ object Dedup {
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
+        hamming(col("x.__sig"), col("y.__sig")).as("dist"))
       .where(col("dist") <= maxDist)
       .distinct()
   }

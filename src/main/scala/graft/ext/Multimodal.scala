@@ -141,6 +141,46 @@ object Multimodal {
       byte_max: Int,
       n_distinct: Int)
 
+  final case class MediaHash(id: Long, phash: Long)
+
+  /** Average-hash perceptual signature over the payload: `bits` equal
+    * byte segments, bit s set iff segment s's mean exceeds the global
+    * mean. On a decoded grayscale grid this IS classic aHash; on the
+    * stub payload it is the same arithmetic over raw bytes — the
+    * pipeline (hash → pigeonhole Hamming join → verify) is what a
+    * production build keeps when the decode stub is swapped out. The
+    * comparison is exact integer cross-multiplication
+    * (segSum·n > totalSum·segLen — no float means), and 60 bits keeps
+    * the signature a positive BIGINT on any engine (the md5-60bit
+    * precedent). One per-byte pass, typed mapPartitions.
+    */
+  def payloadHash(blobs: Dataset[MediaBlob], bits: Int = 60): Dataset[MediaHash] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val n = b.data.length
+      if (n == 0) MediaHash(b.id, 0L)
+      else {
+        var total = 0L
+        var i = 0
+        while (i < n) { total += b.data(i) & 0xff; i += 1 }
+        var h = 0L
+        var s = 0
+        while (s < bits) {
+          val lo = s * n / bits
+          val hi = (s + 1) * n / bits
+          var segSum = 0L
+          var j = lo
+          while (j < hi) { segSum += b.data(j) & 0xff; j += 1 }
+          // segMean > globalMean ⇔ segSum·n > total·segLen, exactly
+          if (segSum * n > total * (hi - lo)) h |= 1L << s
+          s += 1
+        }
+        MediaHash(b.id, h)
+      }
+    })
+  }
+
   /** Feature extraction over raw payload bytes. This is genuinely
     * per-byte imperative work — exactly the case for typed mapPartitions
     * (SURVEY.md: RDD-style logic only where declarative ops can't reach):

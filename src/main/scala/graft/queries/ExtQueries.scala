@@ -4221,6 +4221,88 @@ object ExtQueries {
         |FROM documents ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "m05_media_phash",
+      // average-hash perceptual signature over the payload bytes: 60
+      // equal segments, bit s ⇔ segMean > globalMean by exact integer
+      // cross-multiplication (no float means), positive-BIGINT range.
+      // The oracle rebuilds every byte from the hex expansion (t06's
+      // arithmetic) and assembles the same 60 bits.
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        Multimodal.payloadHash(Multimodal.asBlobs(docs(s, dir))).toDF()
+          .orderBy("id")
+      },
+      """WITH bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |u AS (
+        |  SELECT doc_id, i,
+        |    strpos('123456789ABCDEF', substr(hx, i*2-1, 1)) * 16 +
+        |    strpos('123456789ABCDEF', substr(hx, i*2, 1)) AS byte
+        |  FROM bx, unnest(range(1, length(hx)//2 + 1)) AS t(i)),
+        |l AS (SELECT doc_id, list(byte ORDER BY i) AS bs FROM u GROUP BY 1),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(0, 59), s ->
+        |      CASE WHEN coalesce(list_sum(bs[(s*len(bs)//60)+1:((s+1)*len(bs)//60)]), 0)
+        |             * len(bs)
+        |           > list_sum(bs) * ((s+1)*len(bs)//60 - s*len(bs)//60)
+        |           THEN 1::BIGINT << s ELSE 0 END)) AS phash
+        |  FROM l)
+        |SELECT doc_id AS id, CAST(coalesce(phash, 0) AS BIGINT) AS phash
+        |FROM h ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d56_media_neardup",
+      // perceptual near-dup pairs: the payload aHash through the
+      // pigeonhole Hamming machinery (6 chunks × 10 bits covers
+      // maxDist 5 exactly). The fixture carries no natural pairs at
+      // this radius, so planted one-byte clones (doc_id+100000, byte 21
+      // swapped — exactly one segment mean moves) make the verdict
+      // live, the d45 planted-clone precedent; the oracle hashes the
+      // SAME enriched corpus and verifies all pairs by exact bit_count.
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val base = docs(s, dir)
+        val clones = base.where(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(substring(col("text"), 1, 20), lit("X"),
+              substring(col("text"), 22, 1000000)).as("text"))
+        val corpus = base.select("doc_id", "text").unionByName(clones)
+        Dedup.hammingPairs(
+            Multimodal.payloadHash(Multimodal.asBlobs(corpus)).toDF(),
+            maxDist = 5, bits = 60, sigCol = "phash")
+          .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+          .orderBy("a", "b")
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         substr(text, 1, 20) || 'X' || substr(text, 22)
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM corpus),
+        |u AS (
+        |  SELECT doc_id, i,
+        |    strpos('123456789ABCDEF', substr(hx, i*2-1, 1)) * 16 +
+        |    strpos('123456789ABCDEF', substr(hx, i*2, 1)) AS byte
+        |  FROM bx, unnest(range(1, length(hx)//2 + 1)) AS t(i)),
+        |l AS (SELECT doc_id, list(byte ORDER BY i) AS bs FROM u GROUP BY 1),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(0, 59), s ->
+        |      CASE WHEN coalesce(list_sum(bs[(s*len(bs)//60)+1:((s+1)*len(bs)//60)]), 0)
+        |             * len(bs)
+        |           > list_sum(bs) * ((s+1)*len(bs)//60 - s*len(bs)//60)
+        |           THEN 1::BIGINT << s ELSE 0 END)), 0) AS BIGINT) AS phash
+        |  FROM l)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS dist
+        |FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.phash, y.phash)) <= 5
+        |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
       "m02_multimodal_resize",
       // resize planning: max-edge 224, aspect preserved, no upscale —
       // pure column arithmetic over the decoded metadata

@@ -112,6 +112,23 @@ class BpeSpec extends AnyFunSuite {
     assert(same == plain)
   }
 
+  test("vocab persistence: save → load round-trips merges, dict, and counts") {
+    val trained = Bpe.train(fixture, numMerges = 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.saveVocab(trained, path)
+    val loaded = Bpe.loadVocab(spark, path)
+    assert(loaded.merges == trained.merges)
+    val a = Bpe.tokenCounts(fixture, trained).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    val b = Bpe.tokenCounts(fixture, loaded).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // cross-corpus encode against the LOADED vocabulary still works
+    val extra = Seq((999000L, "qqqzzz unseen material")).toDF("doc_id", "text")
+    val c = Bpe.tokenCountsCross(extra, loaded).collect()
+    assert(c.length == 1 && c(0).getLong(1) > 0)
+  }
+
   test("merge counts are non-increasing and tiebreak-ordered") {
     val trained = Bpe.train(fixture, numMerges = 16)
     val cnts = trained.merges.map(_._3)

@@ -1476,6 +1476,34 @@ class ExtSpec extends AnyFunSuite {
     assert(got(12L) == ((0L, None)), "token-less doc keeps a row, null nll")
   }
 
+  test("payloadHash: hand bits, empty payload, one-byte flip stays local") {
+    val half = Multimodal.MediaBlob(1L, "image",
+      (Array.fill(60)(0.toByte) ++ Array.fill(60)(255.toByte)))
+    val empty = Multimodal.MediaBlob(2L, "image", Array.emptyByteArray)
+    val flat = Multimodal.MediaBlob(3L, "image", Array.fill(120)(7.toByte))
+    val hs = Multimodal.payloadHash(spark.createDataset(Seq(half, empty, flat)))
+      .collect().map(h => h.id -> h.phash).toMap
+    // low 30 segments sit below the global mean, high 30 above
+    assert(hs(1L) == (((1L << 60) - 1) ^ ((1L << 30) - 1)), s"got ${hs(1L).toBinaryString}")
+    assert(hs(2L) == 0L)
+    assert(hs(3L) == 0L, "uniform payload: no segment exceeds the mean")
+    // a single flipped byte moves at most a few segment means → the
+    // pigeonhole join finds the pair at a tight radius
+    val base = ("the quick brown fox jumps over the lazy dog " * 4).getBytes("UTF-8")
+    val tweaked = base.clone(); tweaked(21) = 'X'.toByte
+    val far = ("completely different material with other words entirely here " * 3)
+      .getBytes("UTF-8")
+    val sigs = Multimodal.payloadHash(spark.createDataset(Seq(
+      Multimodal.MediaBlob(10L, "image", base),
+      Multimodal.MediaBlob(11L, "image", tweaked),
+      Multimodal.MediaBlob(12L, "image", far)))).toDF()
+    val pairs = Dedup.hammingPairs(sigs, maxDist = 5, bits = 60, sigCol = "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"flipped-byte pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L),
+      s"unrelated payload paired: $pairs")
+  }
+
   test("shard export: balance, totality, determinism, one file per shard") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val n = 8
