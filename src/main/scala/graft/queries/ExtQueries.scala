@@ -1480,6 +1480,46 @@ object ExtQueries {
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "d57_dedup_winnow_curated",
+      // the winnow family's keeper: d54's pairs → transitive components
+      // (large/small-star) → keep cluster minima + singletons. Same
+      // composition as d10 with the positional sub-token signal; the
+      // oracle chains the winnow SQL into d09's recursive closure.
+      (s, dir) => {
+        val pairs = Dedup.winnowPairs(docs(s, dir), tau = 0.4, maxHashFreq = 64)
+        val clusters = Dedup.connectedComponents(pairs.select("a", "b"))
+        docs(s, dir).select(col("doc_id"))
+          .join(clusters.where(col("id") =!= col("root"))
+            .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      s"""${winnowCtes.replace("WITH bx", "WITH RECURSIVE bx")},
+         |fp AS (
+         |  SELECT DISTINCT doc_id AS id, x % $WinnowMod AS h
+         |  FROM (SELECT doc_id, unnest(ss) AS x FROM sel)),
+         |dfs AS (SELECT h, count(*) AS df FROM fp GROUP BY 1),
+         |capped AS (SELECT id, h FROM fp JOIN dfs USING (h) WHERE df <= 64),
+         |sizes AS (SELECT id, count(*) AS sz FROM fp GROUP BY 1),
+         |inter AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS c
+         |  FROM capped x JOIN capped y ON x.h = y.h AND x.id < y.id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes na ON na.id = a JOIN sizes nb ON nb.id = b
+         |  WHERE CAST(c AS DOUBLE) / least(na.sz, nb.sz) >= 0.4),
+         |nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> root)
+         |ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t23_text_c4_rules",
       // C4's cleaning pass (Raffel 2020 §2.2) end to end over the
       // enriched fixture: line retention (terminal punct, ≥5 words, no

@@ -270,6 +270,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
   }
 
+  test("winnowPairs: the df-cap window's exchange feeds the self-join, no cartesian") {
+    val docsDf = (0L until 120L)
+      .map(i => (i, s"shared prefix words here item$i tail block " * 3))
+      .toDF("doc_id", "text")
+    val df = graft.ext.Dedup.winnowPairs(docsDf, tau = 0.9)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the cap window partitions by h; the candidate self-join keys on h —
+    // the second side must reuse the first's exchange, not re-shuffle
+    assert(plan.contains("ReusedExchange"),
+      s"cap-window exchange not reused by the self-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"winnow pairing must stay an equi-join:\n$plan")
+  }
+
   test("BPE: pair counts partial-aggregate map-side; encode joins broadcast the dictionary") {
     val docsDf = (0L until 300L)
       .map(i => (i, s"alpha${i % 9} beta${i % 5} gamma delta epsilon"))
