@@ -1442,6 +1442,38 @@ object ExtQueries {
          |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "t24_unigram_seed_vocab",
+      // the SentencePiece unigram trainer's seeding step (Kudo 2018):
+      // frequent substrings (≤6 chars) of dictionary pre-tokens scored
+      // by occurrence-count × length, top 200 with a deterministic
+      // (score desc, piece) order — a pure dictionary-sized aggregate,
+      // value-gated end to end.
+      (s, dir) =>
+        Unigram.seedVocab(docs(s, dir), maxPieceLen = 6, seedSize = 200),
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(text, '$bpeReSql')) AS tok FROM documents
+         |), wf AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+         |subs AS (
+         |  SELECT f, unnest(flatten(list_transform(generate_series(1, length(tok)), i ->
+         |    list_transform(generate_series(1, least(6, length(tok) - i + 1)), l ->
+         |      substr(tok, i, l))))) AS piece
+         |  FROM wf)
+         |SELECT piece, CAST(sum(f * length(piece)) AS BIGINT) AS score
+         |FROM subs GROUP BY 1 ORDER BY score DESC, piece LIMIT 200""".stripMargin
+    ),
+    QueryDef(
+      "t25_unigram_tokens",
+      // the full unigram-LM tokenizer (seed → 4 EM rounds of Viterbi
+      // E-step + renormalizing M-step → encode-by-join): per-doc piece
+      // counts. EM is not SQL-iterable — rows-only, gated by t24's
+      // oracle on the seeding step plus UnigramSpec's hand-exact
+      // Viterbi, tiebreak, and conservation pins.
+      (s, dir) => {
+        val trained = Unigram.train(docs(s, dir), emIters = 4)
+        Unigram.tokenCounts(docs(s, dir), trained).orderBy("doc_id")
+      },
+      None),
+    QueryDef(
       "t18_bpe_learned_tokens",
       // Real learned-vocabulary token counts at depth the oracle cannot
       // iterate (48 merges): the scale-adaptive in-memory trainer (the
