@@ -235,6 +235,112 @@ object Bpe {
       .groupBy(idCol).agg(sum("n").as("n_tok"))
   }
 
+  /** Per-symbol occurrence counts over a dictionary (weighted by
+    * pre-token frequency) — the denominators of WordPiece's likelihood
+    * objective. Vocabulary-sized, map-combinable.
+    */
+  def symCounts(dict: DataFrame): DataFrame =
+    dict.select(col("f"), explode(col("syms")).as("sym"))
+      .groupBy("sym").agg(sum("f").as("scnt"))
+
+  /** WordPiece training (Schuster & Nakajima 2012 / Wu 2016 §4.1): the
+    * SAME merge loop as [[train]] but with the likelihood-ratio
+    * objective — merge the pair maximizing cnt(ab) / (cnt(a)·cnt(b)),
+    * i.e. the pair whose merge most improves corpus likelihood under a
+    * unigram model, instead of raw count. Identical scale shape
+    * (dictionary-sized iterations, scale-adaptive driver path, same
+    * deterministic (score desc, a, b) tiebreak both paths — the ratio
+    * is one IEEE division of exact integers, bit-identical on any
+    * engine). Encoding is [[tokenCounts]] unchanged.
+    */
+  def trainWordPiece(docs: DataFrame,
+                     numMerges: Int,
+                     textCol: String = "text",
+                     minCount: Long = 2L,
+                     driverThreshold: Long = 2000000L,
+                     checkpointEvery: Int = 5): TrainedBpe = {
+    var dict = wordDict(docs, textCol).localCheckpoint()
+    if (dict.count() <= driverThreshold)
+      return trainWordPieceInMemory(dict, numMerges, minCount)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val sc = symCounts(dict)
+      val best = pairCounts(dict)
+        .join(sc.select(col("sym").as("a"), col("scnt").as("ca")), "a")
+        .join(sc.select(col("sym").as("b"), col("scnt").as("cb")), "b")
+        .withColumn("score",
+          col("cnt").cast("double") / (col("ca") * col("cb")).cast("double"))
+        .orderBy(desc("score"), col("a"), col("b")).limit(1)
+        .select("a", "b", "cnt").collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((a, b, c))
+        dict = dict.withColumn("syms", applyMerge(col("syms"), a, b))
+        step += 1
+        if (step % checkpointEvery == 0) dict = dict.localCheckpoint()
+      }
+    }
+    TrainedBpe(merges.toSeq, dict.localCheckpoint())
+  }
+
+  private def trainWordPieceInMemory(dictDf: DataFrame, numMerges: Int,
+                                     minCount: Long): TrainedBpe = {
+    val spark = dictDf.sparkSession
+    val rows = dictDf.select("tok", "f").collect()
+    val toks = rows.map(_.getString(0))
+    val fs = rows.map(_.getLong(1))
+    val syms = toks.map(t => scala.collection.mutable.ArrayBuffer(
+      t.split("").toSeq: _*))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val sc = scala.collection.mutable.HashMap.empty[String, Long]
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w); val f = fs(w); var i = 0
+        while (i < s.length) {
+          sc(s(i)) = sc.getOrElse(s(i), 0L) + f
+          if (i < s.length - 1) {
+            val k = (s(i), s(i + 1))
+            pc(k) = pc.getOrElse(k, 0L) + f
+          }
+          i += 1
+        }
+        w += 1
+      }
+      if (pc.isEmpty) done = true
+      else {
+        // exact integer ratio compared as IEEE doubles — identical to
+        // the distributed orderBy; ties broken (a, b) ascending
+        val ((a, b), c) = pc.minBy { case ((a, b), c) =>
+          (-(c.toDouble / (sc(a).toDouble * sc(b).toDouble)), a, b)
+        }
+        if (c < minCount) done = true
+        else {
+          merges += ((a, b, c))
+          val ab = a + b
+          var w2 = 0
+          while (w2 < syms.length) {
+            val s = syms(w2); var i = 0
+            while (i < s.length - 1) {
+              if (s(i) == a && s(i + 1) == b) { s.remove(i + 1); s(i) = ab }
+              i += 1
+            }
+            w2 += 1
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    val enc = toks.indices.map(i => (toks(i), fs(i), syms(i).toSeq))
+    TrainedBpe(merges.toSeq,
+      spark.createDataset(enc).toDF("tok", "f", "syms"))
+  }
+
   /** Per-document token counts under a trained vocabulary: explode the
     * document pre-tokens, equi-join the encoded dictionary (each distinct
     * pre-token encoded once; AQE broadcasts the dictionary when small),

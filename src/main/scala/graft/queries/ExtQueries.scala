@@ -1442,6 +1442,45 @@ object ExtQueries {
          |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "t26_wordpiece_tokens_1merge",
+      // WordPiece = the BPE loop under the likelihood objective
+      // cnt(ab)/(cnt(a)·cnt(b)) — the pair whose merge most improves
+      // unigram-model likelihood. Depth 1 again SQL-oracles the whole
+      // train+encode pipeline (one exact-integer IEEE ratio, argmax,
+      // greedy replace); distributed loop forced. On this corpus the
+      // likelihood argmax differs from the count argmax, so t26 ≠ t17
+      // is itself evidence the objective is live (BpeSpec pins it).
+      (s, dir) => {
+        val trained = Bpe.trainWordPiece(docs(s, dir), numMerges = 1,
+          minCount = 1L, driverThreshold = 0L)
+        Bpe.tokenCounts(docs(s, dir), trained).orderBy("doc_id")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$bpeReSql')) AS tok
+         |  FROM documents
+         |), wf AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+         |pc AS (
+         |  SELECT substr(p, 1, 1) AS a, substr(p, 2, 1) AS b, sum(f) AS cnt
+         |  FROM (SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+         |    i -> substr(tok, i, 2))) AS p, f FROM wf)
+         |  GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT sym, sum(f) AS scnt
+         |  FROM (SELECT unnest(list_transform(generate_series(1, length(tok)),
+         |    i -> substr(tok, i, 1))) AS sym, f FROM wf)
+         |  GROUP BY 1
+         |), best AS (
+         |  SELECT a || b AS m
+         |  FROM pc JOIN sc sa ON sa.sym = a JOIN sc sb ON sb.sym = b
+         |  ORDER BY CAST(cnt AS DOUBLE) / (sa.scnt * sb.scnt) DESC, a, b
+         |  LIMIT 1)
+         |SELECT doc_id,
+         |  CAST(sum(length(tok)
+         |    - (length(tok) - length(replace(tok, (SELECT m FROM best), ''))) // 2)
+         |    AS BIGINT) AS n_tok
+         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t24_unigram_seed_vocab",
       // the SentencePiece unigram trainer's seeding step (Kudo 2018):
       // frequent substrings (≤6 chars) of dictionary pre-tokens scored

@@ -112,6 +112,29 @@ class BpeSpec extends AnyFunSuite {
     assert(same == plain)
   }
 
+  test("wordpiece: likelihood objective picks a different pair than count") {
+    // dict aaab f=2, aab f=1: sym counts a=8 b=3; pairs (a,a)=5 (a,b)=3
+    // count argmax → (a,a); likelihood: (a,a) 5/64 < (a,b) 3/24 → (a,b)
+    val docsDf = Seq((0L, "aaab"), (1L, "aaab"), (2L, "aab")).toDF("doc_id", "text")
+    for (thresh <- Seq(0L, 1000000L)) {
+      val wp = Bpe.trainWordPiece(docsDf, numMerges = 1, minCount = 1L,
+        driverThreshold = thresh)
+      assert(wp.merges == Seq(("a", "b", 3L)), s"thresh=$thresh: ${wp.merges}")
+      val bpe = Bpe.train(docsDf, numMerges = 1, minCount = 1L,
+        driverThreshold = thresh)
+      assert(bpe.merges.head._1 == "a" && bpe.merges.head._2 == "a",
+        "count objective must still pick (a,a)")
+      // encode under the wordpiece merge: aaab → [a,a,ab] = 3; aab → [a,ab] = 2
+      val counts = Bpe.tokenCounts(docsDf, wp).orderBy("doc_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(counts == Seq((0L, 3L), (1L, 3L), (2L, 2L)))
+    }
+    // distributed == in-memory on fixture docs at depth 6
+    val dist = Bpe.trainWordPiece(fixture, numMerges = 6, driverThreshold = 0L)
+    val mem = Bpe.trainWordPiece(fixture, numMerges = 6)
+    assert(dist.merges == mem.merges)
+  }
+
   test("vocab persistence: save → load round-trips merges, dict, and counts") {
     val trained = Bpe.train(fixture, numMerges = 10)
     val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString
