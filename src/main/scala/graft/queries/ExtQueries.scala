@@ -1642,6 +1642,89 @@ object ExtQueries {
         |FROM c ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "d58_offline_pipeline",
+      // the batch curation capstone over this round's operators: C4
+      // clean (t23) → exact dedup on the CLEANED text (planted clones
+      // of the %25 docs make the stage live — they survive C4 iff the
+      // original does, then dedup drops them) → token-balanced shard
+      // manifest over the survivors (d55, 4 shards, tokens counted on
+      // the cleaned text). One oracle chains all three stages' SQL.
+      (s, dir) => {
+        val base = c4Docs(s, dir)
+        val clones = base.where(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        val corpus = base.select("doc_id", "text").unionByName(clones)
+        val cleaned = TextAnalysis.c4Rules(corpus).where(col("keep") === 1)
+          .select(col("doc_id"), col("cleaned").as("text"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        val kept = cleaned
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+          .withColumn("kp", min("doc_id").over(w))
+          .where(col("doc_id") === col("kp"))
+          .select("doc_id", "text")
+        Curation.shardManifest(Curation.shardAssign(kept, 4)).orderBy("shard")
+      },
+      """WITH corpus0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0
+        |), lined AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t0
+        |  FROM corpus0
+        |), enr AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(
+        |                 regexp_replace(t0, '\bdup\b', 'lorem ipsum', 'g'),
+        |                 '^batch', 'batch {'),
+        |               '(^|\n)sort', '\1javascript', 'g'),
+        |             'e(\n|$)', 'e.\1', 'g'),
+        |           't(\n|$)', 't!\1', 'g') AS t
+        |  FROM lined
+        |), k AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(regexp_extract_all(l, '\S+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM enr
+        |), c AS (
+        |  SELECT doc_id, t,
+        |         coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+        |  FROM k
+        |), pass AS (
+        |  SELECT doc_id, cleaned FROM c
+        |  WHERE len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+        |    AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{')
+        |), fpd AS (
+        |  SELECT doc_id, cleaned,
+        |    md5(trim(regexp_replace(lower(cleaned), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM pass
+        |), kept2 AS (
+        |  SELECT doc_id, cleaned FROM (
+        |    SELECT doc_id, cleaned, min(doc_id) OVER (PARTITION BY fp) AS kp
+        |    FROM fpd)
+        |  WHERE doc_id = kp
+        |), t2 AS (
+        |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS ord,
+        |    CAST(len(regexp_extract_all(cleaned, '[A-Za-z0-9]+')) AS BIGINT) AS toks
+        |  FROM kept2
+        |), c2 AS (
+        |  SELECT doc_id, toks,
+        |    sum(toks) OVER (ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT greatest(sum(toks), 1) FROM t2) AS total
+        |  FROM t2
+        |), a AS (SELECT least((cum - toks) * 4 // total, 3) AS shard, toks FROM c2)
+        |SELECT CAST(shard AS INTEGER) AS shard, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "d40_score_buckets",
       // CCNet's rank-and-keep step end to end: unigram-LM NLL scores
       // (t11's model, rounded before ranking so both engines rank

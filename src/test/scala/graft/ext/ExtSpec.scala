@@ -1542,6 +1542,48 @@ class ExtSpec extends AnyFunSuite {
     assert(back.select("doc_id").except(d.select("doc_id")).isEmpty)
   }
 
+  test("shard export: giant-doc skew, degenerate corpora, randomized invariants") {
+    // one doc carries ~90% of the token mass: it owns a shard span by
+    // itself and the rest still balance
+    val giant = (1L, ("tok " * 9000).trim)
+    val small = (2L to 41L).map(i => (i, ("w " * 25).trim))
+    val skewed = (Seq(giant) ++ small).toDF("doc_id", "text")
+    val n = 4
+    val a = Curation.shardAssign(skewed, n).cache()
+    val m = Curation.shardManifest(a).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(a.count() == 41)
+    // the giant doc is whole in exactly one shard
+    val gShard = a.where(col("doc_id") === 1L).select("shard").head().getInt(0)
+    assert(m(gShard) >= 9000L)
+    // corpora smaller than the shard count: every doc still lands; no
+    // out-of-range shard ids
+    val tiny = Seq((1L, "only doc here")).toDF("doc_id", "text")
+    val ta = Curation.shardAssign(tiny, 8).collect()
+    assert(ta.length == 1 && ta(0).getInt(3) >= 0 && ta(0).getInt(3) < 8)
+    // empty-text docs (zero tokens) don't crash or leak shard range
+    val zero = Seq((1L, ""), (2L, "some words here")).toDF("doc_id", "text")
+    val za = Curation.shardAssign(zero, 4).collect()
+    assert(za.length == 2 && za.forall(r => r.getInt(3) >= 0 && r.getInt(3) < 4))
+    // randomized: three seeds of variable-length docs — totals conserved,
+    // balance within the largest doc
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 60L).map(i =>
+        (i, ("x " * (1 + rnd.nextInt(200))).trim)).toDF("doc_id", "text")
+      val asg = Curation.shardAssign(docs, 5).cache()
+      val man = Curation.shardManifest(asg).collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      val maxDoc = asg.agg(max("toks")).head().getLong(0)
+      val total = man.map(_._2).sum
+      assert(man.map(_._1).sum == 60, s"trial $trial: doc loss")
+      man.foreach { case (_, t) =>
+        assert(math.abs(t - total.toDouble / 5) <= maxDoc + 1,
+          s"trial $trial imbalance: $t vs ${total / 5.0}")
+      }
+    }
+  }
+
   test("c4 rules: line retention, sentence floor, lorem/brace page drops") {
     val keepable = "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\n" +
       "lambda mu nu xi omicron pi?\nshort one.\nno terminal punct six words here"
