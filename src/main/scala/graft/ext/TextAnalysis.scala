@@ -155,6 +155,44 @@ object TextAnalysis {
     * raw text, IPv4 on email-redacted, phone on IPv4-redacted — the same
     * strings `redactPii`'s stages see, so counts and replacements agree).
     */
+  /** Luhn validity of a decimal-digit string column — the checksum that
+    * separates plausible payment-card numbers from arbitrary digit runs
+    * (the Dolma-style scrub validates before redacting so order IDs and
+    * timestamps survive). Pure nested HOF — codegen'd, no UDF.
+    */
+  def luhnValid(x: Column): Column = {
+    val len = length(x)
+    val total = aggregate(sequence(lit(1), len), lit(0), (acc, i) => {
+      val d = x.substr(len - i + 1, lit(1)).cast("int")
+      val dd = when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + dd
+    })
+    total % 10 === 0
+  }
+
+  /** Credit-card redaction: maximal digit runs of 13–19 digits that pass
+    * the Luhn checksum are replaced with `<CC>`; invalid runs (and all
+    * shorter/longer ones) survive. The replace fold runs over the
+    * DISTINCT valid runs in sorted order on both engines, so the (rare)
+    * substring-overlap edge resolves identically everywhere.
+    * Scan-speed Column expressions end to end.
+    *
+    * @return (idCol, n_cards, redacted)
+    */
+  def redactCards(docs: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val runs = regexp_extract_all(t, lit("[0-9]+"), lit(0))
+    val valid = array_sort(array_distinct(filter(runs, x =>
+      length(x) >= 13 && length(x) <= 19 && luhnValid(x))))
+    docs.select(col(idCol),
+      size(valid).as("n_cards"),
+      aggregate(valid, t, (acc, x) =>
+        replace(acc, x, lit("<CC>"))).as("redacted"))
+  }
+
   def countRe(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 

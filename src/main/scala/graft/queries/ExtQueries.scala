@@ -1442,6 +1442,41 @@ object ExtQueries {
          |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "t27_text_card_redact",
+      // Luhn-validated credit-card redaction: "group" → a valid test
+      // PAN (redacts), "window" → the same digits with a broken check
+      // digit (must survive) — so the checksum, not the digit-run
+      // pattern, decides. Both engines fold replace() over the sorted
+      // distinct valid runs.
+      (s, dir) =>
+        TextAnalysis.redactCards(docs(s, dir).withColumn("text",
+          regexp_replace(
+            regexp_replace(col("text"), "\\bgroup\\b", "4111111111111111"),
+            "\\bwindow\\b", "4111111111111112"))).orderBy("doc_id"),
+      """WITH enr AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(text, '\bgroup\b', '4111111111111111', 'g'),
+        |      '\bwindow\b', '4111111111111112', 'g') AS t
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, t,
+        |    list_sort(list_distinct(list_filter(regexp_extract_all(t, '[0-9]+'), x ->
+        |      length(x) >= 13 AND length(x) <= 19 AND
+        |      list_sum(list_transform(generate_series(1, length(x)), i ->
+        |        CASE WHEN i % 2 = 0 THEN
+        |          CASE WHEN CAST(substr(x, length(x) - i + 1, 1) AS INTEGER) * 2 > 9
+        |               THEN CAST(substr(x, length(x) - i + 1, 1) AS INTEGER) * 2 - 9
+        |               ELSE CAST(substr(x, length(x) - i + 1, 1) AS INTEGER) * 2 END
+        |        ELSE CAST(substr(x, length(x) - i + 1, 1) AS INTEGER) END)) % 10 = 0)))
+        |      AS valid
+        |  FROM enr)
+        |SELECT doc_id, CAST(len(valid) AS INTEGER) AS n_cards,
+        |  list_reduce(list_prepend(t, valid), (acc, x) -> replace(acc, x, '<CC>'))
+        |    AS redacted
+        |FROM r ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t26_wordpiece_tokens_1merge",
       // WordPiece = the BPE loop under the likelihood objective
       // cnt(ab)/(cnt(a)·cnt(b)) — the pair whose merge most improves

@@ -884,6 +884,32 @@ class ExtSpec extends AnyFunSuite {
     assert(densA > 0.08 && densA < 0.5, s"winnow density off: $densA")
   }
 
+  test("card redaction: Luhn decides, lengths bound, multiple cards, overlap determinism") {
+    val d = Seq(
+      (1L, "pay 4111111111111111 now"),             // valid visa test PAN
+      (2L, "pay 4111111111111112 now"),             // broken check digit
+      (3L, "id 123456789012 and 12345678901234567890"), // 12 and 20 digits
+      (4L, "two: 4111111111111111 and 5500005555555559 done"), // both valid
+      (5L, "a 4111111111111111 twice 4111111111111111 b"),
+      (6L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactCards(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got(1L) == ((1, "pay <CC> now")))
+    assert(got(2L) == ((0, "pay 4111111111111112 now")), "invalid checksum must survive")
+    assert(got(3L)._1 == 0, "length bounds must hold")
+    assert(got(4L) == ((2, "two: <CC> and <CC> done")))
+    assert(got(5L) == ((1, "a <CC> twice <CC> b")),
+      "repeated card = one distinct run, every occurrence redacted")
+    assert(got(6L) == ((0, "no digits at all")))
+    // luhnValid directly: the classic test numbers
+    val l = d.sparkSession.range(1).select(
+      TextAnalysis.luhnValid(lit("4111111111111111")).as("a"),
+      TextAnalysis.luhnValid(lit("79927398713")).as("b"),
+      TextAnalysis.luhnValid(lit("79927398710")).as("c")).head()
+    assert(l.getBoolean(0) && l.getBoolean(1) && !l.getBoolean(2))
+  }
+
   test("winnowPairs: planted near-dup found, unrelated apart, cap kills boilerplate") {
     val base = "the committee reviewed the quarterly projections and approved " +
       "the revised capital allocation plan for the northern region offices"
