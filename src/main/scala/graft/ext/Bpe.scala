@@ -213,6 +213,57 @@ object Bpe {
     d
   }
 
+  /** Production WordPiece ENCODING (Wu 2016 §4.1): greedy longest-
+    * match-first against a final vocabulary — at each position take the
+    * longest vocab piece prefixing the remainder; if some position has
+    * no match at all, the whole pre-token maps to `unk` (BERT's rule).
+    * This is deliberately different from replaying merges: greedy
+    * longest-match can pick pieces no merge sequence would produce.
+    */
+  def wordPieceEncode(tok: String, vocab: Set[String], maxPieceLen: Int,
+                      unk: String = "[UNK]"): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var p = 0
+    while (p < tok.length) {
+      var l = math.min(maxPieceLen, tok.length - p)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val cand = tok.substring(p, p + l)
+        if (vocab.contains(cand)) hit = cand
+        l -= 1
+      }
+      if (hit == null) return List(unk)
+      out += hit
+      p += hit.length
+    }
+    out.toList
+  }
+
+  /** Per-document token counts under greedy WordPiece encoding of a
+    * trained vocabulary (final dictionary symbols): each DISTINCT
+    * pre-token encodes once on executors against the broadcast vocab
+    * (vocabulary-sized both sides), then the usual join+sum.
+    */
+  def greedyTokenCounts(docs: DataFrame, trained: TrainedBpe,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        unk: String = "[UNK]"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = trained.dict.select(explode(col("syms"))).distinct()
+      .as[String].collect().toSet
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    val bc = spark.sparkContext.broadcast(vocab)
+    val toks = docs.select(col(idCol),
+      explode(regexp_extract_all(col(textCol),
+        lit(TextAnalysis.BpeRe), lit(0))).as("tok"))
+    val enc = toks.select("tok").distinct().as[String]
+      .map(t => (t, wordPieceEncode(t, bc.value, maxLen, unk).length))
+      .toDF("tok", "n")
+    toks.join(enc, "tok")
+      .groupBy(idCol).agg(sum("n").as("n_tok"))
+  }
+
   /** Per-document token counts for an ARBITRARY corpus under a trained
     * vocabulary: pre-tokens found in the trained dictionary reuse its
     * encoded forms; unseen pre-tokens (cross-corpus encode) replay the

@@ -789,6 +789,28 @@ object Dedup {
     * @return (idCol, textCol) — the corpus with later duplicate lines
     *         removed; line order and separators are preserved verbatim
     */
+  /** INTRA-document line dedup — the within-page complement of
+    * [[dedupLines]] (a nav menu repeated through one page, a log line
+    * stuttering): later occurrences of a duplicate line WITHIN the same
+    * document drop, first stays, lines shorter than `minLen` are exempt
+    * (code braces, blank separators). Entirely per-document — a pure
+    * Column HOF over the line array, no shuffle at all, where the
+    * corpus-wide variant pays one line-hash aggregate.
+    *
+    * @return (idCol, n_lines, n_dropped, textCol)
+    */
+  def dedupLinesWithin(docs: DataFrame, sep: String = "\n", minLen: Int = 15,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val ls = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = filter(ls, (l, i) =>
+      (length(l) < minLen) || (array_position(ls, l) === i + 1))
+    docs.select(col(idCol),
+      size(ls).as("n_lines"),
+      (size(ls) - size(kept)).as("n_dropped"),
+      array_join(kept, sep).as(textCol))
+  }
+
   def dedupLines(docs: DataFrame, sep: String = "\n", minLen: Int = 15,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val lines = docs

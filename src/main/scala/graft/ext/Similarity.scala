@@ -81,6 +81,16 @@ object Similarity {
   def dotCol(a: Column, b: Column): Column =
     graft.functions.dot_product(a, b)
 
+  /** Matryoshka truncation (Kusupati et al. 2022, MRL): keep the first
+    * `dims` components — cosine re-normalizes implicitly, so truncation
+    * is a pure slice, and memory/compute in every downstream ANN path
+    * scale by dims/d. With MRL-trained embeddings recall degrades
+    * gracefully; composes with any of the topk* searches.
+    */
+  def truncate(emb: DataFrame, dims: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+
   /** Exact brute-force top-k: every query against every corpus vector,
     * ranked per query. Query side is broadcast; corpus side streams.
     */

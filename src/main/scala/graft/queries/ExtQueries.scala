@@ -1677,6 +1677,37 @@ object ExtQueries {
         |FROM c ORDER BY 1""".stripMargin
     ),
     QueryDef(
+      "d59_line_dedup_within",
+      // intra-document line dedup (the within-page complement of d32's
+      // corpus-wide pass): later duplicate lines inside ONE document
+      // drop, short lines exempt. Pure per-doc Column HOF — no shuffle.
+      // Enrichment re-appends each doc's first line so every doc
+      // carries a guaranteed duplicate.
+      (s, dir) => {
+        val enr = linedDocs(s, dir).withColumn("text",
+          concat(col("text"), lit("\n"),
+            element_at(split(col("text"), "\n"), 1)))
+        Dedup.dedupLinesWithin(enr, minLen = 15).orderBy("doc_id")
+      },
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t0
+        |  FROM documents
+        |), enr AS (
+        |  SELECT doc_id, t0 || chr(10) || string_split(t0, chr(10))[1] AS t
+        |  FROM lined
+        |), k AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM enr),
+        |f AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, (l, i) -> length(l) < 15 OR list_position(ls, l) = i)
+        |      AS kept
+        |  FROM k)
+        |SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines,
+        |  CAST(len(ls) - len(kept) AS INTEGER) AS n_dropped,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text
+        |FROM f ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "d58_offline_pipeline",
       // the batch curation capstone over this round's operators: C4
       // clean (t23) → exact dedup on the CLEANED text (planted clones
@@ -4225,6 +4256,39 @@ object ExtQueries {
           .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
           .orderBy("qid", "rank"),
       bruteTopkSql
+    ),
+    QueryDef(
+      "s14_sim_topk_matryoshka",
+      // MRL truncation: exact top-k over the FIRST 32 of 64 components —
+      // a pure slice (cosine renormalizes implicitly), halving memory
+      // and dot-product cost in every downstream ANN path. Full oracle:
+      // s01's brute-force SQL restricted to i ≤ 32.
+      (s, dir) =>
+        Similarity
+          .topkBruteForce(Similarity.truncate(emb(s, dir), 32),
+            queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+          .orderBy("qid", "rank"),
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings
+        |), e32 AS (SELECT * FROM e WHERE i <= 32
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+        |  FROM e32 GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+        |  FROM e32 a JOIN e32 b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT qid, nid, dot / nq.n / nn.n AS cos,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY dot / nq.n / nn.n DESC, nid ASC) AS rank
+        |  FROM dots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nn ON nn.vec_id = nid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
       "s02_sim_topk_ivf",

@@ -135,6 +135,27 @@ class BpeSpec extends AnyFunSuite {
     assert(dist.merges == mem.merges)
   }
 
+  test("wordPieceEncode: greedy longest match, UNK rule, distributed counts") {
+    val vocab = Set("a", "b", "ab", "abc")
+    assert(Bpe.wordPieceEncode("abab", vocab, 3) == List("ab", "ab"))
+    assert(Bpe.wordPieceEncode("abc", vocab, 3) == List("abc"))
+    assert(Bpe.wordPieceEncode("abca", vocab, 3) == List("abc", "a"))
+    // greedy ≠ optimal: "abcab" → [abc, ab], not [ab, ...]
+    assert(Bpe.wordPieceEncode("abcab", vocab, 3) == List("abc", "ab"))
+    // any unmatched position maps the WHOLE token to [UNK]
+    assert(Bpe.wordPieceEncode("abd", vocab, 3) == List("[UNK]"))
+    assert(Bpe.wordPieceEncode("", vocab, 3) == Nil)
+    // distributed greedy counts over a trained vocab: bounded by chars,
+    // ≥ 1 per pre-token, and exact on the toy corpus
+    val docsDf = Seq((0L, "aaab"), (1L, "aaab"), (2L, "aab")).toDF("doc_id", "text")
+    val trained = Bpe.train(docsDf, numMerges = 10, minCount = 2L)
+    // final dict syms: aaab → [aaab]; aab → [aa, b] → vocab {aaab, aa, b}
+    // greedy: aaab → [aaab] = 1; aab → [aa, b] = 2
+    val got = Bpe.greedyTokenCounts(docsDf, trained).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L), (1L, 1L), (2L, 2L)), s"got $got")
+  }
+
   test("vocab persistence: save → load round-trips merges, dict, and counts") {
     val trained = Bpe.train(fixture, numMerges = 10)
     val path = java.nio.file.Files.createTempDirectory("graft-bpe").toString

@@ -884,6 +884,23 @@ class ExtSpec extends AnyFunSuite {
     assert(densA > 0.08 && densA < 0.5, s"winnow density off: $densA")
   }
 
+  test("matryoshka truncation: identity at full width, well-formed at half") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = Seq(0L, 1L, 2L, 3L, 4L)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.topkBruteForce(d, q, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9))).sortBy(x => (x._1, x._2)).toSeq
+    assert(run(Similarity.truncate(e, 64)) == run(e),
+      "full-width truncation must be the identity")
+    val t32 = run(Similarity.truncate(e, 32))
+    assert(t32.length == 25)
+    assert(t32.groupBy(_._1).values.forall(_.map(_._2).sorted == Seq(1, 2, 3, 4, 5)))
+    // NOTE: recall vs full width is a property of MRL-TRAINED embeddings
+    // (information front-loading); on this synthetic fixture overlap is
+    // ~0.32 — the operator contract is the slice, not a recall claim
+  }
+
   test("card redaction: Luhn decides, lengths bound, multiple cards, overlap determinism") {
     val d = Seq(
       (1L, "pay 4111111111111111 now"),             // valid visa test PAN
