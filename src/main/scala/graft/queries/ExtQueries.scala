@@ -605,6 +605,23 @@ object ExtQueries {
           "e(\\n|$)", "e.$1"),
         "t(\\n|$)", "t!$1"))
 
+  private val winnowIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.WinnowIndex]()
+
+  /** d60's build-once artifact: winnow index over the %3≠0 corpus split
+    * (the d33/lineIndexFor pattern — the %3=0 split plays the delivery).
+    */
+  private def winnowIdxFor(s: org.apache.spark.sql.SparkSession,
+                           dir: String): graft.ext.WinnowIndex =
+    winnowIdxMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-winidx").toString
+        graft.ext.WinnowIndex.build(
+          docs(s, dir).where(col("doc_id") % 3 =!= 0), path)
+        graft.ext.WinnowIndex.load(s, path)
+      })
+
   private def lineIndexFor(s: org.apache.spark.sql.SparkSession,
                            dir: String): graft.ext.LineIndex =
     lineIdxMemo.computeIfAbsent(
@@ -1675,6 +1692,45 @@ object ExtQueries {
         |        AND NOT contains(t, '{') THEN 1 ELSE 0 END AS keep,
         |  cleaned
         |FROM c ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d60_dedup_winnow_incremental",
+      // the winnow signal's incremental face: index built over the %3≠0
+      // split (persisted, reloaded), the %3=0 split arrives as the
+      // delivery — cross pairs at containment ≥ 0.4 under the combined
+      // (index + batch) df ≤ 64 cap. The oracle winnows the whole
+      // corpus in SQL, splits it, and replays cap/join/verify exactly.
+      (s, dir) => {
+        val idx = winnowIdxFor(s, dir)
+        idx.dedupBatch(docs(s, dir).where(col("doc_id") % 3 === 0),
+            tau = 0.4, maxHashFreq = 64)
+          .select(col("doc_id"), col("dup_of"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("doc_id", "dup_of")
+      },
+      s"""$winnowCtes,
+         |fp AS (
+         |  SELECT DISTINCT doc_id AS id, x % $WinnowMod AS h
+         |  FROM (SELECT doc_id, unnest(ss) AS x FROM sel)),
+         |bfp AS (SELECT * FROM fp WHERE id % 3 = 0),
+         |ifp AS (SELECT * FROM fp WHERE id % 3 <> 0),
+         |dfc AS (
+         |  SELECT h, coalesce(i.c, 0) + b.c AS df
+         |  FROM (SELECT h, count(*) AS c FROM bfp GROUP BY 1) b
+         |  LEFT JOIN (SELECT h, count(*) AS c FROM ifp GROUP BY 1) i USING (h)),
+         |cap AS (SELECT h FROM dfc WHERE df <= 64),
+         |inter AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS c
+         |  FROM bfp x JOIN ifp y ON x.h = y.h
+         |  WHERE x.h IN (SELECT h FROM cap)
+         |  GROUP BY 1, 2),
+         |sza AS (SELECT id, count(*) AS sz FROM bfp GROUP BY 1),
+         |szb AS (SELECT id, count(*) AS sz FROM ifp GROUP BY 1)
+         |SELECT a AS doc_id, b AS dup_of,
+         |  round(CAST(c AS DOUBLE) / least(na.sz, nb.sz), 4) AS sim
+         |FROM inter JOIN sza na ON na.id = a JOIN szb nb ON nb.id = b
+         |WHERE CAST(c AS DOUBLE) / least(na.sz, nb.sz) >= 0.4
+         |ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
       "d59_line_dedup_within",

@@ -927,6 +927,48 @@ class ExtSpec extends AnyFunSuite {
     assert(l.getBoolean(0) && l.getBoolean(1) && !l.getBoolean(2))
   }
 
+  test("WinnowIndex: cross dedup, append growth, replay exclusion, fold identity") {
+    val base = "the committee reviewed the quarterly projections and approved " +
+      "the revised capital allocation plan for the northern region offices"
+    val other = "entirely unrelated content about marine biology and coral " +
+      "reef ecosystems in the tropical pacific zone with plankton blooms"
+    val seed = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-winidx-t").toString
+    graft.ext.WinnowIndex.build(seed, path)
+    val idx = graft.ext.WinnowIndex.load(spark, path)
+    // a near-dup of an indexed doc convicts; fresh content passes
+    val b0 = Seq((101L, base.replace("northern", "southern")),
+      (102L, "completely novel text about alpine glaciers retreating over " +
+        "granite ridges under a warming spring sun this season")).toDF("doc_id", "text")
+    val v0 = idx.dedupBatch(b0, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v0 == Set((101L, 1L)), s"verdicts: $v0")
+    // survivors indexed; the next batch is checked against them
+    idx.append(b0.where(col("doc_id") === 102L), seg = "b0")
+    val b1 = Seq((201L, ("completely novel text about alpine glaciers retreating over " +
+      "granite ridges under a warming spring sun this season").replace("spring", "summer")))
+      .toDF("doc_id", "text")
+    val v1 = idx.dedupBatch(b1, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v1 == Set((201L, 102L)), s"growth verdicts: $v1")
+    // replay: batch b0 re-run with its own segment hidden reproduces
+    // the original verdict even though its survivor is now indexed
+    idx.append(b1, seg = "b1")
+    val replay = idx.dedupBatch(b0, tau = 0.5, excludeSeg = Some("b0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // b1's doc IS a near-dup of 102 — but 102's segment is the excluded
+    // one, and b1 entered via its own segment... 201 ~ 101? unrelated.
+    assert(replay.filter(_._1 == 101L) == Set((101L, 1L)), s"replay: $replay")
+    // compaction: fold all appended segments, verdicts identical
+    val before = idx.dedupBatch(b1, tau = 0.5, excludeSeg = Some("b1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(idx.compact(Seq("b0")) == Seq("b0"))
+    val after = graft.ext.WinnowIndex.load(spark, path)
+      .dedupBatch(b1, tau = 0.5, excludeSeg = Some("b1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(before == after, s"fold changed verdicts: $before vs $after")
+  }
+
   test("winnowPairs: planted near-dup found, unrelated apart, cap kills boilerplate") {
     val base = "the committee reviewed the quarterly projections and approved " +
       "the revised capital allocation plan for the northern region offices"
