@@ -97,6 +97,15 @@ final class WinnowIndex private[ext] (val spark: SparkSession, val path: String,
       .write.mode("overwrite").parquet(s"$path/sizes/seg=$seg")
   }
 
+  /** Fold every `b<batchId>` segment strictly older than the
+    * checkpoint's newest committed batch (replay-safe boundary).
+    */
+  def compactCommitted(checkpoint: String): Seq[String] = {
+    val committed = SegmentedTable.committedBatches(checkpoint)
+    if (committed.size < 2) Nil
+    else compact(committed.init.map(b => s"b$b"))
+  }
+
   /** Fold appended segments into `base` (rows preserved verbatim). */
   def compact(folds: Seq[String]): Seq[String] = {
     val a = SegmentedTable.compact(spark, s"$path/fps", "seg", "base", folds,

@@ -270,6 +270,52 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(idxRows == 2, s"replayed segment must hold exactly its 2 kept lines, got $idxRows")
   }
 
+  test("streaming winnow dedup: cross + in-batch keepers, replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = Files.createTempDirectory("winidx-s").toString
+    val vPath = Files.createTempDirectory("winout").toString
+    val ckpt = Files.createTempDirectory("winckpt").toString
+    val base = "the committee reviewed the quarterly projections and approved " +
+      "the revised capital allocation plan for the northern region offices"
+    val fresh = "completely novel text about alpine glaciers retreating over " +
+      "granite ridges under a warming spring sun this season"
+    graft.ext.WinnowIndex.build(Seq((1L, base)).toDF("doc_id", "text"), idxPath)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    def verdicts(batch: Long): Map[Long, String] =
+      spark.read.parquet(s"$vPath/batch=$batch")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // batch 0: near-dup of the seed drops (cross); two in-batch
+    // near-dups resolve to the min-id keeper; fresh content keeps
+    mem.addData(
+      (10L, base.replace("northern", "southern")),
+      (11L, fresh),
+      (12L, fresh.replace("spring", "summer")))
+    drain(StreamingWinnowDedup.start(stream, idxPath, vPath, ckpt, tau = 0.5))
+    assert(verdicts(0) == Map(10L -> "dup_index", 11L -> "kept",
+      12L -> "dup_batch"), s"batch 0: ${verdicts(0)}")
+
+    // batch 1: survivor 11 is now indexed — its near-dup convicts cross
+    mem.addData((20L, fresh.replace("warming", "whirling")))
+    drain(StreamingWinnowDedup.start(stream, idxPath, vPath, ckpt, tau = 0.5))
+    assert(verdicts(1) == Map(20L -> "dup_index"), s"batch 1: ${verdicts(1)}")
+
+    // replay of batch 0: own-segment exclusion + overwrite dirs
+    // reproduce identical verdicts; the segment holds only survivor 11
+    StreamingWinnowDedup.processBatch(
+      Seq((10L, base.replace("northern", "southern")), (11L, fresh),
+        (12L, fresh.replace("spring", "summer"))).toDF("doc_id", "text"),
+      0L, idxPath, vPath, tau = 0.5)
+    assert(verdicts(0) == Map(10L -> "dup_index", 11L -> "kept",
+      12L -> "dup_batch"), s"replay: ${verdicts(0)}")
+    val segIds = spark.read.parquet(s"$idxPath/fps").where("seg = 'b0'")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(segIds == Set(11L), s"replayed segment: $segIds")
+  }
+
   test("span decontamination rides foreachBatch: per-delivery checks, no state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
