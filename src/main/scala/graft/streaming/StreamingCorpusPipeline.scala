@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
-import graft.ext.{Dedup, FingerprintIndex, MinHashIndex, SemanticIndex, Similarity, SpanIndex, TextAnalysis}
+import graft.ext.{Dedup, FingerprintIndex, MinHashIndex, SemanticIndex, Similarity, SpanIndex, TextAnalysis, WinnowIndex}
 
 /** The turnkey continuous corpus constructor: every delivery flows
   * through the full curation gauntlet — quality rules → exact dedup →
@@ -55,6 +55,8 @@ object StreamingCorpusPipeline {
       tau: Double = 0.5,
       minLeak: Long = 2,
       semTau: Double = 0.35,
+      winTau: Double = 0.5,
+      winMaxDf: Long = 64,
       compactEvery: Int = 0,
       quality: DataFrame => DataFrame =
         d => TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep")))
@@ -69,7 +71,8 @@ object StreamingCorpusPipeline {
   def start(docs: DataFrame, fpPath: String, mhPath: String,
             spanPath: Option[String], verdictPath: String,
             checkpoint: String, cfg: Config = Config(),
-            semPath: Option[String] = None): StreamingQuery =
+            semPath: Option[String] = None,
+            winPath: Option[String] = None): StreamingQuery =
     docs
       .select(col("doc_id") +: col("text") +:
         semPath.map(_ => col("embedding")).toSeq: _*)
@@ -80,7 +83,7 @@ object StreamingCorpusPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           processBatch(batch, batchId, fpPath, mhPath, spanPath,
-            verdictPath, cfg, semPath)
+            verdictPath, cfg, semPath, winPath)
           if (cfg.compactEvery > 0 && batchId > 0 &&
               batchId % cfg.compactEvery == 0) {
             FingerprintIndex.load(batch.sparkSession, fpPath)
@@ -88,6 +91,8 @@ object StreamingCorpusPipeline {
             MinHashIndex.load(batch.sparkSession, mhPath)
               .compactCommitted(checkpoint)
             semPath.foreach(p => SemanticIndex.load(batch.sparkSession, p)
+              .compactCommitted(checkpoint))
+            winPath.foreach(p => WinnowIndex.load(batch.sparkSession, p)
               .compactCommitted(checkpoint)): Unit
           }
         }
@@ -206,7 +211,8 @@ object StreamingCorpusPipeline {
   def processBatch(batch: DataFrame, batchId: Long, fpPath: String,
                    mhPath: String, spanPath: Option[String],
                    verdictPath: String, cfg: Config,
-                   semPath: Option[String] = None): Unit = {
+                   semPath: Option[String] = None,
+                   winPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val seg = s"b$batchId"
     // the embedding column rides along only when the semantic stage is on
@@ -294,9 +300,37 @@ object StreamingCorpusPipeline {
         .where(col("id") =!= col("root"))
         .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
           col("root").as("ref_id")))
-      val afterNear = minus(afterNc, nearBatch)
+      val afterNear0 = minus(afterNc, nearBatch)
 
-      // 4b. semantic (SemDeDup) stage, when an index is configured:
+      // 4b. winnow stage, when an index is configured: the positional
+      // sub-token signal after the word-shingle stage — catches
+      // char-run near-dups that tokenize differently (shifted word
+      // boundaries defeat word shingles entirely; shared byte runs
+      // survive winnowing). Cross with own-segment exclusion, then the
+      // in-batch components keeper (StreamingWinnowDedup's rule);
+      // survivors extend the winnow index below like the other indexes.
+      val (winCross, winBatch, afterNear) = winPath match {
+        case Some(p) =>
+          val winIdx = WinnowIndex.load(spark, p)
+          val wCross = keep(winIdx
+            .dedupBatch(afterNear0, cfg.winTau, cfg.winMaxDf,
+              excludeSeg = Some(seg))
+            .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
+            .select(col("doc_id"), lit("dup_winnow").as("verdict"),
+              col("ref_id")))
+          val afterWc = minus(afterNear0, wCross)
+          val wPairs = Dedup.winnowPairs(afterWc, k = winIdx.k, w = winIdx.w,
+            tau = cfg.winTau, maxHashFreq = cfg.winMaxDf)
+          val wBatch = keep(Dedup.connectedComponents(wPairs.select("a", "b"))
+            .where(col("id") =!= col("root"))
+            .select(col("id").as("doc_id"), lit("dup_winnow_batch").as("verdict"),
+              col("root").as("ref_id")))
+          (wCross, wBatch, keep(minus(afterWc, wBatch)))
+        case None =>
+          (emptyVerdicts, emptyVerdicts, afterNear0)
+      }
+
+      // 4c. semantic (SemDeDup) stage, when an index is configured:
       // assign ONCE against the frozen centroids, cross-dedup with
       // own-segment exclusion, then the in-batch smaller-id keeper
       // within cells (StreamingSemanticDedup's rule verbatim);
@@ -334,12 +368,15 @@ object StreamingCorpusPipeline {
 
       // 5. exactly-once effects, all keyed by batchId
       fpIdx.append(survivors, seg = seg)
+      winPath.foreach(p =>
+        WinnowIndex.load(spark, p).append(survivors, seg = seg))
       mhIdx.append(survivors, seg = seg,
         shingled = Some(idsOf(survivors)(shAll)),
         signatures = Some(idsOf(survivors)(sigsAll)))
       qDrops
         .unionByName(exCross).unionByName(exBatch).unionByName(contam)
         .unionByName(nearCross).unionByName(nearBatch)
+        .unionByName(winCross).unionByName(winBatch)
         .unionByName(semCross).unionByName(semBatch)
         .unionByName(survivors.select(col("doc_id"),
           lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))

@@ -330,6 +330,64 @@ class StreamingPipelineSpec extends AnyFunSuite {
       103L -> "drop_quality", 104L -> "dup_exact_batch"), s"verdicts: $got")
   }
 
+  test("winnow stage: catches char-run near-dups the word-shingle stage misses") {
+    import spark.implicits._
+    val fpPath = Files.createTempDirectory("cp4-fp").toString
+    val mhPath = Files.createTempDirectory("cp4-mh").toString
+    val winPath = Files.createTempDirectory("cp4-win").toString
+    val vPath = Files.createTempDirectory("cp4-v").toString
+    val vPathNoWin = Files.createTempDirectory("cp4-vn").toString
+    val words = Seq("armadillo", "barometer", "chrysanth", "dirigible",
+      "escarpmnt", "fortitude", "gyroscope", "humidity", "intricate",
+      "jacaranda", "kilometre", "labyrinth")
+    val W = words.mkString(" ")
+    // change every 3rd word (idx 0,3,6,9): EVERY word trigram contains a
+    // changed word → shingle jaccard 0, minhash structurally blind; the
+    // four unchanged 2-word byte runs (~20 chars ≥ w+k−1 = 15) each
+    // guarantee a shared winnow fingerprint
+    val shifted = words.zipWithIndex.map { case (w, i) =>
+      if (i % 3 == 0) w.reverse.toUpperCase else w
+    }.mkString(" ")
+    val seed = Seq((1L, W)).toDF("doc_id", "text")
+    FingerprintIndex.build(seed, fpPath)
+    MinHashIndex.build(seed, mhPath)
+    graft.ext.WinnowIndex.build(seed, winPath)
+    val cfg = StreamingCorpusPipeline.Config(tau = 0.5, winTau = 0.25,
+      quality = d => d.select(col("doc_id"),
+        when(length(col("text")) >= 10, 1).otherwise(0).as("keep")))
+    val words2 = Seq("murmuring", "nocturnal", "obsidian", "periscope",
+      "quicksand", "reservoir", "sagebrush", "tellurium", "umbrella",
+      "vexillums", "waterfall", "xylophone")
+    val W2 = words2.mkString(" ")
+    val batch = Seq((301L, shifted), (302L, W2)).toDF("doc_id", "text")
+    StreamingCorpusPipeline.processBatch(batch, 0L, fpPath, mhPath, None,
+      vPath, cfg, winPath = Some(winPath))
+    val got = spark.read.parquet(vPath).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got(301L) == (("dup_winnow", Some(1L))), s"verdicts: $got")
+    assert(got(302L)._1 == "kept")
+    // the control: same batch without the winnow stage sails through —
+    // the stage is load-bearing, not redundant with minhash
+    StreamingCorpusPipeline.processBatch(batch, 0L, fpPath, mhPath, None,
+      vPathNoWin, cfg)
+    val ctl = spark.read.parquet(vPathNoWin).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ctl(301L) == "kept", s"control: $ctl")
+    // survivors extend the winnow index: a winnow-only near-dup of 302
+    // (same every-3rd-word shift, so minhash is again blind) convicts
+    // in the NEXT batch against the grown index
+    val shifted2 = words2.zipWithIndex.map { case (w, i) =>
+      if (i % 3 == 0) w.reverse.toUpperCase else w
+    }.mkString(" ")
+    val b1 = Seq((401L, shifted2)).toDF("doc_id", "text")
+    StreamingCorpusPipeline.processBatch(b1, 1L, fpPath, mhPath, None,
+      vPath, cfg, winPath = Some(winPath))
+    val v1 = spark.read.parquet(vPath).where("batch = 1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1(401L) == "dup_winnow", s"growth: $v1")
+  }
+
   test("no span index: contamination stage is a no-op, the rest unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
