@@ -423,9 +423,21 @@ object Curation {
     */
   def softDedupWeights(docs: DataFrame, tau: Double = 0.5, n: Int = 3,
                        idCol: String = "doc_id", textCol: String = "text",
-                       shingled: Option[DataFrame] = None): DataFrame = {
-    val clustered = Dedup.duplicateClusters(docs, n, tau,
-      idCol = idCol, textCol = textCol, shingled = shingled)
+                       shingled: Option[DataFrame] = None): DataFrame =
+    softWeightsFromPairs(docs,
+      Dedup.jaccardPairs(docs, n, tau, idCol = idCol, textCol = textCol,
+        shingled = shingled),
+      idCol)
+
+  /** [[softDedupWeights]] over an ARBITRARY near-dup pair stream (a, b):
+    * any signal — jaccard, winnow, simhash — feeds the same transitive-
+    * closure downweighting. Weight = 1/|component|, singletons 1.0.
+    */
+  def softWeightsFromPairs(docs: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    val clustered = Dedup.connectedComponents(pairs.select("a", "b"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("root")))
     docs.select(col(idCol).as("doc_id"))
       .join(clustered.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

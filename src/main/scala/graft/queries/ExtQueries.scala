@@ -1733,6 +1733,48 @@ object ExtQueries {
          |ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
+      "d61_soft_winnow_weights",
+      // d51's downweighting rule over the positional signal: winnow
+      // pairs → transitive components → weight 1/|cluster| — the
+      // refactored softWeightsFromPairs accepts any pair stream. Oracle
+      // = the winnow pair SQL chained into d51's recursive closure.
+      (s, dir) =>
+        Curation.softWeightsFromPairs(docs(s, dir),
+          Dedup.winnowPairs(docs(s, dir), tau = 0.4, maxHashFreq = 64))
+          .orderBy("doc_id"),
+      s"""${winnowCtes.replace("WITH bx", "WITH RECURSIVE bx")},
+         |fp AS (
+         |  SELECT DISTINCT doc_id AS id, x % $WinnowMod AS h
+         |  FROM (SELECT doc_id, unnest(ss) AS x FROM sel)),
+         |dfs AS (SELECT h, count(*) AS df FROM fp GROUP BY 1),
+         |capped AS (SELECT id, h FROM fp JOIN dfs USING (h) WHERE df <= 64),
+         |sizes AS (SELECT id, count(*) AS sz FROM fp GROUP BY 1),
+         |inter AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS c
+         |  FROM capped x JOIN capped y ON x.h = y.h AND x.id < y.id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes na ON na.id = a JOIN sizes nb ON nb.id = b
+         |  WHERE CAST(c AS DOUBLE) / least(na.sz, nb.sz) >= 0.4),
+         |nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1
+         |), sized AS (
+         |  SELECT id, root, count(*) OVER (PARTITION BY root) AS csz FROM comp
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.root, d.doc_id) AS BIGINT) AS root,
+         |  CAST(coalesce(s.csz, 1) AS BIGINT) AS cluster_size,
+         |  1.0 / coalesce(s.csz, 1) AS weight
+         |FROM documents d LEFT JOIN sized s ON s.id = d.doc_id
+         |ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "d59_line_dedup_within",
       // intra-document line dedup (the within-page complement of d32's
       // corpus-wide pass): later duplicate lines inside ONE document
