@@ -57,9 +57,11 @@ final class FingerprintIndex private[ext] (val spark: SparkSession,
     * segment only — replay-idempotent).
     */
   def append(newDocs: DataFrame, seg: String, idCol: String = "doc_id",
-             textCol: String = "text"): Unit =
+             textCol: String = "text"): Unit = {
     fingerprints(newDocs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/fps/seg=$seg")
+    SegmentedTable.refreshParent(spark, s"$path/fps")
+  }
 
   /** Fold appended segments into `base` ([[SegmentedTable.compact]];
     * rows preserved verbatim — every verdict identical before/after).

@@ -88,12 +88,14 @@ final class LineIndex private[ext] (val spark: SparkSession, val path: String,
     * occurrences.
     */
   def append(cleanedDocs: DataFrame, seg: String, idCol: String = "doc_id",
-             textCol: String = "text"): Unit =
+             textCol: String = "text"): Unit = {
     lineTable(cleanedDocs, idCol, textCol)
       .where(length(col("line")) >= minLen)
       .select(md5(col("line").cast("binary")).as("lh"))
       .distinct()
       .write.mode("overwrite").parquet(s"$path/lines/seg=$seg")
+    SegmentedTable.refreshParent(spark, s"$path/lines")
+  }
 
   /** Fold appended segments into `base` (rows preserved verbatim —
     * every cleaning identical before/after).

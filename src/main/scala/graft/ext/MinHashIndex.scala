@@ -124,6 +124,8 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
         sigs.write.mode("overwrite").parquet(s"$path/sigs/seg=$seg")
         Dedup.bandHashes(sigs, k, bands)
           .write.mode("overwrite").parquet(s"$path/bands/seg=$seg")
+        Seq("shingles", "sigs", "bands").foreach(t =>
+          SegmentedTable.refreshParent(spark, s"$path/$t"))
       } finally if (signatures.isEmpty) sigs.unpersist(): Unit
     } finally if (shingled.isEmpty) sh.unpersist(): Unit
   }

@@ -74,8 +74,21 @@ private[graft] object SegmentedTable {
 
     live.foreach(s => deleteRecursively(new File(dir, s"$partCol=$s")))
     Files.move(staging.toPath, new File(dir, s"$partCol=$baseVal").toPath)
+    refreshParent(spark, tableDir)
     toFold
   }
+
+  /** Invalidate any cached file listing of `dir` — REQUIRED after an
+    * overwrite (or filesystem move) of a SUBDIRECTORY root (`seg=<s>`,
+    * `pb=<p>`): Spark's post-insert refresh covers only the written
+    * subpath, while readers scan the PARENT, so a replayed-segment
+    * rewrite otherwise leaves the session's FileStatusCache pointing at
+    * deleted files (FAILED_READ_FILE.FILE_NOT_EXIST — the intermittent
+    * RoundTripPropertySpec failure that exposed this for the store's
+    * per-pb fan-out; the index appends share the hazard on replay).
+    */
+  def refreshParent(spark: SparkSession, dir: String): Unit =
+    spark.catalog.refreshByPath(dir)
 
   /** Batch ids with a commit file in a structured-streaming checkpoint —
     * the set that can never be replayed (foreachBatch re-runs only the

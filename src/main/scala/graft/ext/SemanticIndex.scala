@@ -123,7 +123,7 @@ final class SemanticIndex private[ext] (val spark: SparkSession,
   /** [[append]] for a pre-assigned (id, vec, cell) frame (see
     * [[dedupAssigned]]).
     */
-  def appendAssigned(assigned: DataFrame, seg: String): Unit =
+  def appendAssigned(assigned: DataFrame, seg: String): Unit = {
     assigned
       .select(col("id"), col("cell"), col("vec"))
       // cluster by cell BEFORE the partitioned write: without it every
@@ -134,6 +134,8 @@ final class SemanticIndex private[ext] (val spark: SparkSession,
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/members/seg=$seg")
+    SegmentedTable.refreshParent(spark, s"$path/members")
+  }
 
   /** Fold appended segments into `base`, keeping the cell sub-layout —
     * file and listing cost bounded by compaction cadence, not stream

@@ -571,6 +571,7 @@ object Similarity {
       pqEncode(c, books, m)
         .write.mode("overwrite").parquet(s"$path/pq_codes/ixseg=$ixseg")
     finally c.unpersist()
+    SegmentedTable.refreshParent(spark, s"$path/pq_codes")
   }
 
   /** @return (books, codes) frames reading the persisted index. */
@@ -608,6 +609,7 @@ object Similarity {
     ivfMembership(corpus(newEmb, idCol, vecCol), cents)
       .select(col("id"), col("cell"))
       .write.mode("overwrite").parquet(s"$path/ivf_membership/seg=$seg")
+    SegmentedTable.refreshParent(newEmb.sparkSession, s"$path/ivf_membership")
   }
 
   /** @return (centroids, membership) frames reading the persisted index. */

@@ -95,6 +95,8 @@ final class WinnowIndex private[ext] (val spark: SparkSession, val path: String,
     fp.write.mode("overwrite").parquet(s"$path/fps/seg=$seg")
     fp.groupBy("id").agg(count(lit(1)).as("sz"))
       .write.mode("overwrite").parquet(s"$path/sizes/seg=$seg")
+    Seq("fps", "sizes").foreach(t =>
+      SegmentedTable.refreshParent(spark, s"$path/$t"))
   }
 
   /** Fold every `b<batchId>` segment strictly older than the

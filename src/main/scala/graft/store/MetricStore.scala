@@ -479,6 +479,14 @@ final class MetricStore(val spark: SparkSession, val root: String,
       }
     }
     done.foreach(Await.result(_, Duration.Inf))
+    // the fan-out wrote SUBDIRECTORY roots (pb=<p>), so Spark's
+    // post-insert refresh invalidated only those paths — the session's
+    // FileStatusCache can still hold the PARENT level listing from an
+    // earlier read, and a later scan built from it hits the replaced
+    // files (FAILED_READ_FILE.FILE_NOT_EXIST — surfaced intermittently
+    // by RoundTripPropertySpec's second incremental batch). Single-root
+    // writes don't need this: their own commit refreshes the root.
+    spark.catalog.refreshByPath(levelPath(i))
   }
 
   /** Bulk write into a nonexistent level. Two regimes, picked by the
@@ -550,6 +558,9 @@ final class MetricStore(val spark: SparkSession, val root: String,
       }
     }
     done.foreach(Await.result(_, Duration.Inf))
+    // subdirectory-root fan-out: refresh the parent listing (see
+    // writeMerged — same stale-FileStatusCache hazard)
+    spark.catalog.refreshByPath(levelPath(i))
   }
 
   /** Land a precomputed post-upsert mirror of level i's touched
