@@ -91,12 +91,18 @@ final class WinnowIndex private[ext] (val spark: SparkSession, val path: String,
     */
   def append(keptDocs: DataFrame, seg: String, idCol: String = "doc_id",
              textCol: String = "text"): Unit = {
-    val fp = fpOf(keptDocs, idCol, textCol).localCheckpoint()
-    fp.write.mode("overwrite").parquet(s"$path/fps/seg=$seg")
-    fp.groupBy("id").agg(count(lit(1)).as("sz"))
-      .write.mode("overwrite").parquet(s"$path/sizes/seg=$seg")
-    Seq("fps", "sizes").foreach(t =>
-      SegmentedTable.refreshParent(spark, s"$path/$t"))
+    // cache (not localCheckpoint): both writes share one fingerprint
+    // computation, and the unpersist below releases the blocks
+    // deterministically — a long-running stream appends thousands of
+    // times (MinHashIndex.append's lifecycle reasoning)
+    val fp = fpOf(keptDocs, idCol, textCol).cache()
+    try {
+      fp.write.mode("overwrite").parquet(s"$path/fps/seg=$seg")
+      fp.groupBy("id").agg(count(lit(1)).as("sz"))
+        .write.mode("overwrite").parquet(s"$path/sizes/seg=$seg")
+      Seq("fps", "sizes").foreach(t =>
+        SegmentedTable.refreshParent(spark, s"$path/$t"))
+    } finally fp.unpersist(): Unit
   }
 
   /** Fold every `b<batchId>` segment strictly older than the
