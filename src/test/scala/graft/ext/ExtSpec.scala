@@ -927,6 +927,44 @@ class ExtSpec extends AnyFunSuite {
     assert(l.getBoolean(0) && l.getBoolean(1) && !l.getBoolean(2))
   }
 
+  test("WinnowIndex ≡ winnowPairs: incremental split equals the batch computation") {
+    // For any corpus C split into index I and batch B, dedupBatch(B)
+    // over an index built on I must equal winnowPairs(C)'s cross subset
+    // EXACTLY (sims included): for a hash present in B, the combined
+    // (dfi + dfb) cap is the corpus df; sizes are uncapped on both
+    // paths; the verify ratio is the same long/long division.
+    val rnd = new scala.util.Random(11)
+    val lexicon = Array("granite", "meridian", "tundra", "basalt", "orchid",
+      "zephyr", "cobalt", "juniper", "quartz", "sienna", "talc", "umber")
+    for (trial <- 1 to 3) {
+      val base = (0L until 30L).map { i =>
+        (i, Seq.fill(12)(lexicon(rnd.nextInt(lexicon.length))).mkString(" "))
+      }
+      // planted near-dups: clones of some docs with one word swapped
+      val clones = base.filter(_._1 % 5 == 0).map { case (i, t) =>
+        (i + 1000L, t.replaceFirst(lexicon(rnd.nextInt(lexicon.length)), "xx"))
+      }
+      val corpus = (base ++ clones).toDF("doc_id", "text")
+      val all = Dedup.winnowPairs(corpus, tau = 0.3, maxHashFreq = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val inB = (id: Long) => id % 3 == 0
+      val wantCross = all.flatMap { case (a, b, s) =>
+        if (inB(a) && !inB(b)) Some((a, b, s))
+        else if (inB(b) && !inB(a)) Some((b, a, s))
+        else None
+      }.toSet
+      val path = java.nio.file.Files.createTempDirectory(s"winprop$trial").toString
+      graft.ext.WinnowIndex.build(corpus.where(col("doc_id") % 3 =!= 0), path)
+      val got = graft.ext.WinnowIndex.load(spark, path)
+        .dedupBatch(corpus.where(col("doc_id") % 3 === 0),
+          tau = 0.3, maxHashFreq = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == wantCross,
+        s"trial $trial: ${got.size} vs ${wantCross.size}\n got-only ${got -- wantCross}\n want-only ${wantCross -- got}")
+      assert(wantCross.nonEmpty, s"trial $trial: vacuous (no cross pairs)")
+    }
+  }
+
   test("WinnowIndex: cross dedup, append growth, replay exclusion, fold identity") {
     val base = "the committee reviewed the quarterly projections and approved " +
       "the revised capital allocation plan for the northern region offices"
