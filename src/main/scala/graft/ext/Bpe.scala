@@ -321,8 +321,13 @@ object Bpe {
       val best = pairCounts(dict)
         .join(sc.select(col("sym").as("a"), col("scnt").as("ca")), "a")
         .join(sc.select(col("sym").as("b"), col("scnt").as("cb")), "b")
+        // ca·cb multiplies as DOUBLES (matching trainWordPieceInMemory):
+        // a Long product overflows Int64 at corpus scale and silently
+        // wraps (non-ANSI), picking wrong merges and breaking the
+        // bit-identical-paths guarantee
         .withColumn("score",
-          col("cnt").cast("double") / (col("ca") * col("cb")).cast("double"))
+          col("cnt").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double")))
         .orderBy(desc("score"), col("a"), col("b")).limit(1)
         .select("a", "b", "cnt").collect()
       if (best.isEmpty || best(0).getLong(2) < minCount) done = true

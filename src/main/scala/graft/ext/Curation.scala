@@ -322,7 +322,10 @@ object Curation {
     val rows = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
       md5(col(idCol).cast("string")).as("__ord"), lit(1L).as("__one"))
     prefixSums(rows, "source", "__one", Seq(col("__ord"), col("doc_id")))
-      .select(col("source"), col("doc_id"), col("cum").cast("int").as("rk"))
+      // rk stays LONG: a source past 2^31 docs would wrap an int rank
+      // negative and silently pass the quota filter at the 100 TB scale
+      // this module targets
+      .select(col("source"), col("doc_id"), col("cum").as("rk"))
       .join(broadcast(quotas), "source")
       .where(col("rk") <= col("quota"))
       .select(col("source"), col("doc_id"), col("rk"), col("quota"))

@@ -364,10 +364,36 @@ object TextAnalysis {
     dc
       .join(broadcast(ratio), "bucket")
       .groupBy("doc_id")
-      .agg(sum(col("cnt")).as("tokens"), sum(col("cnt") * col("lr")).as("llr"))
+      // the per-doc Σ c_b·lr_b folds in BUCKET ORDER (orderedSum) — a
+      // plain sum() accumulates in partition order, which flips the 4dp
+      // rounding of boundary docs run-to-run AND vs external engines
+      // (the round-8 t15 red row). ≤ dim terms per doc, so the
+      // collect_list is bounded by dim, never by document length.
+      .agg(sum(col("cnt")).as("tokens"),
+        orderedSum(col("bucket"), col("cnt") * col("lr")).as("llr"))
       .select(col("doc_id"), col("tokens"), col("llr"),
         (col("llr") / col("tokens").cast("double")).as("avg_llr"))
   }
+
+  /** Deterministic float reduction for score operators: fold `term`
+    * (double) over ascending `order`, seeded at 0.0 — a strict
+    * left-to-right IEEE-754 sum whose result is independent of
+    * partitioning, task scheduling, and engine, so a rounded score can
+    * hash-match an external oracle that spells the SAME ordered fold
+    * (DuckDB: `list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    * list(term ORDER BY ord)), (a, b) -> a + b)`). The charEntropy
+    * character-order convention, factored for reuse.
+    *
+    * An aggregate expression — use inside `.agg(...)`. The collected
+    * list is bounded by the group's distinct `order` keys (callers keep
+    * that ≤ a model dimension, never data-sized). Ties in `order` are
+    * broken by `term` (sort_array on the struct is lexicographic), so
+    * the fold stays deterministic even with duplicate keys.
+    */
+  def orderedSum(order: Column, term: Column): Column =
+    aggregate(
+      sort_array(collect_list(struct(order.as("o"), term.as("t")))),
+      lit(0.0), (acc, x) => acc + x.getField("t"))
 
   def hashedTfDense(docs: DataFrame, dim: Int = 64,
                     hasher: Column => Column = xxhash64(_),

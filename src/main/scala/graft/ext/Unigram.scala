@@ -37,8 +37,15 @@ object Unigram {
     * the seed may include them naturally.
     */
   def seedVocab(docs: DataFrame, maxPieceLen: Int = 6, seedSize: Int = 200,
-                textCol: String = "text"): DataFrame = {
-    val dict = Bpe.wordDict(docs, textCol).drop("syms")
+                textCol: String = "text"): DataFrame =
+    seedVocabFromDict(Bpe.wordDict(docs, textCol).drop("syms"),
+      maxPieceLen, seedSize)
+
+  /** [[seedVocab]] over an already-built pre-token dictionary (tok, f) —
+    * lets [[train]] fold the corpus once and reuse the frame.
+    */
+  def seedVocabFromDict(dict: DataFrame, maxPieceLen: Int = 6,
+                        seedSize: Int = 200): DataFrame = {
     // substrings via a nested transform (expr spelling — substring with
     // lambda-variable pos/len); Generate re-eval is bounded by word
     // length² on a DICTIONARY-sized input (the Bpe.pairCounts note)
@@ -60,19 +67,32 @@ object Unigram {
   /** Train by EM over the pre-token dictionary. `emIters` rounds of
     * Viterbi E-step + renormalizing M-step; zero-count pieces prune each
     * round, single chars are retained unconditionally.
+    *
+    * Scale-adaptive like [[Bpe.train]]: dictionaries up to
+    * `driverThreshold` rows collect once and loop on the driver; past
+    * it the dictionary never leaves the executors — each E-step is one
+    * mapPartitions (broadcast piece table) folding into a
+    * vocabulary-sized count table, and only THAT collects. Viterbi
+    * piece counts are exact LONGs (hard-EM counts are integer multiples
+    * of the pre-token frequency), so the two paths produce bit-identical
+    * models regardless of partition order — pinned by UnigramSpec.
     */
   def train(docs: DataFrame, maxPieceLen: Int = 6, seedSize: Int = 200,
-            emIters: Int = 4, textCol: String = "text"): UnigramLmTok = {
+            emIters: Int = 4, textCol: String = "text",
+            driverThreshold: Long = 2000000L): UnigramLmTok = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dict = Bpe.wordDict(docs, textCol).drop("syms")
+    // the corpus folds into the pre-token dictionary ONCE (the only
+    // data-sized step); seeding, every EM round, and the final encode
+    // all reuse this frame
+    val dictDf = Bpe.wordDict(docs, textCol).drop("syms").localCheckpoint()
+    val seed = seedVocabFromDict(dictDf, maxPieceLen, seedSize)
       .as[(String, Long)].collect()
-    // the dictionary is vocabulary-sized; training logic is identical
-    // whether the loop runs here or distributed — the E-step below is
-    // shipped to executors for the at-scale spelling via segmentCounts
-    val seed = seedVocab(docs, maxPieceLen, seedSize, textCol)
-      .as[(String, Long)].collect()
-    val chars = dict.flatMap(_._1.split("")).distinct
+    // alphabet-sized (Spark's split keeps a trailing "" — drop it)
+    val chars = dictDf
+      .select(explode(split(col("tok"), "")).as("c"))
+      .where(length(col("c")) > 0).distinct()
+      .as[String].collect()
     var probs: Map[String, Double] = {
       val base = seed.map { case (p, s) => p -> s.toDouble }.toMap
       val withChars = chars.foldLeft(base)((m, c) =>
@@ -80,27 +100,45 @@ object Unigram {
       val tot = withChars.values.sum
       withChars.map { case (p, s) => p -> math.log(s / tot) }
     }
+    val maxLen = maxPieceLen
+    val small = dictDf.count() <= driverThreshold
+    val dict: Array[(String, Long)] =
+      if (small) dictDf.as[(String, Long)].collect() else Array.empty
     var iter = 0
     while (iter < emIters) {
-      val counts = scala.collection.mutable.HashMap.empty[String, Double]
-      dict.foreach { case (tok, f) =>
-        viterbi(tok, probs, maxPieceLen).foreach { p =>
-          counts(p) = counts.getOrElse(p, 0.0) + f.toDouble
+      val counts: Map[String, Long] =
+        if (small) {
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          dict.foreach { case (tok, f) =>
+            viterbi(tok, probs, maxLen).foreach { p =>
+              m(p) = m.getOrElse(p, 0L) + f
+            }
+          }
+          m.toMap
+        } else {
+          val bc = spark.sparkContext.broadcast(probs)
+          dictDf.as[(String, Long)]
+            .mapPartitions(_.flatMap { case (tok, f) =>
+              viterbi(tok, bc.value, maxLen).map(p => (p, f))
+            })
+            .toDF("piece", "c")
+            .groupBy("piece").agg(sum("c").as("c"))
+            .as[(String, Long)].collect().toMap
         }
-      }
       val kept = probs.keys.filter(p =>
-        p.length == 1 || counts.getOrElse(p, 0.0) > 0.0)
+        p.length == 1 || counts.getOrElse(p, 0L) > 0L)
       // floor unused single chars at a count of 1 (log stays finite)
       // BEFORE normalizing, so the distribution still sums to 1
-      val floored = kept.map(p => p -> math.max(counts.getOrElse(p, 0.0),
-        if (p.length == 1) 1.0 else 0.0)).toMap
-      val tot = math.max(floored.values.sum, 1.0)
-      probs = floored.map { case (p, c) => p -> math.log(c / tot) }
+      val floored = kept.map(p => p -> math.max(counts.getOrElse(p, 0L),
+        if (p.length == 1) 1L else 0L)).toMap
+      val tot = math.max(floored.values.sum, 1L)
+      probs = floored.map { case (p, c) =>
+        p -> math.log(c.toDouble / tot.toDouble)
+      }
       iter += 1
     }
     val bc = spark.sparkContext.broadcast(probs)
-    val maxLen = maxPieceLen
-    val encoded = Bpe.wordDict(docs, textCol).drop("syms")
+    val encoded = dictDf
       .as[(String, Long)]
       .mapPartitions(_.map { case (tok, f) =>
         (tok, f, viterbi(tok, bc.value, maxLen).length)

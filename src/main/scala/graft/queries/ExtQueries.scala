@@ -1299,10 +1299,16 @@ object ExtQueries {
            |), dc AS (
            |  SELECT doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2
            |)
-           |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tokens,
-           |  round(sum(cnt * lr), 4) AS llr,
-           |  round(sum(cnt * lr) / sum(cnt), 4) AS avg_llr
-           |FROM dc JOIN lr USING (bucket) GROUP BY 1 ORDER BY 1""".stripMargin
+           |, fold AS (
+           |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tokens,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |                             list(cnt * lr ORDER BY bucket)),
+           |                (a, b) -> a + b) AS llr
+           |  FROM dc JOIN lr USING (bucket) GROUP BY 1
+           |)
+           |SELECT doc_id, tokens, round(llr, 4) AS llr,
+           |  round(llr / tokens, 4) AS avg_llr
+           |FROM fold ORDER BY 1""".stripMargin
       }
     ),
     QueryDef(
@@ -2264,7 +2270,7 @@ object ExtQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM d
         |)
-        |SELECT source, doc_id, CAST(rk AS INTEGER) AS rk, quota
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, quota
         |FROM rk JOIN q USING (source)
         |WHERE rk <= quota ORDER BY doc_id""".stripMargin
     ),

@@ -259,6 +259,30 @@ class ExtSpec extends AnyFunSuite {
     assert(toks == Map(1L -> 7L, 2L -> 8L, 3L -> 6L), s"tokens: $toks")
   }
 
+  test("importanceWeights: llr is bit-identical across partitionings (ordered fold)") {
+    // the round-8 red row: a plain sum() accumulates per-doc bucket
+    // terms in partition order, flipping 4dp rounding of boundary docs.
+    // orderedSum folds in bucket order, so llr must be the SAME IEEE
+    // double regardless of how the input is partitioned.
+    val raw = (1L to 150L).map { i =>
+      (i, (1 to (3 + (i % 17)).toInt)
+        .map(j => s"tok${(i * 31 + j * 7) % 97} word${j % 13} neural data")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = raw.where(col("doc_id") % 5 === 0)
+    def llrBits(parts: Int): Map[Long, Long] =
+      TextAnalysis.importanceWeights(raw.repartition(parts),
+          target.repartition(math.max(1, parts / 2)), dim = 64)
+        .collect()
+        .map(r => r.getLong(0) -> java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
+        .toMap
+    val one = llrBits(1)
+    val many = llrBits(32)
+    assert(one.size == 150)
+    val diff = one.keys.filter(k => one(k) != many(k))
+    assert(diff.isEmpty, s"llr bits differ for docs: ${diff.toSeq.sorted.take(5)}")
+  }
+
   test("prototypePrune: keeps the least-prototypical per cell, window-reference exact") {
     import org.apache.spark.sql.expressions.Window
     val got = Dedup.prototypePrune(emb, keepFrac = 0.4, nlist = 4)

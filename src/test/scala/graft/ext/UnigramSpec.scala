@@ -70,4 +70,19 @@ class UnigramSpec extends AnyFunSuite {
     assert(a.dict.orderBy("tok").as[(String, Long, Int)].collect().toSeq ==
       b.dict.orderBy("tok").as[(String, Long, Int)].collect().toSeq)
   }
+
+  test("distributed E-step path ≡ in-memory path, bit-for-bit") {
+    // force the distributed path (driverThreshold = 0) and compare the
+    // full model against the driver loop: hard-EM counts are exact
+    // LONGs, so the two paths must agree to the last bit in every logp
+    val mem = Unigram.train(fixture, emIters = 3)
+    val dist = Unigram.train(fixture, emIters = 3, driverThreshold = 0L)
+    assert(mem.pieces.keySet == dist.pieces.keySet)
+    val off = mem.pieces.keys.filter(p =>
+      java.lang.Double.doubleToRawLongBits(mem.pieces(p)) !=
+        java.lang.Double.doubleToRawLongBits(dist.pieces(p)))
+    assert(off.isEmpty, s"logp bits differ for pieces: ${off.take(5).toSeq}")
+    assert(mem.dict.orderBy("tok").as[(String, Long, Int)].collect().toSeq ==
+      dist.dict.orderBy("tok").as[(String, Long, Int)].collect().toSeq)
+  }
 }
