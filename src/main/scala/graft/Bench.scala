@@ -53,6 +53,17 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ").head.toDouble
       catch { case _: Throwable => -1.0 }
+    // idle gate (r8 verdict #7): the bench of record must not be the
+    // loaded run — r8's driver record was taken at loadavg ~7 and
+    // self-flagged 12 rows. Wait (bounded) for the 1-min load to fall
+    // under the gate before warmup; if it never does, proceed anyway —
+    // a late record beats no record — and let load/spread self-declare.
+    val idleGate = sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE", "2.0").toDouble
+    val idleWaitMax = 600000L // 10 min cap
+    val idleT0 = System.currentTimeMillis()
+    while (loadAvg() > idleGate &&
+      System.currentTimeMillis() - idleT0 < idleWaitMax)
+      Thread.sleep(15000)
     // pure-CPU codegen'd pipeline: no IO, no shuffle, fixed work, so its
     // wall time moves ONLY with scheduler/CPU contention. Median-of-3:
     // the single job is ~50 ms warm, small enough that one GC pause or
@@ -152,8 +163,17 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => cacheBaseline.contains(id) }
         .values
-        .foreach(r => try { r.unpersist(false); () } catch { case _: Throwable => () })
+        .foreach(r => try { r.unpersist(blocking = true); () } catch { case _: Throwable => () })
     val errors = scala.collection.mutable.Buffer.empty[String]
+    // per-stage attribution for the composed gauntlet rows (r8 verdict
+    // #6): the 4 most expensive bench rows are multi-stage composites —
+    // a one-stage regression hides inside a noisy total. The pipeline's
+    // StageTimer forces each stage's cached frame and accumulates its
+    // seconds; the LAST timed run's map is kept per gauntlet query.
+    graft.streaming.StreamingCorpusPipeline.StageTimer.enabled = true
+    val gauntletRows = Set("d45_corpus_gauntlet", "d47_corpus_gauntlet_semantic",
+      "d49_corpus_gauntlet_spans", "d62_corpus_gauntlet_lines")
+    val stageMaps = scala.collection.mutable.Map.empty[String, Seq[(String, Double)]]
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -161,6 +181,10 @@ object Bench {
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (ok && gauntletRows.contains(name)) {
+        val st = graft.streaming.StreamingCorpusPipeline.StageTimer.last
+        stageMaps(name) = st.synchronized(st.toSeq)
+      }
       dropStrayCaches()
       // a throwing query must surface as an error, not bench as "fast"
       if (!ok) { if (!errors.contains(name)) errors += name; -1.0 } else dt
@@ -296,6 +320,28 @@ object Bench {
       }
       inc
     } catch { case _: Throwable => errors += "x_ingest"; Map.empty[String, Double] }
+    // auto-rerun of spread-flagged rows (the idle gate's companion): a
+    // row whose three samples disagreed >2× was hit by a transient —
+    // give it ONE fresh median-of-3 while the machine is under the gate
+    // and keep whichever triple is tighter, so the committed record is
+    // never a burst artifact. Bounded: only flagged rows, only when idle.
+    val flagRule: Seq[Double] => Boolean =
+      s => s.last > 2 * s.head && s.last - s.head > 0.2
+    val benchedMap = benched.toMap
+    val adjusted = scala.collection.mutable.Map.empty[String, Double]
+    results.collect {
+      case (n, v) if v >= 0 && spreads.get(n).exists(flagRule) => n
+    }.foreach { n =>
+      if (loadAvg() <= idleGate) {
+        val old = spreads(n)
+        val m2 = median3(n, benchedMap(n))
+        val fresh = spreads(n)
+        if (m2 >= 0 && fresh.last - fresh.head < old.last - old.head)
+          adjusted(n) = m2
+        else spreads(n) = old
+      }
+    }
+    val resultsAdj = results.map { case (n, v) => n -> adjusted.getOrElse(n, v) }
     val loadEnd = loadAvg()
     // The harness capturing this output keeps only the last ~2000 chars
     // of stdout WITH sbt's trailing "[success] ..." line (~75 chars)
@@ -314,19 +360,33 @@ object Bench {
     // a valid time from the other; `errors` records the attempt but the
     // artifact must not list a query as BOTH errored and validly timed —
     // the final value wins
-    val settled = results.filter(_._2 >= 0).map(_._1).toSet
+    val settled = resultsAdj.filter(_._2 >= 0).map(_._1).toSet
     errors --= errors.filter(settled.contains)
     // write-job counts ride the compact "xw":[x00, x01] field, not two
     // long-keyed queries-map entries (tail-budget)
     val xw = Seq("x00_write_jobs", "x01_write_jobs").flatMap(incremental.get)
     // total job counts ride a compact "xj" pair too (tail-budget)
     val xj = Seq("x00_jobs", "x01_jobs").flatMap(incremental.get)
-    val qs = (results ++ (incremental -- Seq(
-      "x00_write_jobs", "x01_write_jobs", "x00_jobs", "x01_jobs")))
+    val allRows = resultsAdj ++ (incremental -- Seq(
+      "x00_write_jobs", "x01_write_jobs", "x00_jobs", "x01_jobs"))
+    // STDOUT keys are the short query codes (the prefix before the first
+    // '_' — unique across the registry): at ~125 benched rows the
+    // full-name map alone is ~3,100 chars, which front-truncated the r8
+    // stdout capture (2,000-char tail) into parsed:null. Short keys put
+    // the whole map back inside the tail; bench_full.json keeps the
+    // full-name record.
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val qs = allRows
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val qsFull = allRows
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = resultsAdj.collect { case (_, v) if v >= 0 => v }.sum
     val errField =
+      if (errors.isEmpty) ""
+      else errors.map("\"" + shortKey(_) + "\"").mkString(""","errors":[""", ",", "]")
+    val errFieldFull =
       if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     // noise can legitimately name many spans under sustained load — cap
@@ -334,7 +394,7 @@ object Bench {
     // cannot push its own self-declaration over the tail budget
     val noiseField =
       if (noisy.isEmpty) ""
-      else (noisy.take(6) ++
+      else (noisy.take(6).map(n => if (n == "x_ingest") n else shortKey(n)) ++
           (if (noisy.size > 6) Seq(s"+${noisy.size - 6}") else Nil))
         .map("\"" + _ + "\"").mkString(""","noise":[""", ",", "]")
     val xwField =
@@ -358,39 +418,60 @@ object Bench {
       if (flagged.isEmpty) ""
       else {
         val body = flagged.take(3).map { case (n, s) =>
-          "\"" + n + "\":[" + s.map(f).mkString(",") + "]"
+          "\"" + shortKey(n) + "\":[" + s.map(f).mkString(",") + "]"
         }.mkString(",")
         s""","spread_n":${flagged.size},"spread":{$body}"""
+      }
+    // per-stage gauntlet breakdown (r8 verdict #6) as a compact field:
+    // fixed stage order declared once in "gsts", one seconds-array per
+    // gauntlet row keyed by its d-number — a one-stage regression is
+    // attributable from the record alone
+    val stageOrder = Seq("quality", "line", "exact", "contam", "near",
+      "winnow", "semantic", "append", "verdict")
+    val gstField =
+      if (stageMaps.isEmpty) ""
+      else {
+        val body = stageMaps.toSeq.sortBy(_._1).map { case (n, m) =>
+          val mm = m.toMap
+          "\"" + n.take(3) + "\":[" +
+            stageOrder.map(s => f(mm.getOrElse(s, 0.0))).mkString(",") + "]"
+        }.mkString(",")
+        s""","gsts":[${stageOrder.map("\"" + _ + "\"").mkString(",")}],"gst":{$body}"""
       }
     // Mechanical budget guard (replaces hand-tuned row math, which went
     // stale every time a query joined the bench): if the assembled line
     // would risk FRONT truncation under the ~2000-char capture tail,
     // degrade the optional diagnostics in fixed order — spread detail
     // first (spread_n survives, the flag count is the load-bearing
-    // bit), then the noise list (count sentinel survives). The queries
-    // map itself is never dropped.
+    // bit), then the gauntlet stage breakdown (it survives whole in the
+    // side file), then the noise list (count sentinel survives). The
+    // queries map itself is never dropped.
     // sf as basename: the /root/testdata prefix is constant and the
     // full path was 17 chars of budget per line for no information
     val sfName = new java.io.File(sfDir).getName
-    def assemble(spreadF: String, noiseF: String, xF: String): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$noiseF$spreadF$xF$calField$loadField,"sf":"$sfName"}"""
+    def assemble(spreadF: String, gstF: String, noiseF: String, xF: String): String =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$noiseF$spreadF$gstF$xF$calField$loadField,"sf":"$sfName"}"""
     val budget = 1900
-    val full = assemble(spreadField, noiseField, xwField)
+    val full = assemble(spreadField, gstField, noiseField, xwField)
     val line =
       if (full.length <= budget) full
       else {
         val spreadCount =
           if (flagged.isEmpty) "" else s""","spread_n":${flagged.size}"""
-        val noSpread = assemble(spreadCount, noiseField, xwField)
+        val noSpread = assemble(spreadCount, gstField, noiseField, xwField)
         if (noSpread.length <= budget) noSpread
         else {
-          val noiseCount =
-            if (noisy.isEmpty) "" else s""","noise":["+${noisy.size}"]"""
-          val noNoise = assemble(spreadCount, noiseCount, xwField)
-          // last resort: the compact job-count pairs go too — the
-          // queries map itself is never dropped
-          if (noNoise.length <= budget) noNoise
-          else assemble(spreadCount, noiseCount, "")
+          val noGst = assemble(spreadCount, "", noiseField, xwField)
+          if (noGst.length <= budget) noGst
+          else {
+            val noiseCount =
+              if (noisy.isEmpty) "" else s""","noise":["+${noisy.size}"]"""
+            val noNoise = assemble(spreadCount, "", noiseCount, xwField)
+            // last resort: the compact job-count pairs go too — the
+            // queries map itself is never dropped
+            if (noNoise.length <= budget) noNoise
+            else assemble(spreadCount, "", noiseCount, "")
+          }
         }
       }
     println(line)
@@ -416,7 +497,7 @@ object Bench {
       val calAll =
         s""","cal":[${f(calBase)},${f(calSamples.max)},${calSamples.size}],"cal_samples":[${calSamples.map(f).mkString(",")}]"""
       val fullRecord =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$allNoise$allSpreads$xwField$calAll$loadField,"sf":"$sfName"}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull$errFieldFull$allNoise$allSpreads$gstField$xwField$calAll$loadField,"sf":"$sfName"}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),

@@ -11,19 +11,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training never iterates over the corpus. ONE scan + ONE
   * shuffle folds the corpus into the pre-token frequency dictionary (the
-  * data-sized step); every merge iteration then runs over that dictionary
-  * alone, whose size is the number of DISTINCT pre-tokens — vocabulary-
-  * bounded, orders of magnitude below corpus size at 100 TB. Each
-  * iteration is a map-side-combinable pair-count aggregate plus a single-
-  * row argmax collect; lineage is cut with localCheckpoint every few
-  * merges so plans stay flat. Like `Dedup.connectedComponents`, the loop
-  * is scale-adaptive: a dictionary within `driverThreshold` rows is
-  * collected once and trained in memory (the GPT-2 regime — a multi-TB
-  * corpus's word dictionary is megabytes), while larger dictionaries run
-  * the distributed loop (forced in tests via driverThreshold = 0). Both
-  * paths implement the identical algorithm with the identical
-  * deterministic tiebreak (count desc, then pair lexicographic), so they
-  * produce identical merge tables.
+  * data-sized step); everything after runs over that dictionary alone,
+  * whose size is the number of DISTINCT pre-tokens — vocabulary-bounded,
+  * orders of magnitude below corpus size at 100 TB. The distributed merge
+  * loop is ROUND-based: one top-K collect of the maintained pair-count
+  * table yields a whole BATCH of merges (the provably-sequential prefix,
+  * see [[selectBatch]]), the batch applies in one pass over only the
+  * words containing a picked pair, and the pair table updates by delta —
+  * so total jobs ≈ 3 × rounds ≪ merges, and per-round shuffle is bounded
+  * by the perturbed mass, never the dictionary re-exploded (measured in
+  * tools/BpeScale, tables in TOKENIZER.md). Like
+  * `Dedup.connectedComponents`, the loop is scale-adaptive: a dictionary
+  * within `driverThreshold` rows is collected once and trained in memory
+  * (the GPT-2 regime — a multi-TB corpus's word dictionary is megabytes),
+  * while larger dictionaries run the distributed loop (forced in tests
+  * via driverThreshold = 0). Both paths implement the identical algorithm
+  * with the identical deterministic tiebreak (count desc, then pair
+  * lexicographic), so they produce identical merge tables.
   *
   * Encoding a corpus with a trained vocabulary is a lookup join: each
   * distinct pre-token is encoded ONCE (the dictionary's final symbol
@@ -49,27 +53,43 @@ object Bpe {
       .groupBy("tok").agg(count(lit(1)).as("f"))
       .withColumn("syms", split(col("tok"), ""))
 
-  /** Adjacent-pair counts over a symbol dictionary, weighted by pre-token
-    * frequency — the BPE training objective. zip_with over shifted slices
-    * (no sequence(1, 0) descending-range trap on single-symbol tokens);
-    * the aggregate is map-side combinable, keyed on the pair.
+  /** Adjacent (a, b) symbol pairs of a symbol-array column, as a struct
+    * array. zip_with over shifted slices (no sequence(1, 0) descending-
+    * range trap on single-symbol tokens).
     */
-  def pairCounts(dict: DataFrame): DataFrame = {
+  private def symPairs(syms: Column): Column = {
+    val n = size(syms)
+    zip_with(
+      slice(syms, lit(1), greatest(n - 1, lit(0))),
+      slice(syms, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("a"), b.as("b")))
+  }
+
+  /** Adjacent-pair counts over a symbol dictionary, weighted by pre-token
+    * frequency — the BPE training objective. The aggregate is map-side
+    * combinable, keyed on the pair.
+    */
+  def pairCounts(dict: DataFrame): DataFrame =
     // Generate re-evaluates the zip_with per output row (the s03 lesson),
     // but here the child array is one pre-token's symbol list: the re-eval
     // is O(word-length²) on a DICTIONARY-sized input — bounded by natural
     // word length, not data size, so the explode-raw rewrite isn't worth
     // its shuffle.
-    val n = size(col("syms"))
     dict
-      .select(col("f"),
-        explode(zip_with(
-          slice(col("syms"), lit(1), greatest(n - 1, lit(0))),
-          slice(col("syms"), lit(2), greatest(n - 1, lit(0))),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("f"), explode(symPairs(col("syms"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("f").as("cnt"))
-  }
+
+  /** True iff the symbol array contains any of `picks` as an adjacent
+    * pair — the affected-word predicate of the incremental trainers. A
+    * pure Column (codegen'd map-side filter): the unaffected mass of the
+    * dictionary is never shuffled, re-encoded, or re-counted.
+    */
+  private def containsAnyPair(syms: Column, picks: Seq[(String, String)]): Column =
+    exists(symPairs(syms), p =>
+      picks.map { case (a, b) =>
+        p.getField("a") === lit(a) && p.getField("b") === lit(b)
+      }.reduce(_ || _))
 
   /** One merge applied to a symbol-array column: greedy left-to-right
     * non-overlapping replacement of adjacent (a, b) with a+b — the
@@ -91,32 +111,136 @@ object Bpe {
   /** Learn `numMerges` merges from the corpus. Stops early when no pair
     * reaches `minCount`. See the object doc for the scale shape; set
     * `driverThreshold = 0` to force the distributed loop.
+    *
+    * The distributed loop is round-based, not job-per-merge: each round
+    * collects the pair table's top `topK` rows once, selects a BATCH of
+    * merges from it on the driver (the longest prefix, in (cnt desc, a,
+    * b) order, that is mutually non-interacting and strictly out-counts
+    * every pair it could perturb — see [[selectBatch]] for why that is
+    * exactly the sequential argmax sequence), applies the whole batch in
+    * one pass over the words that actually contain a picked pair, and
+    * maintains the pair-count table by DELTA (− affected-word pairs
+    * before, + after). Total jobs ≈ 3 × rounds ≪ merges on Zipfian pair
+    * distributions, and per-round shuffle is bounded by the affected
+    * words plus the (vocabulary-sized) pair table — never the full
+    * dictionary re-exploded.
     */
   def train(docs: DataFrame,
             numMerges: Int,
             textCol: String = "text",
             minCount: Long = 2L,
             driverThreshold: Long = 2000000L,
-            checkpointEvery: Int = 5): TrainedBpe = {
+            checkpointEvery: Int = 5,
+            topK: Int = 256,
+            maxBatch: Int = 64): TrainedBpe = {
     var dict = wordDict(docs, textCol).localCheckpoint()
     if (dict.count() <= driverThreshold)
       return trainInMemory(dict, numMerges, minCount)
+    var pc = pairCounts(dict).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var step = 0
     var done = false
-    while (step < numMerges && !done) {
-      val best = pairCounts(dict)
-        .orderBy(desc("cnt"), col("a"), col("b")).limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
+    var round = 0
+    while (merges.length < numMerges && !done) {
+      val top = pc.orderBy(desc("cnt"), col("a"), col("b")).limit(topK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty || top(0)._3 < minCount) done = true
       else {
-        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((a, b, c))
-        dict = dict.withColumn("syms", applyMerge(col("syms"), a, b))
-        step += 1
-        if (step % checkpointEvery == 0) dict = dict.localCheckpoint()
+        val picks = selectBatch(top, topK, minCount,
+          math.min(numMerges - merges.length, maxBatch))
+        merges ++= picks
+        val pairList = picks.map(p => (p._1, p._2))
+        val isAff = containsAnyPair(col("syms"), pairList)
+        val aff = dict.where(isAff)
+        val merged = applyMergesRows(aff, pairList)
+        // delta maintenance: only affected words change any pair count.
+        // pc materializes every round (the next argmax needs it flat)
+        pc = pc
+          .unionByName(pairCounts(merged))
+          .unionByName(pairCounts(aff).withColumn("cnt", -col("cnt")))
+          .groupBy("a", "b").agg(sum("cnt").as("cnt"))
+          .where(col("cnt") > 0)
+          .localCheckpoint()
+        // the dict advances as ONE full map (identity on words without a
+        // picked pair) — NOT filter(!aff) ∪ merged, whose two branches
+        // both scan dict and so double the lineage every round (2^k
+        // redundant scans between checkpoints, measured as a blowup).
+        // The affected-filter exists only to keep the DELTA small.
+        dict = applyMergesRows(dict, pairList)
+        round += 1
+        if (round % checkpointEvery == 0) dict = dict.localCheckpoint()
       }
     }
     TrainedBpe(merges.toSeq, dict.localCheckpoint())
+  }
+
+  /** Select the longest batch of merges from a sorted pair-count prefix
+    * that is EXACTLY the sequence the one-merge-at-a-time argmax would
+    * produce. Soundness: merging (a, b) → ab only perturbs pairs whose
+    * symbols intersect {a, b, ab} — counts of such pairs can only
+    * decrease, and every CREATED pair (x, ab) / (ab, y) inherits a count
+    * bounded by an existing pair sharing a symbol with the pick. So a
+    * later candidate is still the true argmax as long as (1) it shares
+    * no symbol with any earlier pick (its own count is untouched) and
+    * (2) its count strictly exceeds every pair that any earlier pick
+    * could have perturbed or spawned. Both are enforced by scanning the
+    * sorted prefix: the first candidate that interacts with the picked
+    * symbol set — or the sorted tail beyond what was collected — gives
+    * the bound `boundCnt`; picks after the first are kept only while
+    * strictly above it (a tie could be lost to a freshly created pair's
+    * lexicographic rank, so ties stop the batch).
+    */
+  private def selectBatch(top: Array[(String, String, Long)], topK: Int,
+                          minCount: Long, want: Int): Seq[(String, String, Long)] = {
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val pickedSyms = scala.collection.mutable.Set.empty[String]
+    // highest count among candidates NOT picked (perturbable mass bound);
+    // -1 = nothing outside the batch can be perturbed
+    var boundCnt = -1L
+    var i = 0
+    var stopped = false
+    while (i < top.length && !stopped && picks.length < want) {
+      val (a, b, c) = top(i)
+      if (c < minCount) stopped = true
+      else if (pickedSyms.contains(a) || pickedSyms.contains(b)) {
+        boundCnt = c; stopped = true
+      } else {
+        picks += top(i)
+        pickedSyms += a; pickedSyms += b; pickedSyms += (a + b)
+        i += 1
+      }
+    }
+    // candidates never scanned (want/maxBatch cutoff, or pairs beyond the
+    // collected topK) could interact — bound by the best unscanned count
+    if (!stopped && i < top.length) boundCnt = math.max(boundCnt, top(i)._3)
+    if (!stopped && top.length == topK)
+      boundCnt = math.max(boundCnt, top.last._3)
+    picks.head +: picks.tail.takeWhile(_._3 > boundCnt).toSeq
+  }
+
+  /** Apply a rank-ordered batch of merges imperatively (the exact
+    * in-memory greedy loop) to a (tok, f, syms) frame — one typed
+    * mapPartitions pass instead of `picks.length` nested fold columns.
+    * Picks are mutually non-interacting, so per-word application order
+    * cannot matter; rank order is kept anyway for strict equivalence.
+    */
+  private def applyMergesRows(df: DataFrame,
+                              picks: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("tok", "f", "syms").as[(String, Long, Seq[String])]
+      .mapPartitions(_.map { case (tok, f, s0) =>
+        val s = scala.collection.mutable.ArrayBuffer(s0: _*)
+        picks.foreach { case (a, b) =>
+          val ab = a + b
+          var i = 0
+          while (i < s.length - 1) {
+            if (s(i) == a && s(i + 1) == b) { s.remove(i + 1); s(i) = ab }
+            i += 1
+          }
+        }
+        (tok, f, s.toSeq)
+      })
+      .toDF("tok", "f", "syms")
   }
 
   /** In-memory trainer over a collected dictionary — identical algorithm
@@ -313,12 +437,21 @@ object Bpe {
     var dict = wordDict(docs, textCol).localCheckpoint()
     if (dict.count() <= driverThreshold)
       return trainWordPieceInMemory(dict, numMerges, minCount)
+    // merge-at-a-time is INHERENT to the ratio objective: merging (a, b)
+    // shrinks c_a and c_b, so scores of pairs sharing those symbols can
+    // INCREASE, and a created pair (x, ab) scores against the brand-new
+    // (small) c_ab — no count bound makes a second pick from the same
+    // snapshot sound, unlike [[train]]'s monotone-count batching. What
+    // CAN scale is the per-merge cost: the pair and symbol tables are
+    // maintained by delta over affected words only, so each step shuffles
+    // the perturbed mass, never the re-exploded dictionary.
+    var pc = pairCounts(dict).localCheckpoint()
+    var sc = symCounts(dict).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var step = 0
     var done = false
     while (step < numMerges && !done) {
-      val sc = symCounts(dict)
-      val best = pairCounts(dict)
+      val best = pc
         .join(sc.select(col("sym").as("a"), col("scnt").as("ca")), "a")
         .join(sc.select(col("sym").as("b"), col("scnt").as("cb")), "b")
         // ca·cb multiplies as DOUBLES (matching trainWordPieceInMemory):
@@ -334,7 +467,24 @@ object Bpe {
       else {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((a, b, c))
-        dict = dict.withColumn("syms", applyMerge(col("syms"), a, b))
+        val isAff = containsAnyPair(col("syms"), Seq((a, b)))
+        val aff = dict.where(isAff)
+        val merged = applyMergesRows(aff, Seq((a, b)))
+        pc = pc
+          .unionByName(pairCounts(merged))
+          .unionByName(pairCounts(aff).withColumn("cnt", -col("cnt")))
+          .groupBy("a", "b").agg(sum("cnt").as("cnt"))
+          .where(col("cnt") > 0)
+          .localCheckpoint()
+        sc = sc
+          .unionByName(symCounts(merged))
+          .unionByName(symCounts(aff).withColumn("scnt", -col("scnt")))
+          .groupBy("sym").agg(sum("scnt").as("scnt"))
+          .where(col("scnt") > 0)
+          .localCheckpoint()
+        // single full-map advance, not filter ∪ merged — see train's
+        // lineage-doubling note
+        dict = applyMergesRows(dict, Seq((a, b)))
         step += 1
         if (step % checkpointEvery == 0) dict = dict.localCheckpoint()
       }

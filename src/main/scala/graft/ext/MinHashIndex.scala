@@ -126,8 +126,8 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
           .write.mode("overwrite").parquet(s"$path/bands/seg=$seg")
         Seq("shingles", "sigs", "bands").foreach(t =>
           SegmentedTable.refreshParent(spark, s"$path/$t"))
-      } finally if (signatures.isEmpty) sigs.unpersist(): Unit
-    } finally if (shingled.isEmpty) sh.unpersist(): Unit
+      } finally if (signatures.isEmpty) sigs.unpersist(blocking = true): Unit
+    } finally if (shingled.isEmpty) sh.unpersist(blocking = true): Unit
   }
 
   /** Fold appended segments into `base` across all three tables, so the

@@ -87,7 +87,7 @@ final class SemanticIndex private[ext] (val spark: SparkSession,
                  excludeSeg: Option[String] = None): DataFrame = {
     val b = assign(newEmb, idCol, vecCol).cache()
     try dedupAssigned(b, tau, excludeSeg)
-    finally { b.unpersist(); () }
+    finally { b.unpersist(blocking = true); () }
   }
 
   /** [[dedupBatch]] over a PRE-ASSIGNED (id, vec, cell) frame — the

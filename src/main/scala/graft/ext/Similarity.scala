@@ -249,7 +249,7 @@ object Similarity {
           .toSeq.sortBy(b => (b._1, b._2))
       }
       books.toDF("seg", "cid", "cvec")
-    } finally subs.unpersist()
+    } finally subs.unpersist(blocking = true)
   }
 
   /** PQ-encode the corpus: (id, seg, code) — the m-byte sketch, 32×
@@ -292,7 +292,7 @@ object Similarity {
       val encoded = pqEncode(c, books, m).cache()
       encoded.count() // materialize while the corpus cache is alive
       (books, encoded)
-    } finally c.unpersist()
+    } finally c.unpersist(blocking = true)
   }
 
   /** PQ top-k (asymmetric distance): approx dot(q, x) = Σ_seg
@@ -353,7 +353,7 @@ object Similarity {
         .withColumn("rank", row_number().over(wr))
         .where(col("rank") <= k)
         .select(col("qid"), col("rank"), col("nid"), col("cos"))
-    } finally c.unpersist()
+    } finally c.unpersist(blocking = true)
   }
 
   /** IVF×PQ: the standard billion-scale composition — IVF probing cuts
@@ -470,10 +470,10 @@ object Similarity {
         .select(col("qid"), col("rank"), col("nid"), col("cos"))
     } finally {
       if (ivfIndex.isEmpty) { // a prebuilt index's caches are the caller's
-        assigned.unpersist()
-        cents.unpersist()
+        assigned.unpersist(blocking = true)
+        cents.unpersist(blocking = true)
       }
-      c.unpersist()
+      c.unpersist(blocking = true)
     }
   }
 
@@ -570,7 +570,7 @@ object Similarity {
     try
       pqEncode(c, books, m)
         .write.mode("overwrite").parquet(s"$path/pq_codes/ixseg=$ixseg")
-    finally c.unpersist()
+    finally c.unpersist(blocking = true)
     SegmentedTable.refreshParent(spark, s"$path/pq_codes")
   }
 

@@ -102,7 +102,7 @@ final class WinnowIndex private[ext] (val spark: SparkSession, val path: String,
         .write.mode("overwrite").parquet(s"$path/sizes/seg=$seg")
       Seq("fps", "sizes").foreach(t =>
         SegmentedTable.refreshParent(spark, s"$path/$t"))
-    } finally fp.unpersist(): Unit
+    } finally fp.unpersist(blocking = true): Unit
   }
 
   /** Fold every `b<batchId>` segment strictly older than the

@@ -220,6 +220,42 @@ object ExtQueries {
         (fp, mh, sp, v)
       })
 
+  /** The planted boilerplate lines for d62 (the line-cleaning gauntlet
+    * gate): literal strings so the DuckDB oracle can name them, ≥ the
+    * LineIndex minLen (15) so they are dedup-eligible, and never equal
+    * to any fixture text (fixture lines are whole synthetic sentences).
+    */
+  private val LnBanner1 = "subscribe to our newsletter today"
+  private val LnBanner2 = "accept all cookies to continue reading"
+
+  /** Seed indexes for d62 (gauntlet with the LINE-CLEANING stage live):
+    * d45's fp/mh seeds plus a LineIndex holding exactly the two banner
+    * lines — so cleaned(batch doc) == the fixture text verbatim (fixture
+    * texts are single-line and never equal a banner), which is what lets
+    * the oracle reason about the downstream stages on `text` directly.
+    * Owned by d62 (the pipeline appends survivor segments).
+    */
+  private val lineGauntletMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String, String)]()
+
+  private def lineGauntletPathsFor(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): (String, String, String, String) =
+    lineGauntletMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        import s.implicits._
+        val fp = java.nio.file.Files.createTempDirectory("graft-lng-fp").toString
+        val mh = java.nio.file.Files.createTempDirectory("graft-lng-mh").toString
+        val ln = java.nio.file.Files.createTempDirectory("graft-lng-ln").toString
+        val v = java.nio.file.Files.createTempDirectory("graft-lng-v").toString
+        val seed = docs(s, dir).where(col("doc_id") % 5 =!= 0)
+        graft.ext.FingerprintIndex.build(seed, fp)
+        MinHashIndex.build(seed, mh, n = 3, k = 128, bands = 64)
+        graft.ext.LineIndex.build(
+          Seq((-1L, LnBanner1), (-2L, LnBanner2)).toDF("doc_id", "text"), ln)
+        (fp, mh, ln, v)
+      })
+
   private val clusterMemo = new java.util.concurrent.ConcurrentHashMap[
     String, DataFrame]()
 
@@ -2820,6 +2856,128 @@ object ExtQueries {
          |UNION ALL SELECT doc_id, 'dup_exact', CAST(ref AS BIGINT) FROM v_exc
          |UNION ALL SELECT doc_id, 'dup_exact_batch', CAST(ref AS BIGINT) FROM v_exb
          |UNION ALL SELECT doc_id, 'contaminated', CAST(ref AS BIGINT) FROM v_ct
+         |UNION ALL SELECT doc_id, 'dup_index', CAST(ref AS BIGINT) FROM v_nx
+         |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
+         |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept
+         |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
+      "d62_corpus_gauntlet_lines",
+      // the gauntlet with C4-style LINE CLEANING live between quality
+      // and exact dedup (the RefinedWeb ordering): every batch doc
+      // carries a planted boilerplate banner line that, uncleaned,
+      // perturbs both the fingerprint and the shingle set. The banner
+      // lives in the seeded LineIndex, so cleaning restores the fixture
+      // text verbatim — and the clone classes (+10000/+20000: seed
+      // texts behind banner1/banner2) convict as dup_exact against the
+      // fingerprint index ONLY when the line stage actually ran. The
+      // quality gate reads the RAW (bannered) text — stage order is
+      // load-bearing. In-batch line keeping is gated by d32/d59;
+      // survivors extend the line index as segment b0 (excluded on
+      // replay, so re-runs are idempotent).
+      (s, dir) => {
+        val (fpPath, mhPath, lnPath, vPath) = lineGauntletPathsFor(s, dir)
+        val d = docs(s, dir)
+        val batch = d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            concat(lit(LnBanner1 + "\n"), col("text")).as("text"))
+          .unionByName(d.where(col("doc_id") % 50 === 21)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              concat(lit(LnBanner1 + "\n"), col("text")).as("text")))
+          .unionByName(d.where(col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              concat(lit(LnBanner2 + "\n"), col("text")).as("text")))
+        graft.streaming.StreamingCorpusPipeline.processBatch(
+          batch, 0L, fpPath, mhPath, None, vPath,
+          graft.streaming.StreamingCorpusPipeline.Config(tau = 0.5,
+            quality = b => b.select(col("doc_id"),
+              when(length(col("text")) >= 160, 1).otherwise(0).as("keep"))),
+          lnPath = Some(lnPath))
+        s.read.parquet(s"$vPath/batch=0")
+          .select(col("doc_id"), col("verdict"), col("ref_id"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE seed AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+         |), batch AS (
+         |  SELECT doc_id,
+         |         '$LnBanner1' || chr(10) || text AS raw, text AS clean
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000, '$LnBanner1' || chr(10) || text, text
+         |  FROM documents WHERE doc_id % 50 = 21
+         |  UNION ALL
+         |  SELECT doc_id + 20000, '$LnBanner2' || chr(10) || text, text
+         |  FROM documents WHERE doc_id % 50 = 1
+         |), v_q AS (
+         |  SELECT doc_id FROM batch WHERE length(raw) < 160
+         |), rem1 AS (
+         |  SELECT doc_id, clean AS text FROM batch WHERE length(raw) >= 160
+         |), bf AS (
+         |  SELECT doc_id, $fpSql AS fp FROM rem1
+         |), sf AS (
+         |  SELECT doc_id, $fpSql AS fp FROM seed
+         |), v_exc AS (
+         |  SELECT b.doc_id, min(s.doc_id) AS ref
+         |  FROM bf b JOIN sf s USING (fp) GROUP BY 1
+         |), bf2 AS (
+         |  SELECT * FROM bf WHERE doc_id NOT IN (SELECT doc_id FROM v_exc)
+         |), keep2 AS (
+         |  SELECT fp, min(doc_id) AS keeper FROM bf2 GROUP BY 1
+         |), v_exb AS (
+         |  SELECT b.doc_id, k.keeper AS ref
+         |  FROM bf2 b JOIN keep2 k USING (fp) WHERE b.doc_id <> k.keeper
+         |), rem3 AS (
+         |  SELECT r.doc_id, r.text FROM rem1 r
+         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM v_exc)
+         |    AND r.doc_id NOT IN (SELECT doc_id FROM v_exb)
+         |), btri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM rem3)
+         |), bsz AS (SELECT doc_id, count(*) AS sz FROM btri GROUP BY 1),
+         |stri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM seed)
+         |), ssz AS (SELECT doc_id, count(*) AS sz FROM stri GROUP BY 1),
+         |xinter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM btri x JOIN stri y ON x.shingle = y.shingle GROUP BY 1, 2
+         |), v_nx AS (
+         |  SELECT a AS doc_id, min(b) AS ref
+         |  FROM xinter JOIN bsz na ON na.doc_id = a JOIN ssz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+         |  GROUP BY 1
+         |), rtri AS (
+         |  SELECT * FROM btri WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+         |), iinter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM rtri x JOIN rtri y
+         |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), ipairs AS (
+         |  SELECT a, b
+         |  FROM iinter JOIN bsz na ON na.doc_id = a JOIN bsz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+         |), nodes AS (SELECT a AS id FROM ipairs UNION SELECT b FROM ipairs),
+         |edges AS (SELECT a AS u, b AS v FROM ipairs UNION SELECT b, a FROM ipairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1),
+         |v_nb AS (SELECT id AS doc_id, root AS ref FROM comp WHERE id <> root),
+         |v_kept AS (
+         |  SELECT doc_id FROM rem3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+         |    AND doc_id NOT IN (SELECT doc_id FROM v_nb)
+         |)
+         |SELECT doc_id, 'drop_quality' AS verdict, CAST(NULL AS BIGINT) AS ref_id FROM v_q
+         |UNION ALL SELECT doc_id, 'dup_exact', CAST(ref AS BIGINT) FROM v_exc
+         |UNION ALL SELECT doc_id, 'dup_exact_batch', CAST(ref AS BIGINT) FROM v_exb
          |UNION ALL SELECT doc_id, 'dup_index', CAST(ref AS BIGINT) FROM v_nx
          |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
          |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept

@@ -89,7 +89,7 @@ object WspSource {
           pts.where(col("level") === i).select("metric", "interval", "value"))
       }
       metrics
-    } finally pts.unpersist()
+    } finally pts.unpersist(blocking = true)
   }
 
   private def firstFileBytes(dir: String, metric: String): Array[Byte] = {

@@ -992,9 +992,16 @@ final class MetricStore(val spark: SparkSession, val root: String,
           throw primary
         }
       } finally {
+        // blocking releases (repo-wide policy): a fire-and-forget
+        // unpersist leaves block removal running asynchronously into
+        // whatever executes next — under full-suite memory pressure that
+        // async removal was the prime suspect for a one-in-N
+        // "Block rdd_*_* does not exist" on a later read (round-8
+        // verdict). Waiting out the removal here costs milliseconds and
+        // serializes the block lifecycle with the job stream.
         levelCaches.foreach(df =>
-          try { df.unpersist(); () } catch { case _: Throwable => () })
-        routed.unpersist()
+          try { df.unpersist(blocking = true); () } catch { case _: Throwable => () })
+        routed.unpersist(blocking = true)
       }
     }
   }
@@ -1378,7 +1385,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
               case (p, t) =>
                 deleteRecursively(new java.io.File(s"${levelPath(i)}/pb=$p/tb=$t"))
             }
-          } finally kept.unpersist()
+          } finally kept.unpersist(blocking = true)
         }
       }
     }

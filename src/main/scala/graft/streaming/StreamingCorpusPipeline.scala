@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
-import graft.ext.{Dedup, FingerprintIndex, MinHashIndex, SemanticIndex, Similarity, SpanIndex, TextAnalysis, WinnowIndex}
+import graft.ext.{Dedup, FingerprintIndex, LineIndex, MinHashIndex, SemanticIndex, Similarity, SpanIndex, TextAnalysis, WinnowIndex}
 
 /** The turnkey continuous corpus constructor: every delivery flows
   * through the full curation gauntlet — quality rules → exact dedup →
@@ -22,9 +22,16 @@ import graft.ext.{Dedup, FingerprintIndex, MinHashIndex, SemanticIndex, Similari
   *
   *   1. `drop_quality` — the pluggable quality gate (default: Gopher
   *      rules), pure column expressions at scan speed;
+  *   1b. line cleaning (when `lnPath` is set) — C4-style boilerplate
+  *      removal against the persisted [[LineIndex]], BEFORE the exact
+  *      stage (the RefinedWeb ordering): a recurring nav bar or cookie
+  *      banner otherwise perturbs the whole-document fingerprint and
+  *      defeats exact dedup. Transforms text, drops nothing; survivors'
+  *      kept lines extend the index;
   *   2. `dup_exact` / `dup_exact_batch` — one fingerprint equi-join
   *      against the [[FingerprintIndex]], then the in-batch
-  *      first-occurrence keeper;
+  *      first-occurrence keeper (over the CLEANED text when the line
+  *      stage is on);
   *   3. `contaminated` — span-level eval leakage against the
   *      [[SpanIndex]] (skipped when no index is configured); runs
   *      BEFORE near-dup so keeper selection happens among documents
@@ -46,6 +53,34 @@ import graft.ext.{Dedup, FingerprintIndex, MinHashIndex, SemanticIndex, Similari
   */
 object StreamingCorpusPipeline {
 
+  /** Opt-in per-stage wall-clock attribution for [[processBatch]] (the
+    * r8 verdict's ask: the gauntlet bench rows are the most expensive
+    * queries and were opaque composites — a one-stage regression hid
+    * inside a noisy total). When enabled, each stage's cached frame is
+    * FORCED (one count() per stage — the frames are cached and reused
+    * downstream, so the extra cost is one cache materialization that the
+    * next consumer would have paid anyway) and its seconds accumulate
+    * under a fixed stage label. Disabled by default: streaming soaks
+    * must not pay a forcing job per stage per micro-batch. Single-writer
+    * use (graft.Bench); `last` holds the most recent batch's map.
+    */
+  object StageTimer {
+    @volatile var enabled = false
+    val last = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    private[streaming] def time[T](stage: String)(thunk: => T): T =
+      if (!enabled) thunk
+      else {
+        val t0 = System.nanoTime()
+        val r = thunk
+        last.synchronized {
+          last(stage) = last.getOrElse(stage, 0.0) + (System.nanoTime() - t0) / 1e9
+        }
+        r
+      }
+    private[streaming] def force(stage: String, df: DataFrame): DataFrame =
+      if (!enabled) df else time(stage) { df.count(); df }
+  }
+
   /** Per-stage knobs. `quality` maps the batch frame to (doc_id, keep)
     * — swap in a tuned ruleset, a [[TextAnalysis.scoreLinear]]
     * threshold, or `lit(1)` to disable; `minLeak` is the shared-run
@@ -66,13 +101,16 @@ object StreamingCorpusPipeline {
     * fingerprint and MinHash indexes must already exist (seed builds —
     * possibly over empty frames); `spanPath` is the optional eval-set
     * decontamination index; `semPath` an optional [[SemanticIndex]]
-    * adding the SemDeDup stage after near-dup.
+    * adding the SemDeDup stage after near-dup; `lnPath` an optional
+    * [[LineIndex]] adding C4-style line cleaning between the quality
+    * gate and the exact stage.
     */
   def start(docs: DataFrame, fpPath: String, mhPath: String,
             spanPath: Option[String], verdictPath: String,
             checkpoint: String, cfg: Config = Config(),
             semPath: Option[String] = None,
-            winPath: Option[String] = None): StreamingQuery =
+            winPath: Option[String] = None,
+            lnPath: Option[String] = None): StreamingQuery =
     docs
       .select(col("doc_id") +: col("text") +:
         semPath.map(_ => col("embedding")).toSeq: _*)
@@ -83,7 +121,7 @@ object StreamingCorpusPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           processBatch(batch, batchId, fpPath, mhPath, spanPath,
-            verdictPath, cfg, semPath, winPath)
+            verdictPath, cfg, semPath, winPath, lnPath)
           if (cfg.compactEvery > 0 && batchId > 0 &&
               batchId % cfg.compactEvery == 0) {
             FingerprintIndex.load(batch.sparkSession, fpPath)
@@ -93,6 +131,8 @@ object StreamingCorpusPipeline {
             semPath.foreach(p => SemanticIndex.load(batch.sparkSession, p)
               .compactCommitted(checkpoint))
             winPath.foreach(p => WinnowIndex.load(batch.sparkSession, p)
+              .compactCommitted(checkpoint))
+            lnPath.foreach(p => LineIndex.load(batch.sparkSession, p)
               .compactCommitted(checkpoint)): Unit
           }
         }
@@ -153,7 +193,7 @@ object StreamingCorpusPipeline {
         .unionByName(exDrops).unionByName(nearDrops)
         .unionByName(survivors.select(col("doc_id"),
           lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
-    } finally { sh.unpersist(); sigs.unpersist(): Unit }
+    } finally { sh.unpersist(blocking = true); sigs.unpersist(blocking = true): Unit }
   }
 
   /** Cold-start for the semantic stage: SemDeDup over a historical
@@ -202,7 +242,7 @@ object StreamingCorpusPipeline {
         semPath, nlist, normalized, idCol, vecCol): Unit
       drops.unionByName(survivors.select(col("id").as("doc_id"),
         lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
-    } finally { assigned.unpersist(); () }
+    } finally { assigned.unpersist(blocking = true); () }
   }
 
   /** One batch of the gauntlet — public so a batch backfill applies
@@ -212,7 +252,8 @@ object StreamingCorpusPipeline {
                    mhPath: String, spanPath: Option[String],
                    verdictPath: String, cfg: Config,
                    semPath: Option[String] = None,
-                   winPath: Option[String] = None): Unit = {
+                   winPath: Option[String] = None,
+                   lnPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val seg = s"b$batchId"
     // the embedding column rides along only when the semantic stage is on
@@ -227,42 +268,64 @@ object StreamingCorpusPipeline {
     def keep(df: DataFrame): DataFrame = { caches += df.cache(); df }
     def minus(from: DataFrame, dropped: DataFrame): DataFrame =
       from.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+    if (StageTimer.enabled) StageTimer.last.synchronized(StageTimer.last.clear())
     try {
       // 1. quality: anything the gate does not keep drops first
-      val qDrops = keep(docs
+      val qDrops = StageTimer.force("quality", keep(docs
         .join(cfg.quality(docs).where(col("keep") === 0), Seq("doc_id"),
           "left_semi")
         .select(col("doc_id"), lit("drop_quality").as("verdict"),
-          lit(null).cast("long").as("ref_id")))
-      val afterQ = minus(docs, qDrops)
+          lit(null).cast("long").as("ref_id"))))
+      val afterQ0 = minus(docs, qDrops)
+
+      // 1b. line cleaning, when an index is configured: strip lines the
+      // kept corpus (or this batch, earlier) has already seen BEFORE
+      // fingerprinting — recurring boilerplate otherwise makes every
+      // page's fingerprint unique and defeats the exact stage. Own
+      // segment excluded so a replayed batch reproduces the original
+      // cleaning; the embedding column rides around the text-only
+      // cleaner via a re-join on doc_id.
+      val afterQ = lnPath match {
+        case Some(p) =>
+          val cleaned = LineIndex.load(spark, p)
+            .dedupLinesBatch(afterQ0.select(col("doc_id"), col("text")),
+              excludeSeg = Some(seg))
+          StageTimer.force("line", keep(semPath match {
+            case Some(_) =>
+              cleaned.join(afterQ0.select(col("doc_id"), col("embedding")),
+                Seq("doc_id"))
+            case None => cleaned
+          }))
+        case None => afterQ0
+      }
 
       // 2a. exact vs the kept corpus (own segment excluded for replay)
       val fpIdx = FingerprintIndex.load(spark, fpPath)
-      val exCross = keep(fpIdx
+      val exCross = StageTimer.force("exact", keep(fpIdx
         .dedupBatch(afterQ, excludeSeg = Some(seg))
         .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
-        .select(col("doc_id"), lit("dup_exact").as("verdict"), col("ref_id")))
+        .select(col("doc_id"), lit("dup_exact").as("verdict"), col("ref_id"))))
       val afterExC = minus(afterQ, exCross)
       // 2b. exact within the batch: first (smallest-id) occurrence kept
       val wFp = Window.partitionBy("fp")
-      val exBatch = keep(afterExC
+      val exBatch = StageTimer.force("exact", keep(afterExC
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .withColumn("keeper", min("doc_id").over(wFp))
         .where(col("doc_id") =!= col("keeper"))
         .select(col("doc_id"), lit("dup_exact_batch").as("verdict"),
-          col("keeper").as("ref_id")))
+          col("keeper").as("ref_id"))))
       val afterEx = minus(afterExC, exBatch)
 
       // 3. decontamination: any run of ≥ minLeak shared sampled grams
       // with any indexed eval doc convicts
-      val contam = keep(spanPath match {
+      val contam = StageTimer.force("contam", keep(spanPath match {
         case Some(p) => SpanIndex.load(spark, p)
           .check(afterEx, minShared = cfg.minLeak)
           .groupBy("doc_id").agg(min("bench_id").as("ref_id"))
           .select(col("doc_id"), lit("contaminated").as("verdict"),
             col("ref_id"))
         case None => emptyVerdicts
-      })
+      }))
       // lineage cut: everything before this point is a chain of
       // anti-joins whose LOGICAL plan would otherwise underlie every
       // frame the near-dup block builds — Catalyst re-analyzes that
@@ -270,8 +333,8 @@ object StreamingCorpusPipeline {
       // ~40% of the batch wall. The checkpointed frame is batch-sized
       // by construction (micro-batches are bounded), so materializing
       // it is cheap and every downstream plan starts from an RDD scan.
-      val afterC = minus(afterEx, contam)
-        .select(carried: _*).localCheckpoint()
+      val afterC = StageTimer.time("near")(
+        minus(afterEx, contam).select(carried: _*).localCheckpoint())
 
       // 4. near-dup: cross vs the index, then in-batch components
       // (StreamingDedup's rule). The batch is shingled and signed ONCE
@@ -285,21 +348,21 @@ object StreamingCorpusPipeline {
         t.join(d.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       val shAll = keep(Dedup.hashShingles(Dedup.shingles(afterC, mhIdx.n)))
       val sigsAll = keep(Dedup.minhashSignatures(shAll, mhIdx.k))
-      val nearCross = keep(mhIdx
+      val nearCross = StageTimer.force("near", keep(mhIdx
         .dedupBatch(afterC, cfg.tau, excludeSeg = Some(seg),
           shingled = Some(shAll), signatures = Some(sigsAll))
         .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
-        .select(col("doc_id"), lit("dup_index").as("verdict"), col("ref_id")))
-      val afterNc = minus(afterC, nearCross)
-        .select(carried: _*).localCheckpoint()
+        .select(col("doc_id"), lit("dup_index").as("verdict"), col("ref_id"))))
+      val afterNc = StageTimer.time("near")(
+        minus(afterC, nearCross).select(carried: _*).localCheckpoint())
       val pairs = Dedup.minhashDuplicates(afterNc, n = mhIdx.n, tau = cfg.tau,
         k = mhIdx.k, bands = mhIdx.bands,
         shingled = Some(idsOf(afterNc)(shAll)),
         signatures = Some(idsOf(afterNc)(sigsAll)))
-      val nearBatch = keep(Dedup.connectedComponents(pairs)
+      val nearBatch = StageTimer.force("near", keep(Dedup.connectedComponents(pairs)
         .where(col("id") =!= col("root"))
         .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
-          col("root").as("ref_id")))
+          col("root").as("ref_id"))))
       val afterNear0 = minus(afterNc, nearBatch)
 
       // 4b. winnow stage, when an index is configured: the positional
@@ -312,19 +375,20 @@ object StreamingCorpusPipeline {
       val (winCross, winBatch, afterNear) = winPath match {
         case Some(p) =>
           val winIdx = WinnowIndex.load(spark, p)
-          val wCross = keep(winIdx
+          val wCross = StageTimer.force("winnow", keep(winIdx
             .dedupBatch(afterNear0, cfg.winTau, cfg.winMaxDf,
               excludeSeg = Some(seg))
             .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
             .select(col("doc_id"), lit("dup_winnow").as("verdict"),
-              col("ref_id")))
+              col("ref_id"))))
           val afterWc = minus(afterNear0, wCross)
           val wPairs = Dedup.winnowPairs(afterWc, k = winIdx.k, w = winIdx.w,
             tau = cfg.winTau, maxHashFreq = cfg.winMaxDf)
-          val wBatch = keep(Dedup.connectedComponents(wPairs.select("a", "b"))
-            .where(col("id") =!= col("root"))
-            .select(col("id").as("doc_id"), lit("dup_winnow_batch").as("verdict"),
-              col("root").as("ref_id")))
+          val wBatch = StageTimer.force("winnow",
+            keep(Dedup.connectedComponents(wPairs.select("a", "b"))
+              .where(col("id") =!= col("root"))
+              .select(col("id").as("doc_id"), lit("dup_winnow_batch").as("verdict"),
+                col("root").as("ref_id"))))
           (wCross, wBatch, keep(minus(afterWc, wBatch)))
         case None =>
           (emptyVerdicts, emptyVerdicts, afterNear0)
@@ -340,47 +404,55 @@ object StreamingCorpusPipeline {
           val semIdx = SemanticIndex.load(spark, p)
           val assigned = keep(semIdx.assign(afterNear, idCol = "doc_id",
             vecCol = "embedding"))
-          val sCross = keep(semIdx
+          val sCross = StageTimer.force("semantic", keep(semIdx
             .dedupAssigned(assigned, cfg.semTau, excludeSeg = Some(seg))
             .groupBy("vec_id").agg(min("dup_of").as("ref_id"))
             .select(col("vec_id").as("doc_id"),
-              lit("dup_semantic").as("verdict"), col("ref_id")))
+              lit("dup_semantic").as("verdict"), col("ref_id"))))
           val remaining = keep(assigned.join(
             sCross.select(col("doc_id").as("id")), Seq("id"), "left_anti"))
           val sim = Similarity.pairSim(semIdx.normalized,
             col("x.vec"), col("y.vec"))
-          val sBatch = keep(remaining.as("x")
+          val sBatch = StageTimer.force("semantic", keep(remaining.as("x")
             .join(remaining.as("y"),
               col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
             .where(sim >= cfg.semTau)
             .groupBy(col("y.id").as("doc_id"))
             .agg(min(col("x.id")).as("ref_id"))
             .select(col("doc_id"), lit("dup_semantic_batch").as("verdict"),
-              col("ref_id")))
+              col("ref_id"))))
           val surv = keep(minus(minus(afterNear, sCross), sBatch))
-          semIdx.appendAssigned(remaining.join(
-            surv.select(col("doc_id").as("id")), Seq("id"), "left_semi"),
-            seg = seg)
+          StageTimer.time("append")(
+            semIdx.appendAssigned(remaining.join(
+              surv.select(col("doc_id").as("id")), Seq("id"), "left_semi"),
+              seg = seg))
           (sCross, sBatch, surv)
         case None =>
           (emptyVerdicts, emptyVerdicts, keep(afterNear))
       }
 
-      // 5. exactly-once effects, all keyed by batchId
-      fpIdx.append(survivors, seg = seg)
-      winPath.foreach(p =>
-        WinnowIndex.load(spark, p).append(survivors, seg = seg))
-      mhIdx.append(survivors, seg = seg,
-        shingled = Some(idsOf(survivors)(shAll)),
-        signatures = Some(idsOf(survivors)(sigsAll)))
-      qDrops
+      // 5. exactly-once effects, all keyed by batchId. The line index
+      // grows by the SURVIVORS' kept lines (the "everything ever kept"
+      // contract the other indexes follow): a dropped near-dup's
+      // unshipped lines never poison future kept documents.
+      StageTimer.time("append") {
+        fpIdx.append(survivors, seg = seg)
+        lnPath.foreach(p =>
+          LineIndex.load(spark, p).append(survivors, seg = seg))
+        winPath.foreach(p =>
+          WinnowIndex.load(spark, p).append(survivors, seg = seg))
+        mhIdx.append(survivors, seg = seg,
+          shingled = Some(idsOf(survivors)(shAll)),
+          signatures = Some(idsOf(survivors)(sigsAll)))
+      }
+      StageTimer.time("verdict")(qDrops
         .unionByName(exCross).unionByName(exBatch).unionByName(contam)
         .unionByName(nearCross).unionByName(nearBatch)
         .unionByName(winCross).unionByName(winBatch)
         .unionByName(semCross).unionByName(semBatch)
         .unionByName(survivors.select(col("doc_id"),
           lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
-        .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-    } finally caches.foreach(_.unpersist())
+        .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId"))
+    } finally caches.foreach(_.unpersist(blocking = true))
   }
 }

@@ -119,11 +119,11 @@ object StreamingDedup {
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("doc_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-      cross.unpersist()
-      batchDups.unpersist()
-      survivors.unpersist()
-      remSh.unpersist()
-      remSigs.unpersist()
-    } finally docs.unpersist()
+      cross.unpersist(blocking = true)
+      batchDups.unpersist(blocking = true)
+      survivors.unpersist(blocking = true)
+      remSh.unpersist(blocking = true)
+      remSigs.unpersist(blocking = true)
+    } finally docs.unpersist(blocking = true)
   }
 }

@@ -76,6 +76,6 @@ object StreamingLineDedup {
     try {
       clean.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       idx.append(clean, seg = s"b$batchId")
-    } finally { clean.unpersist(): Unit }
+    } finally { clean.unpersist(blocking = true): Unit }
   }
 }

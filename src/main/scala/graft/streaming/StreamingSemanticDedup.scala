@@ -121,9 +121,9 @@ object StreamingSemanticDedup {
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("vec_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-      cross.unpersist()
-      batchDups.unpersist()
-      survivors.unpersist()
-    } finally { assigned.unpersist(); () }
+      cross.unpersist(blocking = true)
+      batchDups.unpersist(blocking = true)
+      survivors.unpersist(blocking = true)
+    } finally { assigned.unpersist(blocking = true); () }
   }
 }

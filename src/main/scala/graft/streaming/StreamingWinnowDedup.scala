@@ -81,9 +81,9 @@ object StreamingWinnowDedup {
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("doc_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-      cross.unpersist()
-      batchDups.unpersist()
-      survivors.unpersist()
-    } finally docs.unpersist(): Unit
+      cross.unpersist(blocking = true)
+      batchDups.unpersist(blocking = true)
+      survivors.unpersist(blocking = true)
+    } finally docs.unpersist(blocking = true): Unit
   }
 }

@@ -22,6 +22,7 @@ object BpeScale {
   def main(args: Array[String]): Unit = {
     val nBase = args.headOption.map(_.toInt).getOrElse(100000)
     val merges = args.lift(1).map(_.toInt).getOrElse(10)
+    val deepMerges = args.lift(2).map(_.toInt).getOrElse(1000)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -30,6 +31,13 @@ object BpeScale {
       .appName("graft-bpe-scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
 
     // JIT/codegen warmup at a small scale so the first timed point isn't
     // paying compilation (first run measured the base scale SLOWER than
@@ -57,6 +65,29 @@ object BpeScale {
       d.count(): Unit
       val mergeSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"n":$n,"dict_rows":$dictRows,"scan_sec":$scanSec%.2f,"merge_sec":$mergeSec%.2f,"merges":$merges}""")
+    }
+
+    // Deep-merge evidence (r8 verdict #4): the batched distributed
+    // trainer at production-shaped depth — total Spark JOBS must be
+    // ≪ merges (rounds × ~3, one top-K collect + pc/dict checkpoints
+    // per round), and per-merge wall ~flat when the corpus (and so the
+    // perturbed mass per merge) is held fixed while n grows 10×. The
+    // job counter is the direct refutation of the old
+    // one-argmax-collect-per-merge shape.
+    for (n <- Seq(nBase, nBase * 10)) {
+      val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          udfFreeWord(col("id"), j)): _*).as("text"))
+      Thread.sleep(300) // drain listener before the window
+      val j0 = jobCount.get
+      val t0 = System.nanoTime()
+      val trained = Bpe.train(docs, numMerges = deepMerges,
+        minCount = 2L, driverThreshold = 0L)
+      val got = trained.merges.length
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      val jobs = jobCount.get - j0
+      println(f"""{"deep_n":$n,"merges":$got,"jobs":$jobs,"wall_sec":$wall%.1f,"ms_per_merge":${wall * 1000 / math.max(got, 1)}%.1f}""")
     }
     spark.stop()
   }

@@ -122,9 +122,9 @@ object LayoutExperiment {
         .repartition(col("level"), col("pb"), col("tb"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("level", "pb", "tb").parquet(path)
-      merged0.unpersist(); prop.unpersist()
+      merged0.unpersist(blocking = true); prop.unpersist(blocking = true)
       ()
-    } finally routed.unpersist()
+    } finally routed.unpersist(blocking = true)
   }
 
   def main(args: Array[String]): Unit = {

@@ -104,7 +104,7 @@ object SemanticScale {
       // base corpus, or (if recall analysis says otherwise) a bug
       val collateral = n - (survivors -- copyIds).size
       println(f"""{"nlist":$nlist,"n":${n + planted},"assign_sec":$tAssign%.2f,"dedup_sec":$tDedup%.2f,"planted_drop_recall":${plantedDropped.toDouble / planted}%.4f,"collateral_drops":$collateral,"cell_mean":${cellSizes.sum / cellSizes.length},"cell_p99":${pct(cellSizes, 0.99)},"cell_max":${cellSizes.max},"cells":${cellSizes.length}}""")
-      assigned.unpersist()
+      assigned.unpersist(blocking = true)
     }
     spark.stop()
   }

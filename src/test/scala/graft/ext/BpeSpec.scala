@@ -71,6 +71,37 @@ class BpeSpec extends AnyFunSuite {
     assert(dd == md)
   }
 
+  test("batched distributed loop == in-memory trainer on randomized corpora") {
+    // the batch selector must reproduce the one-merge-at-a-time argmax
+    // EXACTLY, including ties and created-pair hazards — fuzz it with
+    // skewed random word soups and a deep merge budget, at tiny topK /
+    // maxBatch so the cutoff-and-bound paths all fire
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 2) {
+      val alpha = "abcde"
+      val words = (0 until 120).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val docsDf = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, (w + " ") * (1 + rnd.nextInt(5))) }
+        .toDF("doc_id", "text")
+      val mem = Bpe.train(docsDf, numMerges = 30, minCount = 2L)
+      // a wide config (big batches, bound from the uncollected tail) and
+      // a tight one (tiny topK/maxBatch → the cutoff paths every round)
+      for ((tk, mb) <- Seq((256, 64), (5, 2))) {
+        val dist = Bpe.train(docsDf, numMerges = 30, minCount = 2L,
+          driverThreshold = 0L, topK = tk, maxBatch = mb)
+        assert(dist.merges == mem.merges,
+          s"trial=$trial topK=$tk maxBatch=$mb:\n${dist.merges}\nvs\n${mem.merges}")
+        assert(dist.dict.select("tok", "syms").as[(String, Seq[String])]
+          .collect().toMap ==
+          mem.dict.select("tok", "syms").as[(String, Seq[String])]
+            .collect().toMap, s"trial=$trial dict mismatch")
+      }
+    }
+  }
+
   test("conservation: each merge removes exactly its count; join covers all pre-tokens") {
     val trained = Bpe.train(fixture, numMerges = 8)
     val dict0 = Bpe.wordDict(fixture)

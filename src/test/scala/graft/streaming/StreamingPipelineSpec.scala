@@ -388,6 +388,74 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(v1(401L) == "dup_winnow", s"growth: $v1")
   }
 
+  test("line stage: boilerplate cleaning feeds the exact stage; survivors extend the line index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fpPath = Files.createTempDirectory("lp-fp").toString
+    val mhPath = Files.createTempDirectory("lp-mh").toString
+    val lnPath = Files.createTempDirectory("lp-ln").toString
+    val vPath = Files.createTempDirectory("lp-v").toString
+    val ckpt = Files.createTempDirectory("lp-ckpt").toString
+    val banner = "please accept our cookie banner now"
+    val seed = Seq((1L, A), (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    FingerprintIndex.build(seed, fpPath)
+    MinHashIndex.build(seed, mhPath)
+    graft.ext.LineIndex.build(Seq((900L, banner)).toDF("doc_id", "text"), lnPath)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    def verdicts(batch: Long): Map[Long, (String, Option[Long])] =
+      spark.read.parquet(vPath).where(s"batch = $batch").collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+
+    // batch 0: the banner line is boilerplate every doc carries; without
+    // cleaning, 301's fingerprint would be unique and it would ship
+    mem.addData(
+      (301L, banner + "\n" + A), // cleaned == A → exact dup of indexed 1
+      (302L, banner + "\n" + D), // cleaned == D → kept; line D enters the index
+      (303L, "x y"),             // fails quality (raw text, pre-cleaning)
+      (304L, banner + "\n" + E)) // cleaned == E → kept
+    drain(StreamingCorpusPipeline.start(stream, fpPath, mhPath,
+      None, vPath, ckpt, cfg, lnPath = Some(lnPath)))
+    assert(verdicts(0) == Map(
+      301L -> ("dup_exact", Some(1L)),
+      302L -> ("kept", None),
+      303L -> ("drop_quality", None),
+      304L -> ("kept", None)), s"batch 0: ${verdicts(0)}")
+
+    // batch 1: survivor 302's line D is NOW boilerplate — 401 sheds it
+    // and convicts as an exact dup of seed 1 (without the survivor
+    // append its cleaned text would be "D\nA", a unique fingerprint)
+    mem.addData((401L, D + "\n" + A), (402L, F))
+    drain(StreamingCorpusPipeline.start(stream, fpPath, mhPath,
+      None, vPath, ckpt, cfg, lnPath = Some(lnPath)))
+    assert(verdicts(1) == Map(
+      401L -> ("dup_exact", Some(1L)),
+      402L -> ("kept", None)), s"batch 1: ${verdicts(1)}")
+
+    // the line index holds exactly {banner, D, E, F} — survivors' kept
+    // lines only, never a dropped doc's
+    def lineHashes: Set[String] = spark.read.parquet(s"$lnPath/lines")
+      .select("lh").distinct().as[String].collect().toSet
+    val expected = Seq(banner, D, E, F)
+      .map(l => Seq((0L, l)).toDF("doc_id", "text")
+        .select(md5(col("text").cast("binary"))).as[String].head()).toSet
+    assert(lineHashes == expected, s"line index: $lineHashes")
+
+    // replay batch 1: identical verdicts, identical index (overwrite-
+    // per-segment + own-segment exclusion)
+    StreamingCorpusPipeline.processBatch(
+      Seq((401L, D + "\n" + A), (402L, F)).toDF("doc_id", "text"),
+      1L, fpPath, mhPath, None, vPath, cfg, lnPath = Some(lnPath))
+    assert(verdicts(1) == Map(
+      401L -> ("dup_exact", Some(1L)),
+      402L -> ("kept", None)), s"replayed batch 1: ${verdicts(1)}")
+    assert(lineHashes == expected, "replay changed the line index")
+  }
+
   test("no span index: contamination stage is a no-op, the rest unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
