@@ -106,6 +106,49 @@ object Dedup {
       .where(col("containment") >= tau)
       .select(col("a"), col("b"), col("containment"))
 
+  /** Edit-distance-verified near-dup pairs (a < b, sim >= tau) where
+    * sim = 1 − levenshtein(text_a, text_b) / max(len_a, len_b) — the
+    * normalized-edit-similarity verify used by code-corpus dedup
+    * pipelines (set-based signals like Jaccard are blind to ORDER:
+    * permuting a file's lines preserves its shingle multiset almost
+    * entirely but is a real content change; edit distance charges every
+    * move). Levenshtein is O(len_a × len_b) per pair, so it can never
+    * run on raw candidates at scale — candidates are the same
+    * frequency-capped shingle blocking as [[jaccardPairs]], pre-filtered
+    * to `blockTau` Jaccard, and only that bounded pair stream pays the
+    * quadratic verify (one broadcast-ish join back to the text table per
+    * side; texts travel only to surviving candidates, never through the
+    * shingle shuffle). `maxDist` (optional) additionally bounds each
+    * verify at O(min_len × maxDist) via early abandon — the banded-DP
+    * standard — rejecting pairs whose distance provably exceeds it,
+    * for corpora whose near-dup policy fixes an absolute edit budget.
+    */
+  def editDistancePairs(docs: DataFrame, n: Int = 3, tau: Double = 0.8,
+                        blockTau: Double = 0.2, maxShingleFreq: Long = 1000,
+                        maxDist: Option[Int] = None,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingled: Option[DataFrame] = None): DataFrame = {
+    val cand = shingleIntersections(docs, n, maxShingleFreq, idCol, textCol, shingled)
+      .where(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double") >= blockTau)
+      .select("a", "b")
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val dist = maxDist match {
+      case Some(d) => levenshtein(col("ta"), col("tb"), d)
+      case None    => levenshtein(col("ta"), col("tb"))
+    }
+    cand
+      .join(txt.select(col("id").as("a"), col("t").as("ta")), "a")
+      .join(txt.select(col("id").as("b"), col("t").as("tb")), "b")
+      .withColumn("dist", dist)
+      // threshold mode returns -1 for "provably > maxDist": reject
+      .where(col("dist") >= 0)
+      .withColumn("sim", lit(1.0) - col("dist").cast("double")
+        / greatest(length(col("ta")), length(col("tb")), lit(1)).cast("double"))
+      .where(col("sim") >= tau)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** Shared candidate-intersection core of the word-shingle pair family:
     * blocked (share ≥1 capped shingle) doc pairs with their exact
     * intersection count and both set sizes — (a, b, inter, na, nb),

@@ -1,9 +1,11 @@
 package graft.ext
 
+import java.io.File
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Persisted exact-dedup corpus index: the canonical-content
   * fingerprints ([[TextAnalysis.fingerprint]]) of every kept document,
@@ -23,9 +25,37 @@ import org.apache.spark.sql.functions._
   * replaying batch hides its own segment via `excludeSeg`, and
   * [[compact]]/[[compactCommitted]] fold committed history through the
   * shared [[SegmentedTable]] protocol.
+  *
+  * ==Bloom gate==
+  *
+  * Even broadcast-joined, `dedupBatch` SCANS the whole fps table per
+  * batch — at 10¹¹ indexed documents that scan, not the join, is the
+  * per-batch cost, and the overwhelmingly common verdict is "never seen
+  * before". An index built with `bloom = true` maintains a per-segment
+  * Bloom-filter sidecar (`bloom/seg=<s>.bf`, built over xxhash64(fp) by
+  * `DataFrame.stat.bloomFilter`, sized to the segment at `fpp`) and
+  * [[dedupBatchBloom]] consults the sidecars FIRST: batch fingerprints
+  * that hit no segment's filter are definitively new (Bloom filters
+  * have no false negatives) and never touch the fps table; only the
+  * hit subset — false positives included — pays the exact equi-join,
+  * which discharges them, so the result is row-identical to
+  * [[dedupBatch]] always. An all-new batch (the steady-state case)
+  * costs zero index IO beyond the kilobyte-scale sidecar reads.
+  *
+  * Sidecar lifecycle mirrors the segments exactly: append overwrites
+  * the segment's `.bf` (replay-idempotent), compaction rebuilds the
+  * base sidecar from the folded base and deletes the folded ones, and
+  * a missing sidecar (index predating the gate, or built with
+  * `bloom = false`) degrades [[dedupBatchBloom]] to the exact join —
+  * never to a wrong answer. Memory envelope, stated honestly: the
+  * gate broadcasts every live sidecar (~1.2 bytes/key at fpp 1%), so
+  * it pays off while the indexed-key bloom mass fits executor memory —
+  * ~10⁹–10¹⁰ keys; beyond that, raise `fpp` or shard the corpus across
+  * indexes before reaching for it.
   */
 final class FingerprintIndex private[ext] (val spark: SparkSession,
-                                           val path: String) {
+                                           val path: String,
+                                           val fpp: Double = 0.01) {
 
   private def fps(excludeSeg: Option[String]): DataFrame = {
     val raw = spark.read.parquet(s"$path/fps")
@@ -53,22 +83,67 @@ final class FingerprintIndex private[ext] (val spark: SparkSession,
       .select(col("x.id").as("doc_id"), col("y.id").as("dup_of"),
         col("x.fp").as("fp"))
 
+  /** [[dedupBatch]] behind the Bloom gate: identical rows, but batch
+    * docs whose fingerprint hits no segment sidecar skip the fps scan
+    * entirely, and a batch with zero hits returns without touching the
+    * index at all. Falls back to the plain exact join when any live
+    * segment lacks a sidecar (correctness is never delegated to the
+    * filter — the exact join discharges Bloom false positives).
+    */
+  def dedupBatchBloom(newDocs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      excludeSeg: Option[String] = None): DataFrame = {
+    val batch = fingerprints(newDocs, idCol, textCol)
+    loadBlooms(excludeSeg) match {
+      case None => dedupBatch(newDocs, idCol, textCol, excludeSeg)
+      case Some(blooms) =>
+        val bc = spark.sparkContext.broadcast(blooms)
+        import spark.implicits._
+        val hits = batch
+          .withColumn("hfp", xxhash64(col("fp")))
+          .as[(Long, String, Long)]
+          .filter(r => bc.value.exists(_.mightContainLong(r._3)))
+          .toDF("id", "fp", "hfp")
+          .drop("hfp")
+        if (hits.isEmpty)
+          // schema-identical empty frame built from the batch alone —
+          // the deleted-fps spec pins that this path reads no index
+          batch.where(lit(false))
+            .select(col("id").as("doc_id"), col("id").as("dup_of"), col("fp"))
+        else hits.as("x")
+          .join(fps(excludeSeg).as("y"), col("x.fp") === col("y.fp"))
+          .select(col("x.id").as("doc_id"), col("y.id").as("dup_of"),
+            col("x.fp").as("fp"))
+    }
+  }
+
   /** Write a batch's fingerprints into segment `seg` (overwrite that
-    * segment only — replay-idempotent).
+    * segment only — replay-idempotent). Maintains the segment's Bloom
+    * sidecar iff the index was built with the gate on (`bloom/` dir
+    * present).
     */
   def append(newDocs: DataFrame, seg: String, idCol: String = "doc_id",
              textCol: String = "text"): Unit = {
-    fingerprints(newDocs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/fps/seg=$seg")
+    val fpDf = fingerprints(newDocs, idCol, textCol)
+    fpDf.write.mode("overwrite").parquet(s"$path/fps/seg=$seg")
     SegmentedTable.refreshParent(spark, s"$path/fps")
+    if (new File(path, "bloom").isDirectory) writeBloom(seg)
   }
 
   /** Fold appended segments into `base` ([[SegmentedTable.compact]];
     * rows preserved verbatim — every verdict identical before/after).
+    * With the gate on, the base sidecar is rebuilt over the folded base
+    * and the folded segments' sidecars are deleted.
     */
-  def compact(folds: Seq[String]): Seq[String] =
-    SegmentedTable.compact(spark, s"$path/fps", "seg", "base", folds,
-      Seq("id", "fp"))
+  def compact(folds: Seq[String]): Seq[String] = {
+    val folded = SegmentedTable.compact(spark, s"$path/fps", "seg", "base",
+      folds, Seq("id", "fp"))
+    if (folded.nonEmpty && new File(path, "bloom").isDirectory) {
+      folded.foreach(s => new File(path, s"bloom/seg=$s.bf").delete(): Unit)
+      writeBloom("base")
+    }
+    folded
+  }
 
   /** Fold every `b<batchId>` segment strictly older than the
     * checkpoint's newest committed batch (replay-safe boundary).
@@ -78,16 +153,62 @@ final class FingerprintIndex private[ext] (val spark: SparkSession,
     if (committed.size < 2) Nil
     else compact(committed.init.map(b => s"b$b"))
   }
+
+  /** Build segment `seg`'s Bloom sidecar from its persisted fps (sized
+    * to the segment's row count at `fpp`; distributed aggregation via
+    * `stat.bloomFilter`, driver holds only the finished bits).
+    */
+  private def writeBloom(seg: String): Unit = {
+    val segFps = spark.read.parquet(s"$path/fps/seg=$seg")
+    val n = math.max(segFps.count(), 1L)
+    val bf = segFps.stat.bloomFilter(xxhash64(col("fp")), n, fpp)
+    val f = new File(path, s"bloom/seg=$seg.bf")
+    val out = Files.newOutputStream(f.toPath)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** Every live segment's sidecar, or None when the gate is off or some
+    * fps segment lacks one (the gate must never silently skip an
+    * unfiltered segment — degrade to the exact join instead). The
+    * sidecar listing, not the fps listing, is the gate's source of
+    * truth: a sidecar whose segment is gone only adds discharged false
+    * hits, never false negatives.
+    */
+  private def loadBlooms(excludeSeg: Option[String]): Option[Seq[BloomFilter]] = {
+    val bloomDir = new File(path, "bloom")
+    if (!bloomDir.isDirectory) return None
+    val sidecars = Option(bloomDir.listFiles).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.startsWith("seg=")
+        && f.getName.endsWith(".bf"))
+      .map(_.getName.stripPrefix("seg=").stripSuffix(".bf"))
+      .toSet
+    val fpSegs = Option(new File(path, "fps").listFiles).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(_.getName.stripPrefix("seg="))
+      .toSet
+    if (!(fpSegs -- excludeSeg.toSet).subsetOf(sidecars)) return None
+    val live = (sidecars -- excludeSeg.toSet).toSeq.sorted
+    Some(live.map { s =>
+      val in = Files.newInputStream(new File(bloomDir, s"seg=$s.bf").toPath)
+      try BloomFilter.readFrom(in) finally in.close()
+    })
+  }
 }
 
 object FingerprintIndex {
 
-  /** Build and persist over a kept corpus (replaces anything at `path`). */
+  /** Build and persist over a kept corpus (replaces anything at `path`).
+    * `bloom = true` turns the Bloom gate on for this index's lifetime:
+    * every append/compact maintains per-segment sidecars and
+    * [[FingerprintIndex.dedupBatchBloom]] can skip the fps scan.
+    */
   def build(docs: DataFrame, path: String, idCol: String = "doc_id",
-            textCol: String = "text"): FingerprintIndex = {
+            textCol: String = "text", bloom: Boolean = false,
+            fpp: Double = 0.01): FingerprintIndex = {
     SegmentedTable.deleteRecursively(new java.io.File(path))
     Files.createDirectories(Paths.get(path))
-    val idx = new FingerprintIndex(docs.sparkSession, path)
+    if (bloom) Files.createDirectories(Paths.get(path, "bloom"))
+    val idx = new FingerprintIndex(docs.sparkSession, path, fpp)
     idx.append(docs, seg = "base", idCol = idCol, textCol = textCol)
     idx
   }

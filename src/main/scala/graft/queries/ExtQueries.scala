@@ -570,6 +570,27 @@ object ExtQueries {
         graft.ext.FingerprintIndex.load(s, path)
       })
 
+  /** d63's Bloom-gated twin of [[fpIndexFor]]: same corpus split and
+    * build → append → fold → reload lifecycle, but with the per-segment
+    * Bloom sidecars on — so the gate's sidecar maintenance (append
+    * write, compaction rebuild) sits under d26's exact value oracle.
+    */
+  private def fpBloomIndexFor(s: org.apache.spark.sql.SparkSession,
+                              dir: String): graft.ext.FingerprintIndex =
+    fpIdxMemo.computeIfAbsent(
+      s"bloom:${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-fpbloom").toString
+        val corpus = docs(s, dir).where(col("doc_id") % 5 =!= 0)
+        graft.ext.FingerprintIndex.build(
+          corpus.where(col("doc_id") % 2 === 0), path, bloom = true)
+        val idx = graft.ext.FingerprintIndex.load(s, path)
+        idx.append(corpus.where(col("doc_id") % 2 =!= 0), seg = "b0")
+        require(idx.compact(Seq("b0")) == Seq("b0"),
+          "d63 gate: the appended segment must fold")
+        graft.ext.FingerprintIndex.load(s, path)
+      })
+
   /** Span-decontamination index memo per (session, dir): built over the
     * benchmark slice, SAVED to parquet, then RELOADED — d31 runs the
     * full build → persist → load → check lifecycle, like d19/d23/d26.
@@ -3479,6 +3500,82 @@ object ExtQueries {
          |FROM f x JOIN f y ON x.fp = y.fp
          |WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
          |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "d63_dedup_exact_bloom",
+      // d26 through the Bloom gate: same corpus/batch split, same md5
+      // cross-pair oracle, but the index carries per-segment Bloom
+      // sidecars (built, appended, compaction-rebuilt) and the check
+      // runs dedupBatchBloom — membership prefilter + exact-join
+      // verification. Identical rows to d26 by construction (no false
+      // negatives; false positives discharged by the join), so the
+      // whole gate lifecycle is value-gated. Unlike d26 (0 cross-pairs
+      // at sf0.01 — the split has no exact dups), the batch here is
+      // the %5=0 slice PLUS a re-keyed copy of the indexed %5=1 slice,
+      // so both gate paths carry mass: the copies MUST hit the filter
+      // and match, the fresh slice exercises the reject/false-positive
+      // path (FingerprintIndexSpec pins the zero-IO fast path).
+      (s, dir) => {
+        val d = docs(s, dir)
+        val batch = d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(d.where(col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        fpBloomIndexFor(s, dir)
+          .dedupBatchBloom(batch)
+          .select(col("doc_id"), col("dup_of"), col("fp"))
+          .orderBy("doc_id", "dup_of")
+      },
+      s"""WITH b AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 1
+         |), fx AS (SELECT doc_id, $fpSql AS fp FROM b),
+         |fy AS (SELECT doc_id, $fpSql AS fp FROM documents WHERE doc_id % 5 <> 0)
+         |SELECT x.doc_id, y.doc_id AS dup_of, x.fp
+         |FROM fx x JOIN fy y ON x.fp = y.fp
+         |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "d64_dedup_editdistance",
+      // edit-distance-verified near-dup pairs: d02's capped shingle
+      // blocking pre-filtered at Jaccard >= 0.2, then the surviving
+      // pairs verified by normalized Levenshtein similarity
+      // 1 - dist/max(len) >= 0.5 — the order-sensitive verify set
+      // signals can't express (permuting lines preserves Jaccard,
+      // charges edit distance). Both engines compute classic
+      // Levenshtein over characters and one IEEE division, so the full
+      // (a, b, sim) row is value-gated.
+      (s, dir) =>
+        Dedup.editDistancePairs(docs(s, dir), n = 3, tau = 0.5,
+            blockTau = 0.2, shingled = Some(shinglesFor(s, dir, 3)))
+          .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+          .orderBy("a", "b"),
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM tok
+        |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT a, b
+        |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.2
+        |), v AS (
+        |  SELECT a, b,
+        |    1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+        |      / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE) AS sim
+        |  FROM cand JOIN documents da ON da.doc_id = a
+        |            JOIN documents db ON db.doc_id = b
+        |)
+        |SELECT a, b, round(sim, 4) AS sim FROM v WHERE sim >= 0.5
+        |ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
       "d27_dedup_span_overlap",

@@ -93,6 +93,12 @@ object StreamingCorpusPipeline {
       winTau: Double = 0.5,
       winMaxDf: Long = 64,
       compactEvery: Int = 0,
+      // route the exact stage through the fingerprint index's Bloom
+      // sidecars ([[FingerprintIndex.dedupBatchBloom]]): verdicts
+      // identical by construction, but a mostly-novel delivery skips
+      // the fps scan — the steady-state case at corpus scale. Safe on
+      // an index built without sidecars (degrades to the exact join).
+      bloomGate: Boolean = false,
       quality: DataFrame => DataFrame =
         d => TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep")))
 
@@ -301,8 +307,10 @@ object StreamingCorpusPipeline {
 
       // 2a. exact vs the kept corpus (own segment excluded for replay)
       val fpIdx = FingerprintIndex.load(spark, fpPath)
-      val exCross = StageTimer.force("exact", keep(fpIdx
-        .dedupBatch(afterQ, excludeSeg = Some(seg))
+      val exPairs =
+        if (cfg.bloomGate) fpIdx.dedupBatchBloom(afterQ, excludeSeg = Some(seg))
+        else fpIdx.dedupBatch(afterQ, excludeSeg = Some(seg))
+      val exCross = StageTimer.force("exact", keep(exPairs
         .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
         .select(col("doc_id"), lit("dup_exact").as("verdict"), col("ref_id"))))
       val afterExC = minus(afterQ, exCross)

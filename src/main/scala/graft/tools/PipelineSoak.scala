@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ext.{FingerprintIndex, MinHashIndex}
+import graft.ext.{FingerprintIndex, LineIndex, MinHashIndex}
 import graft.streaming.StreamingCorpusPipeline
 
 /** Long-run soak for the COMPOSED corpus constructor
@@ -26,7 +26,8 @@ import graft.streaming.StreamingCorpusPipeline
   * and a first-10 vs last-10 summary per mode.
   *
   * Usage: runMain graft.tools.PipelineSoak [batches] [docsPerBatch] [compactEvery]
-  *   compactEvery 0 runs both modes (no-compact, then compact-every-5).
+  *   compactEvery 0 runs all three modes (no-compact, compact-every-5,
+  *   line-stage-every-5); -N runs ONLY the line mode compacting every N.
   */
 object PipelineSoak {
 
@@ -70,42 +71,61 @@ object PipelineSoak {
         when(size(split(col("text"), "\\s+")) >= 3, 1).otherwise(0)
           .as("keep")))
 
-    def run(mode: String, every: Int): Unit = {
+    // the recurring boilerplate the "line" mode plants in every doc —
+    // the line stage must shed it each batch without the wall growing
+    val banner = "subscribe to the daily digest newsletter"
+
+    def run(mode: String, every: Int, withLine: Boolean = false): Unit = {
       val fpPath = Files.createTempDirectory(s"psoak-fp-$mode").toString
       val mhPath = Files.createTempDirectory(s"psoak-mh-$mode").toString
       val vPath = Files.createTempDirectory(s"psoakv-$mode").toString
+      val lnOpt =
+        if (!withLine) None
+        else {
+          val p = Files.createTempDirectory(s"psoak-ln-$mode").toString
+          LineIndex.build(Seq((-1L, banner)).toDF("doc_id", "text"), p)
+          Some(p)
+        }
       val seed = (0 until 500).map(i => (i.toLong, docText(-1L, i)))
         .toDF("doc_id", "text")
       FingerprintIndex.build(seed, fpPath)
       MinHashIndex.build(seed, mhPath)
+      def withBanner(t: String): String =
+        if (withLine) banner + "\n" + t else t
       val walls = (0 until batches).map { b =>
         // 80% fresh, 10% quality-fails, 5% exact dups of the seed, 5%
-        // in-batch exact dups — every gauntlet stage works each batch
+        // in-batch exact dups — every gauntlet stage works each batch.
+        // In "line" mode every substantive doc carries the banner line,
+        // so the seed-dup class convicts ONLY because cleaning restores
+        // the seed text (the d62 binding, soaked over stream age).
         val fresh = (0 until perBatch * 8 / 10).map(i =>
-          (b * 100000L + i, docText(b.toLong, i)))
+          (b * 100000L + i, withBanner(docText(b.toLong, i))))
         val short = (0 until perBatch / 10).map(i =>
           (b * 100000L + 40000L + i, "x y"))
         val seedDup = (0 until perBatch / 20).map(i =>
-          (b * 100000L + 50000L + i, docText(-1L, (b + i) % 500)))
+          (b * 100000L + 50000L + i, withBanner(docText(-1L, (b + i) % 500))))
         val batchDup = (0 until perBatch / 20).map(i =>
-          (b * 100000L + 60000L + i, docText(b.toLong, i)))
+          (b * 100000L + 60000L + i, withBanner(docText(b.toLong, i))))
         val docs = (fresh ++ short ++ seedDup ++ batchDup)
           .toDF("doc_id", "text")
         val t0 = System.nanoTime()
         StreamingCorpusPipeline.processBatch(docs, b.toLong, fpPath, mhPath,
-          None, vPath, cfg)
+          None, vPath, cfg, lnPath = lnOpt)
         val sec = (System.nanoTime() - t0) / 1e9
         val csec =
           if (every > 0 && b > 0 && b % every == 0) {
             val tc = System.nanoTime()
             val folds = (0 until b - 1).map(i => s"b$i")
             FingerprintIndex.load(spark, fpPath).compact(folds)
-            MinHashIndex.load(spark, mhPath).compact(folds): Unit
+            MinHashIndex.load(spark, mhPath).compact(folds)
+            lnOpt.foreach(p => LineIndex.load(spark, p).compact(folds)): Unit
             (System.nanoTime() - tc) / 1e9
           } else 0.0
         val files = countFiles(new java.io.File(fpPath)) +
-          countFiles(new java.io.File(mhPath))
-        val segs = countSegs(mhPath, "bands") + countSegs(fpPath, "fps")
+          countFiles(new java.io.File(mhPath)) +
+          lnOpt.map(p => countFiles(new java.io.File(p))).getOrElse(0)
+        val segs = countSegs(mhPath, "bands") + countSegs(fpPath, "fps") +
+          lnOpt.map(countSegs(_, "lines")).getOrElse(0)
         println(f"""{"mode":"$mode","batch":$b,"sec":$sec%.2f,"csec":$csec%.2f,"files":$files,"segs":$segs}""")
         sec
       }
@@ -116,7 +136,11 @@ object PipelineSoak {
     }
 
     if (compactEvery > 0) run("compact", compactEvery)
-    else { run("none", 0); run("compact", 5) }
+    else if (compactEvery < 0) run("line", -compactEvery, withLine = true)
+    else {
+      run("none", 0); run("compact", 5)
+      run("line", 5, withLine = true)
+    }
     spark.stop()
   }
 }

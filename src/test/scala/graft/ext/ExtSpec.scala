@@ -1955,4 +1955,95 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(again == clustered)
   }
+
+  test("bloom gate: verdicts identical to the exact join, all-new fast path reads no index, FPs discharged") {
+    val path = java.nio.file.Files.createTempDirectory("fpbloom").toString
+    val corpus = (1L to 50L).map(i => (i, s"indexed document number $i body"))
+      .toDF("doc_id", "text")
+    FingerprintIndex.build(corpus, path, bloom = true)
+    val idx = FingerprintIndex.load(spark, path)
+    assert(new java.io.File(path, "bloom/seg=base.bf").isFile,
+      "build(bloom = true) must write the base sidecar")
+
+    // mixed batch: dup of 7, case/punct variant of 9, two never-seen
+    val batch = Seq(
+      (101L, "indexed document number 7 body"),
+      (102L, "Indexed DOCUMENT number 9, body!"),
+      (103L, "never seen before content one"),
+      (104L, "never seen before content two")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(rows(idx.dedupBatchBloom(batch)) == rows(idx.dedupBatch(batch)))
+    assert(rows(idx.dedupBatchBloom(batch)) == Seq((101L, 7L), (102L, 9L)))
+
+    // append + compact maintain the sidecars (folded .bf deleted, base
+    // rebuilt) and verdicts still match the exact join afterwards
+    idx.append(Seq((103L, "never seen before content one")).toDF("doc_id", "text"),
+      seg = "b0")
+    assert(new java.io.File(path, "bloom/seg=b0.bf").isFile)
+    assert(idx.compact(Seq("b0")) == Seq("b0"))
+    assert(!new java.io.File(path, "bloom/seg=b0.bf").exists)
+    val idx2 = FingerprintIndex.load(spark, path)
+    assert(rows(idx2.dedupBatchBloom(batch)) == rows(idx2.dedupBatch(batch)))
+    assert(rows(idx2.dedupBatchBloom(batch)) ==
+      Seq((101L, 7L), (102L, 9L), (103L, 103L)))
+
+    // the all-new fast path answers WITHOUT the fps table: delete it and
+    // the gate still returns empty; a hitting batch must now throw
+    val allNew = Seq((201L, "completely fresh alpha"),
+      (202L, "completely fresh beta")).toDF("doc_id", "text")
+    assert(idx2.dedupBatchBloom(allNew).isEmpty)
+    SegmentedTable.deleteRecursively(new java.io.File(path, "fps"))
+    spark.catalog.refreshByPath(s"$path/fps")
+    assert(idx2.dedupBatchBloom(allNew).isEmpty,
+      "zero-hit batches must never touch the fps table")
+    intercept[Exception] { idx2.dedupBatchBloom(batch).collect() }
+  }
+
+  test("bloom gate: high-fpp filter floods false positives, exact verify still discharges them; no sidecar degrades to exact") {
+    // fpp = 0.5: roughly half the all-new batch hits the filter — every
+    // hit is a false positive and must be removed by the exact join
+    val path = java.nio.file.Files.createTempDirectory("fpbloomfpp").toString
+    val corpus = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    FingerprintIndex.build(corpus, path, bloom = true, fpp = 0.5)
+    val idx = FingerprintIndex.load(spark, path)
+    val allNew = (1000L to 1199L).map(i => (i, s"fresh $i")).toDF("doc_id", "text")
+    assert(idx.dedupBatchBloom(allNew).isEmpty,
+      "false positives must never survive the exact verify")
+    assert(idx.dedupBatchBloom(corpus).count() == 200L,
+      "true duplicates must all survive the gate (no false negatives)")
+
+    // an index built WITHOUT the gate answers through the exact join
+    val plainPath = java.nio.file.Files.createTempDirectory("fpplain").toString
+    FingerprintIndex.build(corpus, plainPath)
+    val plain = FingerprintIndex.load(spark, plainPath)
+    assert(plain.dedupBatchBloom(corpus).count() == 200L)
+    assert(plain.dedupBatchBloom(allNew).isEmpty)
+  }
+
+  test("editDistancePairs: hand-exact similarity, order sensitivity vs Jaccard, maxDist early abandon") {
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown cat jumps over the lazy dog today"      // fox→cat: dist 3
+    val c = "today dog lazy the over jumps fox brown quick the"      // a's words reversed
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // word order preserved: dist 3 over max(len) → hand-exact sim
+    val got = Dedup.editDistancePairs(d, n = 2, tau = 0.9, blockTau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0 - 3.0 / math.max(a.length, b.length))),
+      s"wrong pairs: $got")
+    // the reversed doc shares unigram mass (blocked as a candidate at
+    // n=1) but edit distance charges the move — no near-dup verdict
+    val rev = Dedup.editDistancePairs(d, n = 1, tau = 0.6, blockTau = 0.1)
+      .where(col("b") === 3L).count()
+    assert(rev == 0L, "word-reversed doc must fail the edit verify")
+    // threshold mode: dist 3 > maxDist 2 → provably-over pairs rejected,
+    // generous budget reproduces the exact answer
+    assert(Dedup.editDistancePairs(d, n = 2, tau = 0.9, blockTau = 0.1,
+      maxDist = Some(2)).count() == 0L)
+    val thr = Dedup.editDistancePairs(d, n = 2, tau = 0.9, blockTau = 0.1,
+      maxDist = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(thr == got, "a generous maxDist must be invisible in the result")
+  }
 }

@@ -474,4 +474,38 @@ class StreamingPipelineSpec extends AnyFunSuite {
     // the would-be-contaminated doc sails through without an index
     assert(got == Map(101L -> "kept", 102L -> "kept"), s"verdicts: $got")
   }
+
+  test("bloom gate in the exact stage: verdicts identical to the plain run, replay-safe") {
+    import spark.implicits._
+    val vPlain = Files.createTempDirectory("cpb-vp").toString
+    val vBloom = Files.createTempDirectory("cpb-vb").toString
+    val seed = Seq((1L, A), (2L, D)).toDF("doc_id", "text")
+    // one batch exercising exact-vs-index, exact-in-batch, near-dup and
+    // kept verdicts, run through a plain index and a Bloom-gated one
+    val batch = Seq((101L, A), (102L, E), (103L, E), (104L, A1), (105L, F))
+      .toDF("doc_id", "text")
+    def run(bloom: Boolean, vPath: String): Map[Long, (String, Option[Long])] = {
+      val fpPath = Files.createTempDirectory("cpb-fp").toString
+      val mhPath = Files.createTempDirectory("cpb-mh").toString
+      FingerprintIndex.build(seed, fpPath, bloom = bloom)
+      MinHashIndex.build(seed, mhPath)
+      val c = cfg.copy(bloomGate = bloom)
+      StreamingCorpusPipeline.processBatch(batch, 0L, fpPath, mhPath,
+        None, vPath, c)
+      // replay must be idempotent through the gate too (own-segment
+      // exclusion applies to the sidecar listing as well)
+      StreamingCorpusPipeline.processBatch(batch, 0L, fpPath, mhPath,
+        None, vPath, c)
+      spark.read.parquet(vPath).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+    }
+    val plain = run(bloom = false, vPlain)
+    val gated = run(bloom = true, vBloom)
+    assert(plain == gated, s"bloom gate changed verdicts: $plain vs $gated")
+    assert(gated(101L) == (("dup_exact", Some(1L))), s"verdicts: $gated")
+    assert(gated(103L) == (("dup_exact_batch", Some(102L))))
+    assert(gated(105L)._1 == "kept")
+  }
 }
