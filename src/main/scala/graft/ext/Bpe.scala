@@ -18,9 +18,18 @@ import org.apache.spark.sql.functions._
   * table yields a whole BATCH of merges (the provably-sequential prefix,
   * see [[selectBatch]]), the batch applies in one pass over only the
   * words containing a picked pair, and the pair table updates by delta —
-  * so total jobs ≈ 3 × rounds ≪ merges, and per-round shuffle is bounded
-  * by the perturbed mass, never the dictionary re-exploded (measured in
-  * tools/BpeScale, tables in TOKENIZER.md). Like
+  * per-round shuffle is bounded by the perturbed mass, never the
+  * dictionary re-exploded (measured in tools/BpeScale, tables in
+  * TOKENIZER.md). Exact-sequential batching is width-limited by symbol
+  * collisions in the head of the pair distribution (frequent subwords
+  * share letters — measured ≈1.3 merges/round on a Zipfian corpus);
+  * `wide = true` trades the sequential-equivalence guarantee for
+  * maxBatch-wide rounds by SKIPPING interacting candidates instead of
+  * stopping at the first one — the parallel-BPE formulation (each round
+  * merges the top mutually-non-interacting pairs under the same
+  * tiebreak), the production mode for 30–50k-deep vocabularies, applied
+  * identically by both paths so wide-distributed ≡ wide-in-memory holds
+  * bit-for-bit even though wide ≢ sequential. Like
   * `Dedup.connectedComponents`, the loop is scale-adaptive: a dictionary
   * within `driverThreshold` rows is collected once and trained in memory
   * (the GPT-2 regime — a multi-TB corpus's word dictionary is megabytes),
@@ -120,10 +129,17 @@ object Bpe {
     * exactly the sequential argmax sequence), applies the whole batch in
     * one pass over the words that actually contain a picked pair, and
     * maintains the pair-count table by DELTA (− affected-word pairs
-    * before, + after). Total jobs ≈ 3 × rounds ≪ merges on Zipfian pair
-    * distributions, and per-round shuffle is bounded by the affected
-    * words plus the (vocabulary-sized) pair table — never the full
-    * dictionary re-exploded.
+    * before, + after). Total jobs ≈ rounds (the top-K collect
+    * materializes the lazily-checkpointed pair table), and per-round
+    * shuffle is bounded by the affected words plus the
+    * (vocabulary-sized) pair table — never the full dictionary
+    * re-exploded.
+    *
+    * `wide = true` switches BOTH paths to parallel-BPE batching (skip
+    * interacting candidates rather than stop — see the object doc):
+    * rounds ≈ merges / maxBatch, the deep-vocabulary production mode.
+    * The merge table differs from sequential BPE's (measured overlap in
+    * TOKENIZER.md); leave it false where reference-exact merges matter.
     */
   def train(docs: DataFrame,
             numMerges: Int,
@@ -132,11 +148,15 @@ object Bpe {
             driverThreshold: Long = 2000000L,
             checkpointEvery: Int = 5,
             topK: Int = 256,
-            maxBatch: Int = 64): TrainedBpe = {
+            maxBatch: Int = 64,
+            wide: Boolean = false): TrainedBpe = {
     var dict = wordDict(docs, textCol).localCheckpoint()
     if (dict.count() <= driverThreshold)
-      return trainInMemory(dict, numMerges, minCount)
-    var pc = pairCounts(dict).localCheckpoint()
+      return trainInMemory(dict, numMerges, minCount, wide, topK, maxBatch)
+    // LAZY local checkpoint: the round's top-K collect is the action
+    // that materializes the delta-maintained table, so a round costs
+    // ~one job instead of two (eager checkpoint + collect)
+    var pc = pairCounts(dict).localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     var round = 0
@@ -146,20 +166,22 @@ object Bpe {
       if (top.isEmpty || top(0)._3 < minCount) done = true
       else {
         val picks = selectBatch(top, topK, minCount,
-          math.min(numMerges - merges.length, maxBatch))
+          math.min(numMerges - merges.length, maxBatch), wide)
         merges ++= picks
         val pairList = picks.map(p => (p._1, p._2))
         val isAff = containsAnyPair(col("syms"), pairList)
         val aff = dict.where(isAff)
         val merged = applyMergesRows(aff, pairList)
         // delta maintenance: only affected words change any pair count.
-        // pc materializes every round (the next argmax needs it flat)
+        // pc materializes at the NEXT round's top-K collect (lazy
+        // checkpoint — the argmax needs it flat, and that read is the
+        // round's one job)
         pc = pc
           .unionByName(pairCounts(merged))
           .unionByName(pairCounts(aff).withColumn("cnt", -col("cnt")))
           .groupBy("a", "b").agg(sum("cnt").as("cnt"))
           .where(col("cnt") > 0)
-          .localCheckpoint()
+          .localCheckpoint(false)
         // the dict advances as ONE full map (identity on words without a
         // picked pair) — NOT filter(!aff) ∪ merged, whose two branches
         // both scan dict and so double the lineage every round (2^k
@@ -190,9 +212,30 @@ object Bpe {
     * lexicographic rank, so ties stop the batch).
     */
   private def selectBatch(top: Array[(String, String, Long)], topK: Int,
-                          minCount: Long, want: Int): Seq[(String, String, Long)] = {
+                          minCount: Long, want: Int,
+                          wide: Boolean = false): Seq[(String, String, Long)] = {
     val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val pickedSyms = scala.collection.mutable.Set.empty[String]
+    if (wide) {
+      // WIDE batching (see [[train]]): SKIP interacting candidates
+      // instead of stopping at the first one — the batch is the
+      // mutually-non-interacting subset of the tiebreak-ordered topK
+      // prefix, a deterministic function of the pair table shared
+      // verbatim by the in-memory trainer. Skipped candidates stay in
+      // the table and compete again next round at their post-batch
+      // counts.
+      var i = 0
+      while (i < top.length && picks.length < want) {
+        val (a, b, c) = top(i)
+        if (c >= minCount && !pickedSyms.contains(a) &&
+            !pickedSyms.contains(b) && !pickedSyms.contains(a + b)) {
+          picks += top(i)
+          pickedSyms += a; pickedSyms += b; pickedSyms += (a + b)
+        }
+        i += 1
+      }
+      return picks.toSeq
+    }
     // highest count among candidates NOT picked (perturbable mass bound);
     // -1 = nothing outside the batch can be perturbed
     var boundCnt = -1L
@@ -249,7 +292,8 @@ object Bpe {
     * by corpus size).
     */
   private def trainInMemory(dictDf: DataFrame, numMerges: Int,
-                            minCount: Long): TrainedBpe = {
+                            minCount: Long, wide: Boolean = false,
+                            topK: Int = 256, maxBatch: Int = 64): TrainedBpe = {
     val spark = dictDf.sparkSession
     val rows = dictDf.select("tok", "f").collect()
     val toks = rows.map(_.getString(0))
@@ -271,7 +315,34 @@ object Bpe {
         w += 1
       }
       if (counts.isEmpty) done = true
-      else {
+      else if (wide) {
+        // the distributed wide round, replayed bit-for-bit: tiebreak-
+        // sort, truncate to the SAME topK window, select the same
+        // non-interacting batch, apply in rank order
+        val top = counts.toArray
+          .map { case ((a, b), c) => (a, b, c) }
+          .sortBy { case (a, b, c) => (-c, a, b) }
+          .take(topK)
+        val picks = selectBatch(top, topK, minCount,
+          math.min(numMerges - merges.length, maxBatch), wide = true)
+        if (picks.isEmpty) done = true
+        else {
+          merges ++= picks
+          var w2 = 0
+          while (w2 < syms.length) {
+            val s = syms(w2)
+            picks.foreach { case (a, b, _) =>
+              val ab = a + b
+              var i = 0
+              while (i < s.length - 1) {
+                if (s(i) == a && s(i + 1) == b) { s.remove(i + 1); s(i) = ab }
+                i += 1
+              }
+            }
+            w2 += 1
+          }
+        }
+      } else {
         // tiebreak identical to the distributed orderBy: cnt desc, a, b
         val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
         if (c < minCount) done = true

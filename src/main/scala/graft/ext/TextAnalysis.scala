@@ -764,6 +764,123 @@ object TextAnalysis {
           exp(-(coalesce(col("z"), lit(0.0)) + lit(bias))))).as("score"))
   }
 
+  /** Per-document logits under a linear model: (doc_id, z) with
+    * z = bias + Σ w_doc(b) · weights(b) — [[scoreLinear]] before the
+    * sigmoid, for callers that rank/threshold (monotone in score) or
+    * need the exactly-gateable form: with `ordered = true` the dot
+    * product folds in BUCKET order ([[orderedSum]], ≤ dim terms), so z
+    * is a pure +,·,/ chain over the hashed-TF weights — deterministic
+    * and bit-reproducible against an external engine spelling the same
+    * fold, with no transcendental in sight. Featureless docs get
+    * z = bias.
+    */
+  def linearLogits(docs: DataFrame, weights: Seq[Double], bias: Double = 0.0,
+                   hasher: Column => Column = xxhash64(_),
+                   idCol: String = "doc_id", textCol: String = "text",
+                   ordered: Boolean = false): DataFrame = {
+    val warr = array(weights.map(lit): _*)
+    val term = col("w") * element_at(warr, (col("bucket") + 1L).cast("int"))
+    val z = TextAnalysis.hashedTf(docs, weights.length, hasher, idCol, textCol)
+      .groupBy("doc_id")
+      .agg((if (ordered) orderedSum(col("bucket"), term) else sum(term)).as("z"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("z"), lit(0.0)) + lit(bias)).as("z"))
+  }
+
+  /** A trained linear quality classifier: `weights(b)` multiplies
+    * hashed-TF bucket b, `docs` = training documents that carried ≥1
+    * token (the mass each gradient averaged over). Apply with
+    * [[scoreLinear]]/[[linearLogits]].
+    */
+  final case class LinearModel(weights: IndexedSeq[Double], bias: Double,
+                               docs: Long)
+
+  /** Train the [[scoreLinear]] classifier: logistic regression over
+    * [[hashedTf]] features by full-batch gradient descent, positives =
+    * curated/target exemplars (label 1), negatives = a raw-crawl sample
+    * (label 0) — the quality-classifier training loop of
+    * FineWeb-Edu-style curation (Penedo et al. 2024, arXiv:2406.17557)
+    * and the fastText filter of CCNet (Wenzek et al. 2020), reduced to
+    * its relational core so the same engine that scores the corpus
+    * trains the model. Each step computes σ(z_d) − y_d per training doc
+    * and the dim+1 gradient sums Σ_d g_d·x_{d,b} (bias: Σ_d g_d), then
+    * updates w ← w − lr·grad/n on the driver (the model is dim+1
+    * doubles — the centroids/codebooks precedent).
+    *
+    * Scale shape: the sparse feature table is computed ONCE, hash-
+    * repartitioned by (y, doc_id) and cached, so every step's per-doc
+    * aggregate and residual join reuse the partitioning with no further
+    * exchange; each step is one pass over the cached features ending in
+    * a ≤ dim+1-row collect, and the current weights travel as a literal
+    * array (never a join). `steps` sequential jobs is the honest cost
+    * of full-batch GD; it is bounded by the step count the caller
+    * picks, never by data.
+    *
+    * Training docs with no extracted tokens carry no gradient and are
+    * excluded from `n` (their features are identically zero — they
+    * could only train the bias toward the base rate; document-level
+    * filtering should drop them far earlier).
+    *
+    * `ordered = true` is the cross-engine determinism mode (one more
+    * exactness property than [[orderedSum]]'s usual per-doc use: the
+    * GRADIENT folds over the whole training set in (y, doc_id) order,
+    * so the collected list is TRAINING-SET-sized per bucket — gate- and
+    * seed-corpus-scale only, exactly like the in-memory trainer paths;
+    * production training uses the default partial-aggregated sums).
+    * From the zero initialization the first step's residual is exactly
+    * 0.5 − y (σ(0) is exact in any IEEE engine), so a 1-step ordered
+    * train is a pure +,·,/,√ chain an external SQL engine reproduces
+    * bit-for-bit — the t28 oracle gates the whole train→score mechanism
+    * through it, the depth-1 convention of the tokenizer trainers.
+    */
+  def trainLinear(pos: DataFrame, neg: DataFrame, dim: Int = 64,
+                  steps: Int = 10, lr: Double = 1.0,
+                  hasher: Column => Column = xxhash64(_),
+                  idCol: String = "doc_id", textCol: String = "text",
+                  ordered: Boolean = false): LinearModel = {
+    val feats = hashedTf(pos, dim, hasher, idCol, textCol)
+      .withColumn("y", lit(1.0))
+      .unionByName(hashedTf(neg, dim, hasher, idCol, textCol)
+        .withColumn("y", lit(0.0)))
+      .repartition(col("y"), col("doc_id"))
+      .persist()
+    try {
+      val n = feats.select("y", "doc_id").distinct().count().toDouble
+      require(n > 0, "trainLinear: no training document carried a token")
+      var w = IndexedSeq.fill(dim)(0.0)
+      var b = 0.0
+      val ord = struct(col("y"), col("doc_id"))
+      for (_ <- 0 until steps) {
+        val warr = array(w.map(lit): _*)
+        val zterm = col("w") * element_at(warr, (col("bucket") + 1L).cast("int"))
+        val perDoc = feats.groupBy("y", "doc_id")
+          .agg((if (ordered) orderedSum(col("bucket"), zterm)
+                else sum(zterm)).as("z"))
+          .select(col("y"), col("doc_id"),
+            (lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(b)))) - col("y"))
+              .as("g"))
+        // one collect per step: the dim bucket gradients plus the bias
+        // gradient riding as bucket −1
+        val terms = feats.join(perDoc, Seq("y", "doc_id"))
+          .select(col("y"), col("doc_id"), col("bucket"),
+            (col("g") * col("w")).as("t"))
+          .unionByName(perDoc.select(col("y"), col("doc_id"),
+            lit(-1L).as("bucket"), col("g").as("t")))
+        val grads = terms.groupBy("bucket")
+          .agg((if (ordered) orderedSum(ord, col("t")) else sum(col("t")))
+            .as("grad"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getDouble(1))
+          .toMap
+        w = w.indices.map(i => w(i) - lr * grads.getOrElse(i.toLong, 0.0) / n)
+        b = b - lr * grads.getOrElse(-1L, 0.0) / n
+      }
+      LinearModel(w, b, n.toLong)
+    } finally { feats.unpersist(blocking = true): Unit }
+  }
+
   /** One document's rolling-hash fingerprint summary. */
   final case class RollingFp(
       doc_id: Long, n_grams: Int, n_fp: Int, fp_min: Long, fp_max: Long)

@@ -399,6 +399,26 @@ object ExtQueries {
       _ => TextAnalysis.trigramLm(docs(s, dir).where(col("doc_id") % 5 =!= 0),
         l3 = 0.5, l2 = 0.25))
 
+  private val clsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.TextAnalysis.LinearModel]()
+
+  /** t28's trained-once classifier per (session, dir): one ORDERED GD
+    * step (lr = 0.5, an exact dyadic double) from the zero model on the
+    * %3==0-vs-%3==1 slices with the md5-60bit portable hash — the
+    * depth-1 exactly-gateable train (σ(0) = 1/2, no transcendental).
+    */
+  private def classifierFor(s: org.apache.spark.sql.SparkSession,
+                            dir: String): graft.ext.TextAnalysis.LinearModel =
+    clsMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val d = docs(s, dir)
+        TextAnalysis.trainLinear(
+          d.where(col("doc_id") % 3 === 0), d.where(col("doc_id") % 3 === 1),
+          dim = 64, steps = 1, lr = 0.5, hasher = Dedup.md5Hash60,
+          ordered = true)
+      })
+
   /** MinHash-signature memo per (session, dir, n, k) — d03's second
     * build-once artifact over the memoized shingle table.
     */
@@ -1309,6 +1329,88 @@ object ExtQueries {
            |SELECT d.doc_id,
            |       round(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0) - 0.1))), 4) AS score
            |FROM documents d LEFT JOIN z USING (doc_id) ORDER BY 1""".stripMargin
+      }
+    ),
+    QueryDef(
+      "t28_text_classifier_train",
+      // the TRAIN half of t12's classifier, value-gated end to end at
+      // the tokenizer family's depth-1 convention: one ordered GD step
+      // from the zero model (σ(0) = 1/2 exactly, so the residual is
+      // 0.5 − y and the whole train→score chain is +,·,/,√ — no
+      // transcendental), positives = doc_id%3==0, negatives = %3==1,
+      // gradient folded in (y, doc_id) order, every document then
+      // scored by its LOGIT under the trained weights folded in bucket
+      // order. Deeper steps (real sigmoid residuals) are spec-gated:
+      // plain ≡ ordered within 1e-9, hand-exact 2-step weights, planted
+      // vocab classes separate (ExtSpec).
+      (s, dir) => {
+        val m = classifierFor(s, dir)
+        TextAnalysis.linearLogits(docs(s, dir), m.weights, m.bias,
+            hasher = Dedup.md5Hash60, ordered = true)
+          .select(col("doc_id"), round(col("z"), 4).as("z"))
+          .orderBy("doc_id")
+      }, {
+        val hexVal = (1 to 15)
+          .map(i =>
+            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
+              s"${BigInt(16).pow(15 - i)}")
+          .mkString(" + ")
+        s"""WITH lab AS (
+           |  SELECT 1.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT 0.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 1
+           |), tok AS (
+           |  SELECT y, doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+           |  FROM lab
+           |), h AS (
+           |  SELECT y, doc_id, CAST(($hexVal) % 64 AS BIGINT) AS bucket FROM tok
+           |), c AS (
+           |  SELECT y, doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2, 3
+           |), nr AS (
+           |  SELECT y, doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm
+           |  FROM c GROUP BY 1, 2
+           |), x AS (
+           |  SELECT c.y, c.doc_id, bucket, CAST(cnt AS DOUBLE) / nrm AS w
+           |  FROM c JOIN nr ON nr.y = c.y AND nr.doc_id = c.doc_id
+           |), nd AS (
+           |  SELECT CAST(count(DISTINCT (y, doc_id)) AS DOUBLE) AS n FROM x
+           |), g AS (
+           |  SELECT bucket,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list((0.5 - y) * w ORDER BY y, doc_id)), (a, b) -> a + b)
+           |      AS grad
+           |  FROM x GROUP BY 1
+           |), w1 AS (
+           |  SELECT bucket, -0.5 * coalesce(grad, 0.0) / n AS wt
+           |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) ab
+           |  LEFT JOIN g USING (bucket) CROSS JOIN nd
+           |), b1 AS (
+           |  SELECT -0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list((0.5 - y) ORDER BY y, doc_id)), (a, b) -> a + b) / n
+           |    AS bias
+           |  FROM (SELECT DISTINCT y, doc_id FROM x) CROSS JOIN nd GROUP BY n
+           |), dtok AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+           |  FROM documents
+           |), dh AS (
+           |  SELECT doc_id, CAST(($hexVal) % 64 AS BIGINT) AS bucket FROM dtok
+           |), dcnt AS (
+           |  SELECT doc_id, bucket, count(*) AS cnt FROM dh GROUP BY 1, 2
+           |), dn AS (
+           |  SELECT doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm
+           |  FROM dcnt GROUP BY 1
+           |), dx AS (
+           |  SELECT c.doc_id, bucket, CAST(cnt AS DOUBLE) / nrm AS w
+           |  FROM dcnt c JOIN dn ON dn.doc_id = c.doc_id
+           |), z AS (
+           |  SELECT dx.doc_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(dx.w * w1.wt ORDER BY bucket)), (a, b) -> a + b) AS z
+           |  FROM dx JOIN w1 USING (bucket) GROUP BY 1
+           |)
+           |SELECT d.doc_id, round(coalesce(z.z, 0.0) + b1.bias, 4) AS z
+           |FROM documents d LEFT JOIN z USING (doc_id) CROSS JOIN b1
+           |ORDER BY 1""".stripMargin
       }
     ),
     QueryDef(

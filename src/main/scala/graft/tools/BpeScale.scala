@@ -23,7 +23,7 @@ object BpeScale {
     val nBase = args.headOption.map(_.toInt).getOrElse(100000)
     val merges = args.lift(1).map(_.toInt).getOrElse(10)
     val deepMerges = args.lift(2).map(_.toInt).getOrElse(1000)
-    val deepOnly = args.lift(3).contains("deeponly")
+    val mode = args.lift(3).getOrElse("all") // all | deeponly | wideonly
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -43,7 +43,8 @@ object BpeScale {
     // JIT/codegen warmup at a small scale so the first timed point isn't
     // paying compilation (first run measured the base scale SLOWER than
     // 10× without this)
-    for (n <- (if (deepOnly) Seq.empty[Int] else Seq(nBase / 10, nBase, nBase * 10))) {
+    for (n <- (if (mode != "all") Seq.empty[Int]
+               else Seq(nBase / 10, nBase, nBase * 10))) {
       // distributed synthesis: 12 words per doc from the fixed vocab
       val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 12).map(j =>
@@ -79,7 +80,7 @@ object BpeScale {
     // an adversarial corpus no real text resembles. The job counter is
     // the direct refutation of the old one-argmax-collect-per-merge
     // shape.
-    for (n <- Seq(nBase, nBase * 10)) {
+    for (n <- (if (mode == "wideonly") Seq.empty[Int] else Seq(nBase, nBase * 10))) {
       val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 12).map(j =>
           zipfWord(col("id"), j)): _*).as("text"))
@@ -93,6 +94,39 @@ object BpeScale {
       Thread.sleep(300)
       val jobs = jobCount.get - j0
       println(f"""{"deep_n":$n,"merges":$got,"jobs":$jobs,"wall_sec":$wall%.1f,"ms_per_merge":${wall * 1000 / math.max(got, 1)}%.1f}""")
+    }
+
+    // WIDE (parallel-BPE) deep rows: rounds ≈ merges / maxBatch, so the
+    // job counter should land 1–2 orders below the exact rows above —
+    // plus the quality probe: merge-set overlap and encoded-token delta
+    // vs the exact-sequential vocabulary on the base corpus.
+    if (mode != "deeponly") {
+      var exactMerges: Set[(String, String)] = Set.empty
+      var exactToks = 0L
+      for ((n, doWide) <- Seq((nBase, false), (nBase, true),
+                              (nBase * 10, true))) {
+        val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(j =>
+            zipfWord(col("id"), j)): _*).as("text"))
+        Thread.sleep(300)
+        val j0 = jobCount.get
+        val t0 = System.nanoTime()
+        val trained = Bpe.train(docs, numMerges = deepMerges,
+          minCount = 2L, driverThreshold = 0L, wide = doWide)
+        val got = trained.merges.length
+        val toks = trained.dict
+          .agg(sum(col("f") * size(col("syms")))).head.getLong(0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        val jobs = jobCount.get - j0
+        val ms = trained.merges.map(m => (m._1, m._2)).toSet
+        if (!doWide) { exactMerges = ms; exactToks = toks }
+        val overlap =
+          if (doWide && n == nBase && exactMerges.nonEmpty)
+            f""","merge_overlap":${(ms & exactMerges).size},"exact_tokens":$exactToks"""
+          else ""
+        println(f"""{"wide_n":$n,"wide":$doWide,"merges":$got,"jobs":$jobs,"wall_sec":$wall%.1f,"tokens":$toks$overlap}""")
+      }
     }
     spark.stop()
   }

@@ -102,6 +102,48 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("wide mode: distributed == in-memory, batches genuinely wide, encoding stays valid") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefgh"
+    val words = (0 until 150).map { _ =>
+      val len = 1 + rnd.nextInt(7)
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    val docsDf = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, (w + " ") * (1 + rnd.nextInt(5))) }
+      .toDF("doc_id", "text")
+    for ((tk, mb) <- Seq((256, 64), (7, 3))) {
+      val mem = Bpe.train(docsDf, numMerges = 40, minCount = 2L,
+        wide = true, topK = tk, maxBatch = mb)
+      val dist = Bpe.train(docsDf, numMerges = 40, minCount = 2L,
+        driverThreshold = 0L, topK = tk, maxBatch = mb, wide = true)
+      assert(dist.merges == mem.merges,
+        s"topK=$tk maxBatch=$mb:\n${dist.merges}\nvs\n${mem.merges}")
+      assert(dist.dict.select("tok", "syms").as[(String, Seq[String])]
+        .collect().toMap ==
+        mem.dict.select("tok", "syms").as[(String, Seq[String])]
+          .collect().toMap, s"topK=$tk maxBatch=$mb dict mismatch")
+      // every encoded word must re-concatenate to its pre-token
+      // (merges can never lose or reorder characters)
+      mem.dict.select("tok", "syms").as[(String, Seq[String])].collect()
+        .foreach { case (tok, syms) => assert(syms.mkString == tok) }
+    }
+    // the point of wide mode: an unconstrained round takes >1 merge
+    // where the exact-sequential batch is serialized by head collisions
+    val exact = Bpe.train(docsDf, numMerges = 40, minCount = 2L)
+    val wideM = Bpe.train(docsDf, numMerges = 40, minCount = 2L, wide = true)
+    assert(wideM.merges.length == exact.merges.length,
+      "wide must reach the same depth budget")
+    // counts within a wide ROUND are pre-batch snapshots: non-increasing
+    // need not hold globally, but the merge set must still be usable —
+    // total encoded length strictly shrinks vs the unmerged corpus
+    val untouched = Bpe.wordDict(docsDf)
+      .agg(sum(col("f") * size(col("syms")))).head.getLong(0)
+    val wideToks = wideM.dict
+      .agg(sum(col("f") * size(col("syms")))).head.getLong(0)
+    assert(wideToks < untouched)
+  }
+
   test("conservation: each merge removes exactly its count; join covers all pre-tokens") {
     val trained = Bpe.train(fixture, numMerges = 8)
     val dict0 = Bpe.wordDict(fixture)

@@ -2046,4 +2046,72 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(thr == got, "a generous maxDist must be invisible in the result")
   }
+
+  test("trainLinear: GD mechanics match a pure-Scala mirror over the observed features") {
+    val pos = Seq((1L, "alpha beta alpha"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val neg = Seq((3L, "delta epsilon"), (4L, "delta delta zeta")).toDF("doc_id", "text")
+    val dim = 8
+    // the observed sparse features are ground truth for the mirror —
+    // this pins the DESCENT, not the hashing (t10 gates the hashing)
+    def feats(df: org.apache.spark.sql.DataFrame, y: Double) =
+      TextAnalysis.hashedTf(df, dim).collect()
+        .map(r => (y, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rows = (feats(pos, 1.0) ++ feats(neg, 0.0)).sortBy(t => (t._1, t._2, t._3))
+    val n = rows.map(t => (t._1, t._2)).distinct.length.toDouble
+    val lr = 0.5
+    var ew = Array.fill(dim)(0.0); var eb = 0.0
+    for (_ <- 0 until 2) {
+      // per-doc residuals, then gradient folded in (y, doc_id) order —
+      // the ordered trainer's exact arithmetic
+      val g = rows.groupBy(t => (t._1, t._2)).view.mapValues { fs =>
+        val z = fs.sortBy(_._3).foldLeft(0.0)((a, f) => a + f._4 * ew(f._3.toInt))
+        1.0 / (1.0 + math.exp(-(z + eb))) - fs.head._1
+      }.toMap
+      val grads = Array.fill(dim)(0.0)
+      rows.foreach(t => grads(t._3.toInt) += g((t._1, t._2)) * t._4)
+      val gb = rows.map(t => (t._1, t._2)).distinct.sorted
+        .foldLeft(0.0)((a, k) => a + g(k))
+      ew = Array.tabulate(dim)(i => ew(i) - lr * grads(i) / n)
+      eb = eb - lr * gb / n
+    }
+    for (ordered <- Seq(true, false)) {
+      val m = TextAnalysis.trainLinear(pos, neg, dim, steps = 2, lr = lr,
+        ordered = ordered)
+      assert(m.docs == 4L)
+      assert(math.abs(m.bias - eb) < 1e-12, s"bias (ordered=$ordered): ${m.bias} vs $eb")
+      m.weights.indices.foreach(i =>
+        assert(math.abs(m.weights(i) - ew(i)) < 1e-12,
+          s"w($i) (ordered=$ordered): ${m.weights(i)} vs ${ew(i)}"))
+    }
+  }
+
+  test("trainLinear: plain and ordered agree, trained model separates planted classes, featureless docs excluded") {
+    val wordsA = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val wordsB = Seq("omega", "psi", "chi", "phi", "upsilon")
+    def mk(ids: Range, ws: Seq[String]) = ids.map { i =>
+      (i.toLong, (0 until 6).map(j => ws((i + j) % ws.length)).mkString(" "))
+    }
+    val pos = (mk(0 until 40, wordsA) :+ (999L, "")).toDF("doc_id", "text")
+    val neg = mk(100 until 140, wordsB).toDF("doc_id", "text")
+    val mp = TextAnalysis.trainLinear(pos, neg, dim = 16, steps = 25, lr = 2.0)
+    val mo = TextAnalysis.trainLinear(pos, neg, dim = 16, steps = 25, lr = 2.0,
+      ordered = true)
+    // the empty-text positive carries no features: excluded from n
+    assert(mp.docs == 80L)
+    (mo.weights :+ mo.bias).zip(mp.weights :+ mp.bias).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"ordered vs plain drifted: $a vs $b") }
+    val scored = TextAnalysis.scoreLinear(
+      (mk(0 until 40, wordsA) ++ mk(100 until 140, wordsB)).toDF("doc_id", "text"),
+      mp.weights, mp.bias).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val (p, q) = scored.partition(_._1 < 100L)
+    assert(p.map(_._2).min > q.map(_._2).max,
+      "trained classifier must separate the planted vocab classes")
+    // a featureless doc scores sigmoid(bias) — and the logit twin gives
+    // exactly the bias
+    val z0 = TextAnalysis.linearLogits(Seq((7L, "")).toDF("doc_id", "text"),
+      mp.weights, mp.bias, ordered = true).head.getDouble(1)
+    assert(z0 == mp.bias)
+  }
 }
