@@ -789,6 +789,55 @@ object TextAnalysis {
         (coalesce(col("z"), lit(0.0)) + lit(bias)).as("z"))
   }
 
+  /** BM25 keyword relevance (Robertson–Walker, the Lucene-default
+    * variant with the (k1+1) numerator and idf = ln(1 + (N−df+0.5)/
+    * (df+0.5)), always positive): score every document against a fixed
+    * term set — the keyword-driven subset-selection stage of corpus
+    * curation (pull domain-relevant documents before the expensive
+    * model-based scorers run). Docs containing no query term score 0.
+    *
+    * Scale shape: ONE token scan folds to the (doc, tok) count table;
+    * doc lengths re-aggregate those counts (never the text), the
+    * ≤ |terms|-row idf table and the 1-row (N, avgdl) frame broadcast,
+    * and only rows whose token IS a query term join anything — the
+    * corpus-sized mass ends at the first groupBy. `ordered = true`
+    * folds each doc's ≤ |terms| contributions in token order
+    * ([[orderedSum]]) for the cross-engine gate.
+    */
+  def bm25Scores(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 ordered: Boolean = false): DataFrame = {
+    val tc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = tc.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val stats = ids.join(dl, Seq("doc_id"), "left")
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sum(coalesce(col("dl"), lit(0.0))) /
+          count(lit(1)).cast("double")).as("avgdl"))
+    val qtf = tc.where(col("tok").isin(terms.map(x => x: Any): _*))
+    val idf = qtf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    val term = col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val sc = qtf
+      .join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg((if (ordered) orderedSum(col("tok"), term) else sum(term))
+        .as("score"))
+    ids.join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** A trained linear quality classifier: `weights(b)` multiplies
     * hashed-TF bucket b, `docs` = training documents that carried ≥1
     * token (the mass each gradient averaged over). Apply with

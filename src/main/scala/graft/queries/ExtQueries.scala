@@ -1414,6 +1414,55 @@ object ExtQueries {
       }
     ),
     QueryDef(
+      "t29_text_bm25",
+      // BM25 keyword relevance (the Lucene-default (k1+1)/ln(1+…)
+      // variant) against a fixed 3-term query — the keyword
+      // subset-selection stage of curation, value-gated end to end:
+      // doc-frequency, doc-length, avgdl, idf and the per-doc saturated
+      // tf sum all recomputed in SQL, contributions folded in TOKEN
+      // order on both engines (orderedSum / list ORDER BY tok), every
+      // constant spelled as the same foldable expression so the IEEE
+      // arithmetic is identical.
+      (s, dir) =>
+        TextAnalysis.bm25Scores(docs(s, dir),
+            Seq("vector", "hash", "join"), k1 = 1.2, b = 0.75,
+            ordered = true)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy("doc_id"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+         |  FROM documents
+         |), tc AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tc GROUP BY 1
+         |), st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         sum(coalesce(dl.dl, 0.0)) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM documents d LEFT JOIN dl USING (doc_id)
+         |), q AS (
+         |  SELECT unnest(['vector', 'hash', 'join']) AS tok
+         |), idf AS (
+         |  SELECT tc.tok,
+         |         ln(1.0 + (n - CAST(count(*) AS DOUBLE) + 0.5)
+         |                  / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf
+         |  FROM tc JOIN q ON q.tok = tc.tok CROSS JOIN st
+         |  GROUP BY tc.tok, n
+         |), sc AS (
+         |  SELECT tc.doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(idf.idf * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |           / (CAST(tf AS DOUBLE)
+         |              + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / avgdl))
+         |        ORDER BY tc.tok)), (a, b) -> a + b) AS score
+         |  FROM tc JOIN idf ON idf.tok = tc.tok
+         |       JOIN dl ON dl.doc_id = tc.doc_id CROSS JOIN st
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id, round(coalesce(sc.score, 0.0), 4) AS score
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t15_text_importance",
       // DSIR importance weighting end to end: the doc_id%5==0 slice
       // plays the target domain, hashed-unigram bucket models with

@@ -2047,6 +2047,33 @@ class ExtSpec extends AnyFunSuite {
     assert(thr == got, "a generous maxDist must be invisible in the result")
   }
 
+  test("bm25Scores: hand-exact scores, absent terms zero, ordered == plain") {
+    val d = Seq((1L, "cat dog cat"), (2L, "dog mouse"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val (k1, b) = (1.2, 0.75)
+    val n = 3.0; val avgdl = (3 + 2 + 1) / 3.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    val expect = Map(
+      1L -> w(2, 3, 1),          // cat twice in doc 1, nowhere else
+      2L -> w(1, 2, 1),          // mouse once in doc 2
+      3L -> 0.0)                 // no query term
+    for (ordered <- Seq(true, false)) {
+      val got = TextAnalysis.bm25Scores(d, Seq("cat", "mouse"), k1, b,
+        ordered = ordered).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      expect.foreach { case (id, e) =>
+        assert(math.abs(got(id) - e) < 1e-12,
+          s"doc $id (ordered=$ordered): ${got(id)} vs $e") }
+    }
+    // a term in BOTH query and more docs is downweighted by idf: "dog"
+    // (df 2) must contribute less than "mouse" (df 1) at equal tf/dl
+    val g2 = TextAnalysis.bm25Scores(d, Seq("dog"), k1, b).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g2(2L) < expect(2L), "higher-df term must score below lower-df")
+  }
+
   test("trainLinear: GD mechanics match a pure-Scala mirror over the observed features") {
     val pos = Seq((1L, "alpha beta alpha"), (2L, "alpha gamma")).toDF("doc_id", "text")
     val neg = Seq((3L, "delta epsilon"), (4L, "delta delta zeta")).toDF("doc_id", "text")
