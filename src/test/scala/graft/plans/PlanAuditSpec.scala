@@ -307,4 +307,58 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dictionary join not broadcast:\n$cPlan")
     assert(!cPlan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$cPlan")
   }
+
+  test("bm25: idf and (N, avgdl) broadcast; the corpus never shuffles to meet them") {
+    val docsDf = (0L until 300L)
+      .map(i => (i, s"alpha${i % 9} beta${i % 5} gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val df = graft.ext.TextAnalysis.bm25Scores(docsDf,
+      Seq("gamma", "beta1", "alpha3"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the ≤|terms|-row idf table and the 1-row (N, avgdl) frame
+    // broadcast onto the filtered query-term rows (the qtf⋈dl doc-key
+    // join may legitimately shuffle — both sides already live on the
+    // corpus's one exchange); no cartesian anywhere
+    assert(plan.contains("BroadcastHashJoin"), s"idf join not broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoop"),
+      s"stats frame not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bm25:\n$plan")
+  }
+
+  test("trainLinear: the cached feature table's (y, doc_id) exchange is paid once, steps reuse it") {
+    val pos = (0L until 120L).map(i => (i, s"alpha${i % 7} beta${i % 5} common"))
+      .toDF("doc_id", "text")
+    val neg = (200L until 320L).map(i => (i, s"omega${i % 7} psi${i % 5} common"))
+      .toDF("doc_id", "text")
+    // count shuffles executed across a 3-step train: the feature
+    // repartition + its upstream hashedTf shuffles happen ONCE (cached);
+    // per step only the dim+1-row gradient aggregate's small exchange
+    // and the residual join's reuse of the cache partitioning remain
+    val sc = spark.sparkContext
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val m3 = graft.ext.TextAnalysis.trainLinear(pos, neg, dim = 16, steps = 3)
+      Thread.sleep(500) // drain the async listener bus
+      val s3 = stages.get
+      stages.set(0)
+      val m6 = graft.ext.TextAnalysis.trainLinear(pos, neg, dim = 16, steps = 6)
+      Thread.sleep(500)
+      val s6 = stages.get
+      // the per-step marginal stage count must stay small (gradient agg
+      // + residual join over the CACHED features) — a regression that
+      // rebuilds hashedTf per step adds its explode/normalize/shuffle
+      // stages to every increment and trips this bound
+      val marginal = (s6 - s3).toDouble / 3.0
+      assert(marginal <= 8.0, s"per-step stage cost too high: $marginal ($s3 -> $s6)")
+      assert(m3.weights.length == 16 && m6.weights.length == 16)
+    } finally sc.removeSparkListener(listener)
+  }
 }
