@@ -1062,12 +1062,33 @@ object Dedup {
                         k: Int = 64, bands: Int = 16,
                         idCol: String = "doc_id", textCol: String = "text",
                         shingled: Option[DataFrame] = None,
-                        signatures: Option[DataFrame] = None): DataFrame = {
+                        signatures: Option[DataFrame] = None,
+                        editTau: Option[Double] = None): DataFrame = {
     // precomputed hashed-shingle/signature tables: see [[jaccardPairs]]
     val sh = shingled.getOrElse(
       hashShingles(shingles(docs, n, idCol, textCol)).cache())
     val sigs = signatures.getOrElse(minhashSignatures(sh, k).cache())
-    verifyCandidates(lshCandidates(sigs, k, bands), sigs, sigs, sh, sh, tau, k)
+    val pairs =
+      verifyCandidates(lshCandidates(sigs, k, bands), sigs, sigs, sh, sh, tau, k)
+    // optional second verify (the code-corpus dedup recipe: MinHash
+    // blocking, edit-distance confirmation): normalized Levenshtein
+    // similarity ≥ editTau on the already-Jaccard-verified pairs only —
+    // set signals are blind to ORDER (a line-permuted file keeps its
+    // shingle multiset; edit distance charges every move), so this
+    // drops permutation-only "near-dups" that are real content changes.
+    // The O(len²) verify runs on the bounded survivor stream, texts
+    // travel only to those pairs.
+    editTau.fold(pairs) { et =>
+      val txt = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      pairs
+        .join(txt.select(col("id").as("a"), col("t").as("ta")), "a")
+        .join(txt.select(col("id").as("b"), col("t").as("tb")), "b")
+        .withColumn("edit_sim",
+          lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
+            / greatest(length(col("ta")), length(col("tb")), lit(1)).cast("double"))
+        .where(col("edit_sim") >= et)
+        .select(col("a"), col("b"), col("jaccard"), col("edit_sim"))
+    }
   }
 
   /** Stages 2–3 of the MinHash pipeline over an (a, b) candidate set:

@@ -930,6 +930,27 @@ object TextAnalysis {
     } finally { feats.unpersist(blocking = true): Unit }
   }
 
+  /** Persist a trained [[LinearModel]] as a one-row parquet artifact —
+    * the [[graft.ext.Bpe.saveVocab]] precedent: train once, score many,
+    * across sessions. A scoring service needs only this file (plus the
+    * dim + hasher convention it was trained under, which the caller
+    * owns the way the BPE pre-tokenizer is owned).
+    */
+  def saveLinearModel(m: LinearModel, spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    import spark.implicits._
+    Seq((m.weights, m.bias, m.docs)).toDF("weights", "bias", "docs")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted [[LinearModel]]. */
+  def loadLinearModel(spark: org.apache.spark.sql.SparkSession,
+                      path: String): LinearModel = {
+    val r = spark.read.parquet(path).head
+    LinearModel(r.getSeq[Double](r.fieldIndex("weights")).toIndexedSeq,
+      r.getDouble(r.fieldIndex("bias")), r.getLong(r.fieldIndex("docs")))
+  }
+
   /** One document's rolling-hash fingerprint summary. */
   final case class RollingFp(
       doc_id: Long, n_grams: Int, n_fp: Int, fp_min: Long, fp_max: Long)

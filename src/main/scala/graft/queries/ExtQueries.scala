@@ -2233,6 +2233,49 @@ object ExtQueries {
           .orderBy("a", "b"),
       jaccardSql(0.5)),
     QueryDef(
+      "d65_dedup_minhash_edit",
+      // the code-corpus dedup recipe: MinHash blocking + Jaccard verify
+      // (d03 verbatim) CONFIRMED by normalized edit similarity ≥ 0.95 —
+      // the order-sensitive second verify that drops permutation-only
+      // "near-dups". Binds on this fixture: one d03 pair (edit_sim
+      // ≈ 0.937) is pruned, so the oracle row count proves the filter
+      // fired. Both sims are single IEEE divisions of exact integers —
+      // no rounding needed.
+      (s, dir) =>
+        Dedup
+          .minhashDuplicates(docs(s, dir), n = 3, tau = 0.5, k = 128, bands = 64,
+            shingled = Some(shinglesFor(s, dir, 3)),
+            signatures = Some(minhashSigsFor(s, dir, 3, 128)),
+            editTau = Some(0.95))
+          .orderBy("a", "b"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+         |), tri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM tok
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), p AS (
+         |  SELECT a, b, CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) AS jaccard
+         |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+         |)
+         |SELECT a, b, jaccard,
+         |  1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |    / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE)
+         |    AS edit_sim
+         |FROM p JOIN documents da ON da.doc_id = a
+         |       JOIN documents db ON db.doc_id = b
+         |WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |    / CAST(greatest(length(da.text), length(db.text), 1) AS DOUBLE)
+         |    >= 0.95
+         |ORDER BY 1, 2""".stripMargin),
+    QueryDef(
       "d09_dedup_clusters",
       // transitive duplicate-cluster resolution: exact-Jaccard pairs →
       // large/small-star connected components → (id, root=min id,

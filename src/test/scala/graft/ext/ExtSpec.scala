@@ -2074,6 +2074,48 @@ class ExtSpec extends AnyFunSuite {
     assert(g2(2L) < expect(2L), "higher-df term must score below lower-df")
   }
 
+  test("minhashDuplicates editTau: line-permuted doc convicts under jaccard alone, cleared by the edit verify") {
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val lines = (0 until 12).map(i =>
+      s"${vocab(i)} module parses ${vocab((i + 5) % 12)} records " +
+        s"and emits ${vocab((i + 9) % 12)} metrics")
+    val a = lines.mkString(" ")
+    val bPerm = lines.reverse.mkString(" ")     // every line displaced
+    val c = lines.take(11).mkString(" ") +
+      " zulu module parses yankee records and emits xray metrics"
+    val d = Seq((1L, a), (2L, bPerm), (3L, c)).toDF("doc_id", "text")
+    // blocking + jaccard alone keeps the permuted pair: most trigrams
+    // live INSIDE lines, so the shingle sets largely coincide
+    // (measured jaccard ≈ 0.8, edit sim ≈ 0.74 for the reversal)
+    val plain = Dedup.minhashDuplicates(d, n = 3, tau = 0.5, k = 128,
+      bands = 64).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.contains((1L, 2L)), s"permuted pair not blocked: $plain")
+    // the edit verify charges every moved line — the permuted pair dies,
+    // genuinely-near pairs survive with both sims reported
+    val ver = Dedup.minhashDuplicates(d, n = 3, tau = 0.5, k = 128,
+      bands = 64, editTau = Some(0.85))
+    val kept = ver.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!kept.contains((1L, 2L)), "edit verify must drop the permutation")
+    assert(kept.contains((1L, 3L)), s"true near-dup must survive: $kept")
+    assert(ver.columns.toSeq == Seq("a", "b", "jaccard", "edit_sim"))
+  }
+
+  test("linear model persistence: save -> load round-trips, scores identical") {
+    val pos = Seq((1L, "alpha beta alpha"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val neg = Seq((3L, "delta epsilon"), (4L, "delta zeta")).toDF("doc_id", "text")
+    val m = TextAnalysis.trainLinear(pos, neg, dim = 16, steps = 5, lr = 1.0)
+    val path = java.nio.file.Files.createTempDirectory("linmodel").toString + "/m"
+    TextAnalysis.saveLinearModel(m, spark, path)
+    val m2 = TextAnalysis.loadLinearModel(spark, path)
+    assert(m2 == m, s"$m2 vs $m")
+    val score = TextAnalysis.scoreLinear(pos, m.weights, m.bias).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val score2 = TextAnalysis.scoreLinear(pos, m2.weights, m2.bias).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(score == score2)
+  }
+
   test("trainLinear: GD mechanics match a pure-Scala mirror over the observed features") {
     val pos = Seq((1L, "alpha beta alpha"), (2L, "alpha gamma")).toDF("doc_id", "text")
     val neg = Seq((3L, "delta epsilon"), (4L, "delta delta zeta")).toDF("doc_id", "text")
