@@ -508,4 +508,52 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(gated(103L) == (("dup_exact_batch", Some(102L))))
     assert(gated(105L)._1 == "kept")
   }
+
+  test("trained classifier as the gauntlet's quality stage: model-scored drops, survivors still gated downstream") {
+    import spark.implicits._
+    // train the t28 trainer on planted style classes, then plug the
+    // scored threshold into Config.quality — the FineWeb-Edu shape:
+    // classifier-filtered docs never reach the dedup stages, and docs
+    // that pass still face the exact gate
+    val wordsGood = Seq("clear", "prose", "about", "real", "topics",
+      "with", "substance", "and", "depth", "here")
+    val wordsBad = Seq("buy", "cheap", "click", "now", "offer",
+      "deal", "sale", "free", "win", "prize")
+    def mk(ids: Range, ws: Seq[String]) = ids.map { i =>
+      (i.toLong, (0 until 10).map(j => ws((i + j) % ws.length)).mkString(" "))
+    }
+    val model = graft.ext.TextAnalysis.trainLinear(
+      mk(0 until 40, wordsGood).toDF("doc_id", "text"),
+      mk(100 until 140, wordsBad).toDF("doc_id", "text"),
+      dim = 16, steps = 25, lr = 2.0)
+    val clsCfg = StreamingCorpusPipeline.Config(
+      tau = 0.5,
+      quality = d => graft.ext.TextAnalysis.scoreLinear(
+        d, model.weights, model.bias)
+        .select(col("doc_id"),
+          when(col("score") >= 0.5, 1).otherwise(0).as("keep")))
+    val fpPath = Files.createTempDirectory("cpq-fp").toString
+    val mhPath = Files.createTempDirectory("cpq-mh").toString
+    val vPath = Files.createTempDirectory("cpq-v").toString
+    val goodSeed = mk(0 until 1, wordsGood)
+    FingerprintIndex.build(goodSeed.toDF("doc_id", "text"), fpPath)
+    MinHashIndex.build(goodSeed.toDF("doc_id", "text"), mhPath)
+    // 201 = good style, fresh CONTENT (reversed word order: same
+    // unigram profile → classifier passes; no shared trigram → the
+    // dedup gates pass), 202 = bad style (classifier drop), 203 = good
+    // style but an exact dup of the seed (exact gate binds AFTER the
+    // classifier pass)
+    val batch = Seq(
+      (201L, wordsGood.reverse.mkString(" ")),
+      (202L, mk(105 until 106, wordsBad).head._2),
+      (203L, goodSeed.head._2)).toDF("doc_id", "text")
+    StreamingCorpusPipeline.processBatch(batch, 0L, fpPath, mhPath,
+      None, vPath, clsCfg)
+    val got = spark.read.parquet(vPath).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(202L) == "drop_quality", s"classifier must drop bad style: $got")
+    assert(got(203L) == "dup_exact",
+      s"classifier-passed dup must still hit the exact gate: $got")
+    assert(got(201L) == "kept", s"good fresh doc must survive: $got")
+  }
 }
