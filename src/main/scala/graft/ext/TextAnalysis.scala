@@ -789,6 +789,39 @@ object TextAnalysis {
         (coalesce(col("z"), lit(0.0)) + lit(bias)).as("z"))
   }
 
+  /** Sliding-window document chunking: split every document into
+    * `chunkTokens`-token windows advancing by `chunkTokens − overlap`
+    * (the embedding/retrieval prep step — long documents become
+    * encoder-sized passages with `overlap` tokens of shared context at
+    * each seam). Chunk starts are 0, step, 2·step, … up to the last
+    * start < n, so the final chunk may be short; every token appears in
+    * ≥1 chunk and (at overlap 0) exactly one.
+    *
+    * Pure per-row transform — split, a bounded `sequence` of starts,
+    * posexplode, slice: no shuffle, no state, trivially 100 TB-safe.
+    * Whitespace tokenization (the [[wsTokenCount]] convention; an empty
+    * text is one empty token, so every doc emits ≥1 chunk row).
+    *
+    * @return (doc_id, chunk_idx, chunk, n_tokens)
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got ($chunkTokens, $overlap)")
+    val step = chunkTokens - overlap
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(expr(s"transform(sequence(0L, (size(ws) - 1) div $step)," +
+          s" i -> i * $step)")).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("ws"), (col("start") + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk"),
+        least(lit(chunkTokens.toLong),
+          size(col("ws")).cast("long") - col("start")).as("n_tokens"))
+  }
+
   /** BM25 keyword relevance (Robertson–Walker, the Lucene-default
     * variant with the (k1+1) numerator and idf = ln(1 + (N−df+0.5)/
     * (df+0.5)), always positive): score every document against a fixed

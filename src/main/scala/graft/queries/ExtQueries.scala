@@ -1414,6 +1414,27 @@ object ExtQueries {
       }
     ),
     QueryDef(
+      "t30_text_chunks",
+      // sliding-window chunking (embedding/retrieval prep): 32-token
+      // windows, 8-token overlap (step 24), whitespace tokens; every
+      // (doc, chunk) row value-gated — starts, slicing, the short tail
+      // chunk, and per-chunk token counts all replayed in SQL.
+      (s, dir) =>
+        TextAnalysis.chunkDocs(docs(s, dir), chunkTokens = 32, overlap = 8)
+          .orderBy("doc_id", "chunk_idx"),
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+        |), st AS (
+        |  SELECT doc_id, ws,
+        |         unnest(generate_series(0, (len(ws) - 1) // 24)) AS i
+        |  FROM tok
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk,
+        |       CAST(least(32, len(ws) - i*24) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
       "t29_text_bm25",
       // BM25 keyword relevance (the Lucene-default (k1+1)/ln(1+…)
       // variant) against a fixed 3-term query — the keyword

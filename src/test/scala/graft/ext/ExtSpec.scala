@@ -2047,6 +2047,27 @@ class ExtSpec extends AnyFunSuite {
     assert(thr == got, "a generous maxDist must be invisible in the result")
   }
 
+  test("chunkDocs: hand-exact windows, short tail, zero-overlap partition, empty doc") {
+    val words = (0 until 10).map(i => s"w$i")
+    val d = Seq((1L, words.mkString(" ")), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(d, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // starts 0,3,6,9 (step 3), final chunk short
+    assert(got == Seq(
+      (1L, 0L, "w0 w1 w2 w3", 4L),
+      (1L, 1L, "w3 w4 w5 w6", 4L),
+      (1L, 2L, "w6 w7 w8 w9", 4L),
+      (1L, 3L, "w9", 1L),
+      (2L, 0L, "", 1L)), s"wrong chunks: $got")   // empty text = 1 empty token
+    // overlap 0 partitions the token stream exactly: chunks reassemble
+    // to the original text and token counts sum to the doc's
+    val part = TextAnalysis.chunkDocs(d.where(col("doc_id") === 1L),
+      chunkTokens = 4, overlap = 0).orderBy("chunk_idx").collect()
+    assert(part.map(_.getString(2)).mkString(" ") == words.mkString(" "))
+    assert(part.map(_.getLong(3)).sum == 10L)
+  }
+
   test("bm25Scores: hand-exact scores, absent terms zero, ordered == plain") {
     val d = Seq((1L, "cat dog cat"), (2L, "dog mouse"), (3L, "bird"))
       .toDF("doc_id", "text")
