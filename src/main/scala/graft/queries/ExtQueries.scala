@@ -2297,6 +2297,50 @@ object ExtQueries {
          |    >= 0.95
          |ORDER BY 1, 2""".stripMargin),
     QueryDef(
+      "d66_chunk_dedup",
+      // passage-granularity exact dedup: the chunkDocs windows (t30)
+      // fingerprinted with the d01 canonical key, repeated chunks
+      // resolved to their first (doc_id, chunk_idx) occurrence — the
+      // RefinedWeb-style "dedup below document level" composition,
+      // binding on this fixture (27 repeated chunk fingerprints).
+      (s, dir) =>
+        TextAnalysis.chunkDocs(docs(s, dir), chunkTokens = 32, overlap = 0)
+          .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_copies"),
+            min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+          .where(col("n_copies") > 1)
+          .select(col("fp"), col("k.doc_id").as("keep_doc"),
+            col("k.chunk_idx").as("keep_idx"), col("n_copies"))
+          .orderBy("fp"),
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+        |), st AS (
+        |  SELECT doc_id, ws,
+        |         unnest(generate_series(0, (len(ws) - 1) // 32)) AS i
+        |  FROM tok
+        |), c AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |         array_to_string(ws[i*32+1 : i*32+32], ' ') AS chunk
+        |  FROM st
+        |), f AS (
+        |  SELECT doc_id, chunk_idx,
+        |         md5(trim(regexp_replace(lower(chunk), '[^a-z0-9]+', ' ', 'g')))
+        |           AS fp
+        |  FROM c
+        |), g AS (
+        |  SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM f GROUP BY 1 HAVING count(*) > 1
+        |), k AS (
+        |  SELECT fp, doc_id, chunk_idx,
+        |         row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx)
+        |           AS rn
+        |  FROM f
+        |)
+        |SELECT g.fp, k.doc_id AS keep_doc, k.chunk_idx AS keep_idx, g.n_copies
+        |FROM g JOIN k USING (fp) WHERE k.rn = 1 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "d09_dedup_clusters",
       // transitive duplicate-cluster resolution: exact-Jaccard pairs →
       // large/small-star connected components → (id, root=min id,
