@@ -56,7 +56,19 @@ def main():
         bad_cols = []
         for c in got.columns:
             a, b = got[c], want[c]
-            neq = ~((a == b) | (a.isna() & b.isna()))
+            if a.dtype.kind == "f" and b.dtype.kind == "f":
+                # bit-level compare, like the driver's value hash: -0.0
+                # vs 0.0 and sub-4dp ulp drift must FAIL here, not pass
+                # a value-equality check and then flip the driver's
+                # hash_match (the r9 t15/t28 incident)
+                import numpy as np
+                av, bv = a.to_numpy(np.float64), b.to_numpy(np.float64)
+                neq = (av.view(np.int64) != bv.view(np.int64)) & ~(
+                    np.isnan(av) & np.isnan(bv))
+                import pandas as pd
+                neq = pd.Series(neq)
+            else:
+                neq = ~((a == b) | (a.isna() & b.isna()))
             if neq.any():
                 i = neq.idxmax()
                 bad_cols.append(

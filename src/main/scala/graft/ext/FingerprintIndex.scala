@@ -98,13 +98,17 @@ final class FingerprintIndex private[ext] (val spark: SparkSession,
       case None => dedupBatch(newDocs, idCol, textCol, excludeSeg)
       case Some(blooms) =>
         val bc = spark.sparkContext.broadcast(blooms)
-        import spark.implicits._
+        // Row-level filter on the hashed fp keeps the id column's type
+        // generic (dedupBatch and the rest of the index API never pin
+        // it to Long); localCheckpoint materializes the bloom's tiny
+        // survivor set ONCE, so the emptiness probe and the index join
+        // don't each re-fingerprint the whole delivery.
         val hits = batch
           .withColumn("hfp", xxhash64(col("fp")))
-          .as[(Long, String, Long)]
-          .filter(r => bc.value.exists(_.mightContainLong(r._3)))
-          .toDF("id", "fp", "hfp")
+          .filter((r: org.apache.spark.sql.Row) =>
+            bc.value.exists(_.mightContainLong(r.getAs[Long]("hfp"))))
           .drop("hfp")
+          .localCheckpoint()
         if (hits.isEmpty)
           // schema-identical empty frame built from the batch alone —
           // the deleted-fps spec pins that this path reads no index
@@ -139,8 +143,14 @@ final class FingerprintIndex private[ext] (val spark: SparkSession,
     val folded = SegmentedTable.compact(spark, s"$path/fps", "seg", "base",
       folds, Seq("id", "fp"))
     if (folded.nonEmpty && new File(path, "bloom").isDirectory) {
-      folded.foreach(s => new File(path, s"bloom/seg=$s.bf").delete(): Unit)
+      // rebuild base FIRST, then delete the folded sidecars: a crash (or
+      // concurrent reader) between the two steps must only ever see
+      // leftover folded sidecars (extra false hits, discharged by the
+      // exact join — safe), never a STALE base sidecar missing the
+      // folded keys, which loadBlooms' completeness check can't detect
+      // and which would silently drop duplicates (false negatives).
       writeBloom("base")
+      folded.foreach(s => new File(path, s"bloom/seg=$s.bf").delete(): Unit)
     }
     folded
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.ext._
 import graft.ops.Io
@@ -28,6 +28,19 @@ object ExtQueries {
     * in DuckDB SQL literals (the contraction alternative starts with ').
     */
   private val bpeReSql = TextAnalysis.BpeRe.replace("'", "''")
+
+  /** 4dp rounding for SIGNED scores, with signed-zero normalization:
+    * IEEE `x + 0.0` maps -0.0 to +0.0 and changes nothing else. The
+    * driver hash-compares raw column values, and a tiny-negative score
+    * (an LLR, a logit) that rounds to zero keeps its sign bit under
+    * DuckDB's binary `round` but not under Spark's BigDecimal path —
+    * value-equal yet hash-different (the r9 t15/t28 red rows, the only
+    * bit diffs on the whole surface). Every oracle whose score column
+    * can go negative near zero must spell `round(x, 4) + 0.0` and the
+    * Spark side must use this helper, so both engines land on +0.0.
+    */
+  private def roundSigned(c: Column, scale: Int = 4): Column =
+    round(c, scale) + lit(0.0)
 
   private val WinnowMod = 1000000007L
 
@@ -829,20 +842,34 @@ object ExtQueries {
       })
 
   /** Word-trigram exact-Jaccard pair SQL (the dedup oracle), at `tau`. */
+  /** Word-shingle postings with the df ≤ 1000 frequency cap mirrored
+    * from `Dedup.shingleIntersections` (the cap drops a shingle from
+    * the INTERSECTION only; set sizes stay uncapped — the Spark
+    * convention). The fixture never reaches the cap today, but the
+    * mirror keeps a future fixture change from surfacing as a
+    * confusing oracle mismatch instead of a code bug.
+    */
+  private val shingleCapCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+      |), tri AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      |  FROM tok
+      |), rare AS (
+      |  SELECT shingle FROM tri GROUP BY 1 HAVING count(*) <= 1000
+      |), cap AS (
+      |  SELECT doc_id, shingle FROM tri JOIN rare USING (shingle)
+      |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+      |  FROM cap x JOIN cap y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
   private def jaccardSql(tau: Double): String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
-       |), tri AS (
-       |  SELECT DISTINCT doc_id,
-       |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
-       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-       |  FROM tok
-       |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
-       |inter AS (
-       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-       |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2
-       |)
+    s"""$shingleCapCtes
        |SELECT a, b, CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) AS jaccard
        |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
        |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= $tau
@@ -1347,7 +1374,7 @@ object ExtQueries {
         val m = classifierFor(s, dir)
         TextAnalysis.linearLogits(docs(s, dir), m.weights, m.bias,
             hasher = Dedup.md5Hash60, ordered = true)
-          .select(col("doc_id"), round(col("z"), 4).as("z"))
+          .select(col("doc_id"), roundSigned(col("z")).as("z"))
           .orderBy("doc_id")
       }, {
         val hexVal = (1 to 15)
@@ -1408,7 +1435,7 @@ object ExtQueries {
            |      list(dx.w * w1.wt ORDER BY bucket)), (a, b) -> a + b) AS z
            |  FROM dx JOIN w1 USING (bucket) GROUP BY 1
            |)
-           |SELECT d.doc_id, round(coalesce(z.z, 0.0) + b1.bias, 4) AS z
+           |SELECT d.doc_id, round(coalesce(z.z, 0.0) + b1.bias, 4) + 0.0 AS z
            |FROM documents d LEFT JOIN z USING (doc_id) CROSS JOIN b1
            |ORDER BY 1""".stripMargin
       }
@@ -1497,8 +1524,8 @@ object ExtQueries {
             d.where(col("doc_id") % 5 === 0), dim = 64,
             hasher = Dedup.md5Hash60)
           .select(col("doc_id"), col("tokens"),
-            round(col("llr"), 4).as("llr"),
-            round(col("avg_llr"), 4).as("avg_llr"))
+            roundSigned(col("llr")).as("llr"),
+            roundSigned(col("avg_llr")).as("avg_llr"))
           .orderBy("doc_id")
       }, {
         val hexVal = (1 to 15)
@@ -1535,8 +1562,8 @@ object ExtQueries {
            |                (a, b) -> a + b) AS llr
            |  FROM dc JOIN lr USING (bucket) GROUP BY 1
            |)
-           |SELECT doc_id, tokens, round(llr, 4) AS llr,
-           |  round(llr / tokens, 4) AS avg_llr
+           |SELECT doc_id, tokens, round(llr, 4) + 0.0 AS llr,
+           |  round(llr / tokens, 4) + 0.0 AS avg_llr
            |FROM fold ORDER BY 1""".stripMargin
       }
     ),
@@ -2221,19 +2248,7 @@ object ExtQueries {
           shingled = Some(shinglesFor(s, dir, 3)))
           .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
           .orderBy("a", "b"),
-      s"""WITH tok AS (
-         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
-         |), tri AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
-         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-         |  FROM tok
-         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
-         |inter AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2
-         |)
+      s"""$shingleCapCtes
          |SELECT a, b,
          |  round(CAST(c AS DOUBLE) / CAST(least(na.sz, nb.sz) AS DOUBLE), 4) AS containment
          |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
@@ -2269,19 +2284,8 @@ object ExtQueries {
             signatures = Some(minhashSigsFor(s, dir, 3, 128)),
             editTau = Some(0.95))
           .orderBy("a", "b"),
-      s"""WITH tok AS (
-         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
-         |), tri AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
-         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-         |  FROM tok
-         |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
-         |inter AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2
-         |), p AS (
+      s"""$shingleCapCtes
+         |, p AS (
          |  SELECT a, b, CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) AS jaccard
          |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
          |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
@@ -3810,19 +3814,8 @@ object ExtQueries {
             blockTau = 0.2, shingled = Some(shinglesFor(s, dir, 3)))
           .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
           .orderBy("a", "b"),
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
-        |), tri AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-        |  FROM tok
-        |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
-        |inter AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-        |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2
-        |), cand AS (
+      s"""$shingleCapCtes
+        |, cand AS (
         |  SELECT a, b
         |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.2

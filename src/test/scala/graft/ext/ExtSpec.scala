@@ -2022,6 +2022,52 @@ class ExtSpec extends AnyFunSuite {
     assert(plain.dedupBatchBloom(allNew).isEmpty)
   }
 
+  test("bloom gate: compact crash window is safe (leftover folded sidecar = extra hits only) and ids stay type-generic") {
+    // compact() writes the rebuilt base sidecar BEFORE deleting the
+    // folded ones, so the only observable mid-crash state is
+    // {fresh base sidecar + leftover folded sidecar}. Reproduce that
+    // state explicitly and pin that verdicts stay identical to the
+    // exact join — the leftover only adds false hits the join
+    // discharges. (The pre-fix order could leave a STALE base sidecar
+    // missing the folded keys: silent false NEGATIVES.)
+    val path = java.nio.file.Files.createTempDirectory("fpcrash").toString
+    val corpus = (1L to 30L).map(i => (i, s"crash window doc $i"))
+      .toDF("doc_id", "text")
+    FingerprintIndex.build(corpus, path, bloom = true)
+    val idx = FingerprintIndex.load(spark, path)
+    val extra = Seq((31L, "late arrival alpha"), (32L, "late arrival beta"))
+      .toDF("doc_id", "text")
+    idx.append(extra, seg = "b0")
+    val b0 = new java.io.File(path, "bloom/seg=b0.bf")
+    val saved = java.nio.file.Files.readAllBytes(b0.toPath)
+    assert(idx.compact(Seq("b0")) == Seq("b0"))
+    // resurrect the folded sidecar = the crash-window state
+    java.nio.file.Files.write(b0.toPath, saved)
+    val mid = FingerprintIndex.load(spark, path)
+    val probe = Seq((100L, "late arrival alpha"), (101L, "crash window doc 5"),
+      (102L, "brand new content")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(rows(mid.dedupBatchBloom(probe)) == rows(mid.dedupBatch(probe)))
+    assert(rows(mid.dedupBatchBloom(probe)) == Seq((100L, 31L), (101L, 5L)),
+      "folded keys must stay visible through the rebuilt base sidecar")
+
+    // the gate must not pin the id column to Long (the index API is
+    // id-type-generic): string ids flow through the bloom path
+    val spath = java.nio.file.Files.createTempDirectory("fpstr").toString
+    val scorpus = Seq(("a", "string id doc one"), ("b", "string id doc two"))
+      .toDF("doc_id", "text")
+    FingerprintIndex.build(scorpus, spath, bloom = true)
+    val sidx = FingerprintIndex.load(spark, spath)
+    val sbatch = Seq(("x", "string id doc one"), ("y", "fresh"))
+      .toDF("doc_id", "text")
+    val got = sidx.dedupBatchBloom(sbatch)
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("x", "a")))
+  }
+
   test("editDistancePairs: hand-exact similarity, order sensitivity vs Jaccard, maxDist early abandon") {
     val a = "the quick brown fox jumps over the lazy dog today"
     val b = "the quick brown cat jumps over the lazy dog today"      // fox→cat: dist 3
