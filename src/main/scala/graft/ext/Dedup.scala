@@ -1001,6 +1001,48 @@ object Dedup {
 
   // ---- MinHash + LSH --------------------------------------------------
 
+  /** One-permutation MinHash signatures (Li, Owen & Zhang 2012) with
+    * rotation densification (Shrivastava & Li 2014, "Improved
+    * Densification of One Permutation Hashing"): instead of k
+    * independent rehashes of EVERY shingle ([[minhashSignatures]] —
+    * k×|shingles| hash evaluations, the dominant signature cost at
+    * corpus scale), each shingle is hashed ONCE and routed to bucket
+    * h mod k; the signature is the per-bucket min of a single salted
+    * rehash, and a bucket no shingle landed in (common for short docs:
+    * expected fill = 1−e^(−n/k)) borrows the value of the first
+    * non-empty bucket to its right (circular), offset-salted so two
+    * docs empty in the same bucket only agree when they borrowed the
+    * same value from the same distance. Per-component collision
+    * probability stays ≈ Jaccard (the densified estimator is unbiased),
+    * so [[bandHashes]]/[[lshCandidates]] and the downstream pipeline
+    * work unchanged — the signature build drops from k passes to ~1.
+    *
+    * Shape: one (id, bucket) groupBy (map-side combinable, ≤ k rows per
+    * doc out), one k-bounded map assembly per doc, one O(k²) HOF scan
+    * for densification (k=128 → ≤16k cheap long ops per doc, no data
+    * movement). Same (id, sig) schema as [[minhashSignatures]].
+    */
+  def minhashSignaturesOPH(sh: DataFrame, k: Int = 64): DataFrame = {
+    val bucketed = sh
+      .select(col("id"), pmod(col("h"), lit(k.toLong)).cast("int").as("b"),
+        xxhash64(lit("oph"), col("h")).as("hv"))
+      .groupBy("id", "b")
+      .agg(min("hv").as("m"))
+    val asMap = bucketed.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("m")))).as("mm"))
+    asMap.select(col("id"),
+      transform(sequence(lit(0), lit(k - 1)), i => {
+        val firstFilled = element_at(
+          filter(sequence(lit(1), lit(k - 1)),
+            d => element_at(col("mm"), pmod(i + d, lit(k)).cast("int")).isNotNull),
+          1)
+        coalesce(
+          element_at(col("mm"), i.cast("int")),
+          element_at(col("mm"),
+            pmod(i + firstFilled, lit(k)).cast("int")) + firstFilled)
+      }).as("sig"))
+  }
+
   /** MinHash signatures: k independent permutations approximated by
     * xxhash64 with k fixed salts; signature[i] = min hash over the doc's
     * shingles. One groupBy, k aggregates — map-side combinable.
@@ -1091,6 +1133,29 @@ object Dedup {
     }
   }
 
+  /** [[minhashDuplicates]] on one-permutation signatures
+    * ([[minhashSignaturesOPH]]): identical three-stage pipeline and —
+    * because stage 3 verifies EXACT Jaccard — identical output whenever
+    * LSH recall ≈ 1, at ~1/k of the signature-build cost; the at-scale
+    * default for corpus dedup. The estimate prefilter keeps a wider
+    * margin (tau − 0.3): the densified estimator is unbiased but its
+    * effective sample size for a short document is its FILLED bucket
+    * count (≈ n·(1−e^(−n/k))/n buckets for n shingles), not k, so the
+    * estimate is noisier exactly where documents are small; the wider
+    * gate admits a few more candidates to exact verification instead of
+    * risking a recall miss.
+    */
+  def minhashDuplicatesOPH(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                           k: Int = 64, bands: Int = 16,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           shingled: Option[DataFrame] = None): DataFrame = {
+    val sh = shingled.getOrElse(
+      hashShingles(shingles(docs, n, idCol, textCol)).cache())
+    val sigs = minhashSignaturesOPH(sh, k)
+    verifyCandidates(lshCandidates(sigs, k, bands), sigs, sigs, sh, sh,
+      tau, k, margin = 0.3)
+  }
+
   /** Stages 2–3 of the MinHash pipeline over an (a, b) candidate set:
     * signature-estimate prefilter, then exact shingle-join Jaccard ≥ tau.
     * The a side reads (sigsA, shA) and the b side (sigsB, shB) — the same
@@ -1100,7 +1165,8 @@ object Dedup {
   private[ext] def verifyCandidates(cands: DataFrame,
                                     sigsA: DataFrame, sigsB: DataFrame,
                                     shA: DataFrame, shB: DataFrame,
-                                    tau: Double, k: Int): DataFrame = {
+                                    tau: Double, k: Int,
+                                    margin: Double = 0.2): DataFrame = {
     // stage 2: signature-estimate prefilter. No broadcast HINT on the
     // signature tables: they are O(corpus), so forcing broadcast would
     // ship the whole corpus to every executor at scale — AQE
@@ -1113,7 +1179,7 @@ object Dedup {
         aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
           (acc, v) => acc + v).cast("double") / k)
-      .where(col("estj") >= tau - 0.2)
+      .where(col("estj") >= tau - margin)
       .select("a", "b")
 
     // stage 3: exact verification on survivors only

@@ -1117,4 +1117,86 @@ object TextAnalysis {
         }
     })
   }
+
+  /** Word n-gram occurrences WITH multiplicity — (id, gram), one row
+    * per occurrence (unlike [[Dedup.shingles]]' per-doc distinct set):
+    * the base table for corpus frequency analytics.
+    */
+  def ngramOccurrences(docs: DataFrame, n: Int = 2,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("ws"))
+      .select(col("id"),
+        explode(expr(s"CASE WHEN size(ws) >= $n THEN sequence(1, size(ws) - ${n - 1}) " +
+          "ELSE array() END")).as("i"), col("ws"))
+      .select(col("id"), expr(s"concat_ws(' ', slice(ws, i, $n))").as("gram"))
+
+  /** Exact corpus-wide heavy hitters: the topK word n-grams by total
+    * occurrence count, with document frequency — the boilerplate /
+    * template / stopword-phrase discovery pass a curation pipeline runs
+    * before tuning its dedup and line-clean thresholds (a gram with
+    * df ≈ corpus size IS the banner the line dedup should kill).
+    * Deterministic total order: (tf desc, gram asc).
+    *
+    * Scale shape: the tf aggregate is map-side combinable into a
+    * vocabulary-sized table; df needs one (gram, id)-distinct exchange;
+    * topK plans as TakeOrderedAndProject (no global sort). The shuffle
+    * is vocabulary-sized, not corpus-sized — when even the vocabulary
+    * is too large (open-domain n-grams at 100 TB), use
+    * [[topNgramsSketch]], whose shuffle is bounded by
+    * counters × partitions regardless of vocabulary.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, topK: Int = 50,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    ngramOccurrences(docs, n, idCol, textCol)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
+      .orderBy(col("tf").desc, col("gram").asc)
+      .limit(topK)
+
+  /** [[topNgrams]] for vocabularies that must never be shuffled whole:
+    * per-partition Misra–Gries summaries (`counters` slots each) nominate
+    * a bounded candidate set, and only candidates are exactly recounted.
+    * An n-gram absent from EVERY partition summary has total count
+    * ≤ N/(counters+1) (the merged MG guarantee), so whenever the true
+    * topK all clear that bar — the regime heavy-hitter queries live in —
+    * the output is EXACTLY [[topNgrams]]' (the recount is exact, the
+    * MG undercounts are discarded). Shuffle cost: candidates ≤
+    * counters × partitions rows broadcast back, one corpus-sized scan
+    * recounting only matching grams; the full vocabulary never leaves
+    * the executors. Registered oracle-less (candidate nomination is
+    * partition-order dependent below the guarantee bar); the spec pins
+    * sketch ≡ exact on guarantee-satisfying fixtures.
+    */
+  def topNgramsSketch(docs: DataFrame, n: Int = 2, topK: Int = 50,
+                      counters: Int = 4096,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val occ = ngramOccurrences(docs, n, idCol, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cands = occ.select("gram").as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { g =>
+        m.get(g) match {
+          case Some(c) => m.update(g, c + 1)
+          case None if m.size < counters => m.update(g, 1L)
+          case None =>
+            // Misra–Gries decrement step: every resident loses one
+            // occurrence; exhausted residents vacate their slot
+            m.mapValuesInPlace((_, c) => c - 1)
+            m.filterInPlace((_, c) => c > 0)
+        }
+      }
+      m.keysIterator
+    }.distinct().toDF("gram")
+    occ
+      .join(broadcast(cands), "gram")
+      .groupBy("gram")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
+      .orderBy(col("tf").desc, col("gram").asc)
+      .limit(topK)
+  }
 }

@@ -1462,6 +1462,40 @@ object ExtQueries {
         |FROM st ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
+      "t31_ngram_topk",
+      // exact corpus heavy hitters: top-50 word bigrams by occurrence
+      // count with document frequency — the boilerplate/template
+      // discovery pass that tunes dedup and line-clean thresholds.
+      // Counts are exact integers and the (tf desc, gram asc) order is
+      // total, so the full row set is value-gated.
+      (s, dir) =>
+        TextAnalysis.topNgrams(docs(s, dir), n = 2, topK = 50),
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM tok
+        |)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS tf,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM g GROUP BY 1 ORDER BY tf DESC, gram LIMIT 50""".stripMargin
+    ),
+    QueryDef(
+      "t32_ngram_topk_sketch",
+      // the bounded-memory twin: per-partition Misra–Gries candidate
+      // nomination + exact recount of candidates only. Output equals
+      // t31 whenever the true top-50 clear the merged-MG bar
+      // tf > N/(counters+1) (they do here by orders of magnitude), but
+      // candidate nomination below the bar is partition-order dependent
+      // → registered rows-only; ExtSpec pins sketch ≡ exact on planted
+      // and adversarial fixtures.
+      (s, dir) =>
+        TextAnalysis.topNgramsSketch(docs(s, dir), n = 2, topK = 50,
+          counters = 4096),
+      None),
+    QueryDef(
       "t29_text_bm25",
       // BM25 keyword relevance (the Lucene-default (k1+1)/ln(1+…)
       // variant) against a fixed 3-term query — the keyword
@@ -2266,6 +2300,21 @@ object ExtQueries {
           .minhashDuplicates(docs(s, dir), n = 3, tau = 0.5, k = 128, bands = 64,
             shingled = Some(shinglesFor(s, dir, 3)),
             signatures = Some(minhashSigsFor(s, dir, 3, 128)))
+          .orderBy("a", "b"),
+      jaccardSql(0.5)),
+    QueryDef(
+      "d67_dedup_minhash_oph",
+      // d03 on ONE-PERMUTATION signatures (rotation-densified OPH):
+      // the signature build hashes each shingle once instead of k=128
+      // times — the at-scale MinHash default. Banding recall at these
+      // parameters stays effectively 1 and the pipeline still verifies
+      // EXACT Jaccard, so the same brute-force oracle value-gates the
+      // whole path (any densification bug that costs a candidate shows
+      // up as a missing row).
+      (s, dir) =>
+        Dedup
+          .minhashDuplicatesOPH(docs(s, dir), n = 3, tau = 0.5, k = 128,
+            bands = 64, shingled = Some(shinglesFor(s, dir, 3)))
           .orderBy("a", "b"),
       jaccardSql(0.5)),
     QueryDef(

@@ -375,6 +375,42 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh == brute) // verification fixes precision; params make recall ~1
   }
 
+  test("OPH signatures: dense (no nulls), filled buckets = per-bucket mins, identical docs identical, partitioning-invariant") {
+    val k = 32
+    val synth = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two"), // 0 trigram shingles at n=3... use n=2: 1 shingle
+      (4L, "totally different content with other words here now")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.hashShingles(Dedup.shingles(synth, n = 2))
+    val sigs = Dedup.minhashSignaturesOPH(sh, k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // densification fills every slot, even for the 1-shingle doc
+    sigs.values.foreach { s => assert(s.length == k && !s.contains(null)) }
+    assert(sigs(1L) == sigs(2L), "identical shingle sets → identical sigs")
+    assert(sigs(1L) != sigs(4L))
+    // a doc with ONE shingle densifies every bucket from that one
+    // filled slot: values must be (m + distance) of a single m
+    val one = sigs(3L)
+    val base = one.min
+    assert(one.sorted == (0 until k).map(base + _),
+      "rotation densification must offset-salt each borrowed slot")
+    // signatures are partitioning-invariant (pure per-doc function)
+    val sigs1 = Dedup.minhashSignaturesOPH(sh.repartition(1), k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs1 == sigs)
+  }
+
+  test("OPH minhash near-dups == brute-force jaccard pairs at tau=0.5") {
+    val brute = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oph = Dedup.minhashDuplicatesOPH(docs, n = 3, tau = 0.5, k = 128, bands = 64)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    assert(oph == brute) // exact verify fixes precision; params make recall ~1
+  }
+
   test("simhash: identical docs collide at distance 0; pairs are verified") {
     val synth = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
@@ -2066,6 +2102,42 @@ class ExtSpec extends AnyFunSuite {
       .select("doc_id", "dup_of").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got == Seq(("x", "a")))
+  }
+
+  test("topNgrams: hand-exact counts, (tf desc, gram asc) tiebreak, df vs tf") {
+    val synth = Seq(
+      (1L, "a b a b a b"), // "a b" ×3, "b a" ×2
+      (2L, "a b c"),       // "a b", "b c"
+      (3L, "x y")          // "x y"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(synth, n = 2, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // tf=1 tie between "b c" and "x y" → gram asc picks "b c"
+    assert(got == Seq(("a b", 4L, 2L), ("b a", 2L, 1L), ("b c", 1L, 1L)),
+      s"got $got")
+  }
+
+  test("topNgramsSketch ≡ topNgrams when heavies clear the MG bar; partitioning-proof; planted heavies survive tiny budgets") {
+    // planted heavies (hundreds of occurrences) over a long distinct
+    // tail: with counters=64 the merged-MG bar is N/65 ≈ 26 — the
+    // heavies clear it by 10×, the tail never nominates reliably, and
+    // the exact recount makes the top-K identical to the exact pass.
+    val rows = (0 until 500).map(i => (i.toLong, s"unique$i tail$i filler$i")) ++
+      (500 until 800).map(i => (i.toLong, "hot banner text repeated")) ++
+      (800 until 950).map(i => (i.toLong, "warm template line here"))
+    val synth = rows.toDF("doc_id", "text")
+    val exact = TextAnalysis.topNgrams(synth, n = 2, topK = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = TextAnalysis
+        .topNgramsSketch(synth.repartition(parts), n = 2, topK = 5, counters = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(sk == exact, s"parts=$parts: $sk != $exact")
+    }
+    // the top rows really are the planted heavies with exact counts
+    // (tf=300 tie → gram asc order)
+    assert(exact.take(2).map(t => (t._1, t._2)) ==
+      Seq(("banner text", 300L), ("hot banner", 300L)))
   }
 
   test("editDistancePairs: hand-exact similarity, order sensitivity vs Jaccard, maxDist early abandon") {

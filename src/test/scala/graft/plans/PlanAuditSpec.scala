@@ -361,4 +361,38 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(m3.weights.length == 16 && m6.weights.length == 16)
     } finally sc.removeSparkListener(listener)
   }
+
+  test("topNgrams: tf partial-aggregates map-side and topK plans as TakeOrdered, never a global sort") {
+    val docsDf = (0L until 400L)
+      .map(i => (i, s"alpha${i % 9} beta${i % 5} gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val df = graft.ext.TextAnalysis.topNgrams(docsDf, n = 2, topK = 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the occurrence stream must combine before it shuffles — at corpus
+    // scale the shuffle is vocabulary-sized, never occurrence-sized
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"tf not map-side combined:\n$plan")
+    // ORDER BY tf LIMIT K is a TakeOrdered, not a full sort of the
+    // vocabulary
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"topK planned as a global sort:\n$plan")
+  }
+
+  test("topNgramsSketch: the candidate recount join broadcasts the MG nominees; the corpus never shuffles to meet them") {
+    val docsDf = (0L until 400L)
+      .map(i => (i, s"alpha${i % 9} beta${i % 5} gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val df = graft.ext.TextAnalysis
+      .topNgramsSketch(docsDf, n = 2, topK = 10, counters = 64)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // candidates are ≤ counters × partitions rows — the recount join
+    // must broadcast them onto the occurrence stream
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"non-equi join in the sketch recount:\n$plan")
+  }
 }
