@@ -1105,13 +1105,17 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         shingled: Option[DataFrame] = None,
                         signatures: Option[DataFrame] = None,
-                        editTau: Option[Double] = None): DataFrame = {
-    // precomputed hashed-shingle/signature tables: see [[jaccardPairs]]
+                        editTau: Option[Double] = None,
+                        margin: Double = 0.2): DataFrame = {
+    // precomputed hashed-shingle/signature tables: see [[jaccardPairs]].
+    // `margin` must match the signature mode of any INJECTED signatures
+    // (0.2 classic, 0.3 OPH — MinHashIndex.prefilterMargin).
     val sh = shingled.getOrElse(
       hashShingles(shingles(docs, n, idCol, textCol)).cache())
     val sigs = signatures.getOrElse(minhashSignatures(sh, k).cache())
     val pairs =
-      verifyCandidates(lshCandidates(sigs, k, bands), sigs, sigs, sh, sh, tau, k)
+      verifyCandidates(lshCandidates(sigs, k, bands), sigs, sigs, sh, sh,
+        tau, k, margin)
     // optional second verify (the code-corpus dedup recipe: MinHash
     // blocking, edit-distance confirmation): normalized Levenshtein
     // similarity ≥ editTau on the already-Jaccard-verified pairs only —

@@ -39,7 +39,26 @@ import org.apache.spark.sql.functions._
   * beyond the collided band buckets.
   */
 final class MinHashIndex private[ext] (val spark: SparkSession, val path: String,
-                                       val n: Int, val k: Int, val bands: Int) {
+                                       val n: Int, val k: Int, val bands: Int,
+                                       val sigMode: String = "classic") {
+
+  /** The index's signature builder — `classic` ([[Dedup.minhashSignatures]],
+    * k rehashes per shingle) or `oph` ([[Dedup.minhashSignaturesOPH]], one
+    * hash per shingle + rotation densification, the at-scale default).
+    * Part of the persisted `_params` hash space: every signature the
+    * index ever stores or compares against MUST come from this one
+    * builder, so batch-side callers derive theirs here too.
+    */
+  def signaturesOf(sh: DataFrame): DataFrame =
+    if (sigMode == "oph") Dedup.minhashSignaturesOPH(sh, k)
+    else Dedup.minhashSignatures(sh, k)
+
+  /** Estimate-prefilter margin matched to the signature mode: the OPH
+    * estimator's effective sample for a short doc is its filled-bucket
+    * count, not k — the wider gate trades a few extra exact verifies
+    * for recall (see [[Dedup.minhashDuplicatesOPH]]).
+    */
+  def prefilterMargin: Double = if (sigMode == "oph") 0.3 else 0.2
 
   def shingleTable: DataFrame = table("shingles", Seq("id", "h"), None)
   def signatures: DataFrame = table("sigs", Seq("id", "sig"), None)
@@ -87,7 +106,7 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
     // filtered-docs shingles == filtered shingles)
     val newSh = shingled.getOrElse(
       Dedup.hashShingles(Dedup.shingles(newDocs, n, idCol, textCol)))
-    val newSigs = signatures.getOrElse(Dedup.minhashSignatures(newSh, k))
+    val newSigs = signatures.getOrElse(signaturesOf(newSh))
     val newBands = Dedup.bandHashes(newSigs, k, bands)
     val cands = newBands.as("x")
       .join(table("bands", Seq("id", "band", "bh"), excludeSeg).as("y"),
@@ -97,7 +116,8 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
     Dedup
       .verifyCandidates(cands,
         newSigs, table("sigs", Seq("id", "sig"), excludeSeg),
-        newSh, table("shingles", Seq("id", "h"), excludeSeg), tau, k)
+        newSh, table("shingles", Seq("id", "h"), excludeSeg), tau, k,
+        margin = prefilterMargin)
       .select(col("a").as("doc_id"), col("b").as("dup_of"), col("jaccard"))
   }
 
@@ -118,7 +138,7 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
     val sh = shingled.getOrElse(
       Dedup.hashShingles(Dedup.shingles(newDocs, n, idCol, textCol)).cache())
     try {
-      val sigs = signatures.getOrElse(Dedup.minhashSignatures(sh, k).cache())
+      val sigs = signatures.getOrElse(signaturesOf(sh).cache())
       try {
         sh.write.mode("overwrite").parquet(s"$path/shingles/seg=$seg")
         sigs.write.mode("overwrite").parquet(s"$path/sigs/seg=$seg")
@@ -176,27 +196,30 @@ object MinHashIndex {
     */
   def build(docs: DataFrame, path: String, n: Int = 3, k: Int = 128,
             bands: Int = 64, idCol: String = "doc_id",
-            textCol: String = "text"): MinHashIndex = {
+            textCol: String = "text", sig: String = "classic"): MinHashIndex = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    require(sig == "classic" || sig == "oph", s"unknown signature mode: $sig")
     deleteRecursively(new java.io.File(path))
     Files.createDirectories(Paths.get(path))
-    val idx = new MinHashIndex(docs.sparkSession, path, n, k, bands)
+    val idx = new MinHashIndex(docs.sparkSession, path, n, k, bands, sig)
     idx.append(docs, seg = "base", idCol = idCol, textCol = textCol)
     Files.write(Paths.get(path, "_params"),
-      s"n=$n\nk=$k\nbands=$bands\n".getBytes(StandardCharsets.UTF_8))
+      s"n=$n\nk=$k\nbands=$bands\nsig=$sig\n".getBytes(StandardCharsets.UTF_8))
     idx
   }
 
   /** Open a persisted index; the hash-space parameters come from its
-    * `_params` file, never from the caller.
+    * `_params` file, never from the caller. Indexes written before the
+    * `sig=` marker are classic-signature by construction.
     */
   def load(spark: SparkSession, path: String): MinHashIndex = {
     val params = new String(Files.readAllBytes(Paths.get(path, "_params")),
       StandardCharsets.UTF_8)
       .linesIterator.filter(_.contains("="))
-      .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim.toInt) }
+      .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim) }
       .toMap
-    new MinHashIndex(spark, path, params("n"), params("k"), params("bands"))
+    new MinHashIndex(spark, path, params("n").toInt, params("k").toInt,
+      params("bands").toInt, params.getOrElse("sig", "classic"))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -355,7 +355,7 @@ object StreamingCorpusPipeline {
       def idsOf(d: DataFrame)(t: DataFrame): DataFrame =
         t.join(d.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       val shAll = keep(Dedup.hashShingles(Dedup.shingles(afterC, mhIdx.n)))
-      val sigsAll = keep(Dedup.minhashSignatures(shAll, mhIdx.k))
+      val sigsAll = keep(mhIdx.signaturesOf(shAll))
       val nearCross = StageTimer.force("near", keep(mhIdx
         .dedupBatch(afterC, cfg.tau, excludeSeg = Some(seg),
           shingled = Some(shAll), signatures = Some(sigsAll))
@@ -366,7 +366,8 @@ object StreamingCorpusPipeline {
       val pairs = Dedup.minhashDuplicates(afterNc, n = mhIdx.n, tau = cfg.tau,
         k = mhIdx.k, bands = mhIdx.bands,
         shingled = Some(idsOf(afterNc)(shAll)),
-        signatures = Some(idsOf(afterNc)(sigsAll)))
+        signatures = Some(idsOf(afterNc)(sigsAll)),
+        margin = mhIdx.prefilterMargin)
       val nearBatch = StageTimer.force("near", keep(Dedup.connectedComponents(pairs)
         .where(col("id") =!= col("root"))
         .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),

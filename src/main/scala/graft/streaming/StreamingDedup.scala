@@ -99,10 +99,11 @@ object StreamingDedup {
       // cached table behind per micro-batch, accreting over a
       // long-running stream.
       val remSh = Dedup.hashShingles(Dedup.shingles(remaining, idx.n)).cache()
-      val remSigs = Dedup.minhashSignatures(remSh, idx.k).cache()
+      val remSigs = idx.signaturesOf(remSh).cache()
       val pairs = Dedup.minhashDuplicates(remaining, n = idx.n, tau = tau,
         k = idx.k, bands = idx.bands,
-        shingled = Some(remSh), signatures = Some(remSigs))
+        shingled = Some(remSh), signatures = Some(remSigs),
+        margin = idx.prefilterMargin)
       val comp = Dedup.connectedComponents(pairs)
       val batchDups = comp.where(col("id") =!= col("root"))
         .select(col("id").as("doc_id"), col("root").as("dup_of"))

@@ -50,14 +50,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(math.abs(got(1)._3 - 7.0 / 9.0) < 1e-12)
   }
 
-  test("streamed batches: cross-drop, in-batch keeper, survivors join the index") {
+  test("OPH-mode index: _params round-trip, verdicts == classic mode through build/append/dedupBatch, mixed-space impossible") {
+    import spark.implicits._
+    val corpus = Seq((1L, A), (2L, B), (3L, C)).toDF("doc_id", "text")
+    val batch1 = Seq((101L, A), (102L, A1), (103L, D)).toDF("doc_id", "text")
+    val batch2 = Seq((201L, D), (202L, E)).toDF("doc_id", "text")
+    def lifecycle(sig: String): Seq[(Long, Long, Double)] = {
+      val path = Files.createTempDirectory(s"mhidx$sig").toString
+      MinHashIndex.build(corpus, path, sig = sig)
+      val idx = MinHashIndex.load(spark, path)
+      assert(idx.sigMode == sig, "signature mode must persist in _params")
+      idx.append(batch1, seg = "b0")
+      // the second batch must see batch1's appended docs through the
+      // SAME signature space (a classic/OPH mix would silently lose
+      // band collisions — the _params pin makes it unrepresentable)
+      MinHashIndex.load(spark, path)
+        .dedupBatch(batch2, tau = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    }
+    val classic = lifecycle("classic")
+    val oph = lifecycle("oph")
+    // exact verify makes both modes return the identical pair set with
+    // identical exact jaccards (201 matches the appended 103 at 1.0)
+    assert(classic == oph, s"classic $classic != oph $oph")
+    assert(classic.map(x => (x._1, x._2)) == Seq((201L, 103L)))
+    assert(classic.head._3 == 1.0)
+    // pre-sig-marker indexes load as classic (backward compatibility)
+    val legacy = Files.createTempDirectory("mhlegacy").toString
+    MinHashIndex.build(corpus, legacy)
+    Files.write(java.nio.file.Paths.get(legacy, "_params"),
+      "n=3\nk=128\nbands=64\n".getBytes)
+    assert(MinHashIndex.load(spark, legacy).sigMode == "classic")
+  }
+
+  // run the streaming keeper rule under BOTH signature modes: the OPH
+  // run proves the one-hash-per-shingle signature space rides the whole
+  // streaming lifecycle (cross dedup, in-batch keeper, survivor append,
+  // restart) with verdicts identical to classic
+  for (sig <- Seq("classic", "oph"))
+  test(s"streamed batches ($sig): cross-drop, in-batch keeper, survivors join the index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val idxPath = Files.createTempDirectory("mhidx-s").toString
     val vPath = Files.createTempDirectory("mhv").toString
     val ckpt = Files.createTempDirectory("mhckpt").toString
     MinHashIndex.build(
-      Seq((1L, A), (2L, B), (3L, C)).toDF("doc_id", "text"), idxPath)
+      Seq((1L, A), (2L, B), (3L, C)).toDF("doc_id", "text"), idxPath,
+      sig = sig)
 
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF().toDF("doc_id", "text")
