@@ -199,7 +199,11 @@ object StreamingCorpusPipeline {
         .unionByName(exDrops).unionByName(nearDrops)
         .unionByName(survivors.select(col("doc_id"),
           lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
-    } finally { sh.unpersist(blocking = true); sigs.unpersist(blocking = true): Unit }
+    } finally {
+      // sigs derives from sh: drop the dependent first (non-cascading
+      // unpersist eagerly rebuilds live dependents of the dropped entry)
+      sigs.unpersist(blocking = true); sh.unpersist(blocking = true): Unit
+    }
   }
 
   /** Cold-start for the semantic stage: SemDeDup over a historical
@@ -408,7 +412,7 @@ object StreamingCorpusPipeline {
       // own-segment exclusion, then the in-batch smaller-id keeper
       // within cells (StreamingSemanticDedup's rule verbatim);
       // survivors extend the semantic index like the text indexes
-      val (semCross, semBatch, survivors) = semPath match {
+      val (semCross, semBatch, survivors, semAppend) = semPath match {
         case Some(p) =>
           val semIdx = SemanticIndex.load(spark, p)
           val assigned = keep(semIdx.assign(afterNear, idCol = "doc_id",
@@ -431,29 +435,33 @@ object StreamingCorpusPipeline {
             .select(col("doc_id"), lit("dup_semantic_batch").as("verdict"),
               col("ref_id"))))
           val surv = keep(minus(minus(afterNear, sCross), sBatch))
-          StageTimer.time("append")(
+          // the append is DEFERRED until after the verdict write (see
+          // the ordering note below) — appendAssigned refreshes the
+          // semantic index path, invalidating these very frames' caches
+          val doAppend = () => StageTimer.time("append")(
             semIdx.appendAssigned(remaining.join(
               surv.select(col("doc_id").as("id")), Seq("id"), "left_semi"),
               seg = seg))
-          (sCross, sBatch, surv)
+          (sCross, sBatch, surv, doAppend)
         case None =>
-          (emptyVerdicts, emptyVerdicts, keep(afterNear))
+          (emptyVerdicts, emptyVerdicts, keep(afterNear), () => ())
       }
 
-      // 5. exactly-once effects, all keyed by batchId. The line index
+      // 5. exactly-once effects, all keyed by batchId — the VERDICT
+      // first. Every index append ends in refreshByPath on that index's
+      // tables, which invalidates each cached stage frame whose plan
+      // READ them (the exact, contamination, and near-cross verdicts
+      // all descend from index scans); a verdict write after the
+      // appends therefore recomputed those whole chains a second time
+      // — measured ~5 s of d49's ~15 s batch at sf0.1, attributed per
+      // union branch (exact 0.9 + contam 2.9 + nearCross 1.0). All
+      // effects are overwrite-keyed (verdict by batch=, index segments
+      // by seg=), so replay semantics are order-independent; writing
+      // the verdict while the caches are still valid makes it a
+      // cached-read union plus one small parquet write. The line index
       // grows by the SURVIVORS' kept lines (the "everything ever kept"
       // contract the other indexes follow): a dropped near-dup's
       // unshipped lines never poison future kept documents.
-      StageTimer.time("append") {
-        fpIdx.append(survivors, seg = seg)
-        lnPath.foreach(p =>
-          LineIndex.load(spark, p).append(survivors, seg = seg))
-        winPath.foreach(p =>
-          WinnowIndex.load(spark, p).append(survivors, seg = seg))
-        mhIdx.append(survivors, seg = seg,
-          shingled = Some(idsOf(survivors)(shAll)),
-          signatures = Some(idsOf(survivors)(sigsAll)))
-      }
       StageTimer.time("verdict")(qDrops
         .unionByName(exCross).unionByName(exBatch).unionByName(contam)
         .unionByName(nearCross).unionByName(nearBatch)
@@ -462,6 +470,28 @@ object StreamingCorpusPipeline {
         .unionByName(survivors.select(col("doc_id"),
           lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId"))
-    } finally caches.foreach(_.unpersist(blocking = true))
+      semAppend()
+      StageTimer.time("appendFp")(fpIdx.append(survivors, seg = seg))
+      StageTimer.time("append") {
+        lnPath.foreach(p =>
+          LineIndex.load(spark, p).append(survivors, seg = seg))
+        winPath.foreach(p =>
+          WinnowIndex.load(spark, p).append(survivors, seg = seg))
+      }
+      StageTimer.time("appendMh") {
+        mhIdx.append(survivors, seg = seg,
+          shingled = Some(idsOf(survivors)(shAll)),
+          signatures = Some(idsOf(survivors)(sigsAll)))
+      }
+    } finally StageTimer.time("cleanup")(
+      // REVERSE registration order — dependents before dependencies.
+      // Dataset.unpersist is non-cascading: dropping an entry other
+      // live entries' plans reference makes the CacheManager rebuild
+      // those dependents EAGERLY (re-running their whole chains when
+      // the appends' refreshByPath had already invalidated them —
+      // measured 36 s of silent recompute on d49's teardown in
+      // creation order). Tearing down most-derived-first means no
+      // surviving entry ever references the one being dropped.
+      caches.reverseIterator.foreach(_.unpersist(blocking = true)))
   }
 }

@@ -112,19 +112,28 @@ object StreamingDedup {
         .join(batchDups.select("doc_id"), Seq("doc_id"), "left_anti")
         .cache()
 
-      // 3. exactly-once effects: segment + verdict dirs keyed by batchId
-      idx.append(survivors, seg = s"b$batchId")
+      // 3. exactly-once effects: segment + verdict dirs keyed by
+      // batchId — the VERDICT first: append's refreshByPath invalidates
+      // `cross`'s cache (its plan reads the index tables), so a verdict
+      // write after the append would silently recompute the cross-dedup
+      // chain (the StreamingCorpusPipeline finding); both effects are
+      // overwrite-keyed, so the order is immaterial to replay.
       cross.withColumn("verdict", lit("dup_index"))
         .unionByName(batchDups.withColumn("verdict", lit("dup_batch")))
         .unionByName(survivors.select(col("doc_id"),
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("doc_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-      cross.unpersist(blocking = true)
-      batchDups.unpersist(blocking = true)
+      idx.append(survivors, seg = s"b$batchId")
+      // teardown most-derived-first: non-cascading unpersist EAGERLY
+      // rebuilds any live cache whose plan references the dropped one
+      // — dropping `cross` before its dependents would re-run their
+      // chains just to throw them away
       survivors.unpersist(blocking = true)
-      remSh.unpersist(blocking = true)
+      batchDups.unpersist(blocking = true)
       remSigs.unpersist(blocking = true)
+      remSh.unpersist(blocking = true)
+      cross.unpersist(blocking = true)
     } finally docs.unpersist(blocking = true)
   }
 }

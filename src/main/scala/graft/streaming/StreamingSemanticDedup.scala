@@ -113,17 +113,22 @@ object StreamingSemanticDedup {
         .join(batchDups.select(col("vec_id").as("id")), Seq("id"), "left_anti")
         .cache()
 
-      // 3. exactly-once effects: segment + verdict dirs keyed by batchId
-      idx.appendAssigned(survivors, seg = s"b$batchId")
+      // 3. exactly-once effects: segment + verdict dirs keyed by
+      // batchId — verdict BEFORE append (append's refreshByPath
+      // invalidates `cross`'s cache, whose plan reads the index; a
+      // later verdict write would recompute it), teardown
+      // most-derived-first (non-cascading unpersist eagerly rebuilds
+      // live dependents of the dropped entry)
       cross.withColumn("verdict", lit("dup_index"))
         .unionByName(batchDups.withColumn("verdict", lit("dup_batch")))
         .unionByName(survivors.select(col("id").as("vec_id"),
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("vec_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-      cross.unpersist(blocking = true)
-      batchDups.unpersist(blocking = true)
+      idx.appendAssigned(survivors, seg = s"b$batchId")
       survivors.unpersist(blocking = true)
+      batchDups.unpersist(blocking = true)
+      cross.unpersist(blocking = true)
     } finally { assigned.unpersist(blocking = true); () }
   }
 }

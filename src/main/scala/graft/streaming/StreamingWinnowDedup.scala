@@ -74,16 +74,20 @@ object StreamingWinnowDedup {
       val survivors = remaining
         .join(batchDups.select("doc_id"), Seq("doc_id"), "left_anti")
         .cache()
-      idx.append(survivors, seg = s"b$batchId")
+      // verdict BEFORE append (append's refreshByPath invalidates
+      // `cross`'s cache, whose plan reads the index; a later verdict
+      // write would recompute it); teardown most-derived-first
+      // (non-cascading unpersist eagerly rebuilds live dependents)
       cross.withColumn("verdict", lit("dup_index"))
         .unionByName(batchDups.withColumn("verdict", lit("dup_batch")))
         .unionByName(survivors.select(col("doc_id"),
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("doc_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-      cross.unpersist(blocking = true)
-      batchDups.unpersist(blocking = true)
+      idx.append(survivors, seg = s"b$batchId")
       survivors.unpersist(blocking = true)
+      batchDups.unpersist(blocking = true)
+      cross.unpersist(blocking = true)
     } finally docs.unpersist(blocking = true): Unit
   }
 }
