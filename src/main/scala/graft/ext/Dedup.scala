@@ -1004,43 +1004,82 @@ object Dedup {
   /** One-permutation MinHash signatures (Li, Owen & Zhang 2012) with
     * rotation densification (Shrivastava & Li 2014, "Improved
     * Densification of One Permutation Hashing"): instead of k
-    * independent rehashes of EVERY shingle ([[minhashSignatures]] —
-    * k×|shingles| hash evaluations, the dominant signature cost at
-    * corpus scale), each shingle is hashed ONCE and routed to bucket
-    * h mod k; the signature is the per-bucket min of a single salted
-    * rehash, and a bucket no shingle landed in (common for short docs:
-    * expected fill = 1−e^(−n/k)) borrows the value of the first
-    * non-empty bucket to its right (circular), offset-salted so two
-    * docs empty in the same bucket only agree when they borrowed the
-    * same value from the same distance. Per-component collision
-    * probability stays ≈ Jaccard (the densified estimator is unbiased),
-    * so [[bandHashes]]/[[lshCandidates]] and the downstream pipeline
-    * work unchanged — the signature build drops from k passes to ~1.
+    * independent rehashes of EVERY shingle ([[minhashSignatures]]),
+    * each shingle is hashed ONCE and routed to bucket h mod k; the
+    * signature is the per-bucket min of a single salted rehash, and a
+    * bucket no shingle landed in (common for short docs: expected fill
+    * = 1−e^(−n/k) of k) borrows the value of the first non-empty bucket
+    * to its right (circular), offset-salted so two docs empty in the
+    * same bucket only agree when they borrowed the same value from the
+    * same distance. Per-component collision probability stays ≈ Jaccard
+    * (the densified estimator is unbiased), so [[bandHashes]]/
+    * [[lshCandidates]] and the downstream pipeline work unchanged.
+    *
+    * Measured honestly (tools/OphScale, table in DEDUP.md): in THIS
+    * engine the classic builder WINS at k=128 — [[hashShingles]] has
+    * already reduced shingles to 8-byte longs, so its k rehashes are
+    * codegen'd long hashes inside one map-side-combined aggregate
+    * (compute-dense, shuffle-light), while OPH pays a second
+    * aggregation plus a typed densification pass. Keep `classic` as
+    * the default; reach for OPH when the hash count itself is the
+    * bottleneck — k ≫ 128, signatures over wide raw keys without a
+    * dictionary pass, or hash-constrained hardware. The value
+    * contract is what the d67 gate pins: identical verified pair sets.
     *
     * Shape: one (id, bucket) groupBy (map-side combinable, ≤ k rows per
-    * doc out), one k-bounded map assembly per doc, one O(k²) HOF scan
-    * for densification (k=128 → ≤16k cheap long ops per doc, no data
-    * movement). Same (id, sig) schema as [[minhashSignatures]].
+    * doc out), one k-bounded list per doc, one O(k) typed densification
+    * scan. Same (id, sig) schema as [[minhashSignatures]].
     */
   def minhashSignaturesOPH(sh: DataFrame, k: Int = 64): DataFrame = {
+    // each shingle row pays ONE xxhash64 + one bucket route; per-bucket
+    // mins collapse map-side in the (id, b) aggregate (≤ k rows per doc
+    // reach the shuffle), then one k-bounded list per doc
     val bucketed = sh
       .select(col("id"), pmod(col("h"), lit(k.toLong)).cast("int").as("b"),
         xxhash64(lit("oph"), col("h")).as("hv"))
       .groupBy("id", "b")
       .agg(min("hv").as("m"))
-    val asMap = bucketed.groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("b"), col("m")))).as("mm"))
-    asMap.select(col("id"),
-      transform(sequence(lit(0), lit(k - 1)), i => {
-        val firstFilled = element_at(
-          filter(sequence(lit(1), lit(k - 1)),
-            d => element_at(col("mm"), pmod(i + d, lit(k)).cast("int")).isNotNull),
-          1)
-        coalesce(
-          element_at(col("mm"), i.cast("int")),
-          element_at(col("mm"),
-            pmod(i + firstFilled, lit(k)).cast("int")) + firstFilled)
-      }).as("sig"))
+    val fe = bucketed.groupBy("id")
+      .agg(collect_list(struct(col("b"), col("m"))).as("fe"))
+    // slot i's source is the filled bucket minimizing the circular
+    // right-distance d = (b − i) mod k (d = 0 when i itself is filled),
+    // value = m + d. Densification runs as a typed per-row JVM loop —
+    // O(k) per doc via a backward double scan — NOT as array HOFs:
+    // lambda HOFs evaluate interpreted per element (an O(k·fill) HOF
+    // spelling benched ~20 s at sf0.1 where this runs ~1 s; a
+    // MapType-probing first cut, 38 s — Catalyst's GetMapValue is a
+    // linear scan). The Row-encoded mapPartitions keeps the id
+    // column's type generic.
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      fe.schema("id"),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))))
+    fe.mapPartitions { rows =>
+      rows.map { r =>
+        val entries = r.getSeq[org.apache.spark.sql.Row](1)
+        val m = new Array[Long](k)
+        val filled = new Array[Boolean](k)
+        entries.foreach { e =>
+          val b = e.getInt(0); m(b) = e.getLong(1); filled(b) = true
+        }
+        val sig = new Array[Long](k)
+        // two backward laps: j = nearest filled slot at-or-after s
+        // (circular right); the first lap (i >= k) seeds the wrap
+        var j = -1
+        var i = 2 * k - 1
+        while (i >= 0) {
+          val s = i % k
+          if (filled(s)) j = s
+          if (i < k) {
+            val d = if (j >= s) j - s else j + k - s
+            sig(s) = m(j) + d
+          }
+          i -= 1
+        }
+        org.apache.spark.sql.Row(r.get(0), sig.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** MinHash signatures: k independent permutations approximated by
@@ -1140,14 +1179,14 @@ object Dedup {
   /** [[minhashDuplicates]] on one-permutation signatures
     * ([[minhashSignaturesOPH]]): identical three-stage pipeline and —
     * because stage 3 verifies EXACT Jaccard — identical output whenever
-    * LSH recall ≈ 1, at ~1/k of the signature-build cost; the at-scale
-    * default for corpus dedup. The estimate prefilter keeps a wider
-    * margin (tau − 0.3): the densified estimator is unbiased but its
-    * effective sample size for a short document is its FILLED bucket
-    * count (≈ n·(1−e^(−n/k))/n buckets for n shingles), not k, so the
-    * estimate is noisier exactly where documents are small; the wider
-    * gate admits a few more candidates to exact verification instead of
-    * risking a recall miss.
+    * LSH recall ≈ 1 (see the signature builder's Scaladoc for the
+    * measured classic-vs-OPH cost verdict and when to pick which). The
+    * estimate prefilter keeps a wider margin (tau − 0.3): the densified
+    * estimator is unbiased but its effective sample size for a short
+    * document is its FILLED bucket count (≈ k·(1−e^(−n/k)) for n
+    * shingles), not k, so the estimate is noisier exactly where
+    * documents are small; the wider gate admits a few more candidates
+    * to exact verification instead of risking a recall miss.
     */
   def minhashDuplicatesOPH(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                            k: Int = 64, bands: Int = 16,

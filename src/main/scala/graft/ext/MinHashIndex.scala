@@ -43,8 +43,9 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
                                        val sigMode: String = "classic") {
 
   /** The index's signature builder — `classic` ([[Dedup.minhashSignatures]],
-    * k rehashes per shingle) or `oph` ([[Dedup.minhashSignaturesOPH]], one
-    * hash per shingle + rotation densification, the at-scale default).
+    * k rehashes per shingle; the measured default — see that method's
+    * cost verdict) or `oph` ([[Dedup.minhashSignaturesOPH]], one hash
+    * per shingle + rotation densification, for hash-bound regimes).
     * Part of the persisted `_params` hash space: every signature the
     * index ever stores or compares against MUST come from this one
     * builder, so batch-side callers derive theirs here too.

@@ -1156,6 +1156,41 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("gram").asc)
       .limit(topK)
 
+  /** Per-document TF-IDF keyword extraction: each document's top-k
+    * terms by tf · ln(N/df) — the classic descriptor/tagging pass
+    * (retrieval indexing, topic labeling, dedup-cluster naming), the
+    * per-DOC complement of [[bm25Scores]] (which ranks docs against a
+    * fixed query) and [[topNgrams]] (corpus-global phrases).
+    *
+    * Scale shape: tf is a map-side-combinable (doc, term) aggregate,
+    * df a vocabulary-sized re-aggregate of tf, N a 1-row broadcast,
+    * and the top-k window partitions by doc — no global sort, no
+    * single-task hotspot. Scores are rounded to 6dp BEFORE ranking
+    * (the d42/d52 convention) so rank order is reproducible across
+    * engines despite ln's last-ulp wiggle; ties break by term.
+    *
+    * @return (doc_id, rank, term, score), rank 1..k per doc with ≥1
+    *         token
+    */
+  def topTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0))).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).cast("double").as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * log(col("n") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok").as("term"), col("score"))
+  }
+
   /** [[topNgrams]] for vocabularies that must never be shuffled whole:
     * per-partition Misra–Gries summaries (`counters` slots each) nominate
     * a bounded candidate set, and only candidates are exactly recounted.

@@ -1483,6 +1483,37 @@ object ExtQueries {
         |FROM g GROUP BY 1 ORDER BY tf DESC, gram LIMIT 50""".stripMargin
     ),
     QueryDef(
+      "t33_tfidf_keywords",
+      // per-doc TF-IDF top-3 keywords: tf · ln(N/df), 6dp-rounded
+      // BEFORE ranking (cross-engine rank stability), ties by term —
+      // tf/df/N and the window replayed exactly in SQL, so every
+      // (doc, rank, term, score) row is value-gated.
+      (s, dir) =>
+        TextAnalysis.topTerms(docs(s, dir), k = 3)
+          .orderBy("doc_id", "rank"),
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), df AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), n AS (
+         |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents
+         |), s AS (
+         |  SELECT doc_id, tok,
+         |    round(CAST(tf AS DOUBLE) * ln(n / CAST(df AS DOUBLE)), 6) AS score
+         |  FROM tf JOIN df USING (tok) CROSS JOIN n
+         |), r AS (
+         |  SELECT doc_id, tok, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, tok) AS rank
+         |  FROM s
+         |)
+         |SELECT doc_id, rank, tok AS term, score
+         |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
       "t32_ngram_topk_sketch",
       // the bounded-memory twin: per-partition Misra–Gries candidate
       // nomination + exact recount of candidates only. Output equals

@@ -2117,6 +2117,36 @@ class ExtSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("topTerms: hand-exact tf-idf, ubiquitous term scores 0 and loses, ties break by term, k bound") {
+    // doc 1: "apple apple banana shared", doc 2: "cherry shared",
+    // doc 3: "date shared" — "shared" in all docs → ln(3/3) = 0
+    val synth = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "cherry shared"),
+      (3L, "date shared")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(synth, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val ln3 = BigDecimal(math.log(3.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln3x2 = BigDecimal(2 * math.log(3.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 1L, "apple", ln3x2),  // tf=2 · ln(3/1)
+      (1L, 2L, "banana", ln3),   // tf=1 · ln(3/1)
+      (2L, 1L, "cherry", ln3),
+      (2L, 2L, "shared", 0.0),   // ln(3/3) = 0: ubiquity scores nothing
+      (3L, 1L, "date", ln3),
+      (3L, 2L, "shared", 0.0)), s"got $got")
+    // equal scores rank by term asc: two fresh singleton terms tie
+    val tie = Seq((1L, "zeta alpha"), (2L, "other words here"))
+      .toDF("doc_id", "text")
+    val r1 = TextAnalysis.topTerms(tie, k = 2).where(col("doc_id") === 1L)
+      .orderBy("rank").collect().map(_.getString(2)).toSeq
+    assert(r1 == Seq("alpha", "zeta"))
+  }
+
   test("topNgramsSketch ≡ topNgrams when heavies clear the MG bar; partitioning-proof; planted heavies survive tiny budgets") {
     // planted heavies (hundreds of occurrences) over a long distinct
     // tail: with counters=64 the merged-MG bar is N/65 ≈ 26 — the
