@@ -379,6 +379,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"topK planned as a global sort:\n$plan")
   }
 
+  test("topTerms: df joins broadcast onto tf, the 1-row N frame broadcasts, rank window keys by doc (no global sort)") {
+    val docsDf = (0L until 400L)
+      .map(i => (i, s"alpha${i % 9} beta${i % 5} gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val df = graft.ext.TextAnalysis.topTerms(docsDf, k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the vocabulary-sized df table and the 1-row N frame must
+    // broadcast; the corpus-sized tf table never shuffles to meet them
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop"),
+      s"df/N not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in topTerms:\n$plan")
+    // the top-k window partitions by doc_id (an unkeyed window funnels
+    // the whole vocabulary through one task)
+    val windowLine = plan.linesIterator
+      .find(_.contains("Window [")).getOrElse("")
+    assert(windowLine.contains("doc_id"),
+      s"rank window not doc-keyed: $windowLine\n$plan")
+  }
+
   test("topNgramsSketch: the candidate recount join broadcasts the MG nominees; the corpus never shuffles to meet them") {
     val docsDf = (0L until 400L)
       .map(i => (i, s"alpha${i % 9} beta${i % 5} gamma delta epsilon zeta"))
