@@ -1483,6 +1483,34 @@ object ExtQueries {
         |FROM g GROUP BY 1 ORDER BY tf DESC, gram LIMIT 50""".stripMargin
     ),
     QueryDef(
+      "t34_text_nfc",
+      // Unicode NFC normalization, value-gated end to end: the ASCII
+      // fixture is grafted with deterministic decomposed sequences
+      // (e+U+0301, precomposed U+00E9, A+U+030A) on even doc_ids —
+      // t08's PII-grafting pattern — so both the rewrite (decomposed →
+      // precomposed, ASCII untouched) and the `changed` flag bind.
+      // JDK Normalizer vs DuckDB's ICU nfc_normalize must agree
+      // byte-for-byte on the normalized string.
+      (s, dir) =>
+        TextAnalysis.normalizeDocs(
+          docs(s, dir).select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 2 === 0,
+                lit(" e\u0301 \u00e9 A\u030a")).otherwise(lit("")))
+              .as("text")))
+          .orderBy("doc_id"),
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0
+        |      THEN ' e' || chr(769) || ' ' || chr(233) || ' A' || chr(778)
+        |      ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, nfc_normalize(t) AS text_norm,
+        |  nfc_normalize(t) <> t AS changed
+        |FROM g ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
       "t33_tfidf_keywords",
       // per-doc TF-IDF top-3 keywords: tf · ln(N/df), 6dp-rounded
       // BEFORE ranking (cross-engine rank stability), ties by term —

@@ -2117,6 +2117,38 @@ class ExtSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("normalizeDocs: NFC composes, NFKC also folds compatibility chars, ASCII untouched, null-safe, exact dedup unified") {
+    // explicit \\uXXXX escapes throughout: source-file normalization
+    // must never silently flip which Unicode form a fixture string is in
+    val deco = "cafe\u0301"        // decomposed e + COMBINING ACUTE
+    val pre = "caf\u00e9"          // precomposed U+00E9, the NFC target
+    val compat = "\ufb01le \uff21" // fi ligature + fullwidth A (NFKC-only)
+    val synth = Seq(
+      (1L, deco),
+      (2L, pre),
+      (3L, "plain ascii"),
+      (4L, compat),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val nfc = TextAnalysis.normalizeDocs(synth).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getBoolean(2))).toMap
+    assert(nfc(1L) == (Some(pre), true), "decomposed must compose")
+    assert(nfc(2L) == (Some(pre), false), "precomposed already normal")
+    assert(nfc(3L) == (Some("plain ascii"), false))
+    assert(nfc(4L) == (Some(compat), false),
+      "NFC must NOT fold compatibility characters")
+    assert(nfc(5L) == (None, false))
+    val nfkc = TextAnalysis.normalizeDocs(synth, form = "NFKC").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(nfkc(4L) == Some("file A"), "NFKC folds ligature + fullwidth")
+    // the point of the pass: both spellings of \u00e9 now exact-dedup
+    val fps = TextAnalysis.normalizeDocs(synth)
+      .where(col("doc_id") <= 2)
+      .select(TextAnalysis.fingerprint(col("text_norm")).as("fp"))
+      .distinct().count()
+    assert(fps == 1L, "NFC must unify precomposed and decomposed dups")
+  }
+
   test("topTerms: hand-exact tf-idf, ubiquitous term scores 0 and loses, ties break by term, k bound") {
     // doc 1: "apple apple banana shared", doc 2: "cherry shared",
     // doc 3: "date shared" — "shared" in all docs → ln(3/3) = 0
