@@ -1126,27 +1126,26 @@ object TextAnalysis {
     * accepted (NFKC additionally folds compatibility characters —
     * fullwidth forms, ligatures — the aggressive web-text choice).
     *
-    * Pure per-row map (typed mapPartitions, Row-encoded so the id
-    * column's type stays generic) — scan speed, zero shuffle, 100 TB
-    * safe. Returns (id, text_norm, changed); `changed` flags rows the
-    * normalization actually rewrote, so a pipeline can count them.
+    * Pure per-row map (typed mapPartitions, Row-encoded so every other
+    * column — id of any type, embeddings, metadata — rides along
+    * untouched) — scan speed, zero shuffle, 100 TB safe. Appends
+    * `text_norm` and `changed` to the input row; `changed` flags rows
+    * the normalization actually rewrote, so a pipeline can count them.
     */
   def normalizeDocs(docs: DataFrame, form: String = "NFC",
-                    idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val f = java.text.Normalizer.Form.valueOf(form)
-    val in = docs.select(col(idCol), col(textCol))
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      in.schema(idCol),
-      org.apache.spark.sql.types.StructField("text_norm",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("changed",
-        org.apache.spark.sql.types.BooleanType, nullable = false)))
-    in.mapPartitions { rows =>
+    val ti = docs.schema.fieldIndex(textCol)
+    val outSchema = docs.schema
+      .add("text_norm", org.apache.spark.sql.types.StringType)
+      .add("changed", org.apache.spark.sql.types.BooleanType,
+        nullable = false)
+    docs.mapPartitions { rows =>
       rows.map { r =>
-        val t = r.getString(1)
+        val t = r.getString(ti)
         val n = if (t == null) null else java.text.Normalizer.normalize(t, f)
-        org.apache.spark.sql.Row(r.get(0), n, t != null && n != t)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ n :+ (t != null && n != t))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -163,6 +163,18 @@ object ExtQueries {
   private val gauntletMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String, String)]()
 
+  /** d68's own verdict dir (the fp/mh indexes are SHARED with d45 via
+    * [[gauntletPathsFor]] — both queries overwrite and exclude segment
+    * b0, so their reads are independent of each other's appends).
+    */
+  private val nfcVMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nfcVPathFor(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    nfcVMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => java.nio.file.Files.createTempDirectory("graft-nfc-v").toString)
+
   private def gauntletPathsFor(s: org.apache.spark.sql.SparkSession,
                                dir: String): (String, String, String) =
     gauntletMemo.computeIfAbsent(
@@ -3248,6 +3260,142 @@ object ExtQueries {
          |UNION ALL SELECT doc_id, 'dup_exact', CAST(ref AS BIGINT) FROM v_exc
          |UNION ALL SELECT doc_id, 'dup_exact_batch', CAST(ref AS BIGINT) FROM v_exb
          |UNION ALL SELECT doc_id, 'contaminated', CAST(ref AS BIGINT) FROM v_ct
+         |UNION ALL SELECT doc_id, 'dup_index', CAST(ref AS BIGINT) FROM v_nx
+         |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
+         |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept
+         |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
+      "d68_corpus_gauntlet_nfc",
+      // the gauntlet with Unicode NFC normalization live as stage 0:
+      // d45's batch plus a planted decomposed/precomposed pair per
+      // %50==20 doc (same base text + ' cafe'+U+0301 at +40000 vs
+      // ' caf'+U+00E9 at +50000). After NFC the pair is byte-identical,
+      // so +50000 convicts dup_exact_batch(+40000) — WITHOUT the stage
+      // the fingerprints differ (the combining mark strips to a space
+      // but the base 'e' survives: 'cafe' vs 'caf') and the pair would
+      // fall through to the near-dup stage instead, so the verdict
+      // CLASS proves normalization ran. The oracle replays every stage
+      // over nfc_normalize'd text.
+      (s, dir) => {
+        val (fpPath, mhPath, _) = gauntletPathsFor(s, dir)
+        val vPath = nfcVPathFor(s, dir)
+        val d = docs(s, dir)
+        val batch = d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(d
+            .where(col("doc_id") % 5 =!= 0 && col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(d.where(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(d.where(col("doc_id") % 50 === 30)
+            .select((col("doc_id") + 30000).as("doc_id"),
+              concat(col("text"), lit(" xqz")).as("text")))
+          .unionByName(d.where(col("doc_id") % 50 === 20)
+            .select((col("doc_id") + 40000).as("doc_id"),
+              concat(col("text"), lit(" cafe\u0301")).as("text")))
+          .unionByName(d.where(col("doc_id") % 50 === 20)
+            .select((col("doc_id") + 50000).as("doc_id"),
+              concat(col("text"), lit(" caf\u00e9")).as("text")))
+        graft.streaming.StreamingCorpusPipeline.processBatch(
+          batch, 0L, fpPath, mhPath, None, vPath,
+          graft.streaming.StreamingCorpusPipeline.Config(tau = 0.5,
+            normalizeForm = Some("NFC"),
+            quality = b => b.select(col("doc_id"),
+              when(length(col("text")) >= 100, 1).otherwise(0).as("keep"))))
+        s.read.parquet(s"$vPath/batch=0")
+          .select(col("doc_id"), col("verdict"), col("ref_id"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE seed AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+         |), raw AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents
+         |  WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text || ' xqz' FROM documents
+         |  WHERE doc_id % 50 = 30
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text || ' cafe' || chr(769) FROM documents
+         |  WHERE doc_id % 50 = 20
+         |  UNION ALL
+         |  SELECT doc_id + 50000, text || ' caf' || chr(233) FROM documents
+         |  WHERE doc_id % 50 = 20
+         |), batch AS (
+         |  SELECT doc_id, nfc_normalize(text) AS text FROM raw
+         |), v_q AS (
+         |  SELECT doc_id FROM batch WHERE length(text) < 100
+         |), rem1 AS (
+         |  SELECT doc_id, text FROM batch WHERE length(text) >= 100
+         |), bf AS (
+         |  SELECT doc_id, $fpSql AS fp FROM rem1
+         |), sf AS (
+         |  SELECT doc_id, $fpSql AS fp FROM seed
+         |), v_exc AS (
+         |  SELECT b.doc_id, min(s.doc_id) AS ref
+         |  FROM bf b JOIN sf s USING (fp) GROUP BY 1
+         |), bf2 AS (
+         |  SELECT * FROM bf WHERE doc_id NOT IN (SELECT doc_id FROM v_exc)
+         |), keep2 AS (
+         |  SELECT fp, min(doc_id) AS keeper FROM bf2 GROUP BY 1
+         |), v_exb AS (
+         |  SELECT b.doc_id, k.keeper AS ref
+         |  FROM bf2 b JOIN keep2 k USING (fp) WHERE b.doc_id <> k.keeper
+         |), rem3 AS (
+         |  SELECT r.doc_id, r.text FROM rem1 r
+         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM v_exc)
+         |    AND r.doc_id NOT IN (SELECT doc_id FROM v_exb)
+         |), btri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM rem3)
+         |), bsz AS (SELECT doc_id, count(*) AS sz FROM btri GROUP BY 1),
+         |stri AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM seed)
+         |), ssz AS (SELECT doc_id, count(*) AS sz FROM stri GROUP BY 1),
+         |xinter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM btri x JOIN stri y ON x.shingle = y.shingle GROUP BY 1, 2
+         |), v_nx AS (
+         |  SELECT a AS doc_id, min(b) AS ref
+         |  FROM xinter JOIN bsz na ON na.doc_id = a JOIN ssz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+         |  GROUP BY 1
+         |), rtri AS (
+         |  SELECT * FROM btri WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+         |), iinter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM rtri x JOIN rtri y
+         |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), ipairs AS (
+         |  SELECT a, b
+         |  FROM iinter JOIN bsz na ON na.doc_id = a JOIN bsz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+         |), nodes AS (SELECT a AS id FROM ipairs UNION SELECT b FROM ipairs),
+         |edges AS (SELECT a AS u, b AS v FROM ipairs UNION SELECT b, a FROM ipairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1),
+         |v_nb AS (SELECT id AS doc_id, root AS ref FROM comp WHERE id <> root),
+         |v_kept AS (
+         |  SELECT doc_id FROM rem3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+         |    AND doc_id NOT IN (SELECT doc_id FROM v_nb)
+         |)
+         |SELECT doc_id, 'drop_quality' AS verdict, CAST(NULL AS BIGINT) AS ref_id FROM v_q
+         |UNION ALL SELECT doc_id, 'dup_exact', CAST(ref AS BIGINT) FROM v_exc
+         |UNION ALL SELECT doc_id, 'dup_exact_batch', CAST(ref AS BIGINT) FROM v_exb
          |UNION ALL SELECT doc_id, 'dup_index', CAST(ref AS BIGINT) FROM v_nx
          |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
          |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept

@@ -99,6 +99,9 @@ object StreamingCorpusPipeline {
       // the fps scan — the steady-state case at corpus scale. Safe on
       // an index built without sidecars (degrades to the exact join).
       bloomGate: Boolean = false,
+      // Unicode-normalize batch text (NFC/NFD/NFKC/NFKD) before every
+      // stage — see the stage-0 note in processBatch. None = off.
+      normalizeForm: Option[String] = None,
       quality: DataFrame => DataFrame =
         d => TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep")))
 
@@ -273,7 +276,19 @@ object StreamingCorpusPipeline {
       .select(lit(0L).as("doc_id"), lit("").as("verdict"),
         lit(null).cast("long").as("ref_id"))
       .where(lit(false))
-    val docs = batch.select(carried: _*).cache()
+    // 0. Unicode normalization, when configured: precomposed and
+    // decomposed spellings of the same text must collapse BEFORE any
+    // fingerprint or shingle is computed, or exact dedup silently
+    // misses them. Per-row map, no shuffle; the embedding column (and
+    // any future carried column) rides through normalizeDocs untouched.
+    // Seed/bootstrap corpora must be normalized with the SAME form at
+    // index-build time — the index stores post-normalization content.
+    val docs0 = batch.select(carried: _*)
+    val docs = cfg.normalizeForm.fold(docs0)(fm =>
+      TextAnalysis.normalizeDocs(docs0, fm)
+        .select((col("doc_id") +: col("text_norm").as("text") +:
+          semPath.map(_ => col("embedding")).toSeq): _*))
+      .cache()
     val caches = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
     def keep(df: DataFrame): DataFrame = { caches += df.cache(); df }
     def minus(from: DataFrame, dropped: DataFrame): DataFrame =

@@ -117,6 +117,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(indexedIds == idsAfter, "replay changed the index")
   }
 
+  test("normalize stage: decomposed/precomposed dups unify under NFC; control run without the stage misses them") {
+    import spark.implicits._
+    // two spellings of the same text — decomposed e+U+0301 vs
+    // precomposed U+00E9 (explicit escapes: source normalization must
+    // never flip a form) — plus a clean doc
+    val deco = s"$D cafe\u0301"
+    val pre = s"$D caf\u00e9"
+    def run(cfg2: StreamingCorpusPipeline.Config):
+        Map[Long, (String, Option[Long])] = {
+      val fpPath = Files.createTempDirectory("nfc-fp").toString
+      val mhPath = Files.createTempDirectory("nfc-mh").toString
+      val vPath = Files.createTempDirectory("nfc-v").toString
+      FingerprintIndex.build(Seq((1L, A)).toDF("doc_id", "text"), fpPath)
+      MinHashIndex.build(Seq((1L, A)).toDF("doc_id", "text"), mhPath)
+      StreamingCorpusPipeline.processBatch(
+        Seq((101L, deco), (102L, pre), (103L, E)).toDF("doc_id", "text"),
+        0L, fpPath, mhPath, None, vPath, cfg2)
+      spark.read.parquet(vPath).where("batch = 0").collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+    }
+    val withNfc = run(cfg.copy(normalizeForm = Some("NFC")))
+    assert(withNfc == Map(
+      101L -> ("kept", None),
+      102L -> ("dup_exact_batch", Some(101L)),
+      103L -> ("kept", None)), s"with NFC: $withNfc")
+    // CONTROL: without the stage the two spellings canonicalize
+    // differently ('cafe' vs 'caf' after the mark/é strip) — the exact
+    // stage misses; they still near-dup each other (one shingle apart),
+    // so the verdict CLASS is what proves the stage ran
+    val without = run(cfg)
+    assert(without(102L)._1 != "dup_exact_batch",
+      s"control must NOT exact-match: $without")
+  }
+
   test("bootstrap: global keepers seed the indexes; the stream takes over against them") {
     import spark.implicits._
     val fpPath = Files.createTempDirectory("cp3-fp").toString
