@@ -1510,6 +1510,7 @@ object ExtQueries {
               when(col("doc_id") % 2 === 0,
                 lit(" e\u0301 \u00e9 A\u030a")).otherwise(lit("")))
               .as("text")))
+          .select("doc_id", "text_norm", "changed")
           .orderBy("doc_id"),
       """WITH g AS (
         |  SELECT doc_id,
