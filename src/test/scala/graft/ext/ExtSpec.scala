@@ -2130,7 +2130,10 @@ class ExtSpec extends AnyFunSuite {
       (4L, compat),
       (5L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
-    val nfc = TextAnalysis.normalizeDocs(synth).collect()
+    // normalizeDocs preserves all input columns and APPENDS
+    // text_norm/changed — select the output shape explicitly
+    val nfc = TextAnalysis.normalizeDocs(synth)
+      .select("doc_id", "text_norm", "changed").collect()
       .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getBoolean(2))).toMap
     assert(nfc(1L) == (Some(pre), true), "decomposed must compose")
     assert(nfc(2L) == (Some(pre), false), "precomposed already normal")
@@ -2138,7 +2141,8 @@ class ExtSpec extends AnyFunSuite {
     assert(nfc(4L) == (Some(compat), false),
       "NFC must NOT fold compatibility characters")
     assert(nfc(5L) == (None, false))
-    val nfkc = TextAnalysis.normalizeDocs(synth, form = "NFKC").collect()
+    val nfkc = TextAnalysis.normalizeDocs(synth, form = "NFKC")
+      .select("doc_id", "text_norm").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(nfkc(4L) == Some("file A"), "NFKC folds ligature + fullwidth")
     // the point of the pass: both spellings of \u00e9 now exact-dedup
