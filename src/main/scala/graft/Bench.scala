@@ -136,7 +136,12 @@ object Bench {
       "w25_rollup_trunc_gated", "w26_rollup_filtered_substituted",
       "w27_rollup_topk_substituted", "w28_fetch_grid_substituted",
       "w29_rollup_having_counts", "w30_hetero_substituted",
-      "w31_hetero_multi_substituted")
+      "w31_hetero_multi_substituted",
+      // d69 drives d45's EXACT processBatch path with the trained gate
+      // swapped in (the gate's own scoring cost is t12/t28's row) —
+      // the classifier-vs-oracle agreement is its point, gated in
+      // Verify; benching it would re-time d45
+      "d69_corpus_gauntlet_trained")
     // deterministic timing order: `queries` is an unordered Map, so
     // iterating it directly reshuffles who pays residual warmup /
     // cache-eviction costs whenever a query is added — round-over-round
@@ -174,8 +179,12 @@ object Bench {
     // median runs un-instrumented, and each gauntlet row pays ONE
     // separate instrumented run afterwards purely to harvest the map.
     graft.streaming.StreamingCorpusPipeline.StageTimer.enabled = false
-    val gauntletRows = Set("d45_corpus_gauntlet", "d47_corpus_gauntlet_semantic",
-      "d49_corpus_gauntlet_spans", "d62_corpus_gauntlet_lines")
+    // every gauntlet-FAMILY composite is harvested (r10 verdict #8):
+    // d46's bootstrap and d68's NFC run were the two rows still opaque
+    // when d46's 4× spread needed adjudicating
+    val gauntletRows = Set("d45_corpus_gauntlet", "d46_corpus_bootstrap",
+      "d47_corpus_gauntlet_semantic", "d49_corpus_gauntlet_spans",
+      "d62_corpus_gauntlet_lines", "d68_corpus_gauntlet_nfc")
     val stageMaps = scala.collection.mutable.Map.empty[String, Seq[(String, Double)]]
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -415,6 +424,12 @@ object Bench {
     // the tail budget the spread field spends)
     val calField = s""","cal":[${f(calBase)},${f(calSamples.max)},${calSamples.size}]"""
     val loadField = s""","load":[${f(loadStart)},${f(loadEnd)}]"""
+    // "no silent caps" applied to this harness itself (r10 verdict #3):
+    // the record declares how many registered queries were NOT benched
+    // (exact-mode oracle twins, kernel/substitution variants — the rule
+    // is spelled out above benchSkip and in BASELINE.md); the side file
+    // below carries the full name list
+    val skipField = s""","skipped":${benchSkip.size}"""
     // per-query noise flags: a row whose three samples disagree >2×
     // (0.2 s absolute floor, so sub-100 ms rows don't flag on one GC
     // pause) was inflated by a transient the span calibration cannot
@@ -437,13 +452,17 @@ object Bench {
     // fixed stage order declared once in "gsts", one seconds-array per
     // gauntlet row keyed by its d-number — a one-stage regression is
     // attributable from the record alone
+    // "build" is bootstrap's index-build stage (d46); appendFp/appendMh
+    // fold into "append" so every timed second lands in some slot
     val stageOrder = Seq("quality", "line", "exact", "contam", "near",
-      "winnow", "semantic", "append", "verdict")
+      "winnow", "semantic", "append", "verdict", "build", "cleanup")
     val gstField =
       if (stageMaps.isEmpty) ""
       else {
         val body = stageMaps.toSeq.sortBy(_._1).map { case (n, m) =>
-          val mm = m.toMap
+          val mm = m.groupMapReduce {
+            case (s, _) => if (s.startsWith("append")) "append" else s
+          }(_._2)(_ + _)
           "\"" + n.take(3) + "\":[" +
             stageOrder.map(s => f(mm.getOrElse(s, 0.0))).mkString(",") + "]"
         }.mkString(",")
@@ -461,7 +480,7 @@ object Bench {
     // full path was 17 chars of budget per line for no information
     val sfName = new java.io.File(sfDir).getName
     def assemble(spreadF: String, gstF: String, noiseF: String, xF: String): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$noiseF$spreadF$gstF$xF$calField$loadField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$noiseF$spreadF$gstF$xF$calField$loadField$skipField,"sf":"$sfName"}"""
     val budget = 1900
     val full = assemble(spreadField, gstField, noiseField, xwField)
     val line =
@@ -507,8 +526,10 @@ object Bench {
         else noisy.map("\"" + _ + "\"").mkString(""","noise":[""", ",", "]")
       val calAll =
         s""","cal":[${f(calBase)},${f(calSamples.max)},${calSamples.size}],"cal_samples":[${calSamples.map(f).mkString(",")}]"""
+      val skipAll = benchSkip.toSeq.sorted
+        .map("\"" + _ + "\"").mkString(""","skipped":[""", ",", "]")
       val fullRecord =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull$errFieldFull$allNoise$allSpreads$gstField$xwField$calAll$loadField,"sf":"$sfName"}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull$errFieldFull$allNoise$allSpreads$gstField$xwField$calAll$loadField$skipAll,"sf":"$sfName"}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),

@@ -359,19 +359,38 @@ object Curation {
     * the documents for fingerprint dup counting; the two tiny per-source
     * frames broadcast-join.
     *
+    * At 100 TB the exact vocabulary count is the one piece of this
+    * report that stops being free: `groupBy (source, token)` shuffles
+    * the FULL open-domain vocabulary (the token-count sum itself is
+    * map-side combinable either way). `approx = true` swaps that
+    * distinct count for `approx_count_distinct` (Spark's built-in
+    * HyperLogLog++, `rsd` relative error, default 1%) — a
+    * constant-size sketch per (source, partition) that map-side
+    * combines like any other aggregate, so the whole report becomes
+    * one vocabulary-free pass. The exact mode stays the oracle twin
+    * (the t32 sketch-vs-exact precedent); ExtSpec pins the approx
+    * counts within 2% of exact on the fixture.
+    *
     * @return (source, docs, dup_docs, tokens, distinct_tokens, ttr,
     *         mean_doc_tokens) — ttr and mean rounded to 4
     */
   def corpusStats(docs: DataFrame, idCol: String = "doc_id",
                   srcCol: String = "source",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  approx: Boolean = false,
+                  rsd: Double = 0.01): DataFrame = {
     val toks = docs.select(col(srcCol).as("source"),
       explode(expr(s"regexp_extract_all($textCol, '${TextAnalysis.TokenRe}', 0)"))
         .as("tok"))
-    val tokStats = toks
-      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("source")
-      .agg(sum("c").as("tokens"), count(lit(1)).as("distinct_tokens"))
+    val tokStats =
+      if (approx)
+        toks.groupBy("source")
+          .agg(count(lit(1)).as("tokens"),
+            approx_count_distinct(col("tok"), rsd).as("distinct_tokens"))
+      else toks
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("tokens"), count(lit(1)).as("distinct_tokens"))
     val docStats = docs
       .select(col(srcCol).as("source"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))

@@ -219,8 +219,13 @@ object MinHashIndex {
       .linesIterator.filter(_.contains("="))
       .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim) }
       .toMap
+    val sig = params.getOrElse("sig", "classic")
+    // mirror build's guard: a corrupted or future-mode marker must fail
+    // fast here, not silently degrade to classic signatures that would
+    // miss band collisions against the stored tables
+    require(sig == "classic" || sig == "oph", s"unknown signature mode: $sig")
     new MinHashIndex(spark, path, params("n").toInt, params("k").toInt,
-      params("bands").toInt, params.getOrElse("sig", "classic"))
+      params("bands").toInt, sig)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

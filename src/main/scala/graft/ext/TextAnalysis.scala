@@ -1131,6 +1131,13 @@ object TextAnalysis {
     * untouched) — scan speed, zero shuffle, 100 TB safe. Appends
     * `text_norm` and `changed` to the input row; `changed` flags rows
     * the normalization actually rewrote, so a pipeline can count them.
+    *
+    * ASCII fast path: every normalization form is the identity below
+    * U+0080 (no decompositions, combining marks, or compatibility
+    * mappings exist in ASCII), and real web corpora are
+    * ASCII-dominated — so a one-pass char scan skips the Normalizer
+    * for pure-ASCII rows entirely. `changed` stays false on that path
+    * by construction (`n eq t`), preserving the column's contract.
     */
   def normalizeDocs(docs: DataFrame, form: String = "NFC",
                     textCol: String = "text"): DataFrame = {
@@ -1143,9 +1150,19 @@ object TextAnalysis {
     docs.mapPartitions { rows =>
       rows.map { r =>
         val t = r.getString(ti)
-        val n = if (t == null) null else java.text.Normalizer.normalize(t, f)
+        val n =
+          if (t == null) null
+          else {
+            var ascii = true
+            var i = 0
+            while (ascii && i < t.length) {
+              if (t.charAt(i) >= 0x80) ascii = false
+              i += 1
+            }
+            if (ascii) t else java.text.Normalizer.normalize(t, f)
+          }
         org.apache.spark.sql.Row.fromSeq(
-          r.toSeq :+ n :+ (t != null && n != t))
+          r.toSeq :+ n :+ (t != null && (n ne t) && n != t))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

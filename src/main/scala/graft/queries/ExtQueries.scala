@@ -175,6 +175,14 @@ object ExtQueries {
       s"${System.identityHashCode(s)}:$dir",
       _ => java.nio.file.Files.createTempDirectory("graft-nfc-v").toString)
 
+  private val trainedVMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def trainedVPathFor(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    trainedVMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => java.nio.file.Files.createTempDirectory("graft-cls-v").toString)
+
   private def gauntletPathsFor(s: org.apache.spark.sql.SparkSession,
                                dir: String): (String, String, String) =
     gauntletMemo.computeIfAbsent(
@@ -853,35 +861,52 @@ object ExtQueries {
         Similarity.loadIvfIndex(s, path)
       })
 
-  /** Word-trigram exact-Jaccard pair SQL (the dedup oracle), at `tau`. */
-  /** Word-shingle postings with the df ≤ 1000 frequency cap mirrored
-    * from `Dedup.shingleIntersections` (the cap drops a shingle from
-    * the INTERSECTION only; set sizes stay uncapped — the Spark
-    * convention). The fixture never reaches the cap today, but the
-    * mirror keeps a future fixture change from surfacing as a
-    * confusing oracle mismatch instead of a code bug.
+  /** Word-trigram shingle CTEs for the dedup oracles, in two cap
+    * conventions matching the TWO engine code paths (r10 advice #1):
+    *
+    *  - `capped = true` mirrors `Dedup.shingleIntersections` — the
+    *    df ≤ 1000 frequency cap drops a shingle from the INTERSECTION
+    *    only, set sizes stay uncapped. The blocked-join queries
+    *    (d02/d41/d64) run that code path, so their oracles must cap.
+    *  - `capped = false` mirrors `Dedup.verifyCandidates`' stage-3
+    *    exact intersection, which is UNCAPPED (the hot-shingle blowup
+    *    the cap guards against lives in candidate generation, which
+    *    MinHash banding already bounds). The minhash-family queries
+    *    (d03/d67/d65) run that path, so their oracles must not cap —
+    *    a df > 1000 fixture shingle would otherwise diverge code and
+    *    oracle on exactly those rows.
     */
-  private val shingleCapCtes: String =
-    """WITH tok AS (
-      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
-      |), tri AS (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
-      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-      |  FROM tok
-      |), rare AS (
-      |  SELECT shingle FROM tri GROUP BY 1 HAVING count(*) <= 1000
-      |), cap AS (
-      |  SELECT doc_id, shingle FROM tri JOIN rare USING (shingle)
-      |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
-      |inter AS (
-      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-      |  FROM cap x JOIN cap y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2
-      |)""".stripMargin
+  private def shingleCtes(capped: Boolean): String = {
+    val interSrc = if (capped) "cap" else "tri"
+    val capCtes =
+      if (!capped) ""
+      else
+        """, rare AS (
+          |  SELECT shingle FROM tri GROUP BY 1 HAVING count(*) <= 1000
+          |), cap AS (
+          |  SELECT doc_id, shingle FROM tri JOIN rare USING (shingle)
+          |)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+       |), tri AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM tok
+       |)$capCtes, sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM $interSrc x JOIN $interSrc y
+       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
 
-  private def jaccardSql(tau: Double): String =
-    s"""$shingleCapCtes
+  private val shingleCapCtes: String = shingleCtes(capped = true)
+  private val shingleUncappedCtes: String = shingleCtes(capped = false)
+
+  private def jaccardSql(tau: Double, capped: Boolean = true): String =
+    s"""${shingleCtes(capped)}
        |SELECT a, b, CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) AS jaccard
        |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
        |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= $tau
@@ -1520,7 +1545,7 @@ object ExtQueries {
         |  FROM documents
         |)
         |SELECT doc_id, nfc_normalize(t) AS text_norm,
-        |  nfc_normalize(t) <> t AS changed
+        |  coalesce(nfc_normalize(t) <> t, false) AS changed
         |FROM g ORDER BY 1""".stripMargin
     ),
     QueryDef(
@@ -2373,7 +2398,7 @@ object ExtQueries {
             shingled = Some(shinglesFor(s, dir, 3)),
             signatures = Some(minhashSigsFor(s, dir, 3, 128)))
           .orderBy("a", "b"),
-      jaccardSql(0.5)),
+      jaccardSql(0.5, capped = false)),
     QueryDef(
       "d67_dedup_minhash_oph",
       // d03 on ONE-PERMUTATION signatures (rotation-densified OPH):
@@ -2388,7 +2413,48 @@ object ExtQueries {
           .minhashDuplicatesOPH(docs(s, dir), n = 3, tau = 0.5, k = 128,
             bands = 64, shingled = Some(shinglesFor(s, dir, 3)))
           .orderBy("a", "b"),
-      jaccardSql(0.5)),
+      jaccardSql(0.5, capped = false)),
+    QueryDef(
+      "d71_dedup_oph_densified",
+      // d67's densification edge, value-gated (r10 verdict #7): on the
+      // natural fixture every doc fills enough of the 128 OPH buckets
+      // that rotation densification barely binds. This derived corpus
+      // (first 6 words of every doc → exactly 4 trigram shingles ≪
+      // k=128, so ~124 of 128 buckets are densified per signature)
+      // makes the rotation path THE signature: banding recall over
+      // densified values stays ~1 at 64 bands × 2 rows (worst in-set
+      // agreement ≈ 0.6 → miss prob ≈ (1−0.36)^64 ≈ 3e-13) and verify
+      // is exact Jaccard, so the brute-force oracle applies — 25 pairs
+      // on this fixture, each j = 1 or 0.6, all densified-bucket-borne.
+      (s, dir) =>
+        Dedup
+          .minhashDuplicatesOPH(
+            docs(s, dir).select(col("doc_id"),
+              concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 6))
+                .as("text")),
+            n = 3, tau = 0.5, k = 128, bands = 64)
+          .orderBy("a", "b"),
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    array_to_string(regexp_split_to_array(text, '\s+')[1:6], ' ') AS stext
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM (SELECT doc_id, regexp_split_to_array(stext, '\s+') AS ws FROM s)
+        |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM tri x JOIN tri y
+        |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) AS jaccard
+        |FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+        |ORDER BY 1, 2""".stripMargin
+    ),
     QueryDef(
       "d65_dedup_minhash_edit",
       // the code-corpus dedup recipe: MinHash blocking + Jaccard verify
@@ -2405,7 +2471,7 @@ object ExtQueries {
             signatures = Some(minhashSigsFor(s, dir, 3, 128)),
             editTau = Some(0.95))
           .orderBy("a", "b"),
-      s"""$shingleCapCtes
+      s"""$shingleUncappedCtes
          |, p AS (
          |  SELECT a, b, CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) AS jaccard
          |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
@@ -2741,6 +2807,18 @@ object ExtQueries {
          |  round(CAST(coalesce(tokens, 0) AS DOUBLE) / docs, 4) AS mean_doc_tokens
          |FROM ds LEFT JOIN ts USING (source) ORDER BY source""".stripMargin
     ),
+    QueryDef(
+      "d70_corpus_stats_approx",
+      // d43's 100 TB shape: the vocabulary-sized (source, token)
+      // shuffle replaced by approx_count_distinct (built-in HLL++,
+      // rsd 1%) — a constant-size sketch that map-side combines, so
+      // the whole report is one vocabulary-free pass. Approximate by
+      // construction → rows-only here; d43 is the exact oracle twin
+      // and ExtSpec pins every per-source approx count within 2% of
+      // exact on this fixture (the t32 sketch-vs-exact precedent).
+      (s, dir) =>
+        Curation.corpusStats(docs(s, dir), approx = true).orderBy("source"),
+      None),
     QueryDef(
       "d44_interleave_order",
       // deterministic mixture epoch order: each kept doc's okey is its
@@ -3401,6 +3479,196 @@ object ExtQueries {
          |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
          |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept
          |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
+      "d69_corpus_gauntlet_trained",
+      // the FineWeb-Edu composition, oracled end to end: t28's
+      // bit-exact one-step classifier (the session-memoized
+      // classifierFor model — training itself is t28's full-GD oracle)
+      // plugged in as the gauntlet's QUALITY stage, gating on the
+      // 4dp-rounded logit z ≥ 0.00055 (a threshold strictly between
+      // two 4dp grid points, so no document can sit on the boundary;
+      // 11 base batch docs score below it — the gate provably binds).
+      // Classifier-passed clones still hit the exact/near-dup stages,
+      // so the verdict CLASS distribution proves both the trained gate
+      // and the stage ordering ran. Previously the classifier-as-gate
+      // Config existed in spec only (StreamingPipelineSpec); this is
+      // its DuckDB gate — the oracle retrains the model in SQL and
+      // replays every gauntlet stage over the model-gated remainder.
+      (s, dir) => {
+        val (fpPath, mhPath, _) = gauntletPathsFor(s, dir)
+        val vPath = trainedVPathFor(s, dir)
+        val m = classifierFor(s, dir)
+        val d = docs(s, dir)
+        val batch = d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(d
+            .where(col("doc_id") % 5 =!= 0 && col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(d.where(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .unionByName(d.where(col("doc_id") % 50 === 30)
+            .select((col("doc_id") + 30000).as("doc_id"),
+              concat(col("text"), lit(" xqz")).as("text")))
+        graft.streaming.StreamingCorpusPipeline.processBatch(
+          batch, 0L, fpPath, mhPath, None, vPath,
+          graft.streaming.StreamingCorpusPipeline.Config(tau = 0.5,
+            quality = b => TextAnalysis.linearLogits(b, m.weights, m.bias,
+                hasher = Dedup.md5Hash60, ordered = true)
+              .select(col("doc_id"),
+                when(roundSigned(col("z")) >= 0.00055, 1).otherwise(0)
+                  .as("keep"))))
+        s.read.parquet(s"$vPath/batch=0")
+          .select(col("doc_id"), col("verdict"), col("ref_id"))
+          .orderBy("doc_id")
+      }, {
+        val hexVal = (1 to 15)
+          .map(i =>
+            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
+              s"${BigInt(16).pow(15 - i)}")
+          .mkString(" + ")
+        s"""WITH RECURSIVE seed AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+           |), batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000, text FROM documents
+           |  WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 50 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 30000, text || ' xqz' FROM documents
+           |  WHERE doc_id % 50 = 30
+           |), lab AS (
+           |  SELECT 1.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 0
+           |  UNION ALL
+           |  SELECT 0.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 1
+           |), tok AS (
+           |  SELECT y, doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+           |  FROM lab
+           |), h AS (
+           |  SELECT y, doc_id, CAST(($hexVal) % 64 AS BIGINT) AS bucket FROM tok
+           |), c AS (
+           |  SELECT y, doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2, 3
+           |), nr AS (
+           |  SELECT y, doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm
+           |  FROM c GROUP BY 1, 2
+           |), x AS (
+           |  SELECT c.y, c.doc_id, bucket, CAST(cnt AS DOUBLE) / nrm AS w
+           |  FROM c JOIN nr ON nr.y = c.y AND nr.doc_id = c.doc_id
+           |), nd AS (
+           |  SELECT CAST(count(DISTINCT (y, doc_id)) AS DOUBLE) AS n FROM x
+           |), g AS (
+           |  SELECT bucket,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list((0.5 - y) * w ORDER BY y, doc_id)), (a, b) -> a + b)
+           |      AS grad
+           |  FROM x GROUP BY 1
+           |), w1 AS (
+           |  SELECT bucket, -0.5 * coalesce(grad, 0.0) / n AS wt
+           |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) ab
+           |  LEFT JOIN g USING (bucket) CROSS JOIN nd
+           |), b1 AS (
+           |  SELECT -0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list((0.5 - y) ORDER BY y, doc_id)), (a, b) -> a + b) / n
+           |    AS bias
+           |  FROM (SELECT DISTINCT y, doc_id FROM x) CROSS JOIN nd GROUP BY n
+           |), btok AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+           |  FROM batch
+           |), bh AS (
+           |  SELECT doc_id, CAST(($hexVal) % 64 AS BIGINT) AS bucket FROM btok
+           |), bcnt AS (
+           |  SELECT doc_id, bucket, count(*) AS cnt FROM bh GROUP BY 1, 2
+           |), bn AS (
+           |  SELECT doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm
+           |  FROM bcnt GROUP BY 1
+           |), bxx AS (
+           |  SELECT c.doc_id, bucket, CAST(cnt AS DOUBLE) / nrm AS w
+           |  FROM bcnt c JOIN bn ON bn.doc_id = c.doc_id
+           |), bzz AS (
+           |  SELECT bxx.doc_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(bxx.w * w1.wt ORDER BY bucket)), (a, b) -> a + b) AS z
+           |  FROM bxx JOIN w1 USING (bucket) GROUP BY 1
+           |), scored AS (
+           |  SELECT b.doc_id, b.text,
+           |         round(coalesce(bzz.z, 0.0) + b1.bias, 4) + 0.0 AS z
+           |  FROM batch b LEFT JOIN bzz USING (doc_id) CROSS JOIN b1
+           |), v_q AS (
+           |  SELECT doc_id FROM scored WHERE z < 0.00055
+           |), rem1 AS (
+           |  SELECT doc_id, text FROM scored WHERE z >= 0.00055
+           |), bf AS (
+           |  SELECT doc_id, $fpSql AS fp FROM rem1
+           |), sf AS (
+           |  SELECT doc_id, $fpSql AS fp FROM seed
+           |), v_exc AS (
+           |  SELECT b.doc_id, min(s.doc_id) AS ref
+           |  FROM bf b JOIN sf s USING (fp) GROUP BY 1
+           |), bf2 AS (
+           |  SELECT * FROM bf WHERE doc_id NOT IN (SELECT doc_id FROM v_exc)
+           |), keep2 AS (
+           |  SELECT fp, min(doc_id) AS keeper FROM bf2 GROUP BY 1
+           |), v_exb AS (
+           |  SELECT b.doc_id, k.keeper AS ref
+           |  FROM bf2 b JOIN keep2 k USING (fp) WHERE b.doc_id <> k.keeper
+           |), rem3 AS (
+           |  SELECT r.doc_id, r.text FROM rem1 r
+           |  WHERE r.doc_id NOT IN (SELECT doc_id FROM v_exc)
+           |    AND r.doc_id NOT IN (SELECT doc_id FROM v_exb)
+           |), btri AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM rem3)
+           |), bsz AS (SELECT doc_id, count(*) AS sz FROM btri GROUP BY 1),
+           |stri AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+           |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM seed)
+           |), ssz AS (SELECT doc_id, count(*) AS sz FROM stri GROUP BY 1),
+           |xinter AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           |  FROM btri x JOIN stri y ON x.shingle = y.shingle GROUP BY 1, 2
+           |), v_nx AS (
+           |  SELECT a AS doc_id, min(b) AS ref
+           |  FROM xinter JOIN bsz na ON na.doc_id = a JOIN ssz nb ON nb.doc_id = b
+           |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+           |  GROUP BY 1
+           |), rtri AS (
+           |  SELECT * FROM btri WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+           |), iinter AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           |  FROM rtri x JOIN rtri y
+           |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2
+           |), ipairs AS (
+           |  SELECT a, b
+           |  FROM iinter JOIN bsz na ON na.doc_id = a JOIN bsz nb ON nb.doc_id = b
+           |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+           |), nodes AS (SELECT a AS id FROM ipairs UNION SELECT b FROM ipairs),
+           |edges AS (SELECT a AS u, b AS v FROM ipairs UNION SELECT b, a FROM ipairs),
+           |reach(id, l) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+           |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1),
+           |v_nb AS (SELECT id AS doc_id, root AS ref FROM comp WHERE id <> root),
+           |v_kept AS (
+           |  SELECT doc_id FROM rem3
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+           |    AND doc_id NOT IN (SELECT doc_id FROM v_nb)
+           |)
+           |SELECT doc_id, 'drop_quality' AS verdict, CAST(NULL AS BIGINT) AS ref_id FROM v_q
+           |UNION ALL SELECT doc_id, 'dup_exact', CAST(ref AS BIGINT) FROM v_exc
+           |UNION ALL SELECT doc_id, 'dup_exact_batch', CAST(ref AS BIGINT) FROM v_exb
+           |UNION ALL SELECT doc_id, 'dup_index', CAST(ref AS BIGINT) FROM v_nx
+           |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
+           |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept
+           |ORDER BY doc_id""".stripMargin
+      }
     ),
     QueryDef(
       "d62_corpus_gauntlet_lines",

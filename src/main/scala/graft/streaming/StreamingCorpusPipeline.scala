@@ -169,35 +169,51 @@ object StreamingCorpusPipeline {
     val docs = corpus.select(col("doc_id"), col("text"))
     def minus(from: DataFrame, dropped: DataFrame): DataFrame =
       from.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
-    val qDrops = docs
+    if (StageTimer.enabled) StageTimer.last.synchronized(StageTimer.last.clear())
+    // Every verdict frame is localCheckpoint'd (eager) as it is
+    // produced: each stage's work runs exactly once, inside its own
+    // attribution window. Without the cuts, the CALLER's first action
+    // re-ran the quality scan and the fingerprint window AFTER the
+    // shingle/signature caches below were already dropped by the
+    // finally block — the silent-recompute suspect behind r10's 4×
+    // d46 bench spread. The frames are verdict-sized (3 columns,
+    // bounded by the corpus's drop counts), so the cut is cheap.
+    val qDrops = StageTimer.time("quality")(docs
       .join(cfg.quality(docs).where(col("keep") === 0), Seq("doc_id"),
         "left_semi")
       .select(col("doc_id"), lit("drop_quality").as("verdict"),
         lit(null).cast("long").as("ref_id"))
+      .localCheckpoint())
     val afterQ = minus(docs, qDrops)
     val wFp = Window.partitionBy("fp")
-    val exDrops = afterQ
+    val exDrops = StageTimer.time("exact")(afterQ
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .withColumn("keeper", min("doc_id").over(wFp))
       .where(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), lit("dup_exact").as("verdict"),
         col("keeper").as("ref_id"))
+      .localCheckpoint())
     // lineage cut before the pair search, as in processBatch
-    val afterEx = minus(afterQ, exDrops)
-      .select(col("doc_id"), col("text")).localCheckpoint()
+    val afterEx = StageTimer.time("exact")(minus(afterQ, exDrops)
+      .select(col("doc_id"), col("text")).localCheckpoint())
     val sh = Dedup.hashShingles(Dedup.shingles(afterEx, n)).cache()
     val sigs = Dedup.minhashSignatures(sh, k).cache()
     try {
-      val pairs = Dedup.minhashDuplicates(afterEx, n = n, tau = cfg.tau,
-        k = k, bands = bands, shingled = Some(sh), signatures = Some(sigs))
-      val nearDrops = Dedup.connectedComponents(pairs)
-        .where(col("id") =!= col("root"))
-        .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
-          col("root").as("ref_id"))
-      val survivors = minus(afterEx, nearDrops)
-        .select(col("doc_id"), col("text")).localCheckpoint()
-      FingerprintIndex.build(survivors, fpPath): Unit
-      MinHashIndex.build(survivors, mhPath, n = n, k = k, bands = bands): Unit
+      val nearDrops = StageTimer.time("near") {
+        val pairs = Dedup.minhashDuplicates(afterEx, n = n, tau = cfg.tau,
+          k = k, bands = bands, shingled = Some(sh), signatures = Some(sigs))
+        Dedup.connectedComponents(pairs)
+          .where(col("id") =!= col("root"))
+          .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
+            col("root").as("ref_id"))
+          .localCheckpoint()
+      }
+      val survivors = StageTimer.time("near")(minus(afterEx, nearDrops)
+        .select(col("doc_id"), col("text")).localCheckpoint())
+      StageTimer.time("build") {
+        FingerprintIndex.build(survivors, fpPath): Unit
+        MinHashIndex.build(survivors, mhPath, n = n, k = k, bands = bands): Unit
+      }
       qDrops
         .unionByName(exDrops).unionByName(nearDrops)
         .unionByName(survivors.select(col("doc_id"),
@@ -286,8 +302,13 @@ object StreamingCorpusPipeline {
     val docs0 = batch.select(carried: _*)
     val docs = cfg.normalizeForm.fold(docs0)(fm =>
       TextAnalysis.normalizeDocs(docs0, fm)
-        .select((col("doc_id") +: col("text_norm").as("text") +:
-          semPath.map(_ => col("embedding")).toSeq): _*))
+        // project docs0's own columns back (text swapped for its
+        // normalized form), so a future carried column really does ride
+        // through instead of being dropped by a hard-coded list
+        .select(docs0.columns.map {
+          case "text" => col("text_norm").as("text")
+          case c      => col(c)
+        }: _*))
       .cache()
     val caches = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
     def keep(df: DataFrame): DataFrame = { caches += df.cache(); df }

@@ -218,6 +218,29 @@ class ExtSpec extends AnyFunSuite {
       ("B", 1L, 0L, 3L, 3L, 1.0, 3.0)), s"stats: ${got.toSeq}")
   }
 
+  test("corpusStats approx: HLL vocabulary within 2% of exact per source (d70's gate)") {
+    // the 100 TB mode swaps the vocabulary-sized (source, token)
+    // shuffle for approx_count_distinct; everything NOT approximated
+    // (docs, dup_docs, tokens, mean) must stay bit-identical to exact
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val exact = Curation.corpusStats(d).orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(6))).toMap
+    val approx = Curation.corpusStats(d, approx = true).orderBy("source")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(6))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, (docs, dups, toks, vocab, mean)) =>
+      val (aDocs, aDups, aToks, aVocab, aMean) = approx(src)
+      assert((aDocs, aDups, aToks, aMean) == ((docs, dups, toks, mean)),
+        s"$src: non-approximated columns must match exact")
+      val relErr = math.abs(aVocab - vocab).toDouble / vocab
+      assert(relErr <= 0.02,
+        s"$src: approx vocab $aVocab vs exact $vocab (rel err $relErr)")
+    }
+  }
+
   test("interleaveOrder: minority source spreads evenly through the epoch") {
     val d = ((0 until 90).map(i => (i.toLong, "big")) ++
       (0 until 10).map(i => (1000L + i, "small"))).toDF("doc_id", "source")
