@@ -3553,7 +3553,7 @@ object ExtQueries {
            |), nr AS (
            |  SELECT y, doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm
            |  FROM c GROUP BY 1, 2
-           |), x AS (
+           |), x AS MATERIALIZED (
            |  SELECT c.y, c.doc_id, bucket, CAST(cnt AS DOUBLE) / nrm AS w
            |  FROM c JOIN nr ON nr.y = c.y AND nr.doc_id = c.doc_id
            |), nd AS (
@@ -3591,39 +3591,39 @@ object ExtQueries {
            |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            |      list(bxx.w * w1.wt ORDER BY bucket)), (a, b) -> a + b) AS z
            |  FROM bxx JOIN w1 USING (bucket) GROUP BY 1
-           |), scored AS (
+           |), scored AS MATERIALIZED (
            |  SELECT b.doc_id, b.text,
            |         round(coalesce(bzz.z, 0.0) + b1.bias, 4) + 0.0 AS z
            |  FROM batch b LEFT JOIN bzz USING (doc_id) CROSS JOIN b1
            |), v_q AS (
            |  SELECT doc_id FROM scored WHERE z < 0.00055
-           |), rem1 AS (
+           |), rem1 AS MATERIALIZED (
            |  SELECT doc_id, text FROM scored WHERE z >= 0.00055
-           |), bf AS (
+           |), bf AS MATERIALIZED (
            |  SELECT doc_id, $fpSql AS fp FROM rem1
            |), sf AS (
            |  SELECT doc_id, $fpSql AS fp FROM seed
-           |), v_exc AS (
+           |), v_exc AS MATERIALIZED (
            |  SELECT b.doc_id, min(s.doc_id) AS ref
            |  FROM bf b JOIN sf s USING (fp) GROUP BY 1
-           |), bf2 AS (
+           |), bf2 AS MATERIALIZED (
            |  SELECT * FROM bf WHERE doc_id NOT IN (SELECT doc_id FROM v_exc)
            |), keep2 AS (
            |  SELECT fp, min(doc_id) AS keeper FROM bf2 GROUP BY 1
-           |), v_exb AS (
+           |), v_exb AS MATERIALIZED (
            |  SELECT b.doc_id, k.keeper AS ref
            |  FROM bf2 b JOIN keep2 k USING (fp) WHERE b.doc_id <> k.keeper
-           |), rem3 AS (
+           |), rem3 AS MATERIALIZED (
            |  SELECT r.doc_id, r.text FROM rem1 r
            |  WHERE r.doc_id NOT IN (SELECT doc_id FROM v_exc)
            |    AND r.doc_id NOT IN (SELECT doc_id FROM v_exb)
-           |), btri AS (
+           |), btri AS MATERIALIZED (
            |  SELECT DISTINCT doc_id,
            |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
            |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
            |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM rem3)
            |), bsz AS (SELECT doc_id, count(*) AS sz FROM btri GROUP BY 1),
-           |stri AS (
+           |stri AS MATERIALIZED (
            |  SELECT DISTINCT doc_id,
            |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
            |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
@@ -3632,19 +3632,19 @@ object ExtQueries {
            |xinter AS (
            |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
            |  FROM btri x JOIN stri y ON x.shingle = y.shingle GROUP BY 1, 2
-           |), v_nx AS (
+           |), v_nx AS MATERIALIZED (
            |  SELECT a AS doc_id, min(b) AS ref
            |  FROM xinter JOIN bsz na ON na.doc_id = a JOIN ssz nb ON nb.doc_id = b
            |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
            |  GROUP BY 1
-           |), rtri AS (
+           |), rtri AS MATERIALIZED (
            |  SELECT * FROM btri WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
            |), iinter AS (
            |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
            |  FROM rtri x JOIN rtri y
            |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
            |  GROUP BY 1, 2
-           |), ipairs AS (
+           |), ipairs AS MATERIALIZED (
            |  SELECT a, b
            |  FROM iinter JOIN bsz na ON na.doc_id = a JOIN bsz nb ON nb.doc_id = b
            |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
