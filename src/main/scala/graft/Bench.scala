@@ -454,8 +454,8 @@ object Bench {
     // attributable from the record alone
     // "build" is bootstrap's index-build stage (d46); appendFp/appendMh
     // fold into "append" so every timed second lands in some slot
-    val stageOrder = Seq("quality", "line", "exact", "contam", "near",
-      "winnow", "semantic", "append", "verdict", "build", "cleanup")
+    val stageOrder = Seq("normalize", "quality", "line", "exact", "contam",
+      "near", "winnow", "semantic", "append", "verdict", "build", "cleanup")
     val gstField =
       if (stageMaps.isEmpty) ""
       else {

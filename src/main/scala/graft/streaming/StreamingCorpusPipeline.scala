@@ -316,6 +316,10 @@ object StreamingCorpusPipeline {
       from.join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
     if (StageTimer.enabled) StageTimer.last.synchronized(StageTimer.last.clear())
     try {
+      // attribution: when stage 0 is configured, materialize the docs
+      // cache under its own label — otherwise the normalization pass
+      // bills to whichever stage forces the cache first ("quality")
+      cfg.normalizeForm.foreach(_ => StageTimer.force("normalize", docs): Unit)
       // 1. quality: anything the gate does not keep drops first
       val qDrops = StageTimer.force("quality", keep(docs
         .join(cfg.quality(docs).where(col("keep") === 0), Seq("doc_id"),

@@ -416,4 +416,32 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoop"),
       s"non-equi join in the sketch recount:\n$plan")
   }
+
+  test("corpusStats approx: no (source, token) exchange — the vocabulary never shuffles") {
+    val docsDf = (0L until 400L)
+      .map(i => (i, s"s${i % 3}", s"alpha${i % 9} beta${i % 5} gamma delta"))
+      .toDF("doc_id", "source", "text")
+    val approx = graft.ext.Curation.corpusStats(docsDf, approx = true)
+    approx.collect()
+    val plan = approx.queryExecution.executedPlan.toString
+    // the HLL sketch must partial-aggregate map-side like any counter…
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"HLL not map-side combined:\n$plan")
+    // …and no aggregate may key on the token itself — that grouping IS
+    // the vocabulary-sized shuffle the approx mode exists to remove
+    val aggKeys = plan.linesIterator
+      .filter(l => l.contains("HashAggregate(keys="))
+      .map(_.split("keys=", 2)(1).takeWhile(_ != ']')).toSeq
+    assert(aggKeys.nonEmpty && aggKeys.forall(!_.contains("tok")),
+      s"an aggregate still keys on the token:\n$plan")
+    // the exact twin DOES key on (source, tok) — the contrast proves
+    // the assertion bites
+    val exact = graft.ext.Curation.corpusStats(docsDf)
+    exact.collect()
+    val exactKeys = exact.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("HashAggregate(keys="))
+      .map(_.split("keys=", 2)(1).takeWhile(_ != ']')).toSeq
+    assert(exactKeys.exists(_.contains("tok")),
+      "control: the exact plan should key on tok somewhere")
+  }
 }
