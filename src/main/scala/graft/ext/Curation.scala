@@ -284,6 +284,48 @@ object Curation {
           .cast("int").as("tier"))
   }
 
+  /** [[bucketByScore]]'s one-pass 100 TB shape (the d70/t32 approx-twin
+    * pattern): tier thresholds come from `percentile_approx` — a
+    * constant-size quantile sketch that partial-aggregates map-side —
+    * instead of the exact two-phase rank, so the whole assignment is
+    * ONE aggregate keyed on source plus a broadcast threshold join
+    * back. No range repartition of the corpus, no window: at 100 TB
+    * the exact rank's range exchange is a full sort-shuffle of the
+    * score column; this never shuffles the corpus at all.
+    *
+    * Semantic difference, deliberate: equal scores land in the SAME
+    * tier (threshold comparison), where the exact rank splits a tie
+    * group across a boundary by doc_id — calibration wants the stable
+    * behavior. Tier populations are approximately equal (per-source
+    * rank error ≤ n/accuracy). Null scores: callers filter them first,
+    * [[bucketByScore]]'s contract (a null compares into tier 1 here).
+    *
+    * @return (source, doc_id, score, tier) — tier 1 = best
+    */
+  def bucketByScoreApprox(scored: DataFrame, buckets: Int = 3,
+                          scoreCol: String = "score", ascending: Boolean = true,
+                          idCol: String = "doc_id", srcCol: String = "source",
+                          accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val base = scored.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+      col(scoreCol).cast("double").as("score"))
+    if (buckets == 1) return base.withColumn("tier", lit(1))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val thr = base.groupBy("source")
+      .agg(percentile_approx(col("score"), typedLit(probs), lit(accuracy))
+        .as("__thr"))
+    // tier = 1 + number of thresholds strictly on the better side of
+    // this score; duplicate thresholds (a mass point spanning several
+    // boundaries) skip the intermediate tiers, keeping the whole tie
+    // group together
+    base.join(broadcast(thr), "source")
+      .withColumn("tier",
+        aggregate(col("__thr"), lit(1), (acc, t) =>
+          acc + when(if (ascending) col("score") > t else col("score") < t,
+            1).otherwise(0)).cast("int"))
+      .select(col("source"), col("doc_id"), col("score"), col("tier"))
+  }
+
   /** Temperature-scaled source mixing — the multilingual/multi-source
     * sampling rule of XLM-R and mT5 (Conneau et al. 2020,
     * arXiv:1911.02116 §5; Xue et al. 2021, arXiv:2010.11934 §3.1):

@@ -26,6 +26,25 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n"))
 
+  /** [[exactGroups]] with a priority keeper — production dedup keeps the
+    * copy from the most trusted source (curated > crawl: RedPajama,
+    * Dolma and FineWeb all dedup cross-source with a source-preference
+    * rule), not the smallest id. Keeper = the (priority, id)-minimum of
+    * each fingerprint group: lower `prioCol` wins, id breaks ties (so
+    * equal-priority groups reproduce [[exactGroups]] exactly). Same
+    * single shuffle — `min_by` over a struct is still a map-side
+    * partial aggregate, so the 100 TB shape is unchanged.
+    */
+  def exactGroupsPriority(docs: DataFrame, prioCol: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    docs
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol),
+        col(prioCol).cast("long").as("__prio"))
+      .groupBy("fp")
+      .agg(min_by(col(idCol), struct(col("__prio"), col(idCol))).as("keeper"),
+        count(lit(1)).as("n"))
+
   // ---- word n-gram shingles ------------------------------------------
 
   /** Distinct word n-gram shingles per document: (id, shingle).
@@ -1434,6 +1453,33 @@ object Dedup {
     connectedComponents(pairs.select("a", "b"))
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("root")))
+  }
+
+  /** Priority keeper over near-dup components ([[exactGroupsPriority]]'s
+    * rule lifted to the transitive-cluster family): each component's
+    * keeper is its (priority, id)-minimum member, NOT the min-id root —
+    * a crawl page whose curated twin joined the cluster later must lose
+    * to it. `prio` maps id → priority (lower wins, id breaks ties).
+    *
+    * Scale shape: the closure is [[connectedComponents]] (scale-adaptive
+    * star loop); the keeper election is a per-root `min_by` partial
+    * aggregate re-joined on root — a mega-cluster's votes collapse
+    * map-side, and both join sides derive from the same components
+    * frame, so the root exchange is reused.
+    *
+    * @return (id, root, keeper) — one row per clustered doc; everything
+    *         with id != keeper is the drop set
+    */
+  def clusterKeepersPriority(pairs: DataFrame, prio: DataFrame,
+                             idCol: String = "doc_id",
+                             prioCol: String = "priority"): DataFrame = {
+    val comp = connectedComponents(pairs.select("a", "b"))
+    val withP = comp.join(
+      prio.select(col(idCol).cast("long").as("id"),
+        col(prioCol).cast("long").as("__prio")), "id")
+    val keepers = withP.groupBy("root")
+      .agg(min_by(col("id"), struct(col("__prio"), col("id"))).as("keeper"))
+    withP.join(keepers, "root").select(col("id"), col("root"), col("keeper"))
   }
 
   /** The full near-dup curation pipeline: cluster transitively-connected

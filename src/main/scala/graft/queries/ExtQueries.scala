@@ -912,6 +912,39 @@ object ExtQueries {
        |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= $tau
        |ORDER BY 1, 2""".stripMargin
 
+  /** d40's oracle, factored out of the QueryDef so the d72 approx twin's
+    * registration sits next to it without duplicating the scoring chain.
+    */
+  private val d40Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+       |  FROM documents
+       |), tcorp AS (
+       |  SELECT tok FROM tok WHERE doc_id % 5 <> 0
+       |), cnts AS (
+       |  SELECT tok, count(*) AS cnt FROM tcorp GROUP BY 1
+       |), nv AS (
+       |  SELECT (SELECT count(*) FROM tcorp) AS n,
+       |         (SELECT count(*) FROM cnts) AS v
+       |), sc AS (
+       |  SELECT t.doc_id, count(*) AS tokens,
+       |         avg(-(ln(coalesce(c.cnt, 0) + 1.0) - ln(n + v + 1.0))) AS nll
+       |  FROM tok t LEFT JOIN cnts c USING (tok) CROSS JOIN nv
+       |  GROUP BY 1
+       |), scored AS (
+       |  SELECT d.source, d.doc_id, round(sc.nll, 4) AS score
+       |  FROM documents d JOIN sc USING (doc_id)
+       |  WHERE sc.nll IS NOT NULL
+       |), rk AS (
+       |  SELECT source, doc_id, score,
+       |         row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rnk,
+       |         count(*) OVER (PARTITION BY source) AS n
+       |  FROM scored
+       |)
+       |SELECT source, doc_id, score,
+       |       CAST(floor((rnk - 1) * 3 / n) + 1 AS INTEGER) AS tier
+       |FROM rk ORDER BY source, doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ------------------------------------------------
@@ -2296,35 +2329,28 @@ object ExtQueries {
         Curation.bucketByScore(scored, buckets = 3)
           .orderBy("source", "doc_id")
       },
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
-         |  FROM documents
-         |), tcorp AS (
-         |  SELECT tok FROM tok WHERE doc_id % 5 <> 0
-         |), cnts AS (
-         |  SELECT tok, count(*) AS cnt FROM tcorp GROUP BY 1
-         |), nv AS (
-         |  SELECT (SELECT count(*) FROM tcorp) AS n,
-         |         (SELECT count(*) FROM cnts) AS v
-         |), sc AS (
-         |  SELECT t.doc_id, count(*) AS tokens,
-         |         avg(-(ln(coalesce(c.cnt, 0) + 1.0) - ln(n + v + 1.0))) AS nll
-         |  FROM tok t LEFT JOIN cnts c USING (tok) CROSS JOIN nv
-         |  GROUP BY 1
-         |), scored AS (
-         |  SELECT d.source, d.doc_id, round(sc.nll, 4) AS score
-         |  FROM documents d JOIN sc USING (doc_id)
-         |  WHERE sc.nll IS NOT NULL
-         |), rk AS (
-         |  SELECT source, doc_id, score,
-         |         row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rnk,
-         |         count(*) OVER (PARTITION BY source) AS n
-         |  FROM scored
-         |)
-         |SELECT source, doc_id, score,
-         |       CAST(floor((rnk - 1) * 3 / n) + 1 AS INTEGER) AS tier
-         |FROM rk ORDER BY source, doc_id""".stripMargin
+      d40Sql
     ),
+    QueryDef(
+      "d72_score_buckets_approx",
+      // d40's 100 TB shape (the d70/t32 approx-twin pattern applied to
+      // the CCNet rank-and-keep step): tier thresholds come from
+      // percentile_approx — ONE map-combinable aggregate plus a
+      // broadcast threshold join — instead of the exact rank's range
+      // shuffle of every score in the corpus. Approximate by
+      // construction → rows-only here; d40 is the exact oracle twin,
+      // ExtSpec pins tier agreement/populations on this fixture, and
+      // PlanAuditSpec pins the no-range-exchange / no-window plan.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = TextAnalysis.unigramNll(d, lmFor(s, dir))
+          .where(col("nll").isNotNull)
+          .select(col("doc_id"), round(col("nll"), 4).as("score"))
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+        Curation.bucketByScoreApprox(scored, buckets = 3)
+          .orderBy("source", "doc_id")
+      },
+      None),
     QueryDef(
       "t09_text_repetition",
       // Gopher-style repetition signals at token granularity (the fixture
@@ -2360,6 +2386,43 @@ object ExtQueries {
       (s, dir) => Dedup.exactGroups(docs(s, dir)).orderBy("fp"),
       s"""SELECT $fpSql AS fp, min(doc_id) AS keeper, count(*) AS n
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d73_dedup_exact_priority",
+      // d01 with the production keeper rule: the most-TRUSTED copy wins,
+      // not the smallest id (RedPajama/Dolma/FineWeb's cross-source
+      // preference). The fixture has no exact dups, so curated clones of
+      // every 20th doc are planted at doc_id+100000 — the clone has the
+      // LARGER id but priority 0, so every dup group's keeper is the
+      // clone: the oracle value-gates that priority really overrides the
+      // min-id convention, not just reproduces it.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val aug = d.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(d.where(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+              lit("curated").as("source")))
+          .withColumn("prio",
+            when(col("source") === "curated", 0L).otherwise(1L))
+        Dedup.exactGroupsPriority(aug, "prio").orderBy("fp")
+      },
+      s"""WITH aug AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text, 'curated' AS source
+         |  FROM documents WHERE doc_id % 20 = 0
+         |), pr AS (
+         |  SELECT doc_id, $fpSql AS fp,
+         |         CASE WHEN source = 'curated' THEN 0 ELSE 1 END AS prio
+         |  FROM aug
+         |), r AS (
+         |  SELECT fp, doc_id,
+         |         row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY fp) AS n
+         |  FROM pr
+         |)
+         |SELECT fp, CAST(doc_id AS BIGINT) AS keeper, CAST(n AS BIGINT) AS n
+         |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin
     ),
     QueryDef(
       "d02_dedup_jaccard",
@@ -2564,6 +2627,50 @@ object ExtQueries {
          |SELECT CAST(id AS BIGINT) AS id, CAST(root AS BIGINT) AS root,
          |  CAST(count(*) OVER (PARTITION BY root) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d74_dedup_cluster_priority",
+      // d09's transitive closure with the d73 keeper rule lifted to
+      // clusters: each component elects its (priority, id)-minimum
+      // member, not the min-id root. Priority = 9 − source digit (src9
+      // most trusted), so clusters spanning sources elect a keeper that
+      // DIFFERS from the root — the oracle value-gates that the
+      // election overrides the root convention. Pairs use the capped
+      // engine path (jaccardPairs' df ≤ 1000 blocking), mirrored by the
+      // capped CTEs per the r11 oracle-cap convention.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.jaccardPairs(d, n = 3, tau = 0.3,
+          shingled = Some(shinglesFor(s, dir, 3)))
+        val prio = d.select(col("doc_id"),
+          (lit(9) - substring(col("source"), 4, 1).cast("int")).as("priority"))
+        Dedup.clusterKeepersPriority(pairs, prio).orderBy("id")
+      },
+      s"""WITH RECURSIVE ${shingleCapCtes.stripPrefix("WITH ")},
+         |pairs AS (
+         |  SELECT a, b
+         |  FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.3
+         |), nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, l) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1),
+         |pr AS (
+         |  SELECT c.id, c.root,
+         |         9 - CAST(substring(d.source, 4, 1) AS INTEGER) AS prio
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id
+         |), k AS (
+         |  SELECT root, id AS keeper,
+         |         row_number() OVER (PARTITION BY root ORDER BY prio, id) AS rn
+         |  FROM pr
+         |)
+         |SELECT CAST(p.id AS BIGINT) AS id, CAST(p.root AS BIGINT) AS root,
+         |       CAST(k.keeper AS BIGINT) AS keeper
+         |FROM pr p JOIN (SELECT root, keeper FROM k WHERE rn = 1) k USING (root)
+         |ORDER BY 1""".stripMargin
     ),
     QueryDef(
       "d51_soft_dedup_weights",

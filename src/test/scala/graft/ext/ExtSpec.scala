@@ -181,6 +181,89 @@ class ExtSpec extends AnyFunSuite {
     assert(desc(100L) == 1 && desc(106L) == 3, s"descending tiers: $desc")
   }
 
+  test("bucketByScoreApprox: agrees with exact off tie boundaries, ties stay together") {
+    // distinct scores → with accuracy ≫ n the sketch is rank-exact, so
+    // tiers must MATCH bucketByScore row for row (the d40/d72 twin gate)
+    val rows = ((0 until 30).map(i => ("s1", i.toLong, i.toDouble * 1.5)) ++
+      (0 until 14).map(i => ("s2", 100L + i, (50 - i).toDouble)))
+      .toDF("source", "doc_id", "score")
+    val approx = Curation.bucketByScoreApprox(rows, buckets = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val exact = Curation.bucketByScore(rows, buckets = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(approx.keySet == exact.keySet)
+    val agree = approx.count { case (k, t) => exact(k) == t }
+    // threshold elements themselves may sit on either side of a
+    // boundary; everything else must agree
+    assert(agree >= approx.size - 4, s"agreement $agree/${approx.size}")
+    // tiers are monotone in score within a source (exact property of
+    // threshold assignment, whatever the sketch error)
+    val byScore = rows.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(t =>
+        approx((t._1, t._2))).toSeq)
+    byScore.foreach { case (s, tiers) =>
+      assert(tiers == tiers.sorted, s"$s tiers not monotone: $tiers")
+      assert(tiers.head == 1 && tiers.last == 3, s"$s tier range: $tiers")
+    }
+    // a tie group never splits: all-equal scores land in ONE tier
+    // (where the exact rank splits them by doc_id — the documented
+    // semantic difference)
+    val tied = (0 until 12).map(i => ("t", i.toLong, 7.0))
+      .toDF("source", "doc_id", "score")
+    val tt = Curation.bucketByScoreApprox(tied, buckets = 3)
+      .select("tier").distinct().collect().map(_.getInt(0)).toSeq
+    assert(tt == Seq(1), s"tied scores split across tiers: $tt")
+    // descending flips which end is tier 1
+    val desc = Curation.bucketByScoreApprox(
+      rows.where(col("source") === "s2"), buckets = 3, ascending = false)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(desc(100L) == 1 && desc(113L) == 3, s"descending tiers: $desc")
+  }
+
+  test("exactGroupsPriority: trusted source wins over smaller id; ties fall back to id") {
+    val d = Seq(
+      (1L, "shared content", 1L),  // crawl copy, smallest id
+      (9L, "shared content", 0L),  // curated copy, larger id — must win
+      (5L, "shared content", 1L),  // second crawl copy
+      (2L, "unique text", 1L),
+      (3L, "other shared", 1L),    // equal priorities: min id wins
+      (7L, "other shared", 1L))
+      .toDF("doc_id", "text", "prio")
+    val got = Dedup.exactGroupsPriority(d, "prio")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((9L, 3L), (2L, 1L), (3L, 2L)),
+      s"wrong keepers: $got")
+    // equal priorities everywhere == exactGroups exactly
+    val flat = d.withColumn("prio", lit(1L))
+    val a = Dedup.exactGroupsPriority(flat, "prio")
+      .select("fp", "keeper", "n").collect().map(_.toSeq).toSet
+    val b = Dedup.exactGroups(d)
+      .select("fp", "keeper", "n").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("clusterKeepersPriority: each component elects its priority-min member") {
+    // components {1,2,3} (chain) and {10, 11}; priorities make 3 and 10
+    // the keepers — 3 is NOT the root of its component, which is the
+    // point: the election must override the min-id root
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val prio = Seq((1L, 5L), (2L, 5L), (3L, 0L), (10L, 1L), (11L, 2L))
+      .toDF("doc_id", "priority")
+    val got = Dedup.clusterKeepersPriority(pairs, prio)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 10L)), 11L -> ((10L, 10L))), s"wrong election: $got")
+    // priority ties: id breaks them (min id of the tied best)
+    val prio2 = Seq((1L, 5L), (2L, 5L), (3L, 5L), (10L, 2L), (11L, 2L))
+      .toDF("doc_id", "priority")
+    val got2 = Dedup.clusterKeepersPriority(pairs, prio2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2(3L) == 1L && got2(11L) == 10L, s"tie-break: $got2")
+  }
+
   test("temperatureSample: τ flattens Zipfian sources; quotas exact; hash-order stable") {
     import org.apache.spark.sql.expressions.Window
     // 90/10 Zipf-ish split: τ=1 keeps natural shares, τ=0.5 lifts the tail

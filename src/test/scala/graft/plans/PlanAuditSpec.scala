@@ -444,4 +444,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exactKeys.exists(_.contains("tok")),
       "control: the exact plan should key on tok somewhere")
   }
+
+  test("bucketByScoreApprox: one sketch aggregate + broadcast join — no range exchange, no window") {
+    val scored = (0L until 600L)
+      .map(i => (s"s${i % 3}", i, (i % 97).toDouble))
+      .toDF("source", "doc_id", "score")
+    val approx = graft.ext.Curation.bucketByScoreApprox(scored, buckets = 3)
+    approx.collect()
+    val plan = approx.queryExecution.executedPlan.toString
+    // the quantile sketch must partial-aggregate map-side…
+    assert(plan.contains("partial_percentile_approx"),
+      s"sketch not map-side combined:\n$plan")
+    // …thresholds ride back on a broadcast join…
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"threshold join not broadcast:\n$plan")
+    // …and the corpus is never range-shuffled or windowed — removing
+    // the exact rank's sort exchange is this operator's whole point
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"range exchange in the approx plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in the approx plan:\n$plan")
+    // contrast control: the exact twin DOES range-partition
+    val exact = graft.ext.Curation.bucketByScore(scored, buckets = 3)
+    exact.collect()
+    assert(exact.queryExecution.executedPlan.toString
+      .toLowerCase.contains("rangepartitioning"),
+      "control: the exact plan should range-partition")
+  }
+
+  test("exactGroupsPriority: the struct min_by is still a map-side partial aggregate") {
+    val d = (0L until 400L)
+      .map(i => (i, s"text ${i % 50}", i % 3))
+      .toDF("doc_id", "text", "prio")
+    val groups = graft.ext.Dedup.exactGroupsPriority(d, "prio")
+    groups.collect()
+    val plan = groups.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"),
+      s"priority keeper not map-side combined:\n$plan")
+  }
 }
