@@ -502,26 +502,39 @@ object StreamingCorpusPipeline {
       // grows by the SURVIVORS' kept lines (the "everything ever kept"
       // contract the other indexes follow): a dropped near-dup's
       // unshipped lines never poison future kept documents.
+      // `survivors` feeds the verdict write AND every index append
+      // below, but its plan descends from the mh/win/sem INDEX scans —
+      // the first append's refreshByPath invalidates its cache, so
+      // every LATER append silently recomputed those chains (measured
+      // on d47: appendFp 1.6 s vs d45's 0.24 s on a 3× smaller batch —
+      // the whole semantic assign+dedup chain re-ran inside the fp
+      // append). One batch-bounded lineage cut makes append order
+      // irrelevant; the cut is billed to the verdict stage it
+      // materializes.
+      val survCut = StageTimer.time("verdict")(survivors.localCheckpoint())
       StageTimer.time("verdict")(qDrops
         .unionByName(exCross).unionByName(exBatch).unionByName(contam)
         .unionByName(nearCross).unionByName(nearBatch)
         .unionByName(winCross).unionByName(winBatch)
         .unionByName(semCross).unionByName(semBatch)
-        .unionByName(survivors.select(col("doc_id"),
+        .unionByName(survCut.select(col("doc_id"),
           lit("kept").as("verdict"), lit(null).cast("long").as("ref_id")))
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId"))
+      // the semantic append still reads its own cached (index-derived)
+      // frames, so it runs FIRST — before any other append's refresh
+      // can invalidate them
       semAppend()
-      StageTimer.time("appendFp")(fpIdx.append(survivors, seg = seg))
+      StageTimer.time("appendFp")(fpIdx.append(survCut, seg = seg))
       StageTimer.time("append") {
         lnPath.foreach(p =>
-          LineIndex.load(spark, p).append(survivors, seg = seg))
+          LineIndex.load(spark, p).append(survCut, seg = seg))
         winPath.foreach(p =>
-          WinnowIndex.load(spark, p).append(survivors, seg = seg))
+          WinnowIndex.load(spark, p).append(survCut, seg = seg))
       }
       StageTimer.time("appendMh") {
-        mhIdx.append(survivors, seg = seg,
-          shingled = Some(idsOf(survivors)(shAll)),
-          signatures = Some(idsOf(survivors)(sigsAll)))
+        mhIdx.append(survCut, seg = seg,
+          shingled = Some(idsOf(survCut)(shAll)),
+          signatures = Some(idsOf(survCut)(sigsAll)))
       }
     } finally StageTimer.time("cleanup")(
       // REVERSE registration order — dependents before dependencies.
