@@ -670,6 +670,31 @@ object ExtQueries {
   private val lineIdxMemo = new java.util.concurrent.ConcurrentHashMap[
     String, graft.ext.LineIndex]()
 
+  /** Session-memoized n-gram statistics index for d75, exercising the
+    * full build → append → fold → append → reload lifecycle so the
+    * oracle gates every segment path (the lineIndexFor precedent).
+    */
+  private val ngramIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.NgramIndex]()
+
+  private def ngramIndexFor(s: org.apache.spark.sql.SparkSession,
+                            dir: String): graft.ext.NgramIndex =
+    ngramIdxMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-ngramidx").toString
+        val d = docs(s, dir)
+        val hist = d.where(col("doc_id") % 5 =!= 0)
+        graft.ext.NgramIndex.build(
+          hist.where(col("doc_id") % 2 === 0), path, n = 2)
+        val idx = graft.ext.NgramIndex.load(s, path)
+        idx.append(hist.where(col("doc_id") % 2 =!= 0), seg = "b0")
+        require(idx.compact(Seq("b0")) == Seq("b0"),
+          "d75 gate: the appended segment must fold")
+        idx.append(d.where(col("doc_id") % 5 === 0), seg = "b1")
+        graft.ext.NgramIndex.load(s, path)
+      })
+
   private def linedDocs(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame =
     docs(s, dir).withColumn("text",
@@ -1540,6 +1565,29 @@ object ExtQueries {
       // total, so the full row set is value-gated.
       (s, dir) =>
         TextAnalysis.topNgrams(docs(s, dir), n = 2, topK = 50),
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM tok
+        |)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS tf,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM g GROUP BY 1 ORDER BY tf DESC, gram LIMIT 50""".stripMargin
+    ),
+    QueryDef(
+      "d75_ngram_topk_incremental",
+      // t31's incremental face: per-segment EXACT (gram, tf, df)
+      // partials over disjoint deliveries — tf and df are both additive
+      // across disjoint document sets, so the merged heavy hitters are
+      // exact, not sketched. The index walks the full build (half the
+      // history) → append (the other half) → FOLD → append (the
+      // delivery) → reload lifecycle, and the whole-corpus oracle is
+      // t31's SQL verbatim: any double-count from a replay, a fold, or
+      // a segment leak shifts tf and breaks the hash.
+      (s, dir) => ngramIndexFor(s, dir).topK(50),
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
         |), g AS (

@@ -221,6 +221,27 @@ class ExtSpec extends AnyFunSuite {
     assert(desc(100L) == 1 && desc(113L) == 3, s"descending tiers: $desc")
   }
 
+  test("NgramIndex: merged topK == batch topNgrams; replay and fold are invisible") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ngram-spec").toString
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    NgramIndex.build(a, path, n = 2)
+    val idx = NgramIndex.load(spark, path)
+    idx.append(b, seg = "b0")
+    def top() = idx.topK(40).collect().map(_.toSeq).toSeq
+    val ref = TextAnalysis.topNgrams(docs, n = 2, topK = 40)
+      .collect().map(_.toSeq).toSeq
+    assert(top() == ref, "merged stats != whole-corpus batch operator")
+    // replay: overwriting the same segment must not double-count
+    idx.append(b, seg = "b0")
+    assert(top() == ref, "replayed append double-counted")
+    // fold: compaction moves rows between partitions, stats unchanged
+    assert(idx.compact(Seq("b0")) == Seq("b0"))
+    assert(top() == ref, "fold changed the merged statistics")
+    // reload picks n from _params
+    assert(NgramIndex.load(spark, path).n == 2)
+  }
+
   test("exactGroupsPriority: trusted source wins over smaller id; ties fall back to id") {
     val d = Seq(
       (1L, "shared content", 1L),  // crawl copy, smallest id
