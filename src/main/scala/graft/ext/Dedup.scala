@@ -1459,7 +1459,10 @@ object Dedup {
     * rule lifted to the transitive-cluster family): each component's
     * keeper is its (priority, id)-minimum member, NOT the min-id root —
     * a crawl page whose curated twin joined the cluster later must lose
-    * to it. `prio` maps id → priority (lower wins, id breaks ties).
+    * to it. `prio` maps id → priority (lower wins, id breaks ties) and
+    * must be TOTAL over the ids in `pairs`: an id absent from `prio`
+    * drops out of the result (and the election) via the inner join —
+    * pass a default-priority union if the mapping is partial.
     *
     * Scale shape: the closure is [[connectedComponents]] (scale-adaptive
     * star loop); the keeper election is a per-root `min_by` partial
