@@ -2937,6 +2937,45 @@ object ExtQueries {
         |WHERE rk <= quota ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
+      "d76_upsample_quotas",
+      // d42 WITHOUT the least(n, ·) clamp: the upsampling face of
+      // temperature mixing (epochs over the tail). Same derived Zipfian
+      // head, target raised to 1000 so BOTH regimes bind: the head's
+      // quota floors under its size (sub-epoch, copies = 0/1 at the
+      // boundary) while every tail source's quota exceeds its size
+      // (multi-epoch, copies = quota div n + the mod boundary). Copy
+      // counts are exact integers; Σ copies == quota per source is the
+      // invariant the oracle's values carry.
+      (s, dir) => Curation.upsampleQuotas(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 10 < 7, lit("head"))
+            .otherwise(col("source")).as("source")),
+        tau = 0.5, target = 1000).orderBy("doc_id"),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
+        |  FROM documents
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM d GROUP BY 1
+        |), q AS (
+        |  SELECT source, n,
+        |    CAST(floor(1000.0 * round(pow(n, 0.5) /
+        |      (SELECT sum(pow(n, 0.5)) FROM sz), 9)) AS BIGINT) AS quota
+        |  FROM sz
+        |), rk AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d
+        |)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, quota,
+        |  CAST(quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END
+        |    AS BIGINT) AS copies
+        |FROM rk JOIN q USING (source)
+        |WHERE quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END > 0
+        |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
       "d43_corpus_stats",
       // the per-source corpus health report read before/after every
       // curation stage: docs, exact-dup docs (canonical fingerprint),

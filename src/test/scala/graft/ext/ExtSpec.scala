@@ -221,6 +221,39 @@ class ExtSpec extends AnyFunSuite {
     assert(desc(100L) == 1 && desc(113L) == 3, s"descending tiers: $desc")
   }
 
+  test("upsampleQuotas: sum(copies) == quota; downsampled source == temperatureSample") {
+    // 90/10 split at a target that downsamples the big source (drop
+    // path binds: copies = 0 rows vanish) and upsamples the small one
+    val d = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (0 until 10).map(i => (1000L + i, "small"))).toDF("doc_id", "source")
+    val got = Curation.upsampleQuotas(d, tau = 0.5, target = 40).cache()
+    val bySrc = got.groupBy("source")
+      .agg(sum("copies").as("c"), max("quota").as("q"), count(lit(1)).as("rows"),
+        min("copies").as("mn"), max("copies").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // sqrt(90):sqrt(10) → w = .75/.25 → quotas 30 and 10
+    assert(bySrc("big") == ((30L, 30L, 30L, 1L, 1L)), s"big: $bySrc")
+    // small: quota 10 == n → exactly one epoch, nobody dropped
+    assert(bySrc("small") == ((10L, 10L, 10L, 1L, 1L)), s"small: $bySrc")
+    // big is DOWNSAMPLED: kept set identical to temperatureSample's
+    val kept = got.where(col("source") === "big")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ref = Curation.temperatureSample(d, 0.5, target = 40)
+      .where(col("source") === "big")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == ref, "downsampled kept set diverges from temperatureSample")
+    // a genuinely multi-epoch case: tiny source, huge target
+    val up = Curation.upsampleQuotas(d, tau = 0.0, target = 200)
+    val small = up.where(col("source") === "small")
+      .agg(sum("copies"), min("copies"), max("copies")).head()
+    // tau=0: w = .5/.5 → quota 100 over 10 docs = 10 epochs each
+    assert(small.getLong(0) == 100L && small.getLong(1) == 10L &&
+      small.getLong(2) == 10L, s"multi-epoch: $small")
+    got.unpersist(blocking = true): Unit
+  }
+
   test("NgramIndex: merged topK == batch topNgrams; replay and fold are invisible") {
     val path = java.nio.file.Files.createTempDirectory("graft-ngram-spec").toString
     val a = docs.where(col("doc_id") % 2 === 0)
