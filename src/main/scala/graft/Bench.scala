@@ -146,6 +146,14 @@ object Bench {
     // iterating it directly reshuffles who pays residual warmup /
     // cache-eviction costs whenever a query is added — round-over-round
     // comparisons need a stable order
+    // skip-list drift guard: a renamed query whose stale skip entry no
+    // longer matches would silently get benched (re-timing the very
+    // path the exclusion rule exists to not re-time) while the record
+    // still counted the dead name as skipped — the "no silent caps"
+    // field itself becoming silently wrong
+    val unknownSkips = benchSkip -- SparkEntry.queries.keySet
+    require(unknownSkips.isEmpty,
+      s"benchSkip names not in SparkEntry.queries: ${unknownSkips.toSeq.sorted.mkString(", ")}")
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => benchSkip.contains(name) }
     try {

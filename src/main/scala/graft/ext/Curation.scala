@@ -353,14 +353,30 @@ object Curation {
     */
   def temperatureSample(docs: DataFrame, tau: Double, target: Long,
                         idCol: String = "doc_id",
-                        srcCol: String = "source"): DataFrame = {
+                        srcCol: String = "source"): DataFrame =
+    tauRanked(docs, tau, target, idCol, srcCol)
+      .select(col("source"), col("doc_id"), col("rk"),
+        least(col("n"), col("rawQuota")).as("quota"))
+      .where(col("rk") <= col("quota"))
+
+  /** The τ-weighted quota/rank chain [[temperatureSample]] and
+    * [[upsampleQuotas]] share — ONE definition point, because the
+    * upsampling face's documented degradation guarantee ("a sub-size
+    * quota degrades to temperatureSample's kept set — same order, same
+    * boundary") requires the 9dp weight rounding, the md5 order key,
+    * and the prefixSums rank to stay bit-identical between the two.
+    *
+    * @return (source, doc_id, rk, n, rawQuota) — rk the stable
+    *         hash-order rank, rawQuota = floor(target · w) UNCLAMPED
+    */
+  private def tauRanked(docs: DataFrame, tau: Double, target: Long,
+                        idCol: String, srcCol: String): DataFrame = {
     val sizes = docs.groupBy(col(srcCol).as("source")).agg(count(lit(1)).as("n"))
     val tot = sizes.agg(sum(pow(col("n"), lit(tau))).as("wsum"))
     val quotas = sizes.crossJoin(broadcast(tot))
       .withColumn("w", round(pow(col("n"), lit(tau)) / col("wsum"), 9))
-      .select(col("source"),
-        least(col("n"), floor(lit(target.toDouble) * col("w")).cast("long"))
-          .as("quota"))
+      .select(col("source"), col("n"),
+        floor(lit(target.toDouble) * col("w")).cast("long").as("rawQuota"))
     val rows = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
       md5(col(idCol).cast("string")).as("__ord"), lit(1L).as("__one"))
     prefixSums(rows, "source", "__one", Seq(col("__ord"), col("doc_id")))
@@ -369,8 +385,6 @@ object Curation {
       // this module targets
       .select(col("source"), col("doc_id"), col("cum").as("rk"))
       .join(broadcast(quotas), "source")
-      .where(col("rk") <= col("quota"))
-      .select(col("source"), col("doc_id"), col("rk"), col("quota"))
   }
 
   /** Quality-ordered selection under a per-source token budget: each
@@ -381,50 +395,6 @@ object Curation {
     * of the corpus still spreads across shards; a GLOBAL budget is the
     * per-source result with source budgets set by the mixture weights.
     */
-  /** Temperature mixing WITHOUT the natural-size clamp — the upsampling
-    * face of [[temperatureSample]]: when a source's τ-scaled quota
-    * exceeds its size, its documents REPEAT (the standard
-    * "epochs over the tail" mixing recipe: curated sources like wiki
-    * and books run several epochs per pass while the dominant crawl
-    * runs less than one). Each doc's copy count is `quota div n` plus
-    * one more for the first `quota mod n` docs in the stable md5-hash
-    * order — Σ copies == quota EXACTLY per source, and growing the
-    * corpus only slides the mod boundary. A source whose quota floors
-    * at or under its size degrades to [[temperatureSample]]'s kept set
-    * with copies = 1 (same order, same boundary).
-    *
-    * Scale shape: identical to [[temperatureSample]] — source stats are
-    * one map-combinable aggregate riding a broadcast join back, the
-    * within-source rank is the two-phase [[prefixSums]] scan, and the
-    * copy count is a column computation (materializing the repeats is
-    * the consumer's call — an export stage explodes `sequence(1,
-    * copies)` per shard, never globally).
-    *
-    * @return (source, doc_id, rk, quota, copies), copies ≥ 1 — rows
-    *         ranked past a sub-size quota are dropped
-    */
-  def upsampleQuotas(docs: DataFrame, tau: Double, target: Long,
-                     idCol: String = "doc_id",
-                     srcCol: String = "source"): DataFrame = {
-    val sizes = docs.groupBy(col(srcCol).as("source")).agg(count(lit(1)).as("n"))
-    val tot = sizes.agg(sum(pow(col("n"), lit(tau))).as("wsum"))
-    val quotas = sizes.crossJoin(broadcast(tot))
-      .withColumn("w", round(pow(col("n"), lit(tau)) / col("wsum"), 9))
-      .select(col("source"), col("n"),
-        floor(lit(target.toDouble) * col("w")).cast("long").as("quota"))
-    val rows = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
-      md5(col(idCol).cast("string")).as("__ord"), lit(1L).as("__one"))
-    prefixSums(rows, "source", "__one", Seq(col("__ord"), col("doc_id")))
-      .select(col("source"), col("doc_id"), col("cum").as("rk"))
-      .join(broadcast(quotas), "source")
-      .withColumn("copies",
-        expr("quota DIV n") +
-          when(col("rk") <= col("quota") % col("n"), 1L).otherwise(0L))
-      .where(col("copies") > 0)
-      .select(col("source"), col("doc_id"), col("rk"), col("quota"),
-        col("copies"))
-  }
-
   def tokenBudgetSelect(docs: DataFrame, budget: Long,
                         idCol: String = "doc_id", srcCol: String = "source",
                         textCol: String = "text"): DataFrame = {
@@ -436,6 +406,38 @@ object Curation {
       .where(col("cum") <= budget)
       .select(col("source"), col("doc_id"), col("toks"), col("cum"))
   }
+
+  /** Temperature mixing WITHOUT the natural-size clamp — the upsampling
+    * face of [[temperatureSample]]: when a source's τ-scaled quota
+    * exceeds its size, its documents REPEAT (the standard
+    * "epochs over the tail" mixing recipe: curated sources like wiki
+    * and books run several epochs per pass while the dominant crawl
+    * runs less than one). Each doc's copy count is `quota div n` plus
+    * one more for the first `quota mod n` docs in the stable md5-hash
+    * order — Σ copies == quota EXACTLY per source, and growing the
+    * corpus only slides the mod boundary. A source whose quota floors
+    * at or under its size degrades to [[temperatureSample]]'s kept set
+    * with copies = 1 (same order, same boundary — both faces read the
+    * one [[tauRanked]] chain, so they cannot drift).
+    *
+    * Scale shape: identical to [[temperatureSample]]; the copy count is
+    * a column computation (materializing the repeats is the consumer's
+    * call — an export stage explodes `sequence(1, copies)` per shard,
+    * never globally).
+    *
+    * @return (source, doc_id, rk, quota, copies), copies ≥ 1 — rows
+    *         ranked past a sub-size quota are dropped
+    */
+  def upsampleQuotas(docs: DataFrame, tau: Double, target: Long,
+                     idCol: String = "doc_id",
+                     srcCol: String = "source"): DataFrame =
+    tauRanked(docs, tau, target, idCol, srcCol)
+      .withColumn("copies",
+        expr("rawQuota DIV n") +
+          when(col("rk") <= col("rawQuota") % col("n"), 1L).otherwise(0L))
+      .where(col("copies") > 0)
+      .select(col("source"), col("doc_id"), col("rk"),
+        col("rawQuota").as("quota"), col("copies"))
 
   /** Per-source corpus health report — the summary a pipeline owner
     * reads before and after every curation stage: document and exact-dup

@@ -34,13 +34,20 @@ object Dedup {
     * equal-priority groups reproduce [[exactGroups]] exactly). Same
     * single shuffle — `min_by` over a struct is still a map-side
     * partial aggregate, so the 100 TB shape is unchanged.
+    *
+    * Priorities are compared as doubles (fractional rankings keep
+    * their order), and a NULL / unparseable priority LOSES the
+    * election rather than winning it — a raw `struct` min would sort
+    * the null first and silently elect exactly the doc whose priority
+    * failed to parse.
     */
   def exactGroupsPriority(docs: DataFrame, prioCol: String,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame =
     docs
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol),
-        col(prioCol).cast("long").as("__prio"))
+        coalesce(col(prioCol).cast("double"), lit(Double.MaxValue))
+          .as("__prio"))
       .groupBy("fp")
       .agg(min_by(col(idCol), struct(col("__prio"), col(idCol))).as("keeper"),
         count(lit(1)).as("n"))
@@ -1463,6 +1470,8 @@ object Dedup {
     * must be TOTAL over the ids in `pairs`: an id absent from `prio`
     * drops out of the result (and the election) via the inner join —
     * pass a default-priority union if the mapping is partial.
+    * Priorities compare as doubles; a NULL priority loses the election
+    * ([[exactGroupsPriority]]'s convention).
     *
     * Scale shape: the closure is [[connectedComponents]] (scale-adaptive
     * star loop); the keeper election is a per-root `min_by` partial
@@ -1479,7 +1488,8 @@ object Dedup {
     val comp = connectedComponents(pairs.select("a", "b"))
     val withP = comp.join(
       prio.select(col(idCol).cast("long").as("id"),
-        col(prioCol).cast("long").as("__prio")), "id")
+        coalesce(col(prioCol).cast("double"), lit(Double.MaxValue))
+          .as("__prio")), "id")
     val keepers = withP.groupBy("root")
       .agg(min_by(col("id"), struct(col("__prio"), col("id"))).as("keeper"))
     withP.join(keepers, "root").select(col("id"), col("root"), col("keeper"))

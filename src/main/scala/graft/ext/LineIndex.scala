@@ -132,11 +132,7 @@ object LineIndex {
 
   /** Open a persisted index; splitting convention comes from `_params`. */
   def load(spark: SparkSession, path: String): LineIndex = {
-    val params = new String(Files.readAllBytes(Paths.get(path, "_params")),
-      StandardCharsets.UTF_8)
-      .linesIterator.filter(_.contains("="))
-      .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim) }
-      .toMap
+    val params = SegmentedTable.readParams(path)
     val sep = new String(
       params("sepHex").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
       StandardCharsets.UTF_8)

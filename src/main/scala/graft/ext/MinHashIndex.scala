@@ -214,11 +214,7 @@ object MinHashIndex {
     * `sig=` marker are classic-signature by construction.
     */
   def load(spark: SparkSession, path: String): MinHashIndex = {
-    val params = new String(Files.readAllBytes(Paths.get(path, "_params")),
-      StandardCharsets.UTF_8)
-      .linesIterator.filter(_.contains("="))
-      .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim) }
-      .toMap
+    val params = SegmentedTable.readParams(path)
     val sig = params.getOrElse("sig", "classic")
     // mirror build's guard: a corrupted or future-mode marker must fail
     // fast here, not silently degrade to classic signatures that would

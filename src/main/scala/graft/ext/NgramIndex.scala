@@ -109,11 +109,7 @@ object NgramIndex {
 
   /** Open a persisted index; the gram order comes from `_params`. */
   def load(spark: SparkSession, path: String): NgramIndex = {
-    val params = new String(Files.readAllBytes(Paths.get(path, "_params")),
-      StandardCharsets.UTF_8)
-      .linesIterator.filter(_.contains("="))
-      .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim) }
-      .toMap
+    val params = SegmentedTable.readParams(path)
     new NgramIndex(spark, path, params("n").toInt)
   }
 }

@@ -106,4 +106,15 @@ private[graft] object SegmentedTable {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
+
+  /** Parse an index's `_params` key=value file — the ONE parser every
+    * persisted-index `load` shares (there were six identical copies;
+    * a new index type gets this right for free).
+    */
+  def readParams(path: String): Map[String, String] =
+    new String(Files.readAllBytes(java.nio.file.Paths.get(path, "_params")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.contains("="))
+      .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim) }
+      .toMap
 }

@@ -192,12 +192,9 @@ object SemanticIndex {
     * caller (a reader must not mix centroid/normalization spaces).
     */
   def load(spark: SparkSession, path: String): SemanticIndex = {
-    val params = new String(Files.readAllBytes(Paths.get(path, "_params")),
-      StandardCharsets.UTF_8)
-      .linesIterator.filter(_.contains("="))
-      .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim.toInt) }
-      .toMap
-    new SemanticIndex(spark, path, params("nlist"), params("normalized") == 1)
+    val params = SegmentedTable.readParams(path)
+    new SemanticIndex(spark, path, params("nlist").toInt,
+      params("normalized").toInt == 1)
   }
 
 }

@@ -116,11 +116,7 @@ object SpanIndex {
     * `_params` file, never from the caller.
     */
   def load(spark: SparkSession, path: String): SpanIndex = {
-    val params = new String(Files.readAllBytes(Paths.get(path, "_params")),
-      StandardCharsets.UTF_8)
-      .linesIterator.filter(_.contains("="))
-      .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim) }
-      .toMap
+    val params = SegmentedTable.readParams(path)
     new SpanIndex(spark, path, params("k").toInt, params("prefix"),
       params("maxOccur").toInt)
   }

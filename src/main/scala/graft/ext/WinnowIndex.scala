@@ -141,11 +141,7 @@ object WinnowIndex {
 
   /** Open a persisted index; the hash space comes from `_params`. */
   def load(spark: SparkSession, path: String): WinnowIndex = {
-    val params = new String(Files.readAllBytes(Paths.get(path, "_params")),
-      StandardCharsets.UTF_8)
-      .linesIterator.filter(_.contains("="))
-      .map { l => val Array(a, b) = l.split("=", 2); (a.trim, b.trim) }
-      .toMap
+    val params = SegmentedTable.readParams(path)
     new WinnowIndex(spark, path, params("k").toInt, params("w").toInt)
   }
 }

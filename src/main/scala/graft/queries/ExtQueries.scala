@@ -937,6 +937,75 @@ object ExtQueries {
        |WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= $tau
        |ORDER BY 1, 2""".stripMargin
 
+  /** The md5-hex → 60-bit integer token hash, spelled for DuckDB —
+    * shared by every hashed-feature oracle (was six inline copies).
+    */
+  private val hexValSql: String = (1 to 15)
+    .map(i =>
+      s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
+        s"${BigInt(16).pow(15 - i)}")
+    .mkString(" + ")
+
+  /** t28's one-step ordered-GD training chain in SQL (lab → tok → h →
+    * c → nr → x → nd → g → w1 → b1) — ONE definition both t28 and d69
+    * retrain from, so a fix to the gradient fold or the nd denominator
+    * lands in both oracles or neither. `materializeX` pins d69's
+    * AS MATERIALIZED on the multi-referenced x CTE (DuckDB 1.0
+    * re-inlines CTEs per reference — the 35-min lesson).
+    */
+  private def trainCtesSql(materializeX: Boolean): String = {
+    val xMat = if (materializeX) " MATERIALIZED" else ""
+    s"""lab AS (
+       |  SELECT 1.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT 0.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 1
+       |), tok AS (
+       |  SELECT y, doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
+       |  FROM lab
+       |), h AS (
+       |  SELECT y, doc_id, CAST(($hexValSql) % 64 AS BIGINT) AS bucket FROM tok
+       |), c AS (
+       |  SELECT y, doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2, 3
+       |), nr AS (
+       |  SELECT y, doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm
+       |  FROM c GROUP BY 1, 2
+       |), x AS$xMat (
+       |  SELECT c.y, c.doc_id, bucket, CAST(cnt AS DOUBLE) / nrm AS w
+       |  FROM c JOIN nr ON nr.y = c.y AND nr.doc_id = c.doc_id
+       |), nd AS (
+       |  SELECT CAST(count(DISTINCT (y, doc_id)) AS DOUBLE) AS n FROM x
+       |), g AS (
+       |  SELECT bucket,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list((0.5 - y) * w ORDER BY y, doc_id)), (a, b) -> a + b)
+       |      AS grad
+       |  FROM x GROUP BY 1
+       |), w1 AS (
+       |  SELECT bucket, -0.5 * coalesce(grad, 0.0) / n AS wt
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) ab
+       |  LEFT JOIN g USING (bucket) CROSS JOIN nd
+       |), b1 AS (
+       |  SELECT -0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list((0.5 - y) ORDER BY y, doc_id)), (a, b) -> a + b) / n
+       |    AS bias
+       |  FROM (SELECT DISTINCT y, doc_id FROM x) CROSS JOIN nd GROUP BY n
+       |)""".stripMargin
+  }
+
+  /** d40/d72's shared scored frame (t11's unigram-LM NLL, 4dp-rounded,
+    * joined to source) — one definition point so the approx twin can
+    * never bucket different scores than the exact query it mirrors
+    * (d72 is rows-only; nothing else gates its scores).
+    */
+  private def nllScored(s: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.unigramNll(d, lmFor(s, dir))
+      .where(col("nll").isNotNull)
+      .select(col("doc_id"), round(col("nll"), 4).as("score"))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+  }
+
   /** d40's oracle, factored out of the QueryDef so the d72 approx twin's
     * registration sits next to it without duplicating the scoring chain.
     */
@@ -1248,11 +1317,7 @@ object ExtQueries {
             hasher = Dedup.md5Hash60)
           .select(col("doc_id"), col("bucket"), round(col("w"), 4).as("w"))
           .orderBy("doc_id", "bucket"), {
-        val hexVal = (1 to 15)
-          .map(i =>
-            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
-              s"${BigInt(16).pow(15 - i)}")
-          .mkString(" + ")
+        val hexVal = hexValSql
         s"""WITH tok AS (
            |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
            |  FROM documents
@@ -1428,11 +1493,7 @@ object ExtQueries {
             bias = -0.1, hasher = Dedup.md5Hash60)
           .select(col("doc_id"), round(col("score"), 4).as("score"))
           .orderBy("doc_id"), {
-        val hexVal = (1 to 15)
-          .map(i =>
-            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
-              s"${BigInt(16).pow(15 - i)}")
-          .mkString(" + ")
+        val hexVal = hexValSql
         s"""WITH tok AS (
            |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
            |  FROM documents
@@ -1472,46 +1533,8 @@ object ExtQueries {
           .select(col("doc_id"), roundSigned(col("z")).as("z"))
           .orderBy("doc_id")
       }, {
-        val hexVal = (1 to 15)
-          .map(i =>
-            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
-              s"${BigInt(16).pow(15 - i)}")
-          .mkString(" + ")
-        s"""WITH lab AS (
-           |  SELECT 1.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 0
-           |  UNION ALL
-           |  SELECT 0.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 1
-           |), tok AS (
-           |  SELECT y, doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
-           |  FROM lab
-           |), h AS (
-           |  SELECT y, doc_id, CAST(($hexVal) % 64 AS BIGINT) AS bucket FROM tok
-           |), c AS (
-           |  SELECT y, doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2, 3
-           |), nr AS (
-           |  SELECT y, doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm
-           |  FROM c GROUP BY 1, 2
-           |), x AS (
-           |  SELECT c.y, c.doc_id, bucket, CAST(cnt AS DOUBLE) / nrm AS w
-           |  FROM c JOIN nr ON nr.y = c.y AND nr.doc_id = c.doc_id
-           |), nd AS (
-           |  SELECT CAST(count(DISTINCT (y, doc_id)) AS DOUBLE) AS n FROM x
-           |), g AS (
-           |  SELECT bucket,
-           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list((0.5 - y) * w ORDER BY y, doc_id)), (a, b) -> a + b)
-           |      AS grad
-           |  FROM x GROUP BY 1
-           |), w1 AS (
-           |  SELECT bucket, -0.5 * coalesce(grad, 0.0) / n AS wt
-           |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) ab
-           |  LEFT JOIN g USING (bucket) CROSS JOIN nd
-           |), b1 AS (
-           |  SELECT -0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list((0.5 - y) ORDER BY y, doc_id)), (a, b) -> a + b) / n
-           |    AS bias
-           |  FROM (SELECT DISTINCT y, doc_id FROM x) CROSS JOIN nd GROUP BY n
-           |), dtok AS (
+        val hexVal = hexValSql
+        s"""WITH ${trainCtesSql(materializeX = false)}, dtok AS (
            |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
            |  FROM documents
            |), dh AS (
@@ -1740,11 +1763,7 @@ object ExtQueries {
             roundSigned(col("avg_llr")).as("avg_llr"))
           .orderBy("doc_id")
       }, {
-        val hexVal = (1 to 15)
-          .map(i =>
-            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
-              s"${BigInt(16).pow(15 - i)}")
-          .mkString(" + ")
+        val hexVal = hexValSql
         s"""WITH tok AS (
            |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
            |  FROM documents
@@ -2368,15 +2387,9 @@ object ExtQueries {
       // (t11's model, rounded before ranking so both engines rank
       // identical values) bucketed into 3 equal-frequency tiers per
       // source via the two-phase prefix-sum rank — tier 1 = best.
-      (s, dir) => {
-        val d = docs(s, dir)
-        val scored = TextAnalysis.unigramNll(d, lmFor(s, dir))
-          .where(col("nll").isNotNull)
-          .select(col("doc_id"), round(col("nll"), 4).as("score"))
-          .join(d.select(col("doc_id"), col("source")), "doc_id")
-        Curation.bucketByScore(scored, buckets = 3)
-          .orderBy("source", "doc_id")
-      },
+      (s, dir) =>
+        Curation.bucketByScore(nllScored(s, dir), buckets = 3)
+          .orderBy("source", "doc_id"),
       d40Sql
     ),
     QueryDef(
@@ -2389,15 +2402,9 @@ object ExtQueries {
       // construction → rows-only here; d40 is the exact oracle twin,
       // ExtSpec pins tier agreement/populations on this fixture, and
       // PlanAuditSpec pins the no-range-exchange / no-window plan.
-      (s, dir) => {
-        val d = docs(s, dir)
-        val scored = TextAnalysis.unigramNll(d, lmFor(s, dir))
-          .where(col("nll").isNotNull)
-          .select(col("doc_id"), round(col("nll"), 4).as("score"))
-          .join(d.select(col("doc_id"), col("source")), "doc_id")
-        Curation.bucketByScoreApprox(scored, buckets = 3)
-          .orderBy("source", "doc_id")
-      },
+      (s, dir) =>
+        Curation.bucketByScoreApprox(nllScored(s, dir), buckets = 3)
+          .orderBy("source", "doc_id"),
       None),
     QueryDef(
       "t09_text_repetition",
@@ -2823,11 +2830,7 @@ object ExtQueries {
         val bits = 60
         val chunks = 4
         val width = bits / chunks
-        val hexVal = (1 to 15)
-          .map(i =>
-            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
-              s"${BigInt(16).pow(15 - i)}")
-          .mkString(" + ")
+        val hexVal = hexValSql
         val bitSums = (0 until bits)
           .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
           .mkString(", ")
@@ -3716,11 +3719,7 @@ object ExtQueries {
           .select(col("doc_id"), col("verdict"), col("ref_id"))
           .orderBy("doc_id")
       }, {
-        val hexVal = (1 to 15)
-          .map(i =>
-            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
-              s"${BigInt(16).pow(15 - i)}")
-          .mkString(" + ")
+        val hexVal = hexValSql
         s"""WITH RECURSIVE seed AS (
            |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
            |), batch AS (
@@ -3733,41 +3732,7 @@ object ExtQueries {
            |  UNION ALL
            |  SELECT doc_id + 30000, text || ' xqz' FROM documents
            |  WHERE doc_id % 50 = 30
-           |), lab AS (
-           |  SELECT 1.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 0
-           |  UNION ALL
-           |  SELECT 0.0 AS y, doc_id, text FROM documents WHERE doc_id % 3 = 1
-           |), tok AS (
-           |  SELECT y, doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
-           |  FROM lab
-           |), h AS (
-           |  SELECT y, doc_id, CAST(($hexVal) % 64 AS BIGINT) AS bucket FROM tok
-           |), c AS (
-           |  SELECT y, doc_id, bucket, count(*) AS cnt FROM h GROUP BY 1, 2, 3
-           |), nr AS (
-           |  SELECT y, doc_id, sqrt(sum(CAST(cnt * cnt AS DOUBLE))) AS nrm
-           |  FROM c GROUP BY 1, 2
-           |), x AS MATERIALIZED (
-           |  SELECT c.y, c.doc_id, bucket, CAST(cnt AS DOUBLE) / nrm AS w
-           |  FROM c JOIN nr ON nr.y = c.y AND nr.doc_id = c.doc_id
-           |), nd AS (
-           |  SELECT CAST(count(DISTINCT (y, doc_id)) AS DOUBLE) AS n FROM x
-           |), g AS (
-           |  SELECT bucket,
-           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list((0.5 - y) * w ORDER BY y, doc_id)), (a, b) -> a + b)
-           |      AS grad
-           |  FROM x GROUP BY 1
-           |), w1 AS (
-           |  SELECT bucket, -0.5 * coalesce(grad, 0.0) / n AS wt
-           |  FROM (SELECT unnest(generate_series(0, 63)) AS bucket) ab
-           |  LEFT JOIN g USING (bucket) CROSS JOIN nd
-           |), b1 AS (
-           |  SELECT -0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |      list((0.5 - y) ORDER BY y, doc_id)), (a, b) -> a + b) / n
-           |    AS bias
-           |  FROM (SELECT DISTINCT y, doc_id FROM x) CROSS JOIN nd GROUP BY n
-           |), btok AS (
+           |), ${trainCtesSql(materializeX = true)}, btok AS (
            |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
            |  FROM batch
            |), bh AS (
@@ -5533,11 +5498,7 @@ object ExtQueries {
             sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
           .orderBy("source")
       }, {
-        val hexVal = (1 to 15)
-          .map(i =>
-            s"strpos('123456789abcdef', substr(md5(tok), $i, 1)) * " +
-              s"${BigInt(16).pow(15 - i)}")
-          .mkString(" + ")
+        val hexVal = hexValSql
         s"""WITH kept1 AS (
            |  SELECT doc_id, text, source FROM documents
            |  WHERE CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0
