@@ -295,6 +295,21 @@ class ExtSpec extends AnyFunSuite {
     val b = Dedup.exactGroups(d)
       .select("fp", "keeper", "n").collect().map(_.toSeq).toSet
     assert(a == b)
+    // fractional priorities keep their order (compared as doubles, not
+    // truncated to long — 1.2 vs 1.9 must NOT collapse to a tie)…
+    val frac = Seq((1L, "dup", 1.9), (2L, "dup", 1.2))
+      .toDF("doc_id", "text", "prio")
+    val fk = Dedup.exactGroupsPriority(frac, "prio")
+      .collect().map(_.getLong(1)).toSet
+    assert(fk == Set(2L), s"fractional priority truncated: $fk")
+    // …and a NULL priority LOSES the election instead of winning it
+    // (struct-min would sort the null first)
+    val withNull = Seq(
+      (1L, "dup", Some(5.0)), (2L, "dup", None: Option[Double]))
+      .toDF("doc_id", "text", "prio")
+    val nk = Dedup.exactGroupsPriority(withNull, "prio")
+      .collect().map(_.getLong(1)).toSet
+    assert(nk == Set(1L), s"null priority won the election: $nk")
   }
 
   test("clusterKeepersPriority: each component elects its priority-min member") {
