@@ -2663,10 +2663,14 @@ object ExtQueries {
          |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
          |  FROM tok
+         |), rare AS (
+         |  SELECT shingle FROM tri GROUP BY 1 HAVING count(*) <= 1000
+         |), cap AS (
+         |  SELECT doc_id, shingle FROM tri JOIN rare USING (shingle)
          |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
          |inter AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  FROM cap x JOIN cap y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2
          |), pairs AS (
          |  SELECT a, b
@@ -2742,10 +2746,14 @@ object ExtQueries {
          |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
          |  FROM tok
+         |), rare AS (
+         |  SELECT shingle FROM tri GROUP BY 1 HAVING count(*) <= 1000
+         |), cap AS (
+         |  SELECT doc_id, shingle FROM tri JOIN rare USING (shingle)
          |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
          |inter AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  FROM cap x JOIN cap y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2
          |), pairs AS (
          |  SELECT a, b
@@ -2784,10 +2792,14 @@ object ExtQueries {
          |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
          |  FROM tok
+         |), rare AS (
+         |  SELECT shingle FROM tri GROUP BY 1 HAVING count(*) <= 1000
+         |), cap AS (
+         |  SELECT doc_id, shingle FROM tri JOIN rare USING (shingle)
          |), sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
          |inter AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  FROM cap x JOIN cap y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2
          |), pairs AS (
          |  SELECT a, b
