@@ -141,7 +141,11 @@ object Bench {
       // swapped in (the gate's own scoring cost is t12/t28's row) —
       // the classifier-vs-oracle agreement is its point, gated in
       // Verify; benching it would re-time d45
-      "d69_corpus_gauntlet_trained")
+      "d69_corpus_gauntlet_trained",
+      // d78 drives d75's EXACT merged-topK read path through the
+      // streaming wrapper's deliveries (replay exactly-once is its
+      // point, oracle-gated in Verify) — benching it would re-time d75
+      "d78_ngram_topk_stream")
     // deterministic timing order: `queries` is an unordered Map, so
     // iterating it directly reshuffles who pays residual warmup /
     // cache-eviction costs whenever a query is added — round-over-round

@@ -431,13 +431,60 @@ object Curation {
   def upsampleQuotas(docs: DataFrame, tau: Double, target: Long,
                      idCol: String = "doc_id",
                      srcCol: String = "source"): DataFrame =
+    upsampled(docs, tau, target, idCol, srcCol)
+      .select(col("source"), col("doc_id"), col("rk"),
+        col("rawQuota").as("quota"), col("copies"))
+
+  /** The epochs-over-the-tail copy counts [[upsampleQuotas]] and
+    * [[upsampleInterleaveOrder]] share — ONE definition point for the
+    * copies formula (quota div n + the mod boundary), because the
+    * interleave's epoch positions are defined AS the positions of those
+    * copies in the source's quota-length stream: the two faces must
+    * agree on exactly which copies exist.
+    *
+    * @return (source, doc_id, rk, n, rawQuota, copies), copies ≥ 1
+    */
+  private def upsampled(docs: DataFrame, tau: Double, target: Long,
+                        idCol: String, srcCol: String): DataFrame =
     tauRanked(docs, tau, target, idCol, srcCol)
       .withColumn("copies",
         expr("rawQuota DIV n") +
           when(col("rk") <= col("rawQuota") % col("n"), 1L).otherwise(0L))
       .where(col("copies") > 0)
-      .select(col("source"), col("doc_id"), col("rk"),
-        col("rawQuota").as("quota"), col("copies"))
+
+  /** Epoch-aware training order for an UPSAMPLED temperature mix —
+    * [[interleaveOrder]] composed with [[upsampleQuotas]]' copies, so a
+    * repeated document's copies spread through the epoch instead of the
+    * consumer exploding them itself (and clumping them at one okey).
+    * Copy j of the doc ranked rk sits at position (j−1)·n + rk in its
+    * source's quota-length stream — the natural epochs-over-the-tail
+    * order: epoch 1 is the whole source in stable hash order, epoch 2
+    * repeats it, the final partial epoch holds the first quota mod n
+    * docs. Positions are a BIJECTION onto 1..quota per source, so
+    * okey = (pos − 0.5) / quota fills (0, 1) exactly as evenly as
+    * [[interleaveOrder]] fills it for a downsampled source; both faces
+    * interleave correctly against each other in one `.orderBy("okey",
+    * "source", "doc_id")`. pos and quota are integers, so the division
+    * is bit-identical on any IEEE engine.
+    *
+    * Scale shape: [[upsampleQuotas]]' plus one per-shard
+    * `explode(sequence(1, copies))` — the repeats materialize
+    * distributed, never globally; the consumer's sort is the same
+    * range-partitioned global sort every okey consumer plans.
+    *
+    * @return one row per COPY: (source, doc_id, epoch, okey), epoch the
+    *         1-based copy number
+    */
+  def upsampleInterleaveOrder(docs: DataFrame, tau: Double, target: Long,
+                              idCol: String = "doc_id",
+                              srcCol: String = "source"): DataFrame =
+    upsampled(docs, tau, target, idCol, srcCol)
+      .select(col("source"), col("doc_id"), col("rk"), col("n"),
+        col("rawQuota"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+      .select(col("source"), col("doc_id"), col("epoch"),
+        ((((col("epoch") - 1L) * col("n") + col("rk")).cast("double") - 0.5)
+          / col("rawQuota").cast("double")).as("okey"))
 
   /** Per-source corpus health report — the summary a pipeline owner
     * reads before and after every curation stage: document and exact-dup

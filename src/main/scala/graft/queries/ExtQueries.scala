@@ -163,6 +163,94 @@ object ExtQueries {
   private val gauntletMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String, String)]()
 
+
+  /** d45's composed verdict chain — the seed/batch fixture plus every
+    * stage CTE (quality → exact cross → exact batch → near cross →
+    * near batch → v_kept) — shared by the d45 verdict oracle and d79's
+    * survivor-statistics oracle: ONE definition point, because d79's
+    * exactness claim is precisely "the appended survivor set IS this
+    * chain's v_kept" and two copies would be a divergence-in-waiting.
+    */
+  private def gauntletVerdictCtes: String =
+    s"""WITH RECURSIVE seed AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+       |), batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 50 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 30000, text || ' xqz' FROM documents
+       |  WHERE doc_id % 50 = 30
+       |), v_q AS (
+       |  SELECT doc_id FROM batch WHERE length(text) < 100
+       |), rem1 AS (
+       |  SELECT doc_id, text FROM batch WHERE length(text) >= 100
+       |), bf AS (
+       |  SELECT doc_id, $fpSql AS fp FROM rem1
+       |), sf AS (
+       |  SELECT doc_id, $fpSql AS fp FROM seed
+       |), v_exc AS (
+       |  SELECT b.doc_id, min(s.doc_id) AS ref
+       |  FROM bf b JOIN sf s USING (fp) GROUP BY 1
+       |), bf2 AS (
+       |  SELECT * FROM bf WHERE doc_id NOT IN (SELECT doc_id FROM v_exc)
+       |), keep2 AS (
+       |  SELECT fp, min(doc_id) AS keeper FROM bf2 GROUP BY 1
+       |), v_exb AS (
+       |  SELECT b.doc_id, k.keeper AS ref
+       |  FROM bf2 b JOIN keep2 k USING (fp) WHERE b.doc_id <> k.keeper
+       |), rem3 AS (
+       |  SELECT r.doc_id, r.text FROM rem1 r
+       |  WHERE r.doc_id NOT IN (SELECT doc_id FROM v_exc)
+       |    AND r.doc_id NOT IN (SELECT doc_id FROM v_exb)
+       |), btri AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM rem3)
+       |), bsz AS (SELECT doc_id, count(*) AS sz FROM btri GROUP BY 1),
+       |stri AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM seed)
+       |), ssz AS (SELECT doc_id, count(*) AS sz FROM stri GROUP BY 1),
+       |xinter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM btri x JOIN stri y ON x.shingle = y.shingle GROUP BY 1, 2
+       |), v_nx AS (
+       |  SELECT a AS doc_id, min(b) AS ref
+       |  FROM xinter JOIN bsz na ON na.doc_id = a JOIN ssz nb ON nb.doc_id = b
+       |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+       |  GROUP BY 1
+       |), rtri AS (
+       |  SELECT * FROM btri WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+       |), iinter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM rtri x JOIN rtri y
+       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), ipairs AS (
+       |  SELECT a, b
+       |  FROM iinter JOIN bsz na ON na.doc_id = a JOIN bsz nb ON nb.doc_id = b
+       |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+       |), nodes AS (SELECT a AS id FROM ipairs UNION SELECT b FROM ipairs),
+       |edges AS (SELECT a AS u, b AS v FROM ipairs UNION SELECT b, a FROM ipairs),
+       |reach(id, l) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
+       |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1),
+       |v_nb AS (SELECT id AS doc_id, root AS ref FROM comp WHERE id <> root),
+       |v_kept AS (
+       |  SELECT doc_id FROM rem3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
+       |    AND doc_id NOT IN (SELECT doc_id FROM v_nb)
+       |)""".stripMargin
+
   /** d68's own verdict dir (the fp/mh indexes are SHARED with d45 via
     * [[gauntletPathsFor]] — both queries overwrite and exclude segment
     * b0, so their reads are independent of each other's appends).
@@ -196,6 +284,58 @@ object ExtQueries {
         MinHashIndex.build(seed, mh, n = 3, k = 128, bands = 64)
         (fp, mh, v)
       })
+
+  /** d45's planted delivery — the Spark-side twin of
+    * [[gauntletVerdictCtes]]' `batch` CTE, shared by d45 and d79 (ONE
+    * definition point, same reasoning as the chain itself).
+    */
+  private def gauntletBatch(d: DataFrame): DataFrame =
+    d.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d
+        .where(col("doc_id") % 5 =!= 0 && col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(d.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .unionByName(d.where(col("doc_id") % 50 === 30)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" xqz")).as("text")))
+
+  /** d45's pipeline Config (length-100 quality gate, tau 0.5) — shared
+    * with d79, whose oracle replays exactly these knobs.
+    */
+  private def gauntletConfig: graft.streaming.StreamingCorpusPipeline.Config =
+    graft.streaming.StreamingCorpusPipeline.Config(tau = 0.5,
+      quality = b => b.select(col("doc_id"),
+        when(length(col("text")) >= 100, 1).otherwise(0).as("keep")))
+
+  /** d79's run memo: an NgramIndex seeded over the seed corpus, d45's
+    * exact batch pushed through processBatch with the survivor-stats
+    * accumulator on (fp/mh shared with d45 — the d68 convention: every
+    * sharer overwrites AND excludes segment b0, so reads are
+    * independent of each other's appends), then the merged top-K.
+    */
+  private val ngGauntletMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ngGauntletTopkFor(s: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    val ngPath = ngGauntletMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val ng = java.nio.file.Files.createTempDirectory("graft-ngg-ng").toString
+        val v = java.nio.file.Files.createTempDirectory("graft-ngg-v").toString
+        val (fp, mh, _) = gauntletPathsFor(s, dir)
+        val d = docs(s, dir)
+        graft.ext.NgramIndex.build(
+          d.where(col("doc_id") % 5 =!= 0), ng, n = 2)
+        graft.streaming.StreamingCorpusPipeline.processBatch(
+          gauntletBatch(d), 0L, fp, mh, None, v, gauntletConfig,
+          ngPath = Some(ng))
+        ng
+      })
+    graft.ext.NgramIndex.load(s, ngPath).topK(50)
+  }
 
   /** Seed indexes for the d47 semantic-gauntlet gate: an EXACT-mode
     * SemanticIndex (nlist=1, plain cosine — the d21/d23 degeneracy)
@@ -694,6 +834,39 @@ object ExtQueries {
         idx.append(d.where(col("doc_id") % 5 === 0), seg = "b1")
         graft.ext.NgramIndex.load(s, path)
       })
+
+  /** Session-memoized STREAMING ngram-stats run for d78: the turnkey
+    * wrapper's batch hook drives two deliveries over a seeded index —
+    * including a full REPLAY of the first delivery (foreachBatch is
+    * at-least-once), so overwrite-per-segment exactly-once is what the
+    * whole-corpus oracle gates. Snapshots land per delivery; d78 reads
+    * the final corpus-wide top-K.
+    */
+  private val ngramStreamMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+
+  private def ngramStreamFor(s: org.apache.spark.sql.SparkSession,
+                             dir: String): graft.ext.NgramIndex = {
+    val path = ngramStreamMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-ngramstream").toString
+        val snap = java.nio.file.Files.createTempDirectory("graft-ngramsnap").toString
+        val d = docs(s, dir)
+        graft.ext.NgramIndex.build(
+          d.where(col("doc_id") % 2 === 0), p, n = 2)
+        val b0 = d.where(col("doc_id") % 2 =!= 0 && col("doc_id") % 4 === 1)
+        val b1 = d.where(col("doc_id") % 2 =!= 0 && col("doc_id") % 4 === 3)
+        graft.streaming.StreamingNgramStats.processBatch(
+          b0, 0L, p, snapshotPath = Some(snap))
+        graft.streaming.StreamingNgramStats.processBatch(
+          b0, 0L, p, snapshotPath = Some(snap)) // at-least-once replay
+        graft.streaming.StreamingNgramStats.processBatch(
+          b1, 1L, p, snapshotPath = Some(snap))
+        p
+      })
+    graft.ext.NgramIndex.load(s, path)
+  }
 
   private def linedDocs(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame =
@@ -1611,6 +1784,27 @@ object ExtQueries {
       // t31's SQL verbatim: any double-count from a replay, a fold, or
       // a segment leak shifts tf and breaks the hash.
       (s, dir) => ngramIndexFor(s, dir).topK(50),
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM tok
+        |)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS tf,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM g GROUP BY 1 ORDER BY tf DESC, gram LIMIT 50""".stripMargin
+    ),
+    QueryDef(
+      "d78_ngram_topk_stream",
+      // d75's streaming face: the turnkey StreamingNgramStats wrapper's
+      // batch hook over a seeded index, two deliveries with the FIRST
+      // one fully replayed (foreachBatch's at-least-once) — the
+      // whole-corpus oracle is t31's SQL verbatim, so a double-counted
+      // segment, a snapshot-order leak, or a wrapper/batch-API drift
+      // shifts tf and breaks the hash.
+      (s, dir) => ngramStreamFor(s, dir).topK(50),
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
         |), g AS (
@@ -2991,6 +3185,52 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
+      "d77_upsample_interleave",
+      // d44's epoch order composed with d76's copies: one row per COPY,
+      // copy j of the doc ranked rk at stream position (j−1)·n + rk —
+      // a bijection onto 1..quota per source, so okey = (pos − 0.5) /
+      // quota fills (0,1) evenly for upsampled and downsampled sources
+      // alike. Same derived Zipfian head and target 1000 as d76, so
+      // both regimes bind: head docs carry one epoch (or drop at the
+      // boundary), tail docs fan out to multiple rows whose okeys the
+      // oracle replays exactly (integer-operand IEEE division).
+      (s, dir) => Curation.upsampleInterleaveOrder(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 10 < 7, lit("head"))
+            .otherwise(col("source")).as("source")),
+        tau = 0.5, target = 1000).orderBy("doc_id", "epoch"),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
+        |  FROM documents
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM d GROUP BY 1
+        |), q AS (
+        |  SELECT source, n,
+        |    CAST(floor(1000.0 * round(pow(n, 0.5) /
+        |      (SELECT sum(pow(n, 0.5)) FROM sz), 9)) AS BIGINT) AS quota
+        |  FROM sz
+        |), rk AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d
+        |), c AS (
+        |  SELECT source, doc_id, rk, n, quota,
+        |    quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END AS copies
+        |  FROM rk JOIN q USING (source)
+        |  WHERE quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END > 0
+        |), u AS (
+        |  SELECT source, doc_id, rk, n, quota,
+        |    unnest(generate_series(1, copies)) AS epoch
+        |  FROM c
+        |)
+        |SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |  (CAST((epoch - 1) * n + rk AS DOUBLE) - 0.5)
+        |    / CAST(quota AS DOUBLE) AS okey
+        |FROM u ORDER BY doc_id, epoch""".stripMargin
+    ),
+    QueryDef(
       "d43_corpus_stats",
       // the per-source corpus health report read before/after every
       // curation stage: docs, exact-dup docs (canonical fingerprint),
@@ -3076,104 +3316,14 @@ object ExtQueries {
       // and excluded per replay, so repeat runs are idempotent.
       (s, dir) => {
         val (fpPath, mhPath, vPath) = gauntletPathsFor(s, dir)
-        val d = docs(s, dir)
-        val batch = d.where(col("doc_id") % 5 === 0)
-          .select(col("doc_id"), col("text"))
-          .unionByName(d
-            .where(col("doc_id") % 5 =!= 0 && col("doc_id") % 50 === 1)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-          .unionByName(d.where(col("doc_id") % 50 === 0)
-            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
-          .unionByName(d.where(col("doc_id") % 50 === 30)
-            .select((col("doc_id") + 30000).as("doc_id"),
-              concat(col("text"), lit(" xqz")).as("text")))
         graft.streaming.StreamingCorpusPipeline.processBatch(
-          batch, 0L, fpPath, mhPath, None, vPath,
-          graft.streaming.StreamingCorpusPipeline.Config(tau = 0.5,
-            quality = b => b.select(col("doc_id"),
-              when(length(col("text")) >= 100, 1).otherwise(0).as("keep"))))
+          gauntletBatch(docs(s, dir)), 0L, fpPath, mhPath, None, vPath,
+          gauntletConfig)
         s.read.parquet(s"$vPath/batch=0")
           .select(col("doc_id"), col("verdict"), col("ref_id"))
           .orderBy("doc_id")
       },
-      s"""WITH RECURSIVE seed AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
-         |), batch AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 10000, text FROM documents
-         |  WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1
-         |  UNION ALL
-         |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 50 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 30000, text || ' xqz' FROM documents
-         |  WHERE doc_id % 50 = 30
-         |), v_q AS (
-         |  SELECT doc_id FROM batch WHERE length(text) < 100
-         |), rem1 AS (
-         |  SELECT doc_id, text FROM batch WHERE length(text) >= 100
-         |), bf AS (
-         |  SELECT doc_id, $fpSql AS fp FROM rem1
-         |), sf AS (
-         |  SELECT doc_id, $fpSql AS fp FROM seed
-         |), v_exc AS (
-         |  SELECT b.doc_id, min(s.doc_id) AS ref
-         |  FROM bf b JOIN sf s USING (fp) GROUP BY 1
-         |), bf2 AS (
-         |  SELECT * FROM bf WHERE doc_id NOT IN (SELECT doc_id FROM v_exc)
-         |), keep2 AS (
-         |  SELECT fp, min(doc_id) AS keeper FROM bf2 GROUP BY 1
-         |), v_exb AS (
-         |  SELECT b.doc_id, k.keeper AS ref
-         |  FROM bf2 b JOIN keep2 k USING (fp) WHERE b.doc_id <> k.keeper
-         |), rem3 AS (
-         |  SELECT r.doc_id, r.text FROM rem1 r
-         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM v_exc)
-         |    AND r.doc_id NOT IN (SELECT doc_id FROM v_exb)
-         |), btri AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
-         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM rem3)
-         |), bsz AS (SELECT doc_id, count(*) AS sz FROM btri GROUP BY 1),
-         |stri AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
-         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM seed)
-         |), ssz AS (SELECT doc_id, count(*) AS sz FROM stri GROUP BY 1),
-         |xinter AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM btri x JOIN stri y ON x.shingle = y.shingle GROUP BY 1, 2
-         |), v_nx AS (
-         |  SELECT a AS doc_id, min(b) AS ref
-         |  FROM xinter JOIN bsz na ON na.doc_id = a JOIN ssz nb ON nb.doc_id = b
-         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
-         |  GROUP BY 1
-         |), rtri AS (
-         |  SELECT * FROM btri WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
-         |), iinter AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM rtri x JOIN rtri y
-         |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2
-         |), ipairs AS (
-         |  SELECT a, b
-         |  FROM iinter JOIN bsz na ON na.doc_id = a JOIN bsz nb ON nb.doc_id = b
-         |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
-         |), nodes AS (SELECT a AS id FROM ipairs UNION SELECT b FROM ipairs),
-         |edges AS (SELECT a AS u, b AS v FROM ipairs UNION SELECT b, a FROM ipairs),
-         |reach(id, l) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.id
-         |), comp AS (SELECT id, min(l) AS root FROM reach GROUP BY 1),
-         |v_nb AS (SELECT id AS doc_id, root AS ref FROM comp WHERE id <> root),
-         |v_kept AS (
-         |  SELECT doc_id FROM rem3
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM v_nx)
-         |    AND doc_id NOT IN (SELECT doc_id FROM v_nb)
-         |)
+      s"""$gauntletVerdictCtes
          |SELECT doc_id, 'drop_quality' AS verdict, CAST(NULL AS BIGINT) AS ref_id FROM v_q
          |UNION ALL SELECT doc_id, 'dup_exact', CAST(ref AS BIGINT) FROM v_exc
          |UNION ALL SELECT doc_id, 'dup_exact_batch', CAST(ref AS BIGINT) FROM v_exb
@@ -3181,6 +3331,35 @@ object ExtQueries {
          |UNION ALL SELECT doc_id, 'dup_batch', CAST(ref AS BIGINT) FROM v_nb
          |UNION ALL SELECT doc_id, 'kept', CAST(NULL AS BIGINT) FROM v_kept
          |ORDER BY doc_id""".stripMargin
+    ),
+    QueryDef(
+      "d79_corpus_gauntlet_stats",
+      // the gauntlet's SURVIVOR-statistics accumulator live (ngPath):
+      // d45's exact fixture and stage chain, plus an NgramIndex seeded
+      // over the seed corpus that the pipeline extends with the batch's
+      // kept docs — the oracle recounts grams over seed ∪ kept FROM
+      // SCRATCH (kept derived by replaying every verdict stage), so a
+      // dropped doc leaking into the stats, a double-counted replay
+      // segment, or a drift between the verdict chain and the appended
+      // survivor set all shift tf and break the hash. fp/mh seeds are
+      // shared with d45 (both overwrite + exclude segment b0 — the d68
+      // convention); the ngram index and verdict dir are owned here.
+      (s, dir) => ngGauntletTopkFor(s, dir),
+      s"""$gauntletVerdictCtes, corpus AS (
+         |  SELECT doc_id, text FROM seed
+         |  UNION ALL
+         |  SELECT b.doc_id, b.text FROM batch b JOIN v_kept USING (doc_id)
+         |), tok AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM corpus
+         |), g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS gram
+         |  FROM tok
+         |)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS tf,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM g GROUP BY 1 ORDER BY tf DESC, gram LIMIT 50""".stripMargin
     ),
     QueryDef(
       "d46_corpus_bootstrap",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
-import graft.ext.{Dedup, FingerprintIndex, LineIndex, MinHashIndex, SemanticIndex, Similarity, SpanIndex, TextAnalysis, WinnowIndex}
+import graft.ext.{Dedup, FingerprintIndex, LineIndex, MinHashIndex, NgramIndex, SemanticIndex, Similarity, SpanIndex, TextAnalysis, WinnowIndex}
 
 /** The turnkey continuous corpus constructor: every delivery flows
   * through the full curation gauntlet — quality rules → exact dedup →
@@ -40,7 +40,11 @@ import graft.ext.{Dedup, FingerprintIndex, LineIndex, MinHashIndex, SemanticInde
   *      [[MinHashIndex]], then in-batch exact-verified components
   *      ([[StreamingDedup]]'s rule);
   *   5. `kept` — appended to BOTH dedup indexes as segment
-  *      `b<batchId>`.
+  *      `b<batchId>`; when `ngPath` is set, the survivors' n-gram
+  *      statistics accumulate into the [[NgramIndex]] too (the
+  *      boilerplate watchlist tracks the corpus AS CONSTRUCTED — drops
+  *      never pollute the heavy-hitter report the pipeline's own
+  *      thresholds are tuned from).
   *
   * Exactly-once under at-least-once foreachBatch replay, by the family
   * contract: every effect (two index segments + the verdict directory)
@@ -112,14 +116,17 @@ object StreamingCorpusPipeline {
     * decontamination index; `semPath` an optional [[SemanticIndex]]
     * adding the SemDeDup stage after near-dup; `lnPath` an optional
     * [[LineIndex]] adding C4-style line cleaning between the quality
-    * gate and the exact stage.
+    * gate and the exact stage; `ngPath` an optional [[NgramIndex]]
+    * accumulating the survivors' n-gram statistics per delivery (a
+    * pure side-accumulator — it drops nothing and transforms nothing).
     */
   def start(docs: DataFrame, fpPath: String, mhPath: String,
             spanPath: Option[String], verdictPath: String,
             checkpoint: String, cfg: Config = Config(),
             semPath: Option[String] = None,
             winPath: Option[String] = None,
-            lnPath: Option[String] = None): StreamingQuery =
+            lnPath: Option[String] = None,
+            ngPath: Option[String] = None): StreamingQuery =
     docs
       .select(col("doc_id") +: col("text") +:
         semPath.map(_ => col("embedding")).toSeq: _*)
@@ -130,7 +137,7 @@ object StreamingCorpusPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           processBatch(batch, batchId, fpPath, mhPath, spanPath,
-            verdictPath, cfg, semPath, winPath, lnPath)
+            verdictPath, cfg, semPath, winPath, lnPath, ngPath)
           if (cfg.compactEvery > 0 && batchId > 0 &&
               batchId % cfg.compactEvery == 0) {
             FingerprintIndex.load(batch.sparkSession, fpPath)
@@ -142,6 +149,8 @@ object StreamingCorpusPipeline {
             winPath.foreach(p => WinnowIndex.load(batch.sparkSession, p)
               .compactCommitted(checkpoint))
             lnPath.foreach(p => LineIndex.load(batch.sparkSession, p)
+              .compactCommitted(checkpoint))
+            ngPath.foreach(p => NgramIndex.load(batch.sparkSession, p)
               .compactCommitted(checkpoint)): Unit
           }
         }
@@ -282,7 +291,8 @@ object StreamingCorpusPipeline {
                    verdictPath: String, cfg: Config,
                    semPath: Option[String] = None,
                    winPath: Option[String] = None,
-                   lnPath: Option[String] = None): Unit = {
+                   lnPath: Option[String] = None,
+                   ngPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val seg = s"b$batchId"
     // the embedding column rides along only when the semantic stage is on
@@ -530,6 +540,12 @@ object StreamingCorpusPipeline {
           LineIndex.load(spark, p).append(survCut, seg = seg))
         winPath.foreach(p =>
           WinnowIndex.load(spark, p).append(survCut, seg = seg))
+        // survivor n-gram statistics, when configured: the heavy-hitter
+        // report tracks the corpus AS CONSTRUCTED (post-cleaning text,
+        // drops excluded) — exactly-once by the same
+        // overwrite-per-segment contract as every other append here
+        ngPath.foreach(p =>
+          NgramIndex.load(spark, p).append(survCut, seg = seg))
       }
       StageTimer.time("appendMh") {
         mhIdx.append(survCut, seg = seg,

@@ -411,6 +411,49 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("upsampleInterleaveOrder: copies spread as a bijection onto 1..quota") {
+    val d = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (0 until 10).map(i => (1000L + i, "small"))).toDF("doc_id", "source")
+    // tau=0, target=200: quotas 100/100 — big downsamples (1 epoch of
+    // its first 100... n=90 < 100 so 1 full epoch + partial of 10),
+    // small runs 10 full epochs
+    val rows = Curation.upsampleInterleaveOrder(d, tau = 0.0, target = 200)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // Σ rows per source == quota exactly
+    assert(rows.count(_._1 == "big") == 100)
+    assert(rows.count(_._1 == "small") == 100)
+    // okeys per source are EXACTLY {(i-0.5)/quota : i = 1..quota} — the
+    // bijection claim; sorted okeys must be the full fractional grid
+    for (src <- Seq("big", "small")) {
+      val keys = rows.filter(_._1 == src).map(_._4).sorted.toSeq
+      assert(keys == (1 to 100).map(i => (i - 0.5) / 100.0),
+        s"$src okeys are not the 1..quota grid")
+    }
+    // small's 10 docs each appear exactly 10 times with epochs 1..10
+    val byDoc = rows.filter(_._1 == "small").groupBy(_._2)
+    assert(byDoc.size == 10)
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to 10L), s"doc $id epochs")
+    }
+    // a doc's copies are spaced exactly one epoch (n/quota) apart
+    val oneDoc = rows.filter(r => r._1 == "small" && r._2 == rows
+      .filter(_._1 == "small").map(_._2).min).sortBy(_._3).map(_._4)
+    oneDoc.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs((b - a) - 10.0 / 100.0) < 1e-12, "uneven epoch spacing")
+    }
+    // sub-size quota degrades to interleaveOrder: same (doc, okey) set
+    // with every epoch = 1 (both faces read the one tauRanked chain)
+    val down = Curation.upsampleInterleaveOrder(d, tau = 0.5, target = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(down.forall(_._3 == 1L), "downsampled rows must be single-epoch")
+    val ref = Curation.interleaveOrder(d, tau = 0.5, target = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(down.map(r => (r._1, r._2, r._4)).toSet == ref,
+      "downsampled face diverges from interleaveOrder")
+  }
+
   test("importanceWeights: target-domain docs score higher; target==raw is exactly 0") {
     val raw = Seq(
       (1L, "neural models train on curated data fast"),

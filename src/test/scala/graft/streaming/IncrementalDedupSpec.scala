@@ -311,6 +311,57 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(idxRows == 2, s"replayed segment must hold exactly its 2 kept lines, got $idxRows")
   }
 
+  test("streaming ngram stats: merged == whole-corpus recount, replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = Files.createTempDirectory("ngramidx-s").toString
+    val snapPath = Files.createTempDirectory("ngramsnap").toString
+    val ckpt = Files.createTempDirectory("ngramckpt").toString
+    graft.ext.NgramIndex.build(
+      Seq((1L, A), (2L, B)).toDF("doc_id", "text"), idxPath, n = 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+
+    // two deliveries: 10 repeats A's grams (tf doubles, df doubles);
+    // 11/20 bring fresh vocabularies
+    mem.addData((10L, A), (11L, C))
+    drain(StreamingNgramStats.start(stream, idxPath, ckpt,
+      snapshotPath = Some(snapPath), k = 100))
+    mem.addData((20L, D))
+    drain(StreamingNgramStats.start(stream, idxPath, ckpt,
+      snapshotPath = Some(snapPath), k = 100))
+
+    // the merged statistics equal a from-scratch batch recount over the
+    // union of everything ever delivered — the exactness claim
+    val all = Seq((1L, A), (2L, B), (10L, A), (11L, C), (20L, D))
+      .toDF("doc_id", "text")
+    def stats(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = stats(graft.ext.NgramIndex.load(spark, idxPath).merged)
+    val recount = stats(graft.ext.TextAnalysis.topNgrams(all, n = 2,
+      topK = Int.MaxValue))
+    assert(merged == recount, "merged stats diverge from batch recount")
+    // A's grams counted twice (seed + delivery), df = 2
+    assert(merged.contains(("alpha beta", 2L, 2L)))
+
+    // each snapshot reflects the corpus AS OF its delivery: batch 0
+    // pre-dates doc 20, batch 1 holds everything
+    val snap0 = stats(spark.read.parquet(s"$snapPath/batch=0"))
+    val asOf0 = stats(graft.ext.TextAnalysis.topNgrams(
+      all.where($"doc_id" =!= 20L), n = 2, topK = Int.MaxValue))
+    assert(snap0 == asOf0, "batch-0 snapshot diverges from as-of recount")
+    assert(stats(spark.read.parquet(s"$snapPath/batch=1")) == recount,
+      "batch-1 snapshot diverges from the full recount")
+
+    // replay of batch 0: overwrite-per-segment keeps counts exact
+    val b0 = Seq((10L, A), (11L, C)).toDF("doc_id", "text")
+    StreamingNgramStats.processBatch(b0, 0L, idxPath)
+    val replayed = stats(graft.ext.NgramIndex.load(spark, idxPath).merged)
+    assert(replayed == recount, "replay double-counted a segment")
+  }
+
   test("streaming winnow dedup: cross + in-batch keepers, replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

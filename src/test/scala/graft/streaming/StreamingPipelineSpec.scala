@@ -117,6 +117,53 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(indexedIds == idsAfter, "replay changed the index")
   }
 
+  test("ngram-stats accumulator: merged stats track exactly the kept corpus, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fpPath = Files.createTempDirectory("ng-fp").toString
+    val mhPath = Files.createTempDirectory("ng-mh").toString
+    val ngPath = Files.createTempDirectory("ng-ng").toString
+    val vPath = Files.createTempDirectory("ng-v").toString
+    val ckpt = Files.createTempDirectory("ng-ckpt").toString
+    val seed = Seq((1L, A)).toDF("doc_id", "text")
+    FingerprintIndex.build(seed, fpPath)
+    MinHashIndex.build(seed, mhPath)
+    graft.ext.NgramIndex.build(seed, ngPath, n = 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // 101 exact-dups the seed, 103 exact-dups 102 in-batch, 104 fails
+    // quality, 105 near-dups the seed — NONE of their grams may land;
+    // 102 and 107 are kept and must land exactly once
+    mem.addData((101L, A), (102L, D), (103L, D), (104L, "x y"),
+      (105L, A1), (107L, E))
+    drain(StreamingCorpusPipeline.start(stream, fpPath, mhPath, None,
+      vPath, ckpt, cfg, ngPath = Some(ngPath)))
+    // batch 1: 201 exact-dups now-indexed 102 (its grams must not
+    // double); 203 is fresh
+    mem.addData((201L, D), (203L, F))
+    drain(StreamingCorpusPipeline.start(stream, fpPath, mhPath, None,
+      vPath, ckpt, cfg, ngPath = Some(ngPath)))
+
+    def stats(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val keptCorpus = Seq((1L, A), (102L, D), (107L, E), (203L, F))
+      .toDF("doc_id", "text")
+    val want = stats(graft.ext.TextAnalysis.topNgrams(keptCorpus, n = 2,
+      topK = Int.MaxValue))
+    assert(stats(graft.ext.NgramIndex.load(spark, ngPath).merged) == want,
+      "merged stats diverge from the kept-corpus recount")
+
+    // replay batch 0 through the batch hook: segment overwritten, the
+    // stats unchanged (exactly-once like every other append)
+    StreamingCorpusPipeline.processBatch(
+      Seq((101L, A), (102L, D), (103L, D), (104L, "x y"), (105L, A1),
+        (107L, E)).toDF("doc_id", "text"),
+      0L, fpPath, mhPath, None, vPath, cfg, ngPath = Some(ngPath))
+    assert(stats(graft.ext.NgramIndex.load(spark, ngPath).merged) == want,
+      "replay double-counted the stats segment")
+  }
+
   test("normalize stage: decomposed/precomposed dups unify under NFC; control run without the stage misses them") {
     import spark.implicits._
     // two spellings of the same text — decomposed e+U+0301 vs
