@@ -196,7 +196,8 @@ object Bench {
     // when d46's 4× spread needed adjudicating
     val gauntletRows = Set("d45_corpus_gauntlet", "d46_corpus_bootstrap",
       "d47_corpus_gauntlet_semantic", "d49_corpus_gauntlet_spans",
-      "d62_corpus_gauntlet_lines", "d68_corpus_gauntlet_nfc")
+      "d62_corpus_gauntlet_lines", "d68_corpus_gauntlet_nfc",
+      "d79_corpus_gauntlet_stats")
     val stageMaps = scala.collection.mutable.Map.empty[String, Seq[(String, Double)]]
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

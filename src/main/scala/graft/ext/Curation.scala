@@ -486,6 +486,36 @@ object Curation {
         ((((col("epoch") - 1L) * col("n") + col("rk")).cast("double") - 0.5)
           / col("rawQuota").cast("double")).as("okey"))
 
+  /** Epoch-ordered shard assignment for an UPSAMPLED temperature mix —
+    * the export step after [[upsampleInterleaveOrder]]: shard =
+    * ⌊okey · nShards⌋ (clamped), so the shards are CONTIGUOUS TIME
+    * SLICES of the interleaved epoch and a trainer reading shard 0..S−1
+    * in file order consumes exactly the interleave order, copies
+    * included, each copy whole in one shard. Because every source's
+    * okeys are the even (i−0.5)/quota grid, each slice holds
+    * ⌊quota/S⌋..⌈quota/S⌉ of EVERY source — shards are simultaneously
+    * size-balanced and mixture-representative (each is an unbiased
+    * slice of the mix), which [[shardAssign]]'s token balancing over a
+    * hash order cannot promise for a weighted mix. okey · nShards is
+    * one IEEE multiply of the (exact) okey — bit-identical floors on
+    * any IEEE engine.
+    *
+    * Scale shape: [[upsampleInterleaveOrder]]'s plus one column
+    * computation; the physical export is `repartition($"shard")` +
+    * sort within partitions by (okey, source, doc_id) + partitionBy
+    * write — one shuffle keyed by shard, no global sort.
+    *
+    * @return one row per copy: (shard, source, doc_id, epoch, okey)
+    */
+  def epochShards(docs: DataFrame, tau: Double, target: Long,
+                  nShards: Int, idCol: String = "doc_id",
+                  srcCol: String = "source"): DataFrame =
+    upsampleInterleaveOrder(docs, tau, target, idCol, srcCol)
+      .select(
+        least(floor(col("okey") * nShards), lit(nShards - 1L))
+          .cast("int").as("shard"),
+        col("source"), col("doc_id"), col("epoch"), col("okey"))
+
   /** Per-source corpus health report — the summary a pipeline owner
     * reads before and after every curation stage: document and exact-dup
     * counts, token totals, vocabulary size, type-token ratio, and mean

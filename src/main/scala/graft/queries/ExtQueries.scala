@@ -251,6 +251,52 @@ object ExtQueries {
        |    AND doc_id NOT IN (SELECT doc_id FROM v_nb)
        |)""".stripMargin
 
+  /** The τ-mix oracle CTE chain (derived Zipfian head, 9dp weight
+    * rounding BEFORE the quota floor, md5-order rank) shared by every
+    * mixing oracle — d42/d44 (clamped, target 300) and d76/d77/d80
+    * (unclamped, target 1000): ONE definition point for the quota/rank
+    * arithmetic, so the five oracles cannot drift from each other (the
+    * gauntletVerdictCtes reasoning applied to the mixing family).
+    */
+  private def tauMixCtes(target: Int, clamped: Boolean): String = {
+    val raw = s"CAST(floor($target.0 * round(pow(n, 0.5) /\n" +
+      "      (SELECT sum(pow(n, 0.5)) FROM sz), 9)) AS BIGINT)"
+    val quota = if (clamped) s"least(n, $raw)" else raw
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
+       |  FROM documents
+       |), sz AS (
+       |  SELECT source, count(*) AS n FROM d GROUP BY 1
+       |), q AS (
+       |  SELECT source, n, $quota AS quota
+       |  FROM sz
+       |), rk AS (
+       |  SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM d
+       |)""".stripMargin
+  }
+
+  /** The upsampling continuation of [[tauMixCtes]] — exact copy counts
+    * (c) and the per-copy epoch stream with its interleave okey (u) —
+    * shared by d76/d77/d80.
+    */
+  private def upsampleCtes: String =
+    tauMixCtes(1000, clamped = false) +
+      """, c AS (
+        |  SELECT source, doc_id, rk, n, quota,
+        |    quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END AS copies
+        |  FROM rk JOIN q USING (source)
+        |  WHERE quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END > 0
+        |), u AS (
+        |  SELECT source, doc_id, rk, n, quota, epoch,
+        |    (CAST((epoch - 1) * n + rk AS DOUBLE) - 0.5)
+        |      / CAST(quota AS DOUBLE) AS okey
+        |  FROM (SELECT *, unnest(generate_series(1, copies)) AS epoch FROM c)
+        |)""".stripMargin
+
   /** d68's own verdict dir (the fp/mh indexes are SHARED with d45 via
     * [[gauntletPathsFor]] — both queries overwrite and exclude segment
     * b0, so their reads are independent of each other's appends).
@@ -309,32 +355,35 @@ object ExtQueries {
       quality = b => b.select(col("doc_id"),
         when(length(col("text")) >= 100, 1).otherwise(0).as("keep")))
 
-  /** d79's run memo: an NgramIndex seeded over the seed corpus, d45's
-    * exact batch pushed through processBatch with the survivor-stats
-    * accumulator on (fp/mh shared with d45 — the d68 convention: every
-    * sharer overwrites AND excludes segment b0, so reads are
-    * independent of each other's appends), then the merged top-K.
+  /** d79's seed memo: only the NgramIndex base build (over the seed
+    * corpus) and the owned verdict dir are memoized — the gauntlet run
+    * itself happens on EVERY invocation, exactly like d45, so a d79
+    * bench sample prices the gauntlet + the stats accumulation, not a
+    * cached read (replays overwrite segment b0 in every table by the
+    * family contract, so repeats are idempotent). fp/mh are shared
+    * with d45 — the d68 convention: every sharer overwrites AND
+    * excludes segment b0, so reads are independent of each other's
+    * appends.
     */
   private val ngGauntletMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private def ngGauntletTopkFor(s: org.apache.spark.sql.SparkSession,
                                 dir: String): DataFrame = {
-    val ngPath = ngGauntletMemo.computeIfAbsent(
+    val (ng, v) = ngGauntletMemo.computeIfAbsent(
       s"${System.identityHashCode(s)}:$dir",
       _ => {
         val ng = java.nio.file.Files.createTempDirectory("graft-ngg-ng").toString
         val v = java.nio.file.Files.createTempDirectory("graft-ngg-v").toString
-        val (fp, mh, _) = gauntletPathsFor(s, dir)
-        val d = docs(s, dir)
         graft.ext.NgramIndex.build(
-          d.where(col("doc_id") % 5 =!= 0), ng, n = 2)
-        graft.streaming.StreamingCorpusPipeline.processBatch(
-          gauntletBatch(d), 0L, fp, mh, None, v, gauntletConfig,
-          ngPath = Some(ng))
-        ng
+          docs(s, dir).where(col("doc_id") % 5 =!= 0), ng, n = 2)
+        (ng, v)
       })
-    graft.ext.NgramIndex.load(s, ngPath).topK(50)
+    val (fp, mh, _) = gauntletPathsFor(s, dir)
+    graft.streaming.StreamingCorpusPipeline.processBatch(
+      gauntletBatch(docs(s, dir)), 0L, fp, mh, None, v, gauntletConfig,
+      ngPath = Some(ng))
+    graft.ext.NgramIndex.load(s, ng).topK(50)
   }
 
   /** Seed indexes for the d47 semantic-gauntlet gate: an EXACT-mode
@@ -3124,26 +3173,10 @@ object ExtQueries {
           when(col("doc_id") % 10 < 7, lit("head"))
             .otherwise(col("source")).as("source")),
         tau = 0.5, target = 300).orderBy("doc_id"),
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
-        |  FROM documents
-        |), sz AS (
-        |  SELECT source, count(*) AS n FROM d GROUP BY 1
-        |), q AS (
-        |  SELECT source,
-        |    least(n, CAST(floor(300.0 * round(pow(n, 0.5) /
-        |      (SELECT sum(pow(n, 0.5)) FROM sz), 9)) AS BIGINT)) AS quota
-        |  FROM sz
-        |), rk AS (
-        |  SELECT source, doc_id, row_number() OVER (
-        |    PARTITION BY source
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM d
-        |)
-        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, quota
-        |FROM rk JOIN q USING (source)
-        |WHERE rk <= quota ORDER BY doc_id""".stripMargin
+      s"""${tauMixCtes(300, clamped = true)}
+         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, quota
+         |FROM rk JOIN q USING (source)
+         |WHERE rk <= quota ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
       "d76_upsample_quotas",
@@ -3160,29 +3193,10 @@ object ExtQueries {
           when(col("doc_id") % 10 < 7, lit("head"))
             .otherwise(col("source")).as("source")),
         tau = 0.5, target = 1000).orderBy("doc_id"),
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
-        |  FROM documents
-        |), sz AS (
-        |  SELECT source, count(*) AS n FROM d GROUP BY 1
-        |), q AS (
-        |  SELECT source, n,
-        |    CAST(floor(1000.0 * round(pow(n, 0.5) /
-        |      (SELECT sum(pow(n, 0.5)) FROM sz), 9)) AS BIGINT) AS quota
-        |  FROM sz
-        |), rk AS (
-        |  SELECT source, doc_id, row_number() OVER (
-        |    PARTITION BY source
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM d
-        |)
-        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, quota,
-        |  CAST(quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END
-        |    AS BIGINT) AS copies
-        |FROM rk JOIN q USING (source)
-        |WHERE quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END > 0
-        |ORDER BY doc_id""".stripMargin
+      s"""$upsampleCtes
+         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, quota,
+         |  CAST(copies AS BIGINT) AS copies
+         |FROM c ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
       "d77_upsample_interleave",
@@ -3199,36 +3213,34 @@ object ExtQueries {
           when(col("doc_id") % 10 < 7, lit("head"))
             .otherwise(col("source")).as("source")),
         tau = 0.5, target = 1000).orderBy("doc_id", "epoch"),
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
-        |  FROM documents
-        |), sz AS (
-        |  SELECT source, count(*) AS n FROM d GROUP BY 1
-        |), q AS (
-        |  SELECT source, n,
-        |    CAST(floor(1000.0 * round(pow(n, 0.5) /
-        |      (SELECT sum(pow(n, 0.5)) FROM sz), 9)) AS BIGINT) AS quota
-        |  FROM sz
-        |), rk AS (
-        |  SELECT source, doc_id, row_number() OVER (
-        |    PARTITION BY source
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM d
-        |), c AS (
-        |  SELECT source, doc_id, rk, n, quota,
-        |    quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END AS copies
-        |  FROM rk JOIN q USING (source)
-        |  WHERE quota // n + CASE WHEN rk <= quota % n THEN 1 ELSE 0 END > 0
-        |), u AS (
-        |  SELECT source, doc_id, rk, n, quota,
-        |    unnest(generate_series(1, copies)) AS epoch
-        |  FROM c
-        |)
-        |SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch,
-        |  (CAST((epoch - 1) * n + rk AS DOUBLE) - 0.5)
-        |    / CAST(quota AS DOUBLE) AS okey
-        |FROM u ORDER BY doc_id, epoch""".stripMargin
+      s"""$upsampleCtes
+         |SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch, okey
+         |FROM u ORDER BY doc_id, epoch""".stripMargin
+    ),
+    QueryDef(
+      "d80_epoch_shards",
+      // the export step after d77: shard = floor(okey · 8) — contiguous
+      // time slices of the interleaved epoch, so reading shards in
+      // order replays the interleave exactly. The manifest oracle pins
+      // BOTH guarantees at once: per (shard, source) row counts (every
+      // source spreads floor/ceil(quota/8) into every shard —
+      // mixture-representative AND size-balanced) and the per-cell
+      // okey extrema (slice boundaries land exactly where the floor
+      // arithmetic says). Same Zipfian-head fixture as d76/d77.
+      (s, dir) => Curation.epochShards(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 10 < 7, lit("head"))
+            .otherwise(col("source")).as("source")),
+        tau = 0.5, target = 1000, nShards = 8)
+        .groupBy("shard", "source")
+        .agg(count(lit(1)).as("rows"), min("okey").as("min_okey"),
+          max("okey").as("max_okey"))
+        .orderBy("shard", "source"),
+      s"""$upsampleCtes
+         |SELECT CAST(least(floor(okey * 8), 7) AS INTEGER) AS shard,
+         |  source, CAST(count(*) AS BIGINT) AS rows,
+         |  min(okey) AS min_okey, max(okey) AS max_okey
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
       "d43_corpus_stats",
@@ -3280,27 +3292,11 @@ object ExtQueries {
           when(col("doc_id") % 10 < 7, lit("head"))
             .otherwise(col("source")).as("source")),
         tau = 0.5, target = 300).orderBy("doc_id"),
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 10 < 7 THEN 'head' ELSE source END AS source
-        |  FROM documents
-        |), sz AS (
-        |  SELECT source, count(*) AS n FROM d GROUP BY 1
-        |), q AS (
-        |  SELECT source,
-        |    least(n, CAST(floor(300.0 * round(pow(n, 0.5) /
-        |      (SELECT sum(pow(n, 0.5)) FROM sz), 9)) AS BIGINT)) AS quota
-        |  FROM sz
-        |), rk AS (
-        |  SELECT source, doc_id, row_number() OVER (
-        |    PARTITION BY source
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM d
-        |)
-        |SELECT source, doc_id,
-        |  (CAST(rk AS DOUBLE) - 0.5) / quota AS okey
-        |FROM rk JOIN q USING (source)
-        |WHERE rk <= quota ORDER BY doc_id""".stripMargin
+      s"""${tauMixCtes(300, clamped = true)}
+         |SELECT source, doc_id,
+         |  (CAST(rk AS DOUBLE) - 0.5) / quota AS okey
+         |FROM rk JOIN q USING (source)
+         |WHERE rk <= quota ORDER BY doc_id""".stripMargin
     ),
     QueryDef(
       "d45_corpus_gauntlet",

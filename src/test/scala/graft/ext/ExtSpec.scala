@@ -454,6 +454,34 @@ class ExtSpec extends AnyFunSuite {
       "downsampled face diverges from interleaveOrder")
   }
 
+  test("epochShards: slices are balanced, mixture-representative, and order-preserving") {
+    val d = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (0 until 10).map(i => (1000L + i, "small"))).toDF("doc_id", "source")
+    // tau=0, target=200 → quotas 100/100; S=4 slices of 25 per source
+    val rows = Curation.epochShards(d, tau = 0.0, target = 200, nShards = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 200)
+    // every (shard, source) cell holds exactly quota/S = 25 copies —
+    // balanced AND mixture-representative at once
+    val cells = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.length).toMap
+    assert(cells.keySet == (0 until 4).flatMap(s =>
+      Seq((s, "big"), (s, "small"))).toSet, s"cells: ${cells.keySet}")
+    assert(cells.values.forall(_ == 25), s"unbalanced cells: $cells")
+    // shard boundaries respect the slice arithmetic: every okey lands
+    // in [shard/S, (shard+1)/S)
+    rows.foreach { case (sh, _, id, _, k) =>
+      assert(k >= sh / 4.0 && k < (sh + 1) / 4.0, s"doc $id okey $k in shard $sh")
+    }
+    // reading shards 0..S−1 in file order (okey, source, doc_id) IS the
+    // global interleave order over all copies
+    val byShards = rows.sortBy(r => (r._1, r._5, r._2, r._3))
+      .map(r => (r._3, r._4))
+    val global = rows.sortBy(r => (r._5, r._2, r._3)).map(r => (r._3, r._4))
+    assert(byShards.toSeq == global.toSeq,
+      "shard-order read diverges from the global interleave order")
+  }
+
   test("importanceWeights: target-domain docs score higher; target==raw is exactly 0") {
     val raw = Seq(
       (1L, "neural models train on curated data fast"),
