@@ -516,6 +516,40 @@ object Curation {
           .cast("int").as("shard"),
         col("source"), col("doc_id"), col("epoch"), col("okey"))
 
+  /** The physical export of [[epochShards]]: training-ready parquet
+    * under `path/shard=N/`, each shard ONE file whose row order is the
+    * interleave order (okey, source, doc_id) — so a dataloader reading
+    * shard files 0..S−1 top to bottom consumes the epoch exactly as
+    * [[upsampleInterleaveOrder]] laid it out, repeats included, with no
+    * sort of its own.
+    *
+    * The ordering guarantee is structural: `repartition(S, $"shard")`
+    * puts ALL of a shard's rows in one task (hash by shard value; two
+    * shards sharing a task is fine — `partitionBy` still splits their
+    * directories), and the within-task sort then makes each directory's
+    * single file internally ordered. Without the repartition,
+    * `partitionBy` would scatter every shard across every upstream task
+    * — tasks × shards files with no cross-file order (the known
+    * partitioned-write trap).
+    *
+    * @return the shard assignment that was written (shard, source,
+    *         doc_id, epoch, okey) — text travels to parquet only
+    */
+  def writeEpochShards(docs: DataFrame, tau: Double, target: Long,
+                       nShards: Int, path: String,
+                       idCol: String = "doc_id",
+                       srcCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val assigned = epochShards(docs, tau, target, nShards, idCol, srcCol)
+    assigned
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        Seq("doc_id"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "okey", "source", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    assigned
+  }
+
   /** Per-source corpus health report — the summary a pipeline owner
     * reads before and after every curation stage: document and exact-dup
     * counts, token totals, vocabulary size, type-token ratio, and mean

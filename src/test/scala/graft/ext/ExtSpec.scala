@@ -482,6 +482,39 @@ class ExtSpec extends AnyFunSuite {
       "shard-order read diverges from the global interleave order")
   }
 
+  test("writeEpochShards: one ordered file per shard, file order == interleave order") {
+    val d = ((0 until 90).map(i => (i.toLong, "big", s"text of big $i")) ++
+      (0 until 10).map(i => (1000L + i, "small", s"text of small $i")))
+      .toDF("doc_id", "source", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-eshards").toString
+    val assigned = Curation.writeEpochShards(d, tau = 0.0, target = 200,
+      nShards = 4, path = path)
+    val want = assigned.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // each shard directory holds exactly ONE parquet file…
+    for (s <- 0 until 4) {
+      val files = Option(new java.io.File(s"$path/shard=$s").listFiles)
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s has ${files.length} files")
+      // …whose ROW ORDER is the interleave order — read it raw (single
+      // file → Spark preserves row order) and compare to the sorted
+      // assignment without sorting the read side
+      val got = spark.read.parquet(files.head.getAbsolutePath)
+        .select("okey", "source", "doc_id", "epoch")
+        .collect()
+        .map(r => (r.getDouble(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val exp = want.filter(_._1 == s).sortBy(r => (r._5, r._2, r._3))
+        .map(r => (r._5, r._2, r._3, r._4))
+      assert(got.toSeq == exp.toSeq, s"shard $s rows out of interleave order")
+    }
+    // text travelled: spot-check one row round-trips its document text
+    val t = spark.read.parquet(path).where(col("doc_id") === 1000L)
+      .select("text").distinct().collect().map(_.getString(0)).toSeq
+    assert(t == Seq("text of small 0"), s"text column mangled: $t")
+  }
+
   test("importanceWeights: target-domain docs score higher; target==raw is exactly 0") {
     val raw = Seq(
       (1L, "neural models train on curated data fast"),
