@@ -515,6 +515,55 @@ class ExtSpec extends AnyFunSuite {
     assert(t == Seq("text of small 0"), s"text column mangled: $t")
   }
 
+  test("mixing family invariants hold on randomized corpora (copies, bijection, shard balance)") {
+    val rng = new scala.util.Random(4711)
+    for (round <- 0 until 3) {
+      val nSrc = 2 + rng.nextInt(4)
+      val sizes = (0 until nSrc).map(_ => 1 + rng.nextInt(80))
+      val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s * 10000L + i, s"s$s"))
+      }.toDF("doc_id", "source")
+      val tau = Seq(0.0, 0.5, 0.7)(round)
+      val target = 50L + rng.nextInt(400)
+      val up = Curation.upsampleQuotas(docs, tau, target).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      // Σ copies == quota per source, every copy count ≥ 1, and rows
+      // are exactly ranks 1..min(n, quota)
+      up.groupBy(_._1).foreach { case (src, rows) =>
+        val quota = rows.head._4
+        assert(rows.map(_._5).sum == quota, s"$src: sum(copies) != quota")
+        assert(rows.forall(_._5 >= 1))
+        val n = sizes(src.drop(1).toInt).toLong
+        assert(rows.map(_._3).sorted.toSeq == (1L to math.min(n, quota)),
+          s"$src: rank set wrong")
+      }
+      // interleave okeys are exactly the (i−0.5)/quota grid per source
+      val il = Curation.upsampleInterleaveOrder(docs, tau, target).collect()
+        .map(r => (r.getString(0), r.getDouble(3)))
+      il.groupBy(_._1).foreach { case (src, rows) =>
+        val quota = up.filter(_._1 == src).head._4
+        assert(rows.map(_._2).sorted.toSeq ==
+          (1L to quota).map(i => (i - 0.5) / quota),
+          s"$src: okeys not the fractional grid (quota $quota)")
+      }
+      // epoch shards: every (shard, source) cell holds ⌊q/S⌋ or ⌈q/S⌉,
+      // including sources whose quota < S (cells of 0 simply absent)
+      val S = 2 + rng.nextInt(7)
+      val sh = Curation.epochShards(docs, tau, target, S).collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      sh.groupBy(_._2).foreach { case (src, rows) =>
+        val q = up.filter(_._1 == src).head._4
+        val per = rows.groupBy(_._1).view.mapValues(_.size)
+        assert(per.values.sum == q)
+        per.foreach { case (shard, c) =>
+          assert(c == q / S || c == q / S + 1,
+            s"$src shard $shard holds $c of quota $q over $S shards")
+        }
+      }
+    }
+  }
+
   test("importanceWeights: target-domain docs score higher; target==raw is exactly 0") {
     val raw = Seq(
       (1L, "neural models train on curated data fast"),
