@@ -215,11 +215,28 @@ object Curation {
     * over ~all shards. Per-shard totals are one small aggregate (≤
     * `spark.sql.shuffle.partitions` rows). Phase 2: each shard's
     * EXCLUSIVE prefix offset (a window over the tiny totals frame) is
-    * broadcast back and added to a shard-local running sum. Both
-    * branches read the one range exchange, so shard ids agree by
-    * shuffle reuse. Net cost: two shuffles of the data (range + the
-    * shard-local window's hash exchange) and one broadcast — no task
-    * ever holds more than ~1/shards of the data, whatever the skew.
+    * broadcast back and added to a shard-local running sum. Net cost:
+    * two shuffles of the data (range + the shard-local window's hash
+    * exchange) and one broadcast — no task ever holds more than
+    * ~1/shards of the data, whatever the skew.
+    *
+    * The shard assignment is PHYSICAL (sampled range boundaries + the
+    * nondeterministic `spark_partition_id`), and the offsets pass and
+    * the cum pass below both read it — so they MUST read one
+    * materialization. Left lazy, the planner is free to compile the
+    * exchange separately under each pass, `repartitionByRange`
+    * RESAMPLES its boundaries, and the offsets are computed against a
+    * different shard assignment than the local sums: ranks silently
+    * stop being a permutation. Invisible at fixture scale (stable
+    * boundaries), caught at 2M rows by `tools/PrefixSumCheck` —
+    * Σ copies drifted ±0.5% run-over-run with duplicate/missing ranks.
+    * The lazy `localCheckpoint` pins one shared materialization without
+    * forcing a job at plan-construction time (the Bpe trainer's
+    * checkpoint discipline); the frame is the caller's pre-projected
+    * narrow columns, not document text. On a cluster, executor loss
+    * recomputes the whole frame from the checkpoint's truncated lineage
+    * (rerun, not corruption) — `checkpoint()` to reliable storage is
+    * the belt-and-braces production variant.
     *
     * Returns the input columns + `cum` + the `__shard` id (callers drop
     * it; tests assert skewed sources actually span shards).
@@ -230,6 +247,7 @@ object Curation {
     val ranged = rows
       .repartitionByRange(shards, (col(srcCol) +: orderCols): _*)
       .withColumn("__shard", spark_partition_id())
+      .localCheckpoint(false)
     val wo = Window.partitionBy(col("__src")).orderBy(col("__oshard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.Curation
+
+/** Measures the temperature-mixing family at synthetic scale: quota
+  * computation + rank (`upsampleQuotas`), per-copy epoch explosion
+  * (`upsampleInterleaveOrder`), and shard assignment (`epochShards`) on
+  * a 90%-skewed corpus — the Zipfian shape real crawls have, and the
+  * regime the two-phase prefixSums rank exists for (the hot source must
+  * spread across shards instead of serializing one reducer). The
+  * upsample target is 1.5× the corpus so the tail sources genuinely
+  * multi-epoch while the head downsamples — both faces live, repeats
+  * materializing through the per-shard explode.
+  *
+  * {{{ sbt "runMain graft.tools.MixScale [rows]" }}}
+  */
+object MixScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-mix-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 90% of docs in one crawl source, the rest across 5 curated tails
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 9, lit("crawl"))
+        .otherwise(concat(lit("s"), col("id") % 5)).as("source"))
+      .cache()
+    docs.count()
+    val target = n * 3 / 2
+
+    def time(label: String)(thunk: => Long): Unit = {
+      thunk // warmup
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val out = thunk
+        ((System.nanoTime() - t0) / 1e9, out)
+      }
+      val med = runs.map(_._1).sorted.apply(1)
+      println(f"""{"op":"$label","rows":$n,"out_rows":${runs.head._2},"sec":$med%.2f,"runs":[${runs.map(r => f"${r._1}%.2f").mkString(",")}]}""")
+    }
+
+    time("upsampleQuotas") {
+      Curation.upsampleQuotas(docs, tau = 0.5, target = target)
+        .agg(sum("copies")).head.getLong(0)
+    }
+    time("upsampleInterleaveOrder") {
+      Curation.upsampleInterleaveOrder(docs, tau = 0.5, target = target)
+        .count()
+    }
+    time("epochShards") {
+      Curation.epochShards(docs, tau = 0.5, target = target, nShards = 64)
+        .groupBy("shard").count().agg(sum("count")).head.getLong(0)
+    }
+    spark.stop()
+  }
+}

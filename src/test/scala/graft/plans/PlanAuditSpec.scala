@@ -463,12 +463,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("rangepartitioning"),
       s"range exchange in the approx plan:\n$plan")
     assert(!plan.contains("Window"), s"window in the approx plan:\n$plan")
-    // contrast control: the exact twin DOES range-partition
+    // contrast control: the exact twin pays the two-phase rank — its
+    // range exchange now runs inside prefixSums' pinned checkpoint
+    // materialization (the at-scale determinism fix), so the visible
+    // plan's evidence is the checkpointed shard frame it reads back
     val exact = graft.ext.Curation.bucketByScore(scored, buckets = 3)
     exact.collect()
-    assert(exact.queryExecution.executedPlan.toString
-      .toLowerCase.contains("rangepartitioning"),
-      "control: the exact plan should range-partition")
+    val exactPlan = exact.queryExecution.executedPlan.toString.toLowerCase
+    assert(exactPlan.contains("__shard") && exactPlan.contains("existingrdd"),
+      s"control: the exact plan should read the two-phase shard frame:\n$exactPlan")
+    assert(!plan.contains("__shard"),
+      "the approx plan must not touch the rank machinery at all")
   }
 
   test("exactGroupsPriority: the struct min_by is still a map-side partial aggregate") {
