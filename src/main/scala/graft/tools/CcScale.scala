@@ -37,9 +37,12 @@ object CcScale {
       .select(col("id").as("a"), (col("id") + 1).as("b"))
       .where((col("id") + 1) % 10000 =!= 0)
     val base = 1000000000L
+    // id DIV 100: integer division — `col / 100L` is DOUBLE division in
+    // Spark and would make b == a for every row, silently deleting the
+    // clique family from the graph
     val cliques = spark.range(m * 2 / 5).select(
       (lit(base) + col("id")).as("a"),
-      (lit(base) + (col("id") / 100L) * 100L).as("b"))
+      (lit(base) + expr("id DIV 100") * 100L).as("b"))
       .where(col("a") =!= col("b"))
     val base2 = 2000000000L
     val pairsE = spark.range(m / 10).select(
