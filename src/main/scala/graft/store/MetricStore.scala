@@ -705,11 +705,13 @@ final class MetricStore(val spark: SparkSession, val root: String,
     var deferred: Option[() => Unit] = None
     // (level, post-upsert mirror of touched partitions, touched set)
     var deferredMirror: Option[(Int, DataFrame, Set[(Int, Long)])] = None
-    // every per-level cache (the propagated frames) — released in the
-    // finally AFTER the background writes that read them have landed;
-    // leaving them cached would accumulate a stray cache per level per
-    // batch across a session (measured as eviction pressure in Bench)
-    val levelCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+    // The per-level mirror/propagated frames are localCheckpoints (see
+    // runUpsert / the cascade loop), not caches: their blocks are freed
+    // by the ContextCleaner once the frames go unreachable after this
+    // call returns — the streaming gauntlet's per-batch checkpoints run
+    // the same lifecycle and its 100-batch soaks stay flat. No explicit
+    // release buffer needed (Dataset.unpersist is a no-op on a
+    // checkpoint-backed frame anyway).
     var bodyFailure: Throwable = null
     try {
       val steps = policy.levels.map(_.secondsPerPoint)
@@ -781,16 +783,30 @@ final class MetricStore(val spark: SparkSession, val root: String,
             upsertLevel(i, step, incoming, touchedPre))(MetricStore.writeEc)
         else touchedPre match {
           case Some(t) if t.nonEmpty =>
-            // build the post-upsert mirror ONCE, cached, and share it
-            // between the cascade's deferred-write reader and the write
-            // itself: upsertLevel would re-read and re-merge the same
-            // touched partitions the mirror already merged — the
-            // incremental path paid that twice per level
+            // build the post-upsert mirror ONCE and share it between the
+            // cascade's deferred-write reader and the write itself:
+            // upsertLevel would re-read and re-merge the same touched
+            // partitions the mirror already merged — the incremental
+            // path paid that twice per level.
+            //
+            // localCheckpoint, NOT cache: the mirror's lineage reads the
+            // level's pre-write partition directories, and every
+            // insert-overwrite commit auto-recaches (RE-EXECUTES,
+            // re-LISTS) cached plans matching the written path — with
+            // the per-pb write futures running concurrently, one pb
+            // job's post-commit recache could re-list a SIBLING pb's
+            // directory mid-overwrite and fail-stop the batch ("Invalid
+            // directory or I/O error", one-in-N under the full-surface
+            // run; w22's streaming ingest surfaced it). The eager
+            // checkpoint cuts the disk lineage on the main thread
+            // BEFORE any write launches, so no cached plan references
+            // level paths during the writes: the recache storm, the
+            // replaced-file recompute caveat, and the eviction-loss
+            // recompute all become structurally impossible.
             val newPts =
               if (incoming.columns.contains("pb")) incoming
               else withPartitionCols(incoming, step)
-            val mirror = mergedTouched(i, newPts, t).cache()
-            levelCaches += mirror
+            val mirror = mergedTouched(i, newPts, t).localCheckpoint()
             deferred = Some(() => overwriteTouched(i, mirror, t.map(_._1)))
             deferredMirror = Some((i, mirror, t))
           case _ =>
@@ -880,25 +896,26 @@ final class MetricStore(val spark: SparkSession, val root: String,
               .where(col("tb") >= lowerMin / bsHi && col("tb") <= (upper - 1) / bsHi &&
                 col("interval") >= lowerMin && col("interval") < upper), i - 1)
         }
+        // localCheckpoint, NOT cache — the mirror's reasoning verbatim:
+        // propagated's lineage reads level i-1's pre-write files, and a
+        // cached plan with that lineage is re-executed (re-listed) by
+        // every concurrent write commit's auto-recache and re-read by
+        // any block-loss recompute AFTER the write replaced those files.
+        // The eager checkpoint severs the disk lineage here, on the main
+        // thread, before the deferred write launches.
         val propagated = withPartitionCols(
           Rollup
             .propagateTouchedCounted(higher,
               changed, steps(i - 1), steps(i), policy.aggregation, policy.xff),
-          steps(i)).cache()
-        levelCaches += propagated
+          steps(i)).localCheckpoint()
         // one collect gives BOTH the empty check and the touched set the
         // upsert would otherwise rediscover with its own job
         val touchedP = propagated.select("pb", "tb").distinct().collect()
           .map(r => (r.getInt(0), r.getLong(1))).toSet
-        // the propagate (and its read of level i-1's pre-write files) has
-        // materialized into the cache — the deferred write can now land
-        // in the background. Caveat shared with any cache-over-mutated-
-        // table pattern: if a cached partition is lost AFTER the write
-        // lands (executor death; memory+disk eviction never drops blocks
-        // by itself), recompute re-reads overwritten files and fails
-        // FAIL-STOP (dynamic overwrite removed them; ignoreMissingFiles
-        // stays false) — the batch errors and can be retried, it never
-        // silently mixes pre/post-write states.
+        // the propagate (and its read of level i-1's pre-write files) is
+        // materialized in the checkpoint — the deferred write can now
+        // land in the background with nothing left able to re-read the
+        // files it replaces.
         launchDeferred()
         deferredMirror = None
         val propagatedAny = touchedP.nonEmpty
@@ -999,8 +1016,6 @@ final class MetricStore(val spark: SparkSession, val root: String,
         // "Block rdd_*_* does not exist" on a later read (round-8
         // verdict). Waiting out the removal here costs milliseconds and
         // serializes the block lifecycle with the job stream.
-        levelCaches.foreach(df =>
-          try { df.unpersist(blocking = true); () } catch { case _: Throwable => () })
         routed.unpersist(blocking = true)
       }
     }
@@ -1363,29 +1378,34 @@ final class MetricStore(val spark: SparkSession, val root: String,
           val touchedFilter = touched
             .map { case (p, t) => col("pb") === p && col("tb") === t }
             .reduce(_ || _)
+          // localCheckpoint, NOT cache — the updateMany mirror's
+          // reasoning: kept's lineage reads the very files the dynamic
+          // overwrite below replaces, and the commit's auto-recache
+          // re-executes any cached plan matching the written path
+          // against the replaced files. The eager checkpoint severs the
+          // disk lineage before the write; blocks are freed by the
+          // ContextCleaner when kept goes unreachable.
           val kept = data.where(touchedFilter)
             .join(cutoffDf, Seq("metric"))
             .where(col("interval") > col("cutoff"))
             .select(data.columns.map(col): _*) // all data cols incl. counts
-            .cache()
-          try {
-            val keptParts = kept.select("pb", "tb").distinct().collect()
-              .map(r => (r.getInt(0), r.getAs[Number](1).longValue)).toSet
-            if (keptParts.nonEmpty) {
-              kept.repartition(col("pb"), col("tb"))
-                .sortWithinPartitions("pb", "tb", "metric", "interval")
-                .write
-                .option("partitionOverwriteMode", "dynamic")
-                .mode(SaveMode.Overwrite)
-                .partitionBy("pb", "tb")
-                .parquet(levelPath(i))
-            }
-            // dynamic overwrite never touches now-empty partitions — drop them
-            touched.filterNot(keptParts).foreach {
-              case (p, t) =>
-                deleteRecursively(new java.io.File(s"${levelPath(i)}/pb=$p/tb=$t"))
-            }
-          } finally kept.unpersist(blocking = true)
+            .localCheckpoint()
+          val keptParts = kept.select("pb", "tb").distinct().collect()
+            .map(r => (r.getInt(0), r.getAs[Number](1).longValue)).toSet
+          if (keptParts.nonEmpty) {
+            kept.repartition(col("pb"), col("tb"))
+              .sortWithinPartitions("pb", "tb", "metric", "interval")
+              .write
+              .option("partitionOverwriteMode", "dynamic")
+              .mode(SaveMode.Overwrite)
+              .partitionBy("pb", "tb")
+              .parquet(levelPath(i))
+          }
+          // dynamic overwrite never touches now-empty partitions — drop them
+          touched.filterNot(keptParts).foreach {
+            case (p, t) =>
+              deleteRecursively(new java.io.File(s"${levelPath(i)}/pb=$p/tb=$t"))
+          }
         }
       }
     }
