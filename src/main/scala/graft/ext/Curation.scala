@@ -550,6 +550,15 @@ object Curation {
     * — tasks × shards files with no cross-file order (the known
     * partitioned-write trap).
     *
+    * Preconditions: (1) `(srcCol, idCol)` must be unique in `docs` —
+    * the text join below keys on it, and a duplicate pair fans the
+    * join out, writing duplicate rows into shards (the id may repeat
+    * ACROSS sources; that case is handled by joining on the pair, not
+    * the id alone). (2) `spark.sql.files.maxRecordsPerFile` must be
+    * unset/0 — a nonzero value splits a shard directory into several
+    * files and silently breaks the one-internally-ordered-file-per-
+    * shard contract the dataloader relies on.
+    *
     * @return the shard assignment that was written (shard, source,
     *         doc_id, epoch, okey) — text travels to parquet only
     */
@@ -560,8 +569,9 @@ object Curation {
                        textCol: String = "text"): DataFrame = {
     val assigned = epochShards(docs, tau, target, nShards, idCol, srcCol)
     assigned
-      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
-        Seq("doc_id"))
+      .join(docs.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+          col(textCol).as("text")),
+        Seq("source", "doc_id"))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "okey", "source", "doc_id")
       .write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -65,6 +65,22 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
   def signatures: DataFrame = table("sigs", Seq("id", "sig"), None)
   def bandBuckets: DataFrame = table("bands", Seq("id", "band", "bh"), None)
 
+  /** Whether this index carries per-document priorities (built with
+    * `prioCol`) — the gate for the streaming (priority, id) keeper
+    * election. Directory presence is the marker, the Bloom-sidecar
+    * lifecycle precedent ([[FingerprintIndex]]).
+    */
+  def hasPriorities: Boolean = new java.io.File(path, "prio").isDirectory
+
+  /** The indexed documents' priorities (id, prio) — lower wins, NULL
+    * was stored as Double.MaxValue (loses every election,
+    * [[Dedup.exactGroupsPriority]]'s convention). Only meaningful when
+    * [[hasPriorities]]; same per-segment exclusion contract as the
+    * other tables.
+    */
+  def priorities(excludeSeg: Option[String] = None): DataFrame =
+    table("prio", Seq("id", "prio"), excludeSeg)
+
   /** One index table, optionally excluding a segment — the exclusion is
     * a partition filter on `seg`, so the skipped segment's files are
     * never listed. A replayed micro-batch MUST exclude its own segment:
@@ -133,7 +149,8 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
   def append(newDocs: DataFrame, seg: String,
              idCol: String = "doc_id", textCol: String = "text",
              shingled: Option[DataFrame] = None,
-             signatures: Option[DataFrame] = None): Unit = {
+             signatures: Option[DataFrame] = None,
+             prioCol: Option[String] = None): Unit = {
     // precomputed-table contract as in [[dedupBatch]]; caller owns the
     // lifecycle of injected tables (they are not unpersisted here)
     val sh = shingled.getOrElse(
@@ -145,7 +162,18 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
         sigs.write.mode("overwrite").parquet(s"$path/sigs/seg=$seg")
         Dedup.bandHashes(sigs, k, bands)
           .write.mode("overwrite").parquet(s"$path/bands/seg=$seg")
-        Seq("shingles", "sigs", "bands").foreach(t =>
+        // the prio table's lifecycle mirrors the others exactly
+        // (overwrite-per-segment, folded by compact); a priority-less
+        // append into a prioritized index stores MaxValue — those docs
+        // lose every future election rather than silently winning
+        if (hasPriorities)
+          newDocs.select(col(idCol).as("id"),
+              coalesce(prioCol.map(c => col(c).cast("double"))
+                .getOrElse(lit(null).cast("double")), lit(Double.MaxValue))
+                .as("prio"))
+            .write.mode("overwrite").parquet(s"$path/prio/seg=$seg")
+        (Seq("shingles", "sigs", "bands") ++
+          (if (hasPriorities) Seq("prio") else Nil)).foreach(t =>
           SegmentedTable.refreshParent(spark, s"$path/$t"))
       } finally if (signatures.isEmpty) sigs.unpersist(blocking = true): Unit
     } finally if (shingled.isEmpty) sh.unpersist(blocking = true): Unit
@@ -173,6 +201,9 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
       folds, Seq("id", "sig"))
     SegmentedTable.compact(spark, s"$path/bands", "seg", "base",
       folds, Seq("id", "band", "bh"))
+    if (hasPriorities)
+      SegmentedTable.compact(spark, s"$path/prio", "seg", "base",
+        folds, Seq("id", "prio"))
     done
   }
 
@@ -195,15 +226,24 @@ object MinHashIndex {
     * at `path` (stale segments from an older index must not survive into
     * the new hash space).
     */
+  /** Build and persist the index over a corpus, replacing whatever lived
+    * at `path`. `prioCol = Some(c)` turns the priority table on for this
+    * index's lifetime: every append stores (id, prio) alongside the
+    * derived tables and [[MinHashIndex.priorities]] feeds the streaming
+    * (priority, id) keeper election ([[graft.streaming.StreamingDedup]]).
+    */
   def build(docs: DataFrame, path: String, n: Int = 3, k: Int = 128,
             bands: Int = 64, idCol: String = "doc_id",
-            textCol: String = "text", sig: String = "classic"): MinHashIndex = {
+            textCol: String = "text", sig: String = "classic",
+            prioCol: Option[String] = None): MinHashIndex = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     require(sig == "classic" || sig == "oph", s"unknown signature mode: $sig")
     deleteRecursively(new java.io.File(path))
     Files.createDirectories(Paths.get(path))
+    if (prioCol.isDefined) Files.createDirectories(Paths.get(path, "prio"))
     val idx = new MinHashIndex(docs.sparkSession, path, n, k, bands, sig)
-    idx.append(docs, seg = "base", idCol = idCol, textCol = textCol)
+    idx.append(docs, seg = "base", idCol = idCol, textCol = textCol,
+      prioCol = prioCol)
     Files.write(Paths.get(path, "_params"),
       s"n=$n\nk=$k\nbands=$bands\nsig=$sig\n".getBytes(StandardCharsets.UTF_8))
     idx

@@ -48,6 +48,24 @@ final class MetricStore(val spark: SparkSession, val root: String,
   private def policiesPath = s"$root/policies.tsv"
   private def levelPath(i: Int) = s"$root/level_$i"
 
+  /** Frees a `localCheckpoint`'s storage blocks once nothing can read
+    * the frame again. `Dataset.unpersist` is a no-op on a
+    * checkpoint-backed frame (the persistence lives on the internal
+    * RDD, not in the relation cache), and waiting for the
+    * ContextCleaner means blocks accumulate per level per batch until
+    * the next driver GC — unbounded for large mirrors between GCs. The
+    * checkpointed RDD sits directly under the frame's `LogicalRDD`
+    * plan node; unpersisting it makes the frame uncomputable (the
+    * lineage was severed by design), so callers must release only
+    * after every reader — deferred writes included — has completed.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+      case _ => ()
+    }
+
   // ---- policy catalog -------------------------------------------------
 
   /** Seconds of data per time-bucket partition at a given step:
@@ -706,12 +724,13 @@ final class MetricStore(val spark: SparkSession, val root: String,
     // (level, post-upsert mirror of touched partitions, touched set)
     var deferredMirror: Option[(Int, DataFrame, Set[(Int, Long)])] = None
     // The per-level mirror/propagated frames are localCheckpoints (see
-    // runUpsert / the cascade loop), not caches: their blocks are freed
-    // by the ContextCleaner once the frames go unreachable after this
-    // call returns — the streaming gauntlet's per-batch checkpoints run
-    // the same lifecycle and its 100-batch soaks stay flat. No explicit
-    // release buffer needed (Dataset.unpersist is a no-op on a
-    // checkpoint-backed frame anyway).
+    // runUpsert / the cascade loop), not caches. Their blocks are
+    // released EXPLICITLY in the finally block below, after every
+    // deferred write has been awaited — relying on the ContextCleaner
+    // alone lets MEMORY_AND_DISK checkpoint blocks accumulate per
+    // level per batch between driver GCs, eviction pressure that grows
+    // with mirror size (round-11 advisor finding).
+    val checkpoints = scala.collection.mutable.Buffer.empty[DataFrame]
     var bodyFailure: Throwable = null
     try {
       val steps = policy.levels.map(_.secondsPerPoint)
@@ -807,6 +826,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
               if (incoming.columns.contains("pb")) incoming
               else withPartitionCols(incoming, step)
             val mirror = mergedTouched(i, newPts, t).localCheckpoint()
+            checkpoints += mirror
             deferred = Some(() => overwriteTouched(i, mirror, t.map(_._1)))
             deferredMirror = Some((i, mirror, t))
           case _ =>
@@ -908,6 +928,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
             .propagateTouchedCounted(higher,
               changed, steps(i - 1), steps(i), policy.aggregation, policy.xff),
           steps(i)).localCheckpoint()
+        checkpoints += propagated
         // one collect gives BOTH the empty check and the touched set the
         // upsert would otherwise rediscover with its own job
         val touchedP = propagated.select("pb", "tb").distinct().collect()
@@ -1017,6 +1038,10 @@ final class MetricStore(val spark: SparkSession, val root: String,
         // verdict). Waiting out the removal here costs milliseconds and
         // serializes the block lifecycle with the job stream.
         routed.unpersist(blocking = true)
+        // every deferred write has been awaited above — no reader of
+        // the mirror/propagated checkpoints remains, so their blocks
+        // can be freed now instead of at the next driver GC
+        checkpoints.foreach(releaseCheckpoint)
       }
     }
   }
@@ -1383,8 +1408,8 @@ final class MetricStore(val spark: SparkSession, val root: String,
           // overwrite below replaces, and the commit's auto-recache
           // re-executes any cached plan matching the written path
           // against the replaced files. The eager checkpoint severs the
-          // disk lineage before the write; blocks are freed by the
-          // ContextCleaner when kept goes unreachable.
+          // disk lineage before the write; blocks are released
+          // explicitly once the overwrite lands (below).
           val kept = data.where(touchedFilter)
             .join(cutoffDf, Seq("metric"))
             .where(col("interval") > col("cutoff"))
@@ -1406,6 +1431,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
             case (p, t) =>
               deleteRecursively(new java.io.File(s"${levelPath(i)}/pb=$p/tb=$t"))
           }
+          releaseCheckpoint(kept)
         }
       }
     }

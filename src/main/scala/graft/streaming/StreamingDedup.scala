@@ -53,16 +53,17 @@ object StreamingDedup {
     */
   def start(docs: DataFrame, indexPath: String, verdictPath: String,
             checkpoint: String, tau: Double = 0.5,
-            compactEvery: Int = 0): StreamingQuery =
+            compactEvery: Int = 0,
+            prioCol: Option[String] = None): StreamingQuery =
     docs
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id") +: col("text") +: prioCol.map(col).toSeq: _*)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          processBatch(batch, batchId, indexPath, verdictPath, tau)
+          processBatch(batch, batchId, indexPath, verdictPath, tau, prioCol)
           // runs AFTER the batch's own append: its segment is the
           // newest and never in compactCommitted's fold set (the
           // checkpoint hasn't committed this batch yet)
@@ -76,24 +77,86 @@ object StreamingDedup {
   /** One batch of the rule above — public so a batch backfill can apply
     * the IDENTICAL keeper semantics outside a stream (segment and
     * verdict directory names come from `batchId` either way).
+    *
+    * ==Priority keepers (`prioCol`)==
+    *
+    * With `prioCol = Some(c)` (the index must have been built with
+    * priorities — [[MinHashIndex.build]] `prioCol`), the min-id keeper
+    * convention upgrades to the (priority, id) election of
+    * [[Dedup.exactGroupsPriority]] / [[Dedup.clusterKeepersPriority]]
+    * — lower priority value wins, id breaks ties, NULL loses:
+    *
+    *   - IN-BATCH (step 2): each component's keeper is its
+    *     (priority, id)-minimum member — d74's batch-face semantics
+    *     verbatim, so a crawl page and its curated twin arriving in one
+    *     delivery resolve to the curated copy regardless of id order.
+    *   - CROSS (step 1), where exactly-once bends the batch-global
+    *     rule: an INDEXED survivor stays keeper against an incoming
+    *     clone of equal-or-lower priority (the clone drops,
+    *     `dup_of` = the (priority, id)-minimum indexed match); an
+    *     incoming clone STRICTLY more trusted than every indexed match
+    *     survives, is appended, and is thereby the keeper for its
+    *     batch FORWARD — the already-indexed copy is NOT retracted (no
+    *     index rewrite, no emitted-verdict rewrite). This departs from
+    *     the batch-global election (which would drop the indexed copy)
+    *     deliberately: retracting would rewrite committed segments and
+    *     verdict directories, breaking replay idempotence; downstream
+    *     consumers see the trusted copy as keeper from its batch on,
+    *     and future clones of either copy resolve to it via the same
+    *     (priority, id)-min election.
+    *
+    * Scale shape: the election adds one equi-join of the batch's
+    * candidate pairs against the index's (id, prio) table — the same
+    * cost class as the band join (corpus-side scan, batch-side
+    * broadcast, nothing quadratic) — and the in-batch election is
+    * [[Dedup.clusterKeepersPriority]]'s map-side `min_by` partial
+    * aggregate. Replays exclude the batch's own prio segment like
+    * every other table, so the election's inputs predate the batch's
+    * append and verdicts reproduce exactly.
     */
   def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
-                   verdictPath: String, tau: Double): Unit = {
+                   verdictPath: String, tau: Double,
+                   prioCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val idx = MinHashIndex.load(spark, indexPath)
-    val docs = batch.select(col("doc_id"), col("text")).cache()
+    prioCol.foreach(_ => require(idx.hasPriorities,
+      s"prioCol is set but the index at $indexPath was built without " +
+        "priorities (MinHashIndex.build prioCol)"))
+    val docs = batch
+      .select(col("doc_id") +: col("text") +: prioCol.map(col).toSeq: _*)
+      .cache()
     try {
-      // 1. cross: smallest indexed match per dropped doc. The batch's
+      // 1. cross: smallest indexed match per dropped doc (the
+      // (priority, id)-minimum match under the election). The batch's
       // own segment is excluded so a replay (at-least-once foreachBatch)
       // reads the index as it stood BEFORE its first attempt's append —
       // without this, replayed survivors match their own earlier rows
       // and the rewrite empties the segment.
-      val cross = idx.dedupBatch(docs, tau, excludeSeg = Some(s"b$batchId"))
-        .groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
-        .cache()
+      val rawCross = idx.dedupBatch(docs, tau, excludeSeg = Some(s"b$batchId"))
+      val cross = (prioCol match {
+        case Some(pc) =>
+          val bp = docs.select(col("doc_id"),
+            coalesce(col(pc).cast("double"), lit(Double.MaxValue)).as("__bp"))
+          val ip = idx.priorities(excludeSeg = Some(s"b$batchId"))
+            .select(col("id").as("dup_of"),
+              coalesce(col("prio"), lit(Double.MaxValue)).as("__ip"))
+          rawCross.join(bp, "doc_id").join(ip, "dup_of")
+            .groupBy("doc_id")
+            .agg(
+              min_by(col("dup_of"), struct(col("__ip"), col("dup_of")))
+                .as("dup_of"),
+              min(col("__ip")).as("__minip"), min(col("__bp")).as("__bp"))
+            // drop iff some indexed match is at least as trusted; the
+            // strictly-more-trusted clone falls through to survive
+            .where(col("__minip") <= col("__bp"))
+            .select("doc_id", "dup_of")
+        case None =>
+          rawCross.groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
+      }).cache()
       val remaining = docs.join(cross.select("doc_id"), Seq("doc_id"), "left_anti")
 
-      // 2. in-batch: exact-verified pairs → components → keep min id.
+      // 2. in-batch: exact-verified pairs → components → keep the
+      // min id (or the (priority, id)-minimum member under prioCol).
       // Shingles/signatures are cached HERE and unpersisted at the end
       // of the batch — the minhashDuplicates defaults would leave a
       // cached table behind per micro-batch, accreting over a
@@ -104,10 +167,17 @@ object StreamingDedup {
         k = idx.k, bands = idx.bands,
         shingled = Some(remSh), signatures = Some(remSigs),
         margin = idx.prefilterMargin)
-      val comp = Dedup.connectedComponents(pairs)
-      val batchDups = comp.where(col("id") =!= col("root"))
-        .select(col("id").as("doc_id"), col("root").as("dup_of"))
-        .cache()
+      val batchDups = (prioCol match {
+        case Some(pc) =>
+          Dedup.clusterKeepersPriority(pairs, remaining,
+              idCol = "doc_id", prioCol = pc)
+            .where(col("id") =!= col("keeper"))
+            .select(col("id").as("doc_id"), col("keeper").as("dup_of"))
+        case None =>
+          Dedup.connectedComponents(pairs)
+            .where(col("id") =!= col("root"))
+            .select(col("id").as("doc_id"), col("root").as("dup_of"))
+      }).cache()
       val survivors = remaining
         .join(batchDups.select("doc_id"), Seq("doc_id"), "left_anti")
         .cache()
@@ -124,7 +194,7 @@ object StreamingDedup {
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("doc_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-      idx.append(survivors, seg = s"b$batchId")
+      idx.append(survivors, seg = s"b$batchId", prioCol = prioCol)
       // teardown most-derived-first: non-cascading unpersist EAGERLY
       // rebuilds any live cache whose plan references the dropped one
       // — dropping `cross` before its dependents would re-run their

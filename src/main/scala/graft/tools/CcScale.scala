@@ -63,10 +63,15 @@ object CcScale {
     }
     val dist = run("star_loop", 0L)
     val drv = run("union_find", Long.MaxValue)
+    // Symmetric comparison: a full-outer join on id catches root
+    // mismatches AND nodes present on only one side. (A mismatch count
+    // plus a count difference can cancel to 0 — k extra union-find nodes
+    // alongside k root mismatches — so never sum the two signals.)
     val diff = dist.as("x").join(drv.as("y"),
-        col("x.id") === col("y.id") &&
-          col("x.root") =!= col("y.root")).count() +
-      dist.count() - drv.count()
+        col("x.id") === col("y.id"), "full_outer")
+      .where(col("x.id").isNull || col("y.id").isNull ||
+        col("x.root") =!= col("y.root"))
+      .count()
     println(s"""{"assignments_differ":$diff}""")
     require(diff == 0, s"distributed CC diverged from union-find: $diff")
     spark.stop()

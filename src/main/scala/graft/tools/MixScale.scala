@@ -28,11 +28,14 @@ object MixScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // 90% of docs in one crawl source, the rest across 5 curated tails
+    // 90% of docs in one crawl source, the rest across 5 curated tails.
+    // The tail label must come from a digit INDEPENDENT of the 90/10
+    // split: id % 10 == 9 forces id % 5 == 4, which would collapse all
+    // tails into one source — use the tens digit instead.
     val docs = spark.range(n).select(
       col("id").as("doc_id"),
       when(col("id") % 10 < 9, lit("crawl"))
-        .otherwise(concat(lit("s"), col("id") % 5)).as("source"))
+        .otherwise(concat(lit("s"), expr("id DIV 10") % 5)).as("source"))
       .cache()
     docs.count()
     val target = n * 3 / 2

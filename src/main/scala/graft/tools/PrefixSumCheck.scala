@@ -22,10 +22,13 @@ object PrefixSumCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Tail label from the tens digit, not id % 5: id % 10 == 9 implies
+    // id % 5 == 4, which would collapse the 5 tails into one source and
+    // weaken the permutation check to a 2-source shape.
     val docs = spark.range(n).select(
       col("id").as("doc_id"),
       when(col("id") % 10 < 9, lit("crawl"))
-        .otherwise(concat(lit("s"), col("id") % 5)).as("source"))
+        .otherwise(concat(lit("s"), expr("id DIV 10") % 5)).as("source"))
       .cache()
     docs.count()
     val target = n * 3 / 2

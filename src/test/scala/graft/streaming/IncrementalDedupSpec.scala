@@ -243,6 +243,83 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(segs.contains("seg=base"))
   }
 
+  test("priority keepers: late-arriving trusted clone survives, in-batch election overrides min-id, replay idempotent") {
+    import spark.implicits._
+    val idxPath = Files.createTempDirectory("mhidx-p").toString
+    val vPath = Files.createTempDirectory("mhv-p").toString
+    // seed corpus is crawl (prio 1); the index carries priorities
+    MinHashIndex.build(
+      Seq((1L, A, 1.0), (2L, B, 1.0)).toDF("doc_id", "text", "prio"),
+      idxPath, prioCol = Some("prio"))
+
+    // batch 0, all crawl: 10 dups indexed 1 (equal priority → the
+    // indexed survivor stays keeper); 11/12 dup each other in-batch
+    // (equal priority → id tiebreak reproduces min-id)
+    StreamingDedup.processBatch(
+      Seq((10L, A, 1.0), (11L, D, 1.0), (12L, D, 1.0))
+        .toDF("doc_id", "text", "prio"),
+      0L, idxPath, vPath, tau = 0.5, prioCol = Some("prio"))
+
+    def verdicts(batch: Long): Map[Long, (String, Option[Long])] =
+      spark.read.parquet(vPath).where(s"batch = $batch").collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+    assert(verdicts(0) == Map(
+      10L -> ("dup_index", Some(1L)),
+      11L -> ("kept", None),
+      12L -> ("dup_batch", Some(11L))))
+
+    // batch 1: 20 is a LATE-ARRIVING TRUSTED clone of indexed 1 (prio 0
+    // beats the indexed copy's 1 → kept, recorded keeper for its batch
+    // forward, index NOT rewritten); 21 is a trusted clone of batch-0
+    // survivor 11 (same — survivors carried prio 1 into the index);
+    // 30/31 are a novel in-batch pair where the CURATED copy has the
+    // LARGER id — the (priority, id) election must elect 31 over the
+    // min-id convention's 30; 40 is a crawl re-delivery of indexed 1
+    // (equal priority → drops, dup_of = the (prio, id)-min indexed match)
+    val b1 = Seq((20L, A, 0.0), (21L, D, 0.0),
+      (30L, E, 1.0), (31L, E, 0.0), (40L, A, 1.0))
+      .toDF("doc_id", "text", "prio")
+    StreamingDedup.processBatch(b1, 1L, idxPath, vPath, tau = 0.5,
+      prioCol = Some("prio"))
+    val expected1 = Map(
+      20L -> ("kept", None),
+      21L -> ("kept", None),
+      30L -> ("dup_batch", Some(31L)),
+      31L -> ("kept", None),
+      40L -> ("dup_index", Some(1L)))
+    assert(verdicts(1) == expected1)
+
+    // no index rewrite: the displaced crawl copies 1 and 11 are still
+    // indexed alongside their trusted clones
+    val idx = MinHashIndex.load(spark, idxPath)
+    assert(idx.signatures.select("id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 11L, 20L, 21L, 31L))
+    // priorities rode the appends: the trusted clones are prio 0
+    val prios = idx.priorities().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prios(20L) == 0.0 && prios(31L) == 0.0 && prios(11L) == 1.0)
+
+    // replay of batch 1 (at-least-once foreachBatch): own-segment
+    // exclusion covers the prio table too, so the election reproduces
+    // the exact same verdicts and the segment is rewritten, not doubled
+    StreamingDedup.processBatch(b1, 1L, idxPath, vPath, tau = 0.5,
+      prioCol = Some("prio"))
+    assert(verdicts(1) == expected1)
+    assert(MinHashIndex.load(spark, idxPath)
+      .signatures.select("id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 11L, 20L, 21L, 31L))
+
+    // batch 2: a crawl clone of trusted keeper 20 resolves to 20 — the
+    // (priority, id)-min election prefers the trusted copy over the
+    // older min-id crawl copy 1 from that batch forward
+    StreamingDedup.processBatch(
+      Seq((50L, A, 1.0)).toDF("doc_id", "text", "prio"),
+      2L, idxPath, vPath, tau = 0.5, prioCol = Some("prio"))
+    assert(verdicts(2) == Map(50L -> ("dup_index", Some(20L))))
+  }
+
   test("replaying a batch rewrites its segment and verdicts: exactly-once") {
     import spark.implicits._
     val idxPath = Files.createTempDirectory("mhidx-r").toString
