@@ -585,6 +585,59 @@ object ExtQueries {
         df
       })
 
+  /** d81's seed memo: the PRIORITIZED MinHash index over the crawl seed
+    * (prio 1) + the owned verdict dir. The two-batch election run
+    * happens on EVERY invocation (the d79 convention — processBatch
+    * overwrites its own segments and verdict dirs, so repeats are
+    * idempotent and a bench sample prices the real two-batch election
+    * pipeline, not a cached read).
+    */
+  private val prioStreamMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def prioStreamVerdictsFor(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (idxP, vP) = prioStreamMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val idxP = java.nio.file.Files.createTempDirectory("graft-psd-idx").toString
+        val vP = java.nio.file.Files.createTempDirectory("graft-psd-v").toString
+        MinHashIndex.build(
+          d.where(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id"), col("text"), lit(1.0).as("prio")),
+          idxP, prioCol = Some("prio"))
+        (idxP, vP)
+      })
+    // batch 0: an ordinary crawl delivery (equal priorities — the
+    // election must reproduce min-id semantics exactly)
+    val b0 = d.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), lit(1.0).as("prio"))
+    // batch 1: late-arriving CURATED clones of indexed seed docs (+1e5,
+    // prio 0 — kept despite the indexed copy, the no-rewrite rule);
+    // novel reversed-text pairs where the curated copy has the LARGER
+    // id (+2e5 crawl / +3e5 curated — the in-batch election must beat
+    // min-id); crawl re-deliveries of seed docs (+4e5 — cross-drop with
+    // the (prio, id)-min election's dup_of)
+    val b1 = d.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        lit(0.0).as("prio"))
+      .unionByName(d.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          reverse(col("text")).as("text"), lit(1.0).as("prio")))
+      .unionByName(d.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          reverse(col("text")).as("text"), lit(0.0).as("prio")))
+      .unionByName(d.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text"),
+          lit(1.0).as("prio")))
+    graft.streaming.StreamingDedup.processBatch(b0, 0L, idxP, vP,
+      tau = 0.5, prioCol = Some("prio"))
+    graft.streaming.StreamingDedup.processBatch(b1, 1L, idxP, vP,
+      tau = 0.5, prioCol = Some("prio"))
+    s.read.option("basePath", vP).parquet(s"$vP/batch=0", s"$vP/batch=1")
+  }
+
   /** Unigram-LM memo per (session, dir): trained once on the corpus
     * slice (doc_id % 5 != 0) — a model is a build-once artifact, and
     * [[graft.ext.TextAnalysis.unigramLm]] is eager (two counting jobs).
@@ -2973,6 +3026,144 @@ object ExtQueries {
          |       CAST(k.keeper AS BIGINT) AS keeper
          |FROM pr p JOIN (SELECT root, keeper FROM k WHERE rn = 1) k USING (root)
          |ORDER BY 1""".stripMargin
+    ),
+    QueryDef(
+      "d81_dedup_stream_priority",
+      // the d73/d74 election on the STREAMING face (r11 verdict #3):
+      // a prioritized MinHash index over the crawl seed, then two
+      // deliveries through StreamingDedup's (priority, id) keeper rule.
+      // Planted late-arriving trusted clones value-gate the exactly-
+      // once resolution: a curated clone of an indexed doc is KEPT (the
+      // indexed copy is not retracted), a curated/crawl novel pair
+      // elects the curated LARGER id over min-id, and a crawl
+      // re-delivery drops with the (prio, id)-min match as dup_of.
+      // Full oracle: both batches' verdicts recomputed in SQL — exact
+      // jaccard pairs, windowed cross election, recursive-CTE closure
+      // + priority election per batch, index state = seed ∪ batch-0
+      // survivors for batch 1. The shared CTEs are MATERIALIZED:
+      // inlined, the two recursions re-expand the whole
+      // jaccard-over-3-slices pipeline per iteration and DuckDB runs
+      // out of file descriptors re-opening documents.parquet.
+      (s, dir) =>
+        prioStreamVerdictsFor(s, dir)
+          .select(col("batch").cast("int").as("batch"), col("doc_id"),
+            col("verdict"), col("dup_of"))
+          .orderBy("batch", "doc_id"),
+      """WITH RECURSIVE seed AS (
+        |  SELECT doc_id, 1.0 AS prio, text FROM documents WHERE doc_id % 5 <> 0
+        |), b0 AS (
+        |  SELECT doc_id, 1.0 AS prio, text FROM documents WHERE doc_id % 5 = 0
+        |), b1 AS (
+        |  SELECT doc_id + 100000 AS doc_id, 0.0 AS prio, text FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 1.0, reverse(text) FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 0.0, reverse(text) FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, 1.0, text FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 13 = 0
+        |), allc AS MATERIALIZED (
+        |  SELECT doc_id, text FROM seed UNION ALL
+        |  SELECT doc_id, text FROM b0 UNION ALL
+        |  SELECT doc_id, text FROM b1
+        |), tok AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM allc
+        |), tri AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM tok
+        |), sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+        |inter AS MATERIALIZED (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), jac AS MATERIALIZED (
+        |  SELECT a, b FROM inter
+        |  JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+        |), sym AS MATERIALIZED (SELECT a, b FROM jac UNION SELECT b AS a, a AS b FROM jac),
+        |m0 AS (
+        |  SELECT d.doc_id, s.b AS dup_of, i.prio AS ip, d.prio AS bp
+        |  FROM b0 d JOIN sym s ON s.a = d.doc_id JOIN seed i ON i.doc_id = s.b
+        |), e0 AS (
+        |  SELECT doc_id, dup_of, bp,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY ip, dup_of) AS rn,
+        |         min(ip) OVER (PARTITION BY doc_id) AS minip
+        |  FROM m0
+        |), x0 AS (SELECT doc_id, dup_of FROM e0 WHERE rn = 1 AND minip <= bp),
+        |r0 AS MATERIALIZED (
+        |  SELECT * FROM b0 WHERE doc_id NOT IN (SELECT doc_id FROM x0)
+        |), p0 AS MATERIALIZED (
+        |  SELECT a, b FROM jac
+        |  WHERE a IN (SELECT doc_id FROM r0) AND b IN (SELECT doc_id FROM r0)
+        |), n0 AS (SELECT a AS id FROM p0 UNION SELECT b FROM p0),
+        |ed0 AS (SELECT a AS u, b AS v FROM p0 UNION SELECT b, a FROM p0),
+        |rc0(id, l) AS (
+        |  SELECT id, id FROM n0
+        |  UNION
+        |  SELECT e.v, r.l FROM rc0 r JOIN ed0 e ON e.u = r.id
+        |), c0 AS (SELECT id, min(l) AS root FROM rc0 GROUP BY 1),
+        |k0 AS (
+        |  SELECT c.root, c.id,
+        |         row_number() OVER (PARTITION BY c.root ORDER BY d.prio, c.id) AS rn
+        |  FROM c0 c JOIN r0 d ON d.doc_id = c.id
+        |), kk0 AS (SELECT root, id AS keeper FROM k0 WHERE rn = 1),
+        |bd0 AS (
+        |  SELECT c.id AS doc_id, kk0.keeper AS dup_of
+        |  FROM c0 c JOIN kk0 USING (root) WHERE c.id <> kk0.keeper
+        |), s0 AS MATERIALIZED (
+        |  SELECT * FROM r0 WHERE doc_id NOT IN (SELECT doc_id FROM bd0)
+        |), idx1 AS MATERIALIZED (
+        |  SELECT doc_id, prio FROM seed UNION ALL SELECT doc_id, prio FROM s0
+        |), m1 AS (
+        |  SELECT d.doc_id, s.b AS dup_of, i.prio AS ip, d.prio AS bp
+        |  FROM b1 d JOIN sym s ON s.a = d.doc_id JOIN idx1 i ON i.doc_id = s.b
+        |), e1 AS (
+        |  SELECT doc_id, dup_of, bp,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY ip, dup_of) AS rn,
+        |         min(ip) OVER (PARTITION BY doc_id) AS minip
+        |  FROM m1
+        |), x1 AS (SELECT doc_id, dup_of FROM e1 WHERE rn = 1 AND minip <= bp),
+        |r1 AS MATERIALIZED (
+        |  SELECT * FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM x1)
+        |), p1 AS MATERIALIZED (
+        |  SELECT a, b FROM jac
+        |  WHERE a IN (SELECT doc_id FROM r1) AND b IN (SELECT doc_id FROM r1)
+        |), n1 AS (SELECT a AS id FROM p1 UNION SELECT b FROM p1),
+        |ed1 AS (SELECT a AS u, b AS v FROM p1 UNION SELECT b, a FROM p1),
+        |rc1(id, l) AS (
+        |  SELECT id, id FROM n1
+        |  UNION
+        |  SELECT e.v, r.l FROM rc1 r JOIN ed1 e ON e.u = r.id
+        |), c1 AS (SELECT id, min(l) AS root FROM rc1 GROUP BY 1),
+        |k1 AS (
+        |  SELECT c.root, c.id,
+        |         row_number() OVER (PARTITION BY c.root ORDER BY d.prio, c.id) AS rn
+        |  FROM c1 c JOIN r1 d ON d.doc_id = c.id
+        |), kk1 AS (SELECT root, id AS keeper FROM k1 WHERE rn = 1),
+        |bd1 AS (
+        |  SELECT c.id AS doc_id, kk1.keeper AS dup_of
+        |  FROM c1 c JOIN kk1 USING (root) WHERE c.id <> kk1.keeper
+        |), s1 AS (
+        |  SELECT * FROM r1 WHERE doc_id NOT IN (SELECT doc_id FROM bd1)
+        |)
+        |SELECT CAST(0 AS INTEGER) AS batch, CAST(doc_id AS BIGINT) AS doc_id,
+        |       'dup_index' AS verdict, CAST(dup_of AS BIGINT) AS dup_of FROM x0
+        |UNION ALL
+        |SELECT 0, CAST(doc_id AS BIGINT), 'dup_batch', CAST(dup_of AS BIGINT) FROM bd0
+        |UNION ALL
+        |SELECT 0, CAST(doc_id AS BIGINT), 'kept', CAST(NULL AS BIGINT) FROM s0
+        |UNION ALL
+        |SELECT 1, CAST(doc_id AS BIGINT), 'dup_index', CAST(dup_of AS BIGINT) FROM x1
+        |UNION ALL
+        |SELECT 1, CAST(doc_id AS BIGINT), 'dup_batch', CAST(dup_of AS BIGINT) FROM bd1
+        |UNION ALL
+        |SELECT 1, CAST(doc_id AS BIGINT), 'kept', CAST(NULL AS BIGINT) FROM s1
+        |ORDER BY 1, 2""".stripMargin
     ),
     QueryDef(
       "d51_soft_dedup_weights",
