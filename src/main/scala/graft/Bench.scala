@@ -198,7 +198,19 @@ object Bench {
       "d47_corpus_gauntlet_semantic", "d49_corpus_gauntlet_spans",
       "d62_corpus_gauntlet_lines", "d68_corpus_gauntlet_nfc",
       "d79_corpus_gauntlet_stats")
+    // the exact-span family gets the same treatment (r11 verdict #1:
+    // d29/d34/d36-d39 were the round's only unexplained bench movers
+    // and, as opaque composites, could not be adjudicated from the
+    // record) — Dedup.SpanTimer attributes candidate-gen / exactify /
+    // closure / splice / reduce, harvested in one separate
+    // instrumented run exactly like the gauntlet rows
+    val spanRows = Set("d29_decontaminate_spans", "d30_span_removal",
+      "d34_span_removal_global", "d36_span_exactify",
+      "d37_decontaminate_exact", "d38_decontaminate_exact_indexed",
+      "d39_span_removal_exact_global")
+    graft.ext.Dedup.SpanTimer.enabled = false
     val stageMaps = scala.collection.mutable.Map.empty[String, Seq[(String, Double)]]
+    val spanMaps = scala.collection.mutable.Map.empty[String, Seq[(String, Double)]]
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -218,6 +230,17 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         stageMaps(name) = timer.last.synchronized(timer.last.toSeq)
+      } catch { case _: Throwable => () }
+      finally { timer.enabled = false; dropStrayCaches() }
+    }
+    def harvestSpanStages(name: String,
+                          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val timer = graft.ext.Dedup.SpanTimer
+      timer.enabled = true
+      timer.last.synchronized(timer.last.clear())
+      try {
+        fn(spark, sfDir).count()
+        spanMaps(name) = timer.last.synchronized(timer.last.toSeq)
       } catch { case _: Throwable => () }
       finally { timer.enabled = false; dropStrayCaches() }
     }
@@ -247,6 +270,7 @@ object Bench {
             val sorted = Seq(t1, t2, t3).sorted
             spreads(name) = sorted
             if (gauntletRows.contains(name)) harvestStages(name, fn)
+            if (spanRows.contains(name)) harvestSpanStages(name, fn)
             sorted(1)
           }
         }
@@ -481,6 +505,21 @@ object Bench {
         }.mkString(",")
         s""","gsts":[${stageOrder.map("\"" + _ + "\"").mkString(",")}],"gst":{$body}"""
       }
+    // per-stage span-family breakdown (r11 verdict #1), same shape:
+    // fixed stage order in "ssts", one seconds-array per span row keyed
+    // by its d-number — the d46 adjudication protocol now covers the
+    // bench's other opaque composites
+    val spanStageOrder = Seq("candidates", "exactify", "closure", "splice", "reduce")
+    val sstField =
+      if (spanMaps.isEmpty) ""
+      else {
+        val body = spanMaps.toSeq.sortBy(_._1).map { case (n, m) =>
+          val mm = m.toMap
+          "\"" + n.take(3) + "\":[" +
+            spanStageOrder.map(s => f(mm.getOrElse(s, 0.0))).mkString(",") + "]"
+        }.mkString(",")
+        s""","ssts":[${spanStageOrder.map("\"" + _ + "\"").mkString(",")}],"sst":{$body}"""
+      }
     // Mechanical budget guard (replaces hand-tuned row math, which went
     // stale every time a query joined the bench): if the assembled line
     // would risk FRONT truncation under the ~2000-char capture tail,
@@ -492,28 +531,36 @@ object Bench {
     // sf as basename: the /root/testdata prefix is constant and the
     // full path was 17 chars of budget per line for no information
     val sfName = new java.io.File(sfDir).getName
-    def assemble(spreadF: String, gstF: String, noiseF: String, xF: String): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$noiseF$spreadF$gstF$xF$calField$loadField$skipField,"sf":"$sfName"}"""
+    def assemble(spreadF: String, gstF: String, sstF: String,
+                 noiseF: String, xF: String): String =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField$noiseF$spreadF$gstF$sstF$xF$calField$loadField$skipField,"sf":"$sfName"}"""
     val budget = 1900
-    val full = assemble(spreadField, gstField, noiseField, xwField)
+    val full = assemble(spreadField, gstField, sstField, noiseField, xwField)
     val line =
       if (full.length <= budget) full
       else {
         val spreadCount =
           if (flagged.isEmpty) "" else s""","spread_n":${flagged.size}"""
-        val noSpread = assemble(spreadCount, gstField, noiseField, xwField)
+        val noSpread = assemble(spreadCount, gstField, sstField, noiseField, xwField)
         if (noSpread.length <= budget) noSpread
         else {
-          val noGst = assemble(spreadCount, "", noiseField, xwField)
-          if (noGst.length <= budget) noGst
+          // span vectors degrade before the gauntlet's (both survive
+          // whole in the side file — bench_full.json is the span
+          // adjudication's channel of record)
+          val noSst = assemble(spreadCount, gstField, "", noiseField, xwField)
+          if (noSst.length <= budget) noSst
           else {
-            val noiseCount =
-              if (noisy.isEmpty) "" else s""","noise":["+${noisy.size}"]"""
-            val noNoise = assemble(spreadCount, "", noiseCount, xwField)
-            // last resort: the compact job-count pairs go too — the
-            // queries map itself is never dropped
-            if (noNoise.length <= budget) noNoise
-            else assemble(spreadCount, "", noiseCount, "")
+            val noGst = assemble(spreadCount, "", "", noiseField, xwField)
+            if (noGst.length <= budget) noGst
+            else {
+              val noiseCount =
+                if (noisy.isEmpty) "" else s""","noise":["+${noisy.size}"]"""
+              val noNoise = assemble(spreadCount, "", "", noiseCount, xwField)
+              // last resort: the compact job-count pairs go too — the
+              // queries map itself is never dropped
+              if (noNoise.length <= budget) noNoise
+              else assemble(spreadCount, "", "", noiseCount, "")
+            }
           }
         }
       }
@@ -542,7 +589,7 @@ object Bench {
       val skipAll = benchSkip.toSeq.sorted
         .map("\"" + _ + "\"").mkString(""","skipped":[""", ",", "]")
       val fullRecord =
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull$errFieldFull$allNoise$allSpreads$gstField$xwField$calAll$loadField$skipAll,"sf":"$sfName"}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull$errFieldFull$allNoise$allSpreads$gstField$sstField$xwField$calAll$loadField$skipAll,"sf":"$sfName"}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),

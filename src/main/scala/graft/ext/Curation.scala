@@ -318,20 +318,29 @@ object Curation {
     * rank error ≤ n/accuracy). Null scores: callers filter them first,
     * [[bucketByScore]]'s contract (a null compares into tier 1 here).
     *
+    * `thresholds` injects a pinned per-source boundary table
+    * (source, __thr: array<double>, ascending-sorted) in place of the
+    * `percentile_approx` sketch — the assignment arithmetic (broadcast
+    * threshold join + tier count) is then a deterministic function of
+    * the injected literals, which is what lets d72b hash-gate this
+    * operator's downstream against DuckDB while the sketch itself
+    * stays rows-only (the d69 pinned-coefficients move).
+    *
     * @return (source, doc_id, score, tier) — tier 1 = best
     */
   def bucketByScoreApprox(scored: DataFrame, buckets: Int = 3,
                           scoreCol: String = "score", ascending: Boolean = true,
                           idCol: String = "doc_id", srcCol: String = "source",
-                          accuracy: Int = 10000): DataFrame = {
+                          accuracy: Int = 10000,
+                          thresholds: Option[DataFrame] = None): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val base = scored.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
       col(scoreCol).cast("double").as("score"))
     if (buckets == 1) return base.withColumn("tier", lit(1))
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val thr = base.groupBy("source")
+    val thr = thresholds.getOrElse(base.groupBy("source")
       .agg(percentile_approx(col("score"), typedLit(probs), lit(accuracy))
-        .as("__thr"))
+        .as("__thr")))
     // tier = 1 + number of thresholds strictly on the better side of
     // this score; duplicate thresholds (a mass point spanning several
     // boundaries) skip the intermediate tiers, keeping the whole tie

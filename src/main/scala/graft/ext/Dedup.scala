@@ -14,6 +14,51 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Opt-in per-stage wall-clock attribution for the SPAN family
+    * ([[charGramRuns]] / [[exactifyRuns]] / [[removeSharedSpansGlobal]]
+    * / [[exciseIntervals]]) — the gauntlet StageTimer's pattern applied
+    * to the bench's other opaque composites (r11 verdict #1: the span
+    * rows were the only unexplained bench movers, and without stage
+    * vectors a one-stage regression hides inside a noisy total until a
+    * judge burns hardware adjudicating it). When enabled, each stage
+    * boundary is FORCED with an eager localCheckpoint — downstream
+    * consumers then read the materialized blocks, so no stage's work is
+    * double-counted into a later label — and its seconds accumulate
+    * under a fixed stage name. Disabled by default: production runs
+    * must not pay a materialization per stage. Single-writer use
+    * (graft.Bench harvests it in ONE separate instrumented run, never
+    * inside a timed sample); `last` holds the most recent run's map.
+    *
+    * Stage vocabulary: `candidates` (gram join + diagonal-run window),
+    * `exactify` (the filter-verify char-compare loop), `closure`
+    * (interval graph build + connected components + keeper election),
+    * `splice` (interval union + complement + reassembly), `reduce`
+    * (per-pair max aggregation of runs).
+    */
+  object SpanTimer {
+    @volatile var enabled = false
+    val last = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    private[graft] def time[T](stage: String)(thunk: => T): T =
+      if (!enabled) thunk
+      else {
+        val t0 = System.nanoTime()
+        val r = thunk
+        last.synchronized {
+          last(stage) = last.getOrElse(stage, 0.0) + (System.nanoTime() - t0) / 1e9
+        }
+        r
+      }
+    private[graft] def force(stage: String, df: DataFrame): DataFrame =
+      if (!enabled) df else time(stage) { df.localCheckpoint() }
+    // manual accumulate — for driver loops whose eager work spans many
+    // statements (exactifyRuns), where a wrapping time{} block would
+    // double-count the nested force() calls
+    private[graft] def add(stage: String, sec: Double): Unit =
+      if (enabled) last.synchronized {
+        last(stage) = last.getOrElse(stage, 0.0) + sec
+      }
+  }
+
   // ---- exact ----------------------------------------------------------
 
   /** Exact duplicate groups by canonical-content fingerprint: one row per
@@ -346,10 +391,11 @@ object Dedup {
                     positions: Option[DataFrame] = None,
                     maxOccur: Int = 8,
                     runs: Option[DataFrame] = None): DataFrame =
-    runs.getOrElse(charGramRuns(docs, k, prefix, minShared, maxGramFreq,
-        maxGap, idCol, textCol, positions, maxOccur))
-      .groupBy("a", "b")
-      .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
+    SpanTimer.force("reduce",
+      runs.getOrElse(charGramRuns(docs, k, prefix, minShared, maxGramFreq,
+          maxGap, idCol, textCol, positions, maxOccur))
+        .groupBy("a", "b")
+        .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams")))
 
   /** The span family's shared analytic product: one row per qualifying
     * shared run — (a, b, d, run, cnt, ext, sa) with d = the alignment
@@ -378,7 +424,7 @@ object Dedup {
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (col("x.i") - col("y.i")).as("d"), col("x.i").as("pos"))
-    diagonalRuns(m, k, minShared, maxGap)
+    SpanTimer.force("candidates", diagonalRuns(m, k, minShared, maxGap))
   }
 
   /** EXACT-substring spans — [[charGramRuns]] at Lee et al. 2021's
@@ -475,6 +521,7 @@ object Dedup {
     // Without the anchor, a neighboring run that never intersected any
     // candidate region could ride in on a widened window, making the
     // output depend on extension accidents instead of the contract.
+    val exactifyT0 = System.nanoTime()
     var pending = runs
       .select(col("a"), col("b"), col("d"),
         (col("sa") - slack).as("rs"),
@@ -564,11 +611,16 @@ object Dedup {
       it += 1
     }
     require(converged, s"exactifyRuns did not converge in $maxIter rounds")
-    done
-      .where(col("e") - col("s") >= minKeep)
-      .select(col("a"), col("b"), col("d"), col("s").as("sa"),
-        (col("e") - col("s")).as("ext"))
-      .distinct()
+    // the loop's per-round eager checkpoints are the stage's cost; the
+    // manual add (not a wrapping time{}) avoids double-counting the
+    // final force below
+    SpanTimer.add("exactify", (System.nanoTime() - exactifyT0) / 1e9)
+    SpanTimer.force("exactify",
+      done
+        .where(col("e") - col("s") >= minKeep)
+        .select(col("a"), col("b"), col("d"), col("s").as("sa"),
+          (col("e") - col("s")).as("ext"))
+        .distinct())
   }
 
   /** Cross-table twin of [[charGramSpans]]: longest contiguously-shared
@@ -598,12 +650,13 @@ object Dedup {
                            trainPositions: Option[DataFrame] = None,
                            benchPositions: Option[DataFrame] = None,
                            maxOccur: Int = 8): DataFrame =
-    charGramRunsAgainst(train, bench, k, prefix, minShared, maxGramFreq,
-      maxGap, idCol, textCol, trainPositions, benchPositions, maxOccur)
-      .groupBy("a", "b")
-      .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
-      .withColumnRenamed("a", idCol)
-      .withColumnRenamed("b", "bench_id")
+    SpanTimer.force("reduce",
+      charGramRunsAgainst(train, bench, k, prefix, minShared, maxGramFreq,
+          maxGap, idCol, textCol, trainPositions, benchPositions, maxOccur)
+        .groupBy("a", "b")
+        .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
+        .withColumnRenamed("a", idCol)
+        .withColumnRenamed("b", "bench_id"))
 
   /** The per-run table under [[charGramSpansAgainst]] — the cross-table
     * twin of [[charGramRuns]]: one row per qualifying shared run between
@@ -631,7 +684,7 @@ object Dedup {
       .join(broadcast(bp.as("y")), col("x.g") === col("y.g"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (col("x.i") - col("y.i")).as("d"), col("x.i").as("pos"))
-    diagonalRuns(m, k, minShared, maxGap)
+    SpanTimer.force("candidates", diagonalRuns(m, k, minShared, maxGap))
   }
 
   /** SPAN REMOVAL — the [[charGramSpans]] signal applied: excise every
@@ -735,7 +788,7 @@ object Dedup {
     val untouched = docsSel
       .join(merged.select("id").distinct(), Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("t").as(textCol))
-    affected.unionByName(untouched)
+    SpanTimer.force("splice", affected.unionByName(untouched))
   }
 
   /** CLUSTER-GLOBAL span removal — [[removeSharedSpans]] with Lee et
@@ -818,17 +871,21 @@ object Dedup {
       .where(col("s") =!= col("f.s") || col("e") =!= col("f.e"))
       .select(nid(col("id"), col("s"), col("e")).as("a"),
         nid(col("id"), col("f.s"), col("f.e")).as("b"))
-    val comp = connectedComponents(runEdges.unionByName(overlapEdges))
+    val comp = SpanTimer.time("closure")(
+      connectedComponents(runEdges.unionByName(overlapEdges)))
       .withColumnRenamed("id", "nid")
     val labeled = nodes
       .withColumn("nid", nid(col("id"), col("s"), col("e")))
       .join(comp, "nid")
     val keepers = labeled.groupBy("root")
       .agg(min(struct(col("id"), col("s"), col("e"))).as("kp"))
-    val losers = labeled.join(keepers, "root")
-      .where(col("id") =!= col("kp.id") || col("s") =!= col("kp.s") ||
-        col("e") =!= col("kp.e"))
-      .select("id", "s", "e")
+    // the closure force also bills the lazy edge construction and
+    // keeper election here — everything between candidates and splice
+    val losers = SpanTimer.force("closure",
+      labeled.join(keepers, "root")
+        .where(col("id") =!= col("kp.id") || col("s") =!= col("kp.s") ||
+          col("e") =!= col("kp.e"))
+        .select("id", "s", "e"))
     exciseIntervals(docs, losers, idCol, textCol)
   }
 

@@ -1281,10 +1281,12 @@ object ExtQueries {
       .join(d.select(col("doc_id"), col("source")), "doc_id")
   }
 
-  /** d40's oracle, factored out of the QueryDef so the d72 approx twin's
-    * registration sits next to it without duplicating the scoring chain.
+  /** The unigram-NLL scoring CTE chain d40 and d72b share (t11's model,
+    * scores rounded to 4dp before any ranking/thresholding), factored
+    * out of the QueryDefs so the exact-rank, approx-twin, and
+    * pinned-threshold registrations sit together without duplicating it.
     */
-  private val d40Sql: String =
+  private val scoredCtes: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '${TextAnalysis.TokenRe}')) AS tok
        |  FROM documents
@@ -1304,7 +1306,10 @@ object ExtQueries {
        |  SELECT d.source, d.doc_id, round(sc.nll, 4) AS score
        |  FROM documents d JOIN sc USING (doc_id)
        |  WHERE sc.nll IS NOT NULL
-       |), rk AS (
+       |)""".stripMargin
+
+  private val d40Sql: String =
+    s"""$scoredCtes, rk AS (
        |  SELECT source, doc_id, score,
        |         row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rnk,
        |         count(*) OVER (PARTITION BY source) AS n
@@ -2702,6 +2707,38 @@ object ExtQueries {
         Curation.bucketByScoreApprox(nllScored(s, dir), buckets = 3)
           .orderBy("source", "doc_id"),
       None),
+    QueryDef(
+      "d72b_score_buckets_pinned",
+      // d72's threshold-join/tier arithmetic HASH-GATED (r11 verdict
+      // #4, the d69 pinned-coefficients move): the sketch stays
+      // rows-only in d72, but the downstream assignment is a
+      // deterministic function of whatever boundary table rides the
+      // broadcast join — so inject PINNED thresholds (exact per-source
+      // tertiles of the 4dp-rounded scores, rounded to 6dp to wash
+      // interpolation ulps) into bucketByScoreApprox's thresholds hook
+      // AND the DuckDB oracle, and the whole join + duplicate-threshold
+      // tier count value-gates.
+      (s, dir) => {
+        val thr = nllScored(s, dir).groupBy("source")
+          .agg(expr(
+            "transform(percentile(score, array(1.0D/3, 2.0D/3)), t -> round(t, 6))")
+            .as("__thr"))
+        Curation.bucketByScoreApprox(nllScored(s, dir), buckets = 3,
+            thresholds = Some(thr))
+          .orderBy("source", "doc_id")
+      },
+      s"""$scoredCtes, thr AS (
+         |  SELECT source,
+         |         round(quantile_cont(score, 1.0/3), 6) AS t1,
+         |         round(quantile_cont(score, 2.0/3), 6) AS t2
+         |  FROM scored GROUP BY 1
+         |)
+         |SELECT s.source, s.doc_id, s.score,
+         |       CAST(1 + (CASE WHEN s.score > t.t1 THEN 1 ELSE 0 END)
+         |              + (CASE WHEN s.score > t.t2 THEN 1 ELSE 0 END)
+         |            AS INTEGER) AS tier
+         |FROM scored s JOIN thr t USING (source)
+         |ORDER BY 1, 2""".stripMargin),
     QueryDef(
       "t09_text_repetition",
       // Gopher-style repetition signals at token granularity (the fixture
