@@ -63,6 +63,49 @@ object MixScale {
       Curation.epochShards(docs, tau = 0.5, target = target, nShards = 64)
         .groupBy("shard").count().agg(sum("count")).head.getLong(0)
     }
+
+    // Physical-writer pricing (r11 verdict #5): writeEpochShards sorts
+    // each shard in ONE task by contract (one internally-ordered file
+    // per shard) — price that task across shard counts so the
+    // S-selection rule is a measured number. Per S: wall, total task
+    // spill (memory+disk), per-shard file-size spread, file count.
+    // ~190-char deterministic text gives the sort/write real mass
+    // (10M rows ≈ 2 GB of payload at the default row count).
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled): Unit
+          }
+        }
+      })
+    val textDocs = docs.withColumn("text",
+      repeat(md5(col("doc_id").cast("string")), 6))
+    for (s <- Seq(16, 64, 256)) {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-mix-shards").toString
+      spill.set(0)
+      val t0 = System.nanoTime()
+      Curation.writeEpochShards(textDocs, tau = 0.5, target = target,
+        nShards = s, path = out)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // drain the async listener bus before reading
+      val dirs = Option(new java.io.File(out).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      val fileSizes = dirs.flatMap(d =>
+        Option(d.listFiles).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.length))
+      println(f"""{"op":"writeEpochShards","rows":$n,"shards":$s,"sec":$sec%.2f,"spill_mb":${spill.get / 1048576},"files":${fileSizes.length},"file_mb_min":${if (fileSizes.isEmpty) 0L else fileSizes.min / 1048576},"file_mb_max":${if (fileSizes.isEmpty) 0L else fileSizes.max / 1048576}}""")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
     spark.stop()
   }
 }
