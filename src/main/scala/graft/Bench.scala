@@ -145,7 +145,13 @@ object Bench {
       // d78 drives d75's EXACT merged-topK read path through the
       // streaming wrapper's deliveries (replay exactly-once is its
       // point, oracle-gated in Verify) — benching it would re-time d75
-      "d78_ngram_topk_stream")
+      "d78_ngram_topk_stream",
+      // d81 drives d19's band-join/verify path plus StreamingDedup's
+      // whole two-batch election lifecycle (build → two processBatch
+      // rounds with index writes) — the priority election it exists to
+      // gate is oracle-checked in Verify; benching it re-timed d19's
+      // path 4× per sample round (21.8 s of pure re-timing at sf0.1)
+      "d81_dedup_stream_priority")
     // deterministic timing order: `queries` is an unordered Map, so
     // iterating it directly reshuffles who pays residual warmup /
     // cache-eviction costs whenever a query is added — round-over-round
