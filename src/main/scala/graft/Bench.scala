@@ -151,7 +151,11 @@ object Bench {
       // rounds with index writes) — the priority election it exists to
       // gate is oracle-checked in Verify; benching it re-timed d19's
       // path 4× per sample round (21.8 s of pure re-timing at sf0.1)
-      "d81_dedup_stream_priority")
+      "d81_dedup_stream_priority",
+      // d82 drives the d45-family processBatch path twice per
+      // invocation purely to gate the gauntlet-face election in
+      // Verify — benching it would re-time the gauntlet rows
+      "d82_gauntlet_priority")
     // deterministic timing order: `queries` is an unordered Map, so
     // iterating it directly reshuffles who pays residual warmup /
     // cache-eviction costs whenever a query is added — round-over-round

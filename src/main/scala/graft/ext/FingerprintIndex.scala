@@ -63,6 +63,23 @@ final class FingerprintIndex private[ext] (val spark: SparkSession,
       .select(col("id"), col("fp"))
   }
 
+  /** Whether this index carries per-document priorities (built with
+    * `prioCol`) — the gate for the streaming (priority, id) keeper
+    * election ([[MinHashIndex.hasPriorities]]'s contract verbatim;
+    * directory presence is the marker, the Bloom-sidecar lifecycle).
+    */
+  def hasPriorities: Boolean = new File(path, "prio").isDirectory
+
+  /** The indexed documents' priorities (id, prio) — lower wins, NULL
+    * was stored as Double.MaxValue. Only meaningful when
+    * [[hasPriorities]]; same per-segment exclusion contract as fps.
+    */
+  def priorities(excludeSeg: Option[String] = None): DataFrame = {
+    val raw = spark.read.parquet(s"$path/prio")
+    excludeSeg.fold(raw)(s => raw.where(col("seg") =!= s))
+      .select(col("id"), col("prio"))
+  }
+
   private def fingerprints(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
@@ -127,10 +144,22 @@ final class FingerprintIndex private[ext] (val spark: SparkSession,
     * present).
     */
   def append(newDocs: DataFrame, seg: String, idCol: String = "doc_id",
-             textCol: String = "text"): Unit = {
+             textCol: String = "text",
+             prioCol: Option[String] = None): Unit = {
     val fpDf = fingerprints(newDocs, idCol, textCol)
     fpDf.write.mode("overwrite").parquet(s"$path/fps/seg=$seg")
     SegmentedTable.refreshParent(spark, s"$path/fps")
+    // prio lifecycle mirrors fps exactly (overwrite-per-segment,
+    // folded by compact); a priority-less append into a prioritized
+    // index stores MaxValue — those docs lose every future election
+    if (hasPriorities) {
+      newDocs.select(col(idCol).as("id"),
+          coalesce(prioCol.map(c => col(c).cast("double"))
+            .getOrElse(lit(null).cast("double")), lit(Double.MaxValue))
+            .as("prio"))
+        .write.mode("overwrite").parquet(s"$path/prio/seg=$seg")
+      SegmentedTable.refreshParent(spark, s"$path/prio")
+    }
     if (new File(path, "bloom").isDirectory) writeBloom(seg)
   }
 
@@ -142,6 +171,9 @@ final class FingerprintIndex private[ext] (val spark: SparkSession,
   def compact(folds: Seq[String]): Seq[String] = {
     val folded = SegmentedTable.compact(spark, s"$path/fps", "seg", "base",
       folds, Seq("id", "fp"))
+    if (hasPriorities)
+      SegmentedTable.compact(spark, s"$path/prio", "seg", "base",
+        folds, Seq("id", "prio"))
     if (folded.nonEmpty && new File(path, "bloom").isDirectory) {
       // rebuild base FIRST, then delete the folded sidecars: a crash (or
       // concurrent reader) between the two steps must only ever see
@@ -214,12 +246,15 @@ object FingerprintIndex {
     */
   def build(docs: DataFrame, path: String, idCol: String = "doc_id",
             textCol: String = "text", bloom: Boolean = false,
-            fpp: Double = 0.01): FingerprintIndex = {
+            fpp: Double = 0.01,
+            prioCol: Option[String] = None): FingerprintIndex = {
     SegmentedTable.deleteRecursively(new java.io.File(path))
     Files.createDirectories(Paths.get(path))
     if (bloom) Files.createDirectories(Paths.get(path, "bloom"))
+    if (prioCol.isDefined) Files.createDirectories(Paths.get(path, "prio"))
     val idx = new FingerprintIndex(docs.sparkSession, path, fpp)
-    idx.append(docs, seg = "base", idCol = idCol, textCol = textCol)
+    idx.append(docs, seg = "base", idCol = idCol, textCol = textCol,
+      prioCol = prioCol)
     idx
   }
 

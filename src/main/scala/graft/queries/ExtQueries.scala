@@ -638,6 +638,65 @@ object ExtQueries {
     s.read.option("basePath", vP).parquet(s"$vP/batch=0", s"$vP/batch=1")
   }
 
+  /** d82's seed memo: prioritized fp + MinHash indexes over the crawl
+    * seed (prio 1) + the owned verdict dir; the two-batch gauntlet run
+    * happens on every invocation (the d79/d81 idempotent-replay
+    * convention).
+    */
+  private val prioGauntletMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  private def prioGauntletVerdictsFor(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (fpP, mhP, vP) = prioGauntletMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val fpP = java.nio.file.Files.createTempDirectory("graft-pg-fp").toString
+        val mhP = java.nio.file.Files.createTempDirectory("graft-pg-mh").toString
+        val vP = java.nio.file.Files.createTempDirectory("graft-pg-v").toString
+        val seed = d.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"), lit(1.0).as("prio"))
+        graft.ext.FingerprintIndex.build(seed, fpP, prioCol = Some("prio"))
+        MinHashIndex.build(seed, mhP, prioCol = Some("prio"))
+        (fpP, mhP, vP)
+      })
+    val cfg = gauntletConfig.copy(prioCol = Some("prio"))
+    // batch 0: an ordinary crawl delivery through quality + both dedup
+    // stages (equal priorities — the election must reproduce min-id)
+    val b0 = d.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), lit(1.0).as("prio"))
+    // batch 1, planted so every election face binds: +1e5 trusted
+    // exact clones of indexed docs (kept at BOTH cross stages);
+    // +2e5/+3e5 novel near-dup pairs where the curated copy has the
+    // larger id (near in-batch election beats min-id); +4e5 crawl
+    // exact re-deliveries (exact-cross drop, elected ref); +5e5
+    // trusted near-clones of indexed docs (kept at near cross); +6e5
+    // crawl near-clones (near-cross drop, elected ref); +7e5/+8e5
+    // novel IDENTICAL pairs, curated id larger (exact in-batch
+    // election beats min-id)
+    def slice(m: Int, off: Long, prio: Double, text: org.apache.spark.sql.Column) =
+      d.where(col("doc_id") % 5 =!= 0 && col("doc_id") % m === 0)
+        .select((col("doc_id") + off).as("doc_id"), text.as("text"),
+          lit(prio).as("prio"))
+    val b1 = slice(7, 100000L, 0.0, col("text"))
+      .unionByName(slice(11, 200000L, 1.0, reverse(col("text"))))
+      .unionByName(slice(11, 300000L, 0.0,
+        concat(reverse(col("text")), lit(" qq"))))
+      .unionByName(slice(13, 400000L, 1.0, col("text")))
+      .unionByName(slice(17, 500000L, 0.0, concat(col("text"), lit(" zz"))))
+      .unionByName(slice(19, 600000L, 1.0, concat(col("text"), lit(" vv"))))
+      .unionByName(slice(23, 700000L, 1.0,
+        concat(reverse(col("text")), lit(" mm"))))
+      .unionByName(slice(23, 800000L, 0.0,
+        concat(reverse(col("text")), lit(" mm"))))
+    graft.streaming.StreamingCorpusPipeline.processBatch(
+      b0, 0L, fpP, mhP, None, vP, cfg)
+    graft.streaming.StreamingCorpusPipeline.processBatch(
+      b1, 1L, fpP, mhP, None, vP, cfg)
+    s.read.option("basePath", vP).parquet(s"$vP/batch=0", s"$vP/batch=1")
+  }
+
   /** Unigram-LM memo per (session, dir): trained once on the corpus
     * slice (doc_id % 5 != 0) — a model is a build-once artifact, and
     * [[graft.ext.TextAnalysis.unigramLm]] is eager (two counting jobs).
@@ -3198,6 +3257,231 @@ object ExtQueries {
         |SELECT 1, CAST(doc_id AS BIGINT), 'dup_index', CAST(dup_of AS BIGINT) FROM x1
         |UNION ALL
         |SELECT 1, CAST(doc_id AS BIGINT), 'dup_batch', CAST(dup_of AS BIGINT) FROM bd1
+        |UNION ALL
+        |SELECT 1, CAST(doc_id AS BIGINT), 'kept', CAST(NULL AS BIGINT) FROM s1
+        |ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "d82_gauntlet_priority",
+      // d81's election on the COMPOSED gauntlet face (the r11 "what's
+      // missing" #2 remainder): StreamingCorpusPipeline with
+      // Config.prioCol — the exact stage's cross + in-batch keepers
+      // AND the near stage's cross + clusterKeepersPriority all run
+      // the (priority, id) election, priorities riding BOTH indexes'
+      // prio tables. Planted batch-1 faces bind every election path:
+      // trusted exact clones kept at both cross stages (no index
+      // rewrite), curated-larger-id pairs beating min-id in BOTH
+      // in-batch stages (exact fp groups and near components), and
+      // equal-priority re-deliveries dropping with elected refs. Full
+      // oracle: quality -> exact cross -> exact in-batch -> near cross
+      // -> near in-batch recomputed per batch in SQL, batch-1 index =
+      // seed UNION batch-0 survivors.
+      (s, dir) =>
+        prioGauntletVerdictsFor(s, dir)
+          .select(col("batch").cast("int").as("batch"), col("doc_id"),
+            col("verdict"), col("ref_id"))
+          .orderBy("batch", "doc_id"),
+      """WITH RECURSIVE seed AS (
+        |  SELECT doc_id, 1.0 AS prio, text FROM documents WHERE doc_id % 5 <> 0
+        |), b0 AS (
+        |  SELECT doc_id, 1.0 AS prio, text FROM documents WHERE doc_id % 5 = 0
+        |), b1 AS (
+        |  SELECT doc_id + 100000 AS doc_id, 0.0 AS prio, text FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 1.0, reverse(text) FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 0.0, reverse(text) || ' qq' FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, 1.0, text FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 0.0, text || ' zz' FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000, 1.0, text || ' vv' FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 700000, 1.0, reverse(text) || ' mm' FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 800000, 0.0, reverse(text) || ' mm' FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 23 = 0
+        |), allc AS MATERIALIZED (
+        |  SELECT doc_id, text FROM seed UNION ALL
+        |  SELECT doc_id, text FROM b0 UNION ALL
+        |  SELECT doc_id, text FROM b1
+        |), fps AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM allc
+        |), tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM allc
+        |), tri AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM tok
+        |), sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+        |inter AS MATERIALIZED (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), jac AS MATERIALIZED (
+        |  SELECT a, b FROM inter
+        |  JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
+        |  WHERE CAST(c AS DOUBLE) / CAST(na.sz + nb.sz - c AS DOUBLE) >= 0.5
+        |), sym AS MATERIALIZED (SELECT a, b FROM jac UNION SELECT b AS a, a AS b FROM jac),
+        |q0 AS MATERIALIZED (SELECT * FROM b0 WHERE length(text) >= 100),
+        |xq0 AS (SELECT doc_id FROM b0 WHERE length(text) < 100),
+        |exm0 AS (
+        |  SELECT d.doc_id, i.doc_id AS ref, i.prio AS ip, d.prio AS bp
+        |  FROM q0 d
+        |  JOIN fps fd ON fd.doc_id = d.doc_id
+        |  JOIN fps fi ON fi.fp = fd.fp AND fi.doc_id <> fd.doc_id
+        |  JOIN seed i ON i.doc_id = fi.doc_id
+        |), exe0 AS (
+        |  SELECT doc_id, ref, bp,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY ip, ref) AS rn,
+        |         min(ip) OVER (PARTITION BY doc_id) AS minip
+        |  FROM exm0
+        |), exx0 AS (SELECT doc_id, ref FROM exe0 WHERE rn = 1 AND minip <= bp),
+        |exr0 AS MATERIALIZED (
+        |  SELECT * FROM q0 WHERE doc_id NOT IN (SELECT doc_id FROM exx0)
+        |), exg0 AS (
+        |  SELECT d.doc_id, d.prio, f.fp FROM exr0 d JOIN fps f USING (doc_id)
+        |), exk0 AS (
+        |  SELECT fp, doc_id AS keeper FROM (
+        |    SELECT fp, doc_id,
+        |           row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn
+        |    FROM exg0)
+        |  WHERE rn = 1
+        |), exb0 AS (
+        |  SELECT g.doc_id, k.keeper AS ref
+        |  FROM exg0 g JOIN exk0 k USING (fp) WHERE g.doc_id <> k.keeper
+        |), exs0 AS MATERIALIZED (
+        |  SELECT * FROM exr0 WHERE doc_id NOT IN (SELECT doc_id FROM exb0)
+        |), nm0 AS (
+        |  SELECT d.doc_id, s.b AS ref, i.prio AS ip, d.prio AS bp
+        |  FROM exs0 d JOIN sym s ON s.a = d.doc_id JOIN seed i ON i.doc_id = s.b
+        |), ne0 AS (
+        |  SELECT doc_id, ref, bp,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY ip, ref) AS rn,
+        |         min(ip) OVER (PARTITION BY doc_id) AS minip
+        |  FROM nm0
+        |), nx0 AS (SELECT doc_id, ref FROM ne0 WHERE rn = 1 AND minip <= bp),
+        |nr0 AS MATERIALIZED (
+        |  SELECT * FROM exs0 WHERE doc_id NOT IN (SELECT doc_id FROM nx0)
+        |), p0 AS MATERIALIZED (
+        |  SELECT a, b FROM jac
+        |  WHERE a IN (SELECT doc_id FROM nr0) AND b IN (SELECT doc_id FROM nr0)
+        |), n0 AS (SELECT a AS id FROM p0 UNION SELECT b FROM p0),
+        |ed0 AS MATERIALIZED (SELECT a AS u, b AS v FROM p0 UNION SELECT b, a FROM p0),
+        |rc0(id, l) AS (
+        |  SELECT id, id FROM n0
+        |  UNION
+        |  SELECT e.v, r.l FROM rc0 r JOIN ed0 e ON e.u = r.id
+        |), c0 AS (SELECT id, min(l) AS root FROM rc0 GROUP BY 1),
+        |k0 AS (
+        |  SELECT c.root, c.id,
+        |         row_number() OVER (PARTITION BY c.root ORDER BY d.prio, c.id) AS rn
+        |  FROM c0 c JOIN nr0 d ON d.doc_id = c.id
+        |), kk0 AS (SELECT root, id AS keeper FROM k0 WHERE rn = 1),
+        |nb0 AS (
+        |  SELECT c.id AS doc_id, kk0.keeper AS ref
+        |  FROM c0 c JOIN kk0 USING (root) WHERE c.id <> kk0.keeper
+        |), s0 AS MATERIALIZED (
+        |  SELECT * FROM nr0 WHERE doc_id NOT IN (SELECT doc_id FROM nb0)
+        |),
+        |idx1 AS MATERIALIZED (
+        |  SELECT doc_id, prio FROM seed UNION ALL SELECT doc_id, prio FROM s0
+        |),
+        |q1 AS MATERIALIZED (SELECT * FROM b1 WHERE length(text) >= 100),
+        |xq1 AS (SELECT doc_id FROM b1 WHERE length(text) < 100),
+        |exm1 AS (
+        |  SELECT d.doc_id, i.doc_id AS ref, i.prio AS ip, d.prio AS bp
+        |  FROM q1 d
+        |  JOIN fps fd ON fd.doc_id = d.doc_id
+        |  JOIN fps fi ON fi.fp = fd.fp AND fi.doc_id <> fd.doc_id
+        |  JOIN idx1 i ON i.doc_id = fi.doc_id
+        |), exe1 AS (
+        |  SELECT doc_id, ref, bp,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY ip, ref) AS rn,
+        |         min(ip) OVER (PARTITION BY doc_id) AS minip
+        |  FROM exm1
+        |), exx1 AS (SELECT doc_id, ref FROM exe1 WHERE rn = 1 AND minip <= bp),
+        |exr1 AS MATERIALIZED (
+        |  SELECT * FROM q1 WHERE doc_id NOT IN (SELECT doc_id FROM exx1)
+        |), exg1 AS (
+        |  SELECT d.doc_id, d.prio, f.fp FROM exr1 d JOIN fps f USING (doc_id)
+        |), exk1 AS (
+        |  SELECT fp, doc_id AS keeper FROM (
+        |    SELECT fp, doc_id,
+        |           row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn
+        |    FROM exg1)
+        |  WHERE rn = 1
+        |), exb1 AS (
+        |  SELECT g.doc_id, k.keeper AS ref
+        |  FROM exg1 g JOIN exk1 k USING (fp) WHERE g.doc_id <> k.keeper
+        |), exs1 AS MATERIALIZED (
+        |  SELECT * FROM exr1 WHERE doc_id NOT IN (SELECT doc_id FROM exb1)
+        |), nm1 AS (
+        |  SELECT d.doc_id, s.b AS ref, i.prio AS ip, d.prio AS bp
+        |  FROM exs1 d JOIN sym s ON s.a = d.doc_id JOIN idx1 i ON i.doc_id = s.b
+        |), ne1 AS (
+        |  SELECT doc_id, ref, bp,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY ip, ref) AS rn,
+        |         min(ip) OVER (PARTITION BY doc_id) AS minip
+        |  FROM nm1
+        |), nx1 AS (SELECT doc_id, ref FROM ne1 WHERE rn = 1 AND minip <= bp),
+        |nr1 AS MATERIALIZED (
+        |  SELECT * FROM exs1 WHERE doc_id NOT IN (SELECT doc_id FROM nx1)
+        |), p1 AS MATERIALIZED (
+        |  SELECT a, b FROM jac
+        |  WHERE a IN (SELECT doc_id FROM nr1) AND b IN (SELECT doc_id FROM nr1)
+        |), n1 AS (SELECT a AS id FROM p1 UNION SELECT b FROM p1),
+        |ed1 AS MATERIALIZED (SELECT a AS u, b AS v FROM p1 UNION SELECT b, a FROM p1),
+        |rc1(id, l) AS (
+        |  SELECT id, id FROM n1
+        |  UNION
+        |  SELECT e.v, r.l FROM rc1 r JOIN ed1 e ON e.u = r.id
+        |), c1 AS (SELECT id, min(l) AS root FROM rc1 GROUP BY 1),
+        |k1 AS (
+        |  SELECT c.root, c.id,
+        |         row_number() OVER (PARTITION BY c.root ORDER BY d.prio, c.id) AS rn
+        |  FROM c1 c JOIN nr1 d ON d.doc_id = c.id
+        |), kk1 AS (SELECT root, id AS keeper FROM k1 WHERE rn = 1),
+        |nb1 AS (
+        |  SELECT c.id AS doc_id, kk1.keeper AS ref
+        |  FROM c1 c JOIN kk1 USING (root) WHERE c.id <> kk1.keeper
+        |), s1 AS MATERIALIZED (
+        |  SELECT * FROM nr1 WHERE doc_id NOT IN (SELECT doc_id FROM nb1)
+        |)
+        |SELECT CAST(0 AS INTEGER) AS batch, CAST(doc_id AS BIGINT) AS doc_id,
+        |       'drop_quality' AS verdict, CAST(NULL AS BIGINT) AS ref_id FROM xq0
+        |UNION ALL
+        |SELECT 0, CAST(doc_id AS BIGINT), 'dup_exact', CAST(ref AS BIGINT) FROM exx0
+        |UNION ALL
+        |SELECT 0, CAST(doc_id AS BIGINT), 'dup_exact_batch', CAST(ref AS BIGINT) FROM exb0
+        |UNION ALL
+        |SELECT 0, CAST(doc_id AS BIGINT), 'dup_index', CAST(ref AS BIGINT) FROM nx0
+        |UNION ALL
+        |SELECT 0, CAST(doc_id AS BIGINT), 'dup_batch', CAST(ref AS BIGINT) FROM nb0
+        |UNION ALL
+        |SELECT 0, CAST(doc_id AS BIGINT), 'kept', CAST(NULL AS BIGINT) FROM s0
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER) AS batch, CAST(doc_id AS BIGINT) AS doc_id,
+        |       'drop_quality' AS verdict, CAST(NULL AS BIGINT) AS ref_id FROM xq1
+        |UNION ALL
+        |SELECT 1, CAST(doc_id AS BIGINT), 'dup_exact', CAST(ref AS BIGINT) FROM exx1
+        |UNION ALL
+        |SELECT 1, CAST(doc_id AS BIGINT), 'dup_exact_batch', CAST(ref AS BIGINT) FROM exb1
+        |UNION ALL
+        |SELECT 1, CAST(doc_id AS BIGINT), 'dup_index', CAST(ref AS BIGINT) FROM nx1
+        |UNION ALL
+        |SELECT 1, CAST(doc_id AS BIGINT), 'dup_batch', CAST(ref AS BIGINT) FROM nb1
         |UNION ALL
         |SELECT 1, CAST(doc_id AS BIGINT), 'kept', CAST(NULL AS BIGINT) FROM s1
         |ORDER BY 1, 2""".stripMargin

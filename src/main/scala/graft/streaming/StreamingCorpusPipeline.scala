@@ -106,6 +106,21 @@ object StreamingCorpusPipeline {
       // Unicode-normalize batch text (NFC/NFD/NFKC/NFKD) before every
       // stage — see the stage-0 note in processBatch. None = off.
       normalizeForm: Option[String] = None,
+      // Priority keeper election for the CONTENT-IDENTITY stages
+      // (exact + near-dup) — [[graft.streaming.StreamingDedup]]'s
+      // (priority, id) rule verbatim: in-batch groups/components elect
+      // the (priority, id)-minimum member; vs the indexes, an indexed
+      // survivor stays keeper against an equal-or-lower-priority clone
+      // while a STRICTLY more trusted late clone is kept and becomes
+      // keeper for its batch forward (no index rewrite — the
+      // exactly-once departure from the batch-global election). Both
+      // indexes must have been built with priorities. The winnow /
+      // semantic / line stages keep their first-kept/min-id keepers:
+      // they match on positional or embedding signals where the copies
+      // are NOT byte-interchangeable, so "which copy is the trusted
+      // one" is a curation decision those stages don't own — extending
+      // them is a mechanical repeat of the same prio-table lifecycle.
+      prioCol: Option[String] = None,
       quality: DataFrame => DataFrame =
         d => TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep")))
 
@@ -129,7 +144,8 @@ object StreamingCorpusPipeline {
             ngPath: Option[String] = None): StreamingQuery =
     docs
       .select(col("doc_id") +: col("text") +:
-        semPath.map(_ => col("embedding")).toSeq: _*)
+        (semPath.map(_ => col("embedding")).toSeq ++
+          cfg.prioCol.map(col).toSeq): _*)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -295,9 +311,11 @@ object StreamingCorpusPipeline {
                    ngPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val seg = s"b$batchId"
-    // the embedding column rides along only when the semantic stage is on
+    // the embedding column rides along only when the semantic stage is
+    // on; the priority column only when the election is on
     val carried = col("doc_id") +: col("text") +:
-      semPath.map(_ => col("embedding")).toSeq
+      (semPath.map(_ => col("embedding")).toSeq ++
+        cfg.prioCol.map(col).toSeq)
     def emptyVerdicts: DataFrame = spark.emptyDataFrame
       .select(lit(0L).as("doc_id"), lit("").as("verdict"),
         lit(null).cast("long").as("ref_id"))
@@ -359,23 +377,68 @@ object StreamingCorpusPipeline {
         case None => afterQ0
       }
 
+      // cross-index (priority, id) election, shared by the exact and
+      // near stages — StreamingDedup's rule verbatim: drop iff some
+      // indexed match is at least as trusted (ref = the (prio, id)-min
+      // match); a strictly more trusted clone survives to become
+      // keeper for its batch forward. Without prioCol: min-id, the
+      // original spelling.
+      def electCross(pairs: DataFrame, idxPrios: => DataFrame): DataFrame =
+        cfg.prioCol match {
+          case Some(pc) =>
+            val bp = docs.select(col("doc_id"),
+              coalesce(col(pc).cast("double"), lit(Double.MaxValue))
+                .as("__bp"))
+            val ip = idxPrios.select(col("id").as("dup_of"),
+              coalesce(col("prio"), lit(Double.MaxValue)).as("__ip"))
+            pairs.join(bp, "doc_id").join(ip, "dup_of")
+              .groupBy("doc_id")
+              .agg(
+                min_by(col("dup_of"), struct(col("__ip"), col("dup_of")))
+                  .as("ref_id"),
+                min(col("__ip")).as("__minip"), min(col("__bp")).as("__bp2"))
+              .where(col("__minip") <= col("__bp2"))
+              .select("doc_id", "ref_id")
+          case None =>
+            pairs.groupBy("doc_id").agg(min("dup_of").as("ref_id"))
+        }
+
       // 2a. exact vs the kept corpus (own segment excluded for replay)
       val fpIdx = FingerprintIndex.load(spark, fpPath)
+      cfg.prioCol.foreach(_ => require(fpIdx.hasPriorities,
+        s"Config.prioCol is set but the fingerprint index at $fpPath " +
+          "was built without priorities (FingerprintIndex.build prioCol)"))
       val exPairs =
         if (cfg.bloomGate) fpIdx.dedupBatchBloom(afterQ, excludeSeg = Some(seg))
         else fpIdx.dedupBatch(afterQ, excludeSeg = Some(seg))
-      val exCross = StageTimer.force("exact", keep(exPairs
-        .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
-        .select(col("doc_id"), lit("dup_exact").as("verdict"), col("ref_id"))))
+      val exCross = StageTimer.force("exact", keep(
+        electCross(exPairs, fpIdx.priorities(excludeSeg = Some(seg)))
+          .select(col("doc_id"), lit("dup_exact").as("verdict"), col("ref_id"))))
       val afterExC = minus(afterQ, exCross)
-      // 2b. exact within the batch: first (smallest-id) occurrence kept
+      // 2b. exact within the batch: the (priority, id)-minimum
+      // occurrence kept — first (smallest-id) without prioCol
       val wFp = Window.partitionBy("fp")
-      val exBatch = StageTimer.force("exact", keep(afterExC
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .withColumn("keeper", min("doc_id").over(wFp))
-        .where(col("doc_id") =!= col("keeper"))
-        .select(col("doc_id"), lit("dup_exact_batch").as("verdict"),
-          col("keeper").as("ref_id"))))
+      val exBatch = StageTimer.force("exact", keep(cfg.prioCol match {
+        case Some(pc) =>
+          afterExC
+            .select(col("doc_id"),
+              TextAnalysis.fingerprint(col("text")).as("fp"),
+              coalesce(col(pc).cast("double"), lit(Double.MaxValue))
+                .as("__p"))
+            .withColumn("keeper",
+              min(struct(col("__p"), col("doc_id"))).over(wFp)
+                .getField("doc_id"))
+            .where(col("doc_id") =!= col("keeper"))
+            .select(col("doc_id"), lit("dup_exact_batch").as("verdict"),
+              col("keeper").as("ref_id"))
+        case None =>
+          afterExC
+            .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+            .withColumn("keeper", min("doc_id").over(wFp))
+            .where(col("doc_id") =!= col("keeper"))
+            .select(col("doc_id"), lit("dup_exact_batch").as("verdict"),
+              col("keeper").as("ref_id"))
+      }))
       val afterEx = minus(afterExC, exBatch)
 
       // 3. decontamination: any run of ≥ minLeak shared sampled grams
@@ -406,15 +469,19 @@ object StreamingCorpusPipeline {
       // filtered shingles), instead of re-tokenizing the batch three
       // times.
       val mhIdx = MinHashIndex.load(spark, mhPath)
+      cfg.prioCol.foreach(_ => require(mhIdx.hasPriorities,
+        s"Config.prioCol is set but the MinHash index at $mhPath " +
+          "was built without priorities (MinHashIndex.build prioCol)"))
       def idsOf(d: DataFrame)(t: DataFrame): DataFrame =
         t.join(d.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       val shAll = keep(Dedup.hashShingles(Dedup.shingles(afterC, mhIdx.n)))
       val sigsAll = keep(mhIdx.signaturesOf(shAll))
-      val nearCross = StageTimer.force("near", keep(mhIdx
-        .dedupBatch(afterC, cfg.tau, excludeSeg = Some(seg),
-          shingled = Some(shAll), signatures = Some(sigsAll))
-        .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
-        .select(col("doc_id"), lit("dup_index").as("verdict"), col("ref_id"))))
+      val nearCross = StageTimer.force("near", keep(
+        electCross(
+          mhIdx.dedupBatch(afterC, cfg.tau, excludeSeg = Some(seg),
+            shingled = Some(shAll), signatures = Some(sigsAll)),
+          mhIdx.priorities(excludeSeg = Some(seg)))
+          .select(col("doc_id"), lit("dup_index").as("verdict"), col("ref_id"))))
       val afterNc = StageTimer.time("near")(
         minus(afterC, nearCross).select(carried: _*).localCheckpoint())
       val pairs = Dedup.minhashDuplicates(afterNc, n = mhIdx.n, tau = cfg.tau,
@@ -422,10 +489,19 @@ object StreamingCorpusPipeline {
         shingled = Some(idsOf(afterNc)(shAll)),
         signatures = Some(idsOf(afterNc)(sigsAll)),
         margin = mhIdx.prefilterMargin)
-      val nearBatch = StageTimer.force("near", keep(Dedup.connectedComponents(pairs)
-        .where(col("id") =!= col("root"))
-        .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
-          col("root").as("ref_id"))))
+      val nearBatch = StageTimer.force("near", keep(cfg.prioCol match {
+        case Some(pc) =>
+          Dedup.clusterKeepersPriority(pairs, afterNc,
+              idCol = "doc_id", prioCol = pc)
+            .where(col("id") =!= col("keeper"))
+            .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
+              col("keeper").as("ref_id"))
+        case None =>
+          Dedup.connectedComponents(pairs)
+            .where(col("id") =!= col("root"))
+            .select(col("id").as("doc_id"), lit("dup_batch").as("verdict"),
+              col("root").as("ref_id"))
+      }))
       val afterNear0 = minus(afterNc, nearBatch)
 
       // 4b. winnow stage, when an index is configured: the positional
@@ -534,7 +610,8 @@ object StreamingCorpusPipeline {
       // frames, so it runs FIRST — before any other append's refresh
       // can invalidate them
       semAppend()
-      StageTimer.time("appendFp")(fpIdx.append(survCut, seg = seg))
+      StageTimer.time("appendFp")(
+        fpIdx.append(survCut, seg = seg, prioCol = cfg.prioCol))
       StageTimer.time("append") {
         lnPath.foreach(p =>
           LineIndex.load(spark, p).append(survCut, seg = seg))
@@ -550,7 +627,8 @@ object StreamingCorpusPipeline {
       StageTimer.time("appendMh") {
         mhIdx.append(survCut, seg = seg,
           shingled = Some(idsOf(survCut)(shAll)),
-          signatures = Some(idsOf(survCut)(sigsAll)))
+          signatures = Some(idsOf(survCut)(sigsAll)),
+          prioCol = cfg.prioCol)
       }
     } finally StageTimer.time("cleanup")(
       // REVERSE registration order — dependents before dependencies.

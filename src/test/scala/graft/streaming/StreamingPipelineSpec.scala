@@ -117,6 +117,68 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(indexedIds == idsAfter, "replay changed the index")
   }
 
+  test("priority election in the gauntlet: trusted clones kept at both cross stages, both in-batch keepers beat min-id, replay idempotent") {
+    import spark.implicits._
+    val fpPath = Files.createTempDirectory("cpp-fp").toString
+    val mhPath = Files.createTempDirectory("cpp-mh").toString
+    val vPath = Files.createTempDirectory("cpp-v").toString
+    // crawl seed (prio 1), both indexes carrying priorities
+    val seed = Seq((1L, A, 1.0), (2L, E, 1.0)).toDF("doc_id", "text", "prio")
+    FingerprintIndex.build(seed, fpPath, prioCol = Some("prio"))
+    MinHashIndex.build(seed, mhPath, prioCol = Some("prio"))
+    val pcfg = cfg.copy(prioCol = Some("prio"))
+    def verdicts(batch: Long): Map[Long, (String, Option[Long])] =
+      spark.read.parquet(vPath).where(s"batch = $batch").collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+
+    // 10: TRUSTED exact clone of indexed 1 — kept at the exact cross
+    //     (and again at the near cross, same election);
+    // 11/12: novel IDENTICAL pair, curated id LARGER — the exact
+    //     in-batch election must pick 12 over min-id 11;
+    // 13/14: novel NEAR pair (D vs D1), curated id larger — the near
+    //     in-batch election must pick 14;
+    // 15: crawl exact re-delivery of indexed 1 — drops, ref 1;
+    // 16: crawl NEAR clone of indexed 2 (E1) — drops at near cross
+    val b0 = Seq((10L, A, 0.0), (11L, F, 1.0), (12L, F, 0.0),
+      (13L, D, 1.0), (14L, D1, 0.0), (15L, A, 1.0), (16L, E1, 1.0))
+      .toDF("doc_id", "text", "prio")
+    StreamingCorpusPipeline.processBatch(b0, 0L, fpPath, mhPath, None,
+      vPath, pcfg)
+    val expected = Map(
+      10L -> ("kept", None),
+      11L -> ("dup_exact_batch", Some(12L)),
+      12L -> ("kept", None),
+      13L -> ("dup_batch", Some(14L)),
+      14L -> ("kept", None),
+      15L -> ("dup_exact", Some(1L)),
+      16L -> ("dup_index", Some(2L)))
+    assert(verdicts(0) == expected, s"batch 0: ${verdicts(0)}")
+    // no index rewrite: the displaced crawl copy 1 stays indexed next
+    // to its trusted clone 10, and priorities rode both appends
+    val fpi = FingerprintIndex.load(spark, fpPath)
+    val prios = fpi.priorities().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prios(1L) == 1.0 && prios(10L) == 0.0 && prios(12L) == 0.0)
+    assert(MinHashIndex.load(spark, mhPath).priorities().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 10L, 12L, 14L))
+
+    // replay: own-segment exclusion covers the prio tables, so the
+    // election reproduces verdicts exactly and segments rewrite
+    StreamingCorpusPipeline.processBatch(b0, 0L, fpPath, mhPath, None,
+      vPath, pcfg)
+    assert(verdicts(0) == expected, s"replay: ${verdicts(0)}")
+
+    // batch 1: a crawl clone of trusted keeper 10 resolves to 10, not
+    // to the older min-id crawl copy 1 — keeper-forward semantics
+    StreamingCorpusPipeline.processBatch(
+      Seq((20L, A, 1.0)).toDF("doc_id", "text", "prio"),
+      1L, fpPath, mhPath, None, vPath, pcfg)
+    assert(verdicts(1) == Map(20L -> ("dup_exact", Some(10L))),
+      s"batch 1: ${verdicts(1)}")
+  }
+
   test("ngram-stats accumulator: merged stats track exactly the kept corpus, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
