@@ -576,6 +576,16 @@ object Curation {
                        idCol: String = "doc_id",
                        srcCol: String = "source",
                        textCol: String = "text"): DataFrame = {
+    // precondition (2) enforced, not just documented: a nonzero
+    // maxRecordsPerFile splits shard directories into several files
+    // and silently voids the one-internally-ordered-file-per-shard
+    // contract the dataloader reads by
+    val mrpf = docs.sparkSession.conf
+      .get("spark.sql.files.maxRecordsPerFile", "0")
+    require(mrpf == "0",
+      s"writeEpochShards requires spark.sql.files.maxRecordsPerFile=0 " +
+        s"(found $mrpf): a per-file record cap would split shard " +
+        "directories and break the one-ordered-file-per-shard contract")
     val assigned = epochShards(docs, tau, target, nShards, idCol, srcCol)
     assigned
       .join(docs.select(col(srcCol).as("source"), col(idCol).as("doc_id"),

@@ -44,6 +44,17 @@ final class WinnowIndex private[ext] (val spark: SparkSession, val path: String,
   def fingerprints: DataFrame = table("fps", Seq("id", "h"), None)
   def sizes: DataFrame = table("sizes", Seq("id", "sz"), None)
 
+  /** Whether this index carries per-document priorities (built with
+    * `prioCol`) — [[MinHashIndex.hasPriorities]]'s contract verbatim.
+    */
+  def hasPriorities: Boolean = new java.io.File(path, "prio").isDirectory
+
+  /** The indexed documents' priorities (id, prio) — lower wins, NULL
+    * stored as Double.MaxValue; same exclusion contract as fps.
+    */
+  def priorities(excludeSeg: Option[String] = None): DataFrame =
+    table("prio", Seq("id", "prio"), excludeSeg)
+
   private def fpOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     TextAnalysis.winnowFingerprints(docs, k = k, w = w,
         idCol = idCol, textCol = textCol)
@@ -90,7 +101,8 @@ final class WinnowIndex private[ext] (val spark: SparkSession, val path: String,
     * that segment only (replays rewrite instead of doubling).
     */
   def append(keptDocs: DataFrame, seg: String, idCol: String = "doc_id",
-             textCol: String = "text"): Unit = {
+             textCol: String = "text",
+             prioCol: Option[String] = None): Unit = {
     // cache (not localCheckpoint): both writes share one fingerprint
     // computation, and the unpersist below releases the blocks
     // deterministically — a long-running stream appends thousands of
@@ -100,7 +112,15 @@ final class WinnowIndex private[ext] (val spark: SparkSession, val path: String,
       fp.write.mode("overwrite").parquet(s"$path/fps/seg=$seg")
       fp.groupBy("id").agg(count(lit(1)).as("sz"))
         .write.mode("overwrite").parquet(s"$path/sizes/seg=$seg")
-      Seq("fps", "sizes").foreach(t =>
+      // the prio lifecycle mirrors fps (MinHashIndex.append's contract)
+      if (hasPriorities)
+        keptDocs.select(col(idCol).as("id"),
+            coalesce(prioCol.map(c => col(c).cast("double"))
+              .getOrElse(lit(null).cast("double")), lit(Double.MaxValue))
+              .as("prio"))
+          .write.mode("overwrite").parquet(s"$path/prio/seg=$seg")
+      (Seq("fps", "sizes") ++
+        (if (hasPriorities) Seq("prio") else Nil)).foreach(t =>
         SegmentedTable.refreshParent(spark, s"$path/$t"))
     } finally fp.unpersist(blocking = true): Unit
   }
@@ -121,19 +141,28 @@ final class WinnowIndex private[ext] (val spark: SparkSession, val path: String,
     val b = SegmentedTable.compact(spark, s"$path/sizes", "seg", "base", folds,
       Seq("id", "sz"))
     require(a == b, s"fps/sizes segment sets diverged: $a vs $b")
+    if (hasPriorities)
+      SegmentedTable.compact(spark, s"$path/prio", "seg", "base", folds,
+        Seq("id", "prio"))
     a
   }
 }
 
 object WinnowIndex {
 
-  /** Build and persist over a kept corpus (replaces anything at `path`). */
+  /** Build and persist over a kept corpus (replaces anything at `path`).
+    * `prioCol = Some(c)` turns the priority table on for this index's
+    * lifetime ([[MinHashIndex.build]]'s contract).
+    */
   def build(docs: DataFrame, path: String, k: Int = 8, w: Int = 8,
-            idCol: String = "doc_id", textCol: String = "text"): WinnowIndex = {
+            idCol: String = "doc_id", textCol: String = "text",
+            prioCol: Option[String] = None): WinnowIndex = {
     SegmentedTable.deleteRecursively(new java.io.File(path))
     Files.createDirectories(Paths.get(path))
+    if (prioCol.isDefined) Files.createDirectories(Paths.get(path, "prio"))
     val idx = new WinnowIndex(docs.sparkSession, path, k, w)
-    idx.append(docs, seg = "base", idCol = idCol, textCol = textCol)
+    idx.append(docs, seg = "base", idCol = idCol, textCol = textCol,
+      prioCol = prioCol)
     Files.write(Paths.get(path, "_params"),
       s"k=$k\nw=$w\n".getBytes(StandardCharsets.UTF_8))
     idx

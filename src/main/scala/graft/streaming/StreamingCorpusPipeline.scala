@@ -106,20 +106,21 @@ object StreamingCorpusPipeline {
       // Unicode-normalize batch text (NFC/NFD/NFKC/NFKD) before every
       // stage — see the stage-0 note in processBatch. None = off.
       normalizeForm: Option[String] = None,
-      // Priority keeper election for the CONTENT-IDENTITY stages
-      // (exact + near-dup) — [[graft.streaming.StreamingDedup]]'s
+      // Priority keeper election for the dedup stages (exact +
+      // near-dup + winnow) — [[graft.streaming.StreamingDedup]]'s
       // (priority, id) rule verbatim: in-batch groups/components elect
       // the (priority, id)-minimum member; vs the indexes, an indexed
       // survivor stays keeper against an equal-or-lower-priority clone
       // while a STRICTLY more trusted late clone is kept and becomes
       // keeper for its batch forward (no index rewrite — the
-      // exactly-once departure from the batch-global election). Both
-      // indexes must have been built with priorities. The winnow /
-      // semantic / line stages keep their first-kept/min-id keepers:
-      // they match on positional or embedding signals where the copies
-      // are NOT byte-interchangeable, so "which copy is the trusted
-      // one" is a curation decision those stages don't own — extending
-      // them is a mechanical repeat of the same prio-table lifecycle.
+      // exactly-once departure from the batch-global election). Every
+      // participating index (fp, MinHash, and winnow when that stage
+      // is on) must have been built with priorities. The semantic /
+      // line stages keep their first-kept/min-id keepers: they match
+      // on embedding or per-line signals where the copies are NOT
+      // byte-interchangeable, so "which copy is the trusted one" is a
+      // curation decision those stages don't own — extending them is a
+      // mechanical repeat of the same prio-table lifecycle.
       prioCol: Option[String] = None,
       quality: DataFrame => DataFrame =
         d => TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep")))
@@ -514,20 +515,34 @@ object StreamingCorpusPipeline {
       val (winCross, winBatch, afterNear) = winPath match {
         case Some(p) =>
           val winIdx = WinnowIndex.load(spark, p)
-          val wCross = StageTimer.force("winnow", keep(winIdx
-            .dedupBatch(afterNear0, cfg.winTau, cfg.winMaxDf,
-              excludeSeg = Some(seg))
-            .groupBy("doc_id").agg(min("dup_of").as("ref_id"))
-            .select(col("doc_id"), lit("dup_winnow").as("verdict"),
-              col("ref_id"))))
+          cfg.prioCol.foreach(_ => require(winIdx.hasPriorities,
+            s"Config.prioCol is set but the winnow index at $p was " +
+              "built without priorities (WinnowIndex.build prioCol)"))
+          val wCross = StageTimer.force("winnow", keep(
+            electCross(
+              winIdx.dedupBatch(afterNear0, cfg.winTau, cfg.winMaxDf,
+                excludeSeg = Some(seg)),
+              winIdx.priorities(excludeSeg = Some(seg)))
+              .select(col("doc_id"), lit("dup_winnow").as("verdict"),
+                col("ref_id"))))
           val afterWc = minus(afterNear0, wCross)
           val wPairs = Dedup.winnowPairs(afterWc, k = winIdx.k, w = winIdx.w,
             tau = cfg.winTau, maxHashFreq = cfg.winMaxDf)
-          val wBatch = StageTimer.force("winnow",
-            keep(Dedup.connectedComponents(wPairs.select("a", "b"))
-              .where(col("id") =!= col("root"))
-              .select(col("id").as("doc_id"), lit("dup_winnow_batch").as("verdict"),
-                col("root").as("ref_id"))))
+          val wBatch = StageTimer.force("winnow", keep(cfg.prioCol match {
+            case Some(pc) =>
+              Dedup.clusterKeepersPriority(wPairs.select("a", "b"), afterWc,
+                  idCol = "doc_id", prioCol = pc)
+                .where(col("id") =!= col("keeper"))
+                .select(col("id").as("doc_id"),
+                  lit("dup_winnow_batch").as("verdict"),
+                  col("keeper").as("ref_id"))
+            case None =>
+              Dedup.connectedComponents(wPairs.select("a", "b"))
+                .where(col("id") =!= col("root"))
+                .select(col("id").as("doc_id"),
+                  lit("dup_winnow_batch").as("verdict"),
+                  col("root").as("ref_id"))
+          }))
           (wCross, wBatch, keep(minus(afterWc, wBatch)))
         case None =>
           (emptyVerdicts, emptyVerdicts, afterNear0)
@@ -616,7 +631,8 @@ object StreamingCorpusPipeline {
         lnPath.foreach(p =>
           LineIndex.load(spark, p).append(survCut, seg = seg))
         winPath.foreach(p =>
-          WinnowIndex.load(spark, p).append(survCut, seg = seg))
+          WinnowIndex.load(spark, p).append(survCut, seg = seg,
+            prioCol = cfg.prioCol))
         // survivor n-gram statistics, when configured: the heavy-hitter
         // report tracks the corpus AS CONSTRUCTED (post-cleaning text,
         // drops excluded) — exactly-once by the same

@@ -33,16 +33,18 @@ object StreamingWinnowDedup {
     */
   def start(docs: DataFrame, indexPath: String, verdictPath: String,
             checkpoint: String, tau: Double = 0.5,
-            maxHashFreq: Long = 64, compactEvery: Int = 0): StreamingQuery =
+            maxHashFreq: Long = 64, compactEvery: Int = 0,
+            prioCol: Option[String] = None): StreamingQuery =
     docs
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id") +: col("text") +: prioCol.map(col).toSeq: _*)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          processBatch(batch, batchId, indexPath, verdictPath, tau, maxHashFreq)
+          processBatch(batch, batchId, indexPath, verdictPath, tau,
+            maxHashFreq, prioCol)
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
             WinnowIndex.load(batch.sparkSession, indexPath)
               .compactCommitted(checkpoint): Unit
@@ -52,25 +54,62 @@ object StreamingWinnowDedup {
 
   /** One batch of the rule — public so a batch backfill can apply the
     * IDENTICAL keeper semantics outside a stream.
+    *
+    * `prioCol` upgrades both keeper rules to the (priority, id)
+    * election — [[StreamingDedup.processBatch]]'s semantics verbatim
+    * (indexed survivor stays keeper against equal-or-lower priority; a
+    * strictly more trusted late clone is kept and becomes keeper for
+    * its batch forward, no index rewrite; in-batch components elect
+    * the (priority, id)-minimum via [[Dedup.clusterKeepersPriority]]).
+    * The index must carry priorities ([[WinnowIndex.build]] `prioCol`).
     */
   def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
                    verdictPath: String, tau: Double,
-                   maxHashFreq: Long = 64): Unit = {
+                   maxHashFreq: Long = 64,
+                   prioCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val idx = WinnowIndex.load(spark, indexPath)
-    val docs = batch.select(col("doc_id"), col("text")).cache()
+    prioCol.foreach(_ => require(idx.hasPriorities,
+      s"prioCol is set but the index at $indexPath was built without " +
+        "priorities (WinnowIndex.build prioCol)"))
+    val docs = batch
+      .select(col("doc_id") +: col("text") +: prioCol.map(col).toSeq: _*)
+      .cache()
     try {
-      val cross = idx.dedupBatch(docs, tau, maxHashFreq,
-          excludeSeg = Some(s"b$batchId"))
-        .groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
-        .cache()
+      val rawCross = idx.dedupBatch(docs, tau, maxHashFreq,
+        excludeSeg = Some(s"b$batchId"))
+      val cross = (prioCol match {
+        case Some(pc) =>
+          val bp = docs.select(col("doc_id"),
+            coalesce(col(pc).cast("double"), lit(Double.MaxValue)).as("__bp"))
+          val ip = idx.priorities(excludeSeg = Some(s"b$batchId"))
+            .select(col("id").as("dup_of"),
+              coalesce(col("prio"), lit(Double.MaxValue)).as("__ip"))
+          rawCross.join(bp, "doc_id").join(ip, "dup_of")
+            .groupBy("doc_id")
+            .agg(
+              min_by(col("dup_of"), struct(col("__ip"), col("dup_of")))
+                .as("dup_of"),
+              min(col("__ip")).as("__minip"), min(col("__bp")).as("__bp"))
+            .where(col("__minip") <= col("__bp"))
+            .select("doc_id", "dup_of")
+        case None =>
+          rawCross.groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
+      }).cache()
       val remaining = docs.join(cross.select("doc_id"), Seq("doc_id"), "left_anti")
       val pairs = Dedup.winnowPairs(remaining, k = idx.k, w = idx.w,
         tau = tau, maxHashFreq = maxHashFreq)
-      val comp = Dedup.connectedComponents(pairs.select("a", "b"))
-      val batchDups = comp.where(col("id") =!= col("root"))
-        .select(col("id").as("doc_id"), col("root").as("dup_of"))
-        .cache()
+      val batchDups = (prioCol match {
+        case Some(pc) =>
+          Dedup.clusterKeepersPriority(pairs.select("a", "b"), remaining,
+              idCol = "doc_id", prioCol = pc)
+            .where(col("id") =!= col("keeper"))
+            .select(col("id").as("doc_id"), col("keeper").as("dup_of"))
+        case None =>
+          Dedup.connectedComponents(pairs.select("a", "b"))
+            .where(col("id") =!= col("root"))
+            .select(col("id").as("doc_id"), col("root").as("dup_of"))
+      }).cache()
       val survivors = remaining
         .join(batchDups.select("doc_id"), Seq("doc_id"), "left_anti")
         .cache()
@@ -84,7 +123,7 @@ object StreamingWinnowDedup {
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("doc_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-      idx.append(survivors, seg = s"b$batchId")
+      idx.append(survivors, seg = s"b$batchId", prioCol = prioCol)
       survivors.unpersist(blocking = true)
       batchDups.unpersist(blocking = true)
       cross.unpersist(blocking = true)

@@ -485,6 +485,63 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(segIds == Set(11L), s"replayed segment: $segIds")
   }
 
+  test("streaming winnow dedup with priorities: trusted clone kept, in-batch election beats min-id, replay idempotent") {
+    import spark.implicits._
+    val idxPath = Files.createTempDirectory("winidx-p").toString
+    val vPath = Files.createTempDirectory("winout-p").toString
+    val base = "the committee reviewed the quarterly projections and approved " +
+      "the revised capital allocation plan for the northern region offices"
+    val fresh = "completely novel text about alpine glaciers retreating over " +
+      "granite ridges under a warming spring sun this season"
+    graft.ext.WinnowIndex.build(
+      Seq((1L, base, 1.0)).toDF("doc_id", "text", "prio"), idxPath,
+      prioCol = Some("prio"))
+    def verdicts(batch: Long): Map[Long, (String, Option[Long])] =
+      spark.read.parquet(s"$vPath/batch=$batch").collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+
+    // 10: TRUSTED near-clone of indexed crawl 1 — kept (prio 0 beats
+    //     the indexed copy's 1, no index rewrite);
+    // 11/12: novel in-batch near pair where the CURATED copy has the
+    //     LARGER id — the election must pick 12 over min-id 11;
+    // 13: crawl near-clone of indexed 1 — drops, ref 1
+    val b0 = Seq(
+      (10L, base.replace("northern", "eastern"), 0.0),
+      (11L, fresh, 1.0),
+      (12L, fresh.replace("spring", "summer"), 0.0),
+      (13L, base.replace("northern", "western"), 1.0))
+      .toDF("doc_id", "text", "prio")
+    StreamingWinnowDedup.processBatch(b0, 0L, idxPath, vPath, tau = 0.5,
+      prioCol = Some("prio"))
+    val expected = Map(
+      10L -> ("kept", None),
+      11L -> ("dup_batch", Some(12L)),
+      12L -> ("kept", None),
+      13L -> ("dup_index", Some(1L)))
+    assert(verdicts(0) == expected, s"batch 0: ${verdicts(0)}")
+    // priorities rode the append; the displaced crawl copy 1 stays
+    val idx = graft.ext.WinnowIndex.load(spark, idxPath)
+    val prios = idx.priorities().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prios == Map(1L -> 1.0, 10L -> 0.0, 12L -> 0.0), s"prios: $prios")
+
+    // replay: prio table excluded with the rest — identical verdicts
+    StreamingWinnowDedup.processBatch(b0, 0L, idxPath, vPath, tau = 0.5,
+      prioCol = Some("prio"))
+    assert(verdicts(0) == expected, s"replay: ${verdicts(0)}")
+
+    // batch 1: a crawl near-clone of trusted keeper 10 resolves to the
+    // (prio, id)-min match — 10, not the older min-id crawl copy 1
+    StreamingWinnowDedup.processBatch(
+      Seq((20L, base.replace("northern", "easterly"), 1.0))
+        .toDF("doc_id", "text", "prio"),
+      1L, idxPath, vPath, tau = 0.5, prioCol = Some("prio"))
+    assert(verdicts(1) == Map(20L -> ("dup_index", Some(10L))),
+      s"batch 1: ${verdicts(1)}")
+  }
+
   test("span decontamination rides foreachBatch: per-delivery checks, no state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
