@@ -649,10 +649,13 @@ object Dedup {
                            textCol: String = "text",
                            trainPositions: Option[DataFrame] = None,
                            benchPositions: Option[DataFrame] = None,
-                           maxOccur: Int = 8): DataFrame =
+                           maxOccur: Int = 8,
+                           runs: Option[DataFrame] = None): DataFrame =
     SpanTimer.force("reduce",
-      charGramRunsAgainst(train, bench, k, prefix, minShared, maxGramFreq,
-          maxGap, idCol, textCol, trainPositions, benchPositions, maxOccur)
+      runs.getOrElse(
+          charGramRunsAgainst(train, bench, k, prefix, minShared,
+            maxGramFreq, maxGap, idCol, textCol, trainPositions,
+            benchPositions, maxOccur))
         .groupBy("a", "b")
         .agg(max(col("ext")).as("span"), max(col("cnt")).as("grams"))
         .withColumnRenamed("a", idCol)

@@ -564,6 +564,36 @@ object ExtQueries {
         df
       })
 
+  /** Cross-table (train × bench) diagonal-runs memo per (session, dir):
+    * the decontamination family's shared candidate product — d29's span
+    * reduce and d37's exactify verify both consume exactly this table
+    * (same sampling, caps, and slices), and the gram cross-join under
+    * it was each row's dominant recomputed stage (sst: ~0.6 s in d29 +
+    * ~1.2 s in d37 per run). The gramRunsFor reasoning verbatim: one
+    * corpus, many span signals, one candidate table.
+    */
+  private val gramRunsAgainstMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]()
+
+  private def gramRunsAgainstFor(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame =
+    gramRunsAgainstMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val d = docs(s, dir)
+        val pos = gramPositionsFor(s, dir, 16, "0")
+        val df = Dedup.charGramRunsAgainst(
+            d.where(col("doc_id") % 20 =!= 0),
+            d.where(col("doc_id") % 20 === 0),
+            k = 16, prefix = "0", minShared = 2, maxGramFreq = 200,
+            maxGap = 64,
+            trainPositions = Some(pos.where(col("id") % 20 =!= 0)),
+            benchPositions = Some(pos.where(col("id") % 20 === 0)))
+          .cache()
+        df.count()
+        df
+      })
+
   /** EXACT diagonal-runs memo per (session, dir): [[Dedup.exactGramRuns]]
     * — every gram, strictly consecutive runs — shared by the exact span
     * queries (d35 extents + d36 removal) the way [[gramRunsFor]] serves
@@ -5295,14 +5325,11 @@ object ExtQueries {
       // train-side only. Full oracle incl. the run window.
       (s, dir) => {
         val d = docs(s, dir)
-        val pos = gramPositionsFor(s, dir, 16, "0")
         Dedup.charGramSpansAgainst(
             d.where(col("doc_id") % 20 =!= 0),
             d.where(col("doc_id") % 20 === 0),
             k = 16, prefix = "0", minShared = 2, maxGramFreq = 200,
-            maxGap = 64,
-            trainPositions = Some(pos.where(col("id") % 20 =!= 0)),
-            benchPositions = Some(pos.where(col("id") % 20 === 0)))
+            maxGap = 64, runs = Some(gramRunsAgainstFor(s, dir)))
           .orderBy("doc_id", "bench_id")
       },
       """WITH g0 AS (
@@ -5945,14 +5972,9 @@ object ExtQueries {
       // longest leaked span and the count of exact leaked runs.
       (s, dir) => {
         val d = docs(s, dir)
-        val pos = gramPositionsFor(s, dir, 16, "0")
         val train = d.where(col("doc_id") % 20 =!= 0)
         val bench = d.where(col("doc_id") % 20 === 0)
-        Dedup.exactifyRuns(train,
-            Dedup.charGramRunsAgainst(train, bench, k = 16, prefix = "0",
-              minShared = 2, maxGramFreq = 200, maxGap = 64,
-              trainPositions = Some(pos.where(col("id") % 20 =!= 0)),
-              benchPositions = Some(pos.where(col("id") % 20 === 0))),
+        Dedup.exactifyRuns(train, gramRunsAgainstFor(s, dir),
             minKeep = 16, slack = 64, docsB = Some(bench))
           .groupBy(col("a").as("doc_id"), col("b").as("bench_id"))
           .agg(max(col("ext")).as("span"), count(lit(1)).as("nruns"))
