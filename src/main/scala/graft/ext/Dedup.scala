@@ -1555,6 +1555,46 @@ object Dedup {
     withP.join(keepers, "root").select(col("id"), col("root"), col("keeper"))
   }
 
+  /** The CROSS-INDEX (priority, id) election every streaming dedup face
+    * shares ([[graft.streaming.StreamingDedup]] /
+    * [[graft.streaming.StreamingWinnowDedup]] / the gauntlet's exact,
+    * near, and winnow stages) — ONE definition point for the
+    * exactly-once keeper rule: a batch doc DROPS iff some indexed match
+    * is at least as trusted (its `dup_of` = the (priority, id)-minimum
+    * match — the most trusted copy, id breaking ties); a doc strictly
+    * more trusted than every indexed match falls through to survive and
+    * become keeper for its batch forward. NULL priorities compare as
+    * Double.MaxValue (lose), [[exactGroupsPriority]]'s convention.
+    *
+    * Scale shape: one equi-join of the batch's candidate pairs against
+    * the index's (id, prio) table — the same cost class as the pairing
+    * join that produced them (batch-side small, nothing quadratic) —
+    * and the election itself is a map-side `min_by` partial aggregate.
+    *
+    * @param pairs cross-dedup candidates (idCol, refCol, ...) — a
+    *        dedupBatch output
+    * @param batch the delivery frame carrying `prioCol` (joined on
+    *        idCol; extra columns ignored)
+    * @param idxPrios the index's (id, prio) table, replay-excluded by
+    *        the caller
+    * @return (idCol, refCol) — the dropped docs with elected refs
+    */
+  def electCrossKeepers(pairs: DataFrame, batch: DataFrame, prioCol: String,
+                        idxPrios: DataFrame, idCol: String = "doc_id",
+                        refCol: String = "dup_of"): DataFrame = {
+    val bp = batch.select(col(idCol),
+      coalesce(col(prioCol).cast("double"), lit(Double.MaxValue)).as("__bp"))
+    val ip = idxPrios.select(col("id").as(refCol),
+      coalesce(col("prio"), lit(Double.MaxValue)).as("__ip"))
+    pairs.join(bp, idCol).join(ip, refCol)
+      .groupBy(idCol)
+      .agg(
+        min_by(col(refCol), struct(col("__ip"), col(refCol))).as(refCol),
+        min(col("__ip")).as("__minip"), min(col("__bp")).as("__bp"))
+      .where(col("__minip") <= col("__bp"))
+      .select(idCol, refCol)
+  }
+
   /** The full near-dup curation pipeline: cluster transitively-connected
     * Jaccard duplicates, keep one document per cluster (the min-id root),
     * report per-source corpus stats over the survivors. This is d07's

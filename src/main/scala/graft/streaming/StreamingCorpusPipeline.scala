@@ -387,19 +387,8 @@ object StreamingCorpusPipeline {
       def electCross(pairs: DataFrame, idxPrios: => DataFrame): DataFrame =
         cfg.prioCol match {
           case Some(pc) =>
-            val bp = docs.select(col("doc_id"),
-              coalesce(col(pc).cast("double"), lit(Double.MaxValue))
-                .as("__bp"))
-            val ip = idxPrios.select(col("id").as("dup_of"),
-              coalesce(col("prio"), lit(Double.MaxValue)).as("__ip"))
-            pairs.join(bp, "doc_id").join(ip, "dup_of")
-              .groupBy("doc_id")
-              .agg(
-                min_by(col("dup_of"), struct(col("__ip"), col("dup_of")))
-                  .as("ref_id"),
-                min(col("__ip")).as("__minip"), min(col("__bp")).as("__bp2"))
-              .where(col("__minip") <= col("__bp2"))
-              .select("doc_id", "ref_id")
+            Dedup.electCrossKeepers(pairs, docs, pc, idxPrios)
+              .withColumnRenamed("dup_of", "ref_id")
           case None =>
             pairs.groupBy("doc_id").agg(min("dup_of").as("ref_id"))
         }

@@ -80,19 +80,8 @@ object StreamingWinnowDedup {
         excludeSeg = Some(s"b$batchId"))
       val cross = (prioCol match {
         case Some(pc) =>
-          val bp = docs.select(col("doc_id"),
-            coalesce(col(pc).cast("double"), lit(Double.MaxValue)).as("__bp"))
-          val ip = idx.priorities(excludeSeg = Some(s"b$batchId"))
-            .select(col("id").as("dup_of"),
-              coalesce(col("prio"), lit(Double.MaxValue)).as("__ip"))
-          rawCross.join(bp, "doc_id").join(ip, "dup_of")
-            .groupBy("doc_id")
-            .agg(
-              min_by(col("dup_of"), struct(col("__ip"), col("dup_of")))
-                .as("dup_of"),
-              min(col("__ip")).as("__minip"), min(col("__bp")).as("__bp"))
-            .where(col("__minip") <= col("__bp"))
-            .select("doc_id", "dup_of")
+          Dedup.electCrossKeepers(rawCross, docs, pc,
+            idx.priorities(excludeSeg = Some(s"b$batchId")))
         case None =>
           rawCross.groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
       }).cache()
