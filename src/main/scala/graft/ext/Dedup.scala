@@ -940,27 +940,36 @@ object Dedup {
       array_join(kept, sep).as(textCol))
   }
 
+  /** @param prioCol optional per-document trust rank (smaller = more
+    *        trusted, the d73/d74 convention): the keeper copy of a
+    *        duplicate line comes from the most-trusted document — which
+    *        changes WHICH doc sheds the line, never which line text
+    *        survives. None keeps the corpus-order (id, idx) rule.
+    */
   def dedupLines(docs: DataFrame, sep: String = "\n", minLen: Int = 15,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 prioCol: Option[String] = None): DataFrame = {
+    val prio = prioCol.map(col).getOrElse(lit(0L))
     val lines = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .select(col("id"),
+      .select(col(idCol).as("id"), col(textCol).as("t"), prio.as("prio"))
+      .select(col("id"), col("prio"),
         posexplode(split(col("t"), java.util.regex.Pattern.quote(sep)))
           .as(Seq("idx", "line")))
-    // keeper = min (id, idx) per line as a struct-min AGGREGATE, not a
-    // row_number window: a universal banner line would put its entire
-    // corpus-wide occurrence list through one window task, while the
-    // aggregate's partials collapse map-side — the 10k-way (or 10⁹-way)
-    // repeated line reduces inside each input split before shuffling
-    // one row per (line, split). The struct carries the line text, so
-    // no join back is needed; (id, idx) is unique, so the min is the
-    // first corpus-order occurrence exactly.
+    // keeper = min (prio, id, idx) per line as a struct-min AGGREGATE,
+    // not a row_number window: a universal banner line would put its
+    // entire corpus-wide occurrence list through one window task, while
+    // the aggregate's partials collapse map-side — the 10k-way (or
+    // 10⁹-way) repeated line reduces inside each input split before
+    // shuffling one row per (line, split). The struct carries the line
+    // text, so no join back is needed; (id, idx) is unique, so the min
+    // is the most-trusted-then-first-corpus-order occurrence exactly.
     val eligible = lines.where(length(col("line")) >= minLen)
       .groupBy(md5(col("line").cast("binary")).as("lh"))
-      .agg(min(struct(col("id"), col("idx"), col("line"))).as("k"))
+      .agg(min(struct(col("prio"), col("id"), col("idx"), col("line"))).as("k"))
       .select(col("k.id").as("id"), col("k.idx").as("idx"),
         col("k.line").as("line"))
     val exempt = lines.where(length(col("line")) < minLen)
+      .select(col("id"), col("idx"), col("line"))
     val rebuilt = eligible.unionByName(exempt)
       .groupBy("id")
       .agg(array_join(

@@ -203,7 +203,16 @@ final class FingerprintIndex private[ext] (val spark: SparkSession,
   private def writeBloom(seg: String): Unit = {
     val segFps = spark.read.parquet(s"$path/fps/seg=$seg")
     val n = math.max(segFps.count(), 1L)
-    val bf = segFps.stat.bloomFilter(xxhash64(col("fp")), n, fpp)
+    // an EMPTY segment (a batch whose documents all dropped) must still
+    // get a sidecar — stat.bloomFilter NPEs on zero rows (its aggregated
+    // buffer stays null), and a missing sidecar would permanently
+    // degrade the whole gate to the exact join (the all-or-nothing rule
+    // in `blooms`). An empty filter of the right shape says "no hits",
+    // which is exactly the truth for an empty segment.
+    val bf =
+      if (segFps.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+      else segFps.stat.bloomFilter(xxhash64(col("fp")), n, fpp)
     val f = new File(path, s"bloom/seg=$seg.bf")
     val out = Files.newOutputStream(f.toPath)
     try bf.writeTo(out) finally out.close()

@@ -37,11 +37,11 @@ final class LineIndex private[ext] (val spark: SparkSession, val path: String,
     excludeSeg.fold(raw)(s => raw.where(col("seg") =!= s)).select("lh")
   }
 
-  private def lineTable(docs: DataFrame, idCol: String,
-                        textCol: String): DataFrame =
+  private def lineTable(docs: DataFrame, idCol: String, textCol: String,
+                        prio: org.apache.spark.sql.Column = lit(0L)): DataFrame =
     docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .select(col("id"),
+      .select(col(idCol).as("id"), col(textCol).as("t"), prio.as("prio"))
+      .select(col("id"), col("prio"),
         posexplode(split(col("t"), java.util.regex.Pattern.quote(sep)))
           .as(Seq("idx", "line")))
 
@@ -53,12 +53,25 @@ final class LineIndex private[ext] (val spark: SparkSession, val path: String,
     * @param excludeSeg a replaying micro-batch passes its OWN segment so
     *        its earlier (possibly partial) append is invisible and the
     *        replay reproduces the original cleaning.
+    * @param prioCol optional per-document trust rank (smaller = more
+    *        trusted): the WITHIN-batch keeper copy of a repeated line is
+    *        elected by (prio, id, idx) — the d73/d81 election at line
+    *        grain. ACROSS batches the indexed line always wins,
+    *        regardless of a later copy's trust: the index stores only
+    *        line hashes (no keeper identity to upgrade), the earlier
+    *        keeper's batch directory is already published, and re-keeping
+    *        boilerplate in a later trusted doc would double-publish the
+    *        very text the operator exists to shed — the forward-only
+    *        tension resolved the opposite way from the document faces,
+    *        deliberately (DEDUP.md's matrix has the rationale).
     * @return (idCol, textCol) — the cleaned delivery
     */
   def dedupLinesBatch(newDocs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
-                      excludeSeg: Option[String] = None): DataFrame = {
-    val lines = lineTable(newDocs, idCol, textCol)
+                      excludeSeg: Option[String] = None,
+                      prioCol: Option[String] = None): DataFrame = {
+    val lines = lineTable(newDocs, idCol, textCol,
+      prioCol.map(col).getOrElse(lit(0L)))
     // batch-internal keeper as a struct-min aggregate, not a window —
     // [[Dedup.dedupLines]]'s skew reasoning: a banner repeated across
     // the whole delivery collapses map-side instead of sorting through
@@ -67,10 +80,11 @@ final class LineIndex private[ext] (val spark: SparkSession, val path: String,
       .withColumn("lh", md5(col("line").cast("binary")))
       .join(indexed(excludeSeg), Seq("lh"), "left_anti")
       .groupBy("lh")
-      .agg(min(struct(col("id"), col("idx"), col("line"))).as("k"))
+      .agg(min(struct(col("prio"), col("id"), col("idx"), col("line"))).as("k"))
       .select(col("k.id").as("id"), col("k.idx").as("idx"),
         col("k.line").as("line"))
-      .unionByName(lines.where(length(col("line")) < minLen))
+      .unionByName(lines.where(length(col("line")) < minLen)
+        .select(col("id"), col("idx"), col("line")))
     val rebuilt = kept.groupBy("id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("idx"), col("line")))),

@@ -15,9 +15,16 @@ import graft.model.RetentionPolicy
   *   - points older than total retention are silently dropped
   *     (whisper.py:781-782); future points (age<0) land in level 0 —
   *     update_many does NOT reject them (contrast file_update:693-696);
-  *   - within a level, same-interval duplicates collapse to the LAST
-  *     written point (whisper.py:806-808) — "last" = arrival order, which
-  *     callers encode in the `seq` column.
+  *   - within a level, same-interval duplicates collapse to the point the
+  *     reference's ring write leaves standing (whisper.py:748,806-808 plus
+  *     the full-list reverse at 770/788): points are sorted by timestamp
+  *     (descending, STABLE) and then reversed, so the run of duplicates is
+  *     ascending-by-ts with equal-ts points in REVERSED listed order, and
+  *     "take last in run" keeps the MAX-timestamp point, first-LISTED on
+  *     exact timestamp ties. The LWW key is therefore (ts asc, seq desc),
+  *     NOT plain arrival order — verified against the executing reference
+  *     by [[graft.tools.DiffFuzz]] (arrival-order max_by diverged on
+  *     same-interval duplicates).
   */
 object Ingest {
 
@@ -56,9 +63,12 @@ object Ingest {
       .withColumn("level", levelFor(lit(now) - col("ts"), policy))
       .where(col("level").isNotNull)
       .withColumn("interval", Grid.align(col("ts"), stepForLevel))
-      // Last write wins per slot: max_by over arrival order. One shuffle,
-      // with map-side partial aggregation.
+      // Winner per slot: max timestamp, then FIRST-listed on ts ties
+      // (see scaladoc) — struct ordering gives the lexicographic
+      // (ts asc, -seq asc) max. One shuffle, with map-side partial
+      // aggregation.
       .groupBy(col("metric"), col("level"), col("interval"))
-      .agg(max_by(col("value"), col("seq")).as("value"))
+      .agg(max_by(col("value"), struct(col("ts"), (-col("seq")).as("negseq")))
+        .as("value"))
   }
 }

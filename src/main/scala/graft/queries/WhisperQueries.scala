@@ -67,7 +67,7 @@ object WhisperQueries {
     * computation instead of re-ingesting per query.
     */
   private val l0memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new Memo[DataFrame]("l0")
 
   def level0(s: SparkSession, dir: String): DataFrame =
     l0memo.computeIfAbsent(
@@ -83,7 +83,7 @@ object WhisperQueries {
     * query is what w23 times/validates, not the (w20-covered) ingest.
     */
   private val w23memo =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+    new Memo[graft.store.MetricStore]("w23")
 
   private def w23Store(s: SparkSession, dir: String): graft.store.MetricStore =
     w23memo.computeIfAbsent(
@@ -112,7 +112,7 @@ object WhisperQueries {
     * (session, dir) like w23.
     */
   private val w24memo =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+    new Memo[graft.store.MetricStore]("w24")
 
   private def w24Store(s: SparkSession, dir: String): graft.store.MetricStore =
     w24memo.computeIfAbsent(
@@ -138,7 +138,7 @@ object WhisperQueries {
     * both xff=0 `last`. Ingested once per (session, dir) like w23/w24.
     */
   private val w30memo =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+    new Memo[graft.store.MetricStore]("w30")
 
   private def w30Store(s: SparkSession, dir: String): graft.store.MetricStore =
     w30memo.computeIfAbsent(
@@ -172,7 +172,7 @@ object WhisperQueries {
     * (session, dir) like w23/w24.
     */
   private val w31memo =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+    new Memo[graft.store.MetricStore]("w31")
 
   private def w31Store(s: SparkSession, dir: String): graft.store.MetricStore =
     w31memo.computeIfAbsent(
@@ -206,7 +206,7 @@ object WhisperQueries {
     */
   private val W25Xff = 0.05f
   private val w25memo =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.store.MetricStore]()
+    new Memo[graft.store.MetricStore]("w25")
 
   private def w25Store(s: SparkSession, dir: String): graft.store.MetricStore =
     w25memo.computeIfAbsent(
@@ -255,7 +255,11 @@ object WhisperQueries {
       |         event_id AS seq
       |  FROM events
       |), l0 AS (
-      |  SELECT metric, tsec - tsec % 60 AS interval, max_by(value, seq) AS value
+      |  -- whisper duplicate resolution (whisper.py:748,770,806-808): max
+      |  -- timestamp wins, first-arrival on exact ts ties — the HUGEINT
+      |  -- key tsec*1e10 - seq is monotone in (tsec asc, seq desc)
+      |  SELECT metric, tsec - tsec % 60 AS interval,
+      |         max_by(value, tsec::HUGEINT * 10000000000 - seq) AS value
       |  FROM base GROUP BY 1, 2
       |)""".stripMargin
 

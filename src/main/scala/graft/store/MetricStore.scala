@@ -941,17 +941,24 @@ final class MetricStore(val spark: SparkSession, val root: String,
         deferredMirror = None
         val propagatedAny = touchedP.nonEmpty
         val directN = directCounts.getOrElse(i, 0L)
-        // ONE upsert per level: direct writes (prio 0) fused with
-        // propagated windows (prio 1, propagate beats direct —
-        // whisper.py:858-875 writes points then overwrites propagated
-        // slots). Pre-merged when both exist so the fresh-level fast
-        // path (which skips merging) never sees duplicate slots.
+        // ONE upsert per level: direct writes (prio 2) fused with
+        // propagated windows (prio 1) — DIRECT BEATS PROPAGATED within a
+        // batch: file_update_many commits archives finest-first, so by
+        // the time archive i's own points are written, every
+        // propagation INTO archive i (the finer archives' chains,
+        // whisper.py:858-875) has already landed, and the direct write
+        // physically overwrites the shared slot. (The pre-r13 spelling
+        // had this backwards — caught by tools/DiffFuzz on batches whose
+        // deep-direct points share a window with finer points; the
+        // reference kept the raw point, graft kept the rollup.)
+        // Pre-merged when both exist so the fresh-level fast path
+        // (which skips merging) never sees duplicate slots.
         if (propagatedAny || directN > 0) {
           // a direct-written point at level i IS a single raw observation:
           // known=1, vsum=value
           def directRows = routed.where(col("level") === i)
             .select(col("metric"), col("interval"), col("value"),
-              lit(1L).as("known"), col("value").as("vsum"), lit(0L).as("prio"))
+              lit(1L).as("known"), col("value").as("vsum"), lit(2L).as("prio"))
           val incoming =
             if (directN == 0L) propagated.withColumn("prio", lit(1L))
             else if (!propagatedAny) directRows
@@ -972,8 +979,8 @@ final class MetricStore(val spark: SparkSession, val root: String,
           .select("metric", "interval")
           .unionByName(routed.where(col("level") === i).select("metric", "interval"))
         // maintain the in-memory mirror of level i for the next step:
-        // direct writes merged with propagated windows, propagate wins —
-        // exactly what the two upserts just materialized on disk
+        // direct writes merged with propagated windows, DIRECT wins —
+        // exactly what the fused upsert just materialized on disk
         prevContent = {
           def directMirror = routed.where(col("level") === i)
             .select(col("metric"), col("interval"), col("value"),
@@ -984,7 +991,7 @@ final class MetricStore(val spark: SparkSession, val root: String,
           else if (!propagatedAny) Some(directMirror)
           else
             Some(
-              directMirror.withColumn("prio", lit(0L))
+              directMirror.withColumn("prio", lit(2L))
                 .unionByName(propagated
                   .select(col("metric"), col("interval"), col("value"),
                     col("known"), col("vsum"))
@@ -1105,30 +1112,95 @@ final class MetricStore(val spark: SparkSession, val root: String,
   }
 
   /** whisper merge: src overwrites dst at src's non-null slots, per level
-    * (whisper.py:1076-1093). Implemented as a prio-1 upsert of src's rows
+    * (whisper.py:1051-1095). Implemented as a prio-1 upsert of src's rows
     * relabeled to dst.
+    *
+    * Reference clamp semantics (whisper.py:1062-1093): untilTime defaults
+    * to `now`, fromTime to 0; inverted ranges raise; each archive clamps
+    * fromTime to its own retention window and is skipped entirely when
+    * untilTime predates it. The copied slot range is the archive-fetch
+    * grid (alignDown(from)+step, alignDown(until)+step].
     */
   def mergeMetric(src: String, dst: String,
                   timeFrom: Option[Long] = None,
-                  timeTo: Option[Long] = None): Unit = {
+                  timeTo: Option[Long] = None,
+                  now: Long = System.currentTimeMillis() / 1000): Unit = {
     val p = requireSameConfig(src, dst)
+    val untilTime = timeTo.getOrElse(now)
+    val fromTime = timeFrom.getOrElse(0L)
+    // whisper.py:1073-1074 — a ValueError in the reference
+    if (untilTime < fromTime)
+      throw new IllegalArgumentException("time_to must be >= time_from")
     // whisper merge copies each archive independently: a window where
     // both metrics hold level-0 points gets src's rollup row but the
     // UNION of points — dst's levels stop being its level-0 cascade
     markRollupsDiverged()
+    val dstPolicy = policies()(dst) // propagation uses DST's xff/method
     p.levels.zipWithIndex.foreach {
       case (lvl, i) =>
-        // optional [time_from, time_to] clamp (whisper.py:1062-1074)
-        val clamped = Seq(
-          timeFrom.map(col("interval") >= _),
-          timeTo.map(col("interval") <= _)
-        ).flatten.foldLeft(col("metric") === src)(_ && _)
-        // counts travel with the copied rows (withCountCols keeps deep
-        // levels' known/vsum; level 0 has none)
-        val srcRows = withCountCols(levelData(i).where(clamped), i)
-          .withColumn("metric", lit(dst))
-          .withColumn("prio", lit(1L))
-        if (!srcRows.isEmpty) upsertLevel(i, lvl.secondsPerPoint, srcRows)
+        val archiveFrom = math.max(fromTime, now - lvl.retention) // whisper.py:1081-1082
+        if (untilTime >= now - lvl.retention) { // skip-too-old, whisper.py:1084-1085
+          // __archive_fetch grid endpoints (whisper.py:970-976)
+          val step = lvl.secondsPerPoint.toLong
+          val lo = Grid.alignDown(archiveFrom, step) + step
+          val hi0 = Grid.alignDown(untilTime, step) + step
+          val hi = if (hi0 == lo) lo + step else hi0
+          val clamped = col("metric") === src &&
+            col("interval") >= lo && col("interval") < hi
+          // counts travel with the copied rows (withCountCols keeps deep
+          // levels' known/vsum; level 0 has none)
+          val srcRows = withCountCols(levelData(i).where(clamped), i)
+            .withColumn("metric", lit(dst))
+            .withColumn("prio", lit(1L))
+          // materialize the copied intervals BEFORE the upsert rewrites
+          // this level's partitions (a post-upsert plan over the pre-
+          // upsert file listing reads deleted files). Driver-sized: the
+          // set is bounded by the archive's ring capacity — the same
+          // bound the reference's in-memory pointsToWrite list has
+          // (whisper.py:1087-1093).
+          val srcIntervals = levelData(i).where(clamped)
+            .select("interval").distinct().collect().map(_.getLong(0))
+          if (srcIntervals.nonEmpty) {
+            upsertLevel(i, lvl.secondsPerPoint, srcRows)
+            // Reference merge PROPAGATES each archive's write into the
+            // deeper archives before the next archive's direct copy
+            // (whisper.py:1095 -> __archive_update_many:859-875): every
+            // window of the MERGED dst content touched by the copied
+            // points is re-consolidated with dst's kernel + xff, stopping
+            // at the first level where no window passes. The next outer
+            // iteration's direct copy then overwrites these propagated
+            // slots wherever src holds deep rows (later upsert wins,
+            // prio 1 over existing -1) — the same write order as the
+            // reference. Touched windows for EVERY depth are re-fit from
+            // the ORIGINAL copied intervals (whisper.py:866-869).
+            // Pinned against the executing reference by tools/DiffFuzz:
+            // the pre-r13 copy-only merge left merged-but-uncascaded
+            // windows stale on the deep archives.
+            val touched = spark
+              .createDataset(srcIntervals.toSeq)(
+                org.apache.spark.sql.Encoders.scalaLong)
+              .toDF("interval")
+              .withColumn("metric", lit(dst))
+            var higherIdx = i
+            var j = i + 1
+            var continue = true
+            while (continue && j < p.levels.size) {
+              val hStep = p.levels(higherIdx).secondsPerPoint
+              val lStep = p.levels(j).secondsPerPoint
+              val passed = Rollup.propagateTouchedCounted(
+                withCountCols(levelData(higherIdx)
+                  .where(col("metric") === dst), higherIdx),
+                touched, hStep, lStep,
+                dstPolicy.aggregation, dstPolicy.xff)
+              if (passed.isEmpty) continue = false
+              else {
+                upsertLevel(j, lStep, passed.withColumn("prio", lit(1L)))
+                higherIdx = j
+                j += 1
+              }
+            }
+          }
+        }
     }
   }
 
@@ -1165,13 +1237,18 @@ final class MetricStore(val spark: SparkSession, val root: String,
       .reduce(_.unionByName(_))
   }
 
-  /** [[diffMetrics]] with the reference CLI's envelope
-    * (bin/whisper-diff.py:41-112 over whisper.py:1098-1130): the compare
-    * is clamped to each level's fetch window — (now−retention, until] on
-    * the level's slot grid — and each level reports the TOTAL number of
-    * grid slots compared, so `--summary` can print "N of M datapoints
-    * differ" without scanning. Returns (diff rows as in [[diffMetrics]],
-    * per-level total slot counts).
+  /** [[diffMetrics]] with the reference CLI's envelope (whisper.py:
+    * 1105-1149): each archive compares its fetch grid over
+    * [now − retention, untilTime], where untilTime starts at the caller's
+    * until (or `now` — NOT clamped to now, whisper.py:1120-1124) and
+    * SHRINKS per archive to min(previous archive's startTime, untilTime)
+    * (whisper.py:1148) — deeper archives only compare the range the finer
+    * ones did not cover. The per-level `total` is the number of compared
+    * slots AFTER the empty-slot filter (whisper.py:1140-1147: slots where
+    * either side is non-null, or BOTH for ignore_empty), i.e. the "N of M
+    * datapoints" denominator the CLI prints. Both semantics are pinned
+    * against the executing reference by [[graft.tools.DiffFuzz]] (the
+    * pre-r13 fixed-until, dense-grid-total variant diverged).
     */
   def diffMetricsDetail(a: String, b: String,
                         until: Option[Long] = None,
@@ -1179,23 +1256,33 @@ final class MetricStore(val spark: SparkSession, val root: String,
                         now: Long = System.currentTimeMillis() / 1000)
       : (DataFrame, Seq[Long]) = {
     val p = requireSameConfig(a, b)
-    val untilT = math.min(until.getOrElse(now), now)
+    var untilT = until.getOrElse(now)
     val perLevel = p.levels.zipWithIndex.map {
       case (lvl, i) =>
         val step = lvl.secondsPerPoint.toLong
-        def align(t: Long) = t - Math.floorMod(t, step)
-        // whisper fetch endpoints: slots (align(from), align(until)]
-        val lo = align(now - lvl.retention) + step
-        val hi = align(untilT)
-        val total = if (hi >= lo) (hi - lo) / step + 1 else 0L
-        val clamp = col("interval") >= lo && col("interval") <= hi
+        val startTime = now - lvl.retention
+        // __archive_fetch grid endpoints (whisper.py:970-976): slots
+        // [alignDown(start)+step, alignDown(until)+step), one slot min
+        val lo = Grid.alignDown(startTime, step) + step
+        val hi0 = Grid.alignDown(untilT, step) + step
+        val hi = if (hi0 == lo) lo + step else hi0
+        val clamp = col("interval") >= lo && col("interval") < hi
         val va = levelData(i).where(col("metric") === a && clamp)
           .select(lit(a).as("metric"), col("interval"), col("value"))
         val vb = levelData(i).where(col("metric") === b && clamp)
           .select(lit(a).as("metric"), col("interval"), col("value"))
+        // compared-slot denominator: non-empty slots under the same scope
+        // rule the diff rows use (one small full-outer count per level)
+        val scoped = va.select(col("interval"), col("value").as("va"))
+          .join(vb.select(col("interval"), col("value").as("vb")),
+            Seq("interval"), "full_outer")
+        val total =
+          if (ignoreEmpty) scoped.where(col("va").isNotNull && col("vb").isNotNull).count()
+          else scoped.where(col("va").isNotNull || col("vb").isNotNull).count()
         val d = Combine.diff(va, vb, ignoreEmpty = ignoreEmpty)
           .select(lit(i).as("level"), col("interval"),
             col("value_a"), col("value_b"))
+        untilT = math.min(startTime, untilT) // whisper.py:1148
         (d, total)
     }
     (perLevel.map(_._1).reduce(_.unionByName(_)), perLevel.map(_._2))

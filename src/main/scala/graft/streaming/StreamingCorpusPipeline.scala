@@ -115,12 +115,16 @@ object StreamingCorpusPipeline {
       // keeper for its batch forward (no index rewrite — the
       // exactly-once departure from the batch-global election). Every
       // participating index (fp, MinHash, and winnow when that stage
-      // is on) must have been built with priorities. The semantic /
-      // line stages keep their first-kept/min-id keepers: they match
-      // on embedding or per-line signals where the copies are NOT
-      // byte-interchangeable, so "which copy is the trusted one" is a
-      // curation decision those stages don't own — extending them is a
-      // mechanical repeat of the same prio-table lifecycle.
+      // is on) must have been built with priorities. The LINE stage
+      // (r13) runs the within-batch (prio, id, idx) election — the
+      // most-trusted document keeps a contested line — while across
+      // batches the indexed line always wins regardless of trust (see
+      // LineIndex.dedupLinesBatch for why the line face resolves the
+      // late-trusted-copy tension the opposite way). The semantic
+      // stage keeps its first-kept/min-id keepers: it matches on
+      // embeddings where the copies are NOT byte-interchangeable, so
+      // "which copy is the trusted one" is a curation decision that
+      // stage doesn't own.
       prioCol: Option[String] = None,
       quality: DataFrame => DataFrame =
         d => TextAnalysis.gopherRules(d).select(col("doc_id"), col("keep")))
@@ -362,19 +366,24 @@ object StreamingCorpusPipeline {
       // fingerprinting — recurring boilerplate otherwise makes every
       // page's fingerprint unique and defeats the exact stage. Own
       // segment excluded so a replayed batch reproduces the original
-      // cleaning; the embedding column rides around the text-only
+      // cleaning. With prioCol the WITHIN-batch line keeper runs the
+      // (prio, id, idx) election (LineIndex.dedupLinesBatch — the
+      // most-trusted doc keeps a contested line; across batches the
+      // indexed line always wins, see that method's contract). Non-text
+      // carried columns (embedding, prio) ride around the text-only
       // cleaner via a re-join on doc_id.
       val afterQ = lnPath match {
         case Some(p) =>
           val cleaned = LineIndex.load(spark, p)
-            .dedupLinesBatch(afterQ0.select(col("doc_id"), col("text")),
-              excludeSeg = Some(seg))
-          StageTimer.force("line", keep(semPath match {
-            case Some(_) =>
-              cleaned.join(afterQ0.select(col("doc_id"), col("embedding")),
-                Seq("doc_id"))
-            case None => cleaned
-          }))
+            .dedupLinesBatch(
+              afterQ0.select(col("doc_id") +: col("text") +:
+                cfg.prioCol.map(col).toSeq: _*),
+              excludeSeg = Some(seg), prioCol = cfg.prioCol)
+          val extras = afterQ0.columns.filter(c => c != "doc_id" && c != "text")
+          StageTimer.force("line", keep(
+            if (extras.isEmpty) cleaned
+            else cleaned.join(
+              afterQ0.select("doc_id", extras.toIndexedSeq: _*), Seq("doc_id"))))
         case None => afterQ0
       }
 

@@ -148,11 +148,14 @@ object StreamingIngest {
       } else Iterator.empty
     }
 
-    // duplicate-slot LWW keys on `seq` (arrival order, whisper.py:806-808)
-    // when the stream carries one — the SAME winner updateMany picks, so
-    // batch, cascade, and stateful paths agree on contested slots. A
-    // stream without seq degrades to iterator order within a batch
-    // (seq = 0 ties, later row wins).
+    // duplicate-slot resolution mirrors updateMany so batch, cascade, and
+    // stateful paths agree on contested slots: WITHIN a micro-batch the
+    // winner is the max-timestamp point, first-arrival (min seq) on exact
+    // ts ties — the reference's ring-write order (whisper.py:748,770,
+    // 806-808; see Ingest.routeAndDedup) — while ACROSS batches the later
+    // batch overwrites unconditionally (each micro-batch is one
+    // update_many against the file; a later write always lands). A stream
+    // without seq resolves exact-ts ties to the first row in the batch.
     val withSeq =
       if (points.columns.contains("seq")) points
       else points.withColumn("seq", lit(0L))
@@ -170,14 +173,19 @@ object StreamingIngest {
           } else {
             val slots0 =
               if (state.exists) state.get.slots else Map.empty[Long, (Long, Double)]
-            // LWW per slot by seq; equal seq resolves to the later row so
-            // seq-less streams keep the old arrival-order behavior
-            val slots = rows.foldLeft(slots0) { (m, p) =>
-              val slot = p.tsec - p.tsec % sourceStep
-              m.get(slot) match {
-                case Some((s0, _)) if s0 > p.seq => m
-                case _ => m + (slot -> ((p.seq, p.value)))
+            // batch-local winner per slot by (ts asc, seq desc), then the
+            // batch's winners overwrite prior state unconditionally
+            val batchWinners = rows
+              .foldLeft(Map.empty[Long, (Long, Long, Double)]) { (m, p) =>
+                val slot = p.tsec - p.tsec % sourceStep
+                m.get(slot) match {
+                  case Some((t0, s0, _))
+                      if t0 > p.tsec || (t0 == p.tsec && s0 <= p.seq) => m
+                  case _ => m + (slot -> ((p.tsec, p.seq, p.value)))
+                }
               }
+            val slots = slots0 ++ batchWinners.map {
+              case (k, (_, s, v)) => k -> ((s, v))
             }
             state.update(WindowState(slots))
             val windowCloseMs = (key.interval + step + maxLatenessSec) * 1000L

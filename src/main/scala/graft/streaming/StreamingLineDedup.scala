@@ -43,18 +43,26 @@ object StreamingLineDedup {
     *        this many batches ([[LineIndex.compactCommitted]] — only
     *        segments strictly older than the checkpoint's newest
     *        commit, so replay safety is preserved). 0 disables.
+    * @param prioCol optional per-document trust column on the stream
+    *        (smaller = more trusted): the within-batch keeper copy of a
+    *        repeated line is elected by (prio, id, idx); across batches
+    *        the indexed line always wins — see
+    *        [[graft.ext.LineIndex.dedupLinesBatch]] for why the line
+    *        face resolves the late-trusted-copy tension the opposite
+    *        way from [[StreamingDedup]]'s document faces.
     */
   def start(docs: DataFrame, indexPath: String, outPath: String,
-            checkpoint: String, compactEvery: Int = 0): StreamingQuery =
+            checkpoint: String, compactEvery: Int = 0,
+            prioCol: Option[String] = None): StreamingQuery =
     docs
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id") +: col("text") +: prioCol.map(col).toSeq: _*)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          processBatch(batch, batchId, indexPath, outPath)
+          processBatch(batch, batchId, indexPath, outPath, prioCol)
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
             LineIndex.load(batch.sparkSession, indexPath)
               .compactCommitted(checkpoint): Unit
@@ -66,12 +74,14 @@ object StreamingLineDedup {
     * the IDENTICAL cleaning outside a stream.
     */
   def processBatch(batch: DataFrame, batchId: Long, indexPath: String,
-                   outPath: String): Unit = {
+                   outPath: String, prioCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val idx = LineIndex.load(spark, indexPath)
     val clean = idx
-      .dedupLinesBatch(batch.select(col("doc_id"), col("text")),
-        excludeSeg = Some(s"b$batchId"))
+      .dedupLinesBatch(
+        batch.select(
+          col("doc_id") +: col("text") +: prioCol.map(col).toSeq: _*),
+        excludeSeg = Some(s"b$batchId"), prioCol = prioCol)
       .cache()
     try {
       clean.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")

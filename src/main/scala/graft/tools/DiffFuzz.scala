@@ -1,0 +1,575 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model._
+import graft.store.MetricStore
+
+/** Differential fuzz harness: seeded random whisper workloads run through
+  * BOTH engines — the real reference implementation
+  * (/root/reference/whisper.py, driven by scripts/diff_fuzz_runner.py via
+  * python3) and graft's [[MetricStore]] — with the dense fetch contract
+  * `(fromInterval, untilInterval, step, values)` compared value-exactly
+  * (f64 bit equality; values are generated as k/4 with |k| < 2^20, so
+  * every intermediate sum is exact in f64 and bit equality is
+  * order-independent — the one place engine-side reduction order could
+  * otherwise manufacture spurious ulp diffs).
+  *
+  * This is parity evidence the hand-ported test expectations cannot give
+  * (SURVEY §7.4's top-risk list: fetch grid endpoints, the update/
+  * update_many asymmetries, cascade stop conditions, duplicate-timestamp
+  * resolution): the reference executes, it is not quoted.
+  *
+  * Workload mix per seed: create (valid + each invalid-archive-list
+  * class, bad xff, bad method), interleaved update/update_many with
+  * in-range, boundary, future, and expired timestamps plus same-interval
+  * duplicates, fetches at random ranges (zero-length, inverted, clamped
+  * both ends, fully-future, fully-expired, archiveToSelect incl. invalid
+  * granularity), info, merge (with/without from/to clamps, inverted),
+  * diff (ignore_empty both ways, until beyond now), and single-archive
+  * resize re-bins.
+  *
+  * Scope notes (documented divergences by DESIGN, not fuzzed):
+  *   - resize is fuzzed 1-archive -> 1-archive with xff=0 and non-avg_zero
+  *     kernels: the reference's --aggregate path counts dense GRID slots
+  *     per window, so edge windows (old-grid boundaary at `now`) use a
+  *     smaller denominator than interior ones, while graft's re-bin uses
+  *     the nominal slot count; with xff=0 and kernels that ignore the
+  *     denominator both engines agree exactly. Multi-archive aggregate
+  *     resize in the reference interleaves per-archive update_many passes
+  *     that overwrite finer slots at coarse-aligned intervals — graft's
+  *     re-bin + cascade (w15's oracled contract) deliberately does not
+  *     reproduce that.
+  *   - fetch with archiveToSelect is generated with the range inside the
+  *     selected archive's retention: outside it the reference wraps its
+  *     ring buffer and returns a SHORT valueList (len != slots), which is
+  *     a file-layout artifact with no dense-table analog.
+  *
+  * {{{ sbt "runMain graft.tools.DiffFuzz [n] [seed] [threads]" }}}
+  */
+object DiffFuzz {
+
+  final case class Workload(id: Int, lines: Vector[String])
+
+  private val NowBase = 1700000000L
+
+  // ---- generation -------------------------------------------------------
+
+  private def nextLong(rng: Random, bound: Long): Long =
+    if (bound <= 0) 0L else math.abs(rng.nextLong()) % bound
+
+  private def fmtV(v: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def genValue(rng: Random): Double =
+    (rng.nextInt(1 << 21) - (1 << 20)) * 0.25
+
+  /** Valid archive list under all five validateArchiveList invariants.
+    * Retentions are kept at least one coarse step apart (minPts = +2) so
+    * propagated windows never land on a deeper archive's ring-boundary
+    * slot (see the ring-alias scope note in the class doc).
+    */
+  private def genArchives(rng: Random, maxLevels: Int = 4,
+                          minRetention: Long = 0L): Seq[(Int, Int)] = {
+    val n = 1 + rng.nextInt(maxLevels)
+    val s0 = Seq(1, 2, 5, 10, 60)(rng.nextInt(5))
+    val steps = Iterator.iterate(s0)(s => s * (2 + rng.nextInt(7))).take(n).toVector
+    var prevRet = minRetention
+    steps.zipWithIndex.map { case (s, i) =>
+      val ratio = if (i < n - 1) steps(i + 1) / s else 1
+      val minPts = math.max(ratio, (prevRet / s).toInt + 2)
+      val pts = minPts + 1 + rng.nextInt(120)
+      prevRet = s.toLong * pts
+      (s, pts)
+    }
+  }
+
+  private def archivesTok(as: Seq[(Int, Int)]): String =
+    as.map { case (s, p) => s"$s:$p" }.mkString(",")
+
+  private val aggMethods =
+    Seq("average", "sum", "last", "max", "min", "avg_zero", "absmax", "absmin")
+
+  /** True when `ts` would land on its routed archive's ring-BOUNDARY slot
+    * (interval == align(now) − retention): in the reference that slot
+    * shares a ring offset with the archive's `now` slot (an archive's
+    * in-range aligned intervals span points+1 slots), so writes there
+    * physically destroy now-slot data — file-layout behavior with no
+    * dense-table analog. The generator redraws such timestamps; the slot
+    * is unreachable through fetch either way (fromInterval advances one
+    * step past the clamp, whisper.py:970).
+    */
+  /** `dropOldest` additionally rejects the archive's oldest VALID slot
+    * (boundary + step): whisper-resize --aggregate reads each source
+    * archive via fetch(now − retention + step, now), whose grid starts one
+    * step past its from (whisper.py:970) — so the oldest stored slot is
+    * silently dropped by the reference's migration while graft's re-bin
+    * keeps it. Scoped out for resize workloads; quirk documented.
+    */
+  private def ringBoundary(ts: Long, now: Long, policy: RetentionPolicy,
+                           dropOldest: Boolean = false): Boolean = {
+    val age = now - ts
+    if (age < 0 || age > policy.maxRetention) false
+    else policy.levelForAge(age).exists { l =>
+      val s = policy.levels(l).secondsPerPoint.toLong
+      val itv = ts - Math.floorMod(ts, s)
+      val boundary = (now - Math.floorMod(now, s)) - policy.levels(l).retention
+      itv == boundary || (dropOldest && itv == boundary + s)
+    }
+  }
+
+  private def genTs(rng: Random, now: Long, policy: RetentionPolicy,
+                    forBatch: Boolean, dropOldest: Boolean = false): Long = {
+    val maxRet = policy.maxRetention
+    def pick(): Long = rng.nextInt(100) match {
+      case x if x < 65 =>
+        // in range; resize workloads (dropOldest) additionally exclude
+        // ts >= now: whisper-resize --aggregate's window zip drops the
+        // final partial window [align(now), now] entirely
+        // (bin/whisper-resize.py:180-186, zip(t[:-1], t[1:]) over
+        // range(.., now + now%step + step, step)), so data at interval
+        // now silently vanishes in the reference's migration — quirk
+        // documented, not fuzzed
+        now - (if (dropOldest) 1 else 0) - nextLong(rng, maxRet - 1)
+      case x if x < 78 => now - maxRet + rng.nextInt(3) - 1 // boundary +-1
+      case x if x < 90 =>
+        if (forBatch && !dropOldest) {
+          // update_many accepts future points, but only the slot
+          // containing `now` is ever fetchable (until clamps to now) and
+          // only it avoids ring aliasing — scope future batch points there
+          val s0 = policy.levels.head.secondsPerPoint.toLong
+          val slotEnd = now - Math.floorMod(now, s0) + s0 - 1
+          if (slotEnd > now) now + 1 + nextLong(rng, slotEnd - now)
+          else now - nextLong(rng, maxRet)
+        } else if (forBatch) now - 1 - nextLong(rng, maxRet - 1) // resize: no future
+        else now + 1 + rng.nextInt(200) // future single update -> raises
+      case _ => now - maxRet - 1 - rng.nextInt(1000) // expired
+    }
+    var t = pick()
+    var guard = 0
+    while (ringBoundary(t, now, policy, dropOldest) && guard < 30) {
+      t = pick(); guard += 1
+    }
+    t
+  }
+
+  private def genFetch(rng: Random, now: Long, policy: RetentionPolicy): (Long, Long) = {
+    val maxRet = policy.maxRetention
+    rng.nextInt(100) match {
+      case x if x < 50 => // in-range window aimed at a random level
+        val lvl = policy.levels(rng.nextInt(policy.levels.size))
+        val from = now - lvl.retention + 1 + nextLong(rng, math.max(lvl.retention - 1, 1))
+        (from, from + nextLong(rng, now - from + 1))
+      case x if x < 62 => val t = now - nextLong(rng, maxRet); (t, t) // zero-length
+      case x if x < 72 => // until beyond now (clamped)
+        (now - nextLong(rng, maxRet), now + 1 + rng.nextInt(1000))
+      case x if x < 82 => // from beyond retention (clamped)
+        (now - maxRet - 1 - rng.nextInt(5000), now - nextLong(rng, maxRet))
+      case x if x < 88 => // fully in the future -> None
+        (now + 1 + rng.nextInt(100), now + 200 + rng.nextInt(100))
+      case x if x < 94 => // fully beyond retention -> None
+        (now - maxRet - 5000 - rng.nextInt(1000), now - maxRet - 1 - rng.nextInt(1000))
+      case _ => // inverted -> InvalidTimeInterval
+        val a = now - nextLong(rng, maxRet)
+        (a + 1 + rng.nextInt(500), a)
+    }
+  }
+
+  private def genBatch(rng: Random, now: Long, policy: RetentionPolicy,
+                       dropOldest: Boolean = false): String = {
+    val n = 1 + rng.nextInt(30)
+    val pts = scala.collection.mutable.Buffer.empty[(Long, Double)]
+    (0 until n).foreach { _ =>
+      val ts =
+        if (pts.nonEmpty && rng.nextInt(100) < 18) {
+          // duplicate pressure: same ts, or same interval via small delta
+          val (t, _) = pts(rng.nextInt(pts.size))
+          val cand = if (rng.nextBoolean()) t else t + rng.nextInt(3) - 1
+          // the +-1 nudge must respect the same scoping as genTs: no
+          // ring-boundary slots, resize workloads never reach now, and
+          // future candidates stay inside now's finest slot (one past it
+          // aliases the oldest ring offset — seed-7 w157 caught a
+          // now+1 nudge on a step-1 archive doing exactly that)
+          val slotEnd = now - Math.floorMod(now,
+            policy.levels.head.secondsPerPoint.toLong) +
+            policy.levels.head.secondsPerPoint - 1
+          if (ringBoundary(cand, now, policy, dropOldest) ||
+            (dropOldest && cand >= now) ||
+            (cand > now && cand > slotEnd)) t
+          else cand
+        } else genTs(rng, now, policy, forBatch = true, dropOldest)
+      pts += ((ts, genValue(rng)))
+    }
+    pts.map { case (t, v) => s"$t:${fmtV(v)}" }.mkString(",")
+  }
+
+  def genWorkload(id: Int, seed: Long): Workload = {
+    val rng = new Random(seed * 1000003L + id)
+    val kind = rng.nextInt(20)
+    // resize workloads pin now to a 60-aligned value (every generated new
+    // step divides 60): whisper-resize --aggregate bins on a grid SHIFTED
+    // by now % newStep (bin/whisper-resize.py:176-177, fromTime =
+    // now - retention + now % step), landing re-binned points one slot
+    // early whenever now is not step-aligned — graft's resize (the w15
+    // contract) bins on the true grid, so the fuzz pins the aligned
+    // subset where the reference's shift vanishes and documents the quirk
+    val now =
+      if (kind >= 18) NowBase + 40 + rng.nextInt(16) * 60
+      else NowBase + rng.nextInt(1000)
+    val b = Vector.newBuilder[String]
+    b += s"N $now"
+
+    if (kind == 0) {
+      // invalid creations: each should raise identically in both engines
+      val base = genArchives(rng, 3)
+      val bad: String = rng.nextInt(5) match {
+        case 0 => // duplicate precision
+          val a = base.head; archivesTok(a +: base)
+        case 1 => // non-dividing precisions
+          val s0 = 2 + rng.nextInt(5)
+          archivesTok(Seq((s0, 50), (s0 * 3 + 1, 40)))
+        case 2 => // non-increasing retention
+          archivesTok(Seq((1, 100), (4, 4 + rng.nextInt(21))))
+        case 3 => // too few points to consolidate
+          archivesTok(Seq((1, 4), (8, 10 + rng.nextInt(50))))
+        case _ => // valid archives, invalid xff or method
+          archivesTok(base)
+      }
+      val (agg, xff) = rng.nextInt(5) match {
+        case 4 if rng.nextBoolean() => ("avg", "0.5")
+        case 4                      => ("average", Seq("-0.5", "1.5", "2.0")(rng.nextInt(3)))
+        case _                      => (aggMethods(rng.nextInt(8)), "0.5")
+      }
+      b += s"C 0 $agg $xff $bad"
+      return Workload(id, b.result())
+    }
+
+    val archives = genArchives(rng)
+    val policy = RetentionPolicy(
+      archives.map { case (s, p) => ArchiveInfo(s, p) },
+      0.5f, AggregationMethod.Average)
+    val maxRet = policy.maxRetention
+    val twoFile = kind >= 14 && kind <= 17
+    val doResize = kind >= 18
+
+    val (agg0, xff0) =
+      if (doResize) (aggMethods(Seq(0, 1, 2, 3, 4, 6, 7)(rng.nextInt(7))), "0.0")
+      else (aggMethods(rng.nextInt(8)), fmtV(rng.nextInt(5) * 0.25))
+    val arcTok =
+      if (doResize) { val a = archives.head; s"${a._1}:${a._2}" }
+      else archivesTok(archives)
+    b += s"C 0 $agg0 $xff0 $arcTok"
+    if (twoFile) b += s"C 1 ${aggMethods(rng.nextInt(8))} ${fmtV(rng.nextInt(5) * 0.25)} $arcTok"
+
+    // resize workloads run single-archive stores (see scope note)
+    val effPolicy =
+      if (doResize)
+        RetentionPolicy(Seq(ArchiveInfo(archives.head._1, archives.head._2)),
+          0.5f, AggregationMethod.Average)
+      else policy
+    val nMut = 2 + rng.nextInt(4)
+    (0 until nMut).foreach { _ =>
+      val f = if (twoFile && rng.nextBoolean()) 1 else 0
+      if (rng.nextInt(100) < 25)
+        b += s"U $f ${genTs(rng, now, effPolicy, forBatch = false, doResize)} ${fmtV(genValue(rng))}"
+      else
+        b += s"M $f ${genBatch(rng, now, effPolicy, doResize)}"
+    }
+
+    if (twoFile) {
+      if (rng.nextInt(100) < 30) {
+        val (tf, tt) =
+          if (rng.nextInt(100) < 15) (s"${now - 100}", s"${now - 200}") // inverted
+          else (s"${now - nextLong(rng, 2 * maxRet)}",
+            if (rng.nextBoolean()) "-" else s"${now - nextLong(rng, maxRet)}")
+        b += s"R 0 1 $tf $tt"
+      } else b += "R 0 1 - -"
+      (0 until 2 + rng.nextInt(3)).foreach { _ =>
+        val (from, until) = genFetch(rng, now, policy)
+        b += s"F 1 $from $until"
+      }
+      // diff until stays <= now: the reference CRASHES (IndexError,
+      // whisper.py:1133-1140) when until reaches past now's slot — the
+      // per-archive fetch overruns the ring and returns a short valueList
+      // the zip then indexes past. Graft returns the well-defined dense
+      // compare there; divergence documented, not fuzzed.
+      val untilTok =
+        if (rng.nextInt(100) < 25) s"${now - nextLong(rng, maxRet / 2)}" else "-"
+      b += s"D 0 1 ${rng.nextInt(2)} $untilTok"
+    }
+
+    if (doResize) {
+      // grow-only re-bin: newRetention > oldRetention keeps the reference
+      // replica's oldest new window clear of ring aliasing (scope note)
+      val oldRet = archives.head._1.toLong * archives.head._2
+      val (ns, np) = genArchives(rng, 1, minRetention = oldRet).head
+      b += s"Z 0 - - $ns:$np"
+      val newRet = ns.toLong * np
+      (0 until 2 + rng.nextInt(3)).foreach { _ =>
+        val from = now - nextLong(rng, newRet)
+        b += s"F 0 $from ${from + nextLong(rng, now - from + 1)}"
+      }
+    } else {
+      val nFetch = 2 + rng.nextInt(5)
+      (0 until nFetch).foreach { _ =>
+        val f = if (twoFile && rng.nextBoolean()) 1 else 0
+        if (rng.nextInt(100) < 18) {
+          // archiveToSelect, range inside the selected archive (see scope note)
+          val valid = rng.nextInt(100) < 80
+          val lvl = policy.levels(rng.nextInt(policy.levels.size))
+          val sel = if (valid) lvl.secondsPerPoint else lvl.secondsPerPoint * 7 + 1
+          val ret = lvl.retention
+          val from = now - ret + lvl.secondsPerPoint +
+            nextLong(rng, ret - lvl.secondsPerPoint)
+          b += s"G $f $from ${from + nextLong(rng, now - from + 1)} $sel"
+        } else {
+          val (from, until) = genFetch(rng, now, policy)
+          b += s"F $f $from $until"
+        }
+      }
+    }
+    b += s"I 0"
+    Workload(id, b.result())
+  }
+
+  // ---- reference side ----------------------------------------------------
+
+  def runReference(workloads: Seq[Workload]): Map[Int, Vector[String]] = {
+    val spec = workloads
+      .map(w => (s"W ${w.id}" +: w.lines).mkString("\n"))
+      .mkString("", "\n", "\n")
+    val specFile = Files.createTempFile("diff-fuzz-spec", ".txt")
+    Files.write(specFile, spec.getBytes(StandardCharsets.UTF_8))
+    val pb = new ProcessBuilder("python3", "scripts/diff_fuzz_runner.py")
+    pb.redirectInput(specFile.toFile)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    val err = new String(proc.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+    val code = proc.waitFor()
+    Files.deleteIfExists(specFile)
+    require(code == 0, s"reference runner failed ($code):\n$err")
+    val res = scala.collection.mutable.Map.empty[Int, Vector[String]]
+    var cur = -1
+    out.linesIterator.foreach { line =>
+      if (line.startsWith("W ")) { cur = line.drop(2).trim.toInt; res(cur) = Vector.empty }
+      else if (line.startsWith("O ")) {
+        val body = line.drop(2).dropWhile(_ != ' ').drop(1)
+        res(cur) = res(cur) :+ body
+      }
+    }
+    res.toMap
+  }
+
+  // ---- graft side ----------------------------------------------------------
+
+  /** Python exception-name mapping for the non-Whisper-taxonomy classes. */
+  private def pyClass(e: Throwable): String = e match {
+    case _: IllegalArgumentException     => "ValueError"
+    case _: UnsupportedOperationException => "NotImplementedError"
+    case other                            => other.getClass.getSimpleName
+  }
+
+  def runGraft(spark: SparkSession, w: Workload): Vector[String] = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gfuzz").toString
+    var store = new MetricStore(spark, dir, numBuckets = 2)
+    var now = 0L
+    def metric(tok: String) = s"f$tok"
+    val out = w.lines.map { line =>
+      val p = line.split(" ")
+      try {
+        p(0) match {
+          case "N" => now = p(1).toLong; "ok"
+          case "C" =>
+            val archives = p(4).split(",").toSeq.map { t =>
+              val Array(s, n) = t.split(":"); ArchiveInfo(s.toInt, n.toInt)
+            }
+            // reference validation order (whisper.py:497,391-408):
+            // archive invariants, then method, then xff
+            Retention.validateArchiveList(archives)
+            val agg = AggregationMethod.fromName(p(2))
+            store.create(metric(p(1)), RetentionPolicy(archives, p(3).toFloat, agg))
+            "ok"
+          case "U" =>
+            store.update(metric(p(1)), p(3).toDouble, p(2).toLong, now)
+            "ok"
+          case "M" =>
+            val pts = p(2).split(",").toSeq.zipWithIndex.map { case (t, i) =>
+              val Array(ts, v) = t.split(":")
+              (metric(p(1)), ts.toLong, v.toDouble, i.toLong)
+            }
+            store.updateMany(pts.toDF("metric", "ts", "value", "seq"), now)
+            "ok"
+          case "F" | "G" =>
+            val sel = if (p(0) == "G") Some(p(4).toInt) else None
+            store.fetch(metric(p(1)), p(2).toLong, p(3).toLong, now, sel) match {
+              case None => "none"
+              case Some(r) =>
+                val vs = r.values
+                  .map(v => v.map(_.toString).getOrElse("n")).mkString(",")
+                s"fetch ${r.fromInterval} ${r.untilInterval} ${r.step} $vs"
+            }
+          case "I" =>
+            val (pol, _) = store.info(metric(p(1))).get
+            val arcs = pol.levels
+              .map(l => s"${l.secondsPerPoint}:${l.points}").mkString(",")
+            s"info ${pol.aggregation.name} ${pol.maxRetention} ${pol.xff.toDouble} $arcs"
+          case "R" =>
+            val tf = if (p(3) == "-") None else Some(p(3).toLong)
+            val tt = if (p(4) == "-") None else Some(p(4).toLong)
+            store.mergeMetric(metric(p(1)), metric(p(2)), tf, tt, now)
+            "ok"
+          case "D" =>
+            val until = if (p(4) == "-") None else Some(p(4).toLong)
+            val (rows, totals) =
+              store.diffMetricsDetail(metric(p(1)), metric(p(2)),
+                until, p(3) == "1", now)
+            val byLevel = rows.collect()
+              .map(r => (r.getInt(0), r.getLong(1),
+                if (r.isNullAt(2)) "n" else r.getDouble(2).toString,
+                if (r.isNullAt(3)) "n" else r.getDouble(3).toString))
+              .groupBy(_._1)
+            val toks = totals.indices.map { lvl =>
+              val pts = byLevel.getOrElse(lvl, Array.empty)
+                .sortBy(_._2)
+                .map { case (_, ts, a, bb) => s"$ts=$a/$bb" }
+                .mkString(";")
+              s"$lvl:${totals(lvl)}:$pts"
+            }
+            "diff " + toks.mkString(" ")
+          case "Z" =>
+            val old = store.policies()(metric(p(1)))
+            val agg = if (p(2) == "-") old.aggregation else AggregationMethod.fromName(p(2))
+            val xff = if (p(3) == "-") old.xff else p(3).toFloat
+            val archives = p(4).split(",").toSeq.map { t =>
+              val Array(s, n) = t.split(":"); ArchiveInfo(s.toInt, n.toInt)
+            }
+            store = store.resize(RetentionPolicy(archives, xff, agg), now)
+            "ok"
+          case other => s"err HarnessError unknown op $other"
+        }
+      } catch {
+        case e: Throwable => s"err ${pyClass(e)} ${e.getMessage}"
+      }
+    }
+    deleteRec(new java.io.File(dir))
+    out
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+    ()
+  }
+
+  // ---- comparison ---------------------------------------------------------
+
+  private def canonV(s: String): String =
+    if (s == "n" || s.isEmpty) s
+    else java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(s.toDouble))
+
+  /** Canonical form: float tokens become f64 bit patterns so the python
+    * repr() and Scala Double.toString renderings compare equal.
+    */
+  def canon(res: String): String = {
+    val parts = res.split(" ")
+    parts(0) match {
+      case "fetch" =>
+        val vs = if (parts.length < 5) "" else parts(4)
+        s"fetch ${parts(1)} ${parts(2)} ${parts(3)} " +
+          vs.split(",", -1).map(canonV).mkString(",")
+      case "info" =>
+        s"info ${parts(1)} ${parts(2)} ${canonV(parts(3))} ${parts(4)}"
+      case "diff" =>
+        "diff " + parts.drop(1).map { tok =>
+          val Array(lvl, total, pts) = tok.split(":", 3)
+          val cpts = pts.split(";").filter(_.nonEmpty).map { pt =>
+            val Array(ts, vv) = pt.split("=", 2)
+            val Array(a, b) = vv.split("/", 2)
+            s"$ts=${canonV(a)}/${canonV(b)}"
+          }
+          s"$lvl:$total:${cpts.mkString(";")}"
+        }.mkString(" ")
+      case _ => res
+    }
+  }
+
+  final case class Mismatch(wid: Int, opIdx: Int, spec: String,
+                            ref: String, graft: String)
+
+  def compare(w: Workload, ref: Vector[String], graft: Vector[String]): Seq[Mismatch] = {
+    val n = math.max(ref.size, graft.size)
+    (0 until n).flatMap { i =>
+      val r = ref.lift(i).getOrElse("<missing>")
+      val g = graft.lift(i).getOrElse("<missing>")
+      if (canon(r) == canon(g)) None
+      else Some(Mismatch(w.id, i, w.lines.lift(i).getOrElse("?"), r, g))
+    }
+  }
+
+  // ---- entry ---------------------------------------------------------------
+
+  def run(spark: SparkSession, n: Int, seed: Long, threads: Int): (Int, Seq[Mismatch]) = {
+    val workloads = (0 until n).map(genWorkload(_, seed))
+    val ref = runReference(workloads)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = workloads.map { w =>
+      scala.concurrent.Future {
+        val g = runGraft(spark, w)
+        (w.lines.size, compare(w, ref(w.id), g))
+      }
+    }
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    (results.map(_._1).sum, results.flatMap(_._2))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(100)
+    val seed = args.lift(1).map(_.toLong).getOrElse(42L)
+    val threads = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-diff-fuzz")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // debug: `runMain graft.tools.DiffFuzz n seed threads <wid>` dumps one
+    // workload's spec + both result streams side by side
+    args.lift(3).map(_.toInt).foreach { wid =>
+      val w = genWorkload(wid, seed)
+      val ref = runReference(Seq(w))(w.id)
+      val g = runGraft(spark, w)
+      w.lines.indices.foreach { i =>
+        println(s"[$i] ${w.lines(i)}")
+        println(s"    ref:   ${ref.lift(i).getOrElse("<missing>")}")
+        println(s"    graft: ${g.lift(i).getOrElse("<missing>")}")
+      }
+      spark.stop()
+      sys.exit(0)
+    }
+    val t0 = System.nanoTime()
+    val (ops, mismatches) = run(spark, n, seed, threads)
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"workloads=$n ops=$ops mismatches=${mismatches.size} wall=$dt%.1fs")
+    mismatches.take(50).foreach { m =>
+      println(s"--- workload ${m.wid} op ${m.opIdx}: ${m.spec}")
+      println(s"    ref:   ${m.ref}")
+      println(s"    graft: ${m.graft}")
+    }
+    if (mismatches.size > 50) println(s"... and ${mismatches.size - 50} more")
+    spark.stop()
+    if (mismatches.nonEmpty) sys.exit(1)
+  }
+}

@@ -42,7 +42,9 @@ object PipelineSoak {
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(60)
     val perBatch = args.lift(1).map(_.toInt).getOrElse(150)
-    val compactEvery = args.lift(2).map(_.toInt).getOrElse(0)
+    // "full" runs the d85 capstone config (every optional stage live,
+    // compacting every 5); integers keep the original mode semantics
+    val compactEvery = args.lift(2).filter(_ != "full").map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -75,42 +77,93 @@ object PipelineSoak {
     // the line stage must shed it each batch without the wall growing
     val banner = "subscribe to the daily digest newsletter"
 
-    def run(mode: String, every: Int, withLine: Boolean = false): Unit = {
+    /** Deterministic CENTERED 16-dim embedding per doc id (the full
+      * mode's semantic stage input — stage live, matches rare by
+      * design: uncentered positive vectors would all sit at cos ≈ 0.75
+      * and the semantic stage would gut every batch).
+      */
+    def docEmb(id: Long): Array[Float] =
+      Array.tabulate(16)(k => (((id * 31 + k * 7) % 97) - 48).toFloat / 97f)
+
+    def run(mode: String, every: Int, withLine: Boolean = false,
+            full: Boolean = false): Unit = {
       val fpPath = Files.createTempDirectory(s"psoak-fp-$mode").toString
       val mhPath = Files.createTempDirectory(s"psoak-mh-$mode").toString
       val vPath = Files.createTempDirectory(s"psoakv-$mode").toString
       val lnOpt =
-        if (!withLine) None
+        if (!(withLine || full)) None
         else {
           val p = Files.createTempDirectory(s"psoak-ln-$mode").toString
           LineIndex.build(Seq((-1L, banner)).toDF("doc_id", "text"), p)
           Some(p)
         }
-      val seed = (0 until 500).map(i => (i.toLong, docText(-1L, i)))
-        .toDF("doc_id", "text")
-      FingerprintIndex.build(seed, fpPath)
-      MinHashIndex.build(seed, mhPath)
+      val seedRows = (0 until 500).map(i => (i.toLong, docText(-1L, i)))
+      val seed = seedRows.toDF("doc_id", "text")
+      // full mode: EVERY optional stage live (the d85 capstone's
+      // config, soaked) — Bloom-gated exact, priorities on all three
+      // text indexes, NFC, decontamination vs a 20-doc eval set,
+      // winnow, semantic over synthetic 16-dim embeddings, ngram stats
+      val (spOpt, smOpt, wnOpt, ngOpt) =
+        if (!full) (None, None, None, None)
+        else {
+          val sp = Files.createTempDirectory(s"psoak-sp-$mode").toString
+          val sm = Files.createTempDirectory(s"psoak-sm-$mode").toString
+          val wn = Files.createTempDirectory(s"psoak-wn-$mode").toString
+          val ng = Files.createTempDirectory(s"psoak-ng-$mode").toString
+          graft.ext.SpanIndex.build(
+            (0 until 20).map(i => (9000000L + i, docText(-2L, i)))
+              .toDF("doc_id", "text"), sp)
+          graft.ext.SemanticIndex.build(
+            seedRows.map { case (id, _) => (id, docEmb(id)) }
+              .toDF("vec_id", "embedding"), sm, nlist = 4, normalized = false)
+          graft.ext.WinnowIndex.build(
+            seed.withColumn("prio", lit(1.0)), wn, prioCol = Some("prio"))
+          graft.ext.NgramIndex.build(seed, ng)
+          (Some(sp), Some(sm), Some(wn), Some(ng))
+        }
+      val prioOpt = if (full) Some("prio") else None
+      FingerprintIndex.build(seed.withColumn("prio", lit(1.0)), fpPath,
+        bloom = full, prioCol = prioOpt)
+      MinHashIndex.build(seed.withColumn("prio", lit(1.0)), mhPath,
+        prioCol = prioOpt)
+      val runCfg =
+        if (!full) cfg
+        else cfg.copy(bloomGate = true, normalizeForm = Some("NFC"),
+          prioCol = Some("prio"), winTau = 0.4)
       def withBanner(t: String): String =
-        if (withLine) banner + "\n" + t else t
+        if (withLine || full) banner + "\n" + t else t
       val walls = (0 until batches).map { b =>
         // 80% fresh, 10% quality-fails, 5% exact dups of the seed, 5%
         // in-batch exact dups — every gauntlet stage works each batch.
         // In "line" mode every substantive doc carries the banner line,
         // so the seed-dup class convicts ONLY because cleaning restores
-        // the seed text (the d62 binding, soaked over stream age).
+        // the seed text (the d62 binding, soaked over stream age). The
+        // full mode adds 2 planted eval-leak docs per batch so the
+        // contamination stage convicts every batch, and seed dups get
+        // prio 0 (trusted) so the elections run live.
         val fresh = (0 until perBatch * 8 / 10).map(i =>
-          (b * 100000L + i, withBanner(docText(b.toLong, i))))
+          (b * 100000L + i, withBanner(docText(b.toLong, i)), 1.0))
         val short = (0 until perBatch / 10).map(i =>
-          (b * 100000L + 40000L + i, "x y"))
+          (b * 100000L + 40000L + i, "x y", 1.0))
         val seedDup = (0 until perBatch / 20).map(i =>
-          (b * 100000L + 50000L + i, withBanner(docText(-1L, (b + i) % 500))))
+          (b * 100000L + 50000L + i, withBanner(docText(-1L, (b + i) % 500)),
+            if (full && i % 2 == 0) 0.0 else 1.0))
         val batchDup = (0 until perBatch / 20).map(i =>
-          (b * 100000L + 60000L + i, withBanner(docText(b.toLong, i))))
-        val docs = (fresh ++ short ++ seedDup ++ batchDup)
-          .toDF("doc_id", "text")
+          (b * 100000L + 60000L + i, withBanner(docText(b.toLong, i)), 1.0))
+        val leak =
+          if (!full) Seq.empty
+          else (0 until 2).map(i =>
+            (b * 100000L + 70000L + i,
+              withBanner(docText(-2L, (b + i) % 20) + s" uq$b$i"), 1.0))
+        val rows = fresh ++ short ++ seedDup ++ batchDup ++ leak
+        val docs =
+          if (!full) rows.map(r => (r._1, r._2)).toDF("doc_id", "text")
+          else rows.map(r => (r._1, r._2, r._3, docEmb(r._1)))
+            .toDF("doc_id", "text", "prio", "embedding")
         val t0 = System.nanoTime()
         StreamingCorpusPipeline.processBatch(docs, b.toLong, fpPath, mhPath,
-          None, vPath, cfg, lnPath = lnOpt)
+          spOpt, vPath, runCfg, semPath = smOpt, winPath = wnOpt,
+          lnPath = lnOpt, ngPath = ngOpt)
         val sec = (System.nanoTime() - t0) / 1e9
         val csec =
           if (every > 0 && b > 0 && b % every == 0) {
@@ -118,7 +171,10 @@ object PipelineSoak {
             val folds = (0 until b - 1).map(i => s"b$i")
             FingerprintIndex.load(spark, fpPath).compact(folds)
             MinHashIndex.load(spark, mhPath).compact(folds)
-            lnOpt.foreach(p => LineIndex.load(spark, p).compact(folds)): Unit
+            lnOpt.foreach(p => LineIndex.load(spark, p).compact(folds))
+            wnOpt.foreach(p => graft.ext.WinnowIndex.load(spark, p).compact(folds))
+            smOpt.foreach(p => graft.ext.SemanticIndex.load(spark, p).compact(folds))
+            ngOpt.foreach(p => graft.ext.NgramIndex.load(spark, p).compact(folds)): Unit
             (System.nanoTime() - tc) / 1e9
           } else 0.0
         val files = countFiles(new java.io.File(fpPath)) +
@@ -135,7 +191,8 @@ object PipelineSoak {
       println(f"""{"mode":"$mode","first_mean":$head%.2f,"last_mean":$tail%.2f,"ratio":${tail / head}%.2f}""")
     }
 
-    if (compactEvery > 0) run("compact", compactEvery)
+    if (args.lift(2).contains("full")) run("full", 5, full = true)
+    else if (compactEvery > 0) run("compact", compactEvery)
     else if (compactEvery < 0) run("line", -compactEvery, withLine = true)
     else {
       run("none", 0); run("compact", 5)

@@ -147,9 +147,12 @@ class CliSpec extends AnyFunSuite {
     run("update", store, "a", s"$t1:1.5", s"$t2:7.0")
     run("update", store, "b", s"$t1:2.5", s"$t2:7.0") // t2 agrees
 
-    // default pretty: one 60-slot archive, exactly one differing slot
+    // default pretty: exactly one differing slot; the reference's total
+    // is the NON-EMPTY compared slots (2: t1 + t2), not the grid size —
+    // verified against the executing bin/whisper-diff.py ("0 2 1") by
+    // tools/DiffFuzz; the pre-r13 expectation (60) was a porting error
     val pretty = run("diff", store, "a", "b")
-    assert(pretty.contains("Archive 0 (1 of 60 datapoints differ)"), pretty)
+    assert(pretty.contains("Archive 0 (1 of 2 datapoints differ)"), pretty)
     assert(pretty.contains("%7s %11s %13s %13s".format("archive", "timestamp", "value_a", "value_b")), pretty)
     assert(pretty.contains("%7s %11d %13s %13s".format("", t1, "1.5", "2.5")), pretty)
 
@@ -161,7 +164,7 @@ class CliSpec extends AnyFunSuite {
     // --summary: per-archive counts in the reference column format
     val sumOut = run("diff", store, "a", "b", "--summary")
     assert(sumOut.contains("%7s %9s %9s".format("archive", "total", "differing")), sumOut)
-    assert(sumOut.contains("%7s %9s %9s".format("0", "60", "1")), sumOut)
+    assert(sumOut.contains("%7s %9s %9s".format("0", "2", "1")), sumOut)
 
     // --no-headers suppresses the header row
     assert(!run("diff", store, "a", "b", "--summary", "--no-headers")
@@ -173,15 +176,15 @@ class CliSpec extends AnyFunSuite {
     assert(js.contains("\"timestamp\" : " + t1), js)
     assert(js.contains("\"value_a\" : 1.5"), js)
     val sjs = run("diff", store, "a", "b", "--summary", "--json")
-    assert(sjs.contains("\"points\" : 1") && sjs.contains("\"total\" : 60"), sjs)
+    assert(sjs.contains("\"points\" : 1") && sjs.contains("\"total\" : 2"), sjs)
     assert(!sjs.contains("datapoint"), sjs)
 
-    // --until excludes the newest differing slot from the compare:
-    // window shrinks to slots (now-3600, t2] → (t2-lo)/60+1 = 57 of the
-    // 60, and the new t2+60 disagreement is outside it
+    // --until excludes the newest differing slot from the compare: the
+    // new t2+60 disagreement falls outside (until = t2), so the compared
+    // non-empty slots stay {t1, t2} — total 2, differing 1
     run("update", store, "a", s"${t2 + 60}:9.0")
     val clamped = run("diff", store, "a", "b", "--summary", "--until", t2.toString)
-    assert(clamped.contains("%7s %9s %9s".format("0", "57", "1")), clamped)
+    assert(clamped.contains("%7s %9s %9s".format("0", "2", "1")), clamped)
   }
 
   test("validate reports invalid catalog rows") {

@@ -1713,6 +1713,52 @@ class ExtSpec extends AnyFunSuite {
       s"exact leaked extent via persisted text: $exact")
   }
 
+  test("benchmark registry: per-set attribution, one combined check, " +
+    "versioning by replacement reuses the slot") {
+    def rnd(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val leakA = rnd(50, 60)
+    val leakB = rnd(51, 60)
+    val leakB2 = rnd(52, 60)
+    val train = Seq(
+      (1L, rnd(53, 20) + leakA + rnd(54, 10)), // leaks suite A only
+      (2L, rnd(55, 20) + leakB + rnd(56, 10)), // leaks suite B v1 only
+      (3L, rnd(57, 20) + leakB2 + rnd(58, 10)), // leaks suite B v2 only
+      (4L, rnd(59, 80))).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("benchreg").toString
+    val reg = BenchmarkRegistry.create(spark, path, prefix = "")
+    reg.register("suiteA", "v1",
+      Seq((7L, rnd(60, 12) + leakA + rnd(61, 8))).toDF("doc_id", "text"))
+    reg.register("suiteB", "v1",
+      Seq((7L, rnd(62, 12) + leakB + rnd(63, 8))).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // each leak attributes to ITS suite (same bench id 7 in both sets —
+    // the slot band keeps them apart), exact 60-char extents
+    val r1 = rows(BenchmarkRegistry.load(spark, path).report(train))
+    assert(r1 == Set(
+      (1L, "suiteA", "v1", 7L, 60L),
+      (2L, "suiteB", "v1", 7L, 60L)), s"$r1")
+
+    // versioning by replacement: suiteB v2 swaps its content — doc 2's
+    // leak disappears, doc 3's appears, the version label updates, the
+    // slot (and suiteA) are untouched
+    val (slotB, _) = reg.manifest("suiteB")
+    val manifestA = reg.manifest("suiteA")
+    reg.register("suiteB", "v2",
+      Seq((9L, rnd(64, 12) + leakB2 + rnd(65, 8))).toDF("doc_id", "text"))
+    val reg2 = BenchmarkRegistry.load(spark, path)
+    assert(reg2.manifest("suiteB") == ((slotB, "v2")))
+    assert(reg2.manifest("suiteA") == manifestA)
+    val r2 = rows(reg2.report(train))
+    assert(r2 == Set(
+      (1L, "suiteA", "v1", 7L, 60L),
+      (3L, "suiteB", "v2", 9L, 60L)), s"$r2")
+  }
+
   test("line dedup: first occurrence wins, short lines exempt, order preserved") {
     val d = Seq(
       (1L, "alpha beta gamma delta unique\nshared boilerplate line here\nx\ntail one"),

@@ -21,7 +21,11 @@ class OpsSpec extends AnyFunSuite {
     // 299999 (level 1 retention=300000), 300001 (dropped)
     val batch = Seq(
       ("m", Now - 30, 1.0, 1L),
-      ("m", Now - 30, 2.0, 2L), // same slot, later arrival wins
+      // same ts: the FIRST-listed point wins (whisper sorts by ts desc
+      // stable then reverses the whole list, so equal-ts duplicates sit
+      // in reversed listed order and "last in run" is the first listed —
+      // verified against the executing reference by tools/DiffFuzz)
+      ("m", Now - 30, 2.0, 2L),
       ("m", Now - 3599, 3.0, 3L),
       ("m", Now - 3601, 4.0, 4L),
       ("m", Now - 299999, 5.0, 5L),
@@ -34,9 +38,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count(_._1 == 0) == 2)
     assert(out.count(_._1 == 1) == 2)
     assert(out.length == 4) // the 300001-age point silently dropped
-    // LWW at the shared slot
+    // duplicate resolution at the shared slot: same ts -> first listed
     val slot = Grid.alignDown(Now - 30, 60)
-    assert(out.contains((0, slot, 2.0)))
+    assert(out.contains((0, slot, 1.0)))
+  }
+
+  test("routeAndDedup: same-interval different-ts duplicates keep the max-ts point") {
+    // two points in one slot at DIFFERENT raw timestamps: the reference's
+    // ring write order (ascending ts after the reverse) leaves the later
+    // TIMESTAMP standing regardless of list position (whisper.py:748,770,
+    // 806-808; pinned by tools/DiffFuzz)
+    val policy = RetentionPolicy(Seq(ArchiveInfo(60, 60), ArchiveInfo(300, 1000)))
+    val batch = Seq(
+      ("m", Now - 10, 7.0, 1L), // later ts, listed first
+      ("m", Now - 20, 8.0, 2L) // earlier ts, listed later (arrival LWW would keep it)
+    ).toDF("metric", "ts", "value", "seq")
+    val out = Ingest.routeAndDedup(batch, policy, Now).collect()
+      .map(r => (r.getAs[Long]("interval"), r.getAs[Double]("value")))
+    assert(out.toSeq == Seq((Grid.alignDown(Now - 10, 60), 7.0)))
   }
 
   test("routeAndDedup: null-valued points are gaps — dropped before LWW") {

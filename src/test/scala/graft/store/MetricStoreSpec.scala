@@ -126,7 +126,7 @@ class MetricStoreSpec extends AnyFunSuite {
       ("dst2", Now - 240, 9.0, 4L), ("dst2", Now - 180, 3.0, 5L))
     store.updateMany(pts.toDF("metric", "ts", "value", "seq"), Now)
 
-    store.mergeMetric("src", "dst") // src wins at Now-240
+    store.mergeMetric("src", "dst", now = Now) // src wins at Now-240
     val merged = store.levelData(0).where($"metric" === "dst").collect()
       .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
     assert(merged == Map(
@@ -143,7 +143,7 @@ class MetricStoreSpec extends AnyFunSuite {
     store.updateMany(Seq(("dst3", Now - 180, 7.0, 9L))
       .toDF("metric", "ts", "value", "seq"), Now)
     store.mergeMetric("src", "dst3",
-      timeFrom = Some(Now - 250), timeTo = Some(Now - 200))
+      timeFrom = Some(Now - 250), timeTo = Some(Now - 200), now = Now)
     val clamped = store.levelData(0).where($"metric" === "dst3").collect()
       .map(r => r.getAs[Long]("interval") -> r.getAs[Double]("value")).toMap
     assert(clamped == Map(Now - 240 -> 2.0, Now - 180 -> 7.0)) // Now-300 excluded

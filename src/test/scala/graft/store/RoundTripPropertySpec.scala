@@ -23,49 +23,70 @@ class RoundTripPropertySpec extends AnyFunSuite {
     * level-0 contribution counts the counted cascade must maintain
     * (direct rows count as one raw point; cascaded rows sum children).
     */
-  private def simulate(points: Seq[(String, Long, Double, Long)],
+  /** Batches are processed SEQUENTIALLY, each per the reference's
+    * update_many (whisper.py:756-875; pinned against the executing
+    * reference by tools/DiffFuzz): per batch, per-slot duplicate
+    * resolution keeps the max-timestamp point (first-listed / min seq
+    * on exact ts ties), a later batch's write owns any slot it touches
+    * (the ring overwrite), and — because archives commit finest-first —
+    * an archive's own DIRECT points land after every finer chain's
+    * propagation into it, so direct beats same-batch propagation while
+    * a LATER batch's propagation overwrites an earlier batch's direct
+    * point.
+    */
+  private def simulate(batches: Seq[Seq[(String, Long, Double, Long)]],
                        policy: RetentionPolicy,
                        now: Long): Seq[Map[(String, Long), (Double, Long, Double)]] = {
     val levels = policy.levels
-    // route: finest level covering age; older than total retention dropped
-    val routed = points.flatMap {
-      case (m, ts, v, seq) =>
-        policy.levelForAge(now - ts).map(l => (l, m, ts, v, seq))
-    }
-    // LWW per aligned slot at the routed level
-    val direct: Seq[scala.collection.mutable.Map[(String, Long), (Double, Long, Double)]] =
+    val state: Seq[scala.collection.mutable.Map[(String, Long), (Double, Long, Double)]] =
       levels.map(_ => scala.collection.mutable.Map[(String, Long), (Double, Long, Double)]())
-    routed.groupBy {
-      case (l, m, ts, _, _) =>
-        (l, m, ts - ts % levels(l).secondsPerPoint)
-    }.foreach {
-      case ((l, m, slot), grp) =>
-        val v = grp.maxBy(_._5)._4
-        direct(l)((m, slot)) = (v, 1L, v)
-    }
-    // cascade level by level from the merged state of the previous level
-    val state = direct.map(_.clone())
-    for (i <- 1 until levels.size) {
-      val hi = levels(i - 1).secondsPerPoint
-      val lo = levels(i).secondsPerPoint
-      val slots = lo / hi
-      // single-batch store: every level-(i-1) row traces to this batch,
-      // so the touched-window set is all of level i-1 (no early exit
-      // distinction on a fresh store)
-      val touched = state(i - 1).keySet.map { case (m, iv) => (m, iv - iv % lo) }
-      touched.foreach {
-        case (m, w) =>
-          val known = (0 until slots).flatMap { j =>
-            state(i - 1).get((m, w + j * hi)).map(v => (w + j * hi, v))
-          }.sortBy(_._1)
-          if (known.nonEmpty &&
-            known.size.toDouble / slots >= policy.xff.toDouble) {
-            val vals = known.map(_._2._1)
-            val v = AggregationMethod.aggregate(
-              policy.aggregation, vals,
-              Some((0 until slots).map(j => state(i - 1).get((m, w + j * hi)).map(_._1))))
-            state(i)((m, w)) = (v, known.map(_._2._2).sum, known.map(_._2._3).sum)
+    batches.foreach { points =>
+      // route: finest level covering age; older than total retention dropped
+      val routed = points.flatMap {
+        case (m, ts, v, seq) =>
+          policy.levelForAge(now - ts).map(l => (l, m, ts, v, seq))
+      }
+      val direct: Seq[Map[(String, Long), (Double, Long, Double)]] =
+        levels.indices.map { l =>
+          routed.filter(_._1 == l).groupBy {
+            case (_, m, ts, _, _) => (m, ts - ts % levels(l).secondsPerPoint)
+          }.map {
+            case ((m, slot), grp) =>
+              val v = grp.maxBy(p => (p._3, -p._5))._4
+              (m, slot) -> ((v, 1L, v))
           }
+        }
+      direct(0).foreach { case (k, v) => state(0)(k) = v }
+      var changed: Set[(String, Long)] = direct(0).keySet
+      for (i <- 1 until levels.size) {
+        val hi = levels(i - 1).secondsPerPoint
+        val lo = levels(i).secondsPerPoint
+        val slots = lo / hi
+        // 1. propagation from the finer levels' writes, reading current
+        //    merged state; window-level recompute is value-equivalent to
+        //    whisper's per-chain propagation (a failed window's deeper
+        //    recompute is idempotent)
+        val touched = changed.map { case (m, iv) => (m, iv - iv % lo) }
+        val wrote = scala.collection.mutable.Set.empty[(String, Long)]
+        touched.foreach {
+          case (m, w) =>
+            val known = (0 until slots).flatMap { j =>
+              state(i - 1).get((m, w + j * hi)).map(v => (w + j * hi, v))
+            }.sortBy(_._1)
+            if (known.nonEmpty &&
+              known.size.toDouble / slots >= policy.xff.toDouble) {
+              val vals = known.map(_._2._1)
+              val v = AggregationMethod.aggregate(
+                policy.aggregation, vals,
+                Some((0 until slots).map(j => state(i - 1).get((m, w + j * hi)).map(_._1))))
+              state(i)((m, w)) = (v, known.map(_._2._2).sum, known.map(_._2._3).sum)
+              wrote += ((m, w))
+            }
+        }
+        // 2. this archive's own direct points land LAST — direct beats
+        //    same-batch propagation
+        direct(i).foreach { case (k, v) => state(i)(k) = v }
+        changed = wrote.toSet ++ direct(i).keySet
       }
     }
     state.map(_.toMap)
@@ -96,7 +117,7 @@ class RoundTripPropertySpec extends AnyFunSuite {
         }
         store.updateMany(points.toDF("metric", "ts", "value", "seq"), Now)
 
-        val want = simulate(points, policy, Now)
+        val want = simulate(Seq(points), policy, Now)
         def levelState(st: MetricStore, i: Int) = st.levelData(i).collect()
           .map { r =>
             val counts =
@@ -110,21 +131,24 @@ class RoundTripPropertySpec extends AnyFunSuite {
         }
 
         // incremental property: the SAME point set ingested as two
-        // interleaved batches (overlapping windows, cross-batch slot
-        // overwrites) must converge to the same state — seq is monotone
-        // across batches, so global LWW == batch-ordered LWW, and the
-        // touched-window cascade must repair every window batch 2 dirties
+        // interleaved batches must converge to the batch-SEQUENCED
+        // simulation — a later update_many owns every slot it writes
+        // (whisper's ring overwrite), so a contested slot's winner can
+        // legitimately differ from the one-batch ingest when batch 2
+        // carries an older-timestamp duplicate; the touched-window
+        // cascade must still repair every window batch 2 dirties
         val store2 = new MetricStore(
           spark, Files.createTempDirectory(s"ms-prop$pi-inc").toString, numBuckets = 4)
         metrics.foreach(store2.create(_, policy))
-        // split on ARRIVAL order (seq), keeping it monotone across the
-        // batches; timestamps stay randomly interleaved so batch 2 still
-        // dirties windows batch 1 already rolled up
+        // split on ARRIVAL order (seq); timestamps stay randomly
+        // interleaved so batch 2 still dirties windows batch 1 already
+        // rolled up AND contests already-written slots
         val (b1, b2) = points.partition(_._4 < 150)
         store2.updateMany(b1.toDF("metric", "ts", "value", "seq"), Now)
         store2.updateMany(b2.toDF("metric", "ts", "value", "seq"), Now)
+        val want2 = simulate(Seq(b1, b2), policy, Now)
         policy.levels.indices.foreach { i =>
-          assert(levelState(store2, i) == want(i), s"policy $pi level $i (incremental)")
+          assert(levelState(store2, i) == want2(i), s"policy $pi level $i (incremental)")
         }
     }
   }

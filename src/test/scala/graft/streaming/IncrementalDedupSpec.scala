@@ -388,6 +388,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(idxRows == 2, s"replayed segment must hold exactly its 2 kept lines, got $idxRows")
   }
 
+  test("streaming line dedup with priorities: trusted doc keeps the line, " +
+    "indexed wins cross-batch, replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = Files.createTempDirectory("lineidx-p").toString
+    val outPath = Files.createTempDirectory("lineout-p").toString
+    val ckpt = Files.createTempDirectory("lineckpt-p").toString
+    graft.ext.LineIndex.build(
+      Seq((1L, "seed boilerplate banner line")).toDF("doc_id", "text"),
+      idxPath, minLen = 10)
+
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("doc_id", "text", "prio")
+
+    // batch 0: 10 (crawl, prio 1, smaller id) and 20 (curated, prio 0,
+    // LARGER id) share a line — min-id would keep it in 10; the
+    // (prio, id, idx) election must keep it in 20 and shed it from 10
+    mem.addData(
+      (10L, "contested shared line alpha\ncrawl only line one", 1.0),
+      (20L, "contested shared line alpha\ncurated only line two", 0.0))
+    drain(StreamingLineDedup.start(stream, idxPath, outPath, ckpt,
+      prioCol = Some("prio")))
+    def cleaned(batch: Long): Map[Long, String] =
+      spark.read.parquet(s"$outPath/batch=$batch")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(0) == Map(
+      10L -> "crawl only line one",
+      20L -> "contested shared line alpha\ncurated only line two"))
+
+    // batch 1: a MORE-trusted copy of an indexed line still sheds —
+    // across batches the indexed line always wins (no keeper identity in
+    // the index, no retraction of published batch dirs; the deliberate
+    // opposite of StreamingDedup's forward-only doc election)
+    mem.addData((30L, "contested shared line alpha\nbatch one line gamma", 0.0))
+    drain(StreamingLineDedup.start(stream, idxPath, outPath, ckpt,
+      prioCol = Some("prio")))
+    assert(cleaned(1) == Map(30L -> "batch one line gamma"))
+
+    // replay of batch 0: own-segment exclusion reproduces the election
+    val b0 = Seq(
+      (10L, "contested shared line alpha\ncrawl only line one", 1.0),
+      (20L, "contested shared line alpha\ncurated only line two", 0.0))
+      .toDF("doc_id", "text", "prio")
+    StreamingLineDedup.processBatch(b0, 0L, idxPath, outPath, Some("prio"))
+    assert(cleaned(0) == Map(
+      10L -> "crawl only line one",
+      20L -> "contested shared line alpha\ncurated only line two"))
+  }
+
   test("streaming ngram stats: merged == whole-corpus recount, replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -65,16 +65,21 @@ class StreamingSpec extends AnyFunSuite {
     val stream = mem.toDF().toDF("metric", "tsec", "value", "seq")
       .selectExpr("metric", "timestamp_seconds(tsec) AS ts", "value", "seq")
 
+    // ONE checkpoint across both runs, so batch 2 holds only the new
+    // rows: a late write in a SEPARATE batch is a separate update_many,
+    // and whisper's ring write makes the later batch win the slot
+    // unconditionally. (A fresh checkpoint would replay everything as
+    // one batch, where the within-batch rule — max ts, first-listed on
+    // ties, per tools/DiffFuzz — keeps the FIRST point instead.)
+    val ckpt = Files.createTempDirectory("ckpt-late").toString
     // batch 1: two fresh points
     mem.addData(("m", Now - 120, 1.0, 0L), ("m", Now - 60, 2.0, 1L))
-    val q1 = StreamingIngest.start(
-      stream, store, Files.createTempDirectory("ckpt-late").toString, () => Now)
+    val q1 = StreamingIngest.start(stream, store, ckpt, () => Now)
     drain(q1)
     // batch 2: a LATE point for the already-written Now-120 slot, plus
     // one too-old point (beyond retention → silently dropped)
     mem.addData(("m", Now - 120, 9.0, 2L), ("m", Now - 100000, 5.0, 3L))
-    val q2 = StreamingIngest.start(
-      stream, store, Files.createTempDirectory("ckpt-late2").toString, () => Now)
+    val q2 = StreamingIngest.start(stream, store, ckpt, () => Now)
     drain(q2)
 
     val Some(res) = store.fetch("m", Now - 180, Now, Now)
@@ -233,7 +238,11 @@ class StreamingSpec extends AnyFunSuite {
     val t0 = Now - 86400L
     // the same slot written twice in ONE batch with seq order REVERSED
     // from arrival: seq 9 (value 99) arrives BEFORE seq 1 (value 11).
-    // Arrival-order LWW would keep 11; whisper's seq LWW keeps 99.
+    // `seq` encodes update_many's LIST position, and the reference keeps
+    // the FIRST-listed point on exact-ts ties (ring write order after the
+    // full-list reverse, whisper.py:748,770,806-808; pinned by
+    // tools/DiffFuzz) — so the min-seq point (11) wins, while iterator-
+    // arrival LWW would have kept 99.
     val rows = Seq(
       ("m", t0, 99.0, 9L),
       ("m", t0, 11.0, 1L),
@@ -250,11 +259,11 @@ class StreamingSpec extends AnyFunSuite {
 
     val l0 = store.levelData(0).select("interval", "value").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(l0(t0) == 99.0, s"level 0 kept the wrong duplicate: ${l0(t0)}")
+    assert(l0(t0) == 11.0, s"level 0 kept the wrong duplicate: ${l0(t0)}")
     val l1 = store.levelData(1).select("interval", "value").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // avg(99, 2, 3) — the stateful level agrees with level 0's winner
-    assert(math.abs(l1(t0) - (99.0 + 2.0 + 3.0) / 3.0) < 1e-9,
+    // avg(11, 2, 3) — the stateful level agrees with level 0's winner
+    assert(math.abs(l1(t0) - (11.0 + 2.0 + 3.0) / 3.0) < 1e-9,
       s"stateful level disagrees with level-0 LWW: ${l1(t0)}")
   }
 
