@@ -20,6 +20,9 @@ Spec protocol (one token-separated op per line):
   R <src> <dst> <from|-> <to|->        merge src -> dst
   D <a> <b> <ignoreEmpty:0|1> <until|->  diff
   Z <f> <agg|-> <xff|-> <spp:pts,...>  resize (aggregate mode, pinned now)
+  L <src> <dst> <startFrom>            whisper-fill fill_archives (pinned now)
+  A <f> <method>                       setAggregationMethod -> old method
+  X <f> <xff>                          setXFilesFactor -> old xff
 
 Result protocol:
   W <wid>
@@ -37,6 +40,23 @@ import tempfile
 
 sys.path.insert(0, "/root/reference")
 import whisper  # noqa: E402
+
+_WHISPER_FILL = None
+
+
+def load_whisper_fill():
+    """Import the REAL bin/whisper-fill.py as a module (main() is guarded),
+    so the L op executes the reference's fill_archives/fill code verbatim
+    rather than a transcription."""
+    global _WHISPER_FILL
+    if _WHISPER_FILL is None:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "whisper_fill", "/root/reference/bin/whisper-fill.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _WHISPER_FILL = mod
+    return _WHISPER_FILL
 
 
 def fmt_v(v):
@@ -105,6 +125,26 @@ def run_op(tmpdir, parts, now_holder):
                            for ts, a, b in diffs)
             toks.append("%d:%d:%s" % (lvl, total, pts))
         return "diff " + " ".join(toks)
+    if op == "L":
+        # bin/whisper-fill.py reads time.time() throughout (fill_archives
+        # fromTime, fill's srcTime/rtime, and the un-pinned fetch /
+        # update_many calls inside fill) — pin the clock for the call so
+        # both engines run the same `now`, then restore it.
+        wf = load_whisper_fill()
+        import time as _time
+        real_time = _time.time
+        _time.time = lambda: float(now)
+        try:
+            wf.fill_archives(path(parts[1]), path(parts[2]), int(parts[3]))
+        finally:
+            _time.time = real_time
+        return "ok"
+    if op == "A":
+        old = whisper.setAggregationMethod(path(parts[1]), parts[2])
+        return "oldagg %s" % old
+    if op == "X":
+        old = whisper.setXFilesFactor(path(parts[1]), float(parts[2]))
+        return "oldxff %s" % repr(old)
     if op == "Z":
         # Reference resize, aggregate mode: replicate
         # bin/whisper-resize.py:110-199 faithfully with a PINNED now

@@ -115,7 +115,12 @@ object Bench {
       "s07_sim_topk_ivf_exact", "s08_sim_topk_pq_exact",
       "s09_sim_topk_ivfpq_exact", "s10_sim_topk_quantized_exact",
       "s11_sim_topk_ivf_appended", "s12_sim_topk_pq_appended",
+      // d86 is d06's pinned-planes bucketing gate (the d14 reasoning:
+      // same code path, oracle-only plane table); d87 re-times d84's
+      // combined check against a re-registered registry (replacement
+      // correctness is its point, oracle-gated in Verify)
       "d08_dedup_simhash_portable", "d14_dedup_embedding_exact",
+      "d86_dedup_lsh_pinned", "d87_decontaminate_reregister",
       "d20_dedup_compacted", "s13_sim_topk_ivf_compacted",
       // d21 is d22's exact-mode oracle twin (nlist=1 all-pairs — the
       // d14/planes=0 pattern); d22 times the clustered scale path.

@@ -90,7 +90,7 @@ object WhisperCli {
         }
         val res = new MetricStore(session(), store)
           .fetch(metric, from, until, now, archive)
-          .getOrElse { println("no data in requested range"); sys.exit(0); ??? }
+          .getOrElse { println("no data in requested range"); sys.exit(0); sys.error("unreachable") }
         val dropMode = opts.sliding(2).collectFirst { case Seq("--drop", m) => m }
         def dropped(v: Option[Double]): Boolean = dropMode match {
           case Some("nulls")  => v.isEmpty
@@ -120,7 +120,7 @@ object WhisperCli {
       case "info" =>
         val Array(_, store, metric, opts @ _*) = args: @unchecked
         val (p, levels) = new MetricStore(session(), store).info(metric)
-          .getOrElse { println(s"unknown metric $metric"); sys.exit(1); ??? }
+          .getOrElse { println(s"unknown metric $metric"); sys.exit(1); sys.error("unreachable") }
         // single-field lookup (bin/whisper-info.py:43-49)
         val fieldArg = opts.find(!_.startsWith("--"))
         if (fieldArg.isDefined) {
@@ -153,7 +153,7 @@ object WhisperCli {
         val raw = opts.contains("--raw")
         val ms = new MetricStore(session(), store)
         val (p, _) = ms.info(metric).getOrElse {
-          println(s"unknown metric $metric"); sys.exit(1); ???
+          println(s"unknown metric $metric"); sys.exit(1); sys.error("unreachable")
         }
         p.levels.indices.foreach { i =>
           if (!raw) println(s"Archive $i (step ${p.levels(i).secondsPerPoint}s):")
@@ -245,8 +245,9 @@ object WhisperCli {
         println(s"merged $src into $dst")
 
       case "fill" =>
+        // bin/whisper-fill.py main: fill_archives(src, dst, time.time())
         val Array(_, store, dst, src) = args: @unchecked
-        new MetricStore(session(), store).fillMetric(dst, src)
+        new MetricStore(session(), store).fillArchives(src, dst, now, now)
         println(s"filled $dst gaps from $src")
 
       case "diff" =>

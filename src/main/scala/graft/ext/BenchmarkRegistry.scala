@@ -57,6 +57,19 @@ final class BenchmarkRegistry private[ext] (val spark: SparkSession,
     */
   def register(name: String, version: String, bench: DataFrame,
                idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+") && name != "." && name != "..",
+      s"benchmark set name '$name' must match [A-Za-z0-9._-]+ " +
+        "(it names a sets/ subdirectory and a _manifest field)")
+    require(version.matches("[^\\t\\n\\r]*"),
+      s"version '$version' must not contain tabs or newlines (_manifest is TSV)")
+    val bounds = bench.agg(
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (!bounds.isNullAt(0)) {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      require(lo >= 0L && hi < IdSpace,
+        s"bench ids must lie in [0, 2^40) to fit the per-set id band; " +
+          s"got [$lo, $hi] — out-of-band ids would decode to the wrong slot")
+    }
     val m = manifest
     val slot = m.get(name).map(_._1)
       .getOrElse(m.values.map(_._1).foldLeft(-1)(math.max) + 1)

@@ -415,12 +415,19 @@ object Dedup {
                    maxGap: Long = 64, idCol: String = "doc_id",
                    textCol: String = "text",
                    positions: Option[DataFrame] = None,
-                   maxOccur: Int = 8): DataFrame = {
-    val capped = capGramFreq(
+                   maxOccur: Int = 8,
+                   capped: Option[DataFrame] = None): DataFrame = {
+    // `capped` = a PRE-CAPPED position table ([[cappedGramPositions]]),
+    // for builds that self-join large position sets: without it the
+    // self-join's two branches each recompute the extraction + occ
+    // window + df join from scratch (Spark reuses no uncached lineage),
+    // which for the exact family's full-corpus table doubled the single
+    // most expensive warm build. Caller owns persist/unpersist.
+    val cappedT = capped.getOrElse(capGramFreq(
       positions.getOrElse(charGramPositions(docs, k, prefix, idCol, textCol)),
-      maxGramFreq, maxOccur)
-    val m = capped.as("x")
-      .join(capped.as("y"),
+      maxGramFreq, maxOccur))
+    val m = cappedT.as("x")
+      .join(cappedT.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (col("x.i") - col("y.i")).as("d"), col("x.i").as("pos"))
@@ -456,9 +463,26 @@ object Dedup {
                     maxGramFreq: Long = 200, idCol: String = "doc_id",
                     textCol: String = "text",
                     positions: Option[DataFrame] = None,
-                    maxOccur: Int = 8): DataFrame =
+                    maxOccur: Int = 8,
+                    capped: Option[DataFrame] = None): DataFrame =
     charGramRuns(docs, k, prefix = "", minShared, maxGramFreq,
-      maxGap = 1, idCol, textCol, positions, maxOccur)
+      maxGap = 1, idCol, textCol,
+      // no sampling here → raw-substring keys by default: equality is
+      // the same relation, minus one md5 per corpus character
+      positions = positions.orElse(
+        if (capped.isDefined) None
+        else Some(rawGramPositions(docs, k, idCol, textCol))),
+      maxOccur, capped)
+
+  /** The cap stage ([[capGramFreq]]) as a standalone build artifact for
+    * [[charGramRuns]]' `capped` hook: occurrence-cap then df-cap a
+    * position table once, persist it, and feed BOTH sides of the gram
+    * self-join — instead of the join's two branches recomputing the
+    * whole extraction + window + join lineage each.
+    */
+  def cappedGramPositions(pos: DataFrame, maxGramFreq: Long = 200,
+                          maxOccur: Int = 8): DataFrame =
+    capGramFreq(pos, maxGramFreq, maxOccur)
 
   /** FILTER-VERIFY exactness at scale: upgrade SAMPLED runs
     * ([[charGramRuns]] at prefix "0") to exact character extents by
@@ -998,6 +1022,22 @@ object Dedup {
   def charGramPositions(docs: DataFrame, k: Int = 16, prefix: String = "0",
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame =
+    rawGramPositions(docs, k, idCol, textCol)
+      .select(col("id"), col("i"), md5(col("g").cast("binary")).as("g"))
+      .where(col("g").startsWith(prefix))
+
+  /** [[charGramPositions]] WITHOUT the hash: (id, i, g) with g = the raw
+    * k-char substring. The md5 exists for content-defined SAMPLING (the
+    * hex prefix) and cross-engine portability of the sample; when no
+    * sampling happens (the exact family's prefix = ""), substring
+    * equality IS gram equality, the hex costs one digest per corpus
+    * character for nothing, and the raw key even shuffles narrower than
+    * the 32-char digest. Key spaces must not mix: a raw-key table joins
+    * only against raw-key tables (the `_params` discipline).
+    */
+  def rawGramPositions(docs: DataFrame, k: Int = 16,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .select(col("id"), col("t"),
@@ -1005,8 +1045,7 @@ object Dedup {
           sequence(lit(1L), (length(col("t")) - lit(k - 1)).cast("long")))
           .otherwise(array())).as("i"))
       .select(col("id"), col("i"),
-        md5(col("t").substr(col("i").cast("int"), lit(k)).cast("binary")).as("g"))
-      .where(col("g").startsWith(prefix))
+        col("t").substr(col("i").cast("int"), lit(k)).as("g"))
 
   /** [[charGramPositions]] minus positions past the first `maxOccur`
     * occurrences of a gram WITHIN a doc, minus grams appearing in more
@@ -1641,7 +1680,9 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, tau: Double, planes: Int = 4,
                         tables: Int = 8, multiProbe: Boolean = false,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+                        index: Option[(DataFrame, DataFrame)] = None,
+                        planesOverride: Option[Seq[Array[Double]]] = None)
+      : DataFrame = {
     // `index` = the (normalized corpus, bucket table) build-once artifact,
     // session-memoized by callers (IVF/PQ-index precedent): normalization
     // is one pass but bucketing is planes×tables dot products per row —
@@ -1649,7 +1690,8 @@ object Dedup {
     val c = index.map(_._1).getOrElse(
       Similarity.corpusNormalized(emb, idCol, vecCol).cache())
     val bucketed = index.map(_._2).getOrElse(
-      Similarity.bucketCorpus(c, planes, tables).select("id", "bucket"))
+      Similarity.bucketCorpus(c, planes, tables, planesOverride = planesOverride)
+        .select("id", "bucket"))
     // Multi-probe: also match codes at Hamming distance 1 within a table
     // (flip each code bit; table tag bits above `planes` are untouched).
     // One-sided expansion suffices — if codes differ in bit i, y's flip

@@ -130,8 +130,15 @@ object Similarity {
     * signs are scale-invariant so buckets are identical).
     */
   def bucketCorpus(c: DataFrame, planes: Int, tables: Int = 8,
-                   dim: Int = 64): DataFrame = {
-    val hp = hyperplanes(planes * tables, dim)
+                   dim: Int = 64,
+                   planesOverride: Option[Seq[Array[Double]]] = None): DataFrame = {
+    // planesOverride: injection hook for VALUE-GATING the bucketing
+    // arithmetic (the d72b pinned-thresholds pattern) — axis-aligned
+    // basis planes make bucket bits = component signs, which a SQL
+    // oracle reproduces exactly. Production callers leave it None.
+    val hp = planesOverride.getOrElse(hyperplanes(planes * tables, dim))
+    require(hp.size >= planes * tables,
+      s"planesOverride must supply planes*tables=${planes * tables} planes")
     val buckets = (0 until tables).map { t =>
       // planes=0 is the exact-mode degeneracy (one bucket per table →
       // blocking is structurally complete); fold keeps it well-defined

@@ -28,8 +28,13 @@ object Grid {
     */
   def epochSeconds(ts: Column): Column = ts.cast("long")
 
-  /** Scalar version for driver-side range math. */
-  def alignDown(t: Long, step: Long): Long = t - (t % step)
+  /** Scalar version for driver-side range math. Python's `%` is a
+    * floor-mod, so the reference's `int(t - (t % step))` floors for
+    * negative t too (whisper.py:707); Scala's `%` truncates toward
+    * zero, so use floorMod to keep pre-epoch endpoints (small-clock
+    * tests where now < retention) on the same grid as the reference.
+    */
+  def alignDown(t: Long, step: Long): Long = t - Math.floorMod(t, step)
 
   /** Dense grid skeleton for a fetch: one row per grid slot in
     * [fromInterval, untilInterval) at `step` — whisper's fetch contract

@@ -595,7 +595,15 @@ object ExtQueries {
     * — every gram, strictly consecutive runs — shared by the exact span
     * queries (d35 extents + d36 removal) the way [[gramRunsFor]] serves
     * the sampled family. Positions are NOT shared with [[gramPositionsFor]]:
-    * that table is prefix-"0" filtered; the exact path hashes all 16×.
+    * that table is prefix-"0" filtered AND md5-keyed; the exact path
+    * takes every position with RAW substring keys (no sampling → the
+    * hash buys nothing). The r13 warm fold: the full-corpus capped
+    * position table is persisted for the build's duration so the gram
+    * self-join's two branches read it instead of each recomputing
+    * extraction + occ window + df join (exactRuns was 39.3 s of the
+    * 102 s warm build; the doubled lineage plus one md5 per corpus
+    * character was most of it), then UNPERSISTED — only the small runs
+    * table stays cached, so the warm memory bound is untouched.
     */
   private val exactRunsMemo = new Memo[DataFrame]("exactRuns")
 
@@ -604,10 +612,14 @@ object ExtQueries {
     exactRunsMemo.computeIfAbsent(
       s"${System.identityHashCode(s)}:$dir",
       _ => {
+        val capped = Dedup.cappedGramPositions(
+            Dedup.rawGramPositions(docs(s, dir), k = 16))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val df = Dedup.exactGramRuns(docs(s, dir), k = 16, minShared = 1,
-            maxGramFreq = 200)
+            maxGramFreq = 200, capped = Some(capped))
           .cache()
         df.count()
+        capped.unpersist()
         df
       })
 
@@ -1038,6 +1050,146 @@ object ExtQueries {
         reg.register("exams", "v1", d.where(col("doc_id") % 30 === 0))
         graft.ext.BenchmarkRegistry.load(s, path)
       })
+
+  /** d87's registry memo: same build as [[benchRegFor]], then "qa" is
+    * RE-registered at v2 with halved membership (doc_id%40) — the
+    * versioning-by-replacement path (stable slot, replaced index
+    * directory) exercised on the fixture between deliveries.
+    */
+  private val benchRegV2Memo = new Memo[graft.ext.BenchmarkRegistry]("benchRegV2")
+
+  private def benchRegV2For(s: org.apache.spark.sql.SparkSession,
+                            dir: String): graft.ext.BenchmarkRegistry =
+    benchRegV2Memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir",
+      _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft-benchreg2").toString
+        val reg = graft.ext.BenchmarkRegistry.create(s, path)
+        val d = docs(s, dir)
+        reg.register("qa", "v1", d.where(col("doc_id") % 20 === 0))
+        reg.register("exams", "v1", d.where(col("doc_id") % 30 === 0))
+        reg.register("qa", "v2", d.where(col("doc_id") % 40 === 0))
+        graft.ext.BenchmarkRegistry.load(s, path)
+      })
+
+  /** d84/d87's shared train side: three leak classes planted against
+    * the qa(%20)/exams(%30) suites — a qa-only clone (+700000), an
+    * exams-only clone (+800000), and a clone of a doc in BOTH sets
+    * (+900000) that must attribute to both.
+    */
+  private def multibenchTrain(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val d = docs(s, dir)
+    d.where(col("doc_id") % 20 =!= 0 && col("doc_id") % 30 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.where(col("doc_id") % 20 === 0 && col("doc_id") % 30 =!= 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      .unionByName(d.where(col("doc_id") % 30 === 0 && col("doc_id") % 20 =!= 0)
+        .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+      .unionByName(d.where(col("doc_id") % 60 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+  }
+
+  /** d84/d87's shared DuckDB oracle: the whole multi-set attribution
+    * chain (prefix-sampled 16-grams, per-set occurrence caps, train df
+    * cap, diagonal runs, per-char exactify closure, set-qualified
+    * partitions) with the qa suite's MEMBERSHIP predicate and VERSION
+    * label injected — d84 checks the v1 registry, d87 the re-registered
+    * one; exams stays v1 in both so its rows must come out identical.
+    * No backslashes or stray `$` live in the body, so s-interpolation
+    * is escape-safe here.
+    */
+  private def multibenchSql(qaPred: String, qaVer: String): String =
+    s"""WITH train AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0 AND doc_id % 30 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 20 = 0 AND doc_id % 30 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 800000, text FROM documents WHERE doc_id % 30 = 0 AND doc_id % 20 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 60 = 0
+       |), bench AS (
+       |  SELECT 'qa' AS bset, doc_id, text FROM documents WHERE $qaPred
+       |  UNION ALL
+       |  SELECT 'exams' AS bset, doc_id, text FROM documents WHERE doc_id % 30 = 0
+       |), tg AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+       |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+       |  FROM train, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+       |), tp AS (
+       |  SELECT doc_id, i, g FROM tg WHERE g LIKE '0%'
+       |), bg AS (
+       |  SELECT bset, doc_id, CAST(u.i AS BIGINT) AS i,
+       |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
+       |  FROM bench, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
+       |), bp AS (
+       |  SELECT bset, doc_id, i, g FROM (
+       |    SELECT bset, doc_id, i, g,
+       |           row_number() OVER (PARTITION BY bset, g, doc_id ORDER BY i) AS occ
+       |    FROM bg WHERE g LIKE '0%')
+       |  WHERE occ <= 8
+       |), rare AS (
+       |  SELECT g FROM (
+       |    SELECT g, count(DISTINCT doc_id) AS df FROM tp GROUP BY 1)
+       |  WHERE df <= 200
+       |), capped AS (
+       |  SELECT doc_id, i, g FROM (
+       |    SELECT tp.doc_id, tp.i, tp.g,
+       |           row_number() OVER (PARTITION BY tp.g, tp.doc_id ORDER BY tp.i) AS occ
+       |    FROM tp JOIN rare USING (g))
+       |  WHERE occ <= 8
+       |), m AS (
+       |  SELECT x.doc_id AS a, y.bset, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
+       |  FROM capped x JOIN bp y ON x.g = y.g
+       |), r AS (
+       |  SELECT a, bset, b, d, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, bset, b, d ORDER BY pos) > 64
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM m
+       |), r2 AS (
+       |  SELECT a, bset, b, d, pos,
+       |         sum(brk) OVER (PARTITION BY a, bset, b, d ORDER BY pos
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM r
+       |), sruns AS (
+       |  SELECT a, bset, b, d, min(pos) AS sa, max(pos) - min(pos) + 16 AS ext
+       |  FROM r2 GROUP BY a, bset, b, d, run HAVING count(*) >= 2
+       |), diag AS (
+       |  SELECT DISTINCT a, bset, b, d FROM sruns
+       |), ap AS (
+       |  SELECT dg.a, dg.bset, dg.b, dg.d, CAST(u.p AS BIGINT) AS pos
+       |  FROM diag dg
+       |  JOIN train da ON da.doc_id = dg.a
+       |  JOIN bench db ON db.doc_id = dg.b AND db.bset = dg.bset,
+       |  UNNEST(range(greatest(1, dg.d + 1),
+       |               least(length(da.text), length(db.text) + dg.d) + 1)) AS u(p)
+       |  WHERE substr(da.text, CAST(u.p AS INTEGER), 1) =
+       |        substr(db.text, CAST(u.p - dg.d AS INTEGER), 1)
+       |), er AS (
+       |  SELECT a, bset, b, d, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, bset, b, d ORDER BY pos) > 1
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM ap
+       |), er2 AS (
+       |  SELECT a, bset, b, d, pos,
+       |         sum(brk) OVER (PARTITION BY a, bset, b, d ORDER BY pos
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM er
+       |), eruns AS (
+       |  SELECT a, bset, b, d, min(pos) AS sa, max(pos) - min(pos) + 1 AS ext
+       |  FROM er2 GROUP BY a, bset, b, d, run
+       |)
+       |SELECT e.a AS doc_id, e.bset AS bench_set,
+       |       CASE WHEN e.bset = 'qa' THEN '$qaVer' ELSE 'v1' END AS bench_version,
+       |       CAST(e.b AS BIGINT) AS bench_id,
+       |       CAST(max(e.ext) AS BIGINT) AS span,
+       |       CAST(count(*) AS BIGINT) AS nruns
+       |FROM eruns e
+       |WHERE e.ext >= 16 AND EXISTS (
+       |  SELECT 1 FROM sruns s
+       |  WHERE s.a = e.a AND s.bset = e.bset AND s.b = e.b AND s.d = e.d
+       |    AND e.sa < s.sa + s.ext + 64 AND s.sa - 64 < e.sa + e.ext)
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 4""".stripMargin
 
   /** Line-dedup index memo per (session, dir): built over the lined
     * history slice as base + one appended segment then COMPACTED and
@@ -3623,109 +3775,27 @@ object ExtQueries {
       // per-char verify d37 gates. Full oracle: per-set positions,
       // per-(train, set, bench, diagonal) runs, and the exactify
       // closure recomputed in SQL with set-qualified partitions.
-      (s, dir) => {
-        val d = docs(s, dir)
-        val train = d
-          .where(col("doc_id") % 20 =!= 0 && col("doc_id") % 30 =!= 0)
-          .select(col("doc_id"), col("text"))
-          .unionByName(d.where(col("doc_id") % 20 === 0 && col("doc_id") % 30 =!= 0)
-            .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
-          .unionByName(d.where(col("doc_id") % 30 === 0 && col("doc_id") % 20 =!= 0)
-            .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
-          .unionByName(d.where(col("doc_id") % 60 === 0)
-            .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
-        benchRegFor(s, dir).report(train)
-          .orderBy("doc_id", "bench_set", "bench_id")
-      },
-      """WITH train AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0 AND doc_id % 30 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 20 = 0 AND doc_id % 30 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 800000, text FROM documents WHERE doc_id % 30 = 0 AND doc_id % 20 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 60 = 0
-        |), bench AS (
-        |  SELECT 'qa' AS bset, doc_id, text FROM documents WHERE doc_id % 20 = 0
-        |  UNION ALL
-        |  SELECT 'exams' AS bset, doc_id, text FROM documents WHERE doc_id % 30 = 0
-        |), tg AS (
-        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
-        |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
-        |  FROM train, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
-        |), tp AS (
-        |  SELECT doc_id, i, g FROM tg WHERE g LIKE '0%'
-        |), bg AS (
-        |  SELECT bset, doc_id, CAST(u.i AS BIGINT) AS i,
-        |         md5(substr(text, CAST(u.i AS INTEGER), 16)) AS g
-        |  FROM bench, UNNEST(range(1, greatest(length(text) - 14, 1))) AS u(i)
-        |), bp AS (
-        |  SELECT bset, doc_id, i, g FROM (
-        |    SELECT bset, doc_id, i, g,
-        |           row_number() OVER (PARTITION BY bset, g, doc_id ORDER BY i) AS occ
-        |    FROM bg WHERE g LIKE '0%')
-        |  WHERE occ <= 8
-        |), rare AS (
-        |  SELECT g FROM (
-        |    SELECT g, count(DISTINCT doc_id) AS df FROM tp GROUP BY 1)
-        |  WHERE df <= 200
-        |), capped AS (
-        |  SELECT doc_id, i, g FROM (
-        |    SELECT tp.doc_id, tp.i, tp.g,
-        |           row_number() OVER (PARTITION BY tp.g, tp.doc_id ORDER BY tp.i) AS occ
-        |    FROM tp JOIN rare USING (g))
-        |  WHERE occ <= 8
-        |), m AS (
-        |  SELECT x.doc_id AS a, y.bset, y.doc_id AS b, x.i - y.i AS d, x.i AS pos
-        |  FROM capped x JOIN bp y ON x.g = y.g
-        |), r AS (
-        |  SELECT a, bset, b, d, pos,
-        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, bset, b, d ORDER BY pos) > 64
-        |              THEN 1 ELSE 0 END AS brk
-        |  FROM m
-        |), r2 AS (
-        |  SELECT a, bset, b, d, pos,
-        |         sum(brk) OVER (PARTITION BY a, bset, b, d ORDER BY pos
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-        |  FROM r
-        |), sruns AS (
-        |  SELECT a, bset, b, d, min(pos) AS sa, max(pos) - min(pos) + 16 AS ext
-        |  FROM r2 GROUP BY a, bset, b, d, run HAVING count(*) >= 2
-        |), diag AS (
-        |  SELECT DISTINCT a, bset, b, d FROM sruns
-        |), ap AS (
-        |  SELECT dg.a, dg.bset, dg.b, dg.d, CAST(u.p AS BIGINT) AS pos
-        |  FROM diag dg
-        |  JOIN train da ON da.doc_id = dg.a
-        |  JOIN bench db ON db.doc_id = dg.b AND db.bset = dg.bset,
-        |  UNNEST(range(greatest(1, dg.d + 1),
-        |               least(length(da.text), length(db.text) + dg.d) + 1)) AS u(p)
-        |  WHERE substr(da.text, CAST(u.p AS INTEGER), 1) =
-        |        substr(db.text, CAST(u.p - dg.d AS INTEGER), 1)
-        |), er AS (
-        |  SELECT a, bset, b, d, pos,
-        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY a, bset, b, d ORDER BY pos) > 1
-        |              THEN 1 ELSE 0 END AS brk
-        |  FROM ap
-        |), er2 AS (
-        |  SELECT a, bset, b, d, pos,
-        |         sum(brk) OVER (PARTITION BY a, bset, b, d ORDER BY pos
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-        |  FROM er
-        |), eruns AS (
-        |  SELECT a, bset, b, d, min(pos) AS sa, max(pos) - min(pos) + 1 AS ext
-        |  FROM er2 GROUP BY a, bset, b, d, run
-        |)
-        |SELECT e.a AS doc_id, e.bset AS bench_set, 'v1' AS bench_version,
-        |       CAST(e.b AS BIGINT) AS bench_id,
-        |       CAST(max(e.ext) AS BIGINT) AS span,
-        |       CAST(count(*) AS BIGINT) AS nruns
-        |FROM eruns e
-        |WHERE e.ext >= 16 AND EXISTS (
-        |  SELECT 1 FROM sruns s
-        |  WHERE s.a = e.a AND s.bset = e.bset AND s.b = e.b AND s.d = e.d
-        |    AND e.sa < s.sa + s.ext + 64 AND s.sa - 64 < e.sa + e.ext)
-        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 4""".stripMargin
+      (s, dir) =>
+        benchRegFor(s, dir).report(multibenchTrain(s, dir))
+          .orderBy("doc_id", "bench_set", "bench_id"),
+      multibenchSql(qaPred = "doc_id % 20 = 0", qaVer = "v1")
+    ),
+    QueryDef(
+      "d87_decontaminate_reregister",
+      // Versioning-by-replacement ON THE FIXTURE (r13 verdict #8; the
+      // unit spec compares tiny synthetic suites, this value-gates the
+      // real thing): the registry re-registers "qa" at v2 with HALVED
+      // membership (doc_id%40) after v1 was built, exams untouched.
+      // Same train plants as d84, so the delta is pure re-registration
+      // semantics: qa rows flip to the v2 label AND to the replaced
+      // index's membership (clones of %20-but-not-%40 docs lose their
+      // qa attribution), while exams rows — same slot band — must come
+      // out byte-identical to d84's. One parameterized oracle
+      // ([[multibenchSql]]) serves both rows.
+      (s, dir) =>
+        benchRegV2For(s, dir).report(multibenchTrain(s, dir))
+          .orderBy("doc_id", "bench_set", "bench_id"),
+      multibenchSql(qaPred = "doc_id % 40 = 0", qaVer = "v2")
     ),
     QueryDef(
       "d85_gauntlet_capstone",
@@ -5501,6 +5571,66 @@ object ExtQueries {
         |), dots AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dot
         |  FROM ne a JOIN ne b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
+        |)
+        |SELECT a, b, round(dot, 4) AS cos FROM dots
+        |WHERE dot >= 0.35 ORDER BY 1, 2""".stripMargin
+    ),
+    QueryDef(
+      "d86_dedup_lsh_pinned",
+      // d06's BUCKETING ARITHMETIC value-gated (r13 verdict #5, the d72b
+      // pinned-thresholds move): d14 proves the planes=0 degeneracy, but
+      // never exercises a real bucket key. Here the hyperplanes are
+      // PINNED to axis-aligned basis vectors (plane t·4+i = e_{t·4+i}),
+      // so each table's 4-bit sign-LSH key is exactly the sign pattern
+      // of four raw embedding components — normalization is
+      // sign-invariant — and the WHOLE scale path (per-table key
+      // assembly, disjoint table bucket spaces, multi-probe Hamming-1
+      // bit flips, one-sided probe expansion, cross-table candidate
+      // dedup, normalized-dot verify) re-derives in DuckDB bit-for-bit.
+      // d06 keeps the production Gaussian planes; only the plane TABLE
+      // differs between them, through bucketCorpus' injection hook.
+      // Correctness-only: excluded from Bench (d06 is the perf shape).
+      (s, dir) => {
+        val pinned = (0 until 16).map(j =>
+          Array.tabulate(64)(d => if (d == j) 1.0 else 0.0))
+        Dedup
+          .embeddingNearDups(emb(s, dir), tau = 0.35, planes = 4,
+            tables = 4, multiProbe = true, planesOverride = Some(pinned))
+          .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+          .orderBy("a", "b")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+        |  FROM e GROUP BY 1
+        |), tbl AS (SELECT unnest([0, 1, 2, 3]) AS t),
+        |sig AS (
+        |  SELECT v.vec_id, CAST(
+        |      (CASE WHEN v.embedding[tbl.t*4 + 1] > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v.embedding[tbl.t*4 + 2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN v.embedding[tbl.t*4 + 3] > 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN v.embedding[tbl.t*4 + 4] > 0 THEN 8 ELSE 0 END)
+        |    + tbl.t * 16 AS BIGINT) AS bucket
+        |  FROM embeddings v, tbl
+        |), probe AS (
+        |  SELECT vec_id, unnest([bucket,
+        |    xor(bucket, CAST(1 AS BIGINT)), xor(bucket, CAST(2 AS BIGINT)),
+        |    xor(bucket, CAST(4 AS BIGINT)), xor(bucket, CAST(8 AS BIGINT))]) AS bucket
+        |  FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM sig x JOIN probe y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |), ne AS (
+        |  SELECT e.vec_id, e.i, CAST(e.x AS DOUBLE) / nrm.n AS x
+        |  FROM e JOIN nrm ON nrm.vec_id = e.vec_id
+        |), dots AS (
+        |  SELECT c.a, c.b, sum(xa.x * xb.x) AS dot
+        |  FROM cand c
+        |  JOIN ne xa ON xa.vec_id = c.a
+        |  JOIN ne xb ON xb.vec_id = c.b AND xb.i = xa.i
+        |  GROUP BY 1, 2
         |)
         |SELECT a, b, round(dot, 4) AS cos FROM dots
         |WHERE dot >= 0.35 ORDER BY 1, 2""".stripMargin

@@ -1220,6 +1220,99 @@ final class MetricStore(val spark: SparkSession, val root: String,
     }
   }
 
+  /** bin/whisper-fill.py's whole-file reconciliation (`fill_archives` +
+    * `fill`, bin/whisper-fill.py:52-121) re-expressed over graft's own
+    * fetch/updateMany primitives — both differential-fuzz-pinned to the
+    * executing reference — with an explicit `now` (the script reads
+    * time.time() throughout). Reference quirks are kept deliberately,
+    * because the CLI contract is the script's observable behavior:
+    *
+    *   - gap detection is Python-falsy (`if not v`,
+    *     bin/whisper-fill.py:105): a stored 0.0 counts as a GAP and gets
+    *     overwritten by src;
+    *   - a gap [gapstart, start) copies src slots [gapstart, start] —
+    *     INCLUDING the non-null slot that closed the gap, so src
+    *     overwrites dst's boundary value there (bin/whisper-fill.py:110,
+    *     113 pass `gapstart - step` as tstart and `start` as tstop, and
+    *     the fetch grid is exclusive-from/inclusive-until);
+    *   - single-slot interior gaps are skipped ("ignore single units
+    *     lost", bin/whisper-fill.py:108-110), but a gap running to the
+    *     window's last slot fills regardless of length;
+    *   - copies go through update_many, so fills CASCADE into dst's
+    *     coarser archives like any other ingest — unlike [[fillMetric]]'s
+    *     per-level store copy, which never re-aggregates.
+    *
+    * The per-window gap walk collects one dense fetch per dst archive —
+    * driver-sized, bounded by that archive's ring capacity, the same
+    * bound as the reference's in-memory valueList (and as
+    * [[mergeMetric]]'s copied-interval set).
+    */
+  def fillArchives(src: String, dst: String, startFrom0: Long, now: Long): Unit = {
+    val pDst = policies().getOrElse(dst,
+      throw new CorruptWhisperFile("Unknown metric", dst))
+    var startFrom = startFrom0
+    pDst.levels.foreach { lvl => // validated finest-first = retention asc
+      val fromTime = now - lvl.retention
+      if (fromTime < startFrom) {
+        fetch(dst, fromTime, startFrom, now).foreach { r =>
+          var start = r.fromInterval
+          var gapstart = -1L
+          r.values.foreach { v =>
+            val truthy = v.exists(_ != 0.0) // Python falsy: None and 0.0 gap
+            if (!truthy && gapstart < 0) gapstart = start
+            else if (truthy && gapstart >= 0) {
+              if (start - gapstart > lvl.secondsPerPoint)
+                fillRange(src, dst, gapstart - r.step, start, now)
+              gapstart = -1L
+            } else if (gapstart >= 0 && start == r.untilInterval - r.step)
+              fillRange(src, dst, gapstart - r.step, start, now)
+            start += r.step
+          }
+        }
+        startFrom = fromTime
+      }
+    }
+  }
+
+  /** One gap copy (`fill`, bin/whisper-fill.py:52-92): walk src's
+    * archives finest-first, fetch [max(tstart, now − retention), tstop],
+    * write the non-null points newest-first through [[updateMany]],
+    * shrink tstop to the fetched range's start.
+    */
+  private def fillRange(src: String, dst: String, tstart: Long,
+                        tstop0: Long, now: Long): Unit = {
+    val pSrc = policies().getOrElse(src,
+      throw new CorruptWhisperFile("Unknown metric", src))
+    val srcTime = now - pSrc.maxRetention
+    if (tstart < srcTime && tstop0 < srcTime) return
+    var tstop = tstop0
+    val levels = pSrc.levels.iterator
+    var done = false
+    while (!done && levels.hasNext) {
+      val lvl = levels.next()
+      val rtime = now - lvl.retention
+      if (tstop > rtime) { // archives fully past the range are skipped
+        val untilTime = tstop
+        val fromTime = if (rtime > tstart) rtime else tstart
+        fetch(src, fromTime, untilTime, now).foreach { r =>
+          val pts = r.values.zipWithIndex.collect {
+            case (Some(v), i) => (r.fromInterval + i * r.step, v)
+          }.sortBy(-_._1) // newest first (bin/whisper-fill.py:84-86)
+          if (pts.nonEmpty) {
+            import spark.implicits._
+            updateMany(
+              pts.zipWithIndex
+                .map { case ((t, v), i) => (dst, t, v, i.toLong) }
+                .toDF("metric", "ts", "value", "seq"),
+              now)
+          }
+        }
+        tstop = fromTime
+        if (tstart == tstop) done = true
+      }
+    }
+  }
+
   /** whisper-diff: per-level slots where two metrics disagree
     * (whisper.py:1098-1149). Returns (level, interval, value_a, value_b).
     */

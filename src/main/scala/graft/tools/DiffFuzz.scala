@@ -31,8 +31,13 @@ import graft.store.MetricStore
   * duplicates, fetches at random ranges (zero-length, inverted, clamped
   * both ends, fully-future, fully-expired, archiveToSelect incl. invalid
   * granularity), info, merge (with/without from/to clamps, inverted),
-  * diff (ignore_empty both ways, until beyond now), and single-archive
-  * resize re-bins.
+  * diff (ignore_empty both ways, until beyond now), single-archive
+  * resize re-bins, whisper-fill reconciliation (fill_archives executed
+  * from the real bin/whisper-fill.py, incl. zero-valued points for the
+  * Python-falsy gap rule and startFrom past/inside/before retention),
+  * and mid-workload setAggregationMethod/setXFilesFactor (incl. invalid
+  * method/xff) with subsequent ingest cascading under the mutated
+  * kernel/xff.
   *
   * Scope notes (documented divergences by DESIGN, not fuzzed):
   *   - resize is fuzzed 1-archive -> 1-archive with xff=0 and non-avg_zero
@@ -49,6 +54,11 @@ import graft.store.MetricStore
   *     selected archive's retention: outside it the reference wraps its
   *     ring buffer and returns a SHORT valueList (len != slots), which is
   *     a file-layout artifact with no dense-table analog.
+  *   - fill workloads pin `now` so no finer archive's ring-boundary slot
+  *     is coarse-grid-aligned: fill's own coarse copies otherwise write
+  *     that slot and destroy the reference's now-slot data by ring
+  *     aliasing (found live by seed-1414 w157; see the scope note at the
+  *     generator).
   *
   * {{{ sbt "runMain graft.tools.DiffFuzz [n] [seed] [threads]" }}}
   */
@@ -210,7 +220,7 @@ object DiffFuzz {
 
   def genWorkload(id: Int, seed: Long): Workload = {
     val rng = new Random(seed * 1000003L + id)
-    val kind = rng.nextInt(20)
+    val kind = rng.nextInt(26)
     // resize workloads pin now to a 60-aligned value (every generated new
     // step divides 60): whisper-resize --aggregate bins on a grid SHIFTED
     // by now % newStep (bin/whisper-resize.py:176-177, fromTime =
@@ -218,13 +228,13 @@ object DiffFuzz {
     // early whenever now is not step-aligned — graft's resize (the w15
     // contract) bins on the true grid, so the fuzz pins the aligned
     // subset where the reference's shift vanishes and documents the quirk
-    val now =
-      if (kind >= 18) NowBase + 40 + rng.nextInt(16) * 60
+    var now =
+      if (kind >= 18 && kind <= 19) NowBase + 40 + rng.nextInt(16) * 60
       else NowBase + rng.nextInt(1000)
     val b = Vector.newBuilder[String]
-    b += s"N $now"
 
     if (kind == 0) {
+      b += s"N $now"
       // invalid creations: each should raise identically in both engines
       val base = genArchives(rng, 3)
       val bad: String = rng.nextInt(5) match {
@@ -255,7 +265,36 @@ object DiffFuzz {
       0.5f, AggregationMethod.Average)
     val maxRet = policy.maxRetention
     val twoFile = kind >= 14 && kind <= 17
-    val doResize = kind >= 18
+    val doResize = kind >= 18 && kind <= 19
+    val doFill = kind >= 20 && kind <= 22
+    val doMut = kind >= 23
+
+    // fill scope note (seed-1414 w157): a fill's COARSE-archive copy can
+    // hand update_many a point at exactly a finer archive's
+    // ring-boundary slot (interval == align(now, s_m) − ret_m — the gap
+    // walk bottoms out at now − retention, and when that boundary is
+    // coarse-grid-aligned the coarse fetch returns a value there). In
+    // the reference that slot shares its ring offset with the archive's
+    // now-slot, so the write physically DESTROYS now-slot data — the
+    // same file-layout aliasing genTs redraws direct writes around,
+    // with no dense-table analog (graft keeps both points; the boundary
+    // slot is unreachable through fetch either way, whisper.py:970).
+    // Fill workloads therefore pin `now` off the collision: advance it
+    // until no finer archive's boundary slot is aligned to any coarser
+    // archive's grid.
+    if (doFill) {
+      def boundaryAliased(n: Long): Boolean =
+        policy.levels.indices.exists { mi =>
+          val m = policy.levels(mi)
+          val bm = n - Math.floorMod(n, m.secondsPerPoint.toLong) - m.retention
+          policy.levels.drop(mi + 1)
+            .exists(c => Math.floorMod(bm, c.secondsPerPoint.toLong) == 0)
+        }
+      var guard = 0
+      while (boundaryAliased(now) && guard < 5000) { now += 1; guard += 1 }
+      require(guard < 5000, s"no alias-free now near $now for $archives")
+    }
+    b += s"N $now"
 
     val (agg0, xff0) =
       if (doResize) (aggMethods(Seq(0, 1, 2, 3, 4, 6, 7)(rng.nextInt(7))), "0.0")
@@ -264,7 +303,8 @@ object DiffFuzz {
       if (doResize) { val a = archives.head; s"${a._1}:${a._2}" }
       else archivesTok(archives)
     b += s"C 0 $agg0 $xff0 $arcTok"
-    if (twoFile) b += s"C 1 ${aggMethods(rng.nextInt(8))} ${fmtV(rng.nextInt(5) * 0.25)} $arcTok"
+    if (twoFile || doFill)
+      b += s"C 1 ${aggMethods(rng.nextInt(8))} ${fmtV(rng.nextInt(5) * 0.25)} $arcTok"
 
     // resize workloads run single-archive stores (see scope note)
     val effPolicy =
@@ -272,13 +312,28 @@ object DiffFuzz {
         RetentionPolicy(Seq(ArchiveInfo(archives.head._1, archives.head._2)),
           0.5f, AggregationMethod.Average)
       else policy
-    val nMut = 2 + rng.nextInt(4)
-    (0 until nMut).foreach { _ =>
-      val f = if (twoFile && rng.nextBoolean()) 1 else 0
+    val nMut = (if (doMut) 3 else 2) + rng.nextInt(4)
+    (0 until nMut).foreach { i =>
+      val f = if ((twoFile || doFill) && rng.nextBoolean()) 1 else 0
       if (rng.nextInt(100) < 25)
         b += s"U $f ${genTs(rng, now, effPolicy, forBatch = false, doResize)} ${fmtV(genValue(rng))}"
       else
         b += s"M $f ${genBatch(rng, now, effPolicy, doResize)}"
+      // metadata mutation MID-workload: the mutations after it ingest —
+      // and cascade — under the changed kernel/xff in both engines
+      // (whisper.py:331-388). i == 0 guarantees at least one per doMut
+      // workload with nMut - 1 >= 2 mutations still to come.
+      if (doMut && (i == 0 || rng.nextInt(100) < 35)) {
+        if (rng.nextBoolean()) {
+          val m = if (rng.nextInt(100) < 10) "avg" else aggMethods(rng.nextInt(8))
+          b += s"A 0 $m"
+        } else {
+          val x =
+            if (rng.nextInt(100) < 10) Seq("-0.5", "1.5")(rng.nextInt(2))
+            else fmtV(rng.nextInt(5) * 0.25)
+          b += s"X 0 $x"
+        }
+      }
     }
 
     if (twoFile) {
@@ -314,6 +369,30 @@ object DiffFuzz {
         val from = now - nextLong(rng, newRet)
         b += s"F 0 $from ${from + nextLong(rng, now - from + 1)}"
       }
+    } else if (doFill) {
+      // zero-valued writes exercise fill_archives' Python-falsy gap rule
+      // (a stored 0.0 is a GAP the fill overwrites, whisper-fill.py:105)
+      (0 until 1 + rng.nextInt(2)).foreach { _ =>
+        b += s"U ${rng.nextInt(2)} ${genTs(rng, now, policy, forBatch = false)} 0.00"
+      }
+      val sfTok = rng.nextInt(100) match {
+        case x if x < 60 => now
+        case x if x < 80 => now - nextLong(rng, maxRet) // mid-retention
+        case x if x < 90 => now + rng.nextInt(500) // fetch clamps to now
+        case _ => now - maxRet - 1 - rng.nextInt(1000) // every archive skips
+      }
+      b += s"L 0 1 $sfTok"
+      if (rng.nextInt(100) < 25) b += s"L 1 0 $now" // reverse reconciliation
+      (0 until 2 + rng.nextInt(3)).foreach { _ =>
+        val (from, until) = genFetch(rng, now, policy)
+        b += s"F ${rng.nextInt(2)} $from $until"
+      }
+      if (rng.nextInt(100) < 50) {
+        val untilTok =
+          if (rng.nextInt(100) < 25) s"${now - nextLong(rng, maxRet / 2)}" else "-"
+        b += s"D 0 1 ${rng.nextInt(2)} $untilTok"
+      }
+      b += "I 1"
     } else {
       val nFetch = 2 + rng.nextInt(5)
       (0 until nFetch).foreach { _ =>
@@ -443,6 +522,16 @@ object DiffFuzz {
               s"$lvl:${totals(lvl)}:$pts"
             }
             "diff " + toks.mkString(" ")
+          case "L" =>
+            store.fillArchives(metric(p(1)), metric(p(2)), p(3).toLong, now)
+            "ok"
+          case "A" =>
+            val old = store.setAggregationMethod(metric(p(1)),
+              AggregationMethod.fromName(p(2)))
+            s"oldagg ${old.name}"
+          case "X" =>
+            val old = store.setXFilesFactor(metric(p(1)), p(2).toFloat)
+            s"oldxff ${old.toDouble}"
           case "Z" =>
             val old = store.policies()(metric(p(1)))
             val agg = if (p(2) == "-") old.aggregation else AggregationMethod.fromName(p(2))
@@ -470,6 +559,11 @@ object DiffFuzz {
 
   // ---- comparison ---------------------------------------------------------
 
+  private val PinnedErrorClasses = Set(
+    "WhisperException", "InvalidConfiguration", "InvalidAggregationMethod",
+    "InvalidTimeInterval", "InvalidXFilesFactor", "TimestampNotCovered",
+    "CorruptWhisperFile")
+
   private def canonV(s: String): String =
     if (s == "n" || s.isEmpty) s
     else java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(s.toDouble))
@@ -486,6 +580,15 @@ object DiffFuzz {
           vs.split(",", -1).map(canonV).mkString(",")
       case "info" =>
         s"info ${parts(1)} ${parts(2)} ${canonV(parts(3))} ${parts(4)}"
+      case "oldxff" =>
+        s"oldxff ${canonV(parts(1))}"
+      case "err" =>
+        // whisper-taxonomy messages are deliberately pinned byte-exact
+        // (graft replicates them, unit specs gate them); anything else
+        // (ValueError, TypeError, ...) has interpreter-origin wording
+        // that tracks the CPython version, so compare class-only there
+        if (PinnedErrorClasses.contains(parts(1))) res
+        else s"err ${parts(1)}"
       case "diff" =>
         "diff " + parts.drop(1).map { tok =>
           val Array(lvl, total, pts) = tok.split(":", 3)

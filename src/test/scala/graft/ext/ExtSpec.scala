@@ -1759,6 +1759,55 @@ class ExtSpec extends AnyFunSuite {
       (3L, "suiteB", "v2", 9L, 60L)), s"$r2")
   }
 
+  test("benchmark registry: register() rejects unsafe names, TSV-hostile " +
+    "versions, and ids outside the 2^40 band") {
+    val path = java.nio.file.Files.createTempDirectory("benchreg-val").toString
+    val reg = graft.ext.BenchmarkRegistry.create(spark, path, prefix = "")
+    val ok = Seq((1L, "some benchmark text long enough")).toDF("doc_id", "text")
+    Seq("a/b", "..", "a\tb", "a b", "").foreach { bad =>
+      val e = intercept[IllegalArgumentException](reg.register(bad, "v1", ok))
+      assert(e.getMessage.contains("must match"), s"name '$bad': ${e.getMessage}")
+    }
+    val ev = intercept[IllegalArgumentException](
+      reg.register("s", "v\t1", ok))
+    assert(ev.getMessage.contains("tabs"), ev.getMessage)
+    // out-of-band ids would silently decode to the wrong slot in report()
+    Seq(-1L, 1L << 40).foreach { id =>
+      val e = intercept[IllegalArgumentException](reg.register("s", "v1",
+        Seq((id, "some benchmark text long enough")).toDF("doc_id", "text")))
+      assert(e.getMessage.contains("band"), s"id $id: ${e.getMessage}")
+    }
+    reg.register("s", "v1", ok) // valid case still passes
+    assert(reg.manifest("s") == ((0, "v1")))
+  }
+
+  test("pinned axis-aligned hyperplanes: bucket bits are exactly the " +
+    "component sign pattern, per-table bands disjoint (d86's hook)") {
+    // vec components: dims 0..3 drive table 0, dims 4..7 table 1
+    val mk = (signs: Seq[Int]) =>
+      Array.tabulate(64)(d => if (d < signs.size) signs(d).toDouble else 0.0)
+    val emb = Seq(
+      (1L, mk(Seq(1, -1, 1, -1, -1, -1, -1, -1)).map(_.toFloat)),
+      (2L, mk(Seq(1, -1, 1, -1, 1, 1, 1, 1)).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val pinned = (0 until 8).map(j =>
+      Array.tabulate(64)(d => if (d == j) 1.0 else 0.0))
+    val c = graft.ext.Similarity.corpusNormalized(emb)
+    val buckets = graft.ext.Similarity
+      .bucketCorpus(c, planes = 4, tables = 2, planesOverride = Some(pinned))
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("bucket"))))
+      .toSet
+    // doc 1: table-0 bits 1010₂ (dims 0,2 positive) = 5; table-1 bits 0
+    //        → buckets {5, 0 + 16}
+    // doc 2: same table-0 key 5; table-1 bits 1111₂ = 15 → {5, 15 + 16}
+    assert(buckets == Set((1L, 5L), (1L, 16L), (2L, 5L), (2L, 31L)), s"$buckets")
+    // undersized override is rejected, not silently truncated
+    val e = intercept[IllegalArgumentException](
+      graft.ext.Similarity.bucketCorpus(c, planes = 4, tables = 4,
+        planesOverride = Some(pinned)))
+    assert(e.getMessage.contains("planes"), e.getMessage)
+  }
+
   test("line dedup: first occurrence wins, short lines exempt, order preserved") {
     val d = Seq(
       (1L, "alpha beta gamma delta unique\nshared boilerplate line here\nx\ntail one"),
