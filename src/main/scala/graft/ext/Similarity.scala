@@ -210,6 +210,38 @@ object Similarity {
 
   // ---- product quantization ------------------------------------------
 
+  /** Per-row code assignment against a per-SEGMENT codebook array:
+    * cands = array<struct<cid, cvec>> sorted by cid; returns
+    * argmin_cid(−2·sub·c + ‖c‖²) with ties to the smallest cid —
+    * bit-identical to the former `min_by(cid, struct(d2, cid))`
+    * spelling (same d2 arithmetic per candidate; ascending-cid fold
+    * with strict `<` keeps the first minimum; an all-NaN row keeps the
+    * first cid, matching NaN-sorts-greatest), but WITHOUT the ×k join
+    * blowup and regroup shuffle that spelling paid: the broadcast join
+    * stays 1:1 per (id, seg) row and the argmin runs inside the row's
+    * codegen stage. At corpus scale that deletes a corpus×codes
+    * exchange from every encode and every Lloyd iteration.
+    */
+  private def argminCid(sub: Column, cands: Column): Column =
+    aggregate(cands,
+      struct(lit(Double.PositiveInfinity).as("d2"),
+        element_at(cands, 1).getField("cid").as("cid")),
+      (acc, cand) => {
+        val cvec = cand.getField("cvec")
+        val d2 = (lit(-2.0) * dotCol(sub, cvec)) + dotCol(cvec, cvec)
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), cand.getField("cid").as("cid")))
+          .otherwise(acc)
+      }).getField("cid")
+
+  /** (seg, cid, cvec) rows → one row per seg with the cid-sorted
+    * candidate array [[argminCid]] folds over.
+    */
+  private def segBooks(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy("seg")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+        .as("cands"))
+
   /** Per-segment PQ codebooks trained with deterministic seeding (the k
     * lowest-id sub-vectors) plus `iters` distributed Lloyd steps: assign
     * every (id, segment) sub-vector to its nearest code by L2, recompute
@@ -238,13 +270,15 @@ object Similarity {
         .collect()
         .map(r => (r.getInt(1), idToCid(r.getLong(0)), r.getSeq[Double](2)))
       (0 until iters).foreach { _ =>
-        val bdf = books.toDF("seg", "cid", "cvec")
-        val d2 = // rank by ||sub-c||^2 ≡ -2·sub·c + ||c||^2
-          (lit(-2.0) * dotCol(col("sub"), col("cvec"))) + dotCol(col("cvec"), col("cvec"))
+        // per-row argmin against the per-seg codebook array (see
+        // argminCid): assignment carries `sub` through, so the means
+        // recompute needs NO rejoin — one shuffle per iteration (the
+        // means groupBy), down from three
+        val bdf = segBooks(books.toDF("seg", "cid", "cvec"))
         val assigned = subs.join(broadcast(bdf), Seq("seg"))
-          .groupBy("id", "seg")
-          .agg(min_by(col("cid"), struct(d2, col("cid"))).as("cid"))
-        books = subs.join(assigned, Seq("id", "seg"))
+          .select(col("seg"), col("sub"),
+            argminCid(col("sub"), col("cands")).as("cid"))
+        books = assigned
           .select(col("seg"), col("cid"), posexplode(col("sub")).as(Seq("pos", "x")))
           .groupBy("seg", "cid", "pos")
           .agg(avg(col("x")).as("x"))
@@ -273,11 +307,14 @@ object Similarity {
     val subs = c.select(col("id") +: carry :+
       posexplode(array((0 until m).map(s =>
         slice(col("vec"), s * subd + 1, subd)): _*)).as(Seq("seg", "sub")): _*)
-    val d2 =
-      (lit(-2.0) * dotCol(col("sub"), col("cvec"))) + dotCol(col("cvec"), col("cvec"))
-    subs.join(broadcast(codebooks), Seq("seg"))
-      .groupBy(col("id") +: carry :+ col("seg"): _*)
-      .agg(min_by(col("cid"), struct(d2, col("cid"))).as("code"))
+    // pure map over the corpus: the per-seg broadcast join is 1:1 and
+    // the code argmin runs in-row (argminCid) — the former ×codes join
+    // blowup + corpus-sized regroup shuffle is gone, which at 100 TB is
+    // the difference between encoding in one scan and shuffling
+    // 256× the corpus
+    subs.join(broadcast(segBooks(codebooks)), Seq("seg"))
+      .select(col("id") +: carry :+ col("seg") :+
+        argminCid(col("sub"), col("cands")).as("code"): _*)
   }
 
   /** Build the PQ index once: codebooks + encoded corpus (cached). The
