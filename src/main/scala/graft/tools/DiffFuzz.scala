@@ -337,6 +337,17 @@ object DiffFuzz {
     }
 
     if (twoFile) {
+      // metadata mutation BEFORE merge/diff: whisper's file_merge
+      // checks ARCHIVE compatibility only (NotImplementedError on
+      // mismatch, whisper.py:1051-1057) — aggregation method and xff
+      // may differ between the files or change mid-workload, and the
+      // per-archive copy plus dst-side consolidation then run under
+      // whatever the CURRENT headers say, in both engines.
+      if (rng.nextInt(100) < 30) {
+        val f = rng.nextInt(2)
+        if (rng.nextBoolean()) b += s"A $f ${aggMethods(rng.nextInt(8))}"
+        else b += s"X $f ${fmtV(rng.nextInt(5) * 0.25)}"
+      }
       if (rng.nextInt(100) < 30) {
         val (tf, tt) =
           if (rng.nextInt(100) < 15) (s"${now - 100}", s"${now - 200}") // inverted
