@@ -243,18 +243,39 @@ object Similarity {
         .as("cands"))
 
   /** Per-segment PQ codebooks trained with deterministic seeding (the k
-    * lowest-id sub-vectors) plus `iters` distributed Lloyd steps: assign
-    * every (id, segment) sub-vector to its nearest code by L2, recompute
-    * code centroids as per-dimension means. Only m×k×subDim doubles ever
-    * reach the driver.
+    * lowest-id sub-vectors) plus `iters` Lloyd steps: assign every
+    * (id, segment) sub-vector to its nearest code by L2, recompute code
+    * centroids as per-dimension means.
+    *
+    * Scale-adaptive, the [[Dedup.connectedComponents]] pattern: a
+    * training corpus within `driverThreshold` doubles (n·dim) is solved
+    * locally on the driver — ONE collect, then `iters` in-memory Lloyd
+    * rounds — because the distributed loop's fixed cadence (per round:
+    * one broadcast build, one shuffle for the means, one collect) costs
+    * ~8 job rounds regardless of data size, which dominates training
+    * end-to-end until the corpus is orders of magnitude past fixture
+    * scale. Past the threshold the distributed loop below runs
+    * unchanged (forced in tests via driverThreshold = 0); only
+    * m×k×subDim doubles ever reach the driver per round there. The two
+    * paths share seeding (k lowest ids, densely re-labelled),
+    * assignment arithmetic (d2 = −2·sub·c + ‖c‖², ascending-cid fold,
+    * strict <) and empty-code handling (a code with no members drops
+    * out of the book); their means may differ in the last ulp only
+    * (summation order — the distributed avg sums in partition order,
+    * which already varies with the core count, so no oracle may depend
+    * on codebook LSBs; the exact-mode gates rerank a full-corpus
+    * shortlist precisely so they don't).
     *
     * @return (seg, cid, cvec) — m×k rows
     */
-  def pqCodebooks(c: DataFrame, m: Int, k: Int, iters: Int = 8): DataFrame = {
+  def pqCodebooks(c: DataFrame, m: Int, k: Int, iters: Int = 8,
+                  driverThreshold: Long = 4000000L): DataFrame = {
     val spark = c.sparkSession
     import spark.implicits._
     val dim = c.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"$m segments do not divide dim $dim")
+    if (driverThreshold > 0 && c.count() * dim <= driverThreshold)
+      return pqCodebooksLocal(c, m, k, iters, dim)
     val subd = dim / m
     val subs = c.select(col("id"),
       posexplode(array((0 until m).map(s =>
@@ -291,6 +312,67 @@ object Similarity {
       }
       books.toDF("seg", "cid", "cvec")
     } finally subs.unpersist(blocking = true)
+  }
+
+  /** Driver-side Lloyd for [[pqCodebooks]]' small-corpus regime: same
+    * seeding, same per-candidate d2 arithmetic in the same fold order as
+    * [[argminCid]] (left-to-right dot products, −2·dot + ‖c‖², strict <
+    * over ascending cid, so assignments are bit-identical given equal
+    * books), means summed in ascending-id order (deterministic across
+    * core counts, which the distributed partition-order sum is not).
+    */
+  private def pqCodebooksLocal(c: DataFrame, m: Int, k: Int, iters: Int,
+                               dim: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val subd = dim / m
+    val rows = c.select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], ao: Int, b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { s += a(ao + i) * b(i); i += 1 }
+      s
+    }
+    // seed: the k lowest ids, re-labelled densely 0..k-1 as code ids;
+    // books(seg) = (cid, cvec, ‖cvec‖²) ascending by cid
+    var books: Array[Array[(Int, Array[Double])]] =
+      Array.tabulate(m)(seg => rows.take(k).zipWithIndex.map {
+        case ((_, vec), cid) => (cid, vec.slice(seg * subd, (seg + 1) * subd))
+      })
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(m)(
+        scala.collection.mutable.HashMap.empty[Int, (Array[Double], Long)])
+      val cdots = books.map(_.map { case (cid, cv) => (cid, dot(cv, 0, cv)) })
+      rows.foreach { case (_, vec) =>
+        var seg = 0
+        while (seg < m) {
+          val cands = books(seg)
+          // argminCid's fold verbatim: init (+∞, first cid), strict <
+          var bestD2 = Double.PositiveInfinity
+          var bestCid = cands(0)._1
+          var j = 0
+          while (j < cands.length) {
+            val d2 = -2.0 * dot(vec, seg * subd, cands(j)._2) + cdots(seg)(j)._2
+            if (d2 < bestD2) { bestD2 = d2; bestCid = cands(j)._1 }
+            j += 1
+          }
+          val (acc, n) = sums(seg).getOrElseUpdate(bestCid,
+            (new Array[Double](subd), 0L))
+          var p = 0
+          while (p < subd) { acc(p) += vec(seg * subd + p); p += 1 }
+          sums(seg)(bestCid) = (acc, n + 1)
+          seg += 1
+        }
+      }
+      // empty codes drop out, exactly like the distributed groupBy
+      books = Array.tabulate(m)(seg => sums(seg).toArray.sortBy(_._1).map {
+        case (cid, (acc, n)) => (cid, acc.map(_ / n))
+      })
+    }
+    books.zipWithIndex.flatMap { case (bs, seg) =>
+      bs.map { case (cid, cv) => (seg, cid, cv.toSeq) }
+    }.toSeq.toDF("seg", "cid", "cvec")
   }
 
   /** PQ-encode the corpus: (id, seg, code) — the m-byte sketch, 32×

@@ -85,6 +85,32 @@ object StreamingCorpusPipeline {
       if (!enabled) df else time(stage) { df.count(); df }
   }
 
+  /** Run independent effect tasks concurrently from a small thread pool
+    * (the overlap-independent-jobs pattern): Spark's scheduler runs the
+    * jobs at once, so each small write's commit/refresh tail back-fills
+    * the others instead of serializing. Every task must be independent
+    * (disjoint output paths here) and idempotent (all callers pass
+    * overwrite-keyed index appends). All tasks run to completion even if
+    * one fails — the appends are replay-safe by the family contract, so
+    * partial completion under failure is indistinguishable from a
+    * replayed batch — then the first failure propagates.
+    */
+  private def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val done = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            tasks.map(t => scala.concurrent.Future(scala.util.Try(t())))),
+          scala.concurrent.duration.Duration.Inf)
+        done.collectFirst { case scala.util.Failure(e) => throw e }
+          .getOrElse(())
+      } finally { pool.shutdown(); () }
+    }
+
   /** Per-stage knobs. `quality` maps the batch frame to (doc_id, keep)
     * — swap in a tuned ruleset, a [[TextAnalysis.scoreLinear]]
     * threshold, or `lit(1)` to disable; `minLeak` is the shared-run
@@ -240,10 +266,15 @@ object StreamingCorpusPipeline {
       }
       val survivors = StageTimer.time("near")(minus(afterEx, nearDrops)
         .select(col("doc_id"), col("text")).localCheckpoint())
-      StageTimer.time("build") {
-        FingerprintIndex.build(survivors, fpPath): Unit
-        MinHashIndex.build(survivors, mhPath, n = n, k = k, bands = bands): Unit
-      }
+      // the two seed builds write disjoint directories from the same
+      // checkpointed survivor frame — independent jobs, overlapped
+      // ([[inParallel]], same reasoning as processBatch's appends)
+      StageTimer.time("build")(inParallel(Seq(
+        () => { FingerprintIndex.build(survivors, fpPath): Unit },
+        () => {
+          MinHashIndex.build(survivors, mhPath, n = n, k = k,
+            bands = bands): Unit
+        })))
       qDrops
         .unionByName(exDrops).unionByName(nearDrops)
         .unionByName(survivors.select(col("doc_id"),
@@ -623,27 +654,36 @@ object StreamingCorpusPipeline {
       // frames, so it runs FIRST — before any other append's refresh
       // can invalidate them
       semAppend()
-      StageTimer.time("appendFp")(
-        fpIdx.append(survCut, seg = seg, prioCol = cfg.prioCol))
-      StageTimer.time("append") {
-        lnPath.foreach(p =>
-          LineIndex.load(spark, p).append(survCut, seg = seg))
-        winPath.foreach(p =>
-          WinnowIndex.load(spark, p).append(survCut, seg = seg,
-            prioCol = cfg.prioCol))
-        // survivor n-gram statistics, when configured: the heavy-hitter
-        // report tracks the corpus AS CONSTRUCTED (post-cleaning text,
-        // drops excluded) — exactly-once by the same
-        // overwrite-per-segment contract as every other append here
-        ngPath.foreach(p =>
-          NgramIndex.load(spark, p).append(survCut, seg = seg))
-      }
-      StageTimer.time("appendMh") {
+      // the remaining appends write DISJOINT index directories and read
+      // only the checkpointed survivor cut (plus the shared shingle
+      // caches), so they are independent jobs — run them concurrently
+      // ([[inParallel]]): sequentially each paid its own write+commit+
+      // refresh tail while 31 cores idled. Only two orderings ever
+      // mattered and both are preserved: verdict before any append
+      // (cache invalidation, above) and the semantic append before any
+      // other append's refresh. StageTimer slots are per-thread elapsed,
+      // so concurrent append seconds overlap (their sum bounds the wall
+      // from above).
+      inParallel(Seq[() => Unit](
+        () => StageTimer.time("appendFp")(
+          fpIdx.append(survCut, seg = seg, prioCol = cfg.prioCol))
+      ) ++ lnPath.map(p => () => StageTimer.time("append")(
+        LineIndex.load(spark, p).append(survCut, seg = seg))
+      ) ++ winPath.map(p => () => StageTimer.time("append")(
+        WinnowIndex.load(spark, p).append(survCut, seg = seg,
+          prioCol = cfg.prioCol))
+      // survivor n-gram statistics, when configured: the heavy-hitter
+      // report tracks the corpus AS CONSTRUCTED (post-cleaning text,
+      // drops excluded) — exactly-once by the same
+      // overwrite-per-segment contract as every other append here
+      ) ++ ngPath.map(p => () => StageTimer.time("append")(
+        NgramIndex.load(spark, p).append(survCut, seg = seg))
+      ) :+ (() => StageTimer.time("appendMh") {
         mhIdx.append(survCut, seg = seg,
           shingled = Some(idsOf(survCut)(shAll)),
           signatures = Some(idsOf(survCut)(sigsAll)),
           prioCol = cfg.prioCol)
-      }
+      }))
     } finally StageTimer.time("cleanup")(
       // REVERSE registration order — dependents before dependencies.
       // Dataset.unpersist is non-cascading: dropping an entry other

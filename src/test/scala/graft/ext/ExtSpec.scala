@@ -1205,6 +1205,26 @@ class ExtSpec extends AnyFunSuite {
       shortlistFactor = 200000)) == brute)
   }
 
+  test("PQ local-Lloyd path matches the distributed loop (scale-adaptive)") {
+    val c = Similarity.corpus(emb)
+    val local = Similarity.pqCodebooks(c, m = 8, k = 16)
+    val dist = Similarity.pqCodebooks(c, m = 8, k = 16, driverThreshold = 0L)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val (lm, dm) = (asMap(local), asMap(dist))
+    // same surviving (seg, cid) cells — empty-code drop behaviour agrees
+    assert(lm.keySet == dm.keySet)
+    // centroids agree to summation-order tolerance (the documented ulp
+    // divergence: local sums ascending-id, distributed in partition order)
+    lm.foreach { case (key, lv) =>
+      val dv = dm(key)
+      assert(lv.size == dv.size)
+      lv.zip(dv).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"cell $key: $a vs $b")
+      }
+    }
+  }
+
   test("PQ codebooks seed from the k lowest ids even when ids are offset") {
     val c = Similarity.corpus(emb)
     val shifted = c.withColumn("id", col("id") + 100000L)
