@@ -274,7 +274,13 @@ object Similarity {
     import spark.implicits._
     val dim = c.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"$m segments do not divide dim $dim")
-    if (driverThreshold > 0 && c.count() * dim <= driverThreshold)
+    // bounded threshold probe: limit(n+1).count() short-circuits after
+    // n+1 rows (CollectLimit scans partitions incrementally), so the
+    // at-scale path never pays a full corpus pass just to learn it is
+    // over the bound — a plain count() here would have
+    val maxRows = driverThreshold / math.max(dim, 1)
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    if (driverThreshold > 0 && c.limit(probe).count() <= maxRows)
       return pqCodebooksLocal(c, m, k, iters, dim)
     val subd = dim / m
     val subs = c.select(col("id"),
