@@ -562,19 +562,34 @@ object Dedup {
     var growth = slack
     var converged = pending.isEmpty
     while (!converged && it < maxIter) {
-      val anchors = pending.where(col("anc").isNotNull)
-        .select(col("a"), col("b"), col("d"), col("anc")).distinct()
       val anchored = it > 0
+      // Round fusion (r15): rounds 2+ carry (ta, tb) through the
+      // per-round checkpoint, so ONLY round 1 resolves text by joining
+      // `docs` — previously every round re-joined docs twice (slice +
+      // grow test), and at fixture scale those per-round scan jobs, not
+      // data, dominated the loop (the d38/d39 anti-scaling cluster).
+      // Extendable runs are few by construction, so the text the
+      // checkpoint ships is bounded by the still-growing run set, never
+      // the candidate set.
+      val withText =
+        if (anchored) pending
+        else pending
+          .join(docsSel.as("da"), col("a") === col("da.id"))
+          .join(bSel.as("db"), col("b") === col("db.id"))
+          .select(pending.columns.map(col) :+
+            col("da.t").as("ta") :+ col("db.t").as("tb"): _*)
+      val anchors = withText.where(col("anc").isNotNull)
+        .select(col("a"), col("b"), col("d"), col("anc"),
+          col("ta"), col("tb"))
+        .dropDuplicates("a", "b", "d", "anc")
       // clamp to both texts (b's bounds shifted by d), slice once per
       // region, then aligned per-char equality — w rows per region, 1:1
-      val sliced = pending
-        .join(docsSel.as("da"), col("a") === col("da.id"))
-        .join(bSel.as("db"), col("b") === col("db.id"))
+      val sliced = withText
         .select(col("a"), col("b"), col("d"),
           greatest(col("rs"), lit(1L), col("d") + 1L).as("lo"),
-          least(col("re"), length(col("da.t")) + 1L,
-            length(col("db.t")) + 1L + col("d")).as("hi"),
-          col("da.t").as("ta"), col("db.t").as("tb"))
+          least(col("re"), length(col("ta")) + 1L,
+            length(col("tb")) + 1L + col("d")).as("hi"),
+          col("ta"), col("tb"))
         .where(col("hi") > col("lo"))
         .select(col("a"), col("b"), col("d"), col("lo"), col("hi"),
           col("ta").substr(col("lo").cast("int"),
@@ -599,34 +614,48 @@ object Dedup {
         .groupBy("a", "b", "d", "run")
         .agg(min(col("pos")).as("s"), (max(col("pos")) + 1L).as("e"))
         .drop("run")
+      // anchored rounds take their texts from the anchor rows (same
+      // (a, b) pair → identical text; dropDuplicates keys exclude the
+      // text columns so no string compare rides the dedup); round 1
+      // re-joins docs for the grow test exactly as before
       val exact =
         if (!anchored) allRuns
+          .join(docsSel.as("da"), col("a") === col("da.id"))
+          .join(bSel.as("db"), col("b") === col("db.id"))
+          .select(col("a"), col("b"), col("d"), col("s"), col("e"),
+            col("da.t").as("ta"), col("db.t").as("tb"))
         else allRuns.join(anchors, Seq("a", "b", "d"))
           .where(col("s") <= col("anc") && col("anc") < col("e"))
-          .select("a", "b", "d", "s", "e").distinct()
+          .select(col("a"), col("b"), col("d"), col("s"), col("e"),
+            col("ta"), col("tb"))
+          .dropDuplicates("a", "b", "d", "s", "e")
       // exact local extension test: can the run grow past its searched
       // window? (The char before s / at e exists in both docs and
       // matches.) Extendable runs re-region with doubled slack; the
-      // rest are maximal — keep those long enough.
+      // rest are maximal — keep those long enough. Only extendable rows
+      // carry their texts into the checkpoint (settled rows store NULL).
       val tested = exact
-        .join(docsSel.as("da"), col("a") === col("da.id"))
-        .join(bSel.as("db"), col("b") === col("db.id"))
         .select(col("a"), col("b"), col("d"), col("s"), col("e"),
           (col("s") > 1L && col("s") - col("d") > 1L &&
-            col("da.t").substr((col("s") - 1L).cast("int"), lit(1)) ===
-            col("db.t").substr((col("s") - 1L - col("d")).cast("int"), lit(1)))
+            col("ta").substr((col("s") - 1L).cast("int"), lit(1)) ===
+            col("tb").substr((col("s") - 1L - col("d")).cast("int"), lit(1)))
             .as("growL"),
-          (col("e") <= length(col("da.t")) &&
-            col("e") - col("d") <= length(col("db.t")) &&
-            col("da.t").substr(col("e").cast("int"), lit(1)) ===
-            col("db.t").substr((col("e") - col("d")).cast("int"), lit(1)))
-            .as("growR"))
+          (col("e") <= length(col("ta")) &&
+            col("e") - col("d") <= length(col("tb")) &&
+            col("ta").substr(col("e").cast("int"), lit(1)) ===
+            col("tb").substr((col("e") - col("d")).cast("int"), lit(1)))
+            .as("growR"),
+          col("ta"), col("tb"))
+        .select(col("a"), col("b"), col("d"), col("s"), col("e"),
+          col("growL"), col("growR"),
+          when(col("growL") || col("growR"), col("ta")).as("ta"),
+          when(col("growL") || col("growR"), col("tb")).as("tb"))
         .localCheckpoint()
       growth = growth * 2
       pending = tested.where(col("growL") || col("growR"))
         .select(col("a"), col("b"), col("d"),
           (col("s") - growth).as("rs"), (col("e") + growth).as("re"),
-          col("s").as("anc"))
+          col("s").as("anc"), col("ta"), col("tb"))
         .localCheckpoint()
       done = done.unionByName(
         tested.where(!col("growL") && !col("growR"))
@@ -1338,12 +1367,29 @@ object Dedup {
     * The a side reads (sigsA, shA) and the b side (sigsB, shB) — the same
     * tables for in-corpus dedup, a new batch vs a persisted index for
     * [[MinHashIndex.dedupBatch]].
+    *
+    * @param bTag extra b-side key column carried through every join and
+    *        the output — [[MinHashIndex.nearPairsUnion]]'s fused pass
+    *        verifies cross-index and in-batch candidates in ONE chain,
+    *        with the b side a tagged union of the batch and index
+    *        tables; the tag keeps a batch doc and an indexed doc that
+    *        share an id (a re-delivery) separate.
+    * @param pruneSzB restrict the b-side size aggregate to candidate
+    *        ids first: the b side may be a corpus-sized index table,
+    *        and aggregating ALL of it per batch shuffles corpus rows to
+    *        answer a candidates-only question (the semi-join makes the
+    *        aggregate candidate-bounded — shuffle fewer bytes). Only
+    *        set when `cands` is cheap to re-evaluate (checkpointed /
+    *        cached): the semi-join is a second consumer of its plan.
     */
   private[ext] def verifyCandidates(cands: DataFrame,
                                     sigsA: DataFrame, sigsB: DataFrame,
                                     shA: DataFrame, shB: DataFrame,
                                     tau: Double, k: Int,
-                                    margin: Double = 0.2): DataFrame = {
+                                    margin: Double = 0.2,
+                                    bTag: Option[String] = None,
+                                    pruneSzB: Boolean = false): DataFrame = {
+    val bKeys = "b" +: bTag.toSeq
     // stage 2: signature-estimate prefilter. No broadcast HINT on the
     // signature tables: they are O(corpus), so forcing broadcast would
     // ship the whole corpus to every executor at scale — AQE
@@ -1351,29 +1397,37 @@ object Dedup {
     // the fast plan) and shuffle-joins above it.
     val est = cands
       .join(sigsA.select(col("id").as("a"), col("sig").as("siga")), "a")
-      .join(sigsB.select(col("id").as("b"), col("sig").as("sigb")), "b")
+      .join(sigsB.select(col("id").as("b") +:
+        (bTag.map(col).toSeq :+ col("sig").as("sigb")): _*), bKeys)
       .withColumn("estj",
         aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
           (acc, v) => acc + v).cast("double") / k)
       .where(col("estj") >= tau - margin)
-      .select("a", "b")
+      .select(("a" +: bKeys).map(col): _*)
 
     // stage 3: exact verification on survivors only
     val szA = shA.groupBy("id").agg(count(lit(1)).as("sz"))
-    val szB = shB.groupBy("id").agg(count(lit(1)).as("sz"))
+    val szBIn =
+      if (!pruneSzB) shB
+      else shB.join(
+        cands.select((col("b").as("id") +: bTag.map(col).toSeq): _*).distinct(),
+        "id" +: bTag.toSeq, "left_semi")
+    val szB = szBIn.groupBy(("id" +: bTag.toSeq).map(col): _*)
+      .agg(count(lit(1)).as("sz"))
     val interCnt = est
       .join(shA.select(col("id").as("a"), col("h")), "a")
-      .join(shB.select(col("id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy("a", "b")
+      .join(shB.select(col("id").as("b") +:
+        (bTag.map(col).toSeq :+ col("h")): _*), bKeys :+ "h")
+      .groupBy(("a" +: bKeys).map(col): _*)
       .agg(count(lit(1)).as("inter"))
     interCnt
       .join(szA.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
-      .join(szB.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .join(szB.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), bKeys)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= tau)
-      .select(col("a"), col("b"), col("jaccard"))
+      .select(("a" +: bKeys).map(col) :+ col("jaccard"): _*)
   }
 
   // ---- SimHash --------------------------------------------------------

@@ -138,6 +138,63 @@ final class MinHashIndex private[ext] (val spark: SparkSession, val path: String
       .select(col("a").as("doc_id"), col("b").as("dup_of"), col("jaccard"))
   }
 
+  /** ONE fused near-dup pass for a batch: the cross-index check and the
+    * in-batch pair search share candidate generation (the batch's band
+    * hashes computed once, both collision joins landing in one
+    * checkpointed candidates union), ONE signature-estimate prefilter
+    * and ONE exact-Jaccard verify — instead of the two parallel chains
+    * [[dedupBatch]] + [[Dedup.minhashDuplicates]] ran over the same
+    * shingle/signature frames (guide §2.4: share scans; one verify per
+    * logical join). The b side of the fused verify is a tagged union of
+    * the batch and index tables — the tag (not the id) decides which
+    * table resolves a candidate, so a doc re-delivered under an indexed
+    * id still matches ITS OWN index row, never the batch clone's.
+    *
+    * Row-identity with the unfused pair: `cross=true` rows are exactly
+    * [[dedupBatch]]'s (batch × index) verified pairs; `cross=false`
+    * rows are in-batch verified pairs with a < b over ALL of newDocs —
+    * banding, the signature estimate and exact Jaccard are per-PAIR
+    * functions, so filtering both endpoints into any subset S of
+    * newDocs yields exactly [[Dedup.minhashDuplicates]](S)'s pairs (the
+    * gauntlet filters to the cross-check's survivors).
+    *
+    * The candidates union is localCheckpoint'd (eager, batch-bounded:
+    * |batch| × collided buckets): the verify chain AND the b-side size
+    * aggregate's candidate prune both consume it, and an uncached
+    * candidate plan would re-run the band joins once per consumer.
+    *
+    * @return (a, b, cross, jaccard) — a always from the batch; b from
+    *         the index when cross, from the batch (with a < b) when not
+    */
+  def nearPairsUnion(newDocs: DataFrame, tau: Double,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     excludeSeg: Option[String] = None,
+                     shingled: Option[DataFrame] = None,
+                     signatures: Option[DataFrame] = None): DataFrame = {
+    val newSh = shingled.getOrElse(
+      Dedup.hashShingles(Dedup.shingles(newDocs, n, idCol, textCol)))
+    val newSigs = signatures.getOrElse(signaturesOf(newSh))
+    val newBands = Dedup.bandHashes(newSigs, k, bands)
+    val crossCands = newBands.as("x")
+      .join(table("bands", Seq("id", "band", "bh"), excludeSeg).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), lit(true).as("cross"))
+    val batchCands = newBands.as("x")
+      .join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), lit(false).as("cross"))
+    val cands = crossCands.unionByName(batchCands).distinct().localCheckpoint()
+    val sigsB = newSigs.select(col("id"), col("sig"), lit(false).as("cross"))
+      .unionByName(table("sigs", Seq("id", "sig"), excludeSeg)
+        .select(col("id"), col("sig"), lit(true).as("cross")))
+    val shB = newSh.select(col("id"), col("h"), lit(false).as("cross"))
+      .unionByName(table("shingles", Seq("id", "h"), excludeSeg)
+        .select(col("id"), col("h"), lit(true).as("cross")))
+    Dedup.verifyCandidates(cands, newSigs, sigsB, newSh, shB, tau, k,
+      margin = prefilterMargin, bTag = Some("cross"), pruneSzB = true)
+  }
+
   /** Write a batch's derived tables into segment `seg` of the index.
     * Overwrites that segment only: appending is adding a NEW segment;
     * replaying the same segment is a no-op-shaped rewrite (idempotent).

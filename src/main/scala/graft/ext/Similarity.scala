@@ -211,7 +211,7 @@ object Similarity {
   // ---- product quantization ------------------------------------------
 
   /** Per-row code assignment against a per-SEGMENT codebook array:
-    * cands = array<struct<cid, cvec>> sorted by cid; returns
+    * cands = array<struct<cid, cvec, cn>> sorted by cid; returns
     * argmin_cid(−2·sub·c + ‖c‖²) with ties to the smallest cid —
     * bit-identical to the former `min_by(cid, struct(d2, cid))`
     * spelling (same d2 arithmetic per candidate; ascending-cid fold
@@ -219,27 +219,47 @@ object Similarity {
     * first cid, matching NaN-sorts-greatest), but WITHOUT the ×k join
     * blowup and regroup shuffle that spelling paid: the broadcast join
     * stays 1:1 per (id, seg) row and the argmin runs inside the row's
-    * codegen stage. At corpus scale that deletes a corpus×codes
-    * exchange from every encode and every Lloyd iteration.
+    * codegen stage — literally, since r15: [[graft.functions.PqArgmin]]
+    * generates one allocation-free primitive loop, replacing the
+    * interpreted `aggregate` fold (kept below as
+    * [[argminCidInterpreted]] purely as the parity-test reference). At
+    * corpus scale that deletes a corpus×codes exchange from every
+    * encode and every Lloyd iteration, and the codegen loop removes the
+    * per-(row × candidate) lambda-interpretation overhead on top.
     */
   private def argminCid(sub: Column, cands: Column): Column =
+    graft.functions.pq_argmin(sub, cands)
+
+  /** The pre-r15 interpreted spelling of [[argminCid]], retained as the
+    * reference half of the ExtSpec expression-vs-fold parity test (the
+    * codegen expression must match it bit-for-bit on the fixture).
+    * `cands` structs carry the precomputed ‖cvec‖² as `cn` — the same
+    * double [[graft.functions.DotProduct]] would produce per row, so
+    * using it here keeps the reference arithmetic identical.
+    */
+  private[ext] def argminCidInterpreted(sub: Column, cands: Column): Column =
     aggregate(cands,
       struct(lit(Double.PositiveInfinity).as("d2"),
         element_at(cands, 1).getField("cid").as("cid")),
       (acc, cand) => {
         val cvec = cand.getField("cvec")
-        val d2 = (lit(-2.0) * dotCol(sub, cvec)) + dotCol(cvec, cvec)
+        val d2 = (lit(-2.0) * dotCol(sub, cvec)) + cand.getField("cn")
         when(d2 < acc.getField("d2"),
           struct(d2.as("d2"), cand.getField("cid").as("cid")))
           .otherwise(acc)
       }).getField("cid")
 
   /** (seg, cid, cvec) rows → one row per seg with the cid-sorted
-    * candidate array [[argminCid]] folds over.
+    * candidate array [[argminCid]] folds over. ‖cvec‖² is precomputed
+    * HERE (`cn`, via the same codegen'd [[dotCol]] loop the per-row
+    * fold used, so the double is bit-identical) — once per codebook row
+    * instead of once per corpus row per candidate, which halved the
+    * encode scan's per-row FLOPs.
     */
-  private def segBooks(codebooks: DataFrame): DataFrame =
+  private[ext] def segBooks(codebooks: DataFrame): DataFrame =
     codebooks.groupBy("seg")
-      .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec"),
+          dotCol(col("cvec"), col("cvec")).as("cn"))))
         .as("cands"))
 
   /** Per-segment PQ codebooks trained with deterministic seeding (the k
@@ -277,7 +297,8 @@ object Similarity {
     // bounded threshold probe: limit(n+1).count() short-circuits after
     // n+1 rows (CollectLimit scans partitions incrementally), so the
     // at-scale path never pays a full corpus pass just to learn it is
-    // over the bound — a plain count() here would have
+    // over the bound — a plain count() here would have paid a full
+    // corpus scan before every training run
     val maxRows = driverThreshold / math.max(dim, 1)
     val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
     if (driverThreshold > 0 && c.limit(probe).count() <= maxRows)
@@ -610,13 +631,36 @@ object Similarity {
   }
 
   /** IVF coarse centroids: deterministic seed sample (nlist lowest ids)
-    * refined by one distributed Lloyd step — assign all vectors to their
-    * nearest seed, then each cell's centroid becomes the mean of its
-    * members (computed as a (cell, dim)-grouped aggregation; only
-    * nlist×dim rows ever reach the driver).
+    * refined by one Lloyd step — assign all vectors to their nearest
+    * seed, then each cell's centroid becomes the mean of its members.
+    *
+    * Scale-adaptive like [[pqCodebooks]]: a training corpus within
+    * `driverThreshold` doubles (n·dim) is solved on the driver — one
+    * collect, assignment + means in-memory — with member sums taken in
+    * ASCENDING-ID order, which is deterministic across core counts
+    * (the distributed avg sums in partition order, which varies with
+    * parallelism — a latent hazard for any consumer of centroid LSBs;
+    * on the deterministic fixtures both orders sum exactly, so the
+    * hash-gated IVF oracles d23–d25 / s07 / s11 / s13 pin that this
+    * path changes nothing). Past the threshold the distributed step
+    * runs unchanged (one assignment pass, a (cell, dim)-grouped
+    * aggregation; only nlist×dim rows reach the driver) — forced in
+    * tests via driverThreshold = 0.
     */
-  def ivfCentroids(c: DataFrame, nlist: Int): DataFrame = {
+  def ivfCentroids(c: DataFrame, nlist: Int,
+                   driverThreshold: Long = 4000000L): DataFrame = {
     val spark = c.sparkSession
+    if (driverThreshold > 0) {
+      // bounded probes, the pqCodebooks pattern: one-row dim peek, then
+      // limit(n+1).count() short-circuits after n+1 rows — the at-scale
+      // path never pays a full corpus pass just to learn it is over
+      val dim = c.select(size(col("vec"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
+      val maxRows = driverThreshold / math.max(dim, 1)
+      val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+      if (c.limit(probe).count() <= maxRows)
+        return ivfCentroidsLocal(c, nlist)
+    }
     val seeds = c.orderBy("id").limit(nlist)
       .select(col("id").as("cid"), col("vec").as("cvec"))
     val assigned = assignToNearest(c, seeds)
@@ -634,6 +678,63 @@ object Similarity {
       .sortBy(_._1)
     import spark.implicits._
     meanByDim.toDF("cid", "cvec")
+  }
+
+  /** Driver-side [[ivfCentroids]] for the small-corpus regime: same
+    * seeding (nlist lowest ids, cid = id), same per-candidate cosine
+    * arithmetic in the same operation order as [[assignToNearest]]'s
+    * `cosineSafe` + `max_by(struct(cid, vec), struct(cos, -cid))` —
+    * dots left-to-right, `(a·b / ‖a‖guard) / ‖b‖guard`, candidates
+    * scanned ascending cid with strict greater-than (ties and the
+    * all-NaN row to the lowest cid, `java.lang.Double.compare` ordering
+    * NaN greatest exactly like Spark's double ordering) — so
+    * assignments are identical given equal seeds; means summed in
+    * ascending-id order.
+    */
+  private def ivfCentroidsLocal(c: DataFrame, nlist: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val rows = c.select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def normGuard(v: Array[Double]): Double = {
+      val n = math.sqrt(dot(v, v))
+      if (n == 0.0) 1.0 else n
+    }
+    val seeds = rows.take(nlist)
+    val seedNorms = seeds.map { case (_, v) => normGuard(v) }
+    val sums = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Array[Double], Long)]
+    rows.foreach { case (_, vec) =>
+      val nv = normGuard(vec)
+      // cosineSafe's exact op order: (a·b / n(a)) / n(b), a = the vector
+      var bestIdx = 0
+      var bestCos = dot(vec, seeds(0)._2) / nv / seedNorms(0)
+      var j = 1
+      while (j < seeds.length) {
+        val cos = dot(vec, seeds(j)._2) / nv / seedNorms(j)
+        if (java.lang.Double.compare(cos, bestCos) > 0) {
+          bestCos = cos; bestIdx = j
+        }
+        j += 1
+      }
+      val cell = seeds(bestIdx)._1
+      val (acc, n) = sums.getOrElseUpdate(cell,
+        (new Array[Double](vec.length), 0L))
+      var p = 0
+      while (p < vec.length) { acc(p) += vec(p); p += 1 }
+      sums(cell) = (acc, n + 1)
+    }
+    // empty cells drop out, exactly like the distributed groupBy
+    sums.toSeq.sortBy(_._1).map { case (cell, (acc, n)) =>
+      (cell, acc.map(_ / n).toSeq)
+    }.toDF("cid", "cvec")
   }
 
   /** IVF index: every vector assigned to its nearest refined centroid. */

@@ -13,4 +13,10 @@ package object functions {
     */
   def dot_product(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** Codegen'd PQ code assignment: argmin cid over a cid-sorted
+    * candidate array (see [[graft.functions.PqArgmin]]).
+    */
+  def pq_argmin(sub: Column, cands: Column): Column =
+    bridge.column(PqArgmin(bridge.expression(sub), bridge.expression(cands)))
 }

@@ -93,21 +93,45 @@ object StreamingCorpusPipeline {
     * overwrite-keyed index appends). All tasks run to completion even if
     * one fails — the appends are replay-safe by the family contract, so
     * partial completion under failure is indistinguishable from a
-    * replayed batch — then the first failure propagates.
+    * replayed batch — then the first failure propagates with every
+    * LATER failure attached as suppressed (a shared-FS outage fails
+    * several appends at once; losing all but one exception hampers
+    * diagnosis). A generous per-call timeout bounds the wait — one hung
+    * append job must not hang the batch forever — and the timeout error
+    * names which tasks were still running.
     */
-  private def inParallel(tasks: Seq[() => Unit]): Unit =
-    if (tasks.sizeIs <= 1) tasks.foreach(_())
+  private[streaming] def inParallel(tasks: Seq[(String, () => Unit)],
+                                    timeout: scala.concurrent.duration.Duration =
+                                      scala.concurrent.duration.Duration(30, "min")): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_._2())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
-        val done = scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(
-            tasks.map(t => scala.concurrent.Future(scala.util.Try(t())))),
-          scala.concurrent.duration.Duration.Inf)
-        done.collectFirst { case scala.util.Failure(e) => throw e }
-          .getOrElse(())
+        val pendingNames =
+          java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        tasks.foreach { case (name, _) => pendingNames.add(name): Unit }
+        val done =
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              tasks.map { case (name, t) => scala.concurrent.Future {
+                try scala.util.Try(t())
+                finally { pendingNames.remove(name): Unit }
+              } }),
+            timeout)
+          catch {
+            case e: java.util.concurrent.TimeoutException =>
+              throw new java.util.concurrent.TimeoutException(
+                s"inParallel timed out after $timeout; still running: " +
+                  pendingNames.toArray.mkString(", ")).initCause(e)
+          }
+        done.collect { case scala.util.Failure(e) => e } match {
+          case Seq() => ()
+          case first +: rest =>
+            rest.foreach(first.addSuppressed)
+            throw first
+        }
       } finally { pool.shutdown(); () }
     }
 
@@ -270,11 +294,11 @@ object StreamingCorpusPipeline {
       // checkpointed survivor frame — independent jobs, overlapped
       // ([[inParallel]], same reasoning as processBatch's appends)
       StageTimer.time("build")(inParallel(Seq(
-        () => { FingerprintIndex.build(survivors, fpPath): Unit },
-        () => {
+        "fpBuild" -> (() => { FingerprintIndex.build(survivors, fpPath): Unit }),
+        "mhBuild" -> (() => {
           MinHashIndex.build(survivors, mhPath, n = n, k = k,
             bands = bands): Unit
-        })))
+        }))))
       qDrops
         .unionByName(exDrops).unionByName(nearDrops)
         .unionByName(survivors.select(col("doc_id"),
@@ -506,19 +530,32 @@ object StreamingCorpusPipeline {
         t.join(d.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       val shAll = keep(Dedup.hashShingles(Dedup.shingles(afterC, mhIdx.n)))
       val sigsAll = keep(mhIdx.signaturesOf(shAll))
+      // ONE fused candidates-union pass for the whole near stage (r15):
+      // the cross-index check and the in-batch pair search previously
+      // ran as two separate job chains over the same shingle/signature
+      // frames — two band joins, two estimate prefilters, two Jaccard
+      // verifies per batch. nearPairsUnion shares all of it; the two
+      // VERDICT classes split downstream on the `cross` tag, and the
+      // in-batch rows are endpoint-filtered into the cross survivors
+      // (banding/estimate/Jaccard are per-pair functions, so the
+      // filtered set equals minhashDuplicates(afterNc)'s output — the
+      // d45/d81/d82 oracles gate exactly this).
+      val nearPairs = StageTimer.force("near", keep(StageTimer.time("near")(
+        mhIdx.nearPairsUnion(afterC, cfg.tau, excludeSeg = Some(seg),
+          shingled = Some(shAll), signatures = Some(sigsAll)))))
       val nearCross = StageTimer.force("near", keep(
         electCross(
-          mhIdx.dedupBatch(afterC, cfg.tau, excludeSeg = Some(seg),
-            shingled = Some(shAll), signatures = Some(sigsAll)),
+          nearPairs.where(col("cross"))
+            .select(col("a").as("doc_id"), col("b").as("dup_of"),
+              col("jaccard")),
           mhIdx.priorities(excludeSeg = Some(seg)))
           .select(col("doc_id"), lit("dup_index").as("verdict"), col("ref_id"))))
       val afterNc = StageTimer.time("near")(
         minus(afterC, nearCross).select(carried: _*).localCheckpoint())
-      val pairs = Dedup.minhashDuplicates(afterNc, n = mhIdx.n, tau = cfg.tau,
-        k = mhIdx.k, bands = mhIdx.bands,
-        shingled = Some(idsOf(afterNc)(shAll)),
-        signatures = Some(idsOf(afterNc)(sigsAll)),
-        margin = mhIdx.prefilterMargin)
+      val pairs = nearPairs.where(!col("cross"))
+        .join(afterNc.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+        .join(afterNc.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"), col("jaccard"))
       val nearBatch = StageTimer.force("near", keep(cfg.prioCol match {
         case Some(pc) =>
           Dedup.clusterKeepersPriority(pairs, afterNc,
@@ -664,26 +701,26 @@ object StreamingCorpusPipeline {
       // other append's refresh. StageTimer slots are per-thread elapsed,
       // so concurrent append seconds overlap (their sum bounds the wall
       // from above).
-      inParallel(Seq[() => Unit](
-        () => StageTimer.time("appendFp")(
-          fpIdx.append(survCut, seg = seg, prioCol = cfg.prioCol))
-      ) ++ lnPath.map(p => () => StageTimer.time("append")(
-        LineIndex.load(spark, p).append(survCut, seg = seg))
-      ) ++ winPath.map(p => () => StageTimer.time("append")(
+      inParallel(Seq[(String, () => Unit)](
+        "appendFp" -> (() => StageTimer.time("appendFp")(
+          fpIdx.append(survCut, seg = seg, prioCol = cfg.prioCol)))
+      ) ++ lnPath.map(p => "appendLn" -> (() => StageTimer.time("append")(
+        LineIndex.load(spark, p).append(survCut, seg = seg)))
+      ) ++ winPath.map(p => "appendWin" -> (() => StageTimer.time("append")(
         WinnowIndex.load(spark, p).append(survCut, seg = seg,
-          prioCol = cfg.prioCol))
+          prioCol = cfg.prioCol)))
       // survivor n-gram statistics, when configured: the heavy-hitter
       // report tracks the corpus AS CONSTRUCTED (post-cleaning text,
       // drops excluded) — exactly-once by the same
       // overwrite-per-segment contract as every other append here
-      ) ++ ngPath.map(p => () => StageTimer.time("append")(
-        NgramIndex.load(spark, p).append(survCut, seg = seg))
-      ) :+ (() => StageTimer.time("appendMh") {
+      ) ++ ngPath.map(p => "appendNg" -> (() => StageTimer.time("append")(
+        NgramIndex.load(spark, p).append(survCut, seg = seg)))
+      ) :+ ("appendMh" -> (() => StageTimer.time("appendMh") {
         mhIdx.append(survCut, seg = seg,
           shingled = Some(idsOf(survCut)(shAll)),
           signatures = Some(idsOf(survCut)(sigsAll)),
           prioCol = cfg.prioCol)
-      }))
+      })))
     } finally StageTimer.time("cleanup")(
       // REVERSE registration order — dependents before dependencies.
       // Dataset.unpersist is non-cascading: dropping an entry other

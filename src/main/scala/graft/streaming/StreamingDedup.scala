@@ -126,13 +126,29 @@ object StreamingDedup {
       .select(col("doc_id") +: col("text") +: prioCol.map(col).toSeq: _*)
       .cache()
     try {
+      // The batch is shingled and signed ONCE, and ONE fused
+      // candidates-union pass ([[MinHashIndex.nearPairsUnion]], r15)
+      // yields both verdict classes' pairs — previously the cross check
+      // re-shingled the batch inside dedupBatch, the in-batch search
+      // re-shingled the remainder, and the append re-shingled the
+      // survivors: three shingle passes and two full verify chains over
+      // one delivery. Shingling is per-document, so filtering the
+      // cached tables per stage is exact.
+      val docSh = Dedup.hashShingles(Dedup.shingles(docs, idx.n)).cache()
+      val docSigs = idx.signaturesOf(docSh).cache()
+      def idsOf(d: DataFrame)(t: DataFrame): DataFrame =
+        t.join(d.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      val nearPairs = idx.nearPairsUnion(docs, tau,
+        excludeSeg = Some(s"b$batchId"),
+        shingled = Some(docSh), signatures = Some(docSigs)).cache()
       // 1. cross: smallest indexed match per dropped doc (the
       // (priority, id)-minimum match under the election). The batch's
       // own segment is excluded so a replay (at-least-once foreachBatch)
       // reads the index as it stood BEFORE its first attempt's append —
       // without this, replayed survivors match their own earlier rows
       // and the rewrite empties the segment.
-      val rawCross = idx.dedupBatch(docs, tau, excludeSeg = Some(s"b$batchId"))
+      val rawCross = nearPairs.where(col("cross"))
+        .select(col("a").as("doc_id"), col("b").as("dup_of"), col("jaccard"))
       val cross = (prioCol match {
         case Some(pc) =>
           // drop iff some indexed match is at least as trusted; the
@@ -147,16 +163,14 @@ object StreamingDedup {
 
       // 2. in-batch: exact-verified pairs → components → keep the
       // min id (or the (priority, id)-minimum member under prioCol).
-      // Shingles/signatures are cached HERE and unpersisted at the end
-      // of the batch — the minhashDuplicates defaults would leave a
-      // cached table behind per micro-batch, accreting over a
-      // long-running stream.
-      val remSh = Dedup.hashShingles(Dedup.shingles(remaining, idx.n)).cache()
-      val remSigs = idx.signaturesOf(remSh).cache()
-      val pairs = Dedup.minhashDuplicates(remaining, n = idx.n, tau = tau,
-        k = idx.k, bands = idx.bands,
-        shingled = Some(remSh), signatures = Some(remSigs),
-        margin = idx.prefilterMargin)
+      // The pair set is the fused pass's in-batch rows with both
+      // endpoints filtered into the remainder — banding/estimate/
+      // Jaccard are per-pair functions, so this equals
+      // minhashDuplicates(remaining) row-for-row.
+      val pairs = nearPairs.where(!col("cross"))
+        .join(remaining.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+        .join(remaining.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"), col("jaccard"))
       val batchDups = (prioCol match {
         case Some(pc) =>
           Dedup.clusterKeepersPriority(pairs, remaining,
@@ -184,16 +198,20 @@ object StreamingDedup {
           lit(null).cast("long").as("dup_of"), lit("kept").as("verdict")))
         .select("doc_id", "verdict", "dup_of")
         .write.mode("overwrite").parquet(s"$verdictPath/batch=$batchId")
-      idx.append(survivors, seg = s"b$batchId", prioCol = prioCol)
+      idx.append(survivors, seg = s"b$batchId",
+        shingled = Some(idsOf(survivors)(docSh)),
+        signatures = Some(idsOf(survivors)(docSigs)),
+        prioCol = prioCol)
       // teardown most-derived-first: non-cascading unpersist EAGERLY
       // rebuilds any live cache whose plan references the dropped one
       // — dropping `cross` before its dependents would re-run their
       // chains just to throw them away
       survivors.unpersist(blocking = true)
       batchDups.unpersist(blocking = true)
-      remSigs.unpersist(blocking = true)
-      remSh.unpersist(blocking = true)
       cross.unpersist(blocking = true)
+      nearPairs.unpersist(blocking = true)
+      docSigs.unpersist(blocking = true)
+      docSh.unpersist(blocking = true)
     } finally docs.unpersist(blocking = true)
   }
 }

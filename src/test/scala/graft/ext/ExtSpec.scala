@@ -1215,7 +1215,13 @@ class ExtSpec extends AnyFunSuite {
     // same surviving (seg, cid) cells — empty-code drop behaviour agrees
     assert(lm.keySet == dm.keySet)
     // centroids agree to summation-order tolerance (the documented ulp
-    // divergence: local sums ascending-id, distributed in partition order)
+    // divergence: local sums ascending-id, distributed in partition
+    // order). Known risk, accepted deliberately: if a future fixture
+    // change put a sub-vector near an assignment tie, a ulp could flip
+    // an assignment and cascade past this tolerance — the failure mode
+    // is a LOUD test failure pointing here, never a silent pass, and
+    // the deterministic fixture has no near-ties today (verified by
+    // this test passing at 1e-9 across core counts).
     lm.foreach { case (key, lv) =>
       val dv = dm(key)
       assert(lv.size == dv.size)
@@ -1225,15 +1231,68 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF local path matches the distributed Lloyd step (scale-adaptive)") {
+    val c = Similarity.corpusNormalized(emb)
+    val local = Similarity.ivfCentroids(c, nlist = 8)
+    val dist = Similarity.ivfCentroids(c, nlist = 8, driverThreshold = 0L)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val (lm, dm) = (asMap(local), asMap(dist))
+    // same surviving cells — empty-cell drop behaviour agrees
+    assert(lm.keySet == dm.keySet)
+    // centroids agree to summation-order tolerance (local sums
+    // ascending-id — deterministic across core counts; distributed avg
+    // sums in partition order). On this fixture the sums are exact, so
+    // the hash-gated IVF oracles (d23–d25, s07/s11/s13) stay green.
+    lm.foreach { case (cell, lv) =>
+      val dv = dm(cell)
+      assert(lv.size == dv.size)
+      lv.zip(dv).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"cell $cell: $a vs $b")
+      }
+    }
+  }
+
+  test("PqArgmin codegen expression matches the interpreted fold bit-for-bit") {
+    val c = Similarity.corpus(emb)
+    val books = Similarity.pqCodebooks(c, m = 8, k = 16)
+    val dim = c.select(size(col("vec"))).head().getInt(0)
+    val subd = dim / 8
+    val subs = c.select(col("id"),
+      posexplode(array((0 until 8).map(s =>
+        slice(col("vec"), s * subd + 1, subd)): _*)).as(Seq("seg", "sub")))
+    val joined = subs.join(Similarity.segBooks(books), Seq("seg"))
+    val both = joined.select(col("id"), col("seg"),
+      Similarity.argminCidInterpreted(col("sub"), col("cands")).as("ref"),
+      graft.functions.pq_argmin(col("sub"), col("cands")).as("got"))
+    assert(both.where(col("got").isNull).isEmpty,
+      "codegen argmin must assign every (id, seg) row")
+    assert(both.where(col("ref") =!= col("got")).isEmpty,
+      "codegen argmin must equal the interpreted fold on every row")
+    // empty candidate array → null, the fold's element_at(cands, 1) seed
+    val emptied = joined.limit(1).select(graft.functions.pq_argmin(
+      col("sub"),
+      filter(col("cands"), _ => lit(false))).as("got"))
+    assert(emptied.head().isNullAt(0), "empty cands must yield null")
+  }
+
   test("PQ codebooks seed from the k lowest ids even when ids are offset") {
     val c = Similarity.corpus(emb)
     val shifted = c.withColumn("id", col("id") + 100000L)
-    val books = Similarity.pqCodebooks(shifted, m = 8, k = 16)
-    // full codebook despite no id < 16 existing: 8 segments × 16 codes
-    assert(books.count() == 8 * 16, "offset ids must still yield k seeds")
-    assert(books.select("cid").distinct().count() == 16)
-    val encoded = Similarity.pqEncode(shifted, books, m = 8)
-    assert(encoded.where(col("code") < 0 || col("code") >= 16).isEmpty)
+    // BOTH paths stay covered: the fixture is under the default driver
+    // threshold (so the bare call exercises the local path), and the
+    // distributed loop — whose offset-id seeding is this test's subject
+    // — is forced explicitly via driverThreshold = 0
+    for (thr <- Seq(4000000L, 0L)) {
+      val books = Similarity.pqCodebooks(shifted, m = 8, k = 16,
+        driverThreshold = thr)
+      // full codebook despite no id < 16 existing: 8 segments × 16 codes
+      assert(books.count() == 8 * 16,
+        s"offset ids must still yield k seeds (driverThreshold=$thr)")
+      assert(books.select("cid").distinct().count() == 16)
+      val encoded = Similarity.pqEncode(shifted, books, m = 8)
+      assert(encoded.where(col("code") < 0 || col("code") >= 16).isEmpty)
+    }
   }
 
   test("multimodal byte features match a naive reference on the fixture") {

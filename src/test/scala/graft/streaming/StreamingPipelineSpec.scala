@@ -701,4 +701,38 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"classifier-passed dup must still hit the exact gate: $got")
     assert(got(201L) == "kept", s"good fresh doc must survive: $got")
   }
+
+  test("inParallel: failing task propagates with later failures suppressed, " +
+    "all tasks run to completion") {
+    val ran = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val e = intercept[RuntimeException] {
+      StreamingCorpusPipeline.inParallel(Seq(
+        "boom1" -> (() => { ran.add("boom1"); throw new RuntimeException("boom1") }),
+        "ok" -> (() => { Thread.sleep(50); ran.add("ok"): Unit }),
+        "boom2" -> (() => { ran.add("boom2"); throw new RuntimeException("boom2") })))
+    }
+    // run-all-then-throw-first: every task completed despite the failures
+    assert(ran.size == 3, s"all tasks must run to completion: $ran")
+    // first failure propagates, the other failure rides as suppressed
+    // (several concurrent appends failing at once — e.g. a shared-FS
+    // outage — must not lose all but one exception)
+    assert(Set("boom1", "boom2").contains(e.getMessage))
+    assert(e.getSuppressed.length == 1, "second failure must be suppressed")
+    assert(Set("boom1", "boom2") ==
+      Set(e.getMessage, e.getSuppressed.head.getMessage))
+  }
+
+  test("inParallel: a hung task times out with the stuck task named") {
+    val e = intercept[java.util.concurrent.TimeoutException] {
+      StreamingCorpusPipeline.inParallel(Seq(
+        "fast" -> (() => ()),
+        "stuck" -> (() => Thread.sleep(30000)),
+        "quick" -> (() => Thread.sleep(20))),
+        timeout = scala.concurrent.duration.Duration(500, "ms"))
+    }
+    assert(e.getMessage.contains("stuck"),
+      s"timeout must name the still-running task: ${e.getMessage}")
+    assert(!e.getMessage.contains("fast") && !e.getMessage.contains("quick"),
+      s"finished tasks must not be blamed: ${e.getMessage}")
+  }
 }
