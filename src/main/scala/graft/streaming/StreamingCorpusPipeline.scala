@@ -540,9 +540,13 @@ object StreamingCorpusPipeline {
       // (banding/estimate/Jaccard are per-pair functions, so the
       // filtered set equals minhashDuplicates(afterNc)'s output — the
       // d45/d81/d82 oracles gate exactly this).
-      val nearPairs = StageTimer.force("near", keep(StageTimer.time("near")(
+      // cached, NOT separately forced: the nearCross force below is the
+      // chain's first consumer and materializes this cache inside its
+      // own job — a separate count() here would add one job per batch
+      // for no work saved (job cadence is the fixture-scale wall)
+      val nearPairs = keep(StageTimer.time("near")(
         mhIdx.nearPairsUnion(afterC, cfg.tau, excludeSeg = Some(seg),
-          shingled = Some(shAll), signatures = Some(sigsAll)))))
+          shingled = Some(shAll), signatures = Some(sigsAll))))
       val nearCross = StageTimer.force("near", keep(
         electCross(
           nearPairs.where(col("cross"))
